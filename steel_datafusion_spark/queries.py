@@ -1,0 +1,449 @@
+"""Canonical query catalog — one entry per implemented operator family.
+
+This is the single source of truth consumed by ``__spark_entry__.py`` (driver
+correctness gate) and ``bench.py`` (driver bench gate).  Each entry is
+  name -> (build_fn(spark, sf_dir) -> DataFrame, oracle_sql or None)
+with column names aliased identically on both sides (the driver hashes values
+after sorting columns by name).
+
+Determinism rules used throughout:
+- double sums/avgs route through exact decimals (order-independent at any
+  partition count — see functions/aggregates.py), then cast back to double;
+- every LIMIT sits under a total order (unique tiebreak key);
+- no wall-clock, no randomness.
+
+Scale annotations sit on each query: where the shuffle lands, what gets
+broadcast, why the plan survives 1000 executors.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .expressions import (
+    case_otherwise, col, col_ge, col_lt, lit, sort_asc, sort_desc, when,
+)
+from .functions.aggregates import (
+    agg_avg, agg_count_distinct, agg_count_star, agg_max, agg_min,
+    avg_exact, sum_exact,
+)
+from .functions.windows import window_spec, w_lag, w_rank, w_row_number
+from .operators.relational import (
+    df_aggregate, df_distinct, df_distinct_on, df_except, df_filter,
+    df_intersect, df_join, df_join_on, df_limit, df_select, df_sort,
+    df_union, df_union_distinct, df_window,
+)
+from .sources.readers import load_tables
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# exact-decimal casts shared between Spark and the DuckDB oracle SQL
+_DEC = "decimal(28,10)"
+_SQL_DEC = "DECIMAL(28,10)"
+# Monetary/ratio columns in the test data carry exactly 2 decimal digits, so a
+# narrow decimal is lossless and keeps product-of-decimals within HUGEINT
+# range for the oracle's decimal summation.
+_DEC2 = "decimal(18,2)"
+_SQL_DEC2 = "DECIMAL(18,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY.md §2) — every df/* operator exercised
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped agg: groupBy+sum/avg/count on lineitem.
+
+    Scale: one partial→final hash agg, single shuffle on a 6-value key; the
+    decimal sums keep results identical at any partition count.  Filter on
+    l_shipdate is pushed to the parquet scan."""
+    li = _t(spark, sf_dir)["lineitem"]
+    disc_price = (F.col("l_extendedprice").cast(_DEC2)
+                  * (F.lit(1).cast(_DEC2) - F.col("l_discount").cast(_DEC2)))
+    charge = disc_price * (F.lit(1).cast(_DEC2) + F.col("l_tax").cast(_DEC2))
+    return df_aggregate(
+        df_filter(li, F.col("l_shipdate") <= F.lit("2024-06-30").cast("timestamp")),
+        [col("l_returnflag"), col("l_linestatus")],
+        [
+            sum_exact("l_quantity").alias("sum_qty"),
+            sum_exact("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            avg_exact("l_quantity").alias("avg_qty"),
+            avg_exact("l_discount").alias("avg_disc"),
+            agg_count_star().alias("count_order"),
+        ],
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+_SQL_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS {_SQL_DEC})) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS {_SQL_DEC})) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS {_SQL_DEC2}) * (CAST(1 AS {_SQL_DEC2}) - CAST(l_discount AS {_SQL_DEC2}))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS {_SQL_DEC2}) * (CAST(1 AS {_SQL_DEC2}) - CAST(l_discount AS {_SQL_DEC2})) * (CAST(1 AS {_SQL_DEC2}) + CAST(l_tax AS {_SQL_DEC2}))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS {_SQL_DEC})) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  CAST(SUM(CAST(l_discount AS {_SQL_DEC})) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-06-30 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_project_case(spark, sf_dir):
+    """select+filter+CASE+LIKE+arithmetic on orders (expression surface)."""
+    o = _t(spark, sf_dir)["orders"]
+    prio_class = case_otherwise(
+        when(F.col("o_orderpriority").like("1-%"), lit("urgent"))
+        .with_when(F.col("o_orderpriority").like("2-%"), lit("high")),
+        lit("normal"),
+    )
+    return df_select(
+        df_filter(o, (F.col("o_totalprice") > 50000) & (F.col("o_orderstatus") != "F")),
+        [
+            col("o_orderkey"),
+            (F.col("o_totalprice").cast(_DEC) * F.lit(2).cast(_DEC))
+            .cast("double").alias("double_price"),
+            prio_class.alias("prio_class"),
+        ],
+    )
+
+
+_SQL_FILTER_PROJECT = f"""
+SELECT o_orderkey,
+  CAST(CAST(o_totalprice AS {_SQL_DEC}) * CAST(2 AS {_SQL_DEC}) AS DOUBLE) AS double_price,
+  CASE WHEN o_orderpriority LIKE '1-%' THEN 'urgent'
+       WHEN o_orderpriority LIKE '2-%' THEN 'high'
+       ELSE 'normal' END AS prio_class
+FROM orders
+WHERE o_totalprice > 50000 AND o_orderstatus <> 'F'
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """3-way join (customer⋈orders⋈nation) + agg.
+
+    Scale: nation (25 rows) broadcasts; customer⋈orders shuffles on the join
+    key once, agg reuses it.  AQE picks broadcast automatically under the
+    64 MB threshold."""
+    t = _t(spark, sf_dir)
+    rev = (F.col("o_totalprice").cast(_DEC))
+    joined = df_join(
+        df_join(t["customer"], t["orders"], "inner", ["c_custkey"], ["o_custkey"]),
+        F.broadcast(t["nation"]), "inner", ["c_nationkey"], ["n_nationkey"],
+    )
+    return df_aggregate(
+        joined,
+        [col("n_name")],
+        [
+            F.sum(rev).cast("double").alias("revenue"),
+            agg_count_star().alias("n_orders"),
+            agg_count_distinct("c_custkey").alias("n_custs"),
+        ],
+    )
+
+
+_SQL_REVENUE_BY_NATION = f"""
+SELECT n_name,
+  CAST(SUM(CAST(o_totalprice AS {_SQL_DEC})) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders,
+  COUNT(DISTINCT c_custkey) AS n_custs
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    """left-semi: customers having at least one high-value order."""
+    t = _t(spark, sf_dir)
+    big = df_filter(t["orders"], F.col("o_totalprice") > 100000)
+    return df_join(
+        t["customer"], big, "left_semi", ["c_custkey"], ["o_custkey"]
+    ).select("c_custkey", "c_name")
+
+
+_SQL_SEMI = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """left-anti: customers with no urgent high-value orders (non-empty at
+    every SF, unlike customers-without-any-orders which is empty at sf≥0.01)."""
+    t = _t(spark, sf_dir)
+    urgent = df_filter(
+        t["orders"],
+        (F.col("o_orderpriority").like("1-%")) & (F.col("o_totalprice") > 150000),
+    )
+    return df_join(
+        t["customer"], urgent, "left_anti", ["c_custkey"], ["o_custkey"]
+    ).select("c_custkey", "c_acctbal")
+
+
+_SQL_ANTI = """
+SELECT c_custkey, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority LIKE '1-%' AND o_totalprice > 150000)
+"""
+
+
+def q_outer_join_agg(spark, sf_dir):
+    """left outer join preserving nations with zero customers."""
+    t = _t(spark, sf_dir)
+    return df_aggregate(
+        df_join(F.broadcast(t["nation"]), t["customer"], "left",
+                ["n_nationkey"], ["c_nationkey"]),
+        [col("n_name")],
+        [F.count(F.col("c_custkey")).alias("n_customers")],
+    )
+
+
+_SQL_OUTER = """
+SELECT n_name, COUNT(c_custkey) AS n_customers
+FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+GROUP BY n_name
+"""
+
+
+def q_theta_join(spark, sf_dir):
+    """df/join-on theta-join: parts cheaper than the order's average item
+    price band (non-equi conjunct + equi conjunct → SMJ/BHJ with residual)."""
+    t = _t(spark, sf_dir)
+    li, p = t["lineitem"], t["part"]
+    return df_join_on(
+        li, F.broadcast(p), "inner",
+        [li["l_partkey"] == p["p_partkey"],
+         li["l_extendedprice"] < p["p_retailprice"] * F.lit(10)],
+    ).groupBy("p_brand").agg(
+        agg_count_star().alias("cnt"),
+        sum_exact("l_quantity").alias("qty"),
+    )
+
+
+_SQL_THETA = f"""
+SELECT p_brand, COUNT(*) AS cnt,
+  CAST(SUM(CAST(l_quantity AS {_SQL_DEC})) AS DOUBLE) AS qty
+FROM lineitem JOIN part
+  ON l_partkey = p_partkey AND l_extendedprice < p_retailprice * 10
+GROUP BY p_brand
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """union-distinct / intersect / except composed in one result."""
+    t = _t(spark, sf_dir)
+    c = t["customer"]
+    hi = df_select(df_filter(c, F.col("c_acctbal") > 5000), [col("c_custkey")])
+    seg = df_select(df_filter(c, F.col("c_mktsegment") == "BUILDING"),
+                    [col("c_custkey")])
+    u = df_union_distinct(hi, seg).withColumn("src", F.lit("union"))
+    i = df_intersect(hi, seg).withColumn("src", F.lit("intersect"))
+    e = df_except(hi, seg).withColumn("src", F.lit("except"))
+    return df_union(df_union(u, i), e)
+
+
+_SQL_SET_OPS = """
+WITH hi AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+     seg AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT c_custkey, 'union' AS src FROM (SELECT c_custkey FROM hi UNION SELECT c_custkey FROM seg)
+UNION ALL
+SELECT c_custkey, 'intersect' AS src FROM (SELECT c_custkey FROM hi INTERSECT SELECT c_custkey FROM seg)
+UNION ALL
+SELECT c_custkey, 'except' AS src FROM (SELECT c_custkey FROM hi EXCEPT SELECT c_custkey FROM seg)
+"""
+
+
+def q_distinct(spark, sf_dir):
+    """SELECT DISTINCT on a projection."""
+    t = _t(spark, sf_dir)
+    return df_distinct(df_select(t["orders"],
+                                 [col("o_orderstatus"), col("o_orderpriority")]))
+
+
+_SQL_DISTINCT = "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+
+def q_distinct_on(spark, sf_dir):
+    """DISTINCT ON: latest event per user (ts desc, event_id tiebreak).
+
+    Scale: one shuffle on user_id (row_number window); AQE splits skewed
+    users.  Same distribution a first_value agg would need — no extra cost."""
+    t = _t(spark, sf_dir)
+    return df_distinct_on(
+        t["events"],
+        [col("user_id")],
+        [col("user_id"), col("event_id"), col("event_type"), col("value")],
+        [sort_desc(col("ts")), sort_asc(col("event_id"))],
+    )
+
+
+_SQL_DISTINCT_ON = """
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+  FROM events) t WHERE rn = 1
+"""
+
+
+def q_window_funcs(spark, sf_dir):
+    """Ranking + analytic window functions over a keyed partition."""
+    t = _t(spark, sf_dir)
+    spec = window_spec([col("user_id")],
+                       [sort_asc(col("ts")), sort_asc(col("event_id"))])
+    ev = df_window(
+        df_select(t["events"], [col("user_id"), col("event_id"), col("value"),
+                                col("ts")]),
+        [
+            w_row_number(spec).alias("seq"),
+            w_lag(F.col("value"), 1, None, spec).alias("prev_value"),
+            F.sum(F.col("value").cast(_DEC)).over(
+                spec.rowsBetween(-(1 << 31) + 1, 0)
+            ).cast("double").alias("running_value"),
+        ],
+    )
+    return df_select(ev, [col("user_id"), col("event_id"), col("seq"),
+                          col("prev_value"), col("running_value")])
+
+
+_SQL_WINDOW = f"""
+SELECT user_id, event_id,
+  row_number() OVER w AS seq,
+  lag(value, 1) OVER w AS prev_value,
+  CAST(SUM(CAST(value AS {_SQL_DEC})) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_topk(spark, sf_dir):
+    """sort+limit with total order → Spark fuses to TakeOrderedAndProject
+    (the TopK fusion the reference inherits from DataFusion)."""
+    t = _t(spark, sf_dir)
+    return df_limit(
+        df_sort(t["orders"], [sort_desc(col("o_totalprice")),
+                              sort_asc(col("o_orderkey"))]),
+        0, 25,
+    ).select("o_orderkey", "o_totalprice")
+
+
+_SQL_TOPK = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+"""
+
+
+def q_limit_offset(spark, sf_dir):
+    """OFFSET+LIMIT under a total order (df/limit skip+fetch semantics)."""
+    t = _t(spark, sf_dir)
+    return df_limit(
+        df_sort(t["customer"], [sort_asc(col("c_custkey"))]), 100, 10
+    ).select("c_custkey", "c_name")
+
+
+_SQL_LIMIT_OFFSET = """
+SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 10 OFFSET 100
+"""
+
+
+def q_sort_nulls(spark, sf_dir):
+    """Nulls-ordering parity: DataFusion sort_by = asc NULLS LAST.
+
+    Uses lag() to synthesize NULLs deterministically, then sorts by that
+    column — exercises the silent-divergence trap (Spark default nulls-first)."""
+    t = _t(spark, sf_dir)
+    spec = window_spec([col("user_id")], [sort_asc(col("event_id"))])
+    ev = df_window(
+        df_select(t["events"], [col("user_id"), col("event_id"), col("value")]),
+        [w_lag(F.col("value"), 1, None, spec).alias("prev_value")],
+    )
+    # keep a deterministic small result: first 50 events by id per the order
+    out = df_limit(
+        df_sort(ev, [sort_asc(col("prev_value")), sort_asc(col("event_id"))]),
+        0, 50,
+    )
+    return df_select(out, [col("event_id"), col("prev_value")])
+
+
+_SQL_SORT_NULLS = """
+SELECT event_id, prev_value FROM (
+  SELECT event_id, lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+  FROM events) t
+ORDER BY prev_value ASC NULLS LAST, event_id LIMIT 50
+"""
+
+
+def q_events_time_rollup(spark, sf_dir):
+    """Tumbling-window time rollup on the events table (date_trunc hourly).
+
+    Scale: this is the batch shape of a streaming windowed agg — single
+    shuffle on (hour, event_type); at 100 TB, partition pruning on a
+    date-partitioned layout would cut the scan."""
+    t = _t(spark, sf_dir)
+    return df_aggregate(
+        df_select(t["events"], [
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            col("event_type"), col("value"),
+        ]),
+        [col("hour"), col("event_type")],
+        [
+            agg_count_star().alias("n"),
+            sum_exact("value").alias("sum_value"),
+            agg_min("value").alias("min_value"),
+            agg_max("value").alias("max_value"),
+        ],
+    )
+
+
+_SQL_EVENTS_ROLLUP = f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS {_SQL_DEC})) AS DOUBLE) AS sum_value,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "pricing_summary": (q_pricing_summary, _SQL_PRICING),
+    "filter_project_case": (q_filter_project_case, _SQL_FILTER_PROJECT),
+    "revenue_by_nation": (q_revenue_by_nation, _SQL_REVENUE_BY_NATION),
+    "semi_join": (q_semi_join, _SQL_SEMI),
+    "anti_join": (q_anti_join, _SQL_ANTI),
+    "outer_join_agg": (q_outer_join_agg, _SQL_OUTER),
+    "theta_join": (q_theta_join, _SQL_THETA),
+    "set_ops": (q_set_ops, _SQL_SET_OPS),
+    "distinct": (q_distinct, _SQL_DISTINCT),
+    "distinct_on": (q_distinct_on, _SQL_DISTINCT_ON),
+    "window_funcs": (q_window_funcs, _SQL_WINDOW),
+    "topk": (q_topk, _SQL_TOPK),
+    "limit_offset": (q_limit_offset, _SQL_LIMIT_OFFSET),
+    "sort_nulls": (q_sort_nulls, _SQL_SORT_NULLS),
+    "events_time_rollup": (q_events_time_rollup, _SQL_EVENTS_ROLLUP),
+}
+
+
+def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
+    """Full registry: relational core + pipeline operators (when present)."""
+    out = dict(RELATIONAL_QUERIES)
+    try:
+        from .pipeline.queries import PIPELINE_QUERIES
+        out.update(PIPELINE_QUERIES)
+    except ImportError:
+        pass
+    return out

@@ -1,0 +1,88 @@
+"""Sources — ``read-csv`` parity plus the Parquet reader the test data uses.
+
+Reference: ``read-csv`` (main.rs:570-578, reg :521) = DataFusion
+``CsvReadOptions::new()`` defaults: header row true, schema inferred from a
+sample, comma delimiter.  Spark equivalent is exact.
+
+No write/sink API is exposed in the reference (nothing in main.rs:478-583);
+``write_parquet`` here is a flagged extension so pipelines can persist.
+
+Scale notes: CSV schema inference is a full extra scan of the sampled files —
+at 100 TB always pass an explicit schema (supported via ``schema=``).  Parquet
+scans get predicate pushdown + column pruning from Catalyst for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["read_csv", "read_parquet", "load_tables", "write_parquet", "TABLE_NAMES"]
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """CSV scan: header=true, inferred schema, comma delim (main.rs:570-578)."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Columns stored as Arrow timestamp[ns] in a parquet file's footer."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+    except ImportError:
+        return []
+    first = path
+    if os.path.isdir(path):
+        parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if not parts:
+            return []
+        first = os.path.join(path, parts[0])
+    schema = pq.read_schema(first)
+    return [f.name for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan (engine-inherited capability; Cargo.lock:2286).
+
+    Spark has no nanosecond timestamp type; ns-timestamp columns (read as
+    long via ``spark.sql.legacy.parquet.nanosAsLong``) are converted to µs
+    timestamps here — integer ``div`` so the conversion is exact, matching
+    DuckDB's ns→µs truncation."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    for c in _nanos_ts_columns(path):
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the driver's test tables (TESTDATA.md) that exist in ``sf_dir``."""
+    out = {}
+    for name in TABLE_NAMES:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            out[name] = read_parquet(spark, p)
+    return out
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
+    """Extension (no sink exists in the reference surface)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
