@@ -1,0 +1,1 @@
+"""Beyond-reference pipeline operators (dedup/similarity/text/multimodal)."""

@@ -1,0 +1,337 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Beyond-reference surface (BASELINE.json north star) for training-data
+pipelines.  Design constraints:
+
+- **Scale**: per-row stages (tokenize/shingle/hash) are JVM expressions —
+  no Python in the row path.  Candidate generation is an explode +
+  hash-partition self-join on (band, hash) buckets — the standard
+  shuffle-parallel LSH shape that holds at 100 TB.  Blocked all-pairs ops
+  salt the block key into S×S bucket pairs so parallelism never collapses
+  to the number of blocks (5 lang blocks ⇒ 5 active tasks is a real skew
+  failure measured at sf0.1; salted it becomes S² tasks per block).
+- **Materialization barriers are load-bearing**: Catalyst collapses adjacent
+  projections, so without ``persist()`` between shingling → signatures →
+  bands the whole upstream expression is re-inlined into every signature
+  slot and both self-join sides (a >30× blowup measured at sf0.1).  At
+  cluster scale the same barrier is a persisted/checkpointed table.
+- **Determinism / oracle parity**: one md5-derived 60-bit base hash per
+  shingle (reproducible in ANSI SQL), then K affine integer mixes
+  ``(lo*A + hi*B + C) mod (2^61-1)`` with lo/hi the 30-bit halves — all
+  products stay < 2^62, safe under ANSI int64 arithmetic in both engines.
+  No RNG, no JVM-specific hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, sql_norm, tokens
+
+__all__ = [
+    "md5_int60", "shingles", "minhash_signature", "lsh_bands",
+    "minhash_candidate_pairs", "minhash_dedup_pairs",
+    "exact_dedup", "simhash_from_hashes", "simhash_pairs",
+    "ngram_jaccard_pairs", "PERM_CONSTS", "MERSENNE61", "SQL",
+]
+
+SIMHASH_BITS = 48   # stays well inside signed int64 under ANSI arithmetic
+MERSENNE61 = (1 << 61) - 1
+_LO_MASK = (1 << 30) - 1
+
+
+def _perm_consts(k: int) -> list[tuple[int, int, int]]:
+    """Deterministic affine-mix constants (fixed LCG, embedded as literals in
+    both the Spark expressions and the oracle SQL)."""
+    a, c, m = 6364136223846793005, 1442695040888963407, 1 << 63
+    x = 0x9E3779B97F4A7C15 % m
+    out = []
+    for _ in range(k):
+        x = (a * x + c) % m
+        A = ((x >> 17) % (1 << 31)) | 1
+        x = (a * x + c) % m
+        B = ((x >> 17) % (1 << 31)) | 1
+        x = (a * x + c) % m
+        C = (x >> 17) % (1 << 31)
+        out.append((A, B, C))
+    return out
+
+
+PERM_CONSTS = _perm_consts(64)
+
+
+def md5_int60(e: Column) -> Column:
+    """60-bit integer hash: first 15 hex chars of md5.  Exactly reproducible
+    in DuckDB as ('0x' || substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(e), 1, 15), 16, 10).cast("long")
+
+
+def _mix(h: Column, i: int) -> Column:
+    """i-th affine mix of a 60-bit hash; ANSI-overflow-safe (< 2^62)."""
+    A, B, C = PERM_CONSTS[i]
+    lo = h.bitwiseAND(F.lit(_LO_MASK))
+    hi = F.shiftright(h, 30)
+    return (lo * F.lit(A) + hi * F.lit(B) + F.lit(C)) % F.lit(MERSENNE61)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; docs with <n tokens yield one whole-doc
+    shingle (guards ANSI sequence(0, negative))."""
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(grams)
+    )
+
+
+def _hashed_shingles(df: DataFrame, id_col: str, text_col: str,
+                     n: int) -> DataFrame:
+    """Materialized (doc_id, hs: array<long>) — one md5 per distinct shingle.
+    Persisted: this is the fan-out point every downstream stage reuses."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(shingles(F.col(text_col), n), md5_int60).alias("hs"),
+    ).persist()
+
+
+def minhash_signature(hs: Column, k: int = 32) -> Column:
+    """K-wide MinHash signature over pre-hashed shingles: per slot i, min of
+    the i-th affine mix.  K cheap integer passes — no re-hashing."""
+
+    def _slot(i: int) -> Column:
+        # arity-1 lambda: a 2-arg lambda would receive (element, index) from
+        # Spark's HOF machinery and clobber the captured index
+        return F.array_min(F.transform(hs, lambda h: _mix(h, i)))
+
+    return F.array(*[_slot(i) for i in range(k)])
+
+
+def lsh_bands(sig_col: Column, bands: int = 8, rows: int = 4) -> Column:
+    """Array of (band_idx, band_hash): md5 over the comma-joined signature
+    slice.  bands*rows must equal the signature width."""
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat_ws(",", F.transform(
+                F.slice(sig_col, b * rows + 1, rows),
+                lambda x: x.cast("string"),
+            ))).alias("band_hash"),
+        )
+        for b in range(bands)
+    ])
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, k: int = 32, bands: int = 8, rows: int = 4,
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing ≥1 LSH band."""
+    hs = _hashed_shingles(df, id_col, text_col, n)
+    return _candidates(hs, k, bands, rows)
+
+
+def _candidates(hs: DataFrame, k: int, bands: int, rows: int) -> DataFrame:
+    # signature table persisted so the 8 band slices read an attribute, not
+    # 8 re-inlined copies of the K-min expression
+    sigs = hs.select("doc_id", minhash_signature(F.col("hs"), k).alias("sig")).persist()
+    banded = sigs.select(
+        "doc_id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")
+    ).select("doc_id", "b.band_idx", "b.band_hash")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=[F.col("a.band_idx") == F.col("b.band_idx"),
+                      F.col("a.band_hash") == F.col("b.band_hash"),
+                      F.col("a.doc_id") < F.col("b.doc_id")])
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _jaccard(inter: Column, la: Column, lb: Column) -> Column:
+    return F.round(inter.cast("double") / (la + lb - inter).cast("double"), 6)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, k: int = 32, bands: int = 8, rows: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified with exact hashed-shingle-set Jaccard ≥
+    threshold (hash collisions perturb Jaccard by ~2^-60 — negligible).
+    Output: (doc_a, doc_b, jaccard), jaccard rounded to 6dp."""
+    hs = _hashed_shingles(df, id_col, text_col, n)
+    pairs = _candidates(hs, k, bands, rows)
+    a = hs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    b = hs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    j = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn("jaccard", _jaccard(F.col("inter"), F.size("hs_a"), F.size("hs_b")))
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint: every doc mapped to the
+    group keeper (min id).  One shuffle on the 128-bit fingerprint — the
+    canonical hash-groupBy dedup that scales linearly."""
+    fp = df.select(F.col(id_col).alias("doc_id"),
+                   fingerprint(F.col(text_col)).alias("fp"))
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper"),
+                                F.count(F.lit(1)).alias("n_copies"))
+    return (fp.join(keep, "fp")
+            .select("doc_id", "keeper", "n_copies",
+                    (F.col("doc_id") != F.col("keeper")).alias("is_dup")))
+
+
+def simhash_from_hashes(hs: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over pre-hashed shingles: bit b is 1 iff the ±1 vote sum over
+    element-hash bit b is positive.  Unrolled per-bit: masks are literals,
+    codegen-friendly, no shift of a lambda variable."""
+
+    def _bitsum(b: int) -> Column:
+        mask = F.lit(1 << b).cast("long")
+        return F.aggregate(
+            hs, F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, F.lit(1))
+                                  .otherwise(F.lit(-1)),
+        )
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(_bitsum(b) > 0, F.lit(1 << b).cast("long")) \
+                     .otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3, max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by shingle-SimHash: block on 4 chunks of 12 bits
+    (pigeonhole: recall 1 whenever ≤3 chunks differ — bit-sampling LSH),
+    verify popcount(xor) ≤ max_hamming.
+
+    Scale: 4× explode + hash shuffle on (chunk_idx, chunk_val); no cross
+    product ever forms.  Shingle-level (not token-level) SimHash keeps
+    small-vocabulary corpora from degenerating into one giant near-dup
+    cluster (token-level produced 3.4M pairs on 5k synthetic docs)."""
+    hs = _hashed_shingles(df, id_col, text_col, n)
+    sh = hs.select("doc_id",
+                   simhash_from_hashes(F.col("hs")).alias("sh")).persist()
+    chunks = sh.select(
+        "doc_id", "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk_idx"),
+                     F.shiftright(F.col("sh"), 12 * i)
+                      .bitwiseAND(F.lit(0xFFF)).alias("chunk_val"))
+            for i in range(4)
+        ])).alias("c"),
+    ).select("doc_id", "sh", "c.chunk_idx", "c.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, on=[F.col("a.chunk_idx") == F.col("b.chunk_idx"),
+                      F.col("a.chunk_val") == F.col("b.chunk_val"),
+                      F.col("a.doc_id") < F.col("b.doc_id")])
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", block_cols: list[str] | None = None,
+                        n: int = 3, threshold: float = 0.3,
+                        salt: int = 8) -> DataFrame:
+    """Exact n-gram Jaccard within blocking groups, salted for parallelism.
+
+    The naive block join keys only on the block columns — with B blocks that
+    is B shuffle keys and at most B concurrent tasks regardless of cluster
+    size.  Salting expands each block into salt² bucket pairs: the left side
+    carries (bucket_a = id mod S, every bucket_b), the right side its own
+    bucket, and the join keys on (block, bucket_a, bucket_b) — same pair set,
+    S² × parallelism."""
+    block_cols = block_cols or ["lang"]
+    base = df.select(F.col(id_col).alias("doc_id"), *block_cols)
+    hs = _hashed_shingles(df, id_col, text_col, n)
+    sh = base.join(hs, "doc_id").persist()
+    buckets = F.array(*[F.lit(i) for i in range(salt)])
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(c).alias(f"a_{c}") for c in block_cols],
+        F.col("hs").alias("hs_a"),
+        (F.col("doc_id") % salt).alias("bucket_a"),
+        F.explode(buckets).alias("bucket_b"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(c).alias(f"b_{c}") for c in block_cols],
+        F.col("hs").alias("hs_b"),
+        (F.col("doc_id") % salt).alias("bucket_b2"),
+    )
+    cond = [F.col(f"a_{c}") == F.col(f"b_{c}") for c in block_cols]
+    cond += [F.col("bucket_b") == F.col("bucket_b2"),
+             F.col("doc_a") < F.col("doc_b")]
+    j = (a.join(b, on=cond)
+         .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+         .withColumn("jaccard", _jaccard(F.col("inter"),
+                                         F.size("hs_a"), F.size("hs_b"))))
+    return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# ANSI-SQL oracle builders (DuckDB) — same algorithms, bit-for-bit
+# ---------------------------------------------------------------------------
+
+class SQL:
+    """Generators for the DuckDB-oracle SQL of each dedup operator."""
+
+    H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+    @staticmethod
+    def tokens(col: str) -> str:
+        n = sql_norm(col)
+        return (f"CASE WHEN length({n}) = 0 THEN []::VARCHAR[] "
+                f"ELSE string_split({n}, ' ') END")
+
+    @classmethod
+    def shingles(cls, col: str, n: int = 3) -> str:
+        t = cls.tokens(col)
+        return (
+            f"list_distinct(CASE WHEN len({t}) < {n} "
+            f"THEN [array_to_string({t}, ' ')] "
+            f"ELSE list_transform(generate_series(1, len({t}) - {n - 1}), "
+            f"i -> array_to_string(list_slice({t}, i, i + {n - 1}), ' ')) END)"
+        )
+
+    @classmethod
+    def hashed_shingles(cls, col: str, n: int = 3) -> str:
+        return (f"list_transform({cls.shingles(col, n)}, "
+                f"s -> {cls.H.format(x='s')})")
+
+    @staticmethod
+    def mix(h: str, i: int) -> str:
+        A, B, C = PERM_CONSTS[i]
+        return (f"((({h}) & {_LO_MASK}) * {A} + (({h}) >> 30) * {B} + {C}) "
+                f"% {MERSENNE61}")
+
+    @classmethod
+    def minhash_sig_items(cls, hs: str, k: int = 32) -> list[str]:
+        return [
+            f"list_min(list_transform({hs}, h -> {cls.mix('h', i)}))"
+            for i in range(k)
+        ]
+
+    @classmethod
+    def simhash_terms(cls, hs: str, bits: int = SIMHASH_BITS) -> str:
+        terms = []
+        for b in range(bits):
+            bitsum = (f"list_sum(list_transform({hs}, h -> "
+                      f"CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END))")
+            terms.append(f"CASE WHEN {bitsum} > 0 THEN {1 << b}::BIGINT "
+                         f"ELSE 0::BIGINT END")
+        return " + ".join(terms)

@@ -1,0 +1,106 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Beyond-reference surface.  The contract at 100 TB: media travels as
+``binary`` columns with a typed metadata struct; decode / feature-extraction
+runs as Arrow-batched Python (``mapInPandas``) because media codecs live in
+Python/native libs, not the JVM.  The *plumbing* here — schema, batch shape,
+partitioning, UDF signatures — is real and tested; the actual image/audio
+decode is stubbed (the container ships no codec libs) behind
+``NotImplementedError`` with a deterministic fake used for tests/oracles.
+
+Scale notes: feature extraction is embarrassingly parallel (mapInPandas,
+no shuffle); keep ``spark.sql.execution.arrow.maxRecordsPerBatch`` sized so
+payload batches fit executor memory (binary columns dominate).  On a real
+lake, payloads would be parquet BYTE_ARRAY chunks or object-store pointers —
+both flow through the same column type.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "make_media_table",
+           "extract_features", "decode_image"]
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),          # image | audio | video
+    T.StructField("payload", T.BinaryType()),       # opaque encoded bytes
+    T.StructField("meta", T.StructType([
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ])),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("checksum", T.LongType()),        # sum of payload bytes
+    T.StructField("aspect", T.DoubleType()),        # width/height (0 if n/a)
+])
+
+
+def make_media_table(documents: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the documents fixture: payload =
+    ASCII bytes of the text, kind cycles by doc_id, metadata derived from
+    n_chars.  Stands in for a real media lake with identical column shapes."""
+    ascii_text = F.regexp_replace(F.col("text"), r"[^\x00-\x7F]", "")
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(ascii_text, "UTF-8").alias("payload"),
+        F.struct(
+            (F.col("n_chars") % 1920).cast("int").alias("width"),
+            (F.col("n_chars") % 1080).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes):
+    """Real decode would use PIL/libvips — not shipped in this container.
+    Gated stub per the build contract."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "image decode requires a codec library (PIL) not present in this "
+            "environment; feature extraction uses the deterministic byte-level "
+            "fake instead"
+        )
+    raise NotImplementedError("real decode path not implemented in round 1")
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (mapInPandas).
+
+    The features are deterministic byte-level stats (length, byte checksum,
+    aspect ratio from metadata) — a stand-in with the exact execution shape
+    of a real decoder: per-batch pandas, zero shuffle, output schema typed."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            meta = pdf["meta"]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": payloads.map(len).astype("int64"),
+                "checksum": payloads.map(lambda b: int(sum(b))).astype("int64"),
+                "aspect": meta.map(
+                    lambda m: (m["width"] / m["height"]) if m["height"] else 0.0
+                ).astype("float64"),
+            })
+
+    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)

@@ -1,0 +1,366 @@
+"""Pipeline-operator query catalog (dedup / similarity / text / multimodal).
+
+Same contract as steel_datafusion_spark.queries: name -> (fn, oracle_sql).
+The synthetic corpus has no natural duplicates (500/500 distinct texts at
+sf0.01), so the dedup queries run on a deterministic augmented corpus —
+docs with id<20 get a near-copy (id+1000000, ' steel spark dedup' appended)
+— built identically in the Spark plan and the oracle CTE, so the operators
+demonstrably find the planted near-dups.
+
+Embeddings likewise get exact copies (id+1000000) of vec_id<10 for the
+near-dup query.  All scoring is rounded to 6dp before ranking on both
+engines (see pipeline/similarity.py determinism notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_tables
+from . import text as TX
+from .dedup import (
+    SQL as DSQL, exact_dedup, md5_int60, minhash_dedup_pairs,
+    ngram_jaccard_pairs, shingles, simhash_from_hashes, simhash_pairs,
+)
+from .multimodal import extract_features, make_media_table
+from .similarity import cosine_neardup_pairs, cosine_topk, ivf_topk
+
+_COS = ("(list_dot_product({a}, {b}) / "
+        "sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b})))")
+
+_AUG_DOCS_SQL = """
+corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' steel spark dedup', lang
+  FROM documents WHERE doc_id < 20
+)"""
+
+_AUG_EMB_SQL = """
+corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding::DOUBLE[], label
+  FROM embeddings WHERE vec_id < 10
+)"""
+
+
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text", "lang")
+    var = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" steel spark dedup")).alias("text"),
+        F.col("lang"),
+    )
+    return d.union(var)
+
+
+def _aug_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    base = e.select("vec_id", F.col("embedding"), "label")
+    var = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), F.col("embedding"), "label")
+    return base.union(var)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark, sf_dir):
+    """Per-doc text stats: tokens, punct/stopword ratios, langid, quality,
+    fingerprint — one codegen'd projection, no shuffle."""
+    d = load_tables(spark, sf_dir)["documents"]
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        F.round(TX.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
+        TX.lang_id(t).alias("lang_pred"),
+        F.round(TX.quality_score(t), 6).alias("quality"),
+        TX.fingerprint(t).alias("fingerprint"),
+    )
+
+
+_SQL_TEXT_STATS = f"""
+SELECT doc_id,
+  {TX.sql_token_count('text')} AS n_tokens,
+  round({TX.sql_punct_ratio('text')}, 6) AS punct_ratio,
+  round({TX.sql_stopword_ratio('text')}, 6) AS stopword_ratio,
+  {TX.sql_lang_id('text')} AS lang_pred,
+  round({TX.sql_quality_score('text')}, 6) AS quality,
+  {TX.sql_fingerprint('text')} AS fingerprint
+FROM documents
+"""
+
+
+def q_text_quality_by_source(spark, sf_dir):
+    """Quality rollup per source: count, avg token count, english share."""
+    d = load_tables(spark, sf_dir)["documents"]
+    t = F.col("text")
+    stats = d.select(
+        "source",
+        TX.token_count(t).alias("n_tokens"),
+        TX.lang_id(t).alias("lang_pred"),
+        TX.quality_score(t).alias("quality"),
+    )
+    return stats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("n_tokens").alias("avg_tokens"),
+        F.round(F.min("quality"), 6).alias("min_quality"),
+        F.round(F.max("quality"), 6).alias("max_quality"),
+        (F.sum(F.when(F.col("lang_pred") == "en", 1).otherwise(0)).cast("double")
+         / F.count(F.lit(1))).alias("en_share"),
+    )
+
+
+_SQL_TEXT_QUALITY = f"""
+WITH s AS (
+  SELECT source, {TX.sql_token_count('text')} AS n_tokens,
+         {TX.sql_lang_id('text')} AS lang_pred,
+         {TX.sql_quality_score('text')} AS quality
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs, AVG(n_tokens) AS avg_tokens,
+  round(MIN(quality), 6) AS min_quality, round(MAX(quality), 6) AS max_quality,
+  CAST(SUM(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS en_share
+FROM s GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup over the augmented corpus: every doc → its keeper."""
+    return exact_dedup(_aug_docs(spark, sf_dir))
+
+
+_SQL_DEDUP_EXACT = f"""
+WITH {_AUG_DOCS_SQL},
+fp AS (SELECT doc_id, {TX.sql_fingerprint('text')} AS f FROM corpus),
+keep AS (SELECT f, MIN(doc_id) AS keeper, COUNT(*) AS n_copies FROM fp GROUP BY f)
+SELECT fp.doc_id, keep.keeper, keep.n_copies,
+       fp.doc_id <> keep.keeper AS is_dup
+FROM fp JOIN keep ON fp.f = keep.f
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash(32) + LSH(8×4) candidates, verified with exact shingle
+    Jaccard ≥ 0.5 — finds the 20 planted near-copies."""
+    return minhash_dedup_pairs(_aug_docs(spark, sf_dir), threshold=0.5)
+
+
+def _sql_dedup_minhash() -> str:
+    hs = DSQL.hashed_shingles("text")
+    sig_items = ",\n    ".join(DSQL.minhash_sig_items("hs", 32))
+    return f"""
+WITH {_AUG_DOCS_SQL},
+shing AS (SELECT doc_id, {hs} AS hs FROM corpus),
+sigs AS (SELECT doc_id, [{sig_items}] AS sig FROM shing),
+bands AS (
+  SELECT doc_id, b.band_idx,
+         md5(array_to_string(list_slice(sig, b.band_idx*4+1, b.band_idx*4+4), ',')) AS band_hash
+  FROM sigs, (SELECT unnest(generate_series(0, 7)) AS band_idx) b),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+j AS (
+  SELECT p.doc_a, p.doc_b,
+    round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+          (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))), 6) AS jaccard
+  FROM pairs p
+  JOIN shing sa ON sa.doc_id = p.doc_a
+  JOIN shing sb ON sb.doc_id = p.doc_b)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+"""
+
+
+def q_dedup_simhash_fingerprints(spark, sf_dir):
+    """48-bit shingle-SimHash fingerprints for docs with id<100 — validates
+    the full bit-derivation pipeline value-for-value across engines."""
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 100)
+    hs = F.transform(shingles(F.col("text")), md5_int60)
+    return d.select("doc_id", simhash_from_hashes(hs).alias("simhash"))
+
+
+def _sql_simhash_fps() -> str:
+    return f"""
+WITH hsrc AS (SELECT doc_id, {DSQL.hashed_shingles('text')} AS hs
+              FROM documents WHERE doc_id < 100)
+SELECT doc_id, {DSQL.simhash_terms('hs')} AS simhash FROM hsrc
+"""
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 10) via 4×12-bit chunk blocking on
+    the augmented corpus."""
+    return simhash_pairs(_aug_docs(spark, sf_dir), max_hamming=10)
+
+
+def _sql_simhash_pairs() -> str:
+    return f"""
+WITH {_AUG_DOCS_SQL},
+hsrc AS (SELECT doc_id, {DSQL.hashed_shingles('text')} AS hs FROM corpus),
+sh AS (SELECT doc_id, {DSQL.simhash_terms('hs')} AS sh FROM hsrc),
+chunks AS (
+  SELECT doc_id, sh, c.chunk_idx, (sh >> (12 * c.chunk_idx)) & 4095 AS chunk_val
+  FROM sh, (SELECT unnest(generate_series(0, 3)) AS chunk_idx) c),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.sh, b.sh)) AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 10
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard ≥ 0.5 within lang blocks (augmented corpus)."""
+    return ngram_jaccard_pairs(_aug_docs(spark, sf_dir), block_cols=["lang"],
+                               threshold=0.5)
+
+
+def _sql_ngram_jaccard() -> str:
+    hs = DSQL.hashed_shingles("text")
+    return f"""
+WITH {_AUG_DOCS_SQL},
+shing AS (SELECT doc_id, lang, {hs} AS hs FROM corpus),
+j AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+          (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 6) AS jaccard
+  FROM shing a JOIN shing b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def q_similarity_topk(spark, sf_dir):
+    """Exact brute-force cosine top-10 for query vectors (vec_id < 5)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    return cosine_topk(q, e, k=10)
+
+
+_SQL_SIM_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({_COS.format(a='q.qv', b='e.v')}, 6) AS score
+  FROM q, e WHERE q.query_id <> e.vec_id)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored) t WHERE rank <= 10
+"""
+
+
+def q_similarity_ivf(spark, sf_dir):
+    """IVF-bucketed ANN top-10 (centroids = vec_id%50==0, nprobe=2)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    return ivf_topk(q, e, k=10, nprobe=2, centroid_mod=50)
+
+
+_SQL_SIM_IVF = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id % 50 = 0),
+assign AS (
+  SELECT vid, v, centroid_id FROM (
+    SELECT e.vec_id AS vid, e.v, c.centroid_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round({_COS.format(a='e.v', b='c.centv')}, 6) DESC, c.centroid_id) AS r
+    FROM e, cent c) t WHERE r = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, c.centroid_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY round({_COS.format(a='q.qv', b='c.centv')}, 6) DESC, c.centroid_id) AS r
+    FROM q, cent c) t WHERE r <= 2),
+scored AS (
+  SELECT p.query_id, a.vid AS neighbor_id,
+         round({_COS.format(a='p.qv', b='a.v')}, 6) AS score
+  FROM probes p JOIN assign a USING (centroid_id)
+  WHERE p.query_id <> a.vid)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored) t WHERE rank <= 10
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (≥0.99) within label blocks on the
+    duplicate-augmented embedding corpus."""
+    return cosine_neardup_pairs(_aug_emb(spark, sf_dir), threshold=0.99)
+
+
+_SQL_EMB_NEARDUP = f"""
+WITH {_AUG_EMB_SQL}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_COS.format(a='a.v', b='b.v')}, 6) AS cos_sim
+FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_COS.format(a='a.v', b='b.v')}, 6) >= 0.99
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-payload feature extraction (mapInPandas) → per-kind rollup.
+    The Spark path flows through real binary columns + Arrow batches; the
+    oracle recomputes the same byte stats from the source text."""
+    d = load_tables(spark, sf_dir)["documents"]
+    feats = extract_features(make_media_table(d))
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("checksum").alias("total_checksum"),
+        F.round(F.avg("aspect"), 6).alias("avg_aspect"),
+    )
+
+
+_SQL_MULTIMODAL = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+    ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind,
+    regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') AS atext,
+    (n_chars % 1920)::INT AS width, (n_chars % 1080)::INT AS height
+  FROM documents),
+feats AS (
+  SELECT media_id, kind,
+    octet_length(encode(atext)) AS n_bytes,
+    COALESCE(list_sum(list_transform(string_split(atext, ''), c -> ascii(c))), 0) AS checksum,
+    CASE WHEN height = 0 THEN 0.0 ELSE CAST(width AS DOUBLE) / height END AS aspect
+  FROM media)
+SELECT kind, COUNT(*) AS n_media, SUM(n_bytes)::BIGINT AS total_bytes,
+       SUM(checksum)::BIGINT AS total_checksum, round(AVG(aspect), 6) AS avg_aspect
+FROM feats GROUP BY kind
+"""
+
+
+PIPELINE_QUERIES = {
+    "text_stats": (q_text_stats, _SQL_TEXT_STATS),
+    "text_quality_by_source": (q_text_quality_by_source, _SQL_TEXT_QUALITY),
+    "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
+    "dedup_minhash_lsh": (q_dedup_minhash, _sql_dedup_minhash()),
+    "dedup_simhash_fingerprints": (q_dedup_simhash_fingerprints, _sql_simhash_fps()),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, _sql_simhash_pairs()),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _sql_ngram_jaccard()),
+    "similarity_topk": (q_similarity_topk, _SQL_SIM_TOPK),
+    "similarity_ivf": (q_similarity_ivf, _SQL_SIM_IVF),
+    "embedding_neardup": (q_embedding_neardup, _SQL_EMB_NEARDUP),
+    "multimodal_features": (q_multimodal_features, _SQL_MULTIMODAL),
+}

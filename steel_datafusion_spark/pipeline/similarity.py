@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, as a 100 TB pipeline needs:
+
+- ``cosine_topk`` — exact brute force: broadcast the (small) query set
+  against the corpus, score JVM-side with ``zip_with``/``aggregate`` (no
+  Python in the row path), per-query top-k via a window.  The right baseline
+  and the correctness oracle for any ANN method.
+- ``ivf_topk`` — IVF-style bucketed ANN: a deterministic coarse quantizer
+  (centroids = a fixed corpus subsample) assigns every vector to its nearest
+  centroid (one broadcast join); queries probe the ``nprobe`` nearest
+  buckets.  Scan cost drops from O(N) to O(N * nprobe / n_centroids) per
+  query — the classic IVF trade; with real k-means centroids recall
+  improves but the plumbing is identical.
+
+Determinism: cosine is computed as dot/sqrt(norm2a*norm2b) with a
+left-to-right fold (both engines agree to ~1e-15); scores are rounded to 6dp
+and every ranking is tie-broken by vec_id, so top-k sets are stable across
+engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["dot", "norm2", "cosine", "cosine_topk", "cosine_neardup_pairs",
+           "ivf_assign", "ivf_topk", "SQL_COSINE"]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold of the elementwise product (double)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
+def norm2(a: Column) -> Column:
+    return dot(a, a)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """dot / sqrt(norm2a * norm2b) — mirrors DuckDB's list_cosine_similarity
+    formula for cross-engine agreement."""
+    return dot(a, b) / F.sqrt(norm2(a) * norm2(b))
+
+
+def cosine_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (self excluded).
+
+    Scale: ``broadcast(queries)`` ⇒ the corpus never shuffles for the join;
+    scoring is a map-side projection; only the per-query top-k (a window on
+    query_id over k rows per partition after AQE) shuffles."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score", "rank"))
+
+
+def cosine_neardup_pairs(
+    df: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocking groups.
+    With ``block_col=None`` this is all-pairs (only for small corpora);
+    blocked, it is the embedding analogue of ngram_jaccard_pairs."""
+    cols = [F.col(id_col).alias("vid"), F.col(vec_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    base = df.select(*cols)
+    a = base.toDF(*["vid_a", "v_a"] + (["blk_a"] if block_col else []))
+    b = base.toDF(*["vid_b", "v_b"] + (["blk_b"] if block_col else []))
+    cond = [F.col("vid_a") < F.col("vid_b")]
+    if block_col:
+        cond.append(F.col("blk_a") == F.col("blk_b"))
+    return (
+        a.join(b, on=cond)
+        .select(F.col("vid_a").alias("vec_a"), F.col("vid_b").alias("vec_b"),
+                F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame, centroid_mod: int = 100,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF coarse quantizer: centroids = vectors whose id ≡ 0
+    (mod centroid_mod); every corpus vector is assigned to its max-cosine
+    centroid (tie → smallest centroid id).  Returns (centroids, assignment).
+
+    Scale: centroids are tiny (N/centroid_mod) ⇒ broadcast; assignment is one
+    map-side join + window, partitioned by vec_id."""
+    cent = corpus.filter((F.col(id_col) % centroid_mod) == 0) \
+                 .select(F.col(id_col).alias("centroid_id"),
+                         F.col(vec_col).alias("centv"))
+    c = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    scored = c.join(F.broadcast(cent)).select(
+        "vid", "v", "centroid_id",
+        F.round(cosine(F.col("v"), F.col("centv")), 6).alias("cscore"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("cscore").desc(),
+                                          F.col("centroid_id").asc())
+    assign = (scored.withColumn("r", F.row_number().over(w))
+              .filter(F.col("r") == 1).select("vid", "v", "centroid_id"))
+    return cent, assign
+
+
+def ivf_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 10, nprobe: int = 2,
+    centroid_mod: int = 100, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: probe the ``nprobe`` best buckets per query, exact top-k
+    within the probed subset.  Deterministic ⇒ oracle-checkable; recall vs
+    brute force depends on the quantizer (documented trade)."""
+    cent, assign = ivf_assign(corpus, centroid_mod, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qs = q.join(F.broadcast(cent)).select(
+        "query_id", "qv", "centroid_id",
+        F.round(cosine(F.col("qv"), F.col("centv")), 6).alias("cscore"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cscore").desc(),
+                                                F.col("centroid_id").asc())
+    probes = (qs.withColumn("r", F.row_number().over(wq))
+              .filter(F.col("r") <= nprobe).select("query_id", "qv", "centroid_id"))
+    cand = probes.join(assign, "centroid_id").filter(
+        F.col("query_id") != F.col("vid"))
+    scored = cand.select(
+        "query_id", F.col("vid").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score", "rank"))
+
+
+# DuckDB cosine with the identical formula + fold order
+SQL_COSINE = (
+    "(list_sum(list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]), "
+    "p -> p[1] * p[2])) / "
+    "sqrt(list_sum(list_transform({a}::DOUBLE[], x -> x*x)) * "
+    "list_sum(list_transform({b}::DOUBLE[], x -> x*x))))"
+)
