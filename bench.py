@@ -37,6 +37,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, (fn, _sql) in sorted(registry.items()):
+        spark.catalog.clearCache()  # drop persisted intermediates between queries
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)

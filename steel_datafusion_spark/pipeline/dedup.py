@@ -245,41 +245,36 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", block_cols: list[str] | None = None,
-                        n: int = 3, threshold: float = 0.3,
-                        salt: int = 8) -> DataFrame:
-    """Exact n-gram Jaccard within blocking groups, salted for parallelism.
+                        n: int = 3, threshold: float = 0.3) -> DataFrame:
+    """Exact n-gram Jaccard via an inverted index (within blocking groups).
 
-    The naive block join keys only on the block columns — with B blocks that
-    is B shuffle keys and at most B concurrent tasks regardless of cluster
-    size.  Salting expands each block into salt² bucket pairs: the left side
-    carries (bucket_a = id mod S, every bucket_b), the right side its own
-    bucket, and the join keys on (block, bucket_a, bucket_b) — same pair set,
-    S² × parallelism."""
+    Instead of a blocked all-pairs join (quadratic in block size, and with B
+    blocks only B shuffle keys ⇒ parallelism collapses — 56 s at sf0.1), the
+    pair intersection sizes come from the posting lists: explode shingle
+    hashes → self-join on (block, shingle) → groupBy (doc_a, doc_b) count(*)
+    = |A∩B|.  Work is Σ_s df(s)² over shingles instead of Σ_block |block|² ×
+    |shingles| — ~60× less on this corpus, and the shuffle keys are the
+    shingle hashes (fine-grained, AQE splits any stop-shingle skew).
+
+    Pairs sharing no shingle never appear — identical output for any
+    threshold > 0.  The result is exact (no sampling, no df() cap); at
+    100 TB add a document-frequency cap on posting lists as the standard
+    recall/cost knob."""
     block_cols = block_cols or ["lang"]
     base = df.select(F.col(id_col).alias("doc_id"), *block_cols)
     hs = _hashed_shingles(df, id_col, text_col, n)
-    sh = base.join(hs, "doc_id").persist()
-    buckets = F.array(*[F.lit(i) for i in range(salt)])
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(c).alias(f"a_{c}") for c in block_cols],
-        F.col("hs").alias("hs_a"),
-        (F.col("doc_id") % salt).alias("bucket_a"),
-        F.explode(buckets).alias("bucket_b"),
-    )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(c).alias(f"b_{c}") for c in block_cols],
-        F.col("hs").alias("hs_b"),
-        (F.col("doc_id") % salt).alias("bucket_b2"),
-    )
-    cond = [F.col(f"a_{c}") == F.col(f"b_{c}") for c in block_cols]
-    cond += [F.col("bucket_b") == F.col("bucket_b2"),
-             F.col("doc_a") < F.col("doc_b")]
-    j = (a.join(b, on=cond)
-         .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
-         .withColumn("jaccard", _jaccard(F.col("inter"),
-                                         F.size("hs_a"), F.size("hs_b"))))
+    sh = base.join(hs, "doc_id").select(
+        "doc_id", *block_cols, "hs", F.size("hs").alias("sz")).persist()
+    post = sh.select("doc_id", *block_cols, "sz", F.explode("hs").alias("h"))
+    a = post.toDF(*(["doc_a"] + block_cols + ["sz_a", "h"]))
+    b = post.toDF(*(["doc_b"] + [f"b_{c}" for c in block_cols] + ["sz_b", "h2"]))
+    cond = [F.col("h") == F.col("h2"), F.col("doc_a") < F.col("doc_b")]
+    cond += [F.col(c) == F.col(f"b_{c}") for c in block_cols]
+    inter = (a.join(b, on=cond)
+             .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    j = inter.withColumn(
+        "jaccard", _jaccard(F.col("inter"), F.col("sz_a"), F.col("sz_b")))
     return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 

@@ -419,6 +419,151 @@ FROM events GROUP BY 1, 2
 # Registry
 # ---------------------------------------------------------------------------
 
+def q_rollup_agg(spark, sf_dir):
+    """GROUP BY ROLLUP (SURVEY.md §2.5 notes grouping sets are unexposed in
+    the reference but trivial via df.rollup — exposed as surface-completion).
+    NULL grouping rows match ANSI ROLLUP semantics in both engines."""
+    li = _t(spark, sf_dir)["lineitem"]
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(agg_count_star().alias("n"),
+                 sum_exact("l_quantity").alias("qty")))
+
+
+_SQL_ROLLUP = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS {_SQL_DEC})) AS DOUBLE) AS qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_stats_agg(spark, sf_dir):
+    """Statistical aggregates: stddev/variance/corr/median per group.
+    Values rounded to 4dp: the internal moment sums are double accumulations
+    whose partition order differs between engines (~1e-10 relative)."""
+    li = _t(spark, sf_dir)["lineitem"]
+    return df_aggregate(
+        li, [col("l_returnflag")],
+        [
+            F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+            F.round(F.var_samp("l_discount"), 4).alias("var_disc"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+            F.round(F.median("l_quantity"), 4).alias("median_qty"),
+        ],
+    )
+
+
+_SQL_STATS_AGG = """
+SELECT l_returnflag,
+  round(stddev_samp(l_quantity), 4) AS std_qty,
+  round(var_samp(l_discount), 4) AS var_disc,
+  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+  round(CAST(median(l_extendedprice) AS DOUBLE), 4) AS median_price,
+  round(CAST(median(l_quantity) AS DOUBLE), 4) AS median_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    """Semi-structured access: extract a JSON field from events.props and
+    aggregate — get_json_object stays JVM-side (Jackson), no Python."""
+    ev = _t(spark, sf_dir)["events"]
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return df_aggregate(
+        ev.select(col("event_type"), k.alias("k")),
+        [col("event_type")],
+        [
+            agg_count_star().alias("n"),
+            F.sum("k").alias("sum_k"),
+            agg_min("k").alias("min_k"),
+            agg_max("k").alias("max_k"),
+        ],
+    )
+
+
+_SQL_JSON = """
+SELECT event_type, COUNT(*) AS n,
+  SUM(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_describe_stats(spark, sf_dir):
+    """df/describe-shaped stats (count/null_count/mean/std/min/max/median per
+    numeric column, unpivoted) — numeric form of the DataFusion describe
+    column set (main.rs:533-541), oracle-checkable without string formatting."""
+    li = _t(spark, sf_dir)["lineitem"]
+    out = None
+    for c in ["l_quantity", "l_extendedprice", "l_discount"]:
+        one = li.agg(
+            F.lit(c).alias("column_name"),
+            F.count(c).alias("count"),
+            F.sum(F.col(c).isNull().cast("long")).alias("null_count"),
+            F.round(avg_exact(c), 6).alias("mean"),
+            F.round(F.stddev_samp(c), 4).alias("std"),
+            F.min(c).alias("min"),
+            F.max(c).alias("max"),
+            F.round(F.median(c), 4).alias("median"),
+        )
+        out = one if out is None else out.union(one)
+    return out
+
+
+_SQL_DESCRIBE_STATS = f"""
+SELECT 'l_quantity' AS column_name, COUNT(l_quantity) AS count,
+  SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_count,
+  round(CAST(SUM(CAST(l_quantity AS {_SQL_DEC})) AS DOUBLE) / COUNT(l_quantity), 6) AS mean,
+  round(stddev_samp(l_quantity), 4) AS std,
+  MIN(l_quantity) AS min, MAX(l_quantity) AS max,
+  round(CAST(median(l_quantity) AS DOUBLE), 4) AS median
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', COUNT(l_extendedprice),
+  SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+  round(CAST(SUM(CAST(l_extendedprice AS {_SQL_DEC})) AS DOUBLE) / COUNT(l_extendedprice), 6),
+  round(stddev_samp(l_extendedprice), 4),
+  MIN(l_extendedprice), MAX(l_extendedprice),
+  round(CAST(median(l_extendedprice) AS DOUBLE), 4)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', COUNT(l_discount),
+  SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT,
+  round(CAST(SUM(CAST(l_discount AS {_SQL_DEC})) AS DOUBLE) / COUNT(l_discount), 6),
+  round(stddev_samp(l_discount), 4),
+  MIN(l_discount), MAX(l_discount),
+  round(CAST(median(l_discount) AS DOUBLE), 4)
+FROM lineitem
+"""
+
+
+def q_udf_vectorized(spark, sf_dir):
+    """Scalar UDF in the correctness gate: a pandas_udf (Arrow-batched — the
+    real implementation of the reference's stubbed kernel, main.rs:622-629)
+    computing an order-price tier; oracle re-expresses the logic in SQL."""
+    from .udf import define_udf
+    from .datatypes import Float64, Int64
+
+    def tier(price):
+        # pandas Series in, Series out — vectorized
+        return (price // 50000).astype("int64")
+
+    u = define_udf(spark, "price_tier", [Float64], Int64, tier)
+    o = _t(spark, sf_dir)["orders"]
+    return df_aggregate(
+        o.select(u(F.col("o_totalprice")).alias("tier")),
+        [col("tier")],
+        [agg_count_star().alias("n")],
+    )
+
+
+_SQL_UDF = """
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS tier, COUNT(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "pricing_summary": (q_pricing_summary, _SQL_PRICING),
     "filter_project_case": (q_filter_project_case, _SQL_FILTER_PROJECT),
@@ -435,6 +580,11 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "limit_offset": (q_limit_offset, _SQL_LIMIT_OFFSET),
     "sort_nulls": (q_sort_nulls, _SQL_SORT_NULLS),
     "events_time_rollup": (q_events_time_rollup, _SQL_EVENTS_ROLLUP),
+    "rollup_agg": (q_rollup_agg, _SQL_ROLLUP),
+    "stats_agg": (q_stats_agg, _SQL_STATS_AGG),
+    "json_extract": (q_json_extract, _SQL_JSON),
+    "describe_stats": (q_describe_stats, _SQL_DESCRIBE_STATS),
+    "udf_vectorized": (q_udf_vectorized, _SQL_UDF),
 }
 
 

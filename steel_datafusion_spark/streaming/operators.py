@@ -1,0 +1,86 @@
+"""Structured Streaming surface — beyond-reference extension.
+
+The reference exposes **no** streaming operators (SURVEY.md §2.11: the word
+"stream" never appears in main.rs; only fully-materialized collect).  This
+module is the Spark-native stretch surface (SURVEY.md §7, optional): the
+batch operators re-expressed over ``readStream``/``writeStream`` so the same
+pipeline runs incrementally.
+
+Design (100 TB / always-on):
+- event-time tumbling windows with a watermark bound state size: late rows
+  beyond the watermark are dropped deterministically, everything else folds
+  into its window's partial aggregate (partial→final, same as batch);
+- streaming dedup uses ``dropDuplicatesWithinWatermark`` so the
+  seen-key state is GC'd with the watermark instead of growing forever;
+- sinks default to append/update modes that emit only finalized windows —
+  replayable into the same parquet layout the batch engine reads.
+
+Tests drive these with the file source over the driver's events table and
+assert batch parity (the streaming rollup of a finite input must equal the
+batch rollup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["read_stream_parquet", "windowed_rollup", "streaming_dedup",
+           "run_stream_to_memory"]
+
+
+def read_stream_parquet(spark: SparkSession, path: str, schema) -> DataFrame:
+    """File-source stream over a parquet directory (schema required — a
+    stream cannot infer)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window aggregate with watermark — the streaming form of the
+    batch ``events_time_rollup`` gate query.  Output: one row per
+    (window_start, key) with count/sum/min/max."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(28,10)")).cast("double").alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), key_col,
+                "n", "sum_value", "min_value", "max_value")
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon: state is dropped
+    as the watermark advances (bounded memory — the only dedup that runs
+    forever)."""
+    return events.withWatermark(ts_col, watermark) \
+                 .dropDuplicatesWithinWatermark(key_cols)
+
+
+def run_stream_to_memory(stream_df: DataFrame, query_name: str,
+                         output_mode: str = "append", timeout_s: int = 120):
+    """Drive a finite file-source stream to completion into an in-memory
+    sink; returns the result DataFrame (test/verification harness)."""
+    q = (stream_df.writeStream.format("memory")
+         .queryName(query_name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(timeout_s)
+    return stream_df.sparkSession.table(query_name)

@@ -1,0 +1,67 @@
+"""Streaming extension: finite-stream runs must match the batch results
+(batch parity is the correctness oracle for streaming operators, which are
+not SQL-expressible for the driver gate)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from steel_datafusion_spark.sources.readers import load_tables
+from steel_datafusion_spark.streaming.operators import (
+    read_stream_parquet, run_stream_to_memory, streaming_dedup,
+    windowed_rollup,
+)
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    # re-write events as a clean µs-timestamp parquet dir (a stream source
+    # needs a directory + explicit schema; the raw testdata is ns-typed)
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_tables(spark, SF_DIR)["events"]
+    ev.write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_windowed_rollup_matches_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    stream = read_stream_parquet(spark, events_dir, batch.schema)
+
+    got = run_stream_to_memory(
+        windowed_rollup(stream, window="1 hour", watermark="2 hours"),
+        "rollup_test",
+    ).orderBy("window_start", "event_type").collect()
+
+    # append mode emits a window only once the watermark passes its end:
+    # at end-of-stream the watermark is max(ts) - 2h, so trailing windows
+    # (end > cutoff) legitimately stay in state.  Model that cutoff exactly.
+    cutoff = batch.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("c")).collect()[0].c
+    want = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("sum_value"),
+             F.min("value").alias("min_value"),
+             F.max("value").alias("max_value"))
+        .filter(F.col("w.end") <= F.lit(cutoff))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n", "sum_value", "min_value", "max_value")
+        .orderBy("window_start", "event_type").collect()
+    )
+    assert len(got) == len(want) and len(got) > 0
+    for g, w in zip(got, want):
+        assert g == w
+
+
+def test_streaming_dedup_bounded(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    stream = read_stream_parquet(spark, events_dir, batch.schema)
+    got = run_stream_to_memory(
+        streaming_dedup(stream, ["user_id"], watermark="365 days"),
+        "dedup_test",
+    )
+    n_users = batch.select("user_id").distinct().count()
+    # each user exactly once (finite input, watermark wider than the data)
+    assert got.count() == n_users
+    assert got.select("user_id").distinct().count() == n_users
