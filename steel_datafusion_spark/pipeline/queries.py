@@ -184,8 +184,9 @@ def q_dedup_simhash_fingerprints(spark, sf_dir):
     """48-bit shingle-SimHash fingerprints for docs with id<100 — validates
     the full bit-derivation pipeline value-for-value across engines."""
     d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 100)
-    hs = F.transform(shingles(F.col("text")), md5_int60)
-    return d.select("doc_id", simhash_from_hashes(hs).alias("simhash"))
+    hs = d.select("doc_id",
+                  F.transform(shingles(F.col("text")), md5_int60).alias("hs"))
+    return hs.select("doc_id", simhash_from_hashes("hs").alias("simhash"))
 
 
 def _sql_simhash_fps() -> str:
