@@ -28,12 +28,14 @@ def main() -> None:
 
     registry = all_queries()
 
-    # warm the JVM + parquet footers once so per-query times measure the
-    # engine, not first-touch costs
-    for name in ("region",):
-        p = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(p):
-            spark.read.parquet(p).count()
+    # warm the JVM (scan + join + agg codegen paths) so the first timed
+    # query measures the engine, not first-touch compilation
+    from steel_datafusion_spark.sources.readers import load_tables
+    warm = load_tables(spark, sf_dir)
+    if "nation" in warm and "region" in warm:
+        (warm["nation"].join(warm["region"],
+                             warm["nation"]["n_regionkey"] == warm["region"]["r_regionkey"])
+         .groupBy("r_name").count().collect())
 
     timings: dict[str, float] = {}
     for name, (fn, _sql) in sorted(registry.items()):

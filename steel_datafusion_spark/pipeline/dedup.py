@@ -91,8 +91,16 @@ def shingles(text: Column, n: int = 3) -> Column:
 def _hashed_shingles(df: DataFrame, id_col: str, text_col: str,
                      n: int) -> DataFrame:
     """Materialized (doc_id, hs: array<long>) — one md5 per distinct shingle.
-    Persisted: this is the fan-out point every downstream stage reuses."""
-    return df.select(
+    Persisted: this is the fan-out point every downstream stage reuses.
+
+    Repartitioned by id before hashing: a small parquet source arrives as a
+    single input split, which would serialize the CPU-heavy tokenize+hash
+    stage onto one core (10 s single-threaded vs ~1 s parallel at sf0.1).
+    Hash cost dominates the shuffle at every scale, so the exchange pays for
+    itself; it also pre-distributes by doc_id for the joins downstream."""
+    spark = df.sparkSession
+    parts = spark.sparkContext.defaultParallelism * 2
+    return df.repartition(parts, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
         F.transform(shingles(F.col(text_col), n), md5_int60).alias("hs"),
     ).persist()

@@ -103,4 +103,5 @@ def extract_features(media: DataFrame) -> DataFrame:
                 ).astype("float64"),
             })
 
-    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+    parts = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(parts).mapInPandas(_extract, schema=FEATURE_SCHEMA)

@@ -58,8 +58,9 @@ def cosine_topk(
     query_id over k rows per partition after AQE) shuffles."""
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cv"))
+    parts = corpus.sparkSession.sparkContext.defaultParallelism * 2
+    c = corpus.repartition(parts, F.col(id_col)).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
@@ -83,7 +84,10 @@ def cosine_neardup_pairs(
     cols = [F.col(id_col).alias("vid"), F.col(vec_col).alias("v")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
-    base = df.select(*cols)
+    # repartition: a single-split parquet source would otherwise serialize
+    # the O(pairs · dim) scoring onto one core
+    parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    base = df.repartition(parts, F.col(id_col)).select(*cols).persist()
     a = base.toDF(*["vid_a", "v_a"] + (["blk_a"] if block_col else []))
     b = base.toDF(*["vid_b", "v_b"] + (["blk_b"] if block_col else []))
     cond = [F.col("vid_a") < F.col("vid_b")]
@@ -110,7 +114,9 @@ def ivf_assign(
     cent = corpus.filter((F.col(id_col) % centroid_mod) == 0) \
                  .select(F.col(id_col).alias("centroid_id"),
                          F.col(vec_col).alias("centv"))
-    c = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    parts = corpus.sparkSession.sparkContext.defaultParallelism * 2
+    c = corpus.repartition(parts, F.col(id_col)).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     scored = c.join(F.broadcast(cent)).select(
         "vid", "v", "centroid_id",
         F.round(cosine(F.col("v"), F.col("centv")), 6).alias("cscore"),

@@ -564,6 +564,32 @@ FROM orders GROUP BY 1
 """
 
 
+def q_above_avg_orders(spark, sf_dir):
+    """Correlated-subquery pattern, decorrelated the Spark way: orders whose
+    price exceeds their customer's average order price.  Expressed as a
+    window (one shuffle on the correlation key) — the plan Catalyst's
+    RewriteCorrelatedScalarSubquery would produce from the SQL form."""
+    o = _t(spark, sf_dir)["orders"]
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("o_custkey")
+    avg_price = (F.sum(F.col("o_totalprice").cast(_DEC2)).over(w).cast("double")
+                 / F.count(F.lit(1)).over(w))
+    return (o.withColumn("cust_avg", F.round(avg_price, 6))
+            .filter(F.col("o_totalprice") > F.col("cust_avg"))
+            .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg"))
+
+
+_SQL_ABOVE_AVG = f"""
+SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+    round(CAST(SUM(CAST(o_totalprice AS {_SQL_DEC2})) OVER w AS DOUBLE)
+          / COUNT(*) OVER w, 6) AS cust_avg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey)) t
+WHERE o_totalprice > cust_avg
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "pricing_summary": (q_pricing_summary, _SQL_PRICING),
     "filter_project_case": (q_filter_project_case, _SQL_FILTER_PROJECT),
@@ -585,6 +611,7 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "json_extract": (q_json_extract, _SQL_JSON),
     "describe_stats": (q_describe_stats, _SQL_DESCRIBE_STATS),
     "udf_vectorized": (q_udf_vectorized, _SQL_UDF),
+    "above_avg_orders": (q_above_avg_orders, _SQL_ABOVE_AVG),
 }
 
 
