@@ -33,7 +33,8 @@ __all__ = [
     "md5_int60", "shingles", "minhash_signature", "lsh_bands",
     "minhash_candidate_pairs", "minhash_dedup_pairs",
     "exact_dedup", "simhash_from_hashes", "simhash_pairs",
-    "ngram_jaccard_pairs", "PERM_CONSTS", "MERSENNE61", "SQL",
+    "ngram_jaccard_pairs", "winnow_fingerprints",
+    "PERM_CONSTS", "MERSENNE61", "SQL",
 ]
 
 SIMHASH_BITS = 48   # stays well inside signed int64 under ANSI arithmetic
@@ -195,6 +196,39 @@ def minhash_dedup_pairs(
     return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): the
+    distinct minima of each sliding window of ``window`` consecutive shingle
+    hashes.  Guarantees any shared run of ≥ n+window-1 tokens contributes a
+    shared fingerprint — the standard plagiarism/near-dup sketch whose size
+    is ~|doc|/window instead of |doc|.
+
+    Ordered shingles here (no array_distinct): winnowing is position-based."""
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
+    ).otherwise(F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    ))
+    spark = df.sparkSession
+    parts = spark.sparkContext.defaultParallelism * 2
+    hs = df.repartition(parts, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(grams, md5_int60).alias("hs"),
+    )
+    w = window
+    fps = F.array_distinct(F.when(
+        F.size(F.col("hs")) < w, F.array(F.array_min("hs"))
+    ).otherwise(F.transform(
+        F.sequence(F.lit(1), F.size(F.col("hs")) - (w - 1)),
+        lambda i: F.array_min(F.slice(F.col("hs"), i, w)),
+    )))
+    return hs.select("doc_id", fps.alias("fps"))
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Exact dedup on the normalized-text fingerprint: every doc mapped to the
@@ -346,6 +380,21 @@ class SQL:
         A, B, C = PERM_CONSTS[i]
         return (f"((({h}) & {_LO_MASK}) * {A} + (({h}) >> 30) * {B} + {C}) "
                 f"% {MERSENNE61}")
+
+    @classmethod
+    def ordered_shingle_hashes(cls, col: str, n: int = 3) -> str:
+        t = cls.tokens(col)
+        grams = (f"CASE WHEN len({t}) < {n} THEN [array_to_string({t}, ' ')] "
+                 f"ELSE list_transform(generate_series(1, len({t}) - {n - 1}), "
+                 f"i -> array_to_string(list_slice({t}, i, i + {n - 1}), ' ')) END")
+        return f"list_transform({grams}, s -> {cls.H.format(x='s')})"
+
+    @staticmethod
+    def winnow(hs: str, window: int = 4) -> str:
+        return (f"list_distinct(CASE WHEN len({hs}) < {window} "
+                f"THEN [list_min({hs})] "
+                f"ELSE list_transform(generate_series(1, len({hs}) - {window - 1}), "
+                f"i -> list_min(list_slice({hs}, i, i + {window - 1}))) END)")
 
     @classmethod
     def minhash_sig_items(cls, hs: str, k: int = 32) -> list[str]:

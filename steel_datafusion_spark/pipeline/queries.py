@@ -23,8 +23,10 @@ from .dedup import (
     SQL as DSQL, exact_dedup, md5_int60, minhash_dedup_pairs,
     ngram_jaccard_pairs, shingles, simhash_from_hashes, simhash_pairs,
 )
+from .dedup import winnow_fingerprints
 from .multimodal import extract_features, make_media_table
-from .similarity import cosine_neardup_pairs, cosine_topk, ivf_topk
+from .similarity import cosine_neardup_pairs, cosine_topk, ivf_topk, kmeans
+from .text import bpe_ish_token_count, sql_bpe_ish_token_count
 
 _COS = ("(list_dot_product({a}, {b}) / "
         "sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b})))")
@@ -352,6 +354,44 @@ FROM feats GROUP BY kind
 """
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints + BPE-ish token counts per doc — scalar
+    projections of the sketch (count/min/max) so the driver hash stays
+    array-free."""
+    d = load_tables(spark, sf_dir)["documents"]
+    fps = winnow_fingerprints(d)
+    stats = fps.select(
+        "doc_id",
+        F.size("fps").alias("n_fps"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    )
+    toks = d.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"))
+    return stats.join(toks, "doc_id")
+
+
+_SQL_WINNOW = f"""
+WITH hs AS (SELECT doc_id, {DSQL.ordered_shingle_hashes('text')} AS h,
+                   {sql_bpe_ish_token_count('text')} AS n_bpe_tokens
+            FROM documents),
+w AS (SELECT doc_id, n_bpe_tokens, {DSQL.winnow('h')} AS fps FROM hs)
+SELECT doc_id, len(fps) AS n_fps, list_min(fps) AS min_fp,
+       list_max(fps) AS max_fp, n_bpe_tokens
+FROM w
+"""
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """k-means (3 Lloyd iterations, DataFrame-only) cluster summary.
+    Iterative algorithm — no SQL oracle (driver records rows-only check);
+    determinism is still exact (fixed init, tie-broken argmin)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    assign, _cent = kmeans(e, k=8, iters=3)
+    return (assign.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_vectors"))
+            .orderBy("cluster"))
+
+
 PIPELINE_QUERIES = {
     "text_stats": (q_text_stats, _SQL_TEXT_STATS),
     "text_quality_by_source": (q_text_quality_by_source, _SQL_TEXT_QUALITY),
@@ -364,4 +404,6 @@ PIPELINE_QUERIES = {
     "similarity_ivf": (q_similarity_ivf, _SQL_SIM_IVF),
     "embedding_neardup": (q_embedding_neardup, _SQL_EMB_NEARDUP),
     "multimodal_features": (q_multimodal_features, _SQL_MULTIMODAL),
+    "winnow_fingerprints": (q_winnow_fingerprints, _SQL_WINNOW),
+    "kmeans_clusters": (q_kmeans_clusters, None),
 }

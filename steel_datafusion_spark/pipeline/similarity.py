@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["dot", "norm2", "cosine", "cosine_topk", "cosine_neardup_pairs",
-           "ivf_assign", "ivf_topk", "SQL_COSINE"]
+           "ivf_assign", "ivf_topk", "kmeans", "SQL_COSINE"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -155,6 +155,51 @@ def ivf_topk(
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "score", "rank"))
+
+
+def kmeans(
+    corpus: DataFrame, k: int = 8, iters: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means entirely in DataFrame ops (iterative algorithm demo).
+
+    Deterministic: init centroids = the k lowest ids; assignment ties break
+    by centroid index.  Each iteration is two shuffles — assign (broadcast
+    centroids, argmin distance) and update (posexplode → per-(cluster,dim)
+    mean → re-assemble vectors) — the standard scalable shape: no vector
+    ever leaves the executors, centroid tables stay driver-small (k rows
+    collected per iteration only to re-broadcast literals-free).
+
+    Returns (assignments df: vid, cluster; centroids df: cluster, centroid).
+    """
+    parts = corpus.sparkSession.sparkContext.defaultParallelism * 2
+    vecs = corpus.repartition(parts, F.col(id_col)).select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).persist()
+
+    cent = (vecs.orderBy("vid").limit(k)
+            .withColumn("cluster", F.row_number().over(Window.orderBy("vid")) - 1)
+            .select("cluster", F.col("v").alias("c")))
+
+    assign = None
+    for _ in range(iters):
+        d2 = F.aggregate(
+            F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        w = Window.partitionBy("vid").orderBy(F.round(d2, 9).asc(),
+                                              F.col("cluster").asc())
+        assign = (vecs.join(F.broadcast(cent))
+                  .withColumn("r", F.row_number().over(w))
+                  .filter(F.col("r") == 1)
+                  .select("vid", "v", "cluster")).persist()
+        cent = (assign.select("cluster", F.posexplode("v").alias("dim", "x"))
+                .groupBy("cluster", "dim").agg(F.avg("x").alias("m"))
+                .groupBy("cluster")
+                .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+                .select("cluster",
+                        F.transform(F.col("dm"), lambda s: s["m"]).alias("c")))
+    return assign.select("vid", "cluster"), cent.withColumnRenamed("c", "centroid")
 
 
 # DuckDB cosine with the identical formula + fold order

@@ -20,7 +20,13 @@ __all__ = [
     "tokens", "token_count", "char_count", "punct_count", "punct_ratio",
     "stopword_count", "stopword_ratio", "fingerprint", "lang_id",
     "quality_score", "with_text_stats", "STOPWORDS",
+    "bpe_ish_token_count", "BPE_ISH_PATTERN", "sql_bpe_ish_token_count",
 ]
+
+# GPT-2-style pre-tokenization shape: letter runs, digit runs, single
+# punctuation marks.  Kept to a dialect-neutral subset so the Java regex
+# engine (Spark) and RE2 (DuckDB) tokenize identically (verified).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 # Small fixed English stopword list — deterministic, embedded in both the
 # Spark expressions and the oracle SQL (order matters nowhere; set semantics).
@@ -44,6 +50,13 @@ def tokens(text: Column) -> Column:
 def token_count(text: Column) -> Column:
     """Number of whitespace-delimited tokens."""
     return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Token count under a BPE-style pre-tokenizer regex — the unit that
+    matters for LLM training-data budgeting (whitespace tokens undercount
+    punctuation-heavy text)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
 
 
 def char_count(text: Column) -> Column:
@@ -182,3 +195,7 @@ def sql_quality_score(col: str) -> str:
     punct_pen = f"greatest(0.0, 1.0 - {sql_punct_ratio(col)} * 5)"
     sw_score = f"least({sql_stopword_ratio(col)} / 0.1, 1.0)"
     return f"({len_score} * 0.4 + {punct_pen} * 0.3 + {sw_score} * 0.3)"
+
+
+def sql_bpe_ish_token_count(col: str) -> str:
+    return f"len(regexp_extract_all({col}, '{BPE_ISH_PATTERN}'))"

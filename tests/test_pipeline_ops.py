@@ -1,0 +1,66 @@
+"""Operator-level pipeline tests (beyond the driver-gate queries)."""
+
+from pyspark.sql import functions as F
+
+from steel_datafusion_spark.pipeline.dedup import (
+    minhash_candidate_pairs, winnow_fingerprints,
+)
+from steel_datafusion_spark.pipeline.similarity import cosine_topk, ivf_topk, kmeans
+from steel_datafusion_spark.pipeline.text import bpe_ish_token_count
+from steel_datafusion_spark.sources.readers import load_tables
+
+from conftest import SF_DIR
+
+
+def test_minhash_finds_planted_near_dup(spark, tables):
+    d = tables["documents"].select("doc_id", "text").limit(50)
+    # plant an extreme near-dup of doc 0
+    dup = d.filter(F.col("doc_id") == 0).select(
+        F.lit(999999).alias("doc_id"), F.concat("text", F.lit(" x")).alias("text"))
+    pairs = minhash_candidate_pairs(d.union(dup)).collect()
+    assert any((r.doc_a, r.doc_b) == (0, 999999) for r in pairs)
+
+
+def test_winnowing_shares_fingerprints_on_shared_runs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base + " uniqueone tail piece here"),
+         (2, "prefix words differ " + base),
+         (3, "completely different text with other words entirely now")],
+        "doc_id long, text string")
+    rows = {r.doc_id: set(r.fps) for r in winnow_fingerprints(df).collect()}
+    assert rows[1] & rows[2]          # long shared run ⇒ shared fingerprint
+    assert not (rows[1] & rows[3])    # disjoint text ⇒ disjoint sketch
+
+
+def test_ivf_recall_vs_brute_force(spark, tables):
+    e = tables["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    brute = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(q, e, k=5).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in ivf_topk(q, e, k=5, nprobe=4, centroid_mod=50).collect()}
+    # nprobe=4 of ~10 buckets: expect meaningful overlap, not exactness
+    assert len(brute & ivf) >= len(brute) * 0.3
+
+
+def test_kmeans_inertia_decreases(spark, tables):
+    e = tables["embeddings"]
+    from steel_datafusion_spark.pipeline.similarity import dot
+
+    def inertia(iters):
+        assign, cent = kmeans(e, k=4, iters=iters)
+        vecs = e.select(F.col("vec_id").alias("vid"),
+                        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        j = assign.join(vecs, "vid").join(cent, "cluster")
+        d2 = F.aggregate(F.zip_with("v", "centroid", lambda x, y: (x - y) * (x - y)),
+                         F.lit(0.0), lambda a, x: a + x)
+        return j.agg(F.sum(d2)).collect()[0][0]
+
+    assert inertia(3) <= inertia(1) + 1e-6
+
+
+def test_bpe_ish_counts_punctuation(spark):
+    df = spark.createDataFrame([("Hello, world! 42.5",)], "t string")
+    n = df.select(bpe_ish_token_count(F.col("t")).alias("n")).collect()[0].n
+    assert n == 7  # Hello , world ! 42 . 5
