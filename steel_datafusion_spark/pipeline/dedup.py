@@ -234,8 +234,10 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
     """Exact dedup on the normalized-text fingerprint: every doc mapped to the
     group keeper (min id).  One shuffle on the 128-bit fingerprint — the
     canonical hash-groupBy dedup that scales linearly."""
-    fp = df.select(F.col(id_col).alias("doc_id"),
-                   fingerprint(F.col(text_col)).alias("fp"))
+    parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    fp = df.repartition(parts, F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint(F.col(text_col)).alias("fp")).persist()
     keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper"),
                                 F.count(F.lit(1)).alias("n_copies"))
     return (fp.join(keep, "fp")

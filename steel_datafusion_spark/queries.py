@@ -495,20 +495,34 @@ def q_describe_stats(spark, sf_dir):
     numeric column, unpivoted) — numeric form of the DataFusion describe
     column set (main.rs:533-541), oracle-checkable without string formatting."""
     li = _t(spark, sf_dir)["lineitem"]
-    out = None
-    for c in ["l_quantity", "l_extendedprice", "l_discount"]:
-        one = li.agg(
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    # single aggregation pass over all columns (one scan, one partial->final
+    # agg), then an explode-unpivot -- not one job per column
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__count"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null_count"),
+            F.round(avg_exact(c), 6).alias(f"{c}__mean"),
+            F.round(F.stddev_samp(c), 4).alias(f"{c}__std"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.round(F.median(c), 4).alias(f"{c}__median"),
+        ]
+    wide = li.agg(*aggs)
+    stacked = wide.select(F.explode(F.array(*[
+        F.struct(
             F.lit(c).alias("column_name"),
-            F.count(c).alias("count"),
-            F.sum(F.col(c).isNull().cast("long")).alias("null_count"),
-            F.round(avg_exact(c), 6).alias("mean"),
-            F.round(F.stddev_samp(c), 4).alias("std"),
-            F.min(c).alias("min"),
-            F.max(c).alias("max"),
-            F.round(F.median(c), 4).alias("median"),
-        )
-        out = one if out is None else out.union(one)
-    return out
+            F.col(f"{c}__count").alias("count"),
+            F.col(f"{c}__null_count").alias("null_count"),
+            F.col(f"{c}__mean").alias("mean"),
+            F.col(f"{c}__std").alias("std"),
+            F.col(f"{c}__min").alias("min"),
+            F.col(f"{c}__max").alias("max"),
+            F.col(f"{c}__median").alias("median"),
+        ) for c in cols
+    ])).alias("s"))
+    return stacked.select("s.*")
 
 
 _SQL_DESCRIBE_STATS = f"""
@@ -590,6 +604,65 @@ WHERE o_totalprice > cust_avg
 """
 
 
+_SQL_ENTRY_TEXT = """
+SELECT s_name, n_name, COUNT(*) AS n_parts_supplied
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN lineitem ON l_suppkey = s_suppkey
+WHERE l_quantity > 40
+GROUP BY s_name, n_name
+"""
+
+
+def q_sql_entry(spark, sf_dir):
+    """SQL string entry point (SURVEY.md §3.3 optional surface): the same
+    ANSI text runs on Spark SQL and on the DuckDB oracle."""
+    from .sql import register_tables, sql as run_sql
+
+    register_tables(spark, sf_dir)
+    return run_sql(spark, _SQL_ENTRY_TEXT)
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): classic lag + cumulative
+    session-start count — one shuffle on user_id, sort within partitions.
+    The batch form of stateful streaming session windows."""
+    ev = _t(spark, sf_dir)["events"]
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts")
+           - F.unix_timestamp(F.lag("ts", 1).over(w)))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"))
+            .select("user_id", "session_id", "n_events",
+                    "session_start", "session_end"))
+
+
+_SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+    (SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+  FROM g)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "pricing_summary": (q_pricing_summary, _SQL_PRICING),
     "filter_project_case": (q_filter_project_case, _SQL_FILTER_PROJECT),
@@ -612,6 +685,8 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "describe_stats": (q_describe_stats, _SQL_DESCRIBE_STATS),
     "udf_vectorized": (q_udf_vectorized, _SQL_UDF),
     "above_avg_orders": (q_above_avg_orders, _SQL_ABOVE_AVG),
+    "sql_entry": (q_sql_entry, _SQL_ENTRY_TEXT),
+    "sessionize": (q_sessionize, _SQL_SESSIONIZE),
 }
 
 
