@@ -1,0 +1,89 @@
+"""Property-based differential testing: random small frames through the same
+relational ops in Spark and DuckDB must agree (the generalized form of the
+driver's oracle gate — catches semantics drift the fixed queries miss).
+
+Example counts are kept small: each example costs a Spark job (~0.2 s)."""
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+        st.sampled_from(["a", "b", "c"]),
+    ),
+    min_size=0, max_size=25,
+)
+
+_SETTINGS = dict(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _frames(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["x", "g", "s"]).astype(
+        {"x": "Int64", "g": "Int64", "s": "str"})
+    sdf = spark.createDataFrame(
+        [(None if pd.isna(x) else int(x),
+          None if pd.isna(g) else int(g), s)
+         for x, g, s in pdf.itertuples(index=False)],
+        "x bigint, g bigint, s string")
+    con = duckdb.connect()
+    con.register("t", pdf)
+    return sdf, con
+
+
+@given(rows=rows_strategy)
+@settings(**_SETTINGS)
+def test_filter_3vl_matches_duckdb(spark, rows):
+    sdf, con = _frames(spark, rows)
+    got = sorted(str(r.x) for r in sdf.filter(F.col("x") > 0).collect())
+    want = sorted(str(x) for (x,) in con.execute(
+        "SELECT x FROM t WHERE x > 0").fetchall())
+    assert got == want
+
+
+@given(rows=rows_strategy)
+@settings(**_SETTINGS)
+def test_groupby_agg_matches_duckdb(spark, rows):
+    sdf, con = _frames(spark, rows)
+    got = sorted(
+        (str(r.g), str(r.n), str(r.sx)) for r in
+        sdf.groupBy("g").agg(F.count(F.lit(1)).alias("n"),
+                             F.sum("x").alias("sx")).collect())
+    want = sorted(
+        (str(None if g is None else int(g)), str(n),
+         str(None if sx is None else int(sx)))
+        for g, n, sx in con.execute(
+            "SELECT g, COUNT(*) AS n, SUM(x)::BIGINT AS sx FROM t GROUP BY g"
+        ).fetchall())
+    assert got == want
+
+
+@given(rows=rows_strategy)
+@settings(**_SETTINGS)
+def test_sort_nulls_last_matches_duckdb(spark, rows):
+    from steel_datafusion_spark import col, df_sort_by
+
+    sdf, con = _frames(spark, rows)
+    got = [str(r.x) for r in df_sort_by(sdf.select("x"), [col("x")]).collect()]
+    want = [str(None if x is None else int(x)) for (x,) in con.execute(
+        "SELECT x FROM t ORDER BY x ASC NULLS LAST").fetchall()]
+    assert got == want
+
+
+@given(rows=rows_strategy)
+@settings(**_SETTINGS)
+def test_distinct_matches_duckdb(spark, rows):
+    sdf, con = _frames(spark, rows)
+    got = sorted(str((r.g, r.s)) for r in sdf.select("g", "s").distinct().collect())
+    want = sorted(str((None if g is None else int(g), s)) for g, s in con.execute(
+        "SELECT DISTINCT g, s FROM t").fetchall())
+    assert got == want
