@@ -18,7 +18,7 @@ Divergences from the reference, on purpose (SURVEY.md §4.1):
 from __future__ import annotations
 
 from functools import reduce
-from typing import Iterable
+
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F

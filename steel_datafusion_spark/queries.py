@@ -30,7 +30,7 @@ from .functions.aggregates import (
     agg_avg, agg_count_distinct, agg_count_star, agg_max, agg_min,
     avg_exact, sum_exact,
 )
-from .functions.windows import window_spec, w_lag, w_rank, w_row_number
+from .functions.windows import window_spec, w_lag, w_row_number
 from .operators.relational import (
     df_aggregate, df_distinct, df_distinct_on, df_except, df_filter,
     df_intersect, df_join, df_join_on, df_limit, df_select, df_sort,
@@ -663,6 +663,41 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_window_ranking(spark, sf_dir):
+    """Full ranking-function set + a RANGE frame (SURVEY §2.6 completeness):
+    dense_rank/percent_rank/ntile plus a range-bounded running count."""
+    o = _t(spark, sf_dir)["orders"]
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    price_range = (Window.partitionBy("o_orderstatus")
+                   .orderBy(F.col("o_totalprice"))
+                   .rangeBetween(-10000, 0))
+    return (o.select(
+        "o_orderkey", "o_orderstatus",
+        F.dense_rank().over(w).alias("dr"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.count(F.lit(1)).over(price_range).alias("n_within_10k_below"),
+    ).filter(F.col("dr") <= 100))
+
+
+_SQL_WINDOW_RANKING = """
+SELECT o_orderkey, o_orderstatus, dr, pr, quartile, n_within_10k_below FROM (
+  SELECT o_orderkey, o_orderstatus,
+    dense_rank()            OVER w AS dr,
+    round(percent_rank()    OVER w, 6) AS pr,
+    ntile(4)                OVER w AS quartile,
+    COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                   RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+      AS n_within_10k_below
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice DESC, o_orderkey ASC)) t
+WHERE dr <= 100
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "pricing_summary": (q_pricing_summary, _SQL_PRICING),
     "filter_project_case": (q_filter_project_case, _SQL_FILTER_PROJECT),
@@ -687,6 +722,7 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "above_avg_orders": (q_above_avg_orders, _SQL_ABOVE_AVG),
     "sql_entry": (q_sql_entry, _SQL_ENTRY_TEXT),
     "sessionize": (q_sessionize, _SQL_SESSIONIZE),
+    "window_ranking": (q_window_ranking, _SQL_WINDOW_RANKING),
 }
 
 
