@@ -25,8 +25,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "make_media_table",
-           "extract_features", "decode_image"]
+__all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "FRAME_SCHEMA",
+           "make_media_table", "extract_features", "decode_image",
+           "resize_media", "frame_sample"]
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -105,3 +106,70 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     parts = media.sparkSession.sparkContext.defaultParallelism
     return media.repartition(parts).mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_ts_ms", T.IntegerType()),
+    T.StructField("frame_payload", T.BinaryType()),
+])
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing (mapInPandas): same schema out, metadata updated,
+    payload re-encoded.  The real pixel resample is the stubbed codec step;
+    the deterministic fake scales payload length by the area ratio so batch
+    shapes and downstream size accounting behave like a real resize.
+
+    Scale: pure map stage, no shuffle; payload bytes never leave the
+    executor."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            metas, payloads = [], []
+            for m, p in zip(pdf["meta"], pdf["payload"]):
+                ow, oh = m["width"] or 1, m["height"] or 1
+                ratio = (width * height) / (ow * oh)
+                n = max(1, int(len(p) * min(ratio, 1.0)))
+                payloads.append(bytes(p[:n]))
+                metas.append({"width": width, "height": height,
+                              "duration_ms": m["duration_ms"]})
+            out["payload"] = payloads
+            out["meta"] = metas
+            yield out
+
+    parts = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(parts).mapInPandas(_resize, schema=MEDIA_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000,
+                 max_frames: int = 8) -> DataFrame:
+    """Frame sampling plumbing for video payloads: one output row per sampled
+    frame (media_id, frame_idx, ts, frame_payload).  The deterministic fake
+    slices the payload evenly; a real implementation would seek the container
+    — identical batch shape and fan-out.
+
+    Scale: map-side explode (1→N rows) with bounded N; no shuffle."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "frame_ts_ms": [],
+                    "frame_payload": []}
+            for mid, kind, p, m in zip(pdf["media_id"], pdf["kind"],
+                                       pdf["payload"], pdf["meta"]):
+                if kind != "video":
+                    continue
+                dur = m["duration_ms"] or 0
+                n = min(max_frames, max(1, dur // every_ms))
+                step = max(1, len(p) // n) if len(p) else 1
+                for i in range(n):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["frame_ts_ms"].append(i * every_ms)
+                    rows["frame_payload"].append(bytes(p[i*step:(i+1)*step]))
+            yield pd.DataFrame(rows)
+
+    parts = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(parts).mapInPandas(_sample, schema=FRAME_SCHEMA)
