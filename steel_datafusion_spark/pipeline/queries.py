@@ -25,7 +25,9 @@ from .dedup import (
 )
 from .dedup import winnow_fingerprints
 from .multimodal import extract_features, make_media_table
-from .similarity import cosine_neardup_pairs, cosine_topk, ivf_topk, kmeans
+from .similarity import (
+    cosine_neardup_pairs, cosine_topk, hyperplanes, ivf_topk, kmeans, lsh_topk,
+)
 from .text import bpe_ish_token_count, sql_bpe_ish_token_count
 
 _COS = ("(list_dot_product({a}, {b}) / "
@@ -392,6 +394,88 @@ def q_kmeans_clusters(spark, sf_dir):
             .orderBy("cluster"))
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top-3 terms per doc (doc_id<50): tokens → explode → per-(doc,
+    term) tf → per-term document frequency → idf join → rank.
+
+    Scale shape: two shuffles (term-count groupBy, df groupBy) + a broadcast
+    of the term→idf table; the classic inverted-index build.  ln() on
+    identical int inputs is bit-identical across engines; scores rounded 6dp,
+    rank tie-broken by term."""
+    from pyspark.sql.window import Window
+    d = load_tables(spark, sf_dir)["documents"]
+    n_docs = d.count()
+    toks = (d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.select(
+        "term",
+        (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"))
+    scored = (tf.filter(F.col("doc_id") < 50)
+              .join(F.broadcast(idf), "term")
+              .select("doc_id", "term",
+                      F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(),
+                                             F.col("term").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("doc_id", "term", "tfidf", "rnk"))
+
+
+def _sql_tfidf() -> str:
+    toks = TX.sql_tokens("text")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+idf AS (SELECT term, ln((n.n_docs + 1.0) / (COUNT(*) + 1.0)) + 1.0 AS idf
+        FROM tf, n GROUP BY term, n.n_docs),
+scored AS (
+  SELECT tf.doc_id, tf.term, round(tf.tf * idf.idf, 6) AS tfidf
+  FROM tf JOIN idf ON tf.term = idf.term WHERE tf.doc_id < 50)
+SELECT doc_id, term, tfidf, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored) t WHERE rnk <= 3
+"""
+
+
+def q_similarity_lsh(spark, sf_dir):
+    """Sign-random-projection LSH ANN top-10 (6 planes, hamming-1
+    multiprobe) for vec_id<5."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    return lsh_topk(q, e, k=10, n_planes=6, multiprobe=True)
+
+
+def _sql_similarity_lsh() -> str:
+    n_planes = 6
+    planes = hyperplanes(n_planes)
+    terms = []
+    for p, row in enumerate(planes):
+        arr = "[" + ", ".join(repr(x) for x in row) + "]::DOUBLE[]"
+        terms.append(
+            f"CASE WHEN list_dot_product(v, {arr}) > 0 "
+            f"THEN {1 << p}::BIGINT ELSE 0::BIGINT END")
+    bucket = " + ".join(terms)
+    shifts = "[" + ", ".join(str(s) for s in [0] + [1 << i for i in range(n_planes)]) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM b WHERE vec_id < 5),
+probes AS (SELECT query_id, qv, xor(qbucket, sh.s) AS bucket
+           FROM q, (SELECT unnest({shifts}) AS s) sh),
+scored AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+         round({_COS.format(a='p.qv', b='c.v')}, 6) AS score
+  FROM probes p JOIN b c ON p.bucket = c.bucket AND p.query_id <> c.vec_id)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored) t WHERE rank <= 10
+"""
+
+
 PIPELINE_QUERIES = {
     "text_stats": (q_text_stats, _SQL_TEXT_STATS),
     "text_quality_by_source": (q_text_quality_by_source, _SQL_TEXT_QUALITY),
@@ -406,4 +490,6 @@ PIPELINE_QUERIES = {
     "multimodal_features": (q_multimodal_features, _SQL_MULTIMODAL),
     "winnow_fingerprints": (q_winnow_fingerprints, _SQL_WINNOW),
     "kmeans_clusters": (q_kmeans_clusters, None),
+    "tfidf_top_terms": (q_tfidf_top_terms, _sql_tfidf()),
+    "similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
 }

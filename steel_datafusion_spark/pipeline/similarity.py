@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["dot", "norm2", "cosine", "cosine_topk", "cosine_neardup_pairs",
-           "ivf_assign", "ivf_topk", "kmeans", "SQL_COSINE"]
+           "ivf_assign", "ivf_topk", "kmeans", "lsh_bucket", "lsh_topk",
+           "hyperplanes", "SQL_COSINE"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -150,6 +151,74 @@ def ivf_topk(
     scored = cand.select(
         "query_id", F.col("vid").alias("neighbor_id"),
         F.round(cosine(F.col("qv"), F.col("v")), 6).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score", "rank"))
+
+
+def hyperplanes(n_planes: int = 12, dim: int = 64) -> list[list[float]]:
+    """Deterministic random hyperplanes from md5 (no RNG): component (p,d) =
+    (md5int("p_d") mod 2001 - 1000) / 1000 ∈ [-1, 1].  The same literals are
+    embedded in the Spark expressions and the oracle SQL."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id: bit p = 1 iff dot(v, plane_p) > 0.
+    Pure JVM expression; n_planes bits → int bucket."""
+    out = F.lit(0).cast("long")
+    for p, row in enumerate(planes):
+        w = F.array(*[F.lit(x) for x in row])
+        d = dot(vec, w)
+        out = out + F.when(d > 0, F.lit(1 << p).cast("long"))                      .otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def lsh_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 10, n_planes: int = 6,
+    multiprobe: bool = True,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN: candidates = corpus vectors in the query's bucket
+    (sign-random-projection) plus, with ``multiprobe``, every bucket at
+    hamming distance 1 — the standard recall fix (a near neighbor falling
+    just across one hyperplane lands one bit away).  The hash-join
+    alternative to IVF: one shuffle on bucket id, no centroid table — the
+    right trade when the corpus churns too fast to maintain a quantizer.
+
+    Deterministic ⇒ oracle-checkable.  Recall knobs: n_planes (bucket
+    granularity) and multiprobe breadth."""
+    planes = hyperplanes(n_planes)
+    parts = corpus.sparkSession.sparkContext.defaultParallelism * 2
+    c = corpus.repartition(parts, F.col(id_col)).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = c.withColumn("bucket", lsh_bucket(F.col("cv"), planes)).persist()
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    q = q.withColumn("qbucket", lsh_bucket(F.col("qv"), planes))
+    shifts = [0] + ([1 << i for i in range(n_planes)] if multiprobe else [])
+    probes = q.select(
+        "query_id", "qv",
+        F.explode(F.array(*[
+            F.col("qbucket").bitwiseXOR(F.lit(sh)).alias("b") for sh in shifts
+        ])).alias("bucket"),
+    )
+    scored = (c.join(F.broadcast(probes), "bucket")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"))
+              .distinct())
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
