@@ -1,0 +1,89 @@
+"""As-of join — an operator Spark lacks natively, built scalably.
+
+For each left row, attach the right row with the greatest timestamp ≤ the
+left timestamp within the same key (backward as-of; the time-series "latest
+value as of then" join).
+
+Implementation is the shuffle-parallel union trick, NOT a range self-join:
+tag both inputs, union them, and run one window per key ordered by
+(ts, side) taking ``last(right_payload, ignorenulls=True)`` up to the
+current row.  Cost: a single hash exchange on the key + an in-partition
+sort — the same shape as any windowed aggregate, linear in |L|+|R|.  A
+naive ``L ⋈ R ON key AND r.ts <= l.ts`` + argmax explodes quadratically per
+key and is never acceptable at scale.
+
+Ties: right rows sort before left rows at equal ts, so "≤" is inclusive;
+equal-ts right rows among themselves are broken by ``right_tiebreak``
+(latest wins) to keep results deterministic.
+
+DuckDB's native ``ASOF LEFT JOIN`` is the oracle for the gate query.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of left join.  Output: all left columns + every right
+    column (nulled when no right row is ≤ the left timestamp)."""
+    on = list(on)
+    l_payload = [c for c in left.columns if c not in on and c != left_ts]
+    r_payload = [c for c in right.columns if c not in on]
+    overlap = set(l_payload) & set(r_payload)
+    if overlap:
+        raise ValueError(f"column name overlap between sides: {sorted(overlap)}")
+
+    l_tag = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*l_payload).alias("_l"),
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"`{f.name}`:{f.dataType.simpleString()}"
+                for f in right.select(*r_payload).schema.fields) + ">"
+        ).alias("_r"),
+    )
+    r_tag = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"`{f.name}`:{f.dataType.simpleString()}"
+                for f in left.select(*l_payload).schema.fields) + ">"
+        ).alias("_l"),
+        F.struct(*r_payload).alias("_r"),
+    )
+
+    order = [F.col("_ts").asc(), F.col("_side").asc()]
+    # right_tiebreak lives inside _r for right rows; order on the struct field
+    if right_tiebreak:
+        order = [F.col("_ts").asc(), F.col("_side").asc(),
+                 F.col(f"_r.{right_tiebreak}").asc_nulls_first()]
+    w = (Window.partitionBy(*on).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    matched = (l_tag.unionByName(r_tag)
+               .withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+               .filter(F.col("_side") == 1))
+    return matched.select(
+        *on,
+        F.col("_ts").alias(left_ts),
+        *[F.col(f"_l.{c}").alias(c) for c in l_payload],
+        *[F.col(f"_match.{c}").alias(c) for c in r_payload],
+    )

@@ -476,6 +476,36 @@ SELECT query_id, neighbor_id, score, rank FROM (
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join: each 'error' event gets the latest prior-or-equal
+    'purchase' event of the same user (union+window — single key shuffle,
+    see operators/asof.py).  Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select("user_id", F.col("event_id").alias("err_event_id"),
+                      F.col("ts").alias("err_ts")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("event_id").alias("purch_event_id"),
+                         F.col("ts").alias("purch_ts"),
+                         F.round(F.col("value"), 6).alias("purch_value")))
+    out = asof_join(errors, purchases, on=["user_id"],
+                    left_ts="err_ts", right_ts="purch_ts",
+                    right_tiebreak="purch_event_id")
+    return out.select("user_id", "err_event_id", "err_ts",
+                      "purch_event_id", "purch_value")
+
+
+_SQL_ASOF = """
+SELECT e.user_id, e.event_id AS err_event_id, e.ts AS err_ts,
+       p.event_id AS purch_event_id, round(p.value, 6) AS purch_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
 PIPELINE_QUERIES = {
     "text_stats": (q_text_stats, _SQL_TEXT_STATS),
     "text_quality_by_source": (q_text_quality_by_source, _SQL_TEXT_QUALITY),
@@ -492,4 +522,5 @@ PIPELINE_QUERIES = {
     "kmeans_clusters": (q_kmeans_clusters, None),
     "tfidf_top_terms": (q_tfidf_top_terms, _sql_tfidf()),
     "similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
+    "asof_join": (q_asof_join, _SQL_ASOF),
 }

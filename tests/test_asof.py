@@ -1,0 +1,54 @@
+"""as-of join semantics: inclusive backward match, NULL when no prior row,
+deterministic tie-breaking."""
+
+from datetime import datetime
+
+from steel_datafusion_spark.operators.asof import asof_join
+
+import pytest
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def sides(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "l1"),
+         (1, _ts("2024-01-01T12:00:00"), "l2"),
+         (2, _ts("2024-01-01T09:00:00"), "l3")],
+        "k long, lts timestamp, lval string")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:30:00"), "r1"),
+         (1, _ts("2024-01-01T12:00:00"), "r2"),   # equal ts: inclusive
+         (2, _ts("2024-01-01T11:00:00"), "r3")],  # after l3: no match
+        "k long, rts timestamp, rval string")
+    return left, right
+
+
+def test_backward_inclusive_and_null(spark, sides):
+    left, right = sides
+    out = {r.lval: (r.rval, r.rts) for r in
+           asof_join(left, right, ["k"], "lts", "rts").collect()}
+    assert out["l1"][0] == "r1"          # latest ≤ 10:00 is 09:30
+    assert out["l2"][0] == "r2"          # equal timestamp matches (inclusive)
+    assert out["l3"] == (None, None)     # nothing at or before 09:00
+
+
+def test_equal_ts_right_tiebreak(spark):
+    t = _ts("2024-01-01T10:00:00")
+    left = spark.createDataFrame([(1, t, "l")], "k long, lts timestamp, lval string")
+    right = spark.createDataFrame(
+        [(1, t, 5, "first"), (1, t, 9, "last")],
+        "k long, rts timestamp, seq long, rval string")
+    got = asof_join(left, right, ["k"], "lts", "rts",
+                    right_tiebreak="seq").collect()[0]
+    assert got.rval == "last"            # highest tiebreak wins
+
+
+def test_overlapping_names_rejected(spark, sides):
+    left, right = sides
+    with pytest.raises(ValueError, match="overlap"):
+        asof_join(left, right.withColumnRenamed("rval", "lval"),
+                  ["k"], "lts", "rts")
