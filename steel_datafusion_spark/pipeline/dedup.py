@@ -6,10 +6,12 @@ pipelines.  Design constraints:
 - **Scale**: per-row stages (tokenize/shingle/hash) are JVM expressions —
   no Python in the row path.  Candidate generation is an explode +
   hash-partition self-join on (band, hash) buckets — the standard
-  shuffle-parallel LSH shape that holds at 100 TB.  Blocked all-pairs ops
-  salt the block key into S×S bucket pairs so parallelism never collapses
-  to the number of blocks (5 lang blocks ⇒ 5 active tasks is a real skew
-  failure measured at sf0.1; salted it becomes S² tasks per block).
+  shuffle-parallel LSH shape that holds at 100 TB.  Exact pairwise Jaccard
+  runs as an inverted-index join (posting lists keyed by shingle hash —
+  fine-grained shuffle keys), never as a blocked all-pairs join whose
+  parallelism collapses to the number of blocks (5 lang blocks ⇒ 5 active
+  tasks was a real skew failure measured at sf0.1; for explicitly skewed
+  aggregations/joins see operators/skew.py).
 - **Materialization barriers are load-bearing**: Catalyst collapses adjacent
   projections, so without ``persist()`` between shingling → signatures →
   bands the whole upstream expression is re-inlined into every signature
