@@ -698,6 +698,103 @@ WHERE dr <= 100
 """
 
 
+def q_pivot_events(spark, sf_dir):
+    """Pivot: per-user event-type counts as columns.  Spark's pivot() emits
+    the same plan as the manual CASE aggregation the oracle uses."""
+    ev = _t(spark, sf_dir)["events"]
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (ev.groupBy("user_id")
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, types)
+            .select("user_id", *[F.col(t).alias(f"n_{t}") for t in types]))
+
+
+_SQL_PIVOT = """
+SELECT user_id,
+  COUNT(*) FILTER (event_type = 'click')    AS n_click,
+  COUNT(*) FILTER (event_type = 'view')     AS n_view,
+  COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+  COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+  COUNT(*) FILTER (event_type = 'error')    AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+def q_string_funcs(spark, sf_dir):
+    """Scalar string-function family (upper/substr/replace/lpad/concat/
+    length/trim) — unreachable from the reference's surface (SURVEY §2.3
+    gap: only inherited engine has them); free via pyspark.sql.functions."""
+    pt = _t(spark, sf_dir)["part"]
+    return pt.select(
+        "p_partkey",
+        F.upper(F.col("p_name")).alias("uname"),
+        F.substring(F.col("p_type"), 1, 5).alias("type5"),
+        F.replace(F.col("p_brand"), F.lit("Brand"), F.lit("B")).alias("brand_short"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+_SQL_STRING_FUNCS = """
+SELECT p_partkey,
+  upper(p_name) AS uname,
+  substr(p_type, 1, 5) AS type5,
+  replace(p_brand, 'Brand', 'B') AS brand_short,
+  lpad(p_partkey::VARCHAR, 8, '0') AS padded_key,
+  length(p_name) AS name_len,
+  concat_ws('|', p_brand, p_type) AS brand_type
+FROM part
+"""
+
+
+def q_date_funcs(spark, sf_dir):
+    """Temporal function family: extract year/month/day, date_add, datediff,
+    date_trunc to month — over the orders timestamps."""
+    o = _t(spark, sf_dir)["orders"]
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.lit("2024-12-31").cast("date"), d).alias("days_to_eoy"),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd")
+         .alias("order_month"),
+    )
+
+
+_SQL_DATE_FUNCS = """
+SELECT o_orderkey,
+  EXTRACT(year FROM o_orderdate)::INT AS yr,
+  EXTRACT(month FROM o_orderdate)::INT AS mo,
+  EXTRACT(day FROM o_orderdate)::INT AS dom,
+  strftime(o_orderdate::DATE + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+  date_diff('day', o_orderdate::DATE, DATE '2024-12-31')::INT AS days_to_eoy,
+  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month
+FROM orders
+"""
+
+
+def q_cube_agg(spark, sf_dir):
+    """GROUP BY CUBE over two dimensions (grouping-sets family; unexposed in
+    the reference, trivial on Spark — SURVEY §2.5)."""
+    o = _t(spark, sf_dir)["orders"]
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(agg_count_star().alias("n"),
+                 F.sum(F.col("o_totalprice").cast(_DEC2)).cast("double")
+                  .alias("total")))
+
+
+_SQL_CUBE = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS {_SQL_DEC2})) AS DOUBLE) AS total
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "pricing_summary": (q_pricing_summary, _SQL_PRICING),
     "filter_project_case": (q_filter_project_case, _SQL_FILTER_PROJECT),
@@ -723,6 +820,10 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "sql_entry": (q_sql_entry, _SQL_ENTRY_TEXT),
     "sessionize": (q_sessionize, _SQL_SESSIONIZE),
     "window_ranking": (q_window_ranking, _SQL_WINDOW_RANKING),
+    "pivot_events": (q_pivot_events, _SQL_PIVOT),
+    "string_funcs": (q_string_funcs, _SQL_STRING_FUNCS),
+    "date_funcs": (q_date_funcs, _SQL_DATE_FUNCS),
+    "cube_agg": (q_cube_agg, _SQL_CUBE),
 }
 
 
