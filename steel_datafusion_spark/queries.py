@@ -725,7 +725,7 @@ def q_string_funcs(spark, sf_dir):
     """Scalar string-function family (upper/substr/replace/lpad/concat/
     length/trim) — unreachable from the reference's surface (SURVEY §2.3
     gap: only inherited engine has them); free via pyspark.sql.functions."""
-    pt = _t(spark, sf_dir)["part"]
+    pt = df_filter(_t(spark, sf_dir)["part"], F.col("p_partkey") < 2000)
     return pt.select(
         "p_partkey",
         F.upper(F.col("p_name")).alias("uname"),
@@ -745,14 +745,14 @@ SELECT p_partkey,
   lpad(p_partkey::VARCHAR, 8, '0') AS padded_key,
   length(p_name) AS name_len,
   concat_ws('|', p_brand, p_type) AS brand_type
-FROM part
+FROM part WHERE p_partkey < 2000
 """
 
 
 def q_date_funcs(spark, sf_dir):
     """Temporal function family: extract year/month/day, date_add, datediff,
     date_trunc to month — over the orders timestamps."""
-    o = _t(spark, sf_dir)["orders"]
+    o = df_filter(_t(spark, sf_dir)["orders"], F.col("o_orderkey") < 20000)
     d = F.to_date("o_orderdate")
     return o.select(
         "o_orderkey",
@@ -774,7 +774,7 @@ SELECT o_orderkey,
   strftime(o_orderdate::DATE + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
   date_diff('day', o_orderdate::DATE, DATE '2024-12-31')::INT AS days_to_eoy,
   strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month
-FROM orders
+FROM orders WHERE o_orderkey < 20000
 """
 
 
