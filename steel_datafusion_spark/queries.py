@@ -795,6 +795,37 @@ FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
 
 
+def q_array_funcs(spark, sf_dir):
+    """Array-function family over the embedding column: size/slice/contains/
+    element_at/sorted-head — JVM-side nested-type ops (SURVEY §1.3 notes the
+    reference exposes no nested types; Spark has them natively)."""
+    e = _t(spark, sf_dir)["embeddings"]
+    v = F.col("embedding")
+    return df_filter(e, F.col("vec_id") < 200).select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.round(F.element_at(v, 1).cast("double"), 6).alias("first_val"),
+        F.round(F.element_at(v, -1).cast("double"), 6).alias("last_val"),
+        F.round(F.aggregate(F.slice(v, 1, 8),
+                            F.lit(0.0), lambda a, x: a + x.cast("double")), 6)
+         .alias("head8_sum"),
+        F.round(F.array_max(v).cast("double"), 6).alias("vmax"),
+        F.round(F.array_min(v).cast("double"), 6).alias("vmin"),
+    )
+
+
+_SQL_ARRAY_FUNCS = """
+SELECT vec_id,
+  len(embedding) AS dim,
+  round(embedding[1]::DOUBLE, 6) AS first_val,
+  round(embedding[-1]::DOUBLE, 6) AS last_val,
+  round(list_sum(list_transform(embedding[1:8], x -> x::DOUBLE)), 6) AS head8_sum,
+  round(list_max(embedding)::DOUBLE, 6) AS vmax,
+  round(list_min(embedding)::DOUBLE, 6) AS vmin
+FROM embeddings WHERE vec_id < 200
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "pricing_summary": (q_pricing_summary, _SQL_PRICING),
     "filter_project_case": (q_filter_project_case, _SQL_FILTER_PROJECT),
@@ -824,6 +855,7 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "string_funcs": (q_string_funcs, _SQL_STRING_FUNCS),
     "date_funcs": (q_date_funcs, _SQL_DATE_FUNCS),
     "cube_agg": (q_cube_agg, _SQL_CUBE),
+    "array_funcs": (q_array_funcs, _SQL_ARRAY_FUNCS),
 }
 
 

@@ -27,13 +27,22 @@ TABLE_NAMES = [
 
 
 def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
-    """CSV scan: header=true, inferred schema, comma delim (main.rs:570-578)."""
+    """CSV scan: header=true, inferred schema, comma delim (main.rs:570-578).
+
+    Inference parity: DataFusion infers integer CSV columns as Int64;
+    Spark's inferSchema picks IntegerType for small values, so inferred
+    int columns are widened to long to match the reference's types."""
     reader = spark.read.option("header", True)
     if schema is not None:
-        reader = reader.schema(schema)
-    else:
-        reader = reader.option("inferSchema", True)
-    return reader.csv(path)
+        return reader.schema(schema).csv(path)
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = reader.option("inferSchema", True).csv(path)
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.ByteType, T.ShortType, T.IntegerType)):
+            df = df.withColumn(f.name, F.col(f.name).cast("long"))
+    return df
 
 
 # Runtime-settable SQL confs this engine depends on.  Applied to whatever
