@@ -87,3 +87,34 @@ def test_distinct_matches_duckdb(spark, rows):
     want = sorted(str((None if g is None else int(g), s)) for g, s in con.execute(
         "SELECT DISTINCT g, s FROM t").fetchall())
     assert got == want
+
+
+@given(rows=rows_strategy, rows2=rows_strategy)
+@settings(**_SETTINGS)
+def test_joins_match_duckdb(spark, rows, rows2):
+    """Inner + left join multiplicity with duplicate keys and NULLs."""
+    sdf_a, con = _frames(spark, rows)
+    import pandas as pd
+
+    pdf_b = pd.DataFrame(rows2, columns=["x", "g", "s"]).astype(
+        {"x": "Int64", "g": "Int64", "s": "str"})
+    sdf_b = spark.createDataFrame(
+        [(None if pd.isna(x) else int(x),
+          None if pd.isna(g) else int(g), s)
+         for x, g, s in pdf_b.itertuples(index=False)],
+        "x bigint, g bigint, s string")
+    con.register("u", pdf_b)
+
+    from steel_datafusion_spark import df_join
+
+    inner = df_join(sdf_a, sdf_b.toDF("x2", "g2", "s2"), "inner", ["g"], ["g2"])
+    got = sorted(str((r.g, r.s, r.s2)) for r in inner.select("g", "s", "s2").collect())
+    want = sorted(str((None if g is None else int(g), s, s2)) for g, s, s2 in con.execute(
+        "SELECT t.g, t.s, u.s AS s2 FROM t JOIN u ON t.g = u.g").fetchall())
+    assert got == want
+
+    left = df_join(sdf_a, sdf_b.toDF("x2", "g2", "s2"), "left", ["g"], ["g2"])
+    got = sorted(str((r.g, r.s, r.s2)) for r in left.select("g", "s", "s2").collect())
+    want = sorted(str((None if g is None else int(g), s, s2)) for g, s, s2 in con.execute(
+        "SELECT t.g, t.s, u.s AS s2 FROM t LEFT JOIN u ON t.g = u.g").fetchall())
+    assert got == want
