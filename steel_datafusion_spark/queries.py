@@ -826,6 +826,65 @@ FROM embeddings WHERE vec_id < 200
 """
 
 
+def q_having_filter(spark, sf_dir):
+    """Aggregate + HAVING (post-aggregation filter pushed onto the agg
+    result — same plan Catalyst produces from SQL HAVING)."""
+    li = _t(spark, sf_dir)["lineitem"]
+    g = df_aggregate(
+        li, [col("l_partkey")],
+        [agg_count_star().alias("n"),
+         sum_exact("l_quantity").alias("qty")],
+    )
+    return df_filter(g, (F.col("n") >= 30) & (F.col("qty") > 800))
+
+
+_SQL_HAVING = f"""
+SELECT l_partkey, COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS {_SQL_DEC})) AS DOUBLE) AS qty
+FROM lineitem GROUP BY l_partkey
+HAVING COUNT(*) >= 30
+   AND CAST(SUM(CAST(l_quantity AS {_SQL_DEC})) AS DOUBLE) > 800
+"""
+
+
+def q_nested_agg(spark, sf_dir):
+    """Two-level aggregation: per-customer order totals, then per-segment
+    stats of those totals (agg over agg — reuses the first shuffle's
+    distribution for nothing; second agg is its own exchange on segment)."""
+    t = _t(spark, sf_dir)
+    per_cust = df_aggregate(
+        df_join(t["customer"], t["orders"], "inner",
+                ["c_custkey"], ["o_custkey"]),
+        [col("c_custkey"), col("c_mktsegment")],
+        [F.sum(F.col("o_totalprice").cast(_DEC2)).alias("cust_total"),
+         agg_count_star().alias("n_orders")],
+    )
+    return df_aggregate(
+        per_cust, [col("c_mktsegment")],
+        [
+            agg_count_star().alias("n_customers"),
+            F.sum(F.col("cust_total")).cast("double").alias("segment_total"),
+            F.max(F.col("cust_total")).cast("double").alias("max_cust_total"),
+            F.sum("n_orders").alias("total_orders"),
+        ],
+    )
+
+
+_SQL_NESTED_AGG = f"""
+WITH per_cust AS (
+  SELECT c_custkey, c_mktsegment,
+    SUM(CAST(o_totalprice AS {_SQL_DEC2})) AS cust_total,
+    COUNT(*) AS n_orders
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey, c_mktsegment)
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+  CAST(SUM(cust_total) AS DOUBLE) AS segment_total,
+  CAST(MAX(cust_total) AS DOUBLE) AS max_cust_total,
+  SUM(n_orders)::BIGINT AS total_orders
+FROM per_cust GROUP BY c_mktsegment
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "pricing_summary": (q_pricing_summary, _SQL_PRICING),
     "filter_project_case": (q_filter_project_case, _SQL_FILTER_PROJECT),
@@ -856,6 +915,8 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "date_funcs": (q_date_funcs, _SQL_DATE_FUNCS),
     "cube_agg": (q_cube_agg, _SQL_CUBE),
     "array_funcs": (q_array_funcs, _SQL_ARRAY_FUNCS),
+    "having_filter": (q_having_filter, _SQL_HAVING),
+    "nested_agg": (q_nested_agg, _SQL_NESTED_AGG),
 }
 
 
