@@ -1,0 +1,91 @@
+"""Persist lifecycle tracking for pipeline intermediates.
+
+The dedup / similarity operators persist() intermediates as *materialization
+barriers* — load-bearing against Catalyst re-inlining (a measured 30× blowup
+without them, see pipeline/dedup.py).  Those barriers must outlive the
+returned lazy DataFrame until the caller materializes it, so the library
+cannot unpersist eagerly.  Instead every persist is registered here and the
+caller (or a scope guard) releases them:
+
+    from steel_datafusion_spark.cache import pipeline_cache_scope
+    with pipeline_cache_scope(spark):
+        pairs = minhash_dedup_pairs(docs).collect()   # barriers live
+    # scope exit → all tracked intermediates unpersisted
+
+Long-lived sessions that build many catalog queries call
+``release_all(spark)`` between queries (bench.py does the equivalent with
+``spark.catalog.clearCache()``; this API releases only what this library
+persisted, leaving user-cached relations alone).
+
+Registry is keyed by SparkContext applicationId — session-lifetime-unique,
+unlike ``id(spark)`` which can be reused after GC.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["track", "release_all", "pipeline_cache_scope", "tracked_count"]
+
+_TRACKED: dict[str, list[DataFrame]] = {}
+
+
+def _app_id(session_or_df) -> str:
+    spark = (session_or_df.sparkSession
+             if isinstance(session_or_df, DataFrame) else session_or_df)
+    return spark.sparkContext.applicationId
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Register an already-persisted DataFrame for later release; returns it
+    unchanged so call sites read ``track(df.persist())``."""
+    _TRACKED.setdefault(_app_id(df), []).append(df)
+    return df
+
+
+def untrack_and_unpersist(df: DataFrame) -> None:
+    """Release one intermediate immediately (safe to call twice)."""
+    try:
+        df.unpersist(blocking=False)
+    except Exception:
+        pass  # session already stopped
+    lst = _TRACKED.get(_app_id(df))
+    if lst is not None:
+        _TRACKED[_app_id(df)] = [d for d in lst if d is not df]
+
+
+def release_all(spark: SparkSession) -> int:
+    """Unpersist every intermediate this library persisted on ``spark``.
+    Returns the number released.  Only call after materializing results you
+    need — a still-lazy result DataFrame would silently recompute without its
+    barriers (the re-inlining blowup the persists exist to prevent)."""
+    dfs = _TRACKED.pop(_app_id(spark), [])
+    for df in dfs:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
+    return len(dfs)
+
+
+def tracked_count(spark: SparkSession) -> int:
+    return len(_TRACKED.get(_app_id(spark), []))
+
+
+@contextmanager
+def pipeline_cache_scope(spark: SparkSession):
+    """Scope guard: releases every barrier tracked during the block."""
+    before = list(_TRACKED.get(_app_id(spark), []))
+    try:
+        yield
+    finally:
+        current = _TRACKED.get(_app_id(spark), [])
+        new = [d for d in current if all(d is not b for b in before)]
+        for df in new:
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass
+        _TRACKED[_app_id(spark)] = before

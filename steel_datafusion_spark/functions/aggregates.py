@@ -21,7 +21,7 @@ __all__ = [
     "agg_sum", "agg_count", "agg_count_star", "agg_avg", "agg_min", "agg_max",
     "agg_count_distinct", "agg_approx_count_distinct", "agg_stddev",
     "agg_variance", "agg_corr", "agg_median", "agg_first", "agg_last",
-    "sum_exact", "avg_exact",
+    "sum_exact", "avg_exact", "agg_approx_median", "agg_approx_percentile",
 ]
 
 
@@ -58,3 +58,22 @@ def avg_exact(e, scale: int = 10) -> Column:
     c = _c(e)
     return (F.sum(c.cast(f"decimal(28,{scale})")).cast("double") /
             F.count(c)).cast("double")
+
+
+def agg_approx_percentile(e, p: float, accuracy: int = 10000) -> Column:
+    """Greenwald-Khanna approximate percentile — the 100 TB scale path for
+    rank statistics.  ``F.median``/``F.percentile`` are exact but require a
+    full per-group sort+materialization, which at cluster scale means
+    spilling every group to disk; GK keeps an O(accuracy) mergeable summary
+    per partition (rank error ≤ n/accuracy) and composes with partial→final
+    aggregation like any other agg.
+
+    Returns an actual data value (no interpolation) — with accuracy ≥ the
+    group row count the result is exact and equals DuckDB's
+    ``quantile_disc`` (verified across sf0.001/sf0.01 in the gate)."""
+    return F.percentile_approx(_c(e), p, accuracy)
+
+
+def agg_approx_median(e, accuracy: int = 10000) -> Column:
+    """Approximate median via :func:`agg_approx_percentile` at p=0.5."""
+    return agg_approx_percentile(e, 0.5, accuracy)

@@ -25,10 +25,18 @@ _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
 _STATS = ["count", "null_count", "mean", "std", "min", "max", "median"]
 
 
-def df_describe(df: DataFrame) -> DataFrame:
+def df_describe(df: DataFrame, approx_median: bool = False,
+                accuracy: int = 10000) -> DataFrame:
     """One row per statistic, one column per input column, all stringly-typed
-    (DataFusion renders everything as Utf8 in the describe frame)."""
+    (DataFusion renders everything as Utf8 in the describe frame).
+
+    ``approx_median=True`` is the 100 TB scale path: exact ``F.median`` needs
+    a full per-group sort/materialization per column, while percentile_approx
+    keeps an O(accuracy) mergeable GK summary (rank error ≤ n/accuracy) —
+    the only describe statistic whose exact form doesn't stream."""
     spark = df.sparkSession
+    med = ((lambda c: F.percentile_approx(c, 0.5, accuracy)) if approx_median
+           else F.median)
     aggs = []
     for f in df.schema.fields:
         c = F.col(f.name)
@@ -41,7 +49,7 @@ def df_describe(df: DataFrame) -> DataFrame:
         aggs.append((F.stddev_samp(c) if numeric else F.lit(None)).alias(f"{f.name}__std"))
         aggs.append((F.min(c) if orderable else F.lit(None)).alias(f"{f.name}__min"))
         aggs.append((F.max(c) if orderable else F.lit(None)).alias(f"{f.name}__max"))
-        aggs.append((F.median(c) if numeric else F.lit(None)).alias(f"{f.name}__median"))
+        aggs.append((med(c) if numeric else F.lit(None)).alias(f"{f.name}__median"))
     row = df.agg(*aggs).collect()[0].asDict()
 
     names = [f.name for f in df.schema.fields]

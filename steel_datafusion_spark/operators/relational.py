@@ -238,8 +238,14 @@ def df_collect(df: DataFrame):
 
 def df_show(df: DataFrame) -> None:
     """Print the ENTIRE result — the reference's show prints all rows
-    (main.rs:552-559), unlike Spark's default 20."""
-    df.show(df.count(), truncate=False)
+    (main.rs:552-559), unlike Spark's default 20.
+
+    Executes the plan exactly once (collect), then renders the already-local
+    rows with Spark's formatter — ``df.show(df.count())`` would run the whole
+    plan twice."""
+    rows = df.collect()
+    local = df.sparkSession.createDataFrame(rows, df.schema)
+    local.show(max(len(rows), 1), truncate=False)
 
 
 def df_show_limit(df: DataFrame, n: int) -> None:

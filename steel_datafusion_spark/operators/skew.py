@@ -56,6 +56,18 @@ def salted_join(
     keys on (key, salt) — the hot key's rows spread across S partitions.
     Row multiplicity is unchanged (each skewed row meets each compact match
     exactly once)."""
+    # Only join types that preserve (at most) the skewed side are salt-safe:
+    # the compact side is exploded into `salt` copies, so a right/full join
+    # would emit up to `salt` null-extended duplicates per unmatched compact
+    # row.  semi/anti on the skewed side are fine (each skewed row carries
+    # exactly one salt value, and every salt exists on the compact side).
+    allowed = {"inner", "left", "left_outer", "semi", "left_semi",
+               "anti", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} (skewed-side-preserving); "
+            f"got how={how!r} — a {how} join would duplicate unmatched "
+            f"compact rows across the {salt} salt copies")
     s = skewed.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt)))
     c = compact.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import track
 from .text import fingerprint, sql_norm, tokens
 
 __all__ = [
@@ -103,10 +104,10 @@ def _hashed_shingles(df: DataFrame, id_col: str, text_col: str,
     itself; it also pre-distributes by doc_id for the joins downstream."""
     spark = df.sparkSession
     parts = spark.sparkContext.defaultParallelism * 2
-    return df.repartition(parts, F.col(id_col)).select(
+    return track(df.repartition(parts, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
         F.transform(shingles(F.col(text_col), n), md5_int60).alias("hs"),
-    ).persist()
+    ).persist())
 
 
 # Building these wide expression trees costs seconds of py4j round-trips;
@@ -160,7 +161,8 @@ def minhash_candidate_pairs(
 def _candidates(hs: DataFrame, k: int, bands: int, rows: int) -> DataFrame:
     # signature table persisted so the 8 band slices read an attribute, not
     # 8 re-inlined copies of the K-min expression
-    sigs = hs.select("doc_id", minhash_signature("hs", k).alias("sig")).persist()
+    sigs = track(hs.select("doc_id",
+                           minhash_signature("hs", k).alias("sig")).persist())
     banded = sigs.select(
         "doc_id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")
     ).select("doc_id", "b.band_idx", "b.band_hash")
@@ -237,9 +239,9 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
     group keeper (min id).  One shuffle on the 128-bit fingerprint — the
     canonical hash-groupBy dedup that scales linearly."""
     parts = df.sparkSession.sparkContext.defaultParallelism * 2
-    fp = df.repartition(parts, F.col(id_col)).select(
+    fp = track(df.repartition(parts, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
-        fingerprint(F.col(text_col)).alias("fp")).persist()
+        fingerprint(F.col(text_col)).alias("fp")).persist())
     keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keeper"),
                                 F.count(F.lit(1)).alias("n_copies"))
     return (fp.join(keep, "fp")
@@ -291,8 +293,8 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     small-vocabulary corpora from degenerating into one giant near-dup
     cluster (token-level produced 3.4M pairs on 5k synthetic docs)."""
     hs = _hashed_shingles(df, id_col, text_col, n)
-    sh = hs.select("doc_id",
-                   simhash_from_hashes("hs").alias("sh")).persist()
+    sh = track(hs.select("doc_id",
+                         simhash_from_hashes("hs").alias("sh")).persist())
     chunks = sh.select(
         "doc_id", "sh",
         F.explode(F.array(*[
@@ -334,8 +336,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     block_cols = block_cols or ["lang"]
     base = df.select(F.col(id_col).alias("doc_id"), *block_cols)
     hs = _hashed_shingles(df, id_col, text_col, n)
-    sh = base.join(hs, "doc_id").select(
-        "doc_id", *block_cols, "hs", F.size("hs").alias("sz")).persist()
+    sh = track(base.join(hs, "doc_id").select(
+        "doc_id", *block_cols, "hs", F.size("hs").alias("sz")).persist())
     post = sh.select("doc_id", *block_cols, "sz", F.explode("hs").alias("h"))
     a = post.toDF(*(["doc_a"] + block_cols + ["sz_a", "h"]))
     b = post.toDF(*(["doc_b"] + [f"b_{c}" for c in block_cols] + ["sz_b", "h2"]))

@@ -305,17 +305,39 @@ SELECT query_id, neighbor_id, score, rank FROM (
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (≥0.99) within label blocks on the
-    duplicate-augmented embedding corpus."""
-    return cosine_neardup_pairs(_aug_emb(spark, sf_dir), threshold=0.99)
+    """Embedding-cosine near-dup pairs (≥0.99) on the duplicate-augmented
+    corpus: LSH-bucketed candidates (8 planes + hamming-1 multiprobe,
+    same-label conjunct) verified with exact cosine — the hash-partitioned
+    bucket join that replaced r1's blocked all-pairs scale-killer."""
+    return cosine_neardup_pairs(_aug_emb(spark, sf_dir), threshold=0.99,
+                                n_planes=8, multiprobe=True)
 
 
-_SQL_EMB_NEARDUP = f"""
-WITH {_AUG_EMB_SQL}
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({_COS.format(a='a.v', b='b.v')}, 6) AS cos_sim
-FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round({_COS.format(a='a.v', b='b.v')}, 6) >= 0.99
+def _sql_emb_neardup(n_planes: int = 8, threshold: float = 0.99) -> str:
+    """Oracle mirrors the LSH candidate generation exactly (same md5-derived
+    hyperplane literals, same one-sided hamming-1 probes), then the same
+    exact-cosine verify — so the comparison checks the bucketed algorithm,
+    not just the planted duplicates."""
+    planes = hyperplanes(n_planes)
+    terms = []
+    for p, row in enumerate(planes):
+        arr = "[" + ", ".join(repr(x) for x in row) + "]::DOUBLE[]"
+        terms.append(
+            f"CASE WHEN list_dot_product(v, {arr}) > 0 "
+            f"THEN {1 << p}::BIGINT ELSE 0::BIGINT END")
+    bucket = " + ".join(terms)
+    shifts = "[" + ", ".join(str(s)
+                             for s in [0] + [1 << i for i in range(n_planes)]) + "]"
+    return f"""
+WITH {_AUG_EMB_SQL},
+b AS (SELECT vec_id, v, label, {bucket} AS bucket FROM corpus),
+probes AS (SELECT vec_id, v, label, xor(bucket, sh.s) AS probe
+           FROM b, (SELECT unnest({shifts}) AS s) sh)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       round({_COS.format(a='a.v', b='c.v')}, 6) AS cos_sim
+FROM probes a JOIN b c
+  ON a.probe = c.bucket AND a.label = c.label AND a.vec_id < c.vec_id
+WHERE round({_COS.format(a='a.v', b='c.v')}, 6) >= {threshold}
 """
 
 
@@ -385,13 +407,46 @@ FROM w
 
 def q_kmeans_clusters(spark, sf_dir):
     """k-means (3 Lloyd iterations, DataFrame-only) cluster summary.
-    Iterative algorithm — no SQL oracle (driver records rows-only check);
-    determinism is still exact (fixed init, tie-broken argmin)."""
+
+    Fully oracle-checked since r2: init (k lowest ids), tie-breaks
+    (round(d2,9), cluster index) and the 6dp-rounded centroid means pin the
+    whole trajectory bit-identically, so the 3 Lloyd iterations unroll into
+    DuckDB CTEs (see _sql_kmeans)."""
     e = load_tables(spark, sf_dir)["embeddings"]
     assign, _cent = kmeans(e, k=8, iters=3)
     return (assign.groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n_vectors"))
             .orderBy("cluster"))
+
+
+def _sql_kmeans(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations as DuckDB CTEs — same init, same rounded
+    argmin tie-breaks, same 6dp-rounded per-dim centroid means as
+    similarity.kmeans (the rounding step absorbs the ~1e-13 cross-engine
+    AVG summation-order difference)."""
+    avg_list = "[" + ", ".join(
+        f"round(avg(v[{i}]), 6)" for i in range(1, dim + 1)) + "]"
+    d2 = ("list_sum(list_transform(list_zip(e.v, c.c), "
+          "p -> (p[1]-p[2])*(p[1]-p[2])))")
+    ctes = [
+        "vecs AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vid) - 1 AS cluster, v AS c\n"
+        f"       FROM (SELECT vid, v FROM vecs ORDER BY vid LIMIT {k}) t)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""a{i} AS (
+  SELECT vid, v, cluster FROM (
+    SELECT e.vid, e.v, c.cluster,
+      row_number() OVER (PARTITION BY e.vid
+        ORDER BY round({d2}, 9) ASC, c.cluster ASC) AS r
+    FROM vecs e, c{i - 1} c) t WHERE r = 1)""")
+        if i < iters:
+            ctes.append(
+                f"c{i} AS (SELECT cluster, {avg_list} AS c "
+                f"FROM a{i} GROUP BY cluster)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT cluster, COUNT(*) AS n_vectors FROM a{iters} "
+            f"GROUP BY cluster ORDER BY cluster")
 
 
 def q_tfidf_top_terms(spark, sf_dir):
@@ -404,13 +459,15 @@ def q_tfidf_top_terms(spark, sf_dir):
     rank tie-broken by term."""
     from pyspark.sql.window import Window
     d = load_tables(spark, sf_dir)["documents"]
-    n_docs = d.count()
+    # n_docs stays inside the plan (1-row agg, broadcast) — a driver-side
+    # d.count() here would be an eager extra scan during query *build*
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     toks = (d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = dfreq.select(
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
         "term",
-        (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"))
+        (F.log((F.col("_n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"))
     scored = (tf.filter(F.col("doc_id") < 50)
               .join(F.broadcast(idf), "term")
               .select("doc_id", "term",
@@ -501,7 +558,13 @@ _SQL_ASOF = """
 SELECT e.user_id, e.event_id AS err_event_id, e.ts AS err_ts,
        p.event_id AS purch_event_id, round(p.value, 6) AS purch_value
 FROM (SELECT * FROM events WHERE event_type = 'error') e
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (
+  -- pre-reduce to one row per (user_id, ts): DuckDB's ASOF picks an
+  -- arbitrary row among equal right timestamps, while the Spark side
+  -- tie-breaks deterministically by max event_id — make the oracle match
+  SELECT user_id, ts, arg_max(event_id, event_id) AS event_id,
+         arg_max(value, event_id) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
   ON e.user_id = p.user_id AND e.ts >= p.ts
 """
 
@@ -516,10 +579,10 @@ PIPELINE_QUERIES = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _sql_ngram_jaccard()),
     "similarity_topk": (q_similarity_topk, _SQL_SIM_TOPK),
     "similarity_ivf": (q_similarity_ivf, _SQL_SIM_IVF),
-    "embedding_neardup": (q_embedding_neardup, _SQL_EMB_NEARDUP),
+    "embedding_neardup": (q_embedding_neardup, _sql_emb_neardup()),
     "multimodal_features": (q_multimodal_features, _SQL_MULTIMODAL),
     "winnow_fingerprints": (q_winnow_fingerprints, _SQL_WINNOW),
-    "kmeans_clusters": (q_kmeans_clusters, None),
+    "kmeans_clusters": (q_kmeans_clusters, _sql_kmeans()),
     "tfidf_top_terms": (q_tfidf_top_terms, _sql_tfidf()),
     "similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
     "asof_join": (q_asof_join, _SQL_ASOF),

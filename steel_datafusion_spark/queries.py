@@ -34,7 +34,7 @@ from .functions.windows import window_spec, w_lag, w_row_number
 from .operators.relational import (
     df_aggregate, df_distinct, df_distinct_on, df_except, df_filter,
     df_intersect, df_join, df_join_on, df_limit, df_select, df_sort,
-    df_union, df_union_distinct, df_window,
+    df_sort_by, df_union, df_union_distinct, df_window,
 )
 from .sources.readers import load_tables
 
@@ -298,6 +298,7 @@ SELECT user_id, event_id, event_type, value FROM (
 def q_window_funcs(spark, sf_dir):
     """Ranking + analytic window functions over a keyed partition."""
     t = _t(spark, sf_dir)
+    from pyspark.sql.window import Window
     spec = window_spec([col("user_id")],
                        [sort_asc(col("ts")), sort_asc(col("event_id"))])
     ev = df_window(
@@ -307,7 +308,7 @@ def q_window_funcs(spark, sf_dir):
             w_row_number(spec).alias("seq"),
             w_lag(F.col("value"), 1, None, spec).alias("prev_value"),
             F.sum(F.col("value").cast(_DEC)).over(
-                spec.rowsBetween(-(1 << 31) + 1, 0)
+                spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ).cast("double").alias("running_value"),
         ],
     )
@@ -885,6 +886,112 @@ FROM per_cust GROUP BY c_mktsegment
 """
 
 
+def q_skew_salted_join(spark, sf_dir):
+    """Salted shuffled join + agg under synthesized key skew (VERDICT r1
+    item 7): half of all events collapse onto hot key 0 (a power-law head —
+    the events table itself is uniform, TESTDATA.md), joined against a
+    compact per-key table with 20× multiplicity so the hot key's join output
+    dominates.
+
+    The salted path spreads hot-key rows over 8 deterministic sub-keys
+    (hash of event_id), so no single task owns the hot key's quadratic
+    output.  Where this matters at 100 TB: AQE's skew-join split covers
+    sort-merge/shuffled-hash *probe-side* skew, but not the preserved side
+    of outer joins, not aggregation hot keys, and only at ≥256 MB partition
+    granularity — salting is the key-granular fix that composes with any
+    join type the helper allows.  Measured before/after at sf0.1:
+    tools/bench_skew.py, results in PLANS.md."""
+    from .operators.skew import salted_join
+
+    ev = _t(spark, sf_dir)["events"]
+    skewed = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.lit(0))
+         .otherwise(F.col("user_id")).alias("k"),
+        "event_id", "value")
+    reps = spark.range(20).select(F.col("id").alias("rep"))
+    compact = ev.select(F.col("user_id").alias("ck")).distinct().crossJoin(reps)
+    j = salted_join(skewed, compact, "k", "ck", salt_col="event_id", salt=8)
+    return j.groupBy("k").agg(
+        agg_count_star().alias("n"),
+        F.sum(F.col("value").cast(_DEC2)).cast("double").alias("sum_value"))
+
+
+_SQL_SKEW_SALTED_JOIN = f"""
+WITH skewed AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS k, value
+  FROM events),
+compact AS (
+  SELECT ck FROM (SELECT DISTINCT user_id AS ck FROM events) CROSS JOIN range(20))
+SELECT k, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS {_SQL_DEC2})) AS DOUBLE) AS sum_value
+FROM skewed JOIN compact ON k = ck GROUP BY k
+"""
+
+
+def q_surface_misc(spark, sf_dir):
+    """Gate coverage for the §2 surface items previously verified only by
+    pytest (VERDICT r1 item 3): right_semi / right_anti joins,
+    with-column-renamed, col_idiv, ilike / not-like / not-ilike, the
+    simple-CASE form closed by case_end (no ELSE ⇒ NULL), and df_sort_by's
+    asc-NULLS-LAST default (observable through the limit: a nulls-first sort
+    would return entirely different rows).
+
+    Scale: semi/anti shuffle once on the join key (or broadcast under AQE);
+    everything else is a codegen'd projection; the top-200 is
+    TakeOrderedAndProject."""
+    from .expressions import case, case_end, col_idiv, col_ilike, \
+        col_not_ilike, col_not_like
+    from .operators.relational import df_with_column_renamed
+
+    t = _t(spark, sf_dir)
+    big = df_filter(t["orders"], F.col("o_totalprice") > 150000)
+    # right-variant joins: output columns come from the RIGHT (customer) side
+    has_big = df_join(big, t["customer"], "right_semi",
+                      ["o_custkey"], ["c_custkey"])
+    no_big = df_join(big, t["customer"], "right_anti",
+                     ["o_custkey"], ["c_custkey"])
+    u = df_union(has_big.withColumn("has_big", F.lit(True)),
+                 no_big.withColumn("has_big", F.lit(False)))
+    seg_code = case_end(
+        case(F.col("c_mktsegment"))
+        .with_when("BUILDING", "b")
+        .with_when("MACHINERY", "m"))
+    bal = F.col("c_acctbal").cast("long")  # truncation toward zero
+    proj = df_select(u, [
+        col("c_custkey"), col("c_name"), col("has_big"),
+        col_idiv(bal, 1000).alias("bal_k"),
+        col_ilike(F.col("c_mktsegment"), "build%").alias("is_building"),
+        col_not_like(F.col("c_name"), "%000%").alias("name_not_000"),
+        col_not_ilike(F.col("c_name"), "%customer#0000001%").alias("name_not_1x"),
+        seg_code.alias("seg_code"),
+    ])
+    renamed = df_with_column_renamed(proj, "c_custkey", "cust_id")
+    return df_limit(
+        df_sort_by(renamed, [F.col("seg_code"), F.col("cust_id")]), 0, 200)
+
+
+_SQL_SURFACE_MISC = """
+WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+u AS (
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment, TRUE AS has_big
+  FROM customer WHERE EXISTS (SELECT 1 FROM big WHERE o_custkey = c_custkey)
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment, FALSE AS has_big
+  FROM customer WHERE NOT EXISTS (SELECT 1 FROM big WHERE o_custkey = c_custkey)),
+p AS (
+  SELECT c_custkey AS cust_id, c_name, has_big,
+    -- (a - a%b)/b: truncation-toward-zero integer division, exact by
+    -- construction (mirrors col_idiv; DuckDB bigint % carries dividend sign)
+    CAST((CAST(trunc(c_acctbal) AS BIGINT) - (CAST(trunc(c_acctbal) AS BIGINT) % 1000)) / 1000 AS BIGINT) AS bal_k,
+    c_mktsegment ILIKE 'build%' AS is_building,
+    c_name NOT LIKE '%000%' AS name_not_000,
+    c_name NOT ILIKE '%customer#0000001%' AS name_not_1x,
+    CASE c_mktsegment WHEN 'BUILDING' THEN 'b' WHEN 'MACHINERY' THEN 'm' END AS seg_code
+  FROM u)
+SELECT * FROM p ORDER BY seg_code ASC NULLS LAST, cust_id ASC LIMIT 200
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "pricing_summary": (q_pricing_summary, _SQL_PRICING),
     "filter_project_case": (q_filter_project_case, _SQL_FILTER_PROJECT),
@@ -917,6 +1024,8 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "array_funcs": (q_array_funcs, _SQL_ARRAY_FUNCS),
     "having_filter": (q_having_filter, _SQL_HAVING),
     "nested_agg": (q_nested_agg, _SQL_NESTED_AGG),
+    "surface_misc": (q_surface_misc, _SQL_SURFACE_MISC),
+    "skew_salted_join": (q_skew_salted_join, _SQL_SKEW_SALTED_JOIN),
 }
 
 

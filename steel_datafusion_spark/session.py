@@ -25,7 +25,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["session_context", "DEFAULT_CONF"]
+__all__ = ["session_context", "new_session", "DEFAULT_CONF"]
 
 DEFAULT_CONF: dict[str, str] = {
     # Catalyst/AQE: the optimizer is the engine — never hand-schedule.
@@ -80,3 +80,23 @@ def session_context(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def new_session(base: SparkSession | None = None) -> SparkSession:
+    """Isolated session — the closest Spark analogue of the reference's
+    N-independent-``SessionContext`` semantics (main.rs:379-386): each call to
+    ``(session-context)`` there yields its own catalog.
+
+    ``SparkSession.newSession()`` shares the JVM/SparkContext (executors,
+    cached blocks) but gets an isolated SQLConf, temp-view catalog, and UDF
+    registry — so two sessions' ``createOrReplaceTempView`` names never
+    collide, matching the reference's observable isolation for its surface
+    (which has no cross-session state beyond registered tables)."""
+    sess = (base or session_context()).newSession()
+    # runtime confs are per-session — re-apply the deterministic defaults
+    for k, v in DEFAULT_CONF.items():
+        try:
+            sess.conf.set(k, v)
+        except Exception:
+            pass  # static conf (e.g. spark.driver.memory) — already set on the JVM
+    return sess

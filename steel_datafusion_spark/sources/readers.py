@@ -103,8 +103,17 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the driver's test tables (TESTDATA.md) that exist in ``sf_dir``.
 
     Memoized per (session, sf_dir): repeated catalog queries would otherwise
-    re-read 10 parquet footers (driver-side file IO) each call."""
-    key = (id(spark), os.path.abspath(sf_dir))
+    re-read 10 parquet footers (driver-side file IO) each call.  Keyed by the
+    SparkContext applicationId (session-lifetime-unique), not ``id(spark)``:
+    a stopped session's id() can be reused by a new session, which would
+    hand out DataFrames bound to a dead context."""
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:  # stopped/remote-only session — don't cache
+        app_id = None
+    key = (app_id, os.path.abspath(sf_dir))
+    if app_id is None:
+        _TABLE_CACHE.pop(key, None)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return dict(cached)
@@ -118,7 +127,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return dict(out)
 
 
-_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_TABLE_CACHE: dict[tuple[str | None, str], dict[str, DataFrame]] = {}
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",

