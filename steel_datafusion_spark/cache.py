@@ -81,11 +81,19 @@ def pipeline_cache_scope(spark: SparkSession):
     try:
         yield
     finally:
-        current = _TRACKED.get(_app_id(spark), [])
-        new = [d for d in current if all(d is not b for b in before)]
-        for df in new:
-            try:
-                df.unpersist(blocking=False)
-            except Exception:
-                pass
-        _TRACKED[_app_id(spark)] = before
+        try:
+            app = _app_id(spark)
+        except Exception:
+            app = None  # session stopped inside the scope: nothing to release
+        if app is not None:
+            current = _TRACKED.get(app, [])
+            new = [d for d in current if all(d is not b for b in before)]
+            for df in new:
+                try:
+                    df.unpersist(blocking=False)
+                except Exception:
+                    pass
+            # keep only pre-scope entries still tracked — don't resurrect
+            # frames released inside the scope via release_all/untrack
+            _TRACKED[app] = [b for b in before
+                             if any(b is c for c in current)]

@@ -236,16 +236,31 @@ def df_collect(df: DataFrame):
     return df.toArrow()
 
 
+def _render_rows(names: list, rows: list) -> str:
+    """Driver-side grid renderer in Spark's ``show(truncate=False)`` shape.
+    Purely local: no second JVM round-trip, and works for schemas
+    ``createDataFrame`` rejects (e.g. a ``lit(None)`` NullType projection)."""
+    def cell(v) -> str:
+        return "NULL" if v is None else str(v)
+    grid = [[cell(v) for v in row] for row in rows]
+    widths = [max([len(n)] + [len(r[i]) for r in grid])
+              for i, n in enumerate(names)]
+    sep = "+" + "+".join("-" * w for w in widths) + "+"
+    def line(vals) -> str:
+        return "|" + "|".join(v.ljust(w) for v, w in zip(vals, widths)) + "|"
+    return "\n".join([sep, line(names), sep] + [line(r) for r in grid] + [sep])
+
+
 def df_show(df: DataFrame) -> None:
     """Print the ENTIRE result — the reference's show prints all rows
     (main.rs:552-559), unlike Spark's default 20.
 
-    Executes the plan exactly once (collect), then renders the already-local
-    rows with Spark's formatter — ``df.show(df.count())`` would run the whole
-    plan twice."""
+    Executes the plan exactly once (collect), then formats the already-local
+    rows on the driver — ``df.show(df.count())`` would run the whole plan
+    twice, and re-uploading rows via ``createDataFrame`` costs a second JVM
+    round-trip and fails on NullType columns."""
     rows = df.collect()
-    local = df.sparkSession.createDataFrame(rows, df.schema)
-    local.show(max(len(rows), 1), truncate=False)
+    print(_render_rows(list(df.columns), rows))
 
 
 def df_show_limit(df: DataFrame, n: int) -> None:

@@ -61,9 +61,9 @@ def salted_join(
     # would emit up to `salt` null-extended duplicates per unmatched compact
     # row.  semi/anti on the skewed side are fine (each skewed row carries
     # exactly one salt value, and every salt exists on the compact side).
-    allowed = {"inner", "left", "left_outer", "semi", "left_semi",
-               "anti", "left_anti"}
-    if how not in allowed:
+    allowed = {"inner", "left", "leftouter", "semi", "leftsemi",
+               "anti", "leftanti"}
+    if how.lower().replace("_", "") not in allowed:
         raise ValueError(
             f"salted_join supports {sorted(allowed)} (skewed-side-preserving); "
             f"got how={how!r} — a {how} join would duplicate unmatched "

@@ -103,15 +103,19 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the driver's test tables (TESTDATA.md) that exist in ``sf_dir``.
 
     Memoized per (session, sf_dir): repeated catalog queries would otherwise
-    re-read 10 parquet footers (driver-side file IO) each call.  Keyed by the
-    SparkContext applicationId (session-lifetime-unique), not ``id(spark)``:
-    a stopped session's id() can be reused by a new session, which would
-    hand out DataFrames bound to a dead context."""
+    re-read 10 parquet footers (driver-side file IO) each call.  Keyed by
+    (applicationId, id(spark)): applicationId alone is shared by
+    ``newSession()`` siblings (one SparkContext), so session B would get
+    frames bound to session A's SQLConf (timezone/ANSI/shuffle).  id(spark)
+    disambiguates siblings and cannot be reused while the entry exists —
+    each cached DataFrame holds a reference to its session — while
+    applicationId still guards against a stopped context's id() being
+    recycled by a brand-new session."""
     try:
         app_id = spark.sparkContext.applicationId
     except Exception:  # stopped/remote-only session — don't cache
         app_id = None
-    key = (app_id, os.path.abspath(sf_dir))
+    key = (app_id, id(spark), os.path.abspath(sf_dir))
     if app_id is None:
         _TABLE_CACHE.pop(key, None)
     cached = _TABLE_CACHE.get(key)
@@ -127,7 +131,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return dict(out)
 
 
-_TABLE_CACHE: dict[tuple[str | None, str], dict[str, DataFrame]] = {}
+_TABLE_CACHE: dict[tuple[str | None, int, str], dict[str, DataFrame]] = {}
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",

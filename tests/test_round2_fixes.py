@@ -86,9 +86,33 @@ def test_table_cache_keyed_by_application_id(spark):
     t1 = readers.load_tables(spark, SF_DIR)
     app_id = spark.sparkContext.applicationId
     import os
-    assert (app_id, os.path.abspath(SF_DIR)) in readers._TABLE_CACHE
+    assert (app_id, id(spark), os.path.abspath(SF_DIR)) in readers._TABLE_CACHE
     t2 = readers.load_tables(spark, SF_DIR)
     assert t1.keys() == t2.keys()
+
+
+def test_table_cache_not_shared_across_newsession_siblings(spark):
+    """newSession() siblings share one applicationId but have separate
+    SQLConf — cached frames must not leak from one sibling to another."""
+    from steel_datafusion_spark.sources import readers
+    from tests.conftest import SF_DIR
+
+    t1 = readers.load_tables(spark, SF_DIR)
+    sib = spark.newSession()
+    t2 = readers.load_tables(sib, SF_DIR)
+    assert t1["nation"] is not t2["nation"]
+    assert t2["nation"].sparkSession is sib
+
+
+def test_df_show_handles_nulltype_projection(spark, capsys):
+    """A lit(None) projection has a NullType column — createDataFrame rejects
+    that schema, so df_show must format locally."""
+    from steel_datafusion_spark.operators.relational import df_show
+
+    df = spark.range(3).select(F.lit(None).alias("v"), F.col("id").alias("n"))
+    df_show(df)
+    out = capsys.readouterr().out
+    assert out.count("NULL") == 3 and "|n" in out
 
 
 def test_pipeline_cache_scope_releases_everything(spark, tables):
@@ -165,3 +189,20 @@ def test_asof_oracle_deterministic_on_duplicate_ts(spark, duck):
 
     fn, sql = PIPELINE_QUERIES["asof_join"]
     assert_df_matches_duck(fn(spark, SF_DIR), duck, sql)
+
+
+def test_cache_scope_does_not_resurrect_released_entries(spark, tables):
+    """Frames released inside the scope via release_all must not reappear in
+    the registry when the scope exits (ADVICE r2)."""
+    from steel_datafusion_spark.cache import (
+        pipeline_cache_scope, release_all, track, tracked_count)
+
+    outer = track(tables["nation"].limit(5).persist())
+    outer.count()
+    n_before = tracked_count(spark)
+    with pipeline_cache_scope(spark):
+        release_all(spark)  # releases outer too
+        assert tracked_count(spark) == 0
+    assert tracked_count(spark) == 0, "scope exit resurrected released entries"
+    assert n_before >= 1
+    spark.catalog.clearCache()

@@ -35,3 +35,19 @@ def test_salted_join_matches_plain(spark, tables):
                                 salt_col="o_orderkey", salt=8)
                     .select("o_orderkey", "c_mktsegment").collect())
     assert salted == plain
+
+
+def test_salted_join_accepts_spark_join_aliases(spark, tables):
+    """Spark's no-underscore aliases (leftsemi/leftouter/leftanti) are
+    salt-safe and must not be rejected by the allowlist."""
+    orders = tables["orders"].select("o_orderkey", "o_custkey").limit(100)
+    cust = tables["customer"].select("c_custkey")
+    for how in ("leftsemi", "left_semi", "LEFT_OUTER", "leftouter"):
+        assert salted_join(orders, cust, "o_custkey", "c_custkey",
+                           salt_col="o_orderkey", salt=4, how=how).count() >= 0
+    try:
+        salted_join(orders, cust, "o_custkey", "c_custkey",
+                    salt_col="o_orderkey", salt=4, how="full_outer")
+        raise AssertionError("full_outer must be rejected")
+    except ValueError:
+        pass
