@@ -1,25 +1,75 @@
 #!/usr/bin/env python
-"""Driver bench harness: run the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
-line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+"""Driver bench harness — self-defending edition.
 
-Each query is timed end-to-end (plan build + execution + row materialization
-via a count-style action that forces full evaluation without driver-side
-collection of wide results).
+Runs the full query catalog at $SPARK_GRAFT_SF_DIR (default /root/testdata/
+sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Round-2 lesson (VERDICT r2): single-shot timings on this sandbox are dominated
+by noisy-neighbor variance — the same unchanged query measured 0.35 s, 111 s,
+and 1.2 s across three runs.  So the harness now defends its numbers:
+
+- every query is timed REPS times (default 3), *interleaved* — the catalog is
+  swept end-to-end REPS times rather than repeating each query back-to-back,
+  so a transient load spike cannot poison all samples of one query;
+- the headline `value` is the sum of per-query MEDIANS; per-query min is also
+  reported (`queries_min`) — min is the best contention-free estimate, median
+  is robust to one bad sweep;
+- machine evidence ships in the JSON: /proc/loadavg at start/end, CPU steal
+  fraction over the run from /proc/stat, and a fixed busy-loop calibration
+  probe timed before and after (a slow probe = contended interpreter, and the
+  probe is code that never changes round-to-round).
+
+Env knobs: SPARK_GRAFT_BENCH_REPS (default 3; set 1 for a quick pass),
+SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _loadavg() -> float | None:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except Exception:
+        return None
+
+
+def _cpu_times() -> tuple[int, int] | None:
+    """(steal, total) jiffies from the aggregate cpu line of /proc/stat."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:
+        return None
+
+
+def _probe() -> float:
+    """Fixed busy-loop calibration probe (~0.3 s uncontended).  Identical
+    code every round — if THIS slows down, the machine did, not the engine."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    assert x == 49999995000000
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     from steel_datafusion_spark import session_context
     from steel_datafusion_spark.queries import all_queries
 
@@ -27,6 +77,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = all_queries()
+
+    load_start = _loadavg()
+    cpu_start = _cpu_times()
+    probe_start = _probe()
+    wall_start = time.perf_counter()
 
     # warm the JVM (scan + join + agg codegen paths) so the first timed
     # query measures the engine, not first-touch compilation
@@ -37,31 +92,73 @@ def main() -> None:
                              warm["nation"]["n_regionkey"] == warm["region"]["r_regionkey"])
          .groupBy("r_name").count().collect())
 
-    timings: dict[str, float] = {}
-    for name, (fn, _sql) in sorted(registry.items()):
-        spark.catalog.clearCache()  # drop persisted intermediates between queries
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            # Force full execution and materialization of every output row.
-            n = df.toArrow().num_rows
-        except Exception as e:  # keep benching; report failure as null
-            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
-            timings[name] = None
-            continue
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"bench: {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    samples: dict[str, list[float | None]] = {n: [] for n in registry}
+    rows_seen: dict[str, int] = {}
+    for rep in range(reps):
+        for name, (fn, _sql) in sorted(registry.items()):
+            spark.catalog.clearCache()  # drop persisted intermediates
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                # Force full execution + materialization of every output row.
+                n = df.toArrow().num_rows
+            except Exception as e:  # keep benching; report failure as null
+                print(f"bench[{rep + 1}/{reps}]: {name} FAILED: {e}",
+                      file=sys.stderr)
+                samples[name].append(None)
+                continue
+            dt = round(time.perf_counter() - t0, 4)
+            samples[name].append(dt)
+            rows_seen[name] = n
+            print(f"bench[{rep + 1}/{reps}]: {name}: {dt}s ({n} rows)",
+                  file=sys.stderr)
 
-    ok = [v for v in timings.values() if v is not None]
+    wall = round(time.perf_counter() - wall_start, 4)
+    probe_end = _probe()
+    cpu_end = _cpu_times()
+    load_end = _loadavg()
+
+    steal_pct = None
+    if cpu_start and cpu_end and cpu_end[1] > cpu_start[1]:
+        steal_pct = round(100.0 * (cpu_end[0] - cpu_start[0])
+                          / (cpu_end[1] - cpu_start[1]), 3)
+
+    med: dict[str, float | None] = {}
+    mins: dict[str, float | None] = {}
+    failed = 0
+    for name, ss in samples.items():
+        ok = [s for s in ss if s is not None]
+        if not ok:
+            med[name] = mins[name] = None
+            failed += 1
+        else:
+            med[name] = round(statistics.median(ok), 4)
+            mins[name] = round(min(ok), 4)
+
+    ok_meds = [v for v in med.values() if v is not None]
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(json.dumps({
-        "metric": "total wall time, all catalog queries",
-        "value": round(sum(ok), 4),
+        "metric": "sum of per-query median wall time over "
+                  f"{reps} interleaved sweeps",
+        "value": round(sum(ok_meds), 4),
         "unit": "sec",
-        "queries": timings,
+        "queries": med,
+        "queries_min": mins,
+        "total_min": round(sum(v for v in mins.values() if v is not None), 4),
+        "samples": samples,
+        "reps": reps,
         "sf": float(sf) if sf else None,
-        "n_queries": len(timings),
-        "n_failed": len(timings) - len(ok),
+        "n_queries": len(med),
+        "n_failed": failed,
+        "machine": {
+            "loadavg_start": load_start,
+            "loadavg_end": load_end,
+            "steal_pct": steal_pct,
+            "probe_sec_start": probe_start,
+            "probe_sec_end": probe_end,
+            "bench_wall_sec": wall,
+            "cpus_conf": os.environ.get("SPARK_GRAFT_CPUS"),
+        },
     }))
 
 
