@@ -70,7 +70,9 @@ def agg_approx_percentile(e, p: float, accuracy: int = 10000) -> Column:
 
     Returns an actual data value (no interpolation) — with accuracy ≥ the
     group row count the result is exact and equals DuckDB's
-    ``quantile_disc`` (verified across sf0.001/sf0.01 in the gate)."""
+    ``quantile_disc`` (gate ``approx_percentile`` in queries.py checks
+    exactly this at sf0.01; tests/test_relational.py covers the
+    ``df_describe(approx_median=True)`` path)."""
     return F.percentile_approx(_c(e), p, accuracy)
 
 

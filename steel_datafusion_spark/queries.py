@@ -27,8 +27,8 @@ from .expressions import (
     case_otherwise, col, col_ge, col_lt, lit, sort_asc, sort_desc, when,
 )
 from .functions.aggregates import (
-    agg_avg, agg_count_distinct, agg_count_star, agg_max, agg_min,
-    avg_exact, sum_exact,
+    agg_approx_median, agg_approx_percentile, agg_avg, agg_count_distinct,
+    agg_count_star, agg_max, agg_min, avg_exact, sum_exact,
 )
 from .functions.windows import window_spec, w_lag, w_row_number
 from .operators.relational import (
@@ -461,6 +461,44 @@ SELECT l_returnflag,
   round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
   round(CAST(median(l_extendedprice) AS DOUBLE), 4) AS median_price,
   round(CAST(median(l_quantity) AS DOUBLE), 4) AS median_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_approx_percentile(spark, sf_dir):
+    """Approximate rank statistics — the 100 TB scale path for median and
+    quantiles (functions/aggregates.py:agg_approx_percentile).  Exact
+    ``F.median`` requires a full per-group sort + materialization (the one
+    non-streaming aggregate in this catalog); Greenwald-Khanna keeps an
+    O(accuracy) mergeable summary per partition and composes with
+    partial→final aggregation like any other agg.
+
+    Gate strategy: with ``accuracy`` ≥ the group row count GK is exact and
+    returns an actual data value, equal to DuckDB ``quantile_disc`` — so the
+    oracle pins the no-interpolation rank convention while the Spark plan is
+    the real percentile_approx operator.  At 100 TB drop accuracy to the
+    10000 default: rank error ≤ n/10000, memory stays O(accuracy)."""
+    li = _t(spark, sf_dir)["lineitem"]
+    acc = 1_000_000  # ≥ rows/group at every test SF ⇒ exact
+    return df_aggregate(
+        li, [col("l_returnflag")],
+        [
+            agg_approx_median("l_quantity", accuracy=acc).alias("apx_median_qty"),
+            agg_approx_percentile("l_extendedprice", 0.25, acc).alias("apx_p25_price"),
+            agg_approx_percentile("l_extendedprice", 0.75, acc).alias("apx_p75_price"),
+            agg_approx_percentile("l_discount", 0.9, acc).alias("apx_p90_disc"),
+            agg_count_star().alias("n"),
+        ],
+    )
+
+
+_SQL_APPROX_PERCENTILE = """
+SELECT l_returnflag,
+  quantile_disc(l_quantity, 0.5) AS apx_median_qty,
+  quantile_disc(l_extendedprice, 0.25) AS apx_p25_price,
+  quantile_disc(l_extendedprice, 0.75) AS apx_p75_price,
+  quantile_disc(l_discount, 0.9) AS apx_p90_disc,
+  COUNT(*) AS n
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -1010,6 +1048,7 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "events_time_rollup": (q_events_time_rollup, _SQL_EVENTS_ROLLUP),
     "rollup_agg": (q_rollup_agg, _SQL_ROLLUP),
     "stats_agg": (q_stats_agg, _SQL_STATS_AGG),
+    "approx_percentile": (q_approx_percentile, _SQL_APPROX_PERCENTILE),
     "json_extract": (q_json_extract, _SQL_JSON),
     "describe_stats": (q_describe_stats, _SQL_DESCRIBE_STATS),
     "udf_vectorized": (q_udf_vectorized, _SQL_UDF),

@@ -180,3 +180,29 @@ def test_describe_shape(tables):
     assert rows["null_count"]["l_quantity"] == "0"
     assert rows["min"]["l_returnflag"] is not None   # strings: min/max defined
     assert rows["mean"]["l_returnflag"] is None      # strings: no mean
+
+
+def test_describe_approx_median_matches_exact_at_high_accuracy(tables):
+    """The 100 TB scale path: percentile_approx with accuracy ≥ n is exact,
+    so both describe modes must agree on this 60k-row column."""
+    li = tables["lineitem"].select("l_quantity")
+    exact = {r["describe"]: r for r in df_describe(li).collect()}
+    approx = {r["describe"]: r
+              for r in df_describe(li, approx_median=True,
+                                   accuracy=1_000_000).collect()}
+    assert approx["median"]["l_quantity"] == exact["median"]["l_quantity"]
+    assert approx["count"]["l_quantity"] == exact["count"]["l_quantity"]
+
+
+def test_agg_approx_percentile_exact_at_high_accuracy(spark, tables):
+    from steel_datafusion_spark.functions.aggregates import (
+        agg_approx_median, agg_approx_percentile)
+
+    li = tables["lineitem"]
+    row = li.agg(
+        agg_approx_median("l_quantity", accuracy=1_000_000).alias("m"),
+        agg_approx_percentile("l_quantity", 0.25, 1_000_000).alias("p25"),
+        F.expr("median(l_quantity)").alias("exact_m"),
+    ).collect()[0]
+    assert row.m == row.exact_m
+    assert row.p25 <= row.m
