@@ -1,11 +1,12 @@
 """``df/explain`` — plans as a DataFrame, matching the reference shape.
 
 The reference (main.rs:267-272, reg :492) returns the logical+physical plan as
-a two-column DataFrame ``(plan_type, plan)``; ``analyze=true`` executes and
-embeds runtime metrics.  Spark's ``df.explain`` only prints, so this rebuilds
-the df-shaped result from ``QueryExecution``.  ``analyze=True`` maps to
-Spark's cost mode plus the formatted physical plan (closest public analogue;
-exact runtime metrics live in the Spark UI — documented divergence).
+a two-column DataFrame ``(plan_type, plan)``; ``analyze=true`` executes the
+plan and embeds runtime metrics (DataFusion's "Plan with Metrics").  Spark's
+``df.explain`` only prints, so this rebuilds the df-shaped result from
+``QueryExecution``; ``analyze=True`` executes the query's own physical plan
+(RDD count — full distributed execution, nothing materialized on the driver)
+and walks the executed-plan tree collecting each operator's SQLMetrics.
 """
 
 from __future__ import annotations
@@ -31,8 +32,46 @@ def explain_string(df: DataFrame, mode: str = "formatted") -> str:
     return qe.toString()
 
 
+def _walk_plan(node):
+    """Depth-first over a JVM SparkPlan tree, descending through AQE's
+    current physical plan when present."""
+    yield node
+    cls = node.getClass().getSimpleName()
+    try:  # AdaptiveSparkPlanExec: the real operators live under executedPlan
+        if "AdaptiveSparkPlan" in cls:
+            yield from _walk_plan(node.executedPlan())
+            return
+        if "QueryStage" in cls:  # AQE stage wrappers are leaves; descend
+            yield from _walk_plan(node.plan())
+            return
+    except Exception:
+        pass
+    it = node.children().iterator()
+    while it.hasNext():
+        yield from _walk_plan(it.next())
+
+
+def _node_metrics(node) -> str | None:
+    """``name=value`` pairs from one operator's SQLMetric map, or None."""
+    pairs = []
+    try:
+        mit = node.metrics().iterator()
+        while mit.hasNext():
+            kv = mit.next()
+            metric = kv._2()
+            label = metric.name().get() if metric.name().isDefined() else kv._1()
+            pairs.append(f"{label}={metric.value()}")
+    except Exception:
+        return None
+    return ", ".join(pairs) if pairs else None
+
+
 def df_explain(df: DataFrame, verbose: bool = False, analyze: bool = False) -> DataFrame:
-    """Return plans as a DataFrame ``(plan_type, plan)``, like DataFusion."""
+    """Return plans as a DataFrame ``(plan_type, plan)``, like DataFusion.
+
+    ``analyze=True``: execute, then append one ``Plan with Metrics`` row —
+    per-operator runtime metrics (output rows, spill, shuffle bytes, wall
+    times) exactly as accumulated by the run (main.rs:267-272 parity)."""
     spark = df.sparkSession
     qe = df._jdf.queryExecution()
     rows = []
@@ -42,10 +81,20 @@ def df_explain(df: DataFrame, verbose: bool = False, analyze: bool = False) -> D
         rows.append(("optimized_logical_plan", str(qe.optimizedPlan())))
     else:
         rows.append(("logical_plan", str(qe.optimizedPlan())))
-    mode = "cost" if analyze else "formatted"
     jvm = spark._jvm
     plan_str = qe.explainString(
-        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     rows.append(("physical_plan", plan_str))
+    if analyze:
+        # Execute THIS query's physical plan (not a derived count() plan, whose
+        # metrics would attach elsewhere).  RDD count = full execution, no
+        # driver-side materialization of the result.
+        qe.executedPlan().execute().count()
+        lines = []
+        for node in _walk_plan(qe.executedPlan()):
+            m = _node_metrics(node)
+            name = node.nodeName()
+            lines.append(f"{name}: {m}" if m else f"{name}: -")
+        rows.append(("Plan with Metrics", "\n".join(lines)))
     return spark.createDataFrame(rows, schema=_SCHEMA)

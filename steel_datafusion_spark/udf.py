@@ -44,7 +44,17 @@ class ScalarUDF:
             raise TypeError(
                 f"UDF {self.name!r} expects {len(self.arg_types)} args, got {len(cols)}"
             )
-        return self._wrapped(*cols)
+        # DataFusion enforces the declared signature by coercing each input
+        # (main.rs:617-630 declares the types; the engine casts).  Mirror it:
+        # cast every argument to its declared type, so the kernel always sees
+        # the batch dtype it was written for, and an incoercible argument
+        # (array → double, etc.) fails analysis eagerly instead of feeding
+        # the kernel mistyped data.
+        coerced = [
+            (c if isinstance(c, Column) else F.col(c)).cast(t)
+            for c, t in zip(cols, self.arg_types)
+        ]
+        return self._wrapped(*coerced)
 
 
 def define_udf(
@@ -62,9 +72,11 @@ def define_udf(
     Arrow transfer end-to-end.  ``vectorized=False`` falls back to a
     row-at-a-time Python UDF (slow path; only for non-vectorizable logic).
 
-    Declared ``arg_types`` are kept for introspection/validation; Python UDFs
-    do not coerce inputs (documented divergence from DataFusion's signature
-    enforcement).
+    Declared ``arg_types`` are enforced at call time: every argument is cast
+    to its declared type before the kernel runs (DataFusion's signature
+    coercion, main.rs:617-630), so the kernel always receives the batch
+    dtype it declared; an incoercible argument surfaces as an eager
+    AnalysisException, not mistyped batches at execution.
     """
     if vectorized:
         wrapped = F.pandas_udf(fn, returnType=return_type)

@@ -28,3 +28,16 @@ def test_csv_integer_inference_matches_datafusion(spark, tmp_path):
 def test_union_arity_mismatch_errors(spark, tables):
     with pytest.raises(Exception):
         df_union(tables["nation"], tables["region"]).collect()
+
+
+def test_df_explain_analyze_embeds_runtime_metrics(spark):
+    """main.rs:267-272 parity: analyze=true executes and returns a 'Plan with
+    Metrics' row with per-operator runtime counters."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).groupBy((F.col("id") % 4).alias("g")).count()
+    out = {r.plan_type: r.plan for r in df_explain(df, analyze=True).collect()}
+    assert set(out) >= {"logical_plan", "physical_plan", "Plan with Metrics"}
+    metrics = out["Plan with Metrics"]
+    assert "Range: number of output rows=100" in metrics
+    assert "HashAggregate" in metrics

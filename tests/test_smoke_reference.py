@@ -32,3 +32,31 @@ def test_smoke_port(spark, tmp_path):
     rows = out.collect()
     assert len(rows) == 1
     assert rows[0]["a"] == 20 and rows[0]["b"] == 10 and rows[0]["u"] == 20
+
+
+def test_udf_declared_arg_types_enforced(spark):
+    """DataFusion coerces inputs to the declared signature (main.rs:617-630).
+    A long column declared double must reach the kernel as float64, and an
+    incoercible argument (array -> double) must fail analysis eagerly."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.utils import AnalysisException
+
+    from steel_datafusion_spark import define_udf, udf_call
+
+    seen_dtypes = []
+
+    def kernel(s: pd.Series) -> pd.Series:
+        seen_dtypes.append(str(s.dtype))
+        return s * 2.0
+
+    u = define_udf(spark, "dbl_it", [T.DoubleType()], T.DoubleType(), kernel)
+    df = spark.range(5)  # id is long, declared double
+    out = df.select(udf_call(u, [F.col("id")]).alias("v")).collect()
+    assert [r.v for r in out] == [0.0, 2.0, 4.0, 6.0, 8.0]
+
+    arr = df.select(F.array(F.col("id")).alias("a"))
+    with pytest.raises(AnalysisException):
+        arr.select(udf_call(u, [F.col("a")]))
