@@ -318,7 +318,8 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", block_cols: list[str] | None = None,
-                        n: int = 3, threshold: float = 0.3) -> DataFrame:
+                        n: int = 3, threshold: float = 0.3,
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard via an inverted index (within blocking groups).
 
     Instead of a blocked all-pairs join (quadratic in block size, and with B
@@ -330,15 +331,35 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     shingle hashes (fine-grained, AQE splits any stop-shingle skew).
 
     Pairs sharing no shingle never appear — identical output for any
-    threshold > 0.  The result is exact (no sampling, no df() cap); at
-    100 TB add a document-frequency cap on posting lists as the standard
-    recall/cost knob."""
+    threshold > 0.  With ``max_df=None`` the result is exact (no sampling,
+    no cap).
+
+    ``max_df`` is the 100 TB cost knob: the posting-list self-join costs
+    Σ_s df(s)², so one stop-shingle appearing in 1M documents alone costs
+    10¹² candidate rows.  Setting ``max_df=K`` drops shingles whose
+    document frequency (within the block) exceeds K *before* the join,
+    bounding every shingle's contribution at K².  The hot-shingle list is
+    tiny (only shingles above the cap) ⇒ broadcast anti-join, no extra
+    shuffle of the posting lists.  Semantics: intersections no longer count
+    dropped shingles while set sizes still do, so reported jaccard is a
+    lower bound — near-dup pairs that share ONLY ubiquitous boilerplate
+    fall out, which is the standard dedup trade (boilerplate is exactly
+    what you don't want driving near-dup decisions)."""
     block_cols = block_cols or ["lang"]
     base = df.select(F.col(id_col).alias("doc_id"), *block_cols)
     hs = _hashed_shingles(df, id_col, text_col, n)
     sh = track(base.join(hs, "doc_id").select(
         "doc_id", *block_cols, "hs", F.size("hs").alias("sz")).persist())
     post = sh.select("doc_id", *block_cols, "sz", F.explode("hs").alias("h"))
+    if max_df is not None:
+        hot = (post.groupBy(*block_cols, "h")
+               .agg(F.count(F.lit(1)).alias("df_h"))
+               .filter(F.col("df_h") > max_df)
+               .select(*block_cols, "h"))
+        # USING-join moves the join keys first; restore positional order for
+        # the toDF renames below
+        post = (post.join(hot, on=block_cols + ["h"], how="left_anti")
+                .select("doc_id", *block_cols, "sz", "h"))
     a = post.toDF(*(["doc_a"] + block_cols + ["sz_a", "h"]))
     b = post.toDF(*(["doc_b"] + [f"b_{c}" for c in block_cols] + ["sz_b", "h2"]))
     cond = [F.col("h") == F.col("h2"), F.col("doc_a") < F.col("doc_b")]

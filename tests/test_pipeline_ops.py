@@ -64,3 +64,27 @@ def test_bpe_ish_counts_punctuation(spark):
     df = spark.createDataFrame([("Hello, world! 42.5",)], "t string")
     n = df.select(bpe_ish_token_count(F.col("t")).alias("n")).collect()[0].n
     assert n == 7  # Hello , world ! 42 . 5
+
+
+def test_ngram_jaccard_max_df_bounds_hot_shingle_candidates(spark):
+    """100 TB cost knob: a stop-shingle shared by every document drives
+    Sigma df^2 candidate blowup; max_df must drop it before the posting-list
+    join while keeping pairs supported by non-hot shingles."""
+    from steel_datafusion_spark.cache import pipeline_cache_scope
+    from steel_datafusion_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    rows = [(i, f"alpha{i} beta{i} gamma{i} zeta{i} common common common", "en")
+            for i in range(30)]
+    # one true near-dup pair: doc 100 duplicates doc 0's text
+    rows.append((100, rows[0][1], "en"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    with pipeline_cache_scope(spark):
+        uncapped = ngram_jaccard_pairs(df, threshold=0.05).collect()
+        capped = ngram_jaccard_pairs(df, threshold=0.05, max_df=5).collect()
+    # every doc shares the 'common common common' shingle -> all pairs appear
+    assert len(uncapped) == 31 * 30 // 2
+    # capped: only the planted duplicate survives (other pairs shared ONLY
+    # the hot shingle), and its jaccard is a lower bound but above threshold
+    assert [(r.doc_a, r.doc_b) for r in capped] == [(0, 100)]
+    assert capped[0].jaccard >= 0.5
