@@ -66,6 +66,56 @@ def test_bpe_ish_counts_punctuation(spark):
     assert n == 7  # Hello , world ! 42 . 5
 
 
+def test_lsh_neardup_recall_vs_exact_all_pairs(spark, tables):
+    """Semantic recall gate for cosine_neardup_pairs (ADVICE r2 #3).
+
+    The driver gate's DuckDB oracle mirrors the LSH candidate generation,
+    so it checks implementation consistency, not the "all near-dup pairs"
+    semantic.  Here the oracle is exact all-pairs cosine in numpy, and the
+    probe set is 50 perturbed copies at an exact 0.995 angle to their
+    source vector — a NONZERO angle, so bucket codes genuinely differ and
+    the hamming-1 multiprobe is what recovers them (exact duplicates share
+    a bucket under ANY hash and cannot catch a recall bug).  Expected
+    recall at 8 planes ≈ 1 - C(8,2)p², p = θ/π ≈ 0.032 → ~0.975; without
+    multiprobe it collapses to (1-p)^8 ≈ 0.77, below the assertion."""
+    import numpy as np
+
+    from steel_datafusion_spark.pipeline.similarity import cosine_neardup_pairs
+
+    e = tables["embeddings"].select("vec_id", "embedding", "label")
+    rows = e.collect()
+    rng = np.random.RandomState(7)
+    theta = np.arccos(0.995)
+    pert = []
+    for r in sorted(rows, key=lambda r: r.vec_id)[:50]:
+        v = np.array(r.embedding, dtype=np.float64)
+        u = rng.standard_normal(v.shape)
+        u -= (u @ v) / (v @ v) * v                    # orthogonal to v
+        u *= np.linalg.norm(v) / np.linalg.norm(u)
+        w = v + np.tan(theta) * u                     # cos(v, w) == 0.995
+        pert.append((r.vec_id + 2_000_000, [float(x) for x in w], r.label))
+    aug = e.union(spark.createDataFrame(pert, e.schema))
+
+    # exact all-pairs oracle (numpy), same-label blocks, same 6dp rounding
+    arows = aug.collect()
+    ids = [r.vec_id for r in arows]
+    labs = [r.label for r in arows]
+    V = np.array([r.embedding for r in arows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    exact = {(ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+             for i in range(len(ids)) for j in range(i + 1, len(ids))
+             if labs[i] == labs[j] and round(S[i, j], 6) >= 0.99}
+
+    got = {(min(r.vec_a, r.vec_b), max(r.vec_a, r.vec_b))
+           for r in cosine_neardup_pairs(aug, threshold=0.99,
+                                         n_planes=8, multiprobe=True).collect()}
+    assert len(exact) >= 50                 # probe set actually landed
+    assert got <= exact                     # exact-cosine verify ⇒ no false pairs
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.85, f"LSH recall {recall:.3f} < 0.85 vs exact all-pairs"
+
+
 def test_ngram_jaccard_max_df_bounds_hot_shingle_candidates(spark):
     """100 TB cost knob: a stop-shingle shared by every document drives
     Sigma df^2 candidate blowup; max_df must drop it before the posting-list
