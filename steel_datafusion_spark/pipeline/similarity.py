@@ -96,8 +96,19 @@ def cosine_neardup_pairs(
     fine-grained hash-shuffle keys that AQE can split, replacing the earlier
     blocked all-pairs join whose parallelism collapsed to the handful of
     label blocks with quadratic work per block (the r1 judge's one
-    scale-killer finding).  Work is Σ_bucket |bucket|² · (1 + n_planes);
-    raise n_planes at larger corpus sizes to keep buckets small.
+    scale-killer finding).  Work is Σ_bucket |bucket|² · (1 + n_planes).
+
+    **n_planes sizing rule**: sign projections split a block near-uniformly,
+    so expected occupancy ≈ N_block / 2^n_planes and verify-stage input ≈
+    (1 + n_planes) · N_block² / 2^n_planes per block.  Pick
+    ``n_planes ≈ log2(N_block / B)`` for a target bucket size B (O(100–1000)
+    at cluster scale): per-vector verify cost is then (1 + n_planes)·B,
+    independent of corpus size.  The defaults here (8 planes, 2 010 vectors
+    at sf0.1) give avg bucket 1.5 / max 9 and 8 002 candidate pairs vs
+    201 680 blocked all-pairs — a measured 25.2× verify-input reduction
+    (tools/bench_neardup_candidates.py; evidence in PLANS.md), growing with
+    N since blocked all-pairs is quadratic while a resized LSH stays
+    ~linear.
 
     Recall: exact duplicates always share a bucket; a pair at cosine just
     above threshold is missed only if its codes differ in ≥2 bits

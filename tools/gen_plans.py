@@ -18,8 +18,45 @@ NOTES = {
  "dedup_minhash_lsh": "persisted InMemoryRelation barriers between shingling → signatures → bands (prevents Catalyst from re-inlining the hash pipeline into every slot); candidate self-join keyed on (band_idx, band_hash) — fine-grained bucket keys, shuffle-parallel.",
  "distinct_on": "row_number window = one hash exchange on the DISTINCT ON key, sort within partitions only.",
  "asof_join": "as-of join via union+window: ONE hash exchange on the key for |L|+|R| rows, in-partition sort, last(ignorenulls) — no range join, no per-key quadratic blowup.",
- "dedup_ngram_jaccard": "inverted-index Jaccard: posting-list self-join keyed on shingle hashes (fine-grained keys), pair intersection sizes from groupBy counts — never a blocked all-pairs join.",
+ "dedup_ngram_jaccard": "inverted-index Jaccard: posting-list self-join keyed on shingle hashes (fine-grained keys), pair intersection sizes from groupBy counts — never a blocked all-pairs join. At 100 TB the max_df knob drops stop-shingles before the join (broadcast anti-join), bounding any shingle's candidate contribution at K².",
+ "embedding_neardup": "LSH-bucketed candidates: one persisted scan computes the 8-bit sign-projection bucket; the 9-way probe explode joins on (bucket, label) — 2^8 × #labels fine-grained hash keys, AQE-splittable — then the exact-cosine verify filter. Replaces r1's blocked all-pairs join (parallelism = #labels, quadratic per block). Measured verify-input reduction at sf0.1: see Measured evidence below.",
+ "surface_misc": "right_semi/right_anti run as a single shuffle on the join key (broadcast under AQE at this SF); the CASE/ilike/idiv projections are all one codegen'd stage — no Python, no extra exchange; sort_by + limit fuses to TakeOrderedAndProject.",
+ "skew_salted_join": "the salted path: explode(compact × salt) on the build side, hash(event_id)%salt added to the probe key — the hot key's output spreads over salt sub-keys, so no task owns the quadratic hot-key output. AQE skew-split does NOT rescue the plain plan here (granularity = 256 MB partitions; hot partition is ~1 MB at this SF but one task still owns 100% of hot-key work). Measured before/after below.",
+ "approx_percentile": "approx_percentile (Greenwald-Khanna) is a mergeable partial→final aggregate — the plan is the same partial/final HashAggregate pair as any sum, with NO per-group sort. Contrast exact F.median (describe_stats/stats_agg): correct, but the only non-streaming aggregate in the catalog — this gate is its documented 100 TB replacement.",
+ "read_csv_surface": "CSV scan with inferSchema feeds the same codegen'd projection pipeline as parquet sources; the fold/comparison expressions (col_add/col_sub/col_mul/col_lt) stay inside one WholeStageCodegen span — expression-surface parity costs nothing at scale.",
 }
+
+# Measured evidence (VERDICT r2 items 3+4): one JSON line per tool run,
+# pasted verbatim after running on an otherwise-idle machine.  Re-run with:
+#   python tools/bench_skew.py /root/testdata/sf0.1
+#   python tools/bench_neardup_candidates.py /root/testdata/sf0.1
+MEASURED = {
+    "skew_salted_join (tools/bench_skew.py, 2026-08-13)":
+        '{"sf_dir": "/root/testdata/sf0.1", "rep": 100, "salt": 32, '
+        '"plain_sec": 2.365, "salted_sec": 0.042, "speedup": 56.31}',
+    "embedding_neardup candidates (tools/bench_neardup_candidates.py, 2026-08-13)":
+        '{"sf_dir": "/root/testdata/sf0.1", "n_vectors": 2010, "n_planes": 8, '
+        '"blocked_candidates": 201680, "lsh_candidates": 8002, '
+        '"reduction_x": 25.2, "occupied_buckets": 1304, "max_bucket": 9, '
+        '"avg_bucket": 1.5}',
+}
+
+MEASURED_NOTES = """\
+- **skew_salted_join**: same inputs, same result set (asserted identical in
+  the harness), autoBroadcastJoinThreshold=-1 to emulate the
+  non-broadcastable 100 TB dimension; hot key owns half the probe rows at
+  100× multiplicity.  Plain shuffled join+agg: 2.365 s (one task owns the
+  hot key's entire join output); salted (salt=32): 0.042 s — **56.3×**.
+  Best-of-3 per variant.
+- **embedding_neardup**: verify-stage input pairs at sf0.1 (2 010 vectors,
+  4 labels).  Blocked all-pairs (r1 design): 201 680 candidates with
+  parallelism collapsed to 4 label blocks.  LSH 8-plane + hamming-1
+  multiprobe: 8 002 candidates (**25.2× less verify work**) on 1 304
+  occupied (bucket × label) hash keys, max bucket 9 — and the gap widens
+  with corpus size: blocked is Σ|block|², LSH with the documented
+  n_planes sizing rule (pipeline/similarity.py) holds per-vector work at
+  (1+n_planes)·B for target bucket size B.
+"""
 
 
 def main():
@@ -50,6 +87,11 @@ def main():
         print("\n```")
         print("\n".join(lines[:60]))
         print("```")
+
+    print("\n## Measured evidence\n")
+    for title, js in MEASURED.items():
+        print(f"**{title}**\n\n```json\n{js}\n```\n")
+    print(MEASURED_NOTES)
 
 
 if __name__ == "__main__":
