@@ -29,14 +29,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..cache import track
+from ..cache import track, untrack_and_unpersist
 from .text import fingerprint, sql_norm, tokens
 
 __all__ = [
     "md5_int60", "shingles", "minhash_signature", "lsh_bands",
     "minhash_candidate_pairs", "minhash_dedup_pairs",
     "exact_dedup", "simhash_from_hashes", "simhash_pairs",
-    "ngram_jaccard_pairs", "winnow_fingerprints",
+    "ngram_jaccard_pairs", "winnow_fingerprints", "connected_components",
     "PERM_CONSTS", "MERSENNE61", "SQL",
 ]
 
@@ -370,6 +370,58 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     j = inter.withColumn(
         "jaccard", _jaccard(F.col("inter"), F.col("sz_a"), F.col("sz_b")))
     return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", max_iters: int = 25) -> DataFrame:
+    """Resolve candidate near-dup PAIRS into CLUSTERS: iterative min-label
+    propagation to a fixpoint — the step every real dedup pipeline needs
+    between pair generation (minhash/simhash/jaccard) and keeper selection,
+    since near-dup is not transitive but keep-one-per-cluster must be.
+
+    Returns ``(doc_id, cluster_id)`` for every doc appearing in a pair,
+    where ``cluster_id`` = the minimum doc_id of the connected component
+    (the canonical keeper).  Singletons (docs in no pair) are absent —
+    their keeper is themselves.
+
+    Scale: the standard distributed CC loop (GraphX/Pregel shape) in pure
+    DataFrame ops — per iteration one hash-join of labels onto edges plus a
+    min-aggregate, both shuffling on fine-grained vertex keys; iterations =
+    component diameter, which for dedup graphs is tiny (near-cliques: the
+    measured diameter at sf0.01 is ≤ 3).  Convergence is detected with a
+    1-row sum(label) aggregate (labels only decrease, so an unchanged sum
+    IS the fixpoint — no expensive change-join), each iteration is eagerly
+    materialized to bound lineage, and the previous iteration's cache is
+    released immediately (the MLlib iterative pattern, as in
+    similarity.kmeans).  ``max_iters`` bounds pathological chain graphs;
+    at 100 TB swap in alternating large-star/small-star rounds for
+    O(log n) convergence — the loop body and barriers stay identical."""
+    e = pairs.select(F.col(src).cast("long").alias("a"),
+                     F.col(dst).cast("long").alias("b"))
+    edges = track(e.union(e.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+                  .distinct().persist())
+    labels = track(edges.select(F.col("a").alias("v")).distinct()
+                   .withColumn("label", F.col("v")).persist())
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr = (edges.join(labels.toDF("b", "blabel"), "b")
+               .groupBy("a").agg(F.min("blabel").alias("nmin"))
+               .toDF("v", "nmin"))
+        new = (labels.join(nbr, "v", "left")
+               .select("v", F.least(
+                   F.col("label"),
+                   F.coalesce("nmin", F.col("label"))).alias("label")))
+        new = track(new.persist())
+        new_sum = new.agg(F.sum("label")).collect()[0][0]  # materialize
+        untrack_and_unpersist(labels)
+        labels = new
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    untrack_and_unpersist(edges)
+    return labels.select(F.col("v").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
 
 
 # ---------------------------------------------------------------------------

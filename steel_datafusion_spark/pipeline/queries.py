@@ -20,8 +20,9 @@ from pyspark.sql import functions as F
 from ..sources.readers import load_tables
 from . import text as TX
 from .dedup import (
-    SQL as DSQL, exact_dedup, md5_int60, minhash_dedup_pairs,
-    ngram_jaccard_pairs, shingles, simhash_from_hashes, simhash_pairs,
+    SQL as DSQL, connected_components, exact_dedup, md5_int60,
+    minhash_dedup_pairs, ngram_jaccard_pairs, shingles, simhash_from_hashes,
+    simhash_pairs,
 )
 from .dedup import winnow_fingerprints
 from .multimodal import extract_features, make_media_table
@@ -133,6 +134,120 @@ FROM s GROUP BY source
 """
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrub over a deterministically PII-planted corpus (the synthetic
+    documents contain no natural PII): every 7th doc gets an email, a phone
+    and an IPv4 appended; output = per-doc PII class counts + redacted
+    length.  One codegen'd regexp projection, map-side, no shuffle."""
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" contact user"),
+                     F.col("doc_id").cast("string"),
+                     F.lit("@example.com or 555-123-4567 at 10.0.0.1"))
+        ).otherwise(F.col("text")))
+    t = F.col("text")
+    return planted.select(
+        "doc_id", *TX.pii_counts(t),
+        F.length(TX.redact_pii(t)).alias("redacted_len"))
+
+
+def _sql_pii_redact() -> str:
+    counts = ", ".join(
+        f"{TX.sql_pii_count('text', i)} AS n_{name}"
+        for i, (name, _p, _r) in enumerate(TX.PII_PATTERNS))
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0
+      THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@example.com or 555-123-4567 at 10.0.0.1'
+      ELSE text END AS text
+  FROM documents)
+SELECT doc_id, {counts},
+  length({TX.sql_redact_pii('text')}) AS redacted_len
+FROM planted
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Exactly 20 docs per lang stratum, selected by md5 order — the
+    deterministic, engine-independent sample (pipeline/sampling.py).
+    WindowGroupLimit prunes to 20 per partition before the one exchange."""
+    from .sampling import stratified_sample_n
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "lang")
+    return stratified_sample_n(d, ["lang"], 20)
+
+
+def _sql_stratified_sample() -> str:
+    from .sampling import sql_hash_unit
+    h = sql_hash_unit("doc_id", "strat")
+    return f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 20
+"""
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment — a pure projection
+    on md5 thresholds: a doc's split never changes when the corpus grows
+    (the anti-leak property rand() splits lack).  No shuffle."""
+    from .sampling import hash_split
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    return hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+def _sql_hash_split() -> str:
+    # identical integer thresholds via the same float accumulation
+    from .sampling import _MOD, sql_hash_unit
+    h = sql_hash_unit("doc_id", "split")
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    acc, whens = 0.0, []
+    for name, wt in weights.items():
+        acc += wt
+        whens.append(f"WHEN {h} < {int(acc * _MOD)} THEN '{name}'")
+    return f"""
+SELECT doc_id, CASE {' '.join(whens)} ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_sequence_packing(spark, sf_dir):
+    """Concat-then-chunk sequence packing (pipeline/packing.py): documents
+    ordered by doc_id within lang, cut every 2048 BPE-ish tokens; per-bin
+    doc count, tokens and straddle count.  One window + one agg — a single
+    hash shuffle on lang."""
+    from .packing import pack_bins_summary
+    d = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "lang", TX.bpe_ish_token_count(F.col("text")).alias("n_tok"))
+    return pack_bins_summary(d, ["lang"], "doc_id", "n_tok", budget=2048)
+
+
+def _sql_sequence_packing(budget: int = 2048) -> str:
+    ntok = TX.sql_bpe_ish_token_count("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, greatest({ntok}, 1) AS t FROM documents),
+cum AS (
+  SELECT doc_id, lang, t,
+    COALESCE(SUM(t) OVER (PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+  FROM toks)
+SELECT lang, CAST(floor(tokens_before / {budget}) AS BIGINT) AS bin_id,
+  COUNT(*) AS n_docs,
+  CAST(SUM(t) AS BIGINT) AS bin_tokens,
+  CAST(SUM(CASE WHEN floor((tokens_before + t - 1) / {budget})
+                 > floor(tokens_before / {budget}) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_straddle
+FROM cum GROUP BY lang, bin_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------
@@ -221,6 +336,49 @@ pairs AS (
   FROM chunks a JOIN chunks b
     ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 10
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Cluster resolution over SimHash near-dup pairs: connected components
+    (iterative min-label propagation, pipeline/dedup.py) turn the pair list
+    into per-doc (cluster_id = min doc_id of component, cluster_size) — the
+    keeper-selection step between pair generation and the actual drop."""
+    pairs = simhash_pairs(_aug_docs(spark, sf_dir), max_hamming=10)
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size")
+
+
+def _sql_dedup_clusters() -> str:
+    """Transitive closure via recursive CTE (exact fixpoint — the oracle for
+    the Spark loop's converged labels), over the same simhash pair CTEs."""
+    return f"""
+WITH RECURSIVE {_AUG_DOCS_SQL},
+hsrc AS (SELECT doc_id, {DSQL.hashed_shingles('text')} AS hs FROM corpus),
+sh AS (SELECT doc_id, {DSQL.simhash_terms('hs')} AS sh FROM hsrc),
+chunks AS (
+  SELECT doc_id, sh, c.chunk_idx, (sh >> (12 * c.chunk_idx)) & 4095 AS chunk_val
+  FROM sh, (SELECT unnest(generate_series(0, 3)) AS chunk_idx) c),
+p AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= 10),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+          UNION SELECT doc_b, doc_a FROM p),
+reach AS (SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size
+          FROM lab GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id, s.cluster_size
+FROM lab l JOIN sizes s USING (cluster_id)
 """
 
 
@@ -572,10 +730,15 @@ ASOF LEFT JOIN (
 PIPELINE_QUERIES = {
     "text_stats": (q_text_stats, _SQL_TEXT_STATS),
     "text_quality_by_source": (q_text_quality_by_source, _SQL_TEXT_QUALITY),
+    "pii_redact": (q_pii_redact, _sql_pii_redact()),
+    "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
+    "hash_split": (q_hash_split, _sql_hash_split()),
+    "sequence_packing": (q_sequence_packing, _sql_sequence_packing()),
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_dedup_minhash()),
     "dedup_simhash_fingerprints": (q_dedup_simhash_fingerprints, _sql_simhash_fps()),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, _sql_simhash_pairs()),
+    "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _sql_ngram_jaccard()),
     "similarity_topk": (q_similarity_topk, _SQL_SIM_TOPK),
     "similarity_ivf": (q_similarity_ivf, _SQL_SIM_IVF),

@@ -1,0 +1,98 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Every op here is keyed on ``md5(salt || key)`` — no RNG, no
+``rand()``: the sample is a pure function of (row key, salt), so it is
+
+- **reproducible** across runs, engines, partitionings and cluster sizes
+  (the property training pipelines need for resumable jobs and for
+  train/test splits that never leak when data is re-ingested);
+- **oracle-checkable** — DuckDB computes the identical md5, so the gate
+  compares the actual sampled rows, not just counts;
+- **shuffle-free** for Bernoulli-style sampling (`hash_sample`,
+  `hash_split` are pure map-side filters/projections — at 100 TB they
+  read and keep nothing but the survivors), and one bounded shuffle for
+  exact per-stratum sampling (`stratified_sample_n` — see its scale
+  note).
+
+The 8-hex-digit md5 prefix is used as a uniform 32-bit integer; rates
+are applied as integer thresholds on it (exact in both engines — no
+float rounding at the boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "hash_unit", "hash_sample", "stratified_sample_n", "hash_split",
+    "sql_hash_unit",
+]
+
+_MOD = 1 << 32
+
+
+def hash_unit(key: Column, salt: str) -> Column:
+    """Uniform integer in [0, 2^32) from md5(salt || key) — the shared
+    randomness primitive (JVM expression; identical hex in DuckDB)."""
+    hx = F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8)
+    return F.conv(hx, 16, 10).cast("long")
+
+
+def sql_hash_unit(key: str, salt: str) -> str:
+    """DuckDB mirror of :func:`hash_unit`."""
+    return (f"('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8))"
+            f"::BIGINT")
+
+
+def hash_sample(df: DataFrame, rate: float, key_col: str = "doc_id",
+                salt: str = "sample") -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep rows with
+    hash_unit < rate * 2^32.  Map-side filter — no shuffle, no state;
+    rerunning (or running on a different cluster) keeps the same rows."""
+    threshold = int(rate * _MOD)
+    return df.filter(hash_unit(F.col(key_col), salt) < F.lit(threshold))
+
+
+def stratified_sample_n(df: DataFrame, strata_cols: list[str], n: int,
+                        key_col: str = "doc_id",
+                        salt: str = "strat") -> DataFrame:
+    """Exactly ``n`` rows per stratum, chosen by md5 order (key tiebreak).
+
+    Scale: one hash shuffle on the strata key + an in-partition sort —
+    but WindowGroupLimit prunes to the top-n per partition *before* the
+    exchange (same plan shape as top-k), so only ~n rows per input
+    partition shuffle, not the stratum.  For mega-strata at 100 TB,
+    pre-filter with ``hash_sample`` at a few× the target rate first, then
+    take exact n from the survivors — same ordering key, same result."""
+    h = hash_unit(F.col(key_col), salt).alias("_hu")
+    w = Window.partitionBy(*strata_cols).orderBy(F.col("_hu").asc(),
+                                                 F.col(key_col).asc())
+    return (df.withColumn("_hu", h)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .drop("_hu", "_rn"))
+
+
+def hash_split(df: DataFrame, weights: dict[str, float],
+               key_col: str = "doc_id", salt: str = "split") -> DataFrame:
+    """Deterministic train/val/test split: adds a ``split`` column chosen
+    by integer thresholds on hash_unit.  Weights must sum to 1.  A row's
+    split never changes when other rows come or go — the anti-leak
+    property rand()-based splits do not have.  Pure projection: no
+    shuffle."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    h = hash_unit(F.col(key_col), salt)
+    expr = None
+    acc = 0.0
+    for name, wt in weights.items():
+        acc += wt
+        bound = F.lit(int(acc * _MOD))
+        expr = (F.when(h < bound, F.lit(name)) if expr is None
+                else expr.when(h < bound, F.lit(name)))
+    # float-sum guard: anything at the very top edge lands in the last split
+    last = list(weights)[-1]
+    return df.withColumn("split", expr.otherwise(F.lit(last)))

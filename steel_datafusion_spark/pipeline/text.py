@@ -21,6 +21,8 @@ __all__ = [
     "stopword_count", "stopword_ratio", "fingerprint", "lang_id",
     "quality_score", "with_text_stats", "STOPWORDS",
     "bpe_ish_token_count", "BPE_ISH_PATTERN", "sql_bpe_ish_token_count",
+    "PII_PATTERNS", "redact_pii", "pii_counts", "sql_redact_pii",
+    "sql_pii_count",
 ]
 
 # GPT-2-style pre-tokenization shape: letter runs, digit runs, single
@@ -199,3 +201,55 @@ def sql_quality_score(col: str) -> str:
 
 def sql_bpe_ish_token_count(col: str) -> str:
     return f"len(regexp_extract_all({col}, '{BPE_ISH_PATTERN}'))"
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (dialect-neutral regexes: Java regex == RE2 semantics here)
+# ---------------------------------------------------------------------------
+
+# Conservative, format-anchored patterns only — regex PII detection is a
+# first-pass scrubber, not a guarantee; the patterns are kept to syntax both
+# engines interpret identically (no lookaround, no backrefs).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with its placeholder token.  Order matters
+    (email before ipv4: 'user@1.2.3.4' hits the email rule first) and is
+    fixed by PII_PATTERNS.  Pure JVM regexp_replace chain — map-side."""
+    out = text
+    for _name, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One count column per PII class (aliased n_<class>), counted on the
+    progressively-redacted text exactly as redact_pii applies it — so an
+    email's IP-like domain is never double-counted as an ipv4 hit."""
+    cols = []
+    cur = text
+    for name, pat, repl in PII_PATTERNS:
+        cols.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return cols
+
+
+def sql_redact_pii(col: str) -> str:
+    out = col
+    for _name, pat, repl in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+def sql_pii_count(col: str, upto: int) -> str:
+    """Count of PII_PATTERNS[upto] matches after redacting patterns < upto
+    (mirrors pii_counts' progressive counting)."""
+    cur = col
+    for _name, pat, repl in PII_PATTERNS[:upto]:
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    return f"len(regexp_extract_all({cur}, '{PII_PATTERNS[upto][1]}'))"

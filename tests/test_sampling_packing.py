@@ -1,0 +1,113 @@
+"""Tests for deterministic sampling/splitting, sequence packing, PII
+redaction, and connected-components cluster resolution."""
+
+from pyspark.sql import functions as F
+
+from steel_datafusion_spark.pipeline.dedup import connected_components
+from steel_datafusion_spark.pipeline.packing import pack_chunks
+from steel_datafusion_spark.pipeline.sampling import (
+    hash_sample, hash_split, stratified_sample_n,
+)
+from steel_datafusion_spark.pipeline.text import pii_counts, redact_pii
+
+
+def test_connected_components_chain_pair_triangle(spark):
+    # chain 1-2-3-4 (diameter 3 — needs >1 propagation round), isolated
+    # pair, triangle; labels must reach the true component minimum
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long")
+    got = sorted((r.doc_id, r.cluster_id)
+                 for r in connected_components(pairs).collect())
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10), (20, 20), (21, 20), (22, 20)]
+
+
+def test_connected_components_leaves_no_cache(spark):
+    from steel_datafusion_spark.cache import pipeline_cache_scope, release_all
+    release_all(spark)  # drop barriers left by earlier scope-less tests
+    spark.catalog.clearCache()
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    with pipeline_cache_scope(spark):
+        connected_components(pairs).collect()
+    # edges + final labels released by the scope guard; intermediates by
+    # the loop itself
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_hash_sample_is_stable_under_corpus_growth(spark):
+    base = spark.range(1000).select(F.col("id").alias("doc_id"))
+    grown = spark.range(2000).select(F.col("id").alias("doc_id"))
+    s_base = {r.doc_id for r in hash_sample(base, 0.2).collect()}
+    s_grown = {r.doc_id for r in hash_sample(grown, 0.2).collect()}
+    # same keys survive regardless of what else is in the table
+    assert s_base == {d for d in s_grown if d < 1000}
+    # rate is roughly honored (binomial, 1000 trials)
+    assert 120 <= len(s_base) <= 280
+
+
+def test_stratified_sample_exact_n_and_deterministic(spark):
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("lang"))
+    a = stratified_sample_n(df, ["lang"], 7)
+    counts = {r.lang: r.n for r in
+              a.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {0: 7, 1: 7, 2: 7}
+    # rerun → identical rows
+    b = stratified_sample_n(df, ["lang"], 7)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_hash_split_partitions_and_never_moves_rows(spark):
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    out = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = {r.doc_id: r.split for r in out.collect()}
+    assert len(rows) == 2000
+    n_train = sum(1 for s in rows.values() if s == "train")
+    assert 1480 <= n_train <= 1700          # ~80%, binomial tolerance
+    # growing the corpus must not reassign existing rows (anti-leak)
+    grown = hash_split(spark.range(4000).select(F.col("id").alias("doc_id")),
+                       {"train": 0.8, "val": 0.1, "test": 0.1})
+    grown_rows = {r.doc_id: r.split for r in grown.collect()}
+    assert all(grown_rows[d] == s for d, s in rows.items())
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    import pytest
+    df = spark.range(5).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        hash_split(df, {"train": 0.5, "test": 0.4})
+
+
+def test_pack_chunks_bins_and_straddle(spark):
+    # budget 10; spans: doc1 0-3, doc2 4-9 (ends flush at the cut — no
+    # straddle), doc3 10-14 (starts exactly on a boundary → bin 1), doc4
+    # 15-21 (crosses the cut at 20 → straddle)
+    df = spark.createDataFrame(
+        [(1, "g", 4), (2, "g", 6), (3, "g", 5), (4, "g", 7)],
+        "doc_id long, grp string, t long")
+    out = {r.doc_id: (r.bin_id, r.straddle)
+           for r in pack_chunks(df, ["grp"], "doc_id", "t", 10).collect()}
+    assert out == {1: (0, False), 2: (0, False), 3: (1, False), 4: (1, True)}
+
+
+def test_pack_chunks_zero_token_doc_owns_a_position(spark):
+    df = spark.createDataFrame([(1, "g", 0), (2, "g", 9)],
+                               "doc_id long, grp string, t long")
+    out = {r.doc_id: r.tokens_before
+           for r in pack_chunks(df, ["grp"], "doc_id", "t", 10).collect()}
+    assert out == {1: 0, 2: 1}     # zero-token doc counted as 1
+
+
+def test_pii_redaction_and_progressive_counts(spark):
+    df = spark.createDataFrame(
+        [("mail a@b.io and b@c.org, call 555-123-4567, host 10.0.0.1",)],
+        "t string")
+    r = df.select(redact_pii(F.col("t")).alias("red"),
+                  *pii_counts(F.col("t"))).collect()[0]
+    assert r.red == "mail <EMAIL> and <EMAIL>, call <PHONE>, host <IP>"
+    assert (r.n_email, r.n_phone, r.n_ipv4) == (2, 1, 1)
+    # the email's host part must not be re-counted as anything else
+    df2 = spark.createDataFrame([("u@10.0.0.1.example.com only",)], "t string")
+    r2 = df2.select(*pii_counts(F.col("t"))).collect()[0]
+    assert (r2.n_email, r2.n_ipv4) == (1, 0)
