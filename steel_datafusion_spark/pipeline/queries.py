@@ -217,6 +217,31 @@ FROM documents
 """
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Quality-weighted curation sample: each doc survives with probability
+    = its (6dp-rounded — cross-engine pinned) quality score.  Deterministic
+    md5 thresholding, map-side, zero shuffle."""
+    from .sampling import weighted_sample
+    d = load_tables(spark, sf_dir)["documents"]
+    scored = d.select(
+        "doc_id",
+        F.round(TX.quality_score(F.col("text")), 6).alias("quality"))
+    return weighted_sample(scored, "quality")
+
+
+def _sql_weighted_sample() -> str:
+    from .sampling import _MOD, sql_hash_unit
+    h = sql_hash_unit("doc_id", "wsample")
+    q = TX.sql_quality_score("text")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, round({q}, 6) AS quality FROM documents)
+SELECT doc_id, quality FROM scored
+WHERE {h} < CAST(floor(least(greatest(quality, 0.0), 1.0) * {float(_MOD)})
+               AS BIGINT)
+"""
+
+
 def q_sequence_packing(spark, sf_dir):
     """Concat-then-chunk sequence packing (pipeline/packing.py): documents
     ordered by doc_id within lang, cut every 2048 BPE-ish tokens; per-bin
@@ -733,6 +758,7 @@ PIPELINE_QUERIES = {
     "pii_redact": (q_pii_redact, _sql_pii_redact()),
     "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
     "hash_split": (q_hash_split, _sql_hash_split()),
+    "weighted_sample": (q_weighted_sample, _sql_weighted_sample()),
     "sequence_packing": (q_sequence_packing, _sql_sequence_packing()),
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_dedup_minhash()),

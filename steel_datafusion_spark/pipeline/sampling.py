@@ -26,8 +26,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = [
-    "hash_unit", "hash_sample", "stratified_sample_n", "hash_split",
-    "sql_hash_unit",
+    "hash_unit", "hash_sample", "weighted_sample", "stratified_sample_n",
+    "hash_split", "sql_hash_unit",
 ]
 
 _MOD = 1 << 32
@@ -53,6 +53,19 @@ def hash_sample(df: DataFrame, rate: float, key_col: str = "doc_id",
     rerunning (or running on a different cluster) keeps the same rows."""
     threshold = int(rate * _MOD)
     return df.filter(hash_unit(F.col(key_col), salt) < F.lit(threshold))
+
+
+def weighted_sample(df: DataFrame, weight_col: str, key_col: str = "doc_id",
+                    salt: str = "wsample") -> DataFrame:
+    """Importance sampling: keep each row with probability = its weight
+    column (clamped to [0,1]) — e.g. a quality score, so high-quality
+    documents survive curation proportionally.  Same determinism contract
+    as hash_sample (pure function of key+salt), same map-side zero-shuffle
+    plan; the threshold is floor(weight * 2^32) so both engines make the
+    identical integer comparison."""
+    w = F.least(F.greatest(F.col(weight_col), F.lit(0.0)), F.lit(1.0))
+    threshold = F.floor(w * F.lit(float(_MOD))).cast("long")
+    return df.filter(hash_unit(F.col(key_col), salt) < threshold)
 
 
 def stratified_sample_n(df: DataFrame, strata_cols: list[str], n: int,

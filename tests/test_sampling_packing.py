@@ -46,6 +46,24 @@ def test_hash_sample_is_stable_under_corpus_growth(spark):
     assert 120 <= len(s_base) <= 280
 
 
+def test_weighted_sample_edge_weights_and_monotonicity(spark):
+    from steel_datafusion_spark.pipeline.sampling import weighted_sample
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    zero = weighted_sample(df.withColumn("w", F.lit(0.0)), "w").count()
+    one = weighted_sample(df.withColumn("w", F.lit(1.0)), "w").count()
+    assert (zero, one) == (0, 500)
+    # out-of-range weights clamp instead of corrupting the threshold
+    wild = weighted_sample(df.withColumn("w", F.lit(7.5)), "w").count()
+    assert wild == 500
+    # same key+salt ⇒ raising the weight only ADDS rows (supersets)
+    lo = {r.doc_id for r in
+          weighted_sample(df.withColumn("w", F.lit(0.3)), "w").collect()}
+    hi = {r.doc_id for r in
+          weighted_sample(df.withColumn("w", F.lit(0.6)), "w").collect()}
+    assert lo <= hi
+    assert 90 <= len(lo) <= 210 and 230 <= len(hi) <= 370
+
+
 def test_stratified_sample_exact_n_and_deterministic(spark):
     df = spark.range(500).select(
         F.col("id").alias("doc_id"), (F.col("id") % 3).alias("lang"))
