@@ -65,3 +65,33 @@ def test_streaming_dedup_bounded(spark, events_dir):
     # each user exactly once (finite input, watermark wider than the data)
     assert got.count() == n_users
     assert got.select("user_id").distinct().count() == n_users
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("docs_stream"))
+    load_tables(spark, SF_DIR)["documents"].select("doc_id", "text") \
+        .write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_streaming_curation_pipeline_matches_batch(spark, docs_dir):
+    """The stateless curation ops (PII redaction, deterministic split) are
+    streaming-safe by construction — pure projections with no
+    order/partition dependence.  Prove it: the same composition over a
+    stream equals the batch result row-for-row."""
+    from steel_datafusion_spark.pipeline.sampling import hash_split
+    from steel_datafusion_spark.pipeline.text import redact_pii
+
+    batch = spark.read.parquet(docs_dir)
+    stream = read_stream_parquet(spark, docs_dir, batch.schema)
+
+    def curate(df):
+        scrubbed = df.select(
+            "doc_id", F.length(redact_pii(F.col("text"))).alias("redacted_len"))
+        return hash_split(scrubbed, {"train": 0.8, "val": 0.1, "test": 0.1})
+
+    got = run_stream_to_memory(curate(stream), "curation_test").collect()
+    want = curate(batch).collect()
+    assert len(got) == len(want) > 0
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
