@@ -27,7 +27,8 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["track", "release_all", "pipeline_cache_scope", "tracked_count"]
+__all__ = ["track", "release_all", "pipeline_cache_scope", "tracked_count",
+           "release_local_checkpoint"]
 
 _TRACKED: dict[str, list[DataFrame]] = {}
 
@@ -72,6 +73,27 @@ def release_all(spark: SparkSession) -> int:
 
 def tracked_count(spark: SparkSession) -> int:
     return len(_TRACKED.get(_app_id(spark), []))
+
+
+def release_local_checkpoint(df: DataFrame) -> int:
+    """Eagerly free the blocks of a ``localCheckpoint()``-ed DataFrame
+    (df.unpersist() is a no-op for checkpoints — there is no SQL-cache
+    entry; the data lives in the LogicalRDD leaves' RDD blocks, which the
+    ContextCleaner only reclaims on GC).  Walks the analyzed plan's leaves
+    and unpersists each LogicalRDD's backing RDD; returns how many it
+    released.  Only call once the checkpointed data is no longer needed —
+    the lineage is truncated, so nothing can recompute it."""
+    released = 0
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getName().endswith("LogicalRDD"):
+                leaf.rdd().unpersist(False)
+                released += 1
+    except Exception:
+        pass  # best-effort: session stopped or internal API shifted
+    return released
 
 
 @contextmanager

@@ -24,15 +24,20 @@ def test_connected_components_chain_pair_triangle(spark):
 
 
 def test_connected_components_leaves_no_cache(spark):
-    from steel_datafusion_spark.cache import pipeline_cache_scope, release_all
+    from steel_datafusion_spark.cache import release_all, \
+        release_local_checkpoint
     release_all(spark)  # drop barriers left by earlier scope-less tests
     spark.catalog.clearCache()
+    # baseline: earlier tests' un-released CC results may still hold
+    # checkpoint blocks (ContextCleaner reclaims those on GC)
+    base = spark.sparkContext._jsc.getPersistentRDDs().size()
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
-    with pipeline_cache_scope(spark):
-        connected_components(pairs).collect()
-    # edges + final labels released by the scope guard; intermediates by
-    # the loop itself
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    cc = connected_components(pairs)
+    cc.collect()
+    # intermediates + edges released inside the loop; the result frame's
+    # checkpoint blocks release explicitly once materialized
+    assert release_local_checkpoint(cc) == 1
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == base
 
 
 def test_hash_sample_is_stable_under_corpus_growth(spark):

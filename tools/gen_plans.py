@@ -24,7 +24,7 @@ NOTES = {
  "skew_salted_join": "the salted path: explode(compact × salt) on the build side, hash(event_id)%salt added to the probe key — the hot key's output spreads over salt sub-keys, so no task owns the quadratic hot-key output. AQE skew-split does NOT rescue the plain plan here (granularity = 256 MB partitions; hot partition is ~1 MB at this SF but one task still owns 100% of hot-key work). Measured before/after below.",
  "approx_percentile": "approx_percentile (Greenwald-Khanna) is a mergeable partial→final aggregate — the plan is the same partial/final HashAggregate pair as any sum, with NO per-group sort. Contrast exact F.median (describe_stats/stats_agg): correct, but the only non-streaming aggregate in the catalog — this gate is its documented 100 TB replacement.",
  "read_csv_surface": "CSV scan with inferSchema feeds the same codegen'd projection pipeline as parquet sources; the fold/comparison expressions (col_add/col_sub/col_mul/col_lt) stay inside one WholeStageCodegen span — expression-surface parity costs nothing at scale.",
- "dedup_clusters": "cluster resolution = simhash pair generation + the converged CC labels: the plan shows the final label join (labels are InMemoryRelations built by the bounded propagation loop — each iteration one edge-label hash join + min-agg on fine-grained vertex keys, eagerly materialized). Iterations = component diameter (≤3 measured); at 100 TB swap in large-star/small-star rounds, same loop body.",
+ "dedup_clusters": "cluster resolution = simhash pair generation + the converged CC labels, read as flat LogicalRDD scans: every loop iteration (one edge-label hash join + min-agg on fine-grained vertex keys) is eagerly localCheckpoint-ed. The truncation is load-bearing: with persist() the InMemoryRelation child plans nested recursively — plan text grew 4x/iter to 41 MB by iteration 2 and PLANNING dominated at 3-9 s/iter; checkpointed, 0.2 s/iter (24x less loop wall-clock at sf0.1). Iterations = component diameter (<=3 measured); superseded iterations free their blocks via cache.release_local_checkpoint.",
  "stratified_sample": "exact n-per-stratum: WindowGroupLimit prunes to the top-20-by-md5 per input partition BEFORE the single exchange on lang — only ~n rows per partition shuffle, the top-k plan shape. hash_split/hash_sample/pii_redact need no plan audit: zero-exchange codegen'd projections (asserted in tests).",
 }
 
