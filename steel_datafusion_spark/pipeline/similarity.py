@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..cache import track, untrack_and_unpersist
+from ..cache import release_local_checkpoint, track
 
 __all__ = ["dot", "norm2", "cosine", "cosine_topk", "cosine_neardup_pairs",
            "ivf_assign", "ivf_topk", "kmeans", "lsh_bucket", "lsh_topk",
@@ -286,13 +286,18 @@ def kmeans(
     Each iteration is two shuffles — assign (broadcast centroids, argmin
     distance) and update (posexplode → per-(cluster,dim) mean → re-assemble)
     — the standard scalable shape: no vector ever leaves the executors.
-    Each iteration's assignment is materialized eagerly (count) so the
-    previous iteration's cache is released immediately and lineage stays
-    bounded — the MLlib iterative-algorithm pattern.
+    Each iteration's assignment is an eager ``localCheckpoint`` (flat
+    LogicalRDD): without lineage truncation each iteration's plan embeds
+    the previous one's recursively and planning cost grows exponentially
+    with ``iters`` (measured on the CC loop, pipeline/dedup.py) — the
+    GraphFrames/MLlib iterative pattern.  The previous iteration's blocks
+    are freed immediately (cache.release_local_checkpoint).
 
     Returns (assignments df: vid, cluster; centroids df: cluster, centroid).
-    The returned assignment stays persisted (registered with
-    steel_datafusion_spark.cache; release with ``release_all``/scope guard).
+    The returned assignment is checkpointed — materialize what you need,
+    then free its blocks with ``release_local_checkpoint``; the ``vecs``
+    input cache stays registered with cache.track (release with
+    ``release_all``/scope guard).
     """
     parts = corpus.sparkSession.sparkContext.defaultParallelism * 2
     vecs = track(corpus.repartition(parts, F.col(id_col)).select(
@@ -311,13 +316,13 @@ def kmeans(
             F.lit(0.0), lambda acc, x: acc + x)
         w = Window.partitionBy("vid").orderBy(F.round(d2, 9).asc(),
                                               F.col("cluster").asc())
-        assign = track((vecs.join(F.broadcast(cent))
-                        .withColumn("r", F.row_number().over(w))
-                        .filter(F.col("r") == 1)
-                        .select("vid", "v", "cluster")).persist())
-        assign.count()  # materialize: bounds lineage, lets prev cache go
+        assign = (vecs.join(F.broadcast(cent))
+                  .withColumn("r", F.row_number().over(w))
+                  .filter(F.col("r") == 1)
+                  .select("vid", "v", "cluster")
+                  .localCheckpoint(eager=True))  # materialize + truncate
         if prev is not None:
-            untrack_and_unpersist(prev)
+            release_local_checkpoint(prev)
         prev = assign
         cent = (assign.select("cluster", F.posexplode("v").alias("dim", "x"))
                 .groupBy("cluster", "dim")

@@ -138,17 +138,24 @@ def test_kmeans_releases_per_iteration_caches(spark, tables):
     # start from a clean cache: earlier tests may have persisted plans that
     # CacheManager would dedup against kmeans's internal persists, which
     # makes absolute counts meaningless
+    from steel_datafusion_spark.cache import release_local_checkpoint
+
     release_all(spark)
     spark.catalog.clearCache()
     jsc = spark.sparkContext._jsc
+    # earlier tests' un-released checkpoint results may still hold blocks
+    baseline = jsc.getPersistentRDDs().size()
     with pipeline_cache_scope(spark):
         assign, cent = kmeans(tables["embeddings"], k=4, iters=3)
         n = assign.count()
+        cent.collect()          # materialize before releasing the source
         assert n > 0
-        # only the final assignment + input vecs should still be cached —
+        # only the final assignment checkpoint + input vecs cache remain —
         # earlier iterations were released as soon as the next materialized
-        assert jsc.getPersistentRDDs().size() <= 2
-    assert jsc.getPersistentRDDs().size() == 0
+        assert jsc.getPersistentRDDs().size() <= baseline + 2
+        assert release_local_checkpoint(assign) == 1
+    # scope released the vecs cache; checkpoint released explicitly above
+    assert jsc.getPersistentRDDs().size() == baseline
 
 
 def test_cosine_neardup_lsh_finds_planted_duplicates(spark, tables):
