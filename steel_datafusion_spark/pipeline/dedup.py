@@ -34,7 +34,7 @@ from .text import fingerprint, sql_norm, tokens
 
 __all__ = [
     "md5_int60", "shingles", "minhash_signature", "lsh_bands",
-    "minhash_candidate_pairs", "minhash_dedup_pairs",
+    "minhash_candidate_pairs", "minhash_dedup_pairs", "minhash_dedup_against",
     "exact_dedup", "simhash_from_hashes", "simhash_pairs",
     "ngram_jaccard_pairs", "winnow_fingerprints", "connected_components",
     "PERM_CONSTS", "MERSENNE61", "SQL",
@@ -198,6 +198,51 @@ def minhash_dedup_pairs(
         .withColumn("jaccard", _jaccard(F.col("inter"), F.size("hs_a"), F.size("hs_b")))
     )
     return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_dedup_against(
+    batch: DataFrame, corpus: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, k: int = 32, bands: int = 8, rows: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental dedup: which BATCH documents are near-duplicates of the
+    existing CORPUS — the continuous-ingest shape (dedup each increment
+    against everything already accepted), which a self-join formulation
+    cannot express without rescanning corpus×corpus.
+
+    Candidates come from an asymmetric band-bucket join: both sides band
+    their MinHash signatures, then join on (band_idx, band_hash).  At
+    100 TB the corpus's banded table IS the dedup index — computed once,
+    stored partitioned/bucketed by the band key, and only the (small)
+    batch side is re-banded per increment, so each increment costs
+    O(|batch| + matched buckets), never O(|corpus|).  Survivors are
+    verified with exact hashed-shingle Jaccard, like minhash_dedup_pairs.
+
+    Output: (batch_id, corpus_id, jaccard ≥ threshold)."""
+    hb = _hashed_shingles(batch, id_col, text_col, n)
+    hc = _hashed_shingles(corpus, id_col, text_col, n)
+
+    def _banded(hs: DataFrame) -> DataFrame:
+        sigs = track(hs.select(
+            "doc_id", minhash_signature("hs", k).alias("sig")).persist())
+        return (sigs.select("doc_id",
+                            F.explode(lsh_bands(F.col("sig"), bands, rows))
+                            .alias("b"))
+                .select("doc_id", "b.band_idx", "b.band_hash"))
+
+    bb = _banded(hb).toDF("batch_id", "band_idx", "band_hash")
+    bc = _banded(hc).toDF("corpus_id", "band_idx", "band_hash")
+    cand = (bb.join(bc, ["band_idx", "band_hash"])
+            .select("batch_id", "corpus_id").distinct())
+    a = hb.select(F.col("doc_id").alias("batch_id"), F.col("hs").alias("hs_a"))
+    c = hc.select(F.col("doc_id").alias("corpus_id"), F.col("hs").alias("hs_b"))
+    j = (cand.join(a, "batch_id").join(c, "corpus_id")
+         .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+         .withColumn("jaccard",
+                     _jaccard(F.col("inter"), F.size("hs_a"), F.size("hs_b"))))
+    return (j.filter(F.col("jaccard") >= threshold)
+            .select("batch_id", "corpus_id", "jaccard"))
 
 
 def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",

@@ -21,8 +21,8 @@ from ..sources.readers import load_tables
 from . import text as TX
 from .dedup import (
     SQL as DSQL, connected_components, exact_dedup, md5_int60,
-    minhash_dedup_pairs, ngram_jaccard_pairs, shingles, simhash_from_hashes,
-    simhash_pairs,
+    minhash_dedup_against, minhash_dedup_pairs, ngram_jaccard_pairs,
+    shingles, simhash_from_hashes, simhash_pairs,
 )
 from .dedup import winnow_fingerprints
 from .multimodal import extract_features, make_media_table
@@ -321,6 +321,52 @@ j AS (
   JOIN shing sa ON sa.doc_id = p.doc_a
   JOIN shing sb ON sb.doc_id = p.doc_b)
 SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+"""
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Continuous-ingest dedup: the planted near-copy batch (docs <20,
+    ' steel spark dedup' appended, ids +1000000) checked against the full
+    corpus via the asymmetric band-bucket join (pipeline/dedup.py
+    minhash_dedup_against) — the corpus banding is the reusable index."""
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" steel spark dedup")).alias("text"))
+    return minhash_dedup_against(batch, d, threshold=0.5)
+
+
+def _sql_dedup_incremental() -> str:
+    hs = DSQL.hashed_shingles("text")
+    sig_items = ",\n    ".join(DSQL.minhash_sig_items("hs", 32))
+    return f"""
+WITH batch AS (
+  SELECT doc_id + 1000000 AS doc_id, text || ' steel spark dedup' AS text
+  FROM documents WHERE doc_id < 20),
+shb AS (SELECT doc_id, {hs} AS hs FROM batch),
+shc AS (SELECT doc_id, {hs} AS hs FROM documents),
+sigb AS (SELECT doc_id, [{sig_items}] AS sig FROM shb),
+sigc AS (SELECT doc_id, [{sig_items}] AS sig FROM shc),
+bandsb AS (
+  SELECT doc_id, b.band_idx,
+         md5(array_to_string(list_slice(sig, b.band_idx*4+1, b.band_idx*4+4), ',')) AS band_hash
+  FROM sigb, (SELECT unnest(generate_series(0, 7)) AS band_idx) b),
+bandsc AS (
+  SELECT doc_id, b.band_idx,
+         md5(array_to_string(list_slice(sig, b.band_idx*4+1, b.band_idx*4+4), ',')) AS band_hash
+  FROM sigc, (SELECT unnest(generate_series(0, 7)) AS band_idx) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS batch_id, c.doc_id AS corpus_id
+  FROM bandsb a JOIN bandsc c
+    ON a.band_idx = c.band_idx AND a.band_hash = c.band_hash),
+j AS (
+  SELECT p.batch_id, p.corpus_id,
+    round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+          (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))), 6) AS jaccard
+  FROM cand p
+  JOIN shb sa ON sa.doc_id = p.batch_id
+  JOIN shc sb ON sb.doc_id = p.corpus_id)
+SELECT batch_id, corpus_id, jaccard FROM j WHERE jaccard >= 0.5
 """
 
 
@@ -762,6 +808,7 @@ PIPELINE_QUERIES = {
     "sequence_packing": (q_sequence_packing, _sql_sequence_packing()),
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_dedup_minhash()),
+    "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
     "dedup_simhash_fingerprints": (q_dedup_simhash_fingerprints, _sql_simhash_fps()),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, _sql_simhash_pairs()),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),

@@ -66,6 +66,25 @@ def test_bpe_ish_counts_punctuation(spark):
     assert n == 7  # Hello , world ! 42 . 5
 
 
+def test_minhash_dedup_against_matches_only_real_neardups(spark, tables):
+    from steel_datafusion_spark.cache import pipeline_cache_scope
+    from steel_datafusion_spark.pipeline.dedup import minhash_dedup_against
+
+    corpus = tables["documents"].select("doc_id", "text").limit(100)
+    # batch: one near-copy of doc 3, one unrelated doc
+    dup = corpus.filter(F.col("doc_id") == 3).select(
+        F.lit(900001).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"))
+    fresh = spark.createDataFrame(
+        [(900002, "entirely novel words nowhere else present whatsoever")],
+        "doc_id long, text string")
+    with pipeline_cache_scope(spark):
+        got = minhash_dedup_against(dup.union(fresh), corpus,
+                                    threshold=0.5).collect()
+    assert [(r.batch_id, r.corpus_id) for r in got] == [(900001, 3)]
+    assert got[0].jaccard > 0.8
+
+
 def test_lsh_neardup_recall_vs_exact_all_pairs(spark, tables):
     """Semantic recall gate for cosine_neardup_pairs (ADVICE r2 #3).
 
