@@ -137,7 +137,21 @@ def main() -> None:
 
     ok_meds = [v for v in med.values() if v is not None]
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(json.dumps({
+    machine = {
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
+        "steal_pct": steal_pct,
+        "probe_sec_start": probe_start,
+        "probe_sec_end": probe_end,
+        "bench_wall_sec": wall,
+        "cpus_conf": os.environ.get("SPARK_GRAFT_CPUS"),
+    }
+
+    # Full detail (per-rep sample arrays, mins) goes to bench_runs/ — the
+    # driver captures only the final stdout line and its buffer truncated the
+    # all-in-one form at 58 queries (VERDICT r3 #2), so the stdout line stays
+    # compact: total + per-query medians (3 dp) + machine evidence.
+    detail = {
         "metric": "sum of per-query median wall time over "
                   f"{reps} interleaved sweeps",
         "value": round(sum(ok_meds), 4),
@@ -150,15 +164,33 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "n_queries": len(med),
         "n_failed": failed,
-        "machine": {
-            "loadavg_start": load_start,
-            "loadavg_end": load_end,
-            "steal_pct": steal_pct,
-            "probe_sec_start": probe_start,
-            "probe_sec_end": probe_end,
-            "bench_wall_sec": wall,
-            "cpus_conf": os.environ.get("SPARK_GRAFT_CPUS"),
-        },
+        "machine": machine,
+    }
+    runs_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_runs")
+    detail_path = None
+    try:
+        os.makedirs(runs_dir, exist_ok=True)
+        stamp = time.strftime("%Y%m%dT%H%M%S")
+        detail_path = os.path.join(runs_dir, f"run_{stamp}.json")
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:
+        print(f"bench: could not write detail file: {e}", file=sys.stderr)
+        detail_path = None
+
+    print(json.dumps({
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": {n: (None if v is None else round(v, 3))
+                    for n, v in med.items()},
+        "reps": reps,
+        "sf": detail["sf"],
+        "n_queries": len(med),
+        "n_failed": failed,
+        "machine": machine,
+        "detail_file": detail_path,
     }))
 
 

@@ -1124,12 +1124,54 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
+def _last_verified_round() -> dict[str, int]:
+    """name → newest round whose committed CORRECTNESS_r*.json has a clean
+    row (err is null and rows matched) for that query.
+
+    The correctness driver caps its artifact at 50 entries *in registry
+    order*, while the registry has grown past 50 — so a fixed order would
+    leave the same tail queries permanently unverified (this bit round 3:
+    eight gates kept only their round-2 oracle rows while their code kept
+    changing).  Reading the committed artifacts lets ``all_queries`` put the
+    least-recently-verified gates first, which rotates oracle coverage
+    automatically every round with no manual reordering."""
+    import glob
+    import json
+    import re
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    newest: dict[str, int] = {}
+    for path in glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if (isinstance(row, dict) and row.get("err") is None
+                    and row.get("rows_match")):
+                newest[name] = max(newest.get(name, 0), rnd)
+    return newest
+
+
 def all_queries() -> dict[str, tuple[QueryFn, str | None]]:
-    """Full registry: relational core + pipeline operators (when present)."""
+    """Full registry: relational core + pipeline operators (when present).
+
+    Ordered least-recently-oracle-verified first (stable within a round) so
+    the driver's 50-entry correctness cap re-checks the gates whose last
+    oracle row is oldest — see ``_last_verified_round``."""
     out = dict(RELATIONAL_QUERIES)
     try:
         from .pipeline.queries import PIPELINE_QUERIES
         out.update(PIPELINE_QUERIES)
     except ImportError:
         pass
-    return out
+    verified = _last_verified_round()
+    ordered = sorted(out, key=lambda n: verified.get(n, -1))
+    return {n: out[n] for n in ordered}

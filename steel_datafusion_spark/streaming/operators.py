@@ -35,6 +35,18 @@ def read_stream_parquet(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.readStream.schema(schema).parquet(path)
 
 
+def _ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (with local-time semantics); parquet
+    written without timezone annotation reads back as TIMESTAMP_NTZ, which
+    ``withWatermark`` rejects.  Cast NTZ → TIMESTAMP (session-timezone
+    interpretation — the batch rollup reads the same column the same way, so
+    parity holds)."""
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def windowed_rollup(
     events: DataFrame,
     ts_col: str = "ts",
@@ -47,7 +59,7 @@ def windowed_rollup(
     batch ``events_time_rollup`` gate query.  Output: one row per
     (window_start, key) with count/sum/min/max."""
     return (
-        events.withWatermark(ts_col, watermark)
+        _ensure_event_time(events, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -69,8 +81,9 @@ def streaming_dedup(
     """Exactly-once-per-key within the watermark horizon: state is dropped
     as the watermark advances (bounded memory — the only dedup that runs
     forever)."""
-    return events.withWatermark(ts_col, watermark) \
-                 .dropDuplicatesWithinWatermark(key_cols)
+    return _ensure_event_time(events, ts_col) \
+        .withWatermark(ts_col, watermark) \
+        .dropDuplicatesWithinWatermark(key_cols)
 
 
 def run_stream_to_memory(stream_df: DataFrame, query_name: str,
