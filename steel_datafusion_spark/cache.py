@@ -28,7 +28,7 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["track", "release_all", "pipeline_cache_scope", "tracked_count",
-           "release_local_checkpoint"]
+           "release_local_checkpoint", "iteration_barrier"]
 
 _TRACKED: dict[str, list[DataFrame]] = {}
 
@@ -73,6 +73,33 @@ def release_all(spark: SparkSession) -> int:
 
 def tracked_count(spark: SparkSession) -> int:
     return len(_TRACKED.get(_app_id(spark), []))
+
+
+def iteration_barrier(df: DataFrame, reliable: bool = False,
+                      checkpoint_dir: str | None = None) -> DataFrame:
+    """Eager lineage-truncation barrier for iterative loops (CC, k-means).
+
+    ``reliable=False`` → ``localCheckpoint(eager=True)``: blocks live on
+    executors with NO lineage to recompute them — fastest, and fine on
+    local[*] — but on a real cluster a single lost executor kills the job
+    mid-loop (the blocks are unrecoverable).  ``reliable=True`` →
+    ``checkpoint(eager=True)`` to the SparkContext checkpoint directory
+    (HDFS/object store): survives executor loss at the cost of one write +
+    read per iteration — the right default for multi-hour 100 TB loops.
+    ``checkpoint_dir`` sets the directory on first use; raises if
+    ``reliable=True`` and no directory was ever configured (Spark would
+    throw a cryptic SparkException mid-job otherwise)."""
+    if not reliable:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    if checkpoint_dir is not None:
+        sc.setCheckpointDir(checkpoint_dir)
+    elif sc._jsc.sc().getCheckpointDir().isEmpty():
+        raise ValueError(
+            "reliable=True needs a checkpoint_dir (or a prior "
+            "SparkContext.setCheckpointDir) — a durable location that "
+            "survives executor loss")
+    return df.checkpoint(eager=True)
 
 
 def release_local_checkpoint(df: DataFrame) -> int:

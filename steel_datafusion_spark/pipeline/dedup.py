@@ -30,11 +30,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..cache import track
+from ..sources.bucketing import write_bucketed
 from .text import fingerprint, sql_norm, tokens
 
 __all__ = [
     "md5_int60", "shingles", "minhash_signature", "lsh_bands",
     "minhash_candidate_pairs", "minhash_dedup_pairs", "minhash_dedup_against",
+    "build_dedup_index", "dedup_against_index",
     "exact_dedup", "simhash_from_hashes", "simhash_pairs",
     "ngram_jaccard_pairs", "winnow_fingerprints", "connected_components",
     "PERM_CONSTS", "MERSENNE61", "SQL",
@@ -112,7 +114,10 @@ def _hashed_shingles(df: DataFrame, id_col: str, text_col: str,
 
 # Building these wide expression trees costs seconds of py4j round-trips;
 # they are unresolved (column-name-bound) expressions, so memoizing by the
-# input column name is safe and makes repeated query builds ~free.
+# input column name is safe and makes repeated query builds ~free.  Unbounded
+# by design: keys are (kind, column-name, k) — a handful per process, each a
+# small unresolved tree; if a long-lived service ever churned column names,
+# cap it then.
 _EXPR_CACHE: dict = {}
 
 
@@ -159,13 +164,7 @@ def minhash_candidate_pairs(
 
 
 def _candidates(hs: DataFrame, k: int, bands: int, rows: int) -> DataFrame:
-    # signature table persisted so the 8 band slices read an attribute, not
-    # 8 re-inlined copies of the K-min expression
-    sigs = track(hs.select("doc_id",
-                           minhash_signature("hs", k).alias("sig")).persist())
-    banded = sigs.select(
-        "doc_id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")
-    ).select("doc_id", "b.band_idx", "b.band_hash")
+    banded = _banded_table(hs, k, bands, rows)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, on=[F.col("a.band_idx") == F.col("b.band_idx"),
@@ -200,11 +199,53 @@ def minhash_dedup_pairs(
     return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
+def _banded_table(hs: DataFrame, k: int, bands: int, rows: int) -> DataFrame:
+    """(doc_id, band_idx, band_hash) from a hashed-shingles table; the
+    signature table is persisted so the band slices read an attribute."""
+    sigs = track(hs.select(
+        "doc_id", minhash_signature("hs", k).alias("sig")).persist())
+    return (sigs.select("doc_id",
+                        F.explode(lsh_bands(F.col("sig"), bands, rows))
+                        .alias("b"))
+            .select("doc_id", "b.band_idx", "b.band_hash"))
+
+
+def _match_batch_to_corpus(
+    hb: DataFrame, bb: DataFrame,
+    corpus_shingles: DataFrame, corpus_bands: DataFrame,
+    threshold: float, broadcast_batch: bool,
+) -> DataFrame:
+    """Shared tail of the incremental-dedup shapes: band-bucket join for
+    candidates, then exact hashed-shingle Jaccard verify.
+
+    ``hb``/``bb`` are the batch's (doc_id, hs) and (batch_id, band_idx,
+    band_hash); corpus sides use columns (corpus_id, hs) and (corpus_id,
+    band_idx, band_hash).  ``broadcast_batch=True`` hints the batch side of
+    both joins so the corpus is NEVER shuffled — the right plan whenever the
+    increment is small relative to the corpus (the incremental-ingest
+    contract); leave False if a huge backfill batch would blow the broadcast
+    limit, and AQE picks the join."""
+    bb_side = F.broadcast(bb) if broadcast_batch else bb
+    cand = (bb_side.join(corpus_bands, ["band_idx", "band_hash"])
+            .select("batch_id", "corpus_id").distinct())
+    a = hb.select(F.col("doc_id").alias("batch_id"), F.col("hs").alias("hs_a"))
+    c = corpus_shingles.select("corpus_id", F.col("hs").alias("hs_b"))
+    cand_a = cand.join(a, "batch_id")
+    if broadcast_batch:
+        cand_a = F.broadcast(cand_a)
+    j = (cand_a.join(c, "corpus_id")
+         .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+         .withColumn("jaccard",
+                     _jaccard(F.col("inter"), F.size("hs_a"), F.size("hs_b"))))
+    return (j.filter(F.col("jaccard") >= threshold)
+            .select("batch_id", "corpus_id", "jaccard"))
+
+
 def minhash_dedup_against(
     batch: DataFrame, corpus: DataFrame,
     id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, k: int = 32, bands: int = 8, rows: int = 4,
-    threshold: float = 0.5,
+    threshold: float = 0.5, broadcast_batch: bool = False,
 ) -> DataFrame:
     """Incremental dedup: which BATCH documents are near-duplicates of the
     existing CORPUS — the continuous-ingest shape (dedup each increment
@@ -212,37 +253,77 @@ def minhash_dedup_against(
     cannot express without rescanning corpus×corpus.
 
     Candidates come from an asymmetric band-bucket join: both sides band
-    their MinHash signatures, then join on (band_idx, band_hash).  At
-    100 TB the corpus's banded table IS the dedup index — computed once,
-    stored partitioned/bucketed by the band key, and only the (small)
-    batch side is re-banded per increment, so each increment costs
-    O(|batch| + matched buckets), never O(|corpus|).  Survivors are
-    verified with exact hashed-shingle Jaccard, like minhash_dedup_pairs.
+    their MinHash signatures, then join on (band_idx, band_hash).  This
+    entry point recomputes the corpus banding per call (fine for one-off
+    comparisons); for repeated increments against a stable corpus, build the
+    banded table ONCE with ``build_dedup_index`` and run each increment via
+    ``dedup_against_index`` — then only the (small) batch side is re-banded
+    and each increment costs O(|batch| + matched buckets), never
+    O(|corpus|).  Survivors are verified with exact hashed-shingle Jaccard,
+    like minhash_dedup_pairs.
 
     Output: (batch_id, corpus_id, jaccard ≥ threshold)."""
     hb = _hashed_shingles(batch, id_col, text_col, n)
     hc = _hashed_shingles(corpus, id_col, text_col, n)
+    bb = _banded_table(hb, k, bands, rows).toDF(
+        "batch_id", "band_idx", "band_hash")
+    bc = _banded_table(hc, k, bands, rows).toDF(
+        "corpus_id", "band_idx", "band_hash")
+    return _match_batch_to_corpus(
+        hb, bb, hc.withColumnRenamed("doc_id", "corpus_id"), bc,
+        threshold, broadcast_batch)
 
-    def _banded(hs: DataFrame) -> DataFrame:
-        sigs = track(hs.select(
-            "doc_id", minhash_signature("hs", k).alias("sig")).persist())
-        return (sigs.select("doc_id",
-                            F.explode(lsh_bands(F.col("sig"), bands, rows))
-                            .alias("b"))
-                .select("doc_id", "b.band_idx", "b.band_hash"))
 
-    bb = _banded(hb).toDF("batch_id", "band_idx", "band_hash")
-    bc = _banded(hc).toDF("corpus_id", "band_idx", "band_hash")
-    cand = (bb.join(bc, ["band_idx", "band_hash"])
-            .select("batch_id", "corpus_id").distinct())
-    a = hb.select(F.col("doc_id").alias("batch_id"), F.col("hs").alias("hs_a"))
-    c = hc.select(F.col("doc_id").alias("corpus_id"), F.col("hs").alias("hs_b"))
-    j = (cand.join(a, "batch_id").join(c, "corpus_id")
-         .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
-         .withColumn("jaccard",
-                     _jaccard(F.col("inter"), F.size("hs_a"), F.size("hs_b"))))
-    return (j.filter(F.col("jaccard") >= threshold)
-            .select("batch_id", "corpus_id", "jaccard"))
+def build_dedup_index(
+    corpus: DataFrame, name: str,
+    id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, k: int = 32, bands: int = 8, rows: int = 4,
+    n_buckets: int = 8,
+) -> None:
+    """Materialize the corpus side of incremental dedup ONCE, as two managed
+    bucketed tables (sources/bucketing.py layout):
+
+    - ``{name}_bands``    (corpus_id, band_idx, band_hash), bucketed+sorted
+      by band_hash — the candidate-generation index the batch probes;
+    - ``{name}_shingles`` (corpus_id, hs), bucketed by corpus_id — the
+      verify-stage posting lists.
+
+    At 100 TB this is the difference between re-shingling the corpus on
+    every increment and a pure probe: the banded table is the dedup index,
+    stored hash-bucketed on the join key so each ``dedup_against_index``
+    call broadcasts the small batch into it without shuffling a byte of
+    corpus.  Size ``n_buckets`` to cluster parallelism (thousands at 100 TB;
+    8 suits local tests).  Banding parameters (n, k, bands, rows) must match
+    between build and probe — they are stored in the table comment-free
+    layout, so pass the same values to ``dedup_against_index``."""
+    hc = _hashed_shingles(corpus, id_col, text_col, n)
+    bc = _banded_table(hc, k, bands, rows).withColumnRenamed(
+        "doc_id", "corpus_id")
+    write_bucketed(bc, f"{name}_bands", ["band_hash"], n_buckets,
+                   sort_cols=["band_hash"])
+    write_bucketed(hc.withColumnRenamed("doc_id", "corpus_id"),
+                   f"{name}_shingles", ["corpus_id"], n_buckets)
+
+
+def dedup_against_index(
+    batch: DataFrame, name: str,
+    id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, k: int = 32, bands: int = 8, rows: int = 4,
+    threshold: float = 0.5, broadcast_batch: bool = True,
+) -> DataFrame:
+    """Incremental dedup of a batch against a ``build_dedup_index`` corpus:
+    bands only the batch, probes the stored ``{name}_bands`` /
+    ``{name}_shingles`` tables — the corpus is never re-shingled or
+    re-banded (assert via .explain(): no scan of the raw corpus source).
+    Output: (batch_id, corpus_id, jaccard ≥ threshold), same contract as
+    ``minhash_dedup_against``."""
+    spark = batch.sparkSession
+    bc = spark.table(f"{name}_bands")
+    hc = spark.table(f"{name}_shingles")
+    hb = _hashed_shingles(batch, id_col, text_col, n)
+    bb = _banded_table(hb, k, bands, rows).toDF(
+        "batch_id", "band_idx", "band_hash")
+    return _match_batch_to_corpus(hb, bb, hc, bc, threshold, broadcast_batch)
 
 
 def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
@@ -417,8 +498,40 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
+def _large_star(cedges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in MapReduce
+    and Beyond"): every node connects its strictly-larger neighbors to the
+    minimum of its neighborhood (incl. itself).  Input/output: canonical
+    undirected edges (hi > lo)."""
+    sym = cedges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+        cedges.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("mn"))
+    return (sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("mn").alias("lo"))
+            .where(F.col("hi") != F.col("lo"))
+            .distinct())
+
+
+def _small_star(cedges: DataFrame) -> DataFrame:
+    """Small-star round: every node connects its smaller-or-equal neighbors
+    (and itself) to the minimum of those.  Canonical edges in/out."""
+    m = cedges.groupBy("hi").agg(F.min("lo").alias("mn"))
+    out1 = (cedges.join(m, "hi")
+            .select(F.col("lo").alias("x"), F.col("mn").alias("y")))
+    out2 = m.select(F.col("hi").alias("x"), F.col("mn").alias("y"))
+    return (out1.union(out2)
+            .where(F.col("x") != F.col("y"))
+            .select(F.greatest("x", "y").alias("hi"),
+                    F.least("x", "y").alias("lo"))
+            .distinct())
+
+
 def connected_components(pairs: DataFrame, src: str = "doc_a",
-                         dst: str = "doc_b", max_iters: int = 25) -> DataFrame:
+                         dst: str = "doc_b", max_iters: int = 25,
+                         algorithm: str = "label-propagation",
+                         reliable: bool = False,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """Resolve candidate near-dup PAIRS into CLUSTERS: iterative min-label
     propagation to a fixpoint — the step every real dedup pipeline needs
     between pair generation (minhash/simhash/jaccard) and keeper selection,
@@ -429,36 +542,86 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     (the canonical keeper).  Singletons (docs in no pair) are absent —
     their keeper is themselves.
 
-    Scale: the standard distributed CC loop (GraphX/Pregel shape) in pure
-    DataFrame ops — per iteration one hash-join of labels onto edges plus a
-    min-aggregate, both shuffling on fine-grained vertex keys; iterations =
-    component diameter, which for dedup graphs is tiny (near-cliques: the
-    measured diameter at sf0.01 is ≤ 3).  Convergence is detected with a
-    1-row sum(label) aggregate (labels only decrease, so an unchanged sum
-    IS the fixpoint — no expensive change-join).
+    Two algorithms, same contract:
 
-    **Lineage is truncated every iteration with eager localCheckpoint.**
-    With plain persist() each iteration's plan embeds the previous
-    InMemoryRelation's child plan recursively — measured at sf0.1: the
-    executed-plan tree grew ~4× per iteration (41 MB of plan text by
+    - ``"label-propagation"`` (default): the GraphX/Pregel loop in pure
+      DataFrame ops — per iteration one hash-join of labels onto edges plus
+      a min-aggregate, both shuffling on fine-grained vertex keys;
+      iterations = component DIAMETER.  Right for dedup graphs, whose
+      components are near-cliques (measured diameter ≤ 3 at sf0.01).
+      Convergence is detected with a 1-row sum(label) aggregate (labels
+      only decrease, so an unchanged sum IS the fixpoint).
+    - ``"two-phase"``: alternating large-star/small-star rounds (Kiveris et
+      al.) rewriting the EDGE set until stable — O(log n) rounds regardless
+      of diameter, so a chain of length 1000 converges in ~10 rounds where
+      label propagation needs 1000 iterations.  The 100 TB choice whenever
+      component shape is unknown (web-scale link graphs, long chains of
+      pairwise near-dups).
+
+    **Lineage is truncated every iteration with an eager checkpoint
+    barrier.**  With plain persist() each iteration's plan embeds the
+    previous InMemoryRelation's child plan recursively — measured at sf0.1:
+    the executed-plan tree grew ~4× per iteration (41 MB of plan text by
     iteration 2) and planning, not execution, dominated at 3-9 s/iter.
-    Checkpointing collapses every iteration to a flat LogicalRDD scan
-    (measured 0.2 s/iter — 24× less loop wall-clock), the
-    GraphFrames/MLlib iterative pattern.  Superseded iterations release
-    their blocks immediately via cache.release_local_checkpoint; the
-    returned frame's blocks are reclaimed by Spark's ContextCleaner on
-    GC, or eagerly by passing the materialized result to
-    release_local_checkpoint.  ``max_iters`` bounds pathological chain
-    graphs; at 100 TB swap in alternating large-star/small-star rounds
-    for O(log n) convergence — the loop body stays identical."""
-    from ..cache import release_local_checkpoint
+    Checkpointing collapses every iteration to a flat scan (measured
+    0.2 s/iter — 24× less loop wall-clock), the GraphFrames/MLlib
+    iterative pattern.  By default the barrier is ``localCheckpoint``
+    (executor-local blocks, NO recompute lineage): fastest, but on a real
+    cluster one lost executor kills the job mid-loop — for long 100 TB
+    runs pass ``reliable=True`` (+ ``checkpoint_dir`` on first use) to
+    write each iteration to durable storage instead
+    (cache.iteration_barrier).  Superseded iterations release their blocks
+    immediately; the returned frame's blocks are reclaimed by Spark's
+    ContextCleaner on GC, or eagerly via release_local_checkpoint."""
+    from ..cache import iteration_barrier, release_local_checkpoint
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return iteration_barrier(df, reliable, checkpoint_dir)
 
     e = pairs.select(F.col(src).cast("long").alias("a"),
                      F.col(dst).cast("long").alias("b"))
-    edges = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-             .distinct().localCheckpoint(eager=True))
-    labels = (edges.select(F.col("a").alias("v")).distinct()
-              .withColumn("label", F.col("v")).localCheckpoint(eager=True))
+
+    if algorithm == "two-phase":
+        cedges = _ckpt(e.where(F.col("a") != F.col("b"))
+                       .select(F.greatest("a", "b").alias("hi"),
+                               F.least("a", "b").alias("lo"))
+                       .distinct())
+        # vertex set from the RAW pairs (incl. self-pairs, which the
+        # canonical edge set drops), so the output covers every doc that
+        # appeared in a pair — same contract as label propagation
+        vertices = _ckpt(e.select(F.col("a").alias("v")).union(
+            e.select(F.col("b").alias("v"))).distinct())
+        prev_sig = None
+        for _ in range(max_iters):
+            new = _ckpt(_small_star(_large_star(cedges)))
+            sig = tuple(new.agg(F.count(F.lit(1)), F.sum("hi"),
+                                F.sum("lo")).collect()[0])
+            release_local_checkpoint(cedges)
+            cedges = new
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        # at the fixpoint every non-minimum node has a direct edge to its
+        # component minimum; minima label themselves
+        mins = cedges.groupBy(F.col("hi").alias("v")).agg(
+            F.min("lo").alias("mn"))
+        labels = (vertices.join(mins, "v", "left")
+                  .select(F.col("v").alias("doc_id"),
+                          F.least(F.col("v"), F.coalesce("mn", "v"))
+                          .alias("cluster_id")))
+        out = labels.localCheckpoint(eager=True)
+        release_local_checkpoint(cedges)
+        release_local_checkpoint(vertices)
+        return out
+    if algorithm != "label-propagation":
+        raise ValueError(f"unknown algorithm {algorithm!r}: "
+                         "expected 'label-propagation' or 'two-phase'")
+
+    edges = _ckpt(
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct())
+    labels = _ckpt(edges.select(F.col("a").alias("v")).distinct()
+                   .withColumn("label", F.col("v")))
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iters):
         # new label = min(own label, neighbors' labels): one union + one
@@ -466,9 +629,8 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         # both shuffles on the fine-grained vertex key
         nbr = (edges.join(labels.toDF("b", "blabel"), "b")
                .select(F.col("a").alias("v"), F.col("blabel").alias("label")))
-        new = (labels.unionByName(nbr)
-               .groupBy("v").agg(F.min("label").alias("label"))
-               .localCheckpoint(eager=True))
+        new = _ckpt(labels.unionByName(nbr)
+                    .groupBy("v").agg(F.min("label").alias("label")))
         new_sum = new.agg(F.sum("label")).collect()[0][0]
         release_local_checkpoint(labels)     # superseded iteration
         labels = new

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..cache import release_local_checkpoint, track
+from ..cache import iteration_barrier, release_local_checkpoint, track
 
 __all__ = ["dot", "norm2", "cosine", "cosine_topk", "cosine_neardup_pairs",
            "ivf_assign", "ivf_topk", "kmeans", "lsh_bucket", "lsh_topk",
@@ -272,6 +272,7 @@ def lsh_topk(
 def kmeans(
     corpus: DataFrame, k: int = 8, iters: int = 3,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    reliable: bool = False, checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd's k-means entirely in DataFrame ops (iterative algorithm demo).
 
@@ -286,8 +287,11 @@ def kmeans(
     Each iteration is two shuffles — assign (broadcast centroids, argmin
     distance) and update (posexplode → per-(cluster,dim) mean → re-assemble)
     — the standard scalable shape: no vector ever leaves the executors.
-    Each iteration's assignment is an eager ``localCheckpoint`` (flat
-    LogicalRDD): without lineage truncation each iteration's plan embeds
+    Each iteration's assignment is an eager checkpoint barrier (flat
+    scan; ``localCheckpoint`` by default — executor-local blocks with no
+    recompute lineage, so pass ``reliable=True`` + ``checkpoint_dir`` on a
+    real cluster where an executor loss mid-loop must not kill the job):
+    without lineage truncation each iteration's plan embeds
     the previous one's recursively and planning cost grows exponentially
     with ``iters`` (measured on the CC loop, pipeline/dedup.py) — the
     GraphFrames/MLlib iterative pattern.  The previous iteration's blocks
@@ -319,8 +323,10 @@ def kmeans(
         assign = (vecs.join(F.broadcast(cent))
                   .withColumn("r", F.row_number().over(w))
                   .filter(F.col("r") == 1)
-                  .select("vid", "v", "cluster")
-                  .localCheckpoint(eager=True))  # materialize + truncate
+                  .select("vid", "v", "cluster"))
+        # materialize + truncate lineage; reliable=True -> durable
+        # checkpoint that survives executor loss (cache.iteration_barrier)
+        assign = iteration_barrier(assign, reliable, checkpoint_dir)
         if prev is not None:
             release_local_checkpoint(prev)
         prev = assign

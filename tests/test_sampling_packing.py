@@ -23,6 +23,46 @@ def test_connected_components_chain_pair_triangle(spark):
                    (10, 10), (11, 10), (20, 20), (21, 20), (22, 20)]
 
 
+def test_two_phase_cc_converges_where_propagation_truncates(spark):
+    # path graph LONGER than max_iters: min-label propagation moves the
+    # label one hop per iteration, so with max_iters=8 a 60-node chain
+    # cannot finish — two-phase halves the diameter per round (O(log n))
+    # and must fully converge within the same budget
+    n = 60
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)],
+                                  "doc_a long, doc_b long")
+    prop = connected_components(pairs, max_iters=8)
+    assert any(r.cluster_id != 0 for r in prop.collect()), \
+        "expected truncation to demonstrate the propagation bound"
+    two = connected_components(pairs, max_iters=8, algorithm="two-phase")
+    got = sorted((r.doc_id, r.cluster_id) for r in two.collect())
+    assert got == [(i, 0) for i in range(n + 1)]
+
+
+def test_two_phase_cc_matches_propagation_on_mixed_graph(spark):
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22),
+         (30, 30)],  # incl. a self-pair: vertex must still be labeled
+        "doc_a long, doc_b long")
+    a = sorted(map(tuple, connected_components(pairs).collect()))
+    b = sorted(map(tuple, connected_components(
+        pairs, algorithm="two-phase").collect()))
+    assert a == b
+
+
+def test_cc_reliable_checkpoint(spark, tmp_path):
+    # reliable=True routes every iteration through a durable checkpoint
+    # dir (executor-loss-safe at cluster scale); results are identical
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)],
+                                  "doc_a long, doc_b long")
+    got = sorted(map(tuple, connected_components(
+        pairs, reliable=True, checkpoint_dir=str(tmp_path / "ckpt"),
+        algorithm="two-phase").collect()))
+    assert got == [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)]
+    import os
+    assert any(os.scandir(str(tmp_path / "ckpt")))  # data actually landed
+
+
 def test_connected_components_leaves_no_cache(spark):
     from steel_datafusion_spark.cache import release_all, \
         release_local_checkpoint
