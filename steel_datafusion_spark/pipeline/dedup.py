@@ -296,6 +296,21 @@ def build_dedup_index(
     8 suits local tests).  Banding parameters (n, k, bands, rows) must match
     between build and probe — they are stored in the table comment-free
     layout, so pass the same values to ``dedup_against_index``."""
+    spark = corpus.sparkSession
+    for t in (f"{name}_bands", f"{name}_shingles"):
+        # overwrite alone is not enough: a fresh session may find a stale
+        # warehouse directory with no catalog entry (LOCATION_ALREADY_EXISTS)
+        spark.sql(f"DROP TABLE IF EXISTS `{t}`")
+        try:
+            jvm = spark._jvm
+            path = jvm.org.apache.hadoop.fs.Path(
+                spark.conf.get("spark.sql.warehouse.dir"), t.lower())
+            fs = path.getFileSystem(
+                spark.sparkContext._jsc.hadoopConfiguration())
+            if fs.exists(path):
+                fs.delete(path, True)
+        except Exception:
+            pass  # best-effort; saveAsTable raises a clear error if stuck
     hc = _hashed_shingles(corpus, id_col, text_col, n)
     bc = _banded_table(hc, k, bands, rows).withColumnRenamed(
         "doc_id", "corpus_id")

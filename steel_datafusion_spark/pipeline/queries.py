@@ -20,9 +20,9 @@ from pyspark.sql import functions as F
 from ..sources.readers import load_tables
 from . import text as TX
 from .dedup import (
-    SQL as DSQL, connected_components, exact_dedup, md5_int60,
-    minhash_dedup_against, minhash_dedup_pairs, ngram_jaccard_pairs,
-    shingles, simhash_from_hashes, simhash_pairs,
+    SQL as DSQL, build_dedup_index, connected_components, dedup_against_index,
+    exact_dedup, md5_int60, minhash_dedup_against, minhash_dedup_pairs,
+    ngram_jaccard_pairs, shingles, simhash_from_hashes, simhash_pairs,
 )
 from .dedup import winnow_fingerprints
 from .multimodal import extract_features, make_media_table
@@ -453,6 +453,35 @@ FROM lab l JOIN sizes s USING (cluster_id)
 """
 
 
+def q_dedup_clusters_twophase(spark, sf_dir):
+    """Same cluster resolution as dedup_clusters, but via the alternating
+    large-star/small-star algorithm (pipeline/dedup.py, O(log n) rounds
+    regardless of component diameter — the 100 TB choice for long-chain
+    graphs).  Shares dedup_clusters' recursive-CTE transitive-closure
+    oracle: both algorithms must reach the identical fixpoint labels."""
+    pairs = simhash_pairs(_aug_docs(spark, sf_dir), max_hamming=10)
+    cc = connected_components(pairs, algorithm="two-phase")
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size")
+
+
+def q_dedup_index_probe(spark, sf_dir):
+    """Incremental dedup through the PERSISTED index: build_dedup_index
+    materializes the corpus banding + shingles as bucketed managed tables,
+    dedup_against_index bands only the batch and broadcast-probes them —
+    same results contract (and oracle) as dedup_incremental, but the plan
+    must never rescan the raw corpus (tests/test_dedup_index.py asserts
+    it; this gate hash-checks the values end-to-end)."""
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" steel spark dedup")).alias("text"))
+    build_dedup_index(d, "gate_dedup_idx")
+    return dedup_against_index(batch, "gate_dedup_idx", threshold=0.5)
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard ≥ 0.5 within lang blocks (augmented corpus)."""
     return ngram_jaccard_pairs(_aug_docs(spark, sf_dir), block_cols=["lang"],
@@ -567,6 +596,50 @@ SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
 FROM probes a JOIN b c
   ON a.probe = c.bucket AND a.label = c.label AND a.vec_id < c.vec_id
 WHERE round({_COS.format(a='a.v', b='c.v')}, 6) >= {threshold}
+"""
+
+
+def q_embedding_neardup_banded(spark, sf_dir):
+    """Banded variant of embedding_neardup (8 planes × 4 bands): a pair is
+    a candidate if ANY 2-bit band code matches — the high-recall knob for
+    wider-angle near-dups (recall ≈ 0.999 at cosine 0.97 vs ~0.92 for
+    hamming-1 multiprobe; see pipeline/similarity.py)."""
+    return cosine_neardup_pairs(_aug_emb(spark, sf_dir), threshold=0.99,
+                                n_planes=8, bands=4)
+
+
+def _sql_emb_neardup_banded(n_planes: int = 8, bands: int = 4,
+                            threshold: float = 0.99) -> str:
+    """Oracle mirrors the banded candidate generation: same hyperplane
+    bucket code, band codes = bit slices, candidates deduped on ids before
+    the exact-cosine verify."""
+    planes = hyperplanes(n_planes)
+    terms = []
+    for p, row in enumerate(planes):
+        arr = "[" + ", ".join(repr(x) for x in row) + "]::DOUBLE[]"
+        terms.append(
+            f"CASE WHEN list_dot_product(v, {arr}) > 0 "
+            f"THEN {1 << p}::BIGINT ELSE 0::BIGINT END")
+    bucket = " + ".join(terms)
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    return f"""
+WITH {_AUG_EMB_SQL},
+b AS (SELECT vec_id, v, label, {bucket} AS bucket FROM corpus),
+banded AS (
+  SELECT vec_id, label, s.bi, (bucket >> (s.bi * {width})) & {mask} AS bc
+  FROM b, (SELECT unnest(generate_series(0, {bands - 1})) AS bi) s),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+  FROM banded a JOIN banded c
+    ON a.bi = c.bi AND a.bc = c.bc AND a.label = c.label
+   AND a.vec_id < c.vec_id)
+SELECT p.vec_a, p.vec_b,
+       round({_COS.format(a='va.v', b='vb.v')}, 6) AS cos_sim
+FROM cand p
+JOIN b va ON va.vec_id = p.vec_a
+JOIN b vb ON vb.vec_id = p.vec_b
+WHERE round({_COS.format(a='va.v', b='vb.v')}, 6) >= {threshold}
 """
 
 
@@ -809,13 +882,17 @@ PIPELINE_QUERIES = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_dedup_minhash()),
     "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
+    "dedup_index_probe": (q_dedup_index_probe, _sql_dedup_incremental()),
     "dedup_simhash_fingerprints": (q_dedup_simhash_fingerprints, _sql_simhash_fps()),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, _sql_simhash_pairs()),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
+    "dedup_clusters_twophase": (q_dedup_clusters_twophase, _sql_dedup_clusters()),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _sql_ngram_jaccard()),
     "similarity_topk": (q_similarity_topk, _SQL_SIM_TOPK),
     "similarity_ivf": (q_similarity_ivf, _SQL_SIM_IVF),
     "embedding_neardup": (q_embedding_neardup, _sql_emb_neardup()),
+    "embedding_neardup_banded": (q_embedding_neardup_banded,
+                                 _sql_emb_neardup_banded()),
     "multimodal_features": (q_multimodal_features, _SQL_MULTIMODAL),
     "winnow_fingerprints": (q_winnow_fingerprints, _SQL_WINNOW),
     "kmeans_clusters": (q_kmeans_clusters, _sql_kmeans()),

@@ -81,6 +81,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id", vec_col: str = "embedding",
     block_col: str | None = "label",
     n_planes: int = 8, multiprobe: bool = True,
+    bands: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH-bucketed candidates.
 
@@ -113,7 +114,18 @@ def cosine_neardup_pairs(
     Recall: exact duplicates always share a bucket; a pair at cosine just
     above threshold is missed only if its codes differ in ≥2 bits
     (P ≈ (n_planes·θ/π)²/2 for angle θ) — the documented LSH trade; raise
-    ``multiprobe`` breadth or band the planes for higher recall."""
+    ``multiprobe`` breadth or set ``bands`` for higher recall.
+
+    ``bands=B`` switches candidate generation to MinHash-style banding:
+    the n_planes-bit code is split into B codes of n_planes/B bits and a
+    pair is a candidate if ANY band matches exactly — miss probability
+    (1 - q^(n/B))^B for per-bit agreement q = 1 - θ/π, e.g. 8 planes × 4
+    bands at cosine 0.97 → recall ≈ 0.999 (vs ~0.92 for hamming-1
+    multiprobe).  Shorter band codes mean coarser buckets (occupancy
+    N / 2^(n/B) per band), so at scale raise n_planes with B to keep
+    band-code width ≈ log2(N/B_target) — the same sizing rule, applied
+    per band.  Candidates are deduped on ids BEFORE the exact-cosine
+    verify, so multi-band matches don't multiply verify work."""
     planes = hyperplanes(n_planes)
     cols = [F.col(id_col).alias("vid"), F.col(vec_col).alias("v")]
     if block_col:
@@ -124,6 +136,36 @@ def cosine_neardup_pairs(
     base = track(
         df.repartition(parts, F.col(id_col)).select(*cols)
         .withColumn("bucket", lsh_bucket(F.col("v"), planes)).persist())
+    if bands is not None:
+        if n_planes % bands:
+            raise ValueError(f"bands={bands} must divide n_planes={n_planes}")
+        width = n_planes // bands
+        mask = (1 << width) - 1
+        band_arr = F.array(*[
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.shiftright(F.col("bucket"), i * width)
+                .bitwiseAND(F.lit(mask)).alias("bc"))
+            for i in range(bands)])
+        key_cols = ["vid"] + (["blk"] if block_col else [])
+        banded = (base.select(*key_cols, F.explode(band_arr).alias("b"))
+                  .select(*key_cols, "b.bi", "b.bc"))
+        bb = banded.toDF(*(["vid_b"]
+                           + (["blk_b"] if block_col else []) + ["bi_b", "bc_b"]))
+        bcond = [F.col("bi") == F.col("bi_b"), F.col("bc") == F.col("bc_b"),
+                 F.col("vid") < F.col("vid_b")]
+        if block_col:
+            bcond.append(F.col("blk") == F.col("blk_b"))
+        cand = banded.join(bb, on=bcond).select("vid", "vid_b").distinct()
+        va = base.select("vid", "v")
+        vb = base.select(F.col("vid").alias("vid_b"), F.col("v").alias("v_b"))
+        return (cand.join(va, "vid").join(vb, "vid_b")
+                .select(F.col("vid").alias("vec_a"),
+                        F.col("vid_b").alias("vec_b"),
+                        F.round(cosine(F.col("v"), F.col("v_b")), 6)
+                        .alias("cos_sim"))
+                .filter(F.col("cos_sim") >= threshold))
+
     shifts = [0] + ([1 << i for i in range(n_planes)] if multiprobe else [])
     a_cols = ["vid", "v"] + (["blk"] if block_col else [])
     probes = base.select(

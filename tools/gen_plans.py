@@ -25,6 +25,9 @@ NOTES = {
  "approx_percentile": "approx_percentile (Greenwald-Khanna) is a mergeable partial→final aggregate — the plan is the same partial/final HashAggregate pair as any sum, with NO per-group sort. Contrast exact F.median (describe_stats/stats_agg): correct, but the only non-streaming aggregate in the catalog — this gate is its documented 100 TB replacement.",
  "read_csv_surface": "CSV scan with inferSchema feeds the same codegen'd projection pipeline as parquet sources; the fold/comparison expressions (col_add/col_sub/col_mul/col_lt) stay inside one WholeStageCodegen span — expression-surface parity costs nothing at scale.",
  "dedup_clusters": "cluster resolution = simhash pair generation + the converged CC labels, read as flat LogicalRDD scans: every loop iteration (one edge-label hash join + min-agg on fine-grained vertex keys) is eagerly localCheckpoint-ed. The truncation is load-bearing: with persist() the InMemoryRelation child plans nested recursively — plan text grew 4x/iter to 41 MB by iteration 2 and PLANNING dominated at 3-9 s/iter; checkpointed, 0.2 s/iter (24x less loop wall-clock at sf0.1). Iterations = component diameter (<=3 measured); superseded iterations free their blocks via cache.release_local_checkpoint.",
+ "dedup_clusters_twophase": "same fixpoint as dedup_clusters via alternating large-star/small-star EDGE rewriting (O(log n) rounds regardless of component diameter — the 100 TB choice for chain-shaped graphs): per round two groupBy-min aggregates + one join, all keyed on fine-grained vertex ids; every round eagerly checkpointed (flat scan), superseded rounds freed. reliable=True swaps localCheckpoint for durable checkpoint at cluster scale.",
+ "dedup_index_probe": "incremental dedup through the PERSISTED index: {name}_bands / {name}_shingles are bucketed managed tables built once by build_dedup_index; the probe plan bands ONLY the batch, broadcasts it into the stored band table (corpus side never shuffles, never re-shingles — no scan of the raw corpus source appears in the plan), then broadcast-joins the candidates into the bucketed shingle table for the exact-Jaccard verify.",
+ "embedding_neardup_banded": "banded LSH candidates: the 8-bit sign-projection code splits into 4×2-bit band codes; the explode self-join keys on (band_idx, band_code, label) and candidates are id-deduped BEFORE the exact-cosine verify, so multi-band matches never multiply verify work. The recall knob: miss probability (1-q^2)^4 vs multiprobe's >=2-bit-flip loss — measured recall 1.0 vs 0.92 at cosine 0.97 (tests/test_pipeline_ops.py).",
  "stratified_sample": "exact n-per-stratum: WindowGroupLimit prunes to the top-20-by-md5 per input partition BEFORE the single exchange on lang — only ~n rows per partition shuffle, the top-k plan shape. hash_split/hash_sample/pii_redact need no plan audit: zero-exchange codegen'd projections (asserted in tests).",
 }
 
