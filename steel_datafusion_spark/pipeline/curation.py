@@ -1,0 +1,181 @@
+"""Corpus-curation operators: repetition quality, decontamination, mixture.
+
+Beyond-reference surface (BASELINE.json north star) — the three filters
+every LLM training-data pipeline runs between dedup and packing:
+
+- **Repetition signals** (Gopher-style, Rae et al. 2021 §A1.1): documents
+  dominated by a few repeated n-grams are low-quality (boilerplate, SEO
+  spam, scraped menus).  ``repetition_stats`` computes per-doc
+  top-n-gram coverage and duplicate-n-gram fractions, all from explode +
+  per-(doc, gram) counts — two shuffles on doc-grain keys, linear at
+  100 TB, no Python in the row path.
+- **Decontamination**: training corpora must not contain eval-benchmark
+  text.  ``decontaminate`` marks corpus docs sharing ≥ ``min_hits``
+  n-gram shingle hashes with the (small) eval set — eval shingles are
+  broadcast, so the corpus is a single map-side explode + broadcast-join
+  probe: no corpus shuffle at any scale.
+- **Mixture resampling**: ``mixture_resample`` downsamples each source
+  domain to hit target mixture weights, deterministically (the
+  md5-keyed coin of pipeline/sampling.py — reproducible, anti-leak, and
+  oracle-checkable).  Rates derive from observed counts inside the plan
+  (two tiny aggregates broadcast back); no driver-side collect.
+
+All scoring is integer/string arithmetic with doubles only in final
+ratios, rounded before any threshold compare — every operator has an
+exactly-equivalent DuckDB oracle in pipeline/queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..cache import track
+from .dedup import md5_int60, shingles
+from .sampling import hash_unit
+from .text import tokens
+
+__all__ = ["repetition_stats", "decontaminate", "mixture_resample",
+           "pos_ngrams"]
+
+
+def pos_ngrams(toks: Column, n: int) -> Column:
+    """Positional (non-distinct) word n-grams; < n tokens ⇒ [] (unlike
+    dedup.shingles, which backfills a whole-doc shingle — repetition
+    metrics must not count a too-short doc as one gram)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) < n,
+                  F.array().cast("array<string>")).otherwise(grams)
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    top_n: int = 2, dup_n: int = 5,
+    max_top_frac: float = 0.20, max_dup_frac: float = 0.30,
+) -> DataFrame:
+    """Per-document repetition quality signals (Gopher §A1.1 shape):
+
+    - ``top{top_n}gram_frac``: tokens covered by the single most frequent
+      top_n-gram (count × n / n_tokens) — boilerplate detector;
+    - ``dup{dup_n}gram_frac``: fraction of dup_n-gram occurrences that
+      are duplicates (1 − distinct/total) — long-range repetition;
+    - ``keep``: both fractions under their thresholds (Gopher defaults
+      0.20 / 0.30).
+
+    Plan: one base projection (persisted fan-out), then per metric an
+    explode + groupBy on (doc_id[, gram]) — fine-grained keys, partial
+    aggregation map-side; a doc's cost is O(len), never quadratic.
+    Ties in the most-frequent gram don't matter (only the count is
+    used).  Docs too short to form a gram get fraction 0 (kept)."""
+    base = track(df.select(F.col(id_col).alias("doc_id"),
+                           tokens(F.col(text_col)).alias("toks")).persist())
+    stats = base.select("doc_id", F.size("toks").alias("n_tokens"))
+
+    tg = (base.select("doc_id", F.explode(pos_ngrams(F.col("toks"), top_n))
+                      .alias("g"))
+          .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+          .groupBy("doc_id").agg(F.max("c").alias("top_c")))
+
+    dg = (base.select("doc_id", F.explode(pos_ngrams(F.col("toks"), dup_n))
+                      .alias("g"))
+          .groupBy("doc_id").agg(
+              F.count(F.lit(1)).alias("tot"),
+              F.count_distinct(F.col("g")).alias("dis")))
+
+    top_frac = F.round(
+        F.coalesce(F.col("top_c") * top_n / F.col("n_tokens"), F.lit(0.0)), 6)
+    dup_frac = F.round(
+        F.coalesce((F.col("tot") - F.col("dis")) / F.col("tot"), F.lit(0.0)),
+        6)
+    return (stats.join(tg, "doc_id", "left").join(dg, "doc_id", "left")
+            .select(
+                "doc_id", "n_tokens",
+                top_frac.alias(f"top{top_n}gram_frac"),
+                dup_frac.alias(f"dup{dup_n}gram_frac"))
+            .withColumn(
+                "keep",
+                (F.col(f"top{top_n}gram_frac") <= max_top_frac)
+                & (F.col(f"dup{dup_n}gram_frac") <= max_dup_frac)))
+
+
+def decontaminate(
+    corpus: DataFrame, eval_docs: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    n: int = 5, min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, how many distinct
+    n-gram shingle hashes it shares with the eval set, and whether that
+    reaches ``min_hits`` (⇒ drop before training).
+
+    Eval sets are small (thousands of docs), so the distinct eval-shingle
+    table is **broadcast**: the corpus side is a map-side explode +
+    broadcast semi-probe + per-doc count — zero corpus shuffle beyond the
+    final doc-grain aggregate, which AQE coalesces.  Output: (doc_id,
+    n_hits, contaminated) for ALL corpus docs (n_hits 0 when clean), so
+    the caller filters or joins as needed."""
+    ev = (eval_docs.select(
+        F.explode(F.transform(shingles(F.col(text_col), n), md5_int60))
+        .alias("h")).distinct())
+    ex = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(
+            F.transform(shingles(F.col(text_col), n), md5_int60))).alias("h"))
+    hits = (ex.join(F.broadcast(ev), "h")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (corpus.select(F.col(id_col).alias("doc_id"))
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+            .withColumn("contaminated", F.col("n_hits") >= min_hits))
+
+
+_MOD = 1 << 32
+_RATE_SCALE = 1_000_000  # rates quantized to 1e-6 → integer threshold compare
+
+
+def mixture_resample(
+    df: DataFrame, targets: dict[str, float],
+    group_col: str = "source", key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministically downsample each ``group_col`` domain toward the
+    target mixture ``targets`` (weights need not sum to 1 — they are
+    normalized).  The keep rate per group is
+
+        rate_g = (target_g / observed_share_g) / max_h(target_h / share_h)
+
+    — the largest-deficit domain keeps everything and every other domain
+    downsamples proportionally, the downsample-only way to hit a mixture
+    without duplicating rows.  Groups absent from ``targets`` get rate 0.
+
+    The per-row coin is ``hash_unit(key, salt)`` (pipeline/sampling.py):
+    reproducible across runs/clusters, stable under corpus growth within a
+    group's rate.  Rates are quantized to 1e-6 and compared as integers
+    (hash · 10⁶ < rate_ppm · 2³²) so Spark and the DuckDB oracle make the
+    identical comparison — no float boundary flicker.
+
+    Plan: one tiny groupBy on the domain key for observed counts, a 1-row
+    max, both broadcast back; the row path stays a map-side filter."""
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, float(v)) for k, v in targets.items()],
+        f"{group_col} string, _target double")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    total = counts.agg(F.sum("_n").alias("_tot"))
+    ratio = (counts.crossJoin(F.broadcast(total))
+             .join(F.broadcast(tgt), group_col)
+             .select(group_col,
+                     (F.col("_target") * F.col("_tot") / F.col("_n"))
+                     .alias("_ratio")))
+    mx = ratio.agg(F.max("_ratio").alias("_mx"))
+    rates = (ratio.crossJoin(F.broadcast(mx))
+             .select(group_col,
+                     F.floor(F.round(F.col("_ratio") / F.col("_mx"), 6)
+                             * _RATE_SCALE).cast("long").alias("_rate_ppm")))
+    return (df.join(F.broadcast(rates), group_col, "inner")
+            .filter(hash_unit(F.col(key_col), salt) * F.lit(_RATE_SCALE)
+                    < F.col("_rate_ppm") * F.lit(_MOD))
+            .drop("_rate_ppm"))

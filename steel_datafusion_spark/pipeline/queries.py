@@ -25,6 +25,7 @@ from .dedup import (
     ngram_jaccard_pairs, shingles, simhash_from_hashes, simhash_pairs,
 )
 from .dedup import winnow_fingerprints
+from .curation import decontaminate, mixture_resample, repetition_stats
 from .multimodal import extract_features, make_media_table
 from .similarity import (
     cosine_neardup_pairs, cosine_topk, hyperplanes, ivf_topk, kmeans, lsh_topk,
@@ -644,6 +645,118 @@ WHERE round({_COS.format(a='va.v', b='vb.v')}, 6) >= {threshold}
 
 
 # ---------------------------------------------------------------------------
+# Curation (repetition quality / decontamination / mixture)
+# ---------------------------------------------------------------------------
+
+def q_repetition_quality(spark, sf_dir):
+    """Gopher-style repetition filter over documents plus 10 planted
+    boilerplate docs (one 2-gram repeated 30×, ids +2000000): per-doc
+    top-2-gram coverage and duplicate-5-gram fraction with keep flags —
+    the planted docs must fail both thresholds."""
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr("repeat('spark steel ', 30)").alias("text"))
+    return repetition_stats(d.unionByName(planted))
+
+
+def _sql_repetition_quality(top_n: int = 2, dup_n: int = 5) -> str:
+    toks = DSQL.tokens("text")
+
+    def pos_grams(n: int) -> str:
+        return (f"CASE WHEN len(toks) < {n} THEN []::VARCHAR[] "
+                f"ELSE list_transform(generate_series(1, len(toks) - {n - 1}),"
+                f" i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' '))"
+                f" END")
+
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, repeat('spark steel ', 30)
+  FROM documents WHERE doc_id < 10),
+tk AS (SELECT doc_id, {toks} AS toks FROM corpus),
+stats AS (SELECT doc_id, len(toks) AS n_tokens FROM tk),
+tg AS (
+  SELECT doc_id, max(c) AS top_c FROM (
+    SELECT doc_id, g, count(*) AS c
+    FROM (SELECT doc_id, unnest({pos_grams(top_n)}) AS g FROM tk)
+    GROUP BY doc_id, g)
+  GROUP BY doc_id),
+dg AS (
+  SELECT doc_id, count(*) AS tot, count(DISTINCT g) AS dis
+  FROM (SELECT doc_id, unnest({pos_grams(dup_n)}) AS g FROM tk)
+  GROUP BY doc_id)
+SELECT s.doc_id, s.n_tokens,
+  round(coalesce(top_c * {top_n} / s.n_tokens, 0.0), 6) AS top{top_n}gram_frac,
+  round(coalesce((tot - dis) * 1.0 / tot, 0.0), 6) AS dup{dup_n}gram_frac,
+  (round(coalesce(top_c * {top_n} / s.n_tokens, 0.0), 6) <= 0.20
+   AND round(coalesce((tot - dis) * 1.0 / tot, 0.0), 6) <= 0.30) AS keep
+FROM stats s LEFT JOIN tg USING (doc_id) LEFT JOIN dg USING (doc_id)
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: eval set = docs with doc_id % 50 == 3
+    (which ARE in the corpus, so each is fully self-contaminated); every
+    corpus doc gets its shared-5-gram count and a contaminated flag at
+    min_hits=3."""
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    ev = d.filter(F.col("doc_id") % 50 == 3)
+    return decontaminate(d, ev, n=5, min_hits=3)
+
+
+def _sql_decontaminate(n: int = 5, min_hits: int = 3) -> str:
+    hs = DSQL.hashed_shingles("text", n)
+    return f"""
+WITH ev AS (
+  SELECT DISTINCT unnest({hs}) AS h
+  FROM documents WHERE doc_id % 50 = 3),
+ex AS (SELECT doc_id, unnest({hs}) AS h FROM documents),
+hits AS (SELECT ex.doc_id, count(*) AS n_hits
+         FROM ex JOIN ev USING (h) GROUP BY ex.doc_id)
+SELECT d.doc_id, coalesce(n_hits, 0) AS n_hits,
+       coalesce(n_hits, 0) >= {min_hits} AS contaminated
+FROM documents d LEFT JOIN hits USING (doc_id)
+"""
+
+
+_MIX_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2,
+                "src3": 0.05, "src4": 0.05}
+
+
+def q_mixture_resample(spark, sf_dir):
+    """Domain-mixture resampling toward a skewed 5-source target (sources
+    outside the target get rate 0): deterministic md5 coin, rates derived
+    from observed counts inside the plan.  Returns the surviving
+    (doc_id, source) rows — hash-checked, so the oracle must pick the
+    exact same rows."""
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "source")
+    return mixture_resample(d, _MIX_TARGETS).select("doc_id", "source")
+
+
+def _sql_mixture_resample() -> str:
+    from .sampling import sql_hash_unit
+
+    values = ", ".join(f"('{k}', {v})" for k, v in _MIX_TARGETS.items())
+    h = sql_hash_unit("doc_id", "mix")
+    return f"""
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+tot AS (SELECT sum(n) AS t FROM counts),
+tgt(source, target) AS (VALUES {values}),
+ratio AS (
+  SELECT c.source, target * t / n AS ratio
+  FROM counts c JOIN tgt ON c.source = tgt.source CROSS JOIN tot),
+mx AS (SELECT max(ratio) AS m FROM ratio),
+rates AS (SELECT source, floor(round(ratio / m, 6) * 1000000)::BIGINT AS ppm
+          FROM ratio, mx)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates USING (source)
+WHERE {h} * 1000000 < ppm * 4294967296
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
 
@@ -879,6 +992,9 @@ PIPELINE_QUERIES = {
     "hash_split": (q_hash_split, _sql_hash_split()),
     "weighted_sample": (q_weighted_sample, _sql_weighted_sample()),
     "sequence_packing": (q_sequence_packing, _sql_sequence_packing()),
+    "repetition_quality": (q_repetition_quality, _sql_repetition_quality()),
+    "decontaminate": (q_decontaminate, _sql_decontaminate()),
+    "mixture_resample": (q_mixture_resample, _sql_mixture_resample()),
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_dedup_minhash()),
     "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),

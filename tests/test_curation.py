@@ -1,0 +1,71 @@
+"""Curation operators: repetition quality, decontamination, mixture
+resampling (pipeline/curation.py) — semantic tests complementing the
+driver's hash-checked DuckDB gates."""
+
+from pyspark.sql import functions as F
+
+from steel_datafusion_spark.pipeline.curation import (
+    decontaminate, mixture_resample, repetition_stats,
+)
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs far away"),
+        (2, "spam spam spam spam spam spam spam spam spam spam"),
+        (3, "buy now " * 20),
+        (4, "tiny"),                     # < n tokens: fractions 0, kept
+        (5, ""),                         # empty: fractions 0, kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[1].keep
+    assert not got[2].keep and got[2].top2gram_frac > 0.5
+    assert not got[3].keep and got[3].dup5gram_frac > 0.5
+    assert got[4].keep and got[4].top2gram_frac == 0.0 \
+        and got[4].dup5gram_frac == 0.0
+    assert got[5].keep and got[5].n_tokens == 0
+
+
+def test_decontaminate_marks_shared_ngrams_only(spark):
+    eval_docs = spark.createDataFrame(
+        [(100, "the capital of france is paris and it is large")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame([
+        (1, "we know the capital of france is paris indeed"),  # shares 5-grams
+        (2, "completely unrelated text about spark partitions and shuffles"),
+        (3, "the capital of france is paris and it is large"),  # exact copy
+    ], "doc_id long, text string")
+    got = {r.doc_id: r for r in decontaminate(corpus, eval_docs,
+                                              n=5, min_hits=1).collect()}
+    assert len(got) == 3                      # every corpus doc reported
+    assert got[1].contaminated and got[1].n_hits >= 1
+    assert not got[2].contaminated and got[2].n_hits == 0
+    assert got[3].contaminated and got[3].n_hits == got[3].n_hits >= 5
+
+
+def test_mixture_resample_hits_target_proportions(spark):
+    # 3 sources, 3000 rows each; target 60/30/10 → kept counts must land
+    # near 1500/750/250 (source a keeps all: it has the largest deficit)
+    rows = [(i, f"s{i % 3}") for i in range(9000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    targets = {"s0": 0.6, "s1": 0.3, "s2": 0.1}
+    kept = mixture_resample(df, targets).groupBy("source").count().collect()
+    counts = {r.source: r["count"] for r in kept}
+    assert counts["s0"] == 3000               # rate exactly 1.0
+    assert abs(counts["s1"] - 1500) < 150     # md5 coin, ~±3σ
+    assert abs(counts["s2"] - 500) < 100
+    # untargeted sources are dropped entirely
+    df2 = df.union(spark.createDataFrame([(99990 + i, "junk") for i in range(5)],
+                                         "doc_id long, source string"))
+    assert mixture_resample(df2, targets).filter(
+        F.col("source") == "junk").count() == 0
+
+
+def test_mixture_resample_is_deterministic(spark):
+    rows = [(i, f"s{i % 2}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    targets = {"s0": 0.8, "s1": 0.2}
+    a = sorted(r.doc_id for r in mixture_resample(df, targets).collect())
+    b = sorted(r.doc_id for r in mixture_resample(df, targets).collect())
+    assert a == b and len(a) > 0
