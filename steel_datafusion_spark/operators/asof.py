@@ -2,7 +2,8 @@
 
 For each left row, attach the right row with the greatest timestamp ≤ the
 left timestamp within the same key (backward as-of; the time-series "latest
-value as of then" join).
+value as of then" join) — or, with ``direction="forward"``, the right row
+with the smallest timestamp ≥ the left timestamp ("next event after").
 
 Implementation is the shuffle-parallel union trick, NOT a range self-join:
 tag both inputs, union them, and run one window per key ordered by
@@ -12,9 +13,10 @@ sort — the same shape as any windowed aggregate, linear in |L|+|R|.  A
 naive ``L ⋈ R ON key AND r.ts <= l.ts`` + argmax explodes quadratically per
 key and is never acceptable at scale.
 
-Ties: right rows sort before left rows at equal ts, so "≤" is inclusive;
-equal-ts right rows among themselves are broken by ``right_tiebreak``
-(latest wins) to keep results deterministic.
+Ties: the match is inclusive in both directions (right rows at the exact
+left timestamp match); equal-ts right rows among themselves are broken by
+``right_tiebreak`` — latest wins looking backward, earliest wins looking
+forward — to keep results deterministic.
 
 DuckDB's native ``ASOF LEFT JOIN`` is the oracle for the gate query.
 """
@@ -37,9 +39,12 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of left join.  Output: all left columns + every right
-    column (nulled when no right row is ≤ the left timestamp)."""
+    """As-of left join.  Output: all left columns + every right column
+    (nulled when no right row is ≤ — forward: ≥ — the left timestamp)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     l_payload = [c for c in left.columns if c not in on and c != left_ts]
     r_payload = [c for c in right.columns if c not in on]
@@ -70,17 +75,32 @@ def asof_join(
         F.struct(*r_payload).alias("_r"),
     )
 
+    # Backward: right rows (side 0) sort before left (side 1) at equal ts
+    # and last() looks over (unboundedPreceding, current) — the latest
+    # right row ≤ ts wins (tiebreak asc + last ⇒ max tiebreak).  Forward is
+    # the mirror: left gets side 0, first() looks over (current,
+    # unboundedFollowing) — the earliest right row ≥ ts wins (tiebreak asc
+    # + first ⇒ min tiebreak).  Same single shuffle either way.
     order = [F.col("_ts").asc(), F.col("_side").asc()]
     # right_tiebreak lives inside _r for right rows; order on the struct field
     if right_tiebreak:
-        order = [F.col("_ts").asc(), F.col("_side").asc(),
-                 F.col(f"_r.{right_tiebreak}").asc_nulls_first()]
-    w = (Window.partitionBy(*on).orderBy(*order)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        order.append(F.col(f"_r.{right_tiebreak}").asc_nulls_first())
+    if direction == "backward":
+        w = (Window.partitionBy(*on).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        pick = F.last("_r", ignorenulls=True).over(w)
+        left_side = 1
+    else:
+        l_tag = l_tag.withColumn("_side", F.lit(0))
+        r_tag = r_tag.withColumn("_side", F.lit(1))
+        w = (Window.partitionBy(*on).orderBy(*order)
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        pick = F.first("_r", ignorenulls=True).over(w)
+        left_side = 0
 
     matched = (l_tag.unionByName(r_tag)
-               .withColumn("_match", F.last("_r", ignorenulls=True).over(w))
-               .filter(F.col("_side") == 1))
+               .withColumn("_match", pick)
+               .filter(F.col("_side") == left_side))
     return matched.select(
         *on,
         F.col("_ts").alias(left_ts),

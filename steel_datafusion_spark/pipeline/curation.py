@@ -70,8 +70,10 @@ def repetition_stats(
     aggregation map-side; a doc's cost is O(len), never quadratic.
     Ties in the most-frequent gram don't matter (only the count is
     used).  Docs too short to form a gram get fraction 0 (kept)."""
-    base = track(df.select(F.col(id_col).alias("doc_id"),
-                           tokens(F.col(text_col)).alias("toks")).persist())
+    parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    base = track(df.repartition(parts, F.col(id_col))
+                 .select(F.col(id_col).alias("doc_id"),
+                         tokens(F.col(text_col)).alias("toks")).persist())
     stats = base.select("doc_id", F.size("toks").alias("n_tokens"))
 
     tg = (base.select("doc_id", F.explode(pos_ngrams(F.col("toks"), top_n))
@@ -119,7 +121,11 @@ def decontaminate(
     ev = (eval_docs.select(
         F.explode(F.transform(shingles(F.col(text_col), n), md5_int60))
         .alias("h")).distinct())
-    ex = corpus.select(
+    # repartition before the CPU-heavy tokenize+shingle+hash explode: a
+    # small parquet source arrives as one split, which would serialize the
+    # whole scan onto one core (same fix as dedup._hashed_shingles)
+    parts = corpus.sparkSession.sparkContext.defaultParallelism * 2
+    ex = corpus.repartition(parts, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(
             F.transform(shingles(F.col(text_col), n), md5_int60))).alias("h"))

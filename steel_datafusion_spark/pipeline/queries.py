@@ -969,6 +969,42 @@ def q_asof_join(spark, sf_dir):
                       "purch_event_id", "purch_value")
 
 
+def q_asof_join_forward(spark, sf_dir):
+    """Forward as-of join: each 'error' event gets the EARLIEST
+    at-or-after 'purchase' of the same user — "next event after", the
+    mirror of the backward gate (same union+window plan, frame reversed).
+    Oracle: DuckDB ASOF LEFT JOIN with the inequality flipped."""
+    from ..operators.asof import asof_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select("user_id", F.col("event_id").alias("err_event_id"),
+                      F.col("ts").alias("err_ts")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("event_id").alias("purch_event_id"),
+                         F.col("ts").alias("purch_ts"),
+                         F.round(F.col("value"), 6).alias("purch_value")))
+    out = asof_join(errors, purchases, on=["user_id"],
+                    left_ts="err_ts", right_ts="purch_ts",
+                    right_tiebreak="purch_event_id", direction="forward")
+    return out.select("user_id", "err_event_id", "err_ts",
+                      "purch_event_id", "purch_value")
+
+
+_SQL_ASOF_FORWARD = """
+SELECT e.user_id, e.event_id AS err_event_id, e.ts AS err_ts,
+       p.event_id AS purch_event_id, round(p.value, 6) AS purch_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (
+  -- pre-reduce to one row per (user_id, ts): forward ties break by MIN
+  -- event_id on the Spark side (earliest wins looking forward)
+  SELECT user_id, ts, arg_min(event_id, event_id) AS event_id,
+         arg_min(value, event_id) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+  ON e.user_id = p.user_id AND e.ts <= p.ts
+"""
+
+
 _SQL_ASOF = """
 SELECT e.user_id, e.event_id AS err_event_id, e.ts AS err_ts,
        p.event_id AS purch_event_id, round(p.value, 6) AS purch_value
@@ -1015,4 +1051,5 @@ PIPELINE_QUERIES = {
     "tfidf_top_terms": (q_tfidf_top_terms, _sql_tfidf()),
     "similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
     "asof_join": (q_asof_join, _SQL_ASOF),
+    "asof_join_forward": (q_asof_join_forward, _SQL_ASOF_FORWARD),
 }

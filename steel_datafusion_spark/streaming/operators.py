@@ -25,8 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_stream_parquet", "windowed_rollup", "streaming_dedup",
-           "run_stream_to_memory"]
+__all__ = ["read_stream_parquet", "windowed_rollup", "session_rollup",
+           "streaming_dedup", "run_stream_to_memory"]
 
 
 def read_stream_parquet(spark: SparkSession, path: str, schema) -> DataFrame:
@@ -69,6 +69,36 @@ def windowed_rollup(
         )
         .select(F.col("w.start").alias("window_start"), key_col,
                 "n", "sum_value", "min_value", "max_value")
+    )
+
+
+def session_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time session windows (dynamic-gap analogue of the batch
+    ``sessionize`` gate): per (key, session) count/sum where a session
+    closes after ``gap`` of inactivity.  ``F.session_window`` keeps the
+    state store bounded by the watermark — sessions older than it are
+    finalized and evicted, so the operator runs forever on an unbounded
+    stream.  The same expression works in batch mode, which is what the
+    parity test compares against."""
+    return (
+        _ensure_event_time(events, ts_col).withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
+                 F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(28,10)")).cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                key_col, "n_events", "sum_value")
     )
 
 

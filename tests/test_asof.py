@@ -47,6 +47,35 @@ def test_equal_ts_right_tiebreak(spark):
     assert got.rval == "last"            # highest tiebreak wins
 
 
+def test_forward_inclusive_and_null(spark, sides):
+    left, right = sides
+    out = {r.lval: (r.rval, r.rts) for r in
+           asof_join(left, right, ["k"], "lts", "rts",
+                     direction="forward").collect()}
+    assert out["l1"][0] == "r2"          # earliest ≥ 10:00 is 12:00
+    assert out["l2"][0] == "r2"          # equal timestamp matches (inclusive)
+    assert out["l3"][0] == "r3"          # 11:00 is after 09:00
+    # and a left row after every right row gets NULL
+    extra = spark.createDataFrame(
+        [(1, _ts("2024-01-01T23:00:00"), "l9")],
+        "k long, lts timestamp, lval string")
+    got = asof_join(extra, right, ["k"], "lts", "rts",
+                    direction="forward").collect()[0]
+    assert got.rval is None
+
+
+def test_forward_equal_ts_tiebreak_earliest_wins(spark):
+    t = _ts("2024-01-01T10:00:00")
+    left = spark.createDataFrame([(1, t, "l")],
+                                 "k long, lts timestamp, lval string")
+    right = spark.createDataFrame(
+        [(1, t, 5, "first"), (1, t, 9, "last")],
+        "k long, rts timestamp, seq long, rval string")
+    got = asof_join(left, right, ["k"], "lts", "rts",
+                    right_tiebreak="seq", direction="forward").collect()[0]
+    assert got.rval == "first"           # lowest tiebreak wins forward
+
+
 def test_overlapping_names_rejected(spark, sides):
     left, right = sides
     with pytest.raises(ValueError, match="overlap"):

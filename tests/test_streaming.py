@@ -7,8 +7,8 @@ from pyspark.sql import functions as F
 
 from steel_datafusion_spark.sources.readers import load_tables
 from steel_datafusion_spark.streaming.operators import (
-    read_stream_parquet, run_stream_to_memory, streaming_dedup,
-    windowed_rollup,
+    read_stream_parquet, run_stream_to_memory, session_rollup,
+    streaming_dedup, windowed_rollup,
 )
 
 from conftest import SF_DIR
@@ -52,6 +52,29 @@ def test_windowed_rollup_matches_batch(spark, events_dir):
     assert len(got) == len(want) and len(got) > 0
     for g, w in zip(got, want):
         assert g == w
+
+
+def test_session_rollup_matches_batch(spark, events_dir):
+    """session_window parity: the identical expression runs in batch mode,
+    so the finalized sessions of a finite stream must equal the batch
+    sessions exactly (same gap, same keys, same decimal-sum values)."""
+    batch = spark.read.parquet(events_dir)
+    stream = read_stream_parquet(spark, events_dir, batch.schema)
+    got = run_stream_to_memory(
+        session_rollup(stream, gap="30 minutes"), "sess_rollup",
+    ).orderBy("session_start", "user_id").collect()
+
+    # append mode finalizes a session only once the watermark (max ts - 2h
+    # at end-of-stream) passes its end — trailing sessions stay in state
+    cutoff = batch.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("c")).collect()[0].c
+    want = (session_rollup(batch, gap="30 minutes")
+            .filter(F.col("session_end") <= F.lit(cutoff))
+            .orderBy("session_start", "user_id").collect())
+    assert len(got) == len(want) > 0
+    assert got == want
+    # sessions are genuinely gap-merged: at least one session holds >1 event
+    assert any(r.n_events > 1 for r in want)
 
 
 def test_streaming_dedup_bounded(spark, events_dir):
