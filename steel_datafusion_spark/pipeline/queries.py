@@ -969,6 +969,24 @@ def q_asof_join(spark, sf_dir):
                       "purch_event_id", "purch_value")
 
 
+def q_sketch_distinct_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup (pipeline/sketches.py): per-event-type HLL
+    sketches of user_id, merged up to one global estimate without
+    rescanning — the pre-aggregation pattern for distinct counts at
+    100 TB.  DataSketches estimates aren't reproducible in DuckDB, so
+    this gate is rows-only; the error-bound and merge-consistency
+    assertions live in tests/test_sketches.py."""
+    from .sketches import hll_merge_rollup, hll_rollup
+
+    ev = load_tables(spark, sf_dir)["events"]
+    per_type = hll_rollup(ev, ["event_type"], "user_id", lg_k=12)
+    merged = (hll_merge_rollup(per_type, [], "sketch")
+              .withColumn("event_type", F.lit("__all__")))
+    return (per_type.select("event_type", "distinct_est")
+            .unionByName(merged.select("event_type", "distinct_est"))
+            .orderBy("event_type"))
+
+
 def q_asof_join_forward(spark, sf_dir):
     """Forward as-of join: each 'error' event gets the EARLIEST
     at-or-after 'purchase' of the same user — "next event after", the
@@ -1052,4 +1070,7 @@ PIPELINE_QUERIES = {
     "similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
     "asof_join": (q_asof_join, _SQL_ASOF),
     "asof_join_forward": (q_asof_join_forward, _SQL_ASOF_FORWARD),
+    # rows-only: DataSketches estimates are not reproducible in DuckDB;
+    # semantic checks live in tests/test_sketches.py
+    "sketch_distinct_rollup": (q_sketch_distinct_rollup, None),
 }

@@ -1,0 +1,68 @@
+"""Mergeable sketches (pipeline/sketches.py): the load-bearing claims are
+(1) merged fine-grained sketches answer coarse queries EXACTLY as well as a
+global sketch (HLL union equality), and (2) estimates stay inside the
+documented error bounds vs exact answers."""
+
+from pyspark.sql import functions as F
+
+from steel_datafusion_spark.pipeline.sketches import (
+    hll_merge_rollup, hll_rollup, kll_merge_quantiles, kll_quantile_rollup,
+)
+
+
+def _events(spark):
+    # 9000 rows, 3 sources, user_id space overlaps across sources
+    return spark.range(9000).select(
+        (F.col("id") % 3).cast("string").alias("source"),
+        (F.hash(F.col("id")) % 2500).alias("user_id"),
+        (F.col("id") % 1000).cast("double").alias("value"))
+
+
+def test_hll_merge_tracks_global_sketch(spark):
+    df = _events(spark)
+    per_source = hll_rollup(df, ["source"], "user_id", lg_k=12)
+    merged = hll_merge_rollup(per_source, [], "sketch").collect()[0]
+    direct = hll_rollup(df.withColumn("g", F.lit(1)), ["g"], "user_id",
+                        lg_k=12).collect()[0]
+    # register-level union is lossless; the estimators differ (HIP for an
+    # incrementally-built sketch, composite for a union result) so the two
+    # estimates agree within the lg_k=12 error bound, not bit-for-bit
+    assert abs(merged.distinct_est - direct.distinct_est) \
+        / direct.distinct_est < 0.02
+
+
+def test_hll_estimate_within_error_bound(spark):
+    df = _events(spark)
+    exact = df.select("user_id").distinct().count()
+    est = hll_merge_rollup(hll_rollup(df, ["source"], "user_id", lg_k=12),
+                           [], "sketch").collect()[0].distinct_est
+    assert abs(est - exact) / exact < 0.05      # lg_k 12 ≈ 1.6% rse; 3σ pad
+    # per-group estimates also bounded
+    for r in hll_rollup(df, ["source"], "user_id", lg_k=12).collect():
+        ex = (df.filter(F.col("source") == r.source)
+              .select("user_id").distinct().count())
+        assert abs(r.distinct_est - ex) / ex < 0.05
+
+
+def test_kll_merged_quantiles_near_exact(spark):
+    df = _events(spark)
+    sk = kll_quantile_rollup(df, ["source"], "value", k=200)
+    got = kll_merge_quantiles(sk, [], [0.5, 0.9]).collect()[0]
+    exact_p50, exact_p90 = df.selectExpr(
+        "percentile(value, 0.5)", "percentile(value, 0.9)").collect()[0]
+    # rank error ~1.65/sqrt(200) ≈ 1.2%; values 0..999 → |Δrank| ≈ |Δvalue|/1000
+    assert abs(got.q_0_5 - exact_p50) <= 30
+    assert abs(got.q_0_9 - exact_p90) <= 30
+
+
+def test_kll_per_group_merge_matches_regrouped(spark):
+    df = _events(spark)
+    fine = kll_quantile_rollup(
+        df.withColumn("day", (F.col("user_id") % 7)), ["source", "day"],
+        "value", k=200)
+    per_source = kll_merge_quantiles(fine, ["source"], [0.5])
+    assert per_source.count() == 3
+    for r in per_source.collect():
+        exact = df.filter(F.col("source") == r.source).selectExpr(
+            "percentile(value, 0.5)").collect()[0][0]
+        assert abs(r.q_0_5 - exact) <= 40
