@@ -50,6 +50,27 @@ def test_two_phase_cc_matches_propagation_on_mixed_graph(spark):
     assert a == b
 
 
+def test_two_phase_cc_equals_propagation_on_random_graphs(spark):
+    """Property: both CC algorithms reach the identical fixpoint labels on
+    arbitrary random graphs (self-loops, duplicate and reversed edges,
+    multiple components, isolated cliques)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1, max_size=60))
+    def prop(edges):
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        a = sorted(map(tuple, connected_components(pairs).collect()))
+        b = sorted(map(tuple, connected_components(
+            pairs, algorithm="two-phase").collect()))
+        assert a == b
+
+    prop()
+
+
 def test_cc_reliable_checkpoint(spark, tmp_path):
     # reliable=True routes every iteration through a durable checkpoint
     # dir (executor-loss-safe at cluster scale); results are identical
