@@ -82,9 +82,15 @@ def asof_join(
     # unboundedFollowing) — the earliest right row ≥ ts wins (tiebreak asc
     # + first ⇒ min tiebreak).  Same single shuffle either way.
     order = [F.col("_ts").asc(), F.col("_side").asc()]
-    # right_tiebreak lives inside _r for right rows; order on the struct field
+    # right_tiebreak lives inside _r for right rows; order on the struct
+    # field.  NULL tiebreaks must LOSE ties in both directions: backward
+    # picks the LAST row in order (nulls first ⇒ nulls lose), forward picks
+    # the FIRST (nulls last ⇒ nulls lose) — keeping the two directions
+    # mirror-symmetric on null tiebreak values.
     if right_tiebreak:
-        order.append(F.col(f"_r.{right_tiebreak}").asc_nulls_first())
+        tb = F.col(f"_r.{right_tiebreak}")
+        order.append(tb.asc_nulls_first() if direction == "backward"
+                     else tb.asc_nulls_last())
     if direction == "backward":
         w = (Window.partitionBy(*on).orderBy(*order)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -606,16 +606,22 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         # appeared in a pair — same contract as label propagation
         vertices = _ckpt(e.select(F.col("a").alias("v")).union(
             e.select(F.col("b").alias("v"))).distinct())
-        prev_sig = None
+        n_prev = cedges.count()
         for _ in range(max_iters):
             new = _ckpt(_small_star(_large_star(cedges)))
-            sig = tuple(new.agg(F.count(F.lit(1)), F.sum("hi"),
-                                F.sum("lo")).collect()[0])
+            n_new = new.count()
+            # sound fixpoint test: both sets are distinct canonical edges,
+            # so equal counts + empty difference ⇔ set equality (a
+            # count/sum signature alone can collide between different
+            # consecutive edge sets); the subtract only runs on the cheap
+            # equal-count rounds
+            converged = (n_new == n_prev
+                         and new.subtract(cedges).isEmpty())
             release_local_checkpoint(cedges)
             cedges = new
-            if sig == prev_sig:
+            n_prev = n_new
+            if converged:
                 break
-            prev_sig = sig
         # at the fixpoint every non-minimum node has a direct edge to its
         # component minimum; minima label themselves
         mins = cedges.groupBy(F.col("hi").alias("v")).agg(
@@ -624,7 +630,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                   .select(F.col("v").alias("doc_id"),
                           F.least(F.col("v"), F.coalesce("mn", "v"))
                           .alias("cluster_id")))
-        out = labels.localCheckpoint(eager=True)
+        out = _ckpt(labels)  # honor reliable= for the returned frame too
         release_local_checkpoint(cedges)
         release_local_checkpoint(vertices)
         return out

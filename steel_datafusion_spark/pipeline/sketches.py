@@ -80,13 +80,17 @@ def kll_merge_quantiles(sketches: DataFrame, group_cols: list[str],
     in two levels (add an intermediate grouping key)."""
     g = sketches.groupBy(*group_cols) if group_cols else sketches.groupBy()
     lst = g.agg(F.collect_list(F.col(sketch_col)).alias("_ks"))
+    # guard the empty-group case (global groupBy over zero rows yields one
+    # row with _ks = []): element_at([], 1) throws under ANSI — emit a NULL
+    # sketch instead, so downstream quantiles come back NULL, not an error
+    fold = F.aggregate(
+        F.slice(F.col("_ks"), 2, F.greatest(F.size("_ks") - 1, F.lit(0))),
+        F.element_at(F.col("_ks"), 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
     merged = lst.select(
         *group_cols,
-        F.aggregate(
-            F.slice(F.col("_ks"), 2, F.greatest(F.size("_ks") - 1, F.lit(0))),
-            F.element_at(F.col("_ks"), 1),
-            lambda acc, x: F.kll_sketch_merge_double(acc, x),
-        ).alias("kll"))
+        F.when(F.size("_ks") > 0, fold).alias("kll"))
     cols = [
         F.kll_sketch_get_quantile_double(F.col("kll"), F.lit(q))
         .alias(f"q_{str(q).replace('.', '_')}")

@@ -1154,8 +1154,13 @@ def _last_verified_round() -> dict[str, int]:
         if not isinstance(rows, dict):
             continue
         for name, row in rows.items():
+            # verified = fully clean: a row with rows_match but a failed
+            # value hash must NOT rotate to the back (it needs re-checking
+            # most of all).  hash_match absent (rows-only gates) counts as
+            # clean — the rows-only check is all the driver can do there.
             if (isinstance(row, dict) and row.get("err") is None
-                    and row.get("rows_match")):
+                    and row.get("rows_match")
+                    and row.get("hash_match", True) is not False):
                 newest[name] = max(newest.get(name, 0), rnd)
     return newest
 

@@ -76,6 +76,20 @@ def test_forward_equal_ts_tiebreak_earliest_wins(spark):
     assert got.rval == "first"           # lowest tiebreak wins forward
 
 
+def test_null_tiebreak_loses_in_both_directions(spark):
+    t = _ts("2024-01-01T10:00:00")
+    left = spark.createDataFrame([(1, t, "l")],
+                                 "k long, lts timestamp, lval string")
+    right = spark.createDataFrame(
+        [(1, t, None, "anon"), (1, t, 5, "named")],
+        "k long, rts timestamp, seq long, rval string")
+    back = asof_join(left, right, ["k"], "lts", "rts",
+                     right_tiebreak="seq").collect()[0]
+    fwd = asof_join(left, right, ["k"], "lts", "rts",
+                    right_tiebreak="seq", direction="forward").collect()[0]
+    assert back.rval == "named" and fwd.rval == "named"
+
+
 def test_overlapping_names_rejected(spark, sides):
     left, right = sides
     with pytest.raises(ValueError, match="overlap"):

@@ -41,7 +41,9 @@ def test_decontaminate_marks_shared_ngrams_only(spark):
     assert len(got) == 3                      # every corpus doc reported
     assert got[1].contaminated and got[1].n_hits >= 1
     assert not got[2].contaminated and got[2].n_hits == 0
-    assert got[3].contaminated and got[3].n_hits == got[3].n_hits >= 5
+    # the exact copy shares ALL its shingles: 10 tokens → 6 positional
+    # 5-grams, all distinct → exactly 6 hits
+    assert got[3].contaminated and got[3].n_hits == 6
 
 
 def test_mixture_resample_hits_target_proportions(spark):

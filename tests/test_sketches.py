@@ -55,6 +55,16 @@ def test_kll_merged_quantiles_near_exact(spark):
     assert abs(got.q_0_9 - exact_p90) <= 30
 
 
+def test_kll_merge_empty_input_yields_null_not_error(spark):
+    # a global groupBy over zero rows gives one row with an empty
+    # collect_list; the merge must emit NULL quantiles, not an ANSI
+    # element_at error
+    df = _events(spark).filter(F.col("source") == "nope")
+    sk = kll_quantile_rollup(df, ["source"], "value")
+    got = kll_merge_quantiles(sk, [], [0.5]).collect()
+    assert len(got) == 1 and got[0].q_0_5 is None
+
+
 def test_kll_per_group_merge_matches_regrouped(spark):
     df = _events(spark)
     fine = kll_quantile_rollup(

@@ -48,6 +48,8 @@ def _load_run(path: str) -> dict | None:
 def main() -> None:
     a = _load_run(sys.argv[1])
     b = _load_run(sys.argv[2])
+    if a is None or b is None:
+        sys.exit(f"cannot read bench run files: {sys.argv[1]} / {sys.argv[2]}")
     r1 = _load_r1()
     p3a = _load_run(os.path.join(REPO, "bench_runs", "r3_runA.json"))
     p3b = _load_run(os.path.join(REPO, "bench_runs", "r3_runB.json"))
@@ -83,16 +85,21 @@ def main() -> None:
           f"(min-sum {b['total_min']} s); machine {b['machine']}")
     print(f"- A/B agreement: **{agree * 100:.1f}% apart** "
           f"({'PASS' if agree <= 0.20 else 'FAIL'} vs the 20% gate)")
-    print(f"- fixed-probe machine factor vs r3: **{machine_factor:.2f}x** "
-          f"(probe {probe_r3:.3f} s -> {probe_now:.3f} s; the probe code "
-          "never changes, so this measures the sandbox, not the engine — "
-          "'vs r3' ratios below are divided by it)")
+    if probe_now and probe_r3:
+        print(f"- fixed-probe machine factor vs r3: **{machine_factor:.2f}x**"
+              f" (probe {probe_r3:.3f} s -> {probe_now:.3f} s; the probe "
+              "code never changes, so this measures the sandbox, not the "
+              "engine — 'vs r3' ratios below are divided by it)")
+    else:
+        print("- no r3 baseline runs found (bench_runs/r3_run*.json); "
+              "cross-round ratios omitted")
     print()
     print("| query | r1 | r3 best | now A med | now B med | now min | "
           "vs r3 (adj) | note |")
     print("|---|---|---|---|---|---|---|---|")
     flagged = []
     common_now = common_r3 = 0.0
+    n_common = 0
     for n in names:
         va, vb = a["queries"].get(n), b["queries"].get(n)
         mins = [x for x in (a["queries_min"].get(n), b["queries_min"].get(n))
@@ -104,6 +111,7 @@ def main() -> None:
             ratio = round(m / base / machine_factor, 2)
             common_now += m
             common_r3 += base
+            n_common += 1
         note = ""
         if ratio is not None and ratio > 2:
             note = KNOWN.get(n, "UNEXPLAINED")
@@ -119,7 +127,7 @@ def main() -> None:
     print()
     if common_r3:
         adj = common_now / common_r3 / machine_factor
-        print(f"On the {sum(1 for n in names if best3(n) and a['queries'].get(n))} "
+        print(f"On the {n_common} "
               f"queries shared with r3: best-of-run sums "
               f"{common_r3:.1f} s (r3) vs {common_now:.1f} s (now) — "
               f"**{common_now / common_r3:.2f}x raw, {adj:.2f}x "
