@@ -606,22 +606,30 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         # appeared in a pair — same contract as label propagation
         vertices = _ckpt(e.select(F.col("a").alias("v")).union(
             e.select(F.col("b").alias("v"))).distinct())
-        n_prev = cedges.count()
+        def _sig(e: DataFrame) -> tuple:
+            # fixpoint test via an order-independent content hash: count +
+            # exact decimal SUM of the per-edge 60-bit md5 hash.  A plain
+            # count/sum-of-endpoints signature is unsound (different edge
+            # sets collide trivially); equal hash-sums of DIFFERENT sets
+            # require an md5 collision-sum event (≤2^-60 — the same bound
+            # every dedup operator here builds on).  One map-side agg per
+            # round; the sound-but-shuffling alternative (subtract +
+            # isEmpty) costs a full set-difference shuffle per round at
+            # 100 TB.
+            h = md5_int60(F.concat_ws("_", F.col("hi"), F.col("lo")))
+            return tuple(e.agg(
+                F.count(F.lit(1)),
+                F.sum(h.cast("decimal(38,0)"))).collect()[0])
+
+        prev_sig = _sig(cedges)
         for _ in range(max_iters):
             new = _ckpt(_small_star(_large_star(cedges)))
-            n_new = new.count()
-            # sound fixpoint test: both sets are distinct canonical edges,
-            # so equal counts + empty difference ⇔ set equality (a
-            # count/sum signature alone can collide between different
-            # consecutive edge sets); the subtract only runs on the cheap
-            # equal-count rounds
-            converged = (n_new == n_prev
-                         and new.subtract(cedges).isEmpty())
+            sig = _sig(new)
             release_local_checkpoint(cedges)
             cedges = new
-            n_prev = n_new
-            if converged:
+            if sig == prev_sig:
                 break
+            prev_sig = sig
         # at the fixpoint every non-minimum node has a direct edge to its
         # component minimum; minima label themselves
         mins = cedges.groupBy(F.col("hi").alias("v")).agg(
