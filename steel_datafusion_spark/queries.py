@@ -1124,7 +1124,7 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-def _last_verified_round() -> dict[str, int]:
+def _last_verified_round(root: str | None = None) -> dict[str, int]:
     """name → newest round whose committed CORRECTNESS_r*.json has a clean
     row (err is null and rows matched) for that query.
 
@@ -1139,7 +1139,8 @@ def _last_verified_round() -> dict[str, int]:
     import json
     import re
 
-    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    if root is None:
+        root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     newest: dict[str, int] = {}
     for path in glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)

@@ -48,3 +48,29 @@ def test_query_vs_oracle(name, spark, duck_oracle):
     else:
         # rows-only check (non-SQL-expressible op)
         assert df.count() >= 0
+
+
+def test_last_verified_round_rules(tmp_path):
+    """Rotation rule (queries._last_verified_round): a gate counts as
+    verified only when err is null, rows matched, AND the value hash
+    didn't fail — a rows-match-but-hash-fail row must sort to the front
+    for re-checking.  hash_match absent (rows-only gates) counts."""
+    import json
+
+    from steel_datafusion_spark.queries import _last_verified_round
+
+    (tmp_path / "CORRECTNESS_r07.json").write_text(json.dumps({
+        "clean": {"err": None, "rows_match": True, "hash_match": True},
+        "hash_fail": {"err": None, "rows_match": True, "hash_match": False},
+        "rows_only": {"err": None, "rows_match": True},
+        "errored": {"err": "boom", "rows_match": False},
+    }))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({
+        "clean": {"err": None, "rows_match": True, "hash_match": True},
+        "hash_fail": {"err": None, "rows_match": True, "hash_match": True},
+    }))
+    got = _last_verified_round(root=str(tmp_path))
+    assert got["clean"] == 7
+    assert got["rows_only"] == 7
+    assert got["hash_fail"] == 3      # r7's hash failure doesn't count
+    assert "errored" not in got

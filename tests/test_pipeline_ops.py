@@ -208,3 +208,18 @@ def test_ngram_jaccard_max_df_bounds_hot_shingle_candidates(spark):
     # the hot shingle), and its jaccard is a lower bound but above threshold
     assert [(r.doc_a, r.doc_b) for r in capped] == [(0, 100)]
     assert capped[0].jaccard >= 0.5
+
+
+def test_kmeans_reliable_checkpoint(spark, tables, tmp_path):
+    """kmeans(reliable=True) routes each iteration through a durable
+    checkpoint dir (executor-loss-safe); assignments must equal the
+    localCheckpoint path exactly (the trajectory is deterministic)."""
+    from steel_datafusion_spark.pipeline.similarity import kmeans
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    a, _ = kmeans(emb, k=4, iters=2)
+    b, _ = kmeans(emb, k=4, iters=2, reliable=True,
+                  checkpoint_dir=str(tmp_path / "kckpt"))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    import os
+    assert any(os.scandir(str(tmp_path / "kckpt")))
