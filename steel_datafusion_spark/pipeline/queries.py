@@ -644,6 +644,51 @@ WHERE round({_COS.format(a='va.v', b='vb.v')}, 6) >= {threshold}
 """
 
 
+def q_fuzzy_match(spark, sf_dir):
+    """Typo-tolerant record linkage (pipeline/fuzzy.py): 40-char document
+    prefixes form the catalog; the probes are those prefixes for docs
+    id<30 with character 11 replaced by 'z' (ids +4000000).  Char-3-gram
+    blocked candidates verified with levenshtein ≤ 2 — each probe must
+    link back to its source row (dist ≤ 1), plus any natural near-misses.
+    Blocking is pigeonhole-exact here: 38 grams ≫ max_dist·n = 6."""
+    from .fuzzy import fuzzy_match
+
+    d = load_tables(spark, sf_dir)["documents"]
+    catalog = d.select(F.col("doc_id").alias("cat_id"),
+                       F.substring("text", 1, 40).alias("title"))
+    p = F.substring("text", 1, 40)
+    probes = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 4000000).alias("probe_id"),
+        F.concat(F.substring(p, 1, 10), F.lit("z"),
+                 F.substring(p, 12, 29)).alias("q"))
+    return fuzzy_match(probes, catalog, "probe_id", "q", "cat_id", "title",
+                       max_dist=2)
+
+
+def _sql_fuzzy_match(n: int = 3, max_dist: int = 2) -> str:
+    from .fuzzy import SQL_CHAR_NGRAM_HASHES
+
+    def grams(expr: str) -> str:
+        return SQL_CHAR_NGRAM_HASHES.format(s=expr, n=n, nm1=n - 1)
+
+    return f"""
+WITH catalog AS (
+  SELECT doc_id AS cat_id, substr(text, 1, 40) AS title FROM documents),
+probes AS (
+  SELECT doc_id + 4000000 AS probe_id,
+         substr(substr(text, 1, 40), 1, 10) || 'z' ||
+         substr(substr(text, 1, 40), 12, 29) AS q
+  FROM documents WHERE doc_id < 30),
+lx AS (SELECT probe_id, q, unnest({grams('q')}) AS h FROM probes),
+rx AS (SELECT cat_id, title, unnest({grams('title')}) AS h FROM catalog),
+cand AS (SELECT DISTINCT probe_id, q, cat_id, title
+         FROM lx JOIN rx USING (h))
+SELECT probe_id AS left_id, cat_id AS right_id,
+       levenshtein(q, title) AS dist
+FROM cand WHERE levenshtein(q, title) <= {max_dist}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Curation (repetition quality / decontamination / mixture)
 # ---------------------------------------------------------------------------
@@ -1046,6 +1091,7 @@ PIPELINE_QUERIES = {
     "hash_split": (q_hash_split, _sql_hash_split()),
     "weighted_sample": (q_weighted_sample, _sql_weighted_sample()),
     "sequence_packing": (q_sequence_packing, _sql_sequence_packing()),
+    "fuzzy_match": (q_fuzzy_match, _sql_fuzzy_match()),
     "repetition_quality": (q_repetition_quality, _sql_repetition_quality()),
     "decontaminate": (q_decontaminate, _sql_decontaminate()),
     "mixture_resample": (q_mixture_resample, _sql_mixture_resample()),
