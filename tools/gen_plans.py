@@ -30,6 +30,7 @@ NOTES = {
  "embedding_neardup_banded": "banded LSH candidates: the 8-bit sign-projection code splits into 4×2-bit band codes; the explode self-join keys on (band_idx, band_code, label) and candidates are id-deduped BEFORE the exact-cosine verify, so multi-band matches never multiply verify work. The recall knob: miss probability (1-q^2)^4 vs multiprobe's >=2-bit-flip loss — measured recall 1.0 vs 0.92 at cosine 0.97 (tests/test_pipeline_ops.py).",
  "asof_join_forward": "forward as-of = the identical union+window single-shuffle plan as asof_join with the frame reversed (currentRow..unboundedFollowing) and first(ignorenulls) instead of last — still ONE hash exchange on the key for |L|+|R| rows, no range join, no per-key quadratic blowup.",
  "sketch_distinct_rollup": "HLL sketches are partial->final mergeable aggregates like any sum: the per-type sketch is ONE exchange on event_type, and the global rollup re-aggregates the (tiny) sketch rows — never the raw data. The pattern that makes distinct-counts pre-aggregable at 100 TB: daily sketches persisted once answer any coarser grain by union.",
+ "fuzzy_match": "edit-distance join WITHOUT a cartesian product: both sides explode distinct char-3-gram hashes (repartitioned first so a single-split source doesn't serialize the hash stage) and join on the hash — fine-grained shuffle keys; the levenshtein verify uses Spark's thresholded form (O(len*k) early exit). Blocking is pigeonhole-exact for strings with > max_dist*n grams, so the join equals the cartesian filter on these inputs (tested).",
  "repetition_quality": "Gopher-style repetition metrics: one persisted token projection fans out to two explode + partial->final aggregates keyed on (doc_id[, gram]) — fine-grained keys, map-side combine, per-doc cost O(len). The left-joins back to doc grain broadcast at this SF; at 100 TB they are doc-key hash joins, still linear.",
  "decontaminate": "eval-shingle table is BROADCAST (eval sets are small by nature): the corpus side is a map-side explode + broadcast hash probe + one doc-grain count — zero corpus shuffle; the plan must show no exchange before the final aggregate.",
  "mixture_resample": "rates derive inside the plan: a tiny per-source count aggregate and a 1-row max, both broadcast back into a map-side integer-threshold filter on the md5 coin — the row path is scan + filter, no shuffle of the data being sampled.",
