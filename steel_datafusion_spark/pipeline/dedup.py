@@ -606,7 +606,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         # appeared in a pair — same contract as label propagation
         vertices = _ckpt(e.select(F.col("a").alias("v")).union(
             e.select(F.col("b").alias("v"))).distinct())
-        def _sig(e: DataFrame) -> tuple:
+        def _sig(edge_set: DataFrame) -> tuple:
             # fixpoint test via an order-independent content hash: count +
             # exact decimal SUM of the per-edge 60-bit md5 hash.  A plain
             # count/sum-of-endpoints signature is unsound (different edge
@@ -617,7 +617,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
             # isEmpty) costs a full set-difference shuffle per round at
             # 100 TB.
             h = md5_int60(F.concat_ws("_", F.col("hi"), F.col("lo")))
-            return tuple(e.agg(
+            return tuple(edge_set.agg(
                 F.count(F.lit(1)),
                 F.sum(h.cast("decimal(38,0)"))).collect()[0])
 

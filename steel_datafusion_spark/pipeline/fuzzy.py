@@ -58,6 +58,7 @@ def fuzzy_match(
     left_id: str, left_col: str,
     right_id: str, right_col: str,
     max_dist: int = 2, n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Edit-distance join; output columns are fixed: (left_id, right_id,
     dist ≤ max_dist).
@@ -65,7 +66,19 @@ def fuzzy_match(
     Blocking is exact for strings with more than ``max_dist·n`` char
     n-grams (see module docstring); the levenshtein verify is exact
     always, so false positives never survive.  Both explodes repartition
-    first so a single-split source doesn't serialize the hash stage."""
+    first so a single-split source doesn't serialize the hash stage.
+
+    **``max_df`` is the hot-gram cost cap** (same knob as
+    ngram_jaccard_pairs): a stop-gram appearing in d_L left and d_R right
+    strings contributes d_L·d_R candidate rows — at corpus scale a gram
+    present in 30% of both sides IS the cartesian product.  ``max_df``
+    drops grams whose combined document frequency exceeds it (broadcast
+    anti-join — the hot set is tiny by definition) BEFORE the candidate
+    join, bounding any gram's contribution at max_df².  Exactness then
+    weakens only for pairs ALL of whose shared grams are hot: the
+    pigeonhole guarantee becomes "strings with more than max_dist·n
+    non-hot grams" — set max_df ≫ the duplicate-cluster size you expect
+    and only true stop-grams are affected."""
     def _side(df: DataFrame, id_col: str, s_col: str, pid: str) -> DataFrame:
         parts = df.sparkSession.sparkContext.defaultParallelism * 2
         return (df.repartition(parts, F.col(id_col))
@@ -76,6 +89,12 @@ def fuzzy_match(
 
     lx = _side(left, left_id, left_col, "lid")
     rx = _side(right, right_id, right_col, "rid")
+    if max_df is not None:
+        hot = (lx.select("h").unionAll(rx.select("h"))
+               .groupBy("h").agg(F.count(F.lit(1)).alias("df_h"))
+               .filter(F.col("df_h") > max_df).select("h"))
+        lx = lx.join(F.broadcast(hot), "h", "left_anti")
+        rx = rx.join(F.broadcast(hot), "h", "left_anti")
     cand = (lx.join(rx, "h")
             .select("lid", "lid_s", "rid", "rid_s").distinct())
     dist = F.levenshtein(F.col("lid_s"), F.col("rid_s"), max_dist)

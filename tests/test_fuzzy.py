@@ -50,6 +50,29 @@ def test_fuzzy_match_exhaustive_vs_cartesian_oracle(spark):
     assert got == want and len(want) >= 12
 
 
+def test_fuzzy_match_max_df_drops_hot_grams_keeps_matches(spark):
+    """The 100 TB cost knob: a stop-gram present in every string must not
+    drive d_L x d_R candidates; pairs still link through their rarer
+    grams."""
+    common = " common suffix shared by every single row here"
+    cat = spark.createDataFrame(
+        [(i, f"unique title number {i:04d}" + common) for i in range(40)],
+        "cat_id long, title string")
+    probes = spark.createDataFrame(
+        [(100 + i, f"unique titze number {i:04d}" + common)  # 1 sub
+         for i in range(10)],
+        "probe_id long, q string")
+    got = {(r.left_id, r.right_id) for r in fuzzy_match(
+        probes, cat, "probe_id", "q", "cat_id", "title",
+        max_dist=2, max_df=20).collect()}
+    # every probe links to its own source despite the shared suffix's
+    # grams (df=50 > max_df=20) being dropped
+    assert {(100 + i, i) for i in range(10)} <= got
+    assert all(d.dist <= 2 for d in fuzzy_match(
+        probes, cat, "probe_id", "q", "cat_id", "title",
+        max_dist=2, max_df=20).collect())
+
+
 def test_fuzzy_match_short_strings(spark):
     # shorter than the n-gram width: whole-string gram still matches
     # identical strings (distance 0); near-miss short strings are

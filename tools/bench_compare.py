@@ -67,7 +67,9 @@ def main() -> None:
 
     probe_now = probe_mean([a, b])
     probe_r3 = probe_mean([p3a, p3b])
-    machine_factor = (probe_now / probe_r3) if probe_now and probe_r3 else 1.0
+    adjusted = bool(probe_now and probe_r3)
+    machine_factor = (probe_now / probe_r3) if adjusted else 1.0
+    ratio_label = "vs r3 (adj)" if adjusted else "vs r3 (raw)" 
 
     names = sorted(set(a["queries"]) | set(r1))
     agree = abs(a["value"] - b["value"]) / max(a["value"], b["value"])
@@ -85,17 +87,17 @@ def main() -> None:
           f"(min-sum {b['total_min']} s); machine {b['machine']}")
     print(f"- A/B agreement: **{agree * 100:.1f}% apart** "
           f"({'PASS' if agree <= 0.20 else 'FAIL'} vs the 20% gate)")
-    if probe_now and probe_r3:
+    if adjusted:
         print(f"- fixed-probe machine factor vs r3: **{machine_factor:.2f}x**"
               f" (probe {probe_r3:.3f} s -> {probe_now:.3f} s; the probe "
               "code never changes, so this measures the sandbox, not the "
               "engine — 'vs r3' ratios below are divided by it)")
     else:
-        print("- no r3 baseline runs found (bench_runs/r3_run*.json); "
-              "cross-round ratios omitted")
+        print("- no probe evidence for the r3 baseline: 'vs r3' ratios "
+              "below are RAW (not machine-normalized)")
     print()
     print("| query | r1 | r3 best | now A med | now B med | now min | "
-          "vs r3 (adj) | note |")
+          f"{ratio_label} | note |")
     print("|---|---|---|---|---|---|---|---|")
     flagged = []
     common_now = common_r3 = 0.0
@@ -130,9 +132,11 @@ def main() -> None:
         print(f"On the {n_common} "
               f"queries shared with r3: best-of-run sums "
               f"{common_r3:.1f} s (r3) vs {common_now:.1f} s (now) — "
-              f"**{common_now / common_r3:.2f}x raw, {adj:.2f}x "
-              "probe-adjusted** (≤1.0 means at-or-faster than r3 per "
-              "machine-equivalent second).")
+              + (f"**{common_now / common_r3:.2f}x raw, {adj:.2f}x "
+                 "probe-adjusted** (≤1.0 means at-or-faster than r3 per "
+                 "machine-equivalent second)." if adjusted else
+                 f"**{common_now / common_r3:.2f}x raw** (no probe "
+                 "evidence to machine-normalize)."))
     if flagged:
         print(f"\n**UNEXPLAINED >2x-vs-r3 queries: {flagged}** — root-cause "
               "these before shipping the round.")
