@@ -29,6 +29,13 @@ def _canon(df):
     import pandas as pd
 
     df = df[sorted(df.columns)]
+
+    def _f(x: float):
+        # 12 significant digits ≈ the driver's 1e-9 RELATIVE tolerance;
+        # absolute decimal rounding would spuriously fail large-magnitude
+        # sums (5e9-scale decimals vs double differ at the 1e-15 rel level)
+        return float(f"{x:.12g}")
+
     rows = []
     for tup in df.itertuples(index=False, name=None):
         out = []
@@ -36,10 +43,10 @@ def _canon(df):
             if v is None or (isinstance(v, float) and v != v):
                 out.append(None)
             elif isinstance(v, float):
-                out.append(round(v, 6))
+                out.append(_f(v))
             elif hasattr(v, "item"):  # numpy scalars
                 iv = v.item()
-                out.append(round(iv, 6) if isinstance(iv, float) else iv)
+                out.append(_f(iv) if isinstance(iv, float) else iv)
             elif isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
                 out.append(str(v.tolist() if hasattr(v, "tolist") else v))
             else:
