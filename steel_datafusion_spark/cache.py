@@ -67,7 +67,7 @@ def release_all(spark: SparkSession) -> int:
         try:
             df.unpersist(blocking=False)
         except Exception:
-            pass
+            pass  # session already stopped: the cache died with the JVM
     return len(dfs)
 
 
@@ -86,20 +86,43 @@ def iteration_barrier(df: DataFrame, reliable: bool = False,
     ``checkpoint(eager=True)`` to the SparkContext checkpoint directory
     (HDFS/object store): survives executor loss at the cost of one write +
     read per iteration — the right default for multi-hour 100 TB loops.
-    ``checkpoint_dir`` sets the directory on first use; raises if
-    ``reliable=True`` and no directory was ever configured (Spark would
-    throw a cryptic SparkException mid-job otherwise)."""
+    ``checkpoint_dir`` sets the SparkContext directory only when none is
+    configured yet; if one is already set and a *different* directory is
+    passed, this raises rather than silently redirecting other callers'
+    checkpoints (the context directory is shared process state — a
+    per-DataFrame helper must not flip it out from under concurrent loops).
+    Raises if ``reliable=True`` and no directory was ever configured (Spark
+    would throw a cryptic SparkException mid-job otherwise)."""
     if not reliable:
         return df.localCheckpoint(eager=True)
     sc = df.sparkSession.sparkContext
+    existing = sc._jsc.sc().getCheckpointDir()
+    current = existing.get() if not existing.isEmpty() else None
     if checkpoint_dir is not None:
-        sc.setCheckpointDir(checkpoint_dir)
-    elif sc._jsc.sc().getCheckpointDir().isEmpty():
+        if current is None:
+            sc.setCheckpointDir(checkpoint_dir)
+        elif not _same_checkpoint_dir(current, checkpoint_dir):
+            raise ValueError(
+                f"SparkContext checkpoint dir is already {current!r}; "
+                f"refusing to redirect it to {checkpoint_dir!r} — other "
+                "iterative loops on this context would silently start "
+                "checkpointing there too. Use the configured directory or "
+                "a fresh context.")
+    elif current is None:
         raise ValueError(
             "reliable=True needs a checkpoint_dir (or a prior "
             "SparkContext.setCheckpointDir) — a durable location that "
             "survives executor loss")
     return df.checkpoint(eager=True)
+
+
+def _same_checkpoint_dir(configured: str, requested: str) -> bool:
+    """The configured value is a resolved Hadoop URI with a per-context UUID
+    subdirectory appended (file:/tmp/x/<uuid>); compare against the raw user
+    path loosely enough to accept the same location."""
+    strip = lambda s: s.split(":", 1)[-1].strip("/")  # noqa: E731
+    conf, req = strip(configured), strip(requested)
+    return conf == req or conf.rsplit("/", 1)[0] == req
 
 
 def release_local_checkpoint(df: DataFrame) -> int:
@@ -141,7 +164,7 @@ def pipeline_cache_scope(spark: SparkSession):
                 try:
                     df.unpersist(blocking=False)
                 except Exception:
-                    pass
+                    pass  # session already stopped: nothing left to free
             # keep only pre-scope entries still tracked — don't resurrect
             # frames released inside the scope via release_all/untrack
             _TRACKED[app] = [b for b in before

@@ -114,11 +114,19 @@ def _hashed_shingles(df: DataFrame, id_col: str, text_col: str,
 
 # Building these wide expression trees costs seconds of py4j round-trips;
 # they are unresolved (column-name-bound) expressions, so memoizing by the
-# input column name is safe and makes repeated query builds ~free.  Unbounded
-# by design: keys are (kind, column-name, k) — a handful per process, each a
-# small unresolved tree; if a long-lived service ever churned column names,
-# cap it then.
+# input column name is safe and makes repeated query builds ~free.  Keys are
+# (kind, column-name, k) — a handful per process in practice, but capped so a
+# long-lived service churning generated column names can't grow it without
+# bound (FIFO eviction; dicts preserve insertion order).
 _EXPR_CACHE: dict = {}
+_EXPR_CACHE_MAX = 256
+
+
+def _expr_cache_put(key, value):
+    if len(_EXPR_CACHE) >= _EXPR_CACHE_MAX:
+        _EXPR_CACHE.pop(next(iter(_EXPR_CACHE)))
+    _EXPR_CACHE[key] = value
+    return value
 
 
 def minhash_signature(hs: Column | str, k: int = 32) -> Column:
@@ -128,7 +136,7 @@ def minhash_signature(hs: Column | str, k: int = 32) -> Column:
     if isinstance(hs, str):
         key = ("minhash", hs, k)
         if key not in _EXPR_CACHE:
-            _EXPR_CACHE[key] = minhash_signature(F.col(hs), k)
+            _expr_cache_put(key, minhash_signature(F.col(hs), k))
         return _EXPR_CACHE[key]
 
     def _slot(i: int) -> Column:
@@ -293,11 +301,12 @@ def build_dedup_index(
     stored hash-bucketed on the join key so each ``dedup_against_index``
     call broadcasts the small batch into it without shuffling a byte of
     corpus.  Size ``n_buckets`` to cluster parallelism (thousands at 100 TB;
-    8 suits local tests).  Banding parameters (n, k, bands, rows) must match
-    between build and probe — they are stored in the table comment-free
-    layout, so pass the same values to ``dedup_against_index``."""
+    8 suits local tests).  Banding parameters (n, k, bands, rows) are
+    persisted in a one-row ``{name}_meta`` table and validated by
+    ``dedup_against_index`` — a probe with mismatched parameters would
+    silently return (near-)empty matches, i.e. quietly admit duplicates."""
     spark = corpus.sparkSession
-    for t in (f"{name}_bands", f"{name}_shingles"):
+    for t in (f"{name}_bands", f"{name}_shingles", f"{name}_meta"):
         # overwrite alone is not enough: a fresh session may find a stale
         # warehouse directory with no catalog entry (LOCATION_ALREADY_EXISTS)
         spark.sql(f"DROP TABLE IF EXISTS `{t}`")
@@ -318,6 +327,10 @@ def build_dedup_index(
                    sort_cols=["band_hash"])
     write_bucketed(hc.withColumnRenamed("doc_id", "corpus_id"),
                    f"{name}_shingles", ["corpus_id"], n_buckets)
+    spark.createDataFrame(
+        [(int(n), int(k), int(bands), int(rows))],
+        "n int, k int, bands int, rows int",
+    ).write.saveAsTable(f"{name}_meta")
 
 
 def dedup_against_index(
@@ -331,8 +344,25 @@ def dedup_against_index(
     ``{name}_shingles`` tables — the corpus is never re-shingled or
     re-banded (assert via .explain(): no scan of the raw corpus source).
     Output: (batch_id, corpus_id, jaccard ≥ threshold), same contract as
-    ``minhash_dedup_against``."""
+    ``minhash_dedup_against``.
+
+    Raises ``ValueError`` if (n, k, bands, rows) disagree with the
+    parameters recorded by ``build_dedup_index`` in ``{name}_meta`` —
+    mismatched banding joins on incompatible hashes and silently returns
+    (near-)empty matches, which in an ingest pipeline means quietly
+    admitting duplicates.  Pre-meta indexes (no ``{name}_meta`` table) skip
+    the check for backward compatibility."""
     spark = batch.sparkSession
+    if spark.catalog.tableExists(f"{name}_meta"):
+        meta = spark.table(f"{name}_meta").head()
+        got = (meta["n"], meta["k"], meta["bands"], meta["rows"])
+        want = (n, k, bands, rows)
+        if got != want:
+            raise ValueError(
+                f"dedup index {name!r} was built with (n, k, bands, rows)="
+                f"{got} but probed with {want}; mismatched banding would "
+                "silently miss duplicates — rebuild the index or pass the "
+                "recorded parameters")
     bc = spark.table(f"{name}_bands")
     hc = spark.table(f"{name}_shingles")
     hb = _hashed_shingles(batch, id_col, text_col, n)
@@ -403,7 +433,7 @@ def simhash_from_hashes(hs: Column | str, bits: int = SIMHASH_BITS) -> Column:
     if isinstance(hs, str):
         key = ("simhash", hs, bits)
         if key not in _EXPR_CACHE:
-            _EXPR_CACHE[key] = simhash_from_hashes(F.col(hs), bits)
+            _expr_cache_put(key, simhash_from_hashes(F.col(hs), bits))
         return _EXPR_CACHE[key]
     masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
     votes = F.aggregate(

@@ -45,6 +45,9 @@ def _walk_plan(node):
             yield from _walk_plan(node.plan())
             return
     except Exception:
+        # Tolerated failure: the AQE accessor names (executedPlan / plan)
+        # are internal Catalyst API and can shift between Spark versions;
+        # falling through to children() still walks the pre-AQE tree.
         pass
     it = node.children().iterator()
     while it.hasNext():

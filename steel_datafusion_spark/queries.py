@@ -1159,9 +1159,20 @@ def _last_verified_round(root: str | None = None) -> dict[str, int]:
             # value hash must NOT rotate to the back (it needs re-checking
             # most of all).  hash_match absent (rows-only gates) counts as
             # clean — the rows-only check is all the driver can do there.
-            if (isinstance(row, dict) and row.get("err") is None
-                    and row.get("rows_match")
-                    and row.get("hash_match", True) is not False):
+            if not isinstance(row, dict):
+                continue
+            clean = (row.get("err") is None
+                     and row.get("rows_match")
+                     and row.get("hash_match", True) is not False)
+            # Rows-only gates (no oracle_sql entry) are recorded by the
+            # driver as err='no_oracle' with rows_match null; the rows-only
+            # drive is the strongest check the driver can do there, so a
+            # successful drive counts as verified — otherwise such gates pin
+            # themselves at the front of the rotation forever, each eating a
+            # 50-cap slot every round.
+            rows_only_ok = (row.get("err") == "no_oracle"
+                            and row.get("spark_rows") is not None)
+            if clean or rows_only_ok:
                 newest[name] = max(newest.get(name, 0), rnd)
     return newest
 

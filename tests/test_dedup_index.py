@@ -76,3 +76,23 @@ def test_probe_self_match_and_threshold(spark, corpus_and_batches):
     finally:
         spark.sql("DROP TABLE IF EXISTS dd_idx2_bands")
         spark.sql("DROP TABLE IF EXISTS dd_idx2_shingles")
+
+
+def test_probe_rejects_mismatched_banding_params(spark, corpus_and_batches):
+    """ADVICE r5: mismatched (n, k, bands, rows) must raise, not silently
+    return near-empty matches (= quietly admitting duplicates)."""
+    corpus, b1, _ = corpus_and_batches
+    build_dedup_index(corpus, "dd_idx3", n_buckets=4, bands=8, rows=4)
+    try:
+        meta = spark.table("dd_idx3_meta").head()
+        assert (meta["n"], meta["k"], meta["bands"], meta["rows"]) == \
+               (3, 32, 8, 4)
+        with pytest.raises(ValueError, match="built with"):
+            dedup_against_index(b1, "dd_idx3", bands=16, rows=2)
+        with pytest.raises(ValueError, match="built with"):
+            dedup_against_index(b1, "dd_idx3", n=5)
+        # matching params still work
+        assert dedup_against_index(b1, "dd_idx3", threshold=0.3) is not None
+    finally:
+        for t in ("dd_idx3_bands", "dd_idx3_shingles", "dd_idx3_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

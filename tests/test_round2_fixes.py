@@ -213,3 +213,29 @@ def test_cache_scope_does_not_resurrect_released_entries(spark, tables):
     assert tracked_count(spark) == 0, "scope exit resurrected released entries"
     assert n_before >= 1
     spark.catalog.clearCache()
+
+
+def test_iteration_barrier_checkpoint_dir_guard(spark, tmp_path):
+    """ADVICE r5: iteration_barrier must not silently redirect a
+    checkpoint dir another loop already configured."""
+    import pytest as _pytest
+    from steel_datafusion_spark.cache import iteration_barrier
+
+    df = spark.range(10)
+    sc = spark.sparkContext
+    existing = sc._jsc.sc().getCheckpointDir()
+    if existing.isEmpty():
+        d1 = str(tmp_path / "ckpt1")
+        out = iteration_barrier(df, reliable=True, checkpoint_dir=d1)
+        assert out.count() == 10
+    else:
+        d1 = existing.get()
+    # same dir (possibly as resolved URI) is accepted
+    out = iteration_barrier(df, reliable=True, checkpoint_dir=d1)
+    assert out.count() == 10
+    # a different dir must raise, not mutate shared context state
+    with _pytest.raises(ValueError, match="refusing to redirect"):
+        iteration_barrier(df, reliable=True,
+                          checkpoint_dir=str(tmp_path / "other"))
+    after = sc._jsc.sc().getCheckpointDir().get()
+    assert "other" not in after
