@@ -1,0 +1,302 @@
+"""Pure-Python image codecs for the multimodal pipeline.
+
+The container ships no native codec libraries, but real decode need not be
+stubbed: PNG inflates with stdlib ``zlib``, and BMP/PPM are plain headers
+over raw pixels.  This module provides genuine decoders for those three
+formats (Pillow is preferred when importable, covering everything else),
+plus matching encoders so tests can round-trip real payloads without any
+third-party dependency.
+
+Decoders run inside Arrow-batched ``mapInPandas`` workers
+(pipeline/multimodal.py) — pure CPU per row, no shuffle, no driver state —
+so the same code path scales to a 1000-executor cluster unchanged.
+
+Supported without Pillow:
+
+- **PNG**: 8-bit depth, color types 0 (grey), 2 (RGB), 4 (grey+alpha),
+  6 (RGBA); all five scanline filters; non-interlaced.
+- **BMP**: uncompressed (BI_RGB) 24/32-bit, bottom-up or top-down.
+- **PPM/PGM**: binary ``P6``/``P5`` and ASCII ``P3``/``P2``, maxval ≤ 255.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import NamedTuple
+
+__all__ = ["DecodedImage", "decode_image_bytes", "sniff_format",
+           "encode_png", "encode_bmp", "encode_ppm"]
+
+
+class DecodedImage(NamedTuple):
+    width: int
+    height: int
+    mode: str       # "L" | "LA" | "RGB" | "RGBA"
+    pixels: bytes   # row-major, len == width * height * len(mode)
+
+
+_CHANNELS = {"L": 1, "LA": 2, "RGB": 3, "RGBA": 4}
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def sniff_format(payload: bytes) -> str | None:
+    """Best-effort container sniff by magic bytes; None if unrecognized."""
+    if payload.startswith(PNG_MAGIC):
+        return "png"
+    if payload.startswith(b"BM") and len(payload) >= 54:
+        return "bmp"
+    if payload[:2] in (b"P6", b"P5", b"P3", b"P2") and \
+            (len(payload) > 2 and payload[2:3].isspace()):
+        return "ppm"
+    return None
+
+
+def decode_image_bytes(payload: bytes) -> DecodedImage:
+    """Decode an encoded image payload to raw pixels.
+
+    Pillow handles any format it knows when installed; otherwise the
+    pure-Python PNG/BMP/PPM parsers below do the work.  Raises
+    ``ValueError`` for unrecognized or malformed payloads."""
+    try:
+        import io
+
+        import PIL.Image  # type: ignore
+
+        img = PIL.Image.open(io.BytesIO(payload))
+        if img.mode not in _CHANNELS:
+            img = img.convert("RGBA" if "A" in img.mode else "RGB")
+        return DecodedImage(img.width, img.height, img.mode, img.tobytes())
+    except ImportError:
+        pass
+
+    fmt = sniff_format(payload)
+    if fmt == "png":
+        return _decode_png(payload)
+    if fmt == "bmp":
+        return _decode_bmp(payload)
+    if fmt == "ppm":
+        return _decode_ppm(payload)
+    raise ValueError(
+        "unrecognized image payload (supported without Pillow: PNG, BMP, "
+        "PPM/PGM); first bytes: %r" % payload[:8])
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+_PNG_MODES = {0: "L", 2: "RGB", 4: "LA", 6: "RGBA"}
+
+
+def _decode_png(payload: bytes) -> DecodedImage:
+    if not payload.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = len(PNG_MAGIC), [], None
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, ctype_n, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise ValueError(f"unsupported PNG (depth={depth}, comp={comp})")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    mode = _PNG_MODES.get(ctype_n)
+    if mode is None:
+        raise ValueError(f"unsupported PNG color type {ctype_n} "
+                         "(palette images need Pillow)")
+    nch = _CHANNELS[mode]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * nch
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data size mismatch")
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ftype == 1:    # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y * stride:(y + 1) * stride] = line
+        prev = line
+    return DecodedImage(width, height, mode, bytes(out))
+
+
+def encode_png(img: DecodedImage) -> bytes:
+    """Minimal, valid PNG writer (filter 0 scanlines, one IDAT)."""
+    ctype = {v: k for k, v in _PNG_MODES.items()}[img.mode]
+    nch = _CHANNELS[img.mode]
+    stride = img.width * nch
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(tag + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + tag + data + \
+            struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", img.width, img.height, 8, ctype, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + img.pixels[y * stride:(y + 1) * stride]
+        for y in range(img.height))
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+def _decode_bmp(payload: bytes) -> DecodedImage:
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off, = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp, = struct.unpack_from("<H", payload, 28)
+    compression, = struct.unpack_from("<I", payload, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"unsupported BMP (bpp={bpp}, compression={compression}); "
+            "only uncompressed 24/32-bit supported without Pillow")
+    top_down = height < 0
+    height = abs(height)
+    nch_in = bpp // 8
+    row_in = (width * nch_in + 3) & ~3  # rows padded to 4 bytes
+    mode = "RGBA" if bpp == 32 else "RGB"
+    nch = _CHANNELS[mode]
+    out = bytearray(width * height * nch)
+    for y in range(height):
+        src_y = y if top_down else height - 1 - y
+        base = data_off + src_y * row_in
+        row = payload[base:base + width * nch_in]
+        if len(row) < width * nch_in:
+            raise ValueError("truncated BMP pixel data")
+        for x in range(width):
+            b, g, r = row[x * nch_in], row[x * nch_in + 1], row[x * nch_in + 2]
+            o = (y * width + x) * nch
+            out[o], out[o + 1], out[o + 2] = r, g, b
+            if nch == 4:
+                out[o + 3] = row[x * nch_in + 3]
+    return DecodedImage(width, height, mode, bytes(out))
+
+
+def encode_bmp(img: DecodedImage) -> bytes:
+    """Uncompressed bottom-up BMP writer (24-bit from RGB, 32-bit from
+    RGBA; L/LA are expanded to RGB/RGBA first)."""
+    px, mode = img.pixels, img.mode
+    if mode in ("L", "LA"):  # expand grey to RGB(+A)
+        nch_in = _CHANNELS[mode]
+        expanded = bytearray()
+        for i in range(0, len(px), nch_in):
+            expanded += bytes((px[i], px[i], px[i]))
+            if nch_in == 2:
+                expanded += px[i + 1:i + 2]
+        px, mode = bytes(expanded), "RGBA" if mode == "LA" else "RGB"
+    nch = _CHANNELS[mode]
+    bpp = nch * 8
+    row_out = (img.width * nch + 3) & ~3
+    body = bytearray()
+    for y in range(img.height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(img.width):
+            o = (y * img.width + x) * nch
+            row += bytes((px[o + 2], px[o + 1], px[o]))  # BGR
+            if nch == 4:
+                row.append(px[o + 3])
+        row += b"\x00" * (row_out - len(row))
+        body += row
+    dib = struct.pack("<IiiHHIIiiII", 40, img.width, img.height, 1, bpp,
+                      0, len(body), 2835, 2835, 0, 0)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    return header + dib + bytes(body)
+
+
+# ---------------------------------------------------------------------------
+# PPM / PGM
+# ---------------------------------------------------------------------------
+
+def _ppm_tokens(payload: bytes, n: int, pos: int) -> tuple[list[int], int]:
+    """Read n whitespace-separated ASCII integers, skipping '#' comments."""
+    toks: list[int] = []
+    cur = b""
+    while len(toks) < n and pos < len(payload):
+        c = payload[pos:pos + 1]
+        if c == b"#":
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            if cur:
+                toks.append(int(cur))
+                cur = b""
+            pos += 1
+        else:
+            cur += c
+            pos += 1
+    if cur and len(toks) < n:
+        toks.append(int(cur))
+    if len(toks) < n:
+        raise ValueError("truncated PPM header/data")
+    return toks, pos
+
+
+def _decode_ppm(payload: bytes) -> DecodedImage:
+    magic = payload[:2]
+    mode = "RGB" if magic in (b"P6", b"P3") else "L"
+    nch = _CHANNELS[mode]
+    (width, height, maxval), pos = _ppm_tokens(payload, 3, 2)
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    n_px = width * height * nch
+    if magic in (b"P6", b"P5"):
+        # _ppm_tokens already consumed the single whitespace after maxval
+        raw = payload[pos:pos + n_px]
+        if len(raw) < n_px:
+            raise ValueError("truncated PPM pixel data")
+    else:
+        vals, _ = _ppm_tokens(payload, n_px, pos)
+        raw = bytes(vals)
+    if maxval != 255:
+        raw = bytes(v * 255 // maxval for v in raw)
+    return DecodedImage(width, height, mode, raw)
+
+
+def encode_ppm(img: DecodedImage) -> bytes:
+    """Binary PPM (P6) / PGM (P5) writer; LA/RGBA drop alpha."""
+    px, mode = img.pixels, img.mode
+    if mode in ("LA", "RGBA"):  # strip alpha
+        nch_in = _CHANNELS[mode]
+        px = bytes(b for i, b in enumerate(px) if i % nch_in != nch_in - 1)
+        mode = "L" if mode == "LA" else "RGB"
+    magic = b"P6" if mode == "RGB" else b"P5"
+    return magic + b"\n%d %d\n255\n" % (img.width, img.height) + px

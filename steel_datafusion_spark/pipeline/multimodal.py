@@ -3,10 +3,13 @@
 Beyond-reference surface.  The contract at 100 TB: media travels as
 ``binary`` columns with a typed metadata struct; decode / feature-extraction
 runs as Arrow-batched Python (``mapInPandas``) because media codecs live in
-Python/native libs, not the JVM.  The *plumbing* here — schema, batch shape,
-partitioning, UDF signatures — is real and tested; the actual image/audio
-decode is stubbed (the container ships no codec libs) behind
-``NotImplementedError`` with a deterministic fake used for tests/oracles.
+Python/native libs, not the JVM.  Image decode is REAL for PNG / BMP /
+PPM-PGM via the pure-Python codecs in ``pipeline/codecs.py`` (Pillow covers
+everything else when installed); payloads in no recognized container — e.g.
+the deterministic ASCII fixture the oracle gate uses — fall back to
+byte-level stats, so one operator serves real media and DuckDB-checkable
+fakes alike.  Audio/video decode remains metadata-driven (no pure-Python
+codec is practical); the frame/resize plumbing is real and tested.
 
 Scale notes: feature extraction is embarrassingly parallel (mapInPandas,
 no shuffle); keep ``spark.sql.execution.arrow.maxRecordsPerBatch`` sized so
@@ -70,38 +73,55 @@ def make_media_table(documents: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes):
-    """Real decode would use PIL/libvips — not shipped in this container.
-    Gated stub per the build contract."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError:
-        raise NotImplementedError(
-            "image decode requires a codec library (PIL) not present in this "
-            "environment; feature extraction uses the deterministic byte-level "
-            "fake instead"
-        )
-    raise NotImplementedError("real decode path not implemented in round 1")
+    """Decode a real encoded image payload to raw pixels.
+
+    Pillow handles any format it knows when installed; without it the
+    pure-Python codecs in ``pipeline/codecs.py`` decode PNG (stdlib zlib
+    inflate + all five scanline filters), uncompressed 24/32-bit BMP, and
+    PPM/PGM.  Returns a ``DecodedImage(width, height, mode, pixels)``;
+    raises ``ValueError`` for unrecognized/malformed payloads."""
+    from .codecs import decode_image_bytes
+
+    return decode_image_bytes(payload)
 
 
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads (mapInPandas).
 
-    The features are deterministic byte-level stats (length, byte checksum,
-    aspect ratio from metadata) — a stand-in with the exact execution shape
-    of a real decoder: per-batch pandas, zero shuffle, output schema typed."""
+    Per payload the worker sniffs the container by magic bytes: recognized
+    image formats (PNG/BMP/PPM via pipeline/codecs.py, anything via Pillow
+    when installed) are REALLY decoded — width/height/aspect come from the
+    decoded frame, checksum from the raw pixel bytes.  Unrecognized payloads
+    (including the deterministic ASCII fixture the gate uses) fall back to
+    byte-level stats with aspect from the metadata struct, so the same
+    operator serves both real media and the oracle-checkable fake.
+
+    Scale: per-batch pandas, zero shuffle, output schema typed; decode cost
+    is embarrassingly parallel and never touches the driver."""
+
+    def _features_one(payload, m) -> tuple[int, int, float]:
+        from .codecs import decode_image_bytes, sniff_format
+
+        if sniff_format(payload) is not None:
+            try:
+                img = decode_image_bytes(payload)
+                aspect = (img.width / img.height) if img.height else 0.0
+                return len(payload), int(sum(img.pixels)), aspect
+            except ValueError:
+                pass  # sniffed but malformed/unsupported variant → byte fake
+        aspect = (m["width"] / m["height"]) if m["height"] else 0.0
+        return len(payload), int(sum(payload)), aspect
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
-            meta = pdf["meta"]
+            stats = [_features_one(p, m)
+                     for p, m in zip(pdf["payload"], pdf["meta"])]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
-                "n_bytes": payloads.map(len).astype("int64"),
-                "checksum": payloads.map(lambda b: int(sum(b))).astype("int64"),
-                "aspect": meta.map(
-                    lambda m: (m["width"] / m["height"]) if m["height"] else 0.0
-                ).astype("float64"),
+                "n_bytes": pd.Series([s[0] for s in stats], dtype="int64"),
+                "checksum": pd.Series([s[1] for s in stats], dtype="int64"),
+                "aspect": pd.Series([s[2] for s in stats], dtype="float64"),
             })
 
     parts = media.sparkSession.sparkContext.defaultParallelism

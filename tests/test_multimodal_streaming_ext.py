@@ -49,3 +49,108 @@ def test_stateful_running_user_stats(spark, tmp_path):
     got_map = {r.user_id: r.n_events for r in got.collect()}
     for w in want:
         assert got_map[w.user_id] == w.n_events
+
+
+# ---------------------------------------------------------------------------
+# Real image decode (VERDICT r5 item 2): pure-Python PNG/BMP/PPM codecs
+# ---------------------------------------------------------------------------
+
+def _gradient(width, height, mode):
+    from steel_datafusion_spark.pipeline.codecs import DecodedImage, _CHANNELS
+    nch = _CHANNELS[mode]
+    px = bytearray()
+    for y in range(height):
+        for x in range(width):
+            base = [(x * 7 + y * 13) % 256, (x * 3) % 256,
+                    (y * 5) % 256, (x + y) % 256]
+            px += bytes(base[:nch])
+    return DecodedImage(width, height, mode, bytes(px))
+
+
+def test_codec_roundtrips():
+    from steel_datafusion_spark.pipeline.codecs import (
+        decode_image_bytes, encode_bmp, encode_png, encode_ppm, sniff_format)
+
+    for mode in ("L", "LA", "RGB", "RGBA"):
+        img = _gradient(13, 7, mode)
+        payload = encode_png(img)
+        assert sniff_format(payload) == "png"
+        assert decode_image_bytes(payload) == img
+
+    for mode in ("RGB", "RGBA"):
+        img = _gradient(10, 4, mode)  # width*3 not 4-aligned → row padding
+        payload = encode_bmp(img)
+        assert sniff_format(payload) == "bmp"
+        assert decode_image_bytes(payload) == img
+
+    for mode in ("L", "RGB"):
+        img = _gradient(9, 5, mode)
+        payload = encode_ppm(img)
+        assert sniff_format(payload) == "ppm"
+        assert decode_image_bytes(payload) == img
+
+
+def test_codec_cross_format_same_pixels():
+    """The same image through PNG and BMP and PPM must decode identically."""
+    from steel_datafusion_spark.pipeline.codecs import (
+        decode_image_bytes, encode_bmp, encode_png, encode_ppm)
+
+    img = _gradient(16, 16, "RGB")
+    assert decode_image_bytes(encode_png(img)) \
+        == decode_image_bytes(encode_bmp(img)) \
+        == decode_image_bytes(encode_ppm(img)) == img
+
+
+def test_codec_ascii_ppm_and_errors():
+    from steel_datafusion_spark.pipeline.codecs import decode_image_bytes
+    import pytest as _pytest
+
+    # ASCII P2 (grey) with a comment line and non-255 maxval rescale
+    p2 = b"P2\n# comment\n3 2\n15\n0 5 10\n15 10 5\n"
+    img = decode_image_bytes(p2)
+    assert (img.width, img.height, img.mode) == (3, 2, "L")
+    assert img.pixels == bytes(v * 255 // 15 for v in (0, 5, 10, 15, 10, 5))
+
+    with _pytest.raises(ValueError, match="unrecognized"):
+        decode_image_bytes(b"not an image at all")
+    with _pytest.raises(ValueError):
+        decode_image_bytes(b"P6\n4 4\n255\nshort")  # truncated pixels
+
+
+def test_extract_features_decodes_real_payloads(spark):
+    """extract_features on REAL encoded payloads: width/height/aspect come
+    from the decoded frame, checksum from decoded pixel bytes; a non-image
+    payload in the same batch falls back to byte stats."""
+    from steel_datafusion_spark.pipeline.codecs import encode_bmp, encode_png
+    from steel_datafusion_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA, extract_features)
+
+    png_img = _gradient(12, 8, "RGB")
+    bmp_img = _gradient(5, 10, "RGBA")
+    fake = b"just ascii bytes"
+    rows = [
+        (1, "image", bytearray(encode_png(png_img)),
+         {"width": 0, "height": 0, "duration_ms": 0}),
+        (2, "image", bytearray(encode_bmp(bmp_img)),
+         {"width": 0, "height": 0, "duration_ms": 0}),
+        (3, "audio", bytearray(fake),
+         {"width": 4, "height": 2, "duration_ms": 100}),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+
+    assert out[1]["aspect"] == 12 / 8
+    assert out[1]["n_bytes"] == len(encode_png(png_img))
+    assert out[1]["checksum"] == sum(png_img.pixels)
+    assert out[2]["aspect"] == 5 / 10
+    assert out[2]["checksum"] == sum(bmp_img.pixels)
+    assert out[3]["aspect"] == 4 / 2                 # metadata fallback
+    assert out[3]["checksum"] == sum(fake)
+
+
+def test_decode_image_public_api():
+    from steel_datafusion_spark.pipeline.codecs import encode_ppm
+    from steel_datafusion_spark.pipeline.multimodal import decode_image
+
+    img = _gradient(6, 3, "RGB")
+    assert decode_image(encode_ppm(img)) == img
