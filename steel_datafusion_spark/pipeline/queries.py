@@ -1041,18 +1041,42 @@ def q_sketch_distinct_rollup(spark, sf_dir):
     """Mergeable-sketch rollup (pipeline/sketches.py): per-event-type HLL
     sketches of user_id, merged up to one global estimate without
     rescanning — the pre-aggregation pattern for distinct counts at
-    100 TB.  DataSketches estimates aren't reproducible in DuckDB, so
-    this gate is rows-only; the error-bound and merge-consistency
-    assertions live in tests/test_sketches.py."""
+    100 TB.  DataSketches estimate bits aren't reproducible in DuckDB, so
+    the hashable output is (exact count, estimate-within-published-bound):
+    Spark computes the exact distinct AND the sketch estimate in one plan
+    and emits ``within_bound`` (|est − exact| ≤ 3·1.04/√2^lg_k · exact);
+    the oracle recomputes the exact counts independently and expects TRUE.
+    Finer-grained merge-vs-global and HIP-vs-composite assertions stay in
+    tests/test_sketches.py."""
     from .sketches import hll_merge_rollup, hll_rollup
 
     ev = load_tables(spark, sf_dir)["events"]
     per_type = hll_rollup(ev, ["event_type"], "user_id", lg_k=12)
     merged = (hll_merge_rollup(per_type, [], "sketch")
               .withColumn("event_type", F.lit("__all__")))
-    return (per_type.select("event_type", "distinct_est")
-            .unionByName(merged.select("event_type", "distinct_est"))
+    est = (per_type.select("event_type", "distinct_est")
+           .unionByName(merged.select("event_type", "distinct_est")))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    exact_all = (ev.agg(F.countDistinct("user_id").alias("n_exact"))
+                 .withColumn("event_type", F.lit("__all__")))
+    exact = exact.unionByName(exact_all.select("event_type", "n_exact"))
+    bound = 3 * 1.04 / (2 ** 12) ** 0.5  # 3σ of the lg_k=12 RSE ≈ 4.875%
+    return (est.join(exact, "event_type")
+            .select("event_type", "n_exact",
+                    (F.abs(F.col("distinct_est") - F.col("n_exact"))
+                     <= F.col("n_exact") * F.lit(bound)).alias("within_bound"))
             .orderBy("event_type"))
+
+
+_SQL_SKETCH_ROLLUP = """
+WITH per AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT '__all__' AS event_type, count(DISTINCT user_id) FROM events)
+SELECT event_type, n_exact, TRUE AS within_bound FROM per ORDER BY event_type
+"""
 
 
 def q_asof_join_forward(spark, sf_dir):
@@ -1140,6 +1164,7 @@ PIPELINE_QUERIES = {
     "asof_join": (q_asof_join, _SQL_ASOF),
     "asof_join_forward": (q_asof_join_forward, _SQL_ASOF_FORWARD),
     # rows-only: DataSketches estimates are not reproducible in DuckDB;
-    # semantic checks live in tests/test_sketches.py
-    "sketch_distinct_rollup": (q_sketch_distinct_rollup, None),
+    # estimate bits aren't DuckDB-reproducible; the gate hashes exact counts
+    # + a within-published-bound boolean (semantics in tests/test_sketches.py)
+    "sketch_distinct_rollup": (q_sketch_distinct_rollup, _SQL_SKETCH_ROLLUP),
 }

@@ -66,19 +66,11 @@ def kll_quantile_rollup(df: DataFrame, group_cols: list[str],
                 F.col(value_col).cast("double"), F.lit(k)).alias("kll")))
 
 
-def kll_merge_quantiles(sketches: DataFrame, group_cols: list[str],
-                        quantiles: list[float],
-                        sketch_col: str = "kll") -> DataFrame:
-    """Merge KLL sketches to a coarser grain and extract quantiles.
-    Output: group cols + ``q_<pct>`` per requested quantile.
-
-    Spark's ``kll_sketch_merge_double`` is a pairwise scalar (no merge
-    AGGREGATE exists as of 4.1), so the per-group merge folds a
-    ``collect_list`` of sketches — fine for realistic fan-ins (days into a
-    month, partitions into a table: each sketch is ~KB and the fold is one
-    group's worth, not the raw data); for a million-sketch fan-in, merge
-    in two levels (add an intermediate grouping key)."""
-    g = sketches.groupBy(*group_cols) if group_cols else sketches.groupBy()
+def _fold_kll(sketches: DataFrame, keys: list[str],
+              sketch_col: str) -> DataFrame:
+    """One per-group KLL merge pass: collect_list + pairwise fold, yielding
+    one merged sketch per key combination (column name = ``sketch_col``)."""
+    g = sketches.groupBy(*keys) if keys else sketches.groupBy()
     lst = g.agg(F.collect_list(F.col(sketch_col)).alias("_ks"))
     # guard the empty-group case (global groupBy over zero rows yields one
     # row with _ks = []): element_at([], 1) throws under ANSI — emit a NULL
@@ -88,11 +80,43 @@ def kll_merge_quantiles(sketches: DataFrame, group_cols: list[str],
         F.element_at(F.col("_ks"), 1),
         lambda acc, x: F.kll_sketch_merge_double(acc, x),
     )
-    merged = lst.select(
-        *group_cols,
-        F.when(F.size("_ks") > 0, fold).alias("kll"))
+    return lst.select(
+        *keys, F.when(F.size("_ks") > 0, fold).alias(sketch_col))
+
+
+def kll_merge_quantiles(sketches: DataFrame, group_cols: list[str],
+                        quantiles: list[float],
+                        sketch_col: str = "kll",
+                        levels: int = 1, fanout: int = 64) -> DataFrame:
+    """Merge KLL sketches to a coarser grain and extract quantiles.
+    Output: group cols + ``q_<pct>`` per requested quantile.
+
+    Spark's ``kll_sketch_merge_double`` is a pairwise scalar (no merge
+    AGGREGATE exists as of 4.1), so the per-group merge folds a
+    ``collect_list`` of sketches — fine for realistic fan-ins (days into a
+    month, partitions into a table: each sketch is ~KB and the fold is one
+    group's worth, not the raw data).
+
+    For huge fan-ins (a million per-partition sketches into one group) pass
+    ``levels=2``: sketches are first salted into ``fanout`` subgroups per
+    group and merged there (distributed partial merges, each folding
+    ~fan_in/fanout sketches), then the ``fanout`` partials merge in a second
+    pass — no single task ever collect_lists the full fan-in.  KLL merge
+    keeps the same rank-error guarantee regardless of merge tree shape, so
+    ``levels`` changes cost, not the error bound.  Size ``fanout`` ≈
+    sqrt(max fan-in) to balance the two passes."""
+    if levels not in (1, 2):
+        raise ValueError(f"levels must be 1 or 2, got {levels}")
+    if levels == 2:
+        # deterministic salt from the sketch bytes: spreads a group's
+        # sketches uniformly without needing any natural subgrouping key
+        salted = sketches.withColumn(
+            "_salt", F.pmod(F.hash(F.col(sketch_col)), F.lit(fanout)))
+        sketches = _fold_kll(salted, [*group_cols, "_salt"], sketch_col) \
+            .drop("_salt")
+    merged = _fold_kll(sketches, group_cols, sketch_col)
     cols = [
-        F.kll_sketch_get_quantile_double(F.col("kll"), F.lit(q))
+        F.kll_sketch_get_quantile_double(F.col(sketch_col), F.lit(q))
         .alias(f"q_{str(q).replace('.', '_')}")
         for q in quantiles
     ]
