@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["read_stream_parquet", "windowed_rollup", "session_rollup",
-           "streaming_dedup", "run_stream_to_memory"]
+           "streaming_dedup", "run_stream_to_memory",
+           "run_stream_to_parquet"]
 
 
 def read_stream_parquet(spark: SparkSession, path: str, schema) -> DataFrame:
@@ -127,3 +128,29 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
          .start())
     q.awaitTermination(timeout_s)
     return stream_df.sparkSession.table(query_name)
+
+
+def run_stream_to_parquet(stream_df: DataFrame, out_dir: str,
+                          checkpoint_dir: str,
+                          output_mode: str = "append",
+                          timeout_s: int = 120) -> DataFrame:
+    """Materialize a stream to a parquet directory via ``foreachBatch`` and
+    return the written result read back — the durable-sink path (vs the
+    in-memory test sink): finalized windows land in the same parquet layout
+    the batch engine reads, restart-safe through the checkpoint location.
+
+    ``foreachBatch`` rather than the built-in parquet sink so non-append
+    output modes (update/complete re-emissions) can also be materialized by
+    swapping the writer body; exactly-once here comes from the checkpoint +
+    append-only batches of ``availableNow`` on a finite source."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (stream_df.writeStream.foreachBatch(_write)
+         .outputMode(output_mode)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(timeout_s)
+    return stream_df.sparkSession.read.parquet(out_dir)
