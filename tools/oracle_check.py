@@ -6,12 +6,15 @@ same parquet tables: row count, column-name set, and an order-insensitive
 value comparison (columns sorted by name, rows sorted, floats rounded).
 
 Usage:
-    python tools/oracle_check.py [--sf /root/testdata/sf0.01] [names...]
+    python tools/oracle_check.py [--sf /root/testdata/sf0.01] \
+        [--json ORACLE_LOCAL_rN.json] [names...]
 
 With no names, checks every query that has an oracle.  Exit code = number of
 failures.  This exists so a round can verify a changed operator BEFORE the
-driver's 50-entry-capped artifact does (VERDICT r3 "What's wrong" #1).
-"""
+driver's 50-entry-capped artifact does (VERDICT r3 "What's wrong" #1), and —
+with ``--json`` — to commit a full-catalog per-round correctness artifact
+(ORACLE_LOCAL_r{N}.json) so every oracled gate has same-round evidence
+regardless of the driver cap (VERDICT r5 item 1)."""
 
 from __future__ import annotations
 
@@ -68,6 +71,12 @@ def main() -> int:
         i = args.index("--sf")
         sf_dir = args[i + 1]
         del args[i:i + 2]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i:i + 2]
+    results: dict[str, dict] = {}
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
@@ -94,21 +103,33 @@ def main() -> int:
             try:
                 n = qs[name](spark, sf_dir).count()
                 print(f"  spark rows={n}")
+                results[name] = {"rows_match": None, "vals_match": None,
+                                 "spark_rows": n, "oracle_rows": None,
+                                 "err": "no_oracle"}
             except Exception as e:
                 print(f"  SPARK ERROR: {e}")
                 failures += 1
+                results[name] = {"rows_match": None, "vals_match": None,
+                                 "spark_rows": None, "oracle_rows": None,
+                                 "err": f"spark: {e}"[:300]}
             continue
         try:
             sdf = qs[name](spark, sf_dir).toPandas()
         except Exception as e:
             print(f"{name}: SPARK ERROR: {e}")
             failures += 1
+            results[name] = {"rows_match": None, "vals_match": None,
+                             "spark_rows": None, "oracle_rows": None,
+                             "err": f"spark: {e}"[:300]}
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"{name}: ORACLE ERROR: {e}")
             failures += 1
+            results[name] = {"rows_match": None, "vals_match": None,
+                             "spark_rows": len(sdf), "oracle_rows": None,
+                             "err": f"oracle: {e}"[:300]}
             continue
         rows_ok = len(sdf) == len(odf)
         cols_ok = sorted(sdf.columns) == sorted(odf.columns)
@@ -116,6 +137,9 @@ def main() -> int:
         status = "OK" if (rows_ok and cols_ok and vals_ok) else "FAIL"
         if status == "FAIL":
             failures += 1
+        results[name] = {"rows_match": rows_ok, "cols_match": cols_ok,
+                         "vals_match": vals_ok, "spark_rows": len(sdf),
+                         "oracle_rows": len(odf), "err": None}
         print(f"{name}: {status} (rows {len(sdf)}/{len(odf)}, "
               f"cols_match={cols_ok}, vals_match={vals_ok})")
         if not cols_ok:
@@ -126,6 +150,13 @@ def main() -> int:
             diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
             print(f"  first diffs: {diff}")
     print(f"\n{len(names) - failures}/{len(names)} passed")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_checked": len(names),
+                       "n_failed": failures, "results": results}, f, indent=1)
+        print(f"wrote {json_path}")
     return failures
 
 

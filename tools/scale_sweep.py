@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Scale-sweep evidence for the headline pipeline operators (VERDICT r5
+item 4): run the five heavy gates at sf0.001 / sf0.01 / sf0.1 (the three
+driver-shipped scales — a 100x input range) plus a synthetic 10x-of-sf0.1
+"sf1x" corpus, and record wall time, input/output rows, and candidate-pair
+counts so the documented near-linear claims are measured, not argued.
+
+The synthetic sf1x corpus preserves the duplicate structure of sf0.1
+exactly, ten times over, so linear output growth is the *ground truth*:
+
+- documents: copy i in 1..9 suffixes every word with ``_i`` — a vocabulary
+  permutation per copy, so within-copy word-shingle Jaccard (and thus the
+  near-dup pair set) is IDENTICAL to the original, while cross-copy shingle
+  sets are disjoint.  10x docs => exactly 10x true near-dup pairs.
+- embeddings: copy i rotates each vector by i positions — an isometry, so
+  within-copy cosines are identical and cross-copy pairs are uncorrelated.
+
+Usage:
+    python tools/scale_sweep.py [--out bench_runs/scale_sweep.json]
+                                [--skip-sf1x]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+OPS = ["dedup_minhash_lsh", "dedup_index_probe", "dedup_clusters_twophase",
+       "embedding_neardup_banded", "fuzzy_match"]
+SF1X_DIR = "/tmp/sdf_scale_sf1x"
+REPS = 2
+
+
+def build_sf1x(spark, src_dir: str, out_dir: str, copies: int = 10) -> None:
+    """Materialize the synthetic 10x corpus (documents + embeddings
+    transformed per the module docstring; every other table copied as-is so
+    load_tables finds the full layout)."""
+    from steel_datafusion_spark.sources.readers import load_tables
+
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    t = load_tables(spark, src_dir)
+
+    docs = t["documents"]
+    doc_parts = []
+    for i in range(copies):
+        if i == 0:
+            doc_parts.append(docs)
+            continue
+        suffixed = F.array_join(
+            F.transform(F.split(F.col("text"), r"\s+"),
+                        lambda w: F.concat(w, F.lit(f"_{i}"))), " ")
+        doc_parts.append(
+            docs.withColumn("doc_id", F.col("doc_id") + i * 10_000_000)
+                .withColumn("text", suffixed))
+    out = doc_parts[0]
+    for p in doc_parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    emb = t["embeddings"]
+    dim = len(emb.select("embedding").head()[0])
+    emb_parts = []
+    for i in range(copies):
+        if i == 0:
+            emb_parts.append(emb)
+            continue
+        rolled = F.concat(F.slice("embedding", i + 1, dim - i),
+                          F.slice("embedding", 1, i))
+        emb_parts.append(
+            emb.withColumn("vec_id", F.col("vec_id") + i * 10_000_000)
+               .withColumn("embedding", rolled))
+    oute = emb_parts[0]
+    for p in emb_parts[1:]:
+        oute = oute.unionByName(p)
+    oute.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+    for name in ("region nation customer supplier part orders lineitem "
+                 "events").split():
+        src = os.path.join(src_dir, f"{name}.parquet")
+        if os.path.exists(src):
+            dst = os.path.join(out_dir, f"{name}.parquet")
+            (shutil.copytree if os.path.isdir(src) else shutil.copyfile)(
+                src, dst)
+
+
+def minhash_candidate_pairs(spark, sf_dir: str) -> int:
+    """Band-bucket candidate pairs BEFORE verification — the quantity whose
+    sub-quadratic growth the LSH design claims.  Sum over buckets of
+    C(n, 2) on the same banded table the gate builds."""
+    from steel_datafusion_spark.cache import release_all
+    from steel_datafusion_spark.pipeline.dedup import (
+        _banded_table, _hashed_shingles)
+    from steel_datafusion_spark.sources.readers import load_tables
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    hs = _hashed_shingles(d, "doc_id", "text", 3)
+    banded = _banded_table(hs, 32, 8, 4)
+    n = (banded.groupBy("band_idx", "band_hash")
+         .agg(F.count(F.lit(1)).alias("n"))
+         .agg(F.sum(F.expr("n * (n - 1) / 2")).alias("c")).head()["c"])
+    release_all(spark)
+    return int(n or 0)
+
+
+def main() -> int:
+    out_path = "bench_runs/scale_sweep.json"
+    args = sys.argv[1:]
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i:i + 2]
+    skip_sf1x = "--skip-sf1x" in args
+
+    import __spark_entry__ as entry
+    from steel_datafusion_spark import session_context
+    from steel_datafusion_spark.cache import release_all
+    from steel_datafusion_spark.sources.readers import load_tables
+
+    spark = session_context(app_name="scale-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+
+    scales = [("sf0.001", "/root/testdata/sf0.001"),
+              ("sf0.01", "/root/testdata/sf0.01"),
+              ("sf0.1", "/root/testdata/sf0.1")]
+    if not skip_sf1x:
+        print("building synthetic sf1x (10x sf0.1) ...", flush=True)
+        build_sf1x(spark, "/root/testdata/sf0.1", SF1X_DIR)
+        scales.append(("sf1x", SF1X_DIR))
+
+    results: dict[str, dict] = {}
+    for sc_name, sc_dir in scales:
+        n_docs = load_tables(spark, sc_dir)["documents"].count()
+        n_vecs = load_tables(spark, sc_dir)["embeddings"].count()
+        row: dict = {"n_documents": n_docs, "n_embeddings": n_vecs,
+                     "ops": {}}
+        print(f"\n== {sc_name}: {n_docs} docs, {n_vecs} vectors", flush=True)
+        cand = minhash_candidate_pairs(spark, sc_dir)
+        row["minhash_candidate_pairs"] = cand
+        print(f"   minhash band-bucket candidate pairs: {cand}", flush=True)
+        for op in OPS:
+            times, n_out = [], None
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                n_out = qs[op](spark, sc_dir).toArrow().num_rows
+                times.append(round(time.perf_counter() - t0, 3))
+                release_all(spark)
+                spark.catalog.clearCache()
+            row["ops"][op] = {"times_s": times, "best_s": min(times),
+                              "n_out": n_out}
+            print(f"   {op}: {times} s, {n_out} rows", flush=True)
+        results[sc_name] = row
+
+    with open(out_path, "w") as f:
+        json.dump({"reps": REPS, "ops": OPS, "scales": results}, f, indent=1)
+    print(f"\nwrote {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
