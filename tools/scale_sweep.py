@@ -158,6 +158,34 @@ def main() -> int:
             row["ops"][op] = {"times_s": times, "best_s": min(times),
                               "n_out": n_out}
             print(f"   {op}: {times} s, {n_out} rows", flush=True)
+
+        # the banded-LSH sizing rule applied (similarity.py docstring):
+        # band-code width ≈ log2(N / target_bucket) keeps per-band occupancy
+        # flat as N grows; the fixed-parameter gate (8 planes / 2-bit bands)
+        # deliberately ignores this, so measuring BOTH shows the fixed
+        # variant go superlinear while the resized one stays ~linear.
+        import math
+
+        from steel_datafusion_spark.pipeline.queries import _aug_emb
+        from steel_datafusion_spark.pipeline.similarity import (
+            cosine_neardup_pairs)
+
+        band_bits = min(12, max(2, math.ceil(math.log2(max(n_vecs, 2) / 250))))
+        n_planes = 4 * band_bits
+        times, n_out = [], None
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            n_out = cosine_neardup_pairs(
+                _aug_emb(spark, sc_dir), threshold=0.99,
+                n_planes=n_planes, bands=4).toArrow().num_rows
+            times.append(round(time.perf_counter() - t0, 3))
+            release_all(spark)
+            spark.catalog.clearCache()
+        row["ops"]["embedding_neardup_banded_scaled"] = {
+            "times_s": times, "best_s": min(times), "n_out": n_out,
+            "n_planes": n_planes, "bands": 4, "band_bits": band_bits}
+        print(f"   embedding_neardup_banded_scaled (planes={n_planes}): "
+              f"{times} s, {n_out} rows", flush=True)
         results[sc_name] = row
 
     with open(out_path, "w") as f:
