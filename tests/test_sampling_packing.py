@@ -73,15 +73,20 @@ def test_two_phase_cc_equals_propagation_on_random_graphs(spark):
 
 def test_cc_reliable_checkpoint(spark, tmp_path):
     # reliable=True routes every iteration through a durable checkpoint
-    # dir (executor-loss-safe at cluster scale); results are identical
+    # dir (executor-loss-safe at cluster scale); results are identical.
+    # The context checkpoint dir is shared session state and the barrier
+    # refuses to redirect it (ADVICE r5) — reuse whatever is configured.
+    existing = spark.sparkContext._jsc.sc().getCheckpointDir()
+    ckpt = (existing.get().replace("file:", "") if not existing.isEmpty()
+            else str(tmp_path / "ckpt"))
     pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)],
                                   "doc_a long, doc_b long")
     got = sorted(map(tuple, connected_components(
-        pairs, reliable=True, checkpoint_dir=str(tmp_path / "ckpt"),
+        pairs, reliable=True, checkpoint_dir=ckpt,
         algorithm="two-phase").collect()))
     assert got == [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)]
     import os
-    assert any(os.scandir(str(tmp_path / "ckpt")))  # data actually landed
+    assert any(os.scandir(ckpt))  # data actually landed
 
 
 def test_connected_components_leaves_no_cache(spark):
