@@ -28,7 +28,7 @@ from .dedup import (
 )
 from .dedup import winnow_fingerprints
 from .curation import decontaminate, mixture_resample, repetition_stats
-from .multimodal import extract_features, make_media_table
+from .multimodal import extract_features, frame_sample, make_media_table
 from .similarity import (
     cosine_neardup_pairs, cosine_topk, hyperplanes, ivf_topk, kmeans, lsh_topk,
 )
@@ -1079,6 +1079,87 @@ SELECT event_type, n_exact, TRUE AS within_bound FROM per ORDER BY event_type
 """
 
 
+def q_sketch_quantile_rollup(spark, sf_dir):
+    """KLL quantile rollup through the TWO-LEVEL merge path
+    (pipeline/sketches.py, levels=2): per-(event_type, day) sketches salt
+    into partial merges, then fold per event_type — no task ever holds a
+    group's full sketch list.  Like the HLL gate, the sketch bits aren't
+    DuckDB-reproducible, so the hashable output is the exact percentiles
+    (computed independently by both engines) plus within-rank-bound
+    booleans: the KLL estimate must land between the exact values at ranks
+    q ± eps (eps = 2 x 1.65/sqrt(k) — the published normalized rank error
+    at 2 sigma)."""
+    from .sketches import kll_merge_quantiles, kll_quantile_rollup
+
+    ev = load_tables(spark, sf_dir)["events"]
+    fine = kll_quantile_rollup(
+        ev.withColumn("day", F.dayofmonth("ts")),
+        ["event_type", "day"], "value", k=200)
+    est = kll_merge_quantiles(fine, ["event_type"], [0.5, 0.9],
+                              levels=2, fanout=8)
+    eps = 2 * 1.65 / (200 ** 0.5)  # ≈ 0.233 normalized rank
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.expr("percentile(value, 0.9)").alias("p90_exact"),
+        F.expr(f"percentile(value, {max(0.0, 0.5 - eps)})").alias("_p50_lo"),
+        F.expr(f"percentile(value, {min(1.0, 0.5 + eps)})").alias("_p50_hi"),
+        F.expr(f"percentile(value, {max(0.0, 0.9 - eps)})").alias("_p90_lo"),
+        F.expr(f"percentile(value, {min(1.0, 0.9 + eps)})").alias("_p90_hi"))
+    return (est.join(exact, "event_type")
+            .select("event_type",
+                    F.round("p50_exact", 6).alias("p50_exact"),
+                    F.round("p90_exact", 6).alias("p90_exact"),
+                    F.col("q_0_5").between(F.col("_p50_lo"), F.col("_p50_hi"))
+                    .alias("p50_within"),
+                    F.col("q_0_9").between(F.col("_p90_lo"), F.col("_p90_hi"))
+                    .alias("p90_within"))
+            .orderBy("event_type"))
+
+
+_SQL_KLL_ROLLUP = """
+SELECT event_type,
+  round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50_exact,
+  round(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS p90_exact,
+  TRUE AS p50_within, TRUE AS p90_within
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_frame_sample_rollup(spark, sf_dir):
+    """Video frame-sampling plumbing (pipeline/multimodal.py frame_sample)
+    as a hashed gate: sample ≤8 frames per video payload (1 frame/s of
+    deterministic metadata duration), roll up frame counts and payload
+    bytes per video.  The oracle recomputes the slicing arithmetic from the
+    source text (payload = ASCII bytes, duration = n_chars x 10 ms):
+    n = clamp(duration/1000, 1, 8), step = max(1, len/n), every frame
+    carries exactly step bytes when len >= n, else 1 byte for the first
+    len frames."""
+    d = load_tables(spark, sf_dir)["documents"]
+    fs = frame_sample(make_media_table(d), every_ms=1000, max_frames=8)
+    return (fs.groupBy("media_id")
+            .agg(F.count(F.lit(1)).alias("n_frames"),
+                 F.sum(F.octet_length("frame_payload")).alias("frame_bytes"),
+                 F.max("frame_ts_ms").alias("last_ts_ms"))
+            .orderBy("media_id"))
+
+
+_SQL_FRAME_SAMPLE = r"""
+WITH vids AS (
+  SELECT doc_id AS media_id,
+    octet_length(encode(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))) AS len,
+    least(8, greatest(1, (n_chars * 10) // 1000))::INT AS n
+  FROM documents WHERE doc_id % 3 = 2),
+calc AS (
+  SELECT media_id, n,
+    CASE WHEN len >= n THEN n * greatest(1, len // n)
+         ELSE least(n::BIGINT, len) END AS frame_bytes,
+    (n - 1) * 1000 AS last_ts_ms
+  FROM vids)
+SELECT media_id, n AS n_frames, frame_bytes, last_ts_ms
+FROM calc ORDER BY media_id
+"""
+
+
 def q_asof_join_forward(spark, sf_dir):
     """Forward as-of join: each 'error' event gets the EARLIEST
     at-or-after 'purchase' of the same user — "next event after", the
@@ -1167,4 +1248,8 @@ PIPELINE_QUERIES = {
     # estimate bits aren't DuckDB-reproducible; the gate hashes exact counts
     # + a within-published-bound boolean (semantics in tests/test_sketches.py)
     "sketch_distinct_rollup": (q_sketch_distinct_rollup, _SQL_SKETCH_ROLLUP),
+    # KLL estimate bits likewise aren't DuckDB-reproducible: hash the exact
+    # percentiles + within-rank-bound booleans (two-level merge path)
+    "sketch_quantile_rollup": (q_sketch_quantile_rollup, _SQL_KLL_ROLLUP),
+    "frame_sample_rollup": (q_frame_sample_rollup, _SQL_FRAME_SAMPLE),
 }
