@@ -205,6 +205,47 @@ def q_hash_split(spark, sf_dir):
     return hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1})
 
 
+def q_domain_cap(spark, sf_dir):
+    """C4-style per-domain cap: at most 15 docs per source, kept by md5
+    preference with doc_id tiebreak (pipeline/sampling.py domain_cap) —
+    deterministic under corpus growth, WindowGroupLimit-pruned shuffle."""
+    from .sampling import domain_cap
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "source")
+    return domain_cap(d, 15)
+
+
+def _sql_domain_cap() -> str:
+    from .sampling import sql_hash_unit
+    h = sql_hash_unit("doc_id", "domcap")
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 15
+"""
+
+
+def q_shard_assignment(spark, sf_dir):
+    """Deterministic training-order sharding (pipeline/sampling.py
+    shard_assignment): shard = md5 mod 8 (map-side), pos = md5-order rank
+    within the shard — byte-identical epochs across reruns, salt swap for
+    fresh epochs, no global sort."""
+    from .sampling import shard_assignment
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    return shard_assignment(d, 8)
+
+
+def _sql_shard_assignment() -> str:
+    from .sampling import sql_hash_unit
+    h = sql_hash_unit("doc_id", "shard")
+    return f"""
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY hu, doc_id) AS pos
+FROM (SELECT doc_id, {h} AS hu, ({h} % 8)::INT AS shard FROM documents) t
+"""
+
+
 def _sql_hash_split() -> str:
     # identical integer thresholds via the same float accumulation
     from .sampling import _MOD, sql_hash_unit
@@ -1217,6 +1258,8 @@ PIPELINE_QUERIES = {
     "pii_redact": (q_pii_redact, _sql_pii_redact()),
     "stratified_sample": (q_stratified_sample, _sql_stratified_sample()),
     "hash_split": (q_hash_split, _sql_hash_split()),
+    "domain_cap": (q_domain_cap, _sql_domain_cap()),
+    "shard_assignment": (q_shard_assignment, _sql_shard_assignment()),
     "weighted_sample": (q_weighted_sample, _sql_weighted_sample()),
     "sequence_packing": (q_sequence_packing, _sql_sequence_packing()),
     "fuzzy_match": (q_fuzzy_match, _sql_fuzzy_match()),

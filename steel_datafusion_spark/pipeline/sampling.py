@@ -27,7 +27,7 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "hash_unit", "hash_sample", "weighted_sample", "stratified_sample_n",
-    "hash_split", "sql_hash_unit",
+    "hash_split", "sql_hash_unit", "domain_cap", "shard_assignment",
 ]
 
 _MOD = 1 << 32
@@ -109,3 +109,57 @@ def hash_split(df: DataFrame, weights: dict[str, float],
     # float-sum guard: anything at the very top edge lands in the last split
     last = list(weights)[-1]
     return df.withColumn("split", expr.otherwise(F.lit(last)))
+
+
+def domain_cap(df: DataFrame, cap: int, domain_col: str = "source",
+               key_col: str = "doc_id", salt: str = "domcap") -> DataFrame:
+    """Per-domain document cap (the C4/Gopher curation move: no single
+    domain may dominate the corpus).  Keeps at most ``cap`` rows per
+    ``domain_col`` value, chosen by md5 order with key tiebreak — a
+    deterministic preference, so re-ingesting the corpus (or growing a
+    domain) never swaps previously-kept documents for hash-later ones.
+
+    Scale: same plan as ``stratified_sample_n`` — one shuffle on the
+    domain key with WindowGroupLimit pruning to ~cap rows per input
+    partition before the exchange, so a billion-page domain ships only
+    cap × n_partitions candidate rows.  For caps in the millions,
+    pre-thin hot domains with ``hash_sample`` at a few× the implied rate
+    first (same ordering key → same final set)."""
+    h = hash_unit(F.col(key_col), salt).alias("_hu")
+    w = Window.partitionBy(domain_col).orderBy(F.col("_hu").asc(),
+                                               F.col(key_col).asc())
+    return (df.withColumn("_hu", h)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap)
+            .drop("_hu", "_rn"))
+
+
+def shard_assignment(df: DataFrame, n_shards: int,
+                     key_col: str = "doc_id",
+                     salt: str = "shard") -> DataFrame:
+    """Deterministic global shuffle + sharding for training order: adds
+    ``shard`` (which output file/loader stream the row belongs to) and
+    ``pos`` (its position within that shard).  Both are pure functions of
+    (key, salt): a resumed or re-run job produces byte-identical epochs,
+    and changing ``salt`` gives an independent reshuffle per epoch.
+
+    shard = hash_unit mod n_shards — map-side, uniform, no coordination;
+    pos   = md5-order rank within the shard (key tiebreak).
+
+    Scale: the only shuffle is on the shard id.  A global ORDER BY would
+    funnel the corpus through one sort; per-shard ranking shuffles each
+    row once to its shard's partitions and sorts locally — with n_shards
+    sized to the training fan-in (hundreds to thousands), partitions stay
+    executor-sized at 100 TB.  Writers then emit one file per shard
+    (partitionBy('shard')), which data loaders read sequentially by
+    ``pos``."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = hash_unit(F.col(key_col), salt)
+    w = Window.partitionBy("shard").orderBy(F.col("_hu").asc(),
+                                            F.col(key_col).asc())
+    return (df.withColumn("_hu", h)
+            .withColumn("shard", F.pmod(F.col("_hu"), F.lit(n_shards))
+                        .cast("int"))
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+            .drop("_hu"))

@@ -296,3 +296,50 @@ def test_pii_redaction_and_progressive_counts(spark):
     df2 = spark.createDataFrame([("u@10.0.0.1.example.com only",)], "t string")
     r2 = df2.select(*pii_counts(F.col("t"))).collect()[0]
     assert (r2.n_email, r2.n_ipv4) == (1, 0)
+
+
+def test_domain_cap_deterministic_under_growth(spark):
+    """domain_cap keeps the md5-preferred rows; growing a domain must never
+    evict a previously-kept hash-earlier row (the anti-churn property)."""
+    from steel_datafusion_spark.pipeline.sampling import domain_cap
+
+    base = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("source"))
+    kept_base = {r.doc_id for r in domain_cap(base, 10).collect()}
+    # each domain holds exactly the cap
+    per = domain_cap(base, 10).groupBy("source").count().collect()
+    assert all(r["count"] == 10 for r in per) and len(per) == 4
+
+    grown = base.unionByName(spark.range(100, 160).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("source")))
+    kept_grown = {r.doc_id for r in domain_cap(grown, 10).collect()}
+    # new rows may displace only hash-later rows; every survivor of the
+    # grown corpus that existed in the base corpus was kept there too
+    assert all(d in kept_base for d in kept_grown if d < 100)
+
+
+def test_shard_assignment_contract(spark):
+    from steel_datafusion_spark.pipeline.sampling import shard_assignment
+    import pytest as _pytest
+
+    d = spark.range(1000).select(F.col("id").alias("doc_id"))
+    out = shard_assignment(d, 8).collect()
+    assert len(out) == 1000
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    # every shard used, roughly uniform (1000/8 = 125 ± 40%)
+    assert set(by_shard) == set(range(8))
+    assert all(75 <= len(v) <= 175 for v in by_shard.values())
+    # pos is a contiguous 1..n ranking within each shard
+    for v in by_shard.values():
+        assert sorted(v) == list(range(1, len(v) + 1))
+    # reruns are byte-identical; a different salt reshuffles
+    again = shard_assignment(d, 8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = shard_assignment(d, 8, salt="epoch2").collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+    with _pytest.raises(ValueError, match="n_shards"):
+        shard_assignment(d, 0)
