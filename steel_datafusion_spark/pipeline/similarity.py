@@ -80,8 +80,9 @@ def cosine_neardup_pairs(
     df: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
     block_col: str | None = "label",
-    n_planes: int = 8, multiprobe: bool = True,
+    n_planes: int | str = 8, multiprobe: bool = True,
     bands: int | None = None,
+    target_bucket: int = 250,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH-bucketed candidates.
 
@@ -125,7 +126,23 @@ def cosine_neardup_pairs(
     N / 2^(n/B) per band), so at scale raise n_planes with B to keep
     band-code width ≈ log2(N/B_target) — the same sizing rule, applied
     per band.  Candidates are deduped on ids BEFORE the exact-cosine
-    verify, so multi-band matches don't multiply verify work."""
+    verify, so multi-band matches don't multiply verify work.
+
+    ``n_planes="auto"`` applies the sizing rule from a corpus count (one
+    cheap count job): code/band width = clamp(ceil(log2(N / target_bucket)),
+    2, 12) bits, × bands when banding.  The round-6 scale sweep
+    (PLANS.md SCALING) measured why this matters: fixed 2-bit band codes
+    went 14× slower for 10× vectors (bucket occupancy is O(N/2^width)),
+    while rule-sized codes stayed ~linear (3.3×) at identical recall."""
+    if n_planes == "auto":
+        import math
+
+        n_vecs = df.count()
+        width = min(12, max(2, math.ceil(
+            math.log2(max(n_vecs, 2) / target_bucket))))
+        n_planes = width * (bands or 1)
+    elif not isinstance(n_planes, int):
+        raise ValueError(f"n_planes must be an int or 'auto', got {n_planes!r}")
     planes = hyperplanes(n_planes)
     cols = [F.col(id_col).alias("vid"), F.col(vec_col).alias("v")]
     if block_col:

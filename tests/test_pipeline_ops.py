@@ -223,3 +223,32 @@ def test_kmeans_reliable_checkpoint(spark, tables, tmp_path):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     import os
     assert any(os.scandir(str(tmp_path / "kckpt")))
+
+
+def test_neardup_auto_plane_sizing(spark, tables):
+    """n_planes='auto' applies the documented sizing rule (width =
+    clamp(ceil(log2(N/target_bucket)), 2, 12) bits per code/band) and
+    returns the same verified pairs as the explicitly-sized call."""
+    import pytest as _pytest
+
+    from steel_datafusion_spark.pipeline.similarity import (
+        cosine_neardup_pairs)
+
+    from pyspark.sql import functions as F
+
+    base = tables["embeddings"].select("vec_id", "embedding", "label")
+    dups = base.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + 3_000_000)  # exact copies → cos 1.0
+    e = base.unionByName(dups)
+    n = e.count()
+    import math
+    width = min(12, max(2, math.ceil(math.log2(max(n, 2) / 250))))
+
+    auto = sorted(map(tuple, cosine_neardup_pairs(
+        e, threshold=0.99, n_planes="auto", bands=4).collect()))
+    explicit = sorted(map(tuple, cosine_neardup_pairs(
+        e, threshold=0.99, n_planes=width * 4, bands=4).collect()))
+    assert auto == explicit and len(auto) > 0
+
+    with _pytest.raises(ValueError, match="auto"):
+        cosine_neardup_pairs(e, n_planes="many")
