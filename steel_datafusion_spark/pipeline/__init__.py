@@ -2,9 +2,11 @@
 dedup (incl. connected-components cluster resolution and a persisted
 incremental-dedup index), similarity/ANN (banded LSH, IVF, k-means),
 text analysis + PII redaction, curation (repetition quality,
-decontamination, mixture resampling), deterministic sampling & splitting,
-sequence packing, fuzzy edit-distance joins, mergeable HLL/KLL sketches,
-multimodal binary columns.
+decontamination, mixture resampling, per-domain caps), deterministic
+sampling & splitting & training-order sharding, sequence packing, fuzzy
+edit-distance joins, mergeable HLL/KLL sketches (two-level salted merge),
+multimodal binary columns with real image decode (pipeline/codecs.py:
+pure-Python PNG/BMP/PPM; Pillow when installed).
 
 Submodules are imported lazily by the operators that need them; import
 directly for explicit use::

@@ -1287,9 +1287,9 @@ PIPELINE_QUERIES = {
     "similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
     "asof_join": (q_asof_join, _SQL_ASOF),
     "asof_join_forward": (q_asof_join_forward, _SQL_ASOF_FORWARD),
-    # rows-only: DataSketches estimates are not reproducible in DuckDB;
-    # estimate bits aren't DuckDB-reproducible; the gate hashes exact counts
-    # + a within-published-bound boolean (semantics in tests/test_sketches.py)
+    # DataSketches estimate bits aren't DuckDB-reproducible; the gate hashes
+    # exact counts + a within-published-bound boolean (semantics in
+    # tests/test_sketches.py)
     "sketch_distinct_rollup": (q_sketch_distinct_rollup, _SQL_SKETCH_ROLLUP),
     # KLL estimate bits likewise aren't DuckDB-reproducible: hash the exact
     # percentiles + within-rank-bound booleans (two-level merge path)
