@@ -39,6 +39,7 @@ __all__ = [
     "build_dedup_index", "dedup_against_index",
     "exact_dedup", "simhash_from_hashes", "simhash_pairs",
     "ngram_jaccard_pairs", "winnow_fingerprints", "connected_components",
+    "keep_representatives", "dedup_corpus",
     "PERM_CONSTS", "MERSENNE61", "SQL",
 ]
 
@@ -699,6 +700,47 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     release_local_checkpoint(edges)
     return labels.select(F.col("v").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
+
+
+def keep_representatives(corpus: DataFrame, clusters: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Apply resolved dedup clusters to the corpus: keep each cluster's
+    representative (its minimum doc id — which IS ``cluster_id`` by the
+    ``connected_components`` contract) and every singleton, drop the rest.
+    The final step of a dedup pipeline: pairs → clusters → a corpus with
+    one document per near-dup class.
+
+    Scale: the drop list (cluster members minus representatives) is
+    proportional to the DUPLICATE count, not the corpus — typically a small
+    fraction, so the left-anti join broadcasts it and the corpus streams
+    through map-side with no shuffle.  Column-pruned: only doc ids leave
+    the clusters frame."""
+    drop = (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+            .select(F.col("doc_id").alias(id_col)))
+    return corpus.join(F.broadcast(drop), id_col, "left_anti")
+
+
+def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 method: str = "simhash",
+                 algorithm: str = "two-phase",
+                 **kwargs) -> DataFrame:
+    """End-to-end near-dedup: pair generation (``method`` = "simhash" |
+    "minhash") → connected components (``algorithm``) → representative
+    filter — the one-call form of the full pipeline, returning the
+    deduplicated corpus with its original schema.  Extra kwargs flow to
+    the pair generator (thresholds, bands, max_hamming...)."""
+    if method == "simhash":
+        pairs = simhash_pairs(df, id_col=id_col, text_col=text_col, **kwargs)
+    elif method == "minhash":
+        pairs = minhash_dedup_pairs(df, id_col=id_col, text_col=text_col,
+                                    **kwargs).select(
+            F.col("doc_a"), F.col("doc_b"))
+    else:
+        raise ValueError(f"method must be 'simhash' or 'minhash', "
+                         f"got {method!r}")
+    cc = connected_components(pairs, algorithm=algorithm)
+    return keep_representatives(df, cc, id_col=id_col)
 
 
 # ---------------------------------------------------------------------------

@@ -497,6 +497,49 @@ FROM lab l JOIN sizes s USING (cluster_id)
 """
 
 
+def q_dedup_apply(spark, sf_dir):
+    """End-to-end dedup application (pipeline/dedup.py dedup_corpus):
+    simhash pairs → two-phase connected components → representative
+    filter.  The output is the actually-deduplicated corpus — one doc per
+    near-dup class plus all singletons — closing the loop the pair/cluster
+    gates leave open.  The drop list is broadcast; the corpus never
+    shuffles."""
+    from .dedup import dedup_corpus
+
+    return dedup_corpus(_aug_docs(spark, sf_dir),
+                        max_hamming=10).select("doc_id", "lang")
+
+
+def _sql_dedup_apply() -> str:
+    """Recursive-CTE transitive closure (as _sql_dedup_clusters) + anti-join:
+    survivors are docs that are their own component minimum (or in no
+    pair)."""
+    return f"""
+WITH RECURSIVE {_AUG_DOCS_SQL},
+hsrc AS (SELECT doc_id, {DSQL.hashed_shingles('text')} AS hs FROM corpus),
+sh AS (SELECT doc_id, {DSQL.simhash_terms('hs')} AS sh FROM hsrc),
+chunks AS (
+  SELECT doc_id, sh, c.chunk_idx, (sh >> (12 * c.chunk_idx)) & 4095 AS chunk_val
+  FROM sh, (SELECT unnest(generate_series(0, 3)) AS chunk_idx) c),
+p AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= 10),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+          UNION SELECT doc_b, doc_a FROM p),
+reach AS (SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a),
+dropped AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+SELECT c.doc_id, c.lang FROM corpus c
+WHERE c.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
 def q_dedup_clusters_twophase(spark, sf_dir):
     """Same cluster resolution as dedup_clusters, but via the alternating
     large-star/small-star algorithm (pipeline/dedup.py, O(log n) rounds
@@ -1274,6 +1317,7 @@ PIPELINE_QUERIES = {
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, _sql_simhash_pairs()),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "dedup_clusters_twophase": (q_dedup_clusters_twophase, _sql_dedup_clusters()),
+    "dedup_apply": (q_dedup_apply, _sql_dedup_apply()),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _sql_ngram_jaccard()),
     "similarity_topk": (q_similarity_topk, _SQL_SIM_TOPK),
     "similarity_ivf": (q_similarity_ivf, _SQL_SIM_IVF),

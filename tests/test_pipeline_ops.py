@@ -252,3 +252,36 @@ def test_neardup_auto_plane_sizing(spark, tables):
 
     with _pytest.raises(ValueError, match="auto"):
         cosine_neardup_pairs(e, n_planes="many")
+
+
+def test_keep_representatives_and_dedup_corpus(spark):
+    """dedup application: clusters → representative filter keeps exactly
+    one doc per near-dup class plus all singletons, original schema."""
+    from steel_datafusion_spark.pipeline.dedup import (
+        connected_components, dedup_corpus, keep_representatives)
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "en"),
+        (2, "alpha beta gamma delta epsilon zeta", "en"),    # dup of 1
+        (3, "alpha beta gamma delta epsilon zeta eta", "en"),  # near-dup
+        (10, "one two three four five six seven", "en"),
+        (20, "totally different words entirely here now", "de"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    cc = connected_components(pairs)
+    kept = keep_representatives(corpus, cc)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 10, 20]
+    assert kept.columns == corpus.columns
+
+    # end-to-end: simhash finds the identical/near-identical texts
+    out = dedup_corpus(corpus, max_hamming=10)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert 1 in ids and 10 in ids and 20 in ids
+    assert 2 not in ids                      # exact dup dropped
+    assert out.columns == corpus.columns
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="method"):
+        dedup_corpus(corpus, method="nope")
