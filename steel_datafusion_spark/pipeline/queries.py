@@ -945,6 +945,43 @@ FROM feats GROUP BY kind
 """
 
 
+def q_resize_media_stats(spark, sf_dir):
+    """Resize plumbing (pipeline/multimodal.py resize_media) as a hashed
+    gate: resize every payload toward 640x480, roll up per kind.  The
+    deterministic fake scales payload length by the area ratio (floor, min
+    1 byte, never upscales); metadata is rewritten to the target frame —
+    the oracle recomputes both from the source text."""
+    from .multimodal import resize_media
+
+    d = load_tables(spark, sf_dir)["documents"]
+    rs = resize_media(make_media_table(d), 640, 480)
+    return (rs.groupBy("kind")
+            .agg(F.count(F.lit(1)).alias("n_media"),
+                 F.sum(F.octet_length("payload")).alias("resized_bytes"),
+                 F.sum(F.col("meta.width") + F.col("meta.height"))
+                 .alias("dim_sum"))
+            .orderBy("kind"))
+
+
+_SQL_RESIZE_MEDIA = r"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+    ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind,
+    octet_length(encode(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))) AS len,
+    CASE WHEN (n_chars % 1920) = 0 THEN 1 ELSE (n_chars % 1920) END AS ow,
+    CASE WHEN (n_chars % 1080) = 0 THEN 1 ELSE (n_chars % 1080) END AS oh
+  FROM documents),
+calc AS (
+  SELECT media_id, kind,
+    greatest(1, floor(len * least(CAST(640 * 480 AS DOUBLE) / (ow * oh),
+                                  1.0))::BIGINT) AS new_len
+  FROM media)
+SELECT kind, COUNT(*) AS n_media, SUM(new_len)::BIGINT AS resized_bytes,
+       COUNT(*) * (640 + 480) AS dim_sum
+FROM calc GROUP BY kind ORDER BY kind
+"""
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing fingerprints + BPE-ish token counts per doc — scalar
     projections of the sketch (count/min/max) so the driver hash stays
@@ -1339,4 +1376,5 @@ PIPELINE_QUERIES = {
     # percentiles + within-rank-bound booleans (two-level merge path)
     "sketch_quantile_rollup": (q_sketch_quantile_rollup, _SQL_KLL_ROLLUP),
     "frame_sample_rollup": (q_frame_sample_rollup, _SQL_FRAME_SAMPLE),
+    "resize_media_stats": (q_resize_media_stats, _SQL_RESIZE_MEDIA),
 }
