@@ -40,9 +40,18 @@ def asof_join(
     right_ts: str,
     right_tiebreak: str | None = None,
     direction: str = "backward",
+    tolerance: str | int | float | None = None,
 ) -> DataFrame:
     """As-of left join.  Output: all left columns + every right column
-    (nulled when no right row is ≤ — forward: ≥ — the left timestamp)."""
+    (nulled when no right row is ≤ — forward: ≥ — the left timestamp).
+
+    ``tolerance`` bounds the match distance (pandas ``merge_asof``
+    semantics): a matched right row farther than the tolerance from the
+    left timestamp is nulled out.  Pass an interval string for timestamp
+    columns ("30 minutes") or a number for numeric ts columns.  Post-hoc
+    filtering is exact here: the as-of match is the nearest candidate in
+    the direction, so if IT is out of range, every other candidate is
+    too — no extra shuffle, just a map-side conditional."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
@@ -107,6 +116,14 @@ def asof_join(
     matched = (l_tag.unionByName(r_tag)
                .withColumn("_match", pick)
                .filter(F.col("_side") == left_side))
+    if tolerance is not None:
+        mts = F.col(f"_match.{right_ts}")
+        tol = (F.lit(tolerance) if isinstance(tolerance, (int, float))
+               else F.expr(f"INTERVAL {tolerance}"))
+        in_range = (mts >= F.col("_ts") - tol if direction == "backward"
+                    else mts <= F.col("_ts") + tol)
+        matched = matched.withColumn("_match", F.when(in_range,
+                                                      F.col("_match")))
     return matched.select(
         *on,
         F.col("_ts").alias(left_ts),

@@ -1332,6 +1332,45 @@ ASOF LEFT JOIN (
 """
 
 
+def q_asof_join_tolerance(spark, sf_dir):
+    """Bounded as-of join (operators/asof.py tolerance): same backward
+    error→purchase match, but matches farther than 2 hours back are
+    nulled — pandas merge_asof semantics, exact as a post-hoc map-side
+    conditional because the as-of match is already the nearest
+    candidate."""
+    from ..operators.asof import asof_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select("user_id", F.col("event_id").alias("err_event_id"),
+                      F.col("ts").alias("err_ts")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("event_id").alias("purch_event_id"),
+                         F.col("ts").alias("purch_ts"),
+                         F.round(F.col("value"), 6).alias("purch_value")))
+    out = asof_join(errors, purchases, on=["user_id"],
+                    left_ts="err_ts", right_ts="purch_ts",
+                    right_tiebreak="purch_event_id",
+                    tolerance="2 hours")
+    return out.select("user_id", "err_event_id", "err_ts",
+                      "purch_event_id", "purch_value")
+
+
+_SQL_ASOF_TOLERANCE = """
+SELECT e.user_id, e.event_id AS err_event_id, e.ts AS err_ts,
+       CASE WHEN p.ts >= e.ts - INTERVAL 2 HOUR THEN p.event_id END
+         AS purch_event_id,
+       CASE WHEN p.ts >= e.ts - INTERVAL 2 HOUR THEN round(p.value, 6) END
+         AS purch_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (
+  SELECT user_id, ts, arg_max(event_id, event_id) AS event_id,
+         arg_max(value, event_id) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
 PIPELINE_QUERIES = {
     "text_stats": (q_text_stats, _SQL_TEXT_STATS),
     "text_quality_by_source": (q_text_quality_by_source, _SQL_TEXT_QUALITY),
@@ -1368,6 +1407,7 @@ PIPELINE_QUERIES = {
     "similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
     "asof_join": (q_asof_join, _SQL_ASOF),
     "asof_join_forward": (q_asof_join_forward, _SQL_ASOF_FORWARD),
+    "asof_join_tolerance": (q_asof_join_tolerance, _SQL_ASOF_TOLERANCE),
     # DataSketches estimate bits aren't DuckDB-reproducible; the gate hashes
     # exact counts + a within-published-bound boolean (semantics in
     # tests/test_sketches.py)

@@ -95,3 +95,29 @@ def test_overlapping_names_rejected(spark, sides):
     with pytest.raises(ValueError, match="overlap"):
         asof_join(left, right.withColumnRenamed("rval", "lval"),
                   ["k"], "lts", "rts")
+
+
+def test_tolerance_bounds_matches(spark, sides):
+    """merge_asof-style tolerance: a nearest match farther than the bound
+    is nulled; in-range matches are untouched (both directions, interval
+    and numeric forms)."""
+    left, right = sides
+    # backward, 30-minute bound: l1 matched r1 at 30 min exactly (kept),
+    # l2 matched r2 at 0 (kept) — with 10 minutes, l1's match is dropped
+    keep = {r.lval: r.rval for r in asof_join(
+        left, right, ["k"], "lts", "rts", tolerance="30 minutes").collect()}
+    assert keep == {"l1": "r1", "l2": "r2", "l3": None}
+    tight = {r.lval: r.rval for r in asof_join(
+        left, right, ["k"], "lts", "rts", tolerance="10 minutes").collect()}
+    assert tight == {"l1": None, "l2": "r2", "l3": None}
+
+    # forward + numeric ts columns
+    ln = spark.createDataFrame([(1, 100.0, "a")], "k long, lts double, v string")
+    rn = spark.createDataFrame([(1, 150.0, "far")],
+                               "k long, rts double, rv string")
+    fwd = asof_join(ln, rn, ["k"], "lts", "rts", direction="forward",
+                    tolerance=60).collect()[0]
+    assert fwd.rv == "far"
+    fwd2 = asof_join(ln, rn, ["k"], "lts", "rts", direction="forward",
+                     tolerance=40).collect()[0]
+    assert fwd2.rv is None
