@@ -1332,6 +1332,41 @@ ASOF LEFT JOIN (
 """
 
 
+def q_range_join(spark, sf_dir):
+    """Point-in-interval range join (operators/range_join.py): error events
+    matched into the 1-hour windows opened by each purchase of the same
+    user, counted per purchase.  The bucketized plan equi-joins on
+    (user_id, hour bucket) — a normal hash shuffle — with the exact
+    containment residual; the DuckDB oracle is the plain theta join (exact
+    at oracle scale; quadratic, which is the point of not shipping it)."""
+    from ..operators.range_join import range_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"), "ts")
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purch_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"))
+    rj = range_join(errors, windows, "ts", "w_start", "w_end",
+                    on=["user_id"], bucket_width=3600.0)
+    return (rj.groupBy("user_id", "purch_id")
+            .agg(F.count(F.lit(1)).alias("n_errors_in_window"),
+                 F.min("err_id").alias("first_err_id")))
+
+
+_SQL_RANGE_JOIN = """
+SELECT p.user_id, p.event_id AS purch_id,
+       COUNT(*) AS n_errors_in_window,
+       MIN(e.event_id) AS first_err_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+GROUP BY p.user_id, p.event_id
+"""
+
+
 def q_asof_join_tolerance(spark, sf_dir):
     """Bounded as-of join (operators/asof.py tolerance): same backward
     error→purchase match, but matches farther than 2 hours back are
@@ -1408,6 +1443,7 @@ PIPELINE_QUERIES = {
     "asof_join": (q_asof_join, _SQL_ASOF),
     "asof_join_forward": (q_asof_join_forward, _SQL_ASOF_FORWARD),
     "asof_join_tolerance": (q_asof_join_tolerance, _SQL_ASOF_TOLERANCE),
+    "range_join": (q_range_join, _SQL_RANGE_JOIN),
     # DataSketches estimate bits aren't DuckDB-reproducible; the gate hashes
     # exact counts + a within-published-bound boolean (semantics in
     # tests/test_sketches.py)
