@@ -1332,6 +1332,38 @@ ASOF LEFT JOIN (
 """
 
 
+def q_hypertable_rollup(spark, sf_dir):
+    """Continuous-aggregate cascade (pipeline/rollup.py): hourly rollup
+    built INCREMENTALLY (first half of events, refreshed with the second
+    half — never re-aggregating the first), then cascaded hour → day by
+    re-aggregating the hourly table, never the raw events.  The oracle
+    computes the day grain directly from raw in DuckDB, so the hash
+    certifies both the refresh identity and the lossless cascade."""
+    from .rollup import cascade_rollup, rollup_refresh, time_rollup
+
+    ev = load_tables(spark, sf_dir)["events"]
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    hourly = rollup_refresh(time_rollup(half_a, "hour"), half_b, "hour")
+    daily = cascade_rollup(hourly, "day")
+    return daily.select(
+        "bucket", "event_type", "n",
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"))
+
+
+_SQL_HYPERTABLE = """
+SELECT date_trunc('day', ts) AS bucket, event_type,
+       COUNT(*) AS n,
+       round(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6)
+         AS sum_value,
+       round(MIN(value), 6) AS min_value,
+       round(MAX(value), 6) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_range_join(spark, sf_dir):
     """Point-in-interval range join (operators/range_join.py): error events
     matched into the 1-hour windows opened by each purchase of the same
@@ -1444,6 +1476,7 @@ PIPELINE_QUERIES = {
     "asof_join_forward": (q_asof_join_forward, _SQL_ASOF_FORWARD),
     "asof_join_tolerance": (q_asof_join_tolerance, _SQL_ASOF_TOLERANCE),
     "range_join": (q_range_join, _SQL_RANGE_JOIN),
+    "hypertable_rollup": (q_hypertable_rollup, _SQL_HYPERTABLE),
     # DataSketches estimate bits aren't DuckDB-reproducible; the gate hashes
     # exact counts + a within-published-bound boolean (semantics in
     # tests/test_sketches.py)
