@@ -70,3 +70,37 @@ def test_validation(spark, data):
     with pytest.raises(ValueError, match="overlap"):
         range_join(points, intervals.withColumnRenamed("iv", "pv"),
                    "ts", "s", "e")
+
+
+def test_matches_naive_theta_join_property(spark):
+    """Differential property: bucketized range_join == brute-force python
+    containment on random numeric points/intervals (random bucket width)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(st.tuples(st.integers(0, 3), st.floats(0, 100)),
+                 min_size=1, max_size=15),
+        st.lists(st.tuples(st.integers(0, 3), st.floats(0, 100),
+                           st.floats(0, 50)), min_size=1, max_size=10),
+        st.floats(1.0, 40.0),
+    )
+    def prop(pts, ivs, width):
+        points = spark.createDataFrame(
+            [(k, float(x), i) for i, (k, x) in enumerate(pts)],
+            "k long, x double, pid long")
+        intervals = spark.createDataFrame(
+            [(k, float(lo), float(lo + span), i)
+             for i, (k, lo, span) in enumerate(ivs)],
+            "k long, lo double, hi double, iid long")
+        got = {(r.pid, r.iid) for r in range_join(
+            points, intervals, "x", "lo", "hi", on=["k"],
+            bucket_width=width).collect()}
+        want = {(pi, ii)
+                for pi, (pk, px) in enumerate(pts)
+                for ii, (ik, lo, span) in enumerate(ivs)
+                if pk == ik and lo <= px <= lo + span}
+        assert got == want
+
+    prop()
