@@ -1438,6 +1438,94 @@ ASOF LEFT JOIN (
 """
 
 
+def q_doc_chunking(spark, sf_dir):
+    """Token-window chunking (pipeline/chunking.py): every document split
+    into 32-token windows with 8-token overlap — the map-only fan-out that
+    feeds context packing and embedding jobs.  Chunk text is hashed so the
+    gate rows stay narrow; the oracle re-derives the identical windows with
+    generate_series + list slices."""
+    from .chunking import chunk_by_tokens
+
+    d = load_tables(spark, sf_dir)["documents"]
+    ch = chunk_by_tokens(d, size=32, overlap=8)
+    return ch.select(
+        "doc_id", "chunk_id", "chunk_start", "n_chunk_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_hash"))
+
+
+def _sql_doc_chunking() -> str:
+    from .chunking import sql_chunk_by_tokens
+
+    return ("WITH " + sql_chunk_by_tokens("documents", size=32, overlap=8)[1:]
+            + """
+SELECT doc_id, chunk_id, chunk_start, n_chunk_tokens,
+       md5(chunk_text) AS chunk_hash
+FROM chunked_documents
+""")
+
+
+def q_dedup_substring_spans(spark, sf_dir):
+    """Exact-substring dedup spans (pipeline/chunking.py, Lee et al. 2022
+    shape): maximal runs of 8-gram positions duplicated across >= 2 docs of
+    the augmented corpus — the token extents a cleaner would excise.  Plan:
+    gram inverted index (60-bit hash shuffle key) -> df filter -> position
+    semi-join -> per-doc gaps-and-islands window.  No all-pairs join."""
+    from .chunking import duplicated_span_extents
+
+    corpus = _aug_docs(spark, sf_dir)
+    return duplicated_span_extents(corpus, n=8, min_df=2)
+
+
+def _sql_dedup_substring_spans() -> str:
+    from .chunking import sql_duplicated_span_extents
+
+    return (f"WITH {_AUG_DOCS_SQL},"
+            + sql_duplicated_span_extents("corpus", n=8, min_df=2)[1:]
+            + "\nSELECT doc_id, span_start, span_end, span_tokens FROM sp_extents")
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Exact corpus heavy hitters (pipeline/terms.py): every token above
+    1/64 frequency, found by per-partition pigeonhole pruning + exact
+    recount of the candidate set — the full vocabulary never makes a
+    global shuffle."""
+    from .terms import heavy_hitters
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return heavy_hitters(d, "text", threshold_inv=64)
+
+
+def _sql_heavy_hitters_gate() -> str:
+    from .terms import sql_heavy_hitters
+
+    return sql_heavy_hitters("documents", "text", threshold_inv=64)
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Hashed linear quality classifier (pipeline/terms.py): per-document
+    score from an integer weight fold over tokens (the label decides on the
+    exact integer sum, so it can never flip on float rounding) — the shape
+    of fasttext-style quality-filter inference: one codegen'd projection,
+    no shuffle, no Python.  Per-doc output keeps the gate
+    order-of-summation-free across engines (each score is a single
+    deterministic fold + one division)."""
+    from .terms import with_classifier
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return (with_classifier(d.select("doc_id", "source", "text"))
+            .select("doc_id", "source", "clf_score", "clf_label"))
+
+
+def _sql_quality_classifier() -> str:
+    from .terms import sql_classifier_score
+
+    score, label = sql_classifier_score("text")
+    return f"""
+SELECT doc_id, source, {score} AS clf_score, {label} AS clf_label
+FROM documents
+"""
+
+
 PIPELINE_QUERIES = {
     "text_stats": (q_text_stats, _SQL_TEXT_STATS),
     "text_quality_by_source": (q_text_quality_by_source, _SQL_TEXT_QUALITY),
@@ -1486,4 +1574,9 @@ PIPELINE_QUERIES = {
     "sketch_quantile_rollup": (q_sketch_quantile_rollup, _SQL_KLL_ROLLUP),
     "frame_sample_rollup": (q_frame_sample_rollup, _SQL_FRAME_SAMPLE),
     "resize_media_stats": (q_resize_media_stats, _SQL_RESIZE_MEDIA),
+    "doc_chunking": (q_doc_chunking, _sql_doc_chunking()),
+    "dedup_substring_spans": (q_dedup_substring_spans,
+                              _sql_dedup_substring_spans()),
+    "heavy_hitters": (q_heavy_hitters, _sql_heavy_hitters_gate()),
+    "quality_classifier": (q_quality_classifier, _sql_quality_classifier()),
 }
