@@ -1438,6 +1438,79 @@ ASOF LEFT JOIN (
 """
 
 
+def q_similarity_pq(spark, sf_dir):
+    """Product-quantization ANN top-10 (pipeline/similarity.py pq_topk):
+    4 subspaces × 16 centroids (static codebooks = sub-vectors of the 16
+    lowest-id corpus vectors — the SQL-expressible rule), ADC scan over
+    m-byte codes, shortlist-64 exact cosine re-rank.  The oracle re-derives
+    the entire PQ pipeline — codebooks, argmin encode, distance tables,
+    ADC, shortlist, re-rank — so the hash certifies the compressed index
+    end-to-end, not just a recall bound."""
+    from .similarity import pq_topk
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    return pq_topk(q, e, k=10, m=4, ks=16, shortlist=64)
+
+
+def _sql_similarity_pq(m: int = 4, ks: int = 16, sub: int = 16,
+                       shortlist: int = 64, k: int = 10) -> str:
+    d2 = ("list_sum(list_transform(list_zip({a}, b.cent), "
+          "p -> (p[1]-p[2])*(p[1]-p[2])))")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+init AS (
+  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS c
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT {ks})
+),
+books AS (
+  SELECT j, c, v[j*{sub}+1 : (j+1)*{sub}] AS cent
+  FROM init, (SELECT unnest(generate_series(0, {m - 1})) AS j)
+),
+enc0 AS (
+  SELECT e.vec_id, b.j, b.c,
+    {d2.format(a=f'e.v[b.j*{sub}+1 : (b.j+1)*{sub}]')} AS d2
+  FROM e, books b
+),
+codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS r
+    FROM enc0) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+dt AS (
+  SELECT q.query_id, b.j, b.c,
+    round({d2.format(a=f'q.qv[b.j*{sub}+1 : (b.j+1)*{sub}]')}, 9) AS d
+  FROM q, books b
+),
+adc AS (
+  SELECT dt.query_id, c.vec_id AS neighbor_id, round(sum(dt.d), 9) AS adist
+  FROM codes c JOIN dt ON dt.j = c.j AND dt.c = c.c
+  WHERE c.vec_id != dt.query_id
+  GROUP BY dt.query_id, c.vec_id
+),
+sl AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY adist, neighbor_id) AS r
+    FROM adc) WHERE r <= {shortlist}
+),
+rr AS (
+  SELECT s.query_id, s.neighbor_id,
+    round({_COS.format(a='q.qv', b='c.v')}, 6) AS score
+  FROM sl s
+  JOIN q ON q.query_id = s.query_id
+  JOIN e c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM rr) WHERE rank <= {k}
+"""
+
+
 def q_doc_chunking(spark, sf_dir):
     """Token-window chunking (pipeline/chunking.py): every document split
     into 32-token windows with 8-token overlap — the map-only fan-out that
@@ -1574,6 +1647,7 @@ PIPELINE_QUERIES = {
     "sketch_quantile_rollup": (q_sketch_quantile_rollup, _SQL_KLL_ROLLUP),
     "frame_sample_rollup": (q_frame_sample_rollup, _SQL_FRAME_SAMPLE),
     "resize_media_stats": (q_resize_media_stats, _SQL_RESIZE_MEDIA),
+    "similarity_pq": (q_similarity_pq, _sql_similarity_pq()),
     "doc_chunking": (q_doc_chunking, _sql_doc_chunking()),
     "dedup_substring_spans": (q_dedup_substring_spans,
                               _sql_dedup_substring_spans()),

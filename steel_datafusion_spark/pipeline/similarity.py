@@ -29,7 +29,8 @@ from ..cache import iteration_barrier, release_local_checkpoint, track
 
 __all__ = ["dot", "norm2", "cosine", "cosine_topk", "cosine_neardup_pairs",
            "ivf_assign", "ivf_topk", "kmeans", "lsh_bucket", "lsh_topk",
-           "hyperplanes", "SQL_COSINE"]
+           "hyperplanes", "pq_codebooks", "pq_encode", "pq_topk",
+           "SQL_COSINE"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -397,6 +398,148 @@ def kmeans(
                 .select("cluster",
                         F.transform(F.col("dm"), lambda s: s["m"]).alias("c")))
     return assign.select("vid", "cluster"), cent.withColumnRenamed("c", "centroid")
+
+
+def pq_codebooks(
+    corpus: DataFrame, m: int = 4, ks: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    train_iters: int = 0,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: ``m`` subspaces × ``ks`` centroids.
+
+    Deterministic init: the sub-vectors of the ``ks`` lowest-id corpus
+    vectors (one tiny limit-collect — ks rows to the driver, nothing else
+    leaves the executors).  ``train_iters > 0`` refines each subspace with
+    the DataFrame-only Lloyd's loop (``kmeans``), whose init is the same
+    lowest-id rule, so training strictly refines the static codebooks.
+
+    Returns plain Python floats — small enough (m·ks·(dim/m) values) to
+    embed as literals in the encode/ADC expressions, the PQ equivalent of
+    broadcasting the model.
+    """
+    rows = (corpus.orderBy(id_col).limit(ks)
+            .select(F.transform(F.col(vec_col),
+                                lambda x: x.cast("double")).alias("v"))
+            .collect())
+    if len(rows) < ks:
+        raise ValueError(f"corpus has {len(rows)} rows < ks={ks}")
+    dim = len(rows[0].v)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = [[list(r.v[j * sub:(j + 1) * sub]) for r in rows]
+             for j in range(m)]
+    if train_iters > 0:
+        for j in range(m):
+            sliced = corpus.select(
+                F.col(id_col),
+                F.slice(F.col(vec_col), j * sub + 1, sub).alias("sv"))
+            _, cent = kmeans(sliced, k=ks, iters=train_iters,
+                             id_col=id_col, vec_col="sv")
+            got = {r.cluster: list(r.centroid) for r in cent.collect()}
+            # empty clusters keep their init centroid
+            books[j] = [got.get(c, books[j][c]) for c in range(ks)]
+    return books
+
+
+def _sub_d2(vec: Column, centroid: list[float], start: int) -> Column:
+    """Squared L2 distance between vec[start:start+len(centroid)] and a
+    literal centroid — a JVM fold, no Python in the row path."""
+    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(F.slice(vec, start + 1, len(centroid)), lit_c,
+                   lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_encode(
+    corpus: DataFrame, codebooks: list[list[list[float]]],
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): per subspace, the index of the nearest
+    codebook centroid (first-min tie-break — both comparands are the same
+    computed double, so ``array_position`` is exact).
+
+    Map-only: the codebooks are expression literals; at 100 TB this is the
+    compression scan that shrinks a dim×float corpus to m bytes/vector —
+    the persisted PQ index a reranking ANN serves from.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    v = F.col(vec_col)
+    codes = []
+    for j, book in enumerate(codebooks):
+        d2s = F.array(*[_sub_d2(v, c, j * sub) for c in book])
+        codes.append((F.array_position(d2s, F.array_min(d2s)) - 1)
+                     .cast("int"))
+    return corpus.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 10,
+    m: int = 4, ks: int = 16, shortlist: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+    train_iters: int = 0,
+) -> DataFrame:
+    """PQ-compressed ANN: asymmetric-distance (ADC) scan over codes, then
+    exact cosine re-rank of the per-query ``shortlist``.
+
+    Plan shape: encode is map-only; each query carries its m×ks distance
+    table as literal-built arrays (broadcast with the query row); the ADC
+    scan reads ONLY (id, codes) — at scale that is m bytes/vector instead
+    of 4·dim, which is the point of PQ: the full-corpus scan cost drops
+    ~16× in bytes while staying embarrassingly parallel.  Only the
+    shortlist (|queries|·shortlist rows) ever touches full vectors again,
+    via a broadcast join back to the corpus.
+
+    Returns (query_id, neighbor_id, score, rank) like cosine_topk —
+    drop-in, with recall governed by shortlist/ks/train_iters.
+    """
+    codebooks = codebooks if codebooks is not None else pq_codebooks(
+        corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col,
+        train_iters=train_iters)
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+
+    parts = corpus.sparkSession.sparkContext.defaultParallelism * 2
+    corpus_r = track(corpus.repartition(parts, F.col(id_col)).persist())
+    codes = pq_encode(corpus_r, codebooks, id_col, vec_col)
+
+    qv = F.col(vec_col)
+    dtables = [
+        F.array(*[F.round(_sub_d2(qv, c, j * sub), 9) for c in book])
+        .alias(f"dt{j}")
+        for j, book in enumerate(codebooks)
+    ]
+    q = queries.select(F.col(id_col).alias("query_id"), qv.alias("qv"),
+                       *dtables)
+
+    adist = None
+    for j in range(m):
+        term = F.element_at(F.col(f"dt{j}"), F.col("codes")[j] + 1)
+        adist = term if adist is None else adist + term
+    cand = (codes.withColumnRenamed(id_col, "neighbor_id")
+            .join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "qv", "neighbor_id",
+                    F.round(adist, 9).alias("adist")))
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(),
+                                               F.col("neighbor_id").asc())
+    short = (cand.withColumn("r", F.row_number().over(w))
+             .filter(F.col("r") <= shortlist)
+             .select("query_id", "qv", "neighbor_id"))
+
+    rerank = (corpus_r.select(F.col(id_col).alias("neighbor_id"),
+                              F.col(vec_col).alias("cv"))
+              .join(F.broadcast(short), "neighbor_id")
+              .select("query_id", "neighbor_id",
+                      F.round(cosine(F.col("qv"), F.col("cv")), 6)
+                      .alias("score")))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                                F.col("neighbor_id").asc())
+    return (rerank.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score", "rank"))
 
 
 # DuckDB cosine with the identical formula + fold order
