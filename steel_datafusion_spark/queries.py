@@ -761,6 +761,74 @@ FROM events GROUP BY user_id
 """
 
 
+def q_unpivot_metrics(spark, sf_dir):
+    """Unpivot (melt): wide per-flag aggregates turned into long
+    (key, metric, value) rows — the inverse of pivot, used to feed metric
+    stores and plotting layers.  Spark's ``DataFrame.unpivot`` lowers to an
+    Expand node (one pass, no shuffle beyond the aggregate); the oracle
+    uses DuckDB's UNPIVOT, whose metric naming matches the Spark variable
+    column exactly."""
+    li = _t(spark, sf_dir)["lineitem"]
+    wide = df_aggregate(
+        li, [col("l_returnflag")],
+        [
+            F.round(sum_exact("l_quantity"), 6).alias("sum_qty"),
+            F.round(sum_exact("l_extendedprice"), 6).alias("sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        ],
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "avg_disc"],
+        "metric", "value")
+
+
+_SQL_UNPIVOT = """
+WITH wide AS (
+  SELECT l_returnflag,
+    round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
+      AS sum_qty,
+    round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+      AS sum_price,
+    round(avg(l_discount), 6) AS avg_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT * FROM wide UNPIVOT (value FOR metric IN (sum_qty, sum_price, avg_disc))
+"""
+
+
+def q_write_partitioned_roundtrip(spark, sf_dir):
+    """Partitioned parquet sink + partition-pruned read-back: documents
+    written ``partitionBy(lang)`` to a scratch dir, re-read with a
+    partition filter (only the matching lang directories are scanned —
+    PartitionFilters in the read plan, asserted in
+    tests/test_chunking_terms.py's sibling suite), then aggregated.  The
+    oracle aggregates the source directly, so the hash certifies the
+    write→read cycle is lossless.  Scratch path is keyed by the sf dir;
+    overwrite mode keeps reruns idempotent."""
+    import tempfile
+
+    d = _t(spark, sf_dir)["documents"]
+    out = _os.path.join(
+        tempfile.gettempdir(),
+        f"sdf_roundtrip_{_os.path.basename(_os.path.normpath(sf_dir))}")
+    (d.select("doc_id", "source", "n_chars", "lang")
+     .write.mode("overwrite").partitionBy("lang").parquet(out))
+    back = spark.read.parquet(out).filter(F.col("lang").isin("en", "de"))
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"))
+
+
+_SQL_WRITE_ROUNDTRIP = """
+SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM documents WHERE lang IN ('en', 'de')
+GROUP BY lang, source
+"""
+
+
 def q_string_funcs(spark, sf_dir):
     """Scalar string-function family (upper/substr/replace/lpad/concat/
     length/trim) — unreachable from the reference's surface (SURVEY §2.3
@@ -1121,6 +1189,9 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "surface_misc": (q_surface_misc, _SQL_SURFACE_MISC),
     "skew_salted_join": (q_skew_salted_join, _SQL_SKEW_SALTED_JOIN),
     "read_csv_surface": (q_read_csv_surface, _SQL_READ_CSV_SURFACE),
+    "unpivot_metrics": (q_unpivot_metrics, _SQL_UNPIVOT),
+    "write_partitioned_roundtrip": (q_write_partitioned_roundtrip,
+                                    _SQL_WRITE_ROUNDTRIP),
 }
 
 

@@ -28,3 +28,23 @@ def test_partition_pruning_on_date_layout(spark, tmp_path_factory):
     # pruning really skipped partitions: scanning a non-existent day is empty
     # without error and fast
     assert back.filter(F.col("day") == "1999-01-01").count() == 0
+
+
+def test_write_roundtrip_gate_prunes_lang_partitions(spark):
+    """The write_partitioned_roundtrip gate's read-back must scan only the
+    filtered lang partitions and agree with the source aggregation."""
+    from steel_datafusion_spark.queries import q_write_partitioned_roundtrip
+
+    out = q_write_partitioned_roundtrip(spark, SF_DIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan
+
+    d = load_tables(spark, SF_DIR)["documents"]
+    want = (d.filter(F.col("lang").isin("en", "de"))
+            .groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.min("doc_id").alias("min_doc_id"),
+                 F.max("doc_id").alias("max_doc_id")))
+    got = {tuple(r) for r in out.collect()}
+    assert got == {tuple(r) for r in want.collect()} and got
