@@ -37,7 +37,9 @@ from .operators.relational import (
     df_intersect, df_join, df_join_on, df_limit, df_select, df_sort,
     df_sort_by, df_union, df_union_distinct, df_window,
 )
-from .sources.readers import load_tables, read_csv
+from .sources.readers import (
+    load_tables, read_csv, read_json, read_orc, write_orc,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1153,6 +1155,81 @@ GROUP BY grp
 """
 
 
+_JSONL_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "examples", "surface_fixture.jsonl")
+
+
+def q_read_json_surface(spark, sf_dir):
+    """NDJSON source with nested types (sources/readers.py read_json —
+    format extension beyond the reference's CSV surface): struct field
+    access (meta.ord), array ops (size / element_at), 3VL null filter, then
+    a grouped aggregate.  The oracle reads the same committed fixture via
+    DuckDB's read_json_auto, which maps objects/arrays to STRUCT/LIST the
+    same way."""
+    df = read_json(spark, _JSONL_FIXTURE)
+    kept = df.filter(F.col("val").isNotNull() & (F.col("meta.ord") != 2))
+    proj = kept.select(
+        "grp",
+        F.col("val"),
+        F.col("ratio"),
+        F.size("tags").alias("n_tags"),
+        F.element_at("tags", 2).alias("tag2"),
+        F.col("meta.ord").alias("m_ord"),
+    )
+    return df_aggregate(
+        proj, [col("grp"), col("tag2")],
+        [
+            agg_count_star().alias("n"),
+            F.sum("val").alias("sum_val"),
+            F.round(sum_exact("ratio"), 6).alias("sum_ratio"),
+            F.sum("m_ord").alias("sum_ord"),
+            F.max("n_tags").alias("max_tags"),
+        ],
+    )
+
+
+_SQL_READ_JSON_SURFACE = f"""
+SELECT grp, tags[2] AS tag2, COUNT(*) AS n,
+  SUM(val)::BIGINT AS sum_val,
+  round(CAST(SUM(CAST(ratio AS DECIMAL(28,10))) AS DOUBLE), 6) AS sum_ratio,
+  SUM(meta.ord)::BIGINT AS sum_ord,
+  MAX(len(tags)) AS max_tags
+FROM read_json_auto('{_JSONL_FIXTURE}')
+WHERE val IS NOT NULL AND meta.ord != 2
+GROUP BY grp, tags[2]
+"""
+
+
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC sink + pushdown read-back (sources/readers.py write_orc /
+    read_orc): documents written as ORC to a scratch dir, re-read with a
+    pushed n_chars filter (PushedFilters reach the ORC scan), aggregated
+    per source.  The oracle aggregates the parquet source directly, so the
+    hash certifies the ORC write->read cycle is lossless."""
+    import tempfile
+
+    d = _t(spark, sf_dir)["documents"]
+    out = _os.path.join(
+        tempfile.gettempdir(),
+        f"sdf_orc_{_os.path.basename(_os.path.normpath(sf_dir))}")
+    write_orc(d.select("doc_id", "source", "lang", "n_chars"), out)
+    back = read_orc(spark, out).filter(F.col("n_chars") >= 400)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("doc_id").alias("min_doc_id"))
+
+
+_SQL_ORC_ROUNDTRIP = """
+SELECT source, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars,
+       COUNT(DISTINCT lang) AS n_langs, MIN(doc_id) AS min_doc_id
+FROM documents WHERE n_chars >= 400
+GROUP BY source
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "pricing_summary": (q_pricing_summary, _SQL_PRICING),
     "filter_project_case": (q_filter_project_case, _SQL_FILTER_PROJECT),
@@ -1192,6 +1269,8 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "unpivot_metrics": (q_unpivot_metrics, _SQL_UNPIVOT),
     "write_partitioned_roundtrip": (q_write_partitioned_roundtrip,
                                     _SQL_WRITE_ROUNDTRIP),
+    "read_json_surface": (q_read_json_surface, _SQL_READ_JSON_SURFACE),
+    "orc_roundtrip": (q_orc_roundtrip, _SQL_ORC_ROUNDTRIP),
 }
 
 

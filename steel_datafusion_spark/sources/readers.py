@@ -18,7 +18,9 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_csv", "read_parquet", "load_tables", "write_parquet", "TABLE_NAMES"]
+__all__ = ["read_csv", "read_json", "read_orc", "read_parquet", "load_tables",
+           "write_parquet", "write_json", "write_csv", "write_orc",
+           "TABLE_NAMES"]
 
 TABLE_NAMES = [
     "region", "nation", "customer", "supplier", "part",
@@ -43,6 +45,46 @@ def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
         if isinstance(f.dataType, (T.ByteType, T.ShortType, T.IntegerType)):
             df = df.withColumn(f.name, F.col(f.name).cast("long"))
     return df
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Newline-delimited JSON scan (extension beyond the reference's CSV
+    surface — same inference-parity contract as read_csv): nested objects
+    arrive as structs, arrays as arrays, and inferred integral columns are
+    already LongType (Spark's JSON inference widens by default).
+
+    Schemaless inference costs an extra pass over the data; pass ``schema``
+    on large inputs so the scan is single-pass and partition-parallel."""
+    reader = spark.read
+    if schema is not None:
+        return reader.schema(schema).json(path)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — Spark-native columnar alternative to parquet, with the
+    same pushdown/pruning behavior (PushedFilters reach the ORC reader)."""
+    return spark.read.orc(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Newline-delimited JSON sink (one object per row)."""
+    df.write.mode(mode).json(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
+              header: bool = True) -> None:
+    """CSV sink with header, matching read_csv's expectations."""
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> None:
+    """ORC sink; supports the same partitioned layout as write_parquet."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
 
 
 # Runtime-settable SQL confs this engine depends on.  Applied to whatever

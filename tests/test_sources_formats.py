@@ -1,0 +1,70 @@
+"""Source/sink format surface (sources/readers.py): JSON, ORC, CSV sinks."""
+
+from pyspark.sql import functions as F
+
+from steel_datafusion_spark.sources.readers import (
+    load_tables, read_csv, read_json, read_orc, write_csv, write_json,
+    write_orc,
+)
+from steel_datafusion_spark.queries import _JSONL_FIXTURE
+
+from conftest import SF_DIR
+
+
+def test_read_json_nested_inference(spark):
+    df = read_json(spark, _JSONL_FIXTURE)
+    types = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+    assert types["id"] == "bigint" and types["val"] == "bigint"
+    assert types["tags"] == "array<string>"
+    assert types["meta"].startswith("struct<")
+    assert df.count() == 200
+    # 3VL: null-val rows drop under isNotNull, matching the CSV fixture
+    csv_nulls = read_csv(spark, _JSONL_FIXTURE.replace(".jsonl", ".csv")) \
+        .filter(F.col("val").isNull()).count()
+    assert csv_nulls > 0
+    assert df.filter(F.col("val").isNotNull()).count() == 200 - csv_nulls
+
+
+def test_read_json_explicit_schema_roundtrip(spark, tmp_path_factory):
+    df = read_json(spark, _JSONL_FIXTURE)
+    out = str(tmp_path_factory.mktemp("json_sink"))
+    write_json(df.select("id", "grp", "val"), out)
+    back = read_json(spark, out, schema="id long, grp string, val long")
+    assert back.count() == 200
+    assert sorted(r.id for r in back.collect()) == list(range(200))
+
+
+def test_orc_roundtrip_pushdown(spark, tmp_path_factory):
+    d = load_tables(spark, SF_DIR)["documents"]
+    out = str(tmp_path_factory.mktemp("orc_sink"))
+    write_orc(d.select("doc_id", "lang", "n_chars"), out)
+    back = read_orc(spark, out).filter(F.col("n_chars") >= 400)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "n_chars" in plan
+    want = d.filter(F.col("n_chars") >= 400).count()
+    assert back.count() == want and want > 0
+
+
+def test_orc_partitioned_layout(spark, tmp_path_factory):
+    d = load_tables(spark, SF_DIR)["documents"]
+    out = str(tmp_path_factory.mktemp("orc_part"))
+    write_orc(d.select("doc_id", "n_chars", "lang"), out,
+              partition_by=["lang"])
+    back = read_orc(spark, out).filter(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert back.count() == d.filter(F.col("lang") == "en").count()
+
+
+def test_write_csv_read_csv_roundtrip(spark, tmp_path_factory):
+    d = load_tables(spark, SF_DIR)["documents"].select(
+        "doc_id", "source", "n_chars")
+    out = str(tmp_path_factory.mktemp("csv_sink"))
+    write_csv(d, out)
+    back = read_csv(spark, out)
+    # read_csv widens inferred ints to long (reference inference parity)
+    assert dict((f.name, f.dataType.simpleString())
+                for f in back.schema.fields)["doc_id"] == "bigint"
+    assert back.count() == d.count()
+    assert (back.agg(F.sum("n_chars")).first()[0]
+            == d.agg(F.sum("n_chars")).first()[0])
