@@ -1559,9 +1559,9 @@ def _sql_dedup_substring_spans() -> str:
 
 def q_heavy_hitters(spark, sf_dir):
     """Exact corpus heavy hitters (pipeline/terms.py): every token above
-    1/64 frequency, found by per-partition pigeonhole pruning + exact
-    recount of the candidate set — the full vocabulary never makes a
-    global shuffle."""
+    1/64 frequency — per-partition *bucket*-count pigeonhole pruning
+    (first exchange bounded by n_buckets x partitions, vocabulary-size
+    independent) + exact recount of tokens in heavy buckets."""
     from .terms import heavy_hitters
 
     d = load_tables(spark, sf_dir)["documents"]

@@ -2,23 +2,23 @@
 quality classifier.
 
 **Heavy hitters** finds every term with global frequency > N/T (threshold
-``1/T`` of the token stream) *exactly*, without shuffling the full
-vocabulary to one global aggregation:
+``1/T`` of the token stream) *exactly*, with no vocabulary-sized shuffle:
 
-1. per-partition counts (``groupBy(pid, term)`` — partial-agg'd in the map
-   stage, since pid is constant within a partition);
+1. per-partition counts of *hash buckets* (``groupBy(pid, bucket)``,
+   pid = spark_partition_id) — the exchange is bounded by
+   ``n_buckets × #partitions`` rows regardless of vocabulary size;
 2. local pruning by the pigeonhole bound: if ``count(t) * T > N`` globally,
    then some partition has ``count_p(t) * T > n_p`` (else summing the
-   per-partition inequalities contradicts the global one) — so the
-   surviving local candidates are a superset of every true heavy hitter;
-3. exact recount of the candidate set only (broadcast semi-join), filtered
-   by the global threshold.
+   per-partition inequalities contradicts the global one); a bucket's
+   count upper-bounds its member terms' counts, so the locally-heavy
+   buckets are a candidate superset of every true heavy hitter;
+3. exact recount of tokens in heavy buckets only (broadcast semi-join on
+   bucket id), filtered by the exact global threshold.
 
-At 100 TB the global shuffle carries only candidate terms (bounded by
-``T * #partitions`` entries), not the vocabulary — the distributed form of
-the Misra-Gries/SpaceSaving guarantee, with an exact answer because of the
-recount pass.  This is the op behind "most frequent domains / boilerplate
-n-grams / stop phrases" corpus reports.
+This is the distributed count-min/SpaceSaving shape with an exact answer
+(the recount pass removes both collision and pigeonhole slack) — the op
+behind "most frequent domains / boilerplate n-grams / stop phrases"
+corpus reports.
 
 **Quality classifier** is a fasttext-shaped linear scorer over hashed
 token features with a deterministic weight table: weight(t) =
@@ -44,24 +44,38 @@ __all__ = [
 
 
 def heavy_hitters(df: DataFrame, text_col: str = "text",
-                  threshold_inv: int = 256) -> DataFrame:
+                  threshold_inv: int = 256,
+                  n_buckets: int = 1 << 16) -> DataFrame:
     """All terms with global count * threshold_inv > total tokens, exact.
 
     Returns (term, cnt) for every term above frequency 1/threshold_inv.
-    Two aggregation shuffles over (pid, term) / candidate terms plus two
-    single-row aggregates; the full-vocabulary global shuffle never
-    happens.
+
+    The pruning pass counts *hash buckets*, not terms: the first exchange
+    carries at most ``n_buckets × #partitions`` rows no matter how large
+    the vocabulary is (a plain ``groupBy(term)`` pre-filter would shuffle
+    every per-partition distinct term — vocabulary-sized — which defeats
+    the purpose; this was visible in the audited plan of the first cut).
+    A bucket's count upper-bounds every member term's count, so any bucket
+    that clears the local pigeonhole threshold in some partition yields a
+    candidate superset; the recount pass then aggregates ONLY tokens
+    falling in heavy buckets (a broadcast semi-join — vocab-fraction
+    ~ heavy_buckets/n_buckets plus collisions) and applies the exact
+    global threshold.  Both passes are map-only scans plus bounded
+    aggregations; nothing vocabulary-sized ever crosses the wire.
     """
-    ex = df.select(F.explode(tokens(F.col(text_col))).alias("term")) \
-           .withColumn("pid", F.spark_partition_id())
-    local = ex.groupBy("pid", "term").agg(F.count(F.lit(1)).alias("cnt"))
-    local = local.persist()
+    bucket = (md5_int60(F.col("term")) % n_buckets).alias("bucket")
+    ex = df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+    bucketed = ex.select(bucket).withColumn("pid", F.spark_partition_id())
+    local = (bucketed.groupBy("pid", "bucket")
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .persist())
     part_totals = local.groupBy("pid").agg(F.sum("cnt").alias("n_pid"))
-    cand = (local.join(part_totals, "pid")
-            .filter(F.col("cnt") * threshold_inv > F.col("n_pid"))
-            .select("term").distinct())
+    heavy_buckets = (local.join(part_totals, "pid")
+                     .filter(F.col("cnt") * threshold_inv > F.col("n_pid"))
+                     .select("bucket").distinct())
     total = part_totals.agg(F.sum("n_pid").alias("n_total"))
-    exact = (ex.join(F.broadcast(cand), "term")
+    exact = (ex.select("term", bucket)
+             .join(F.broadcast(heavy_buckets), "bucket")
              .groupBy("term").agg(F.count(F.lit(1)).alias("cnt")))
     return (exact.crossJoin(F.broadcast(total))
             .filter(F.col("cnt") * threshold_inv > F.col("n_total"))

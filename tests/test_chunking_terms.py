@@ -112,3 +112,18 @@ def test_classifier_label_matches_score_sign(spark):
             assert r.clf_score == 0.0 and r.clf_label is False
         else:
             assert r.clf_label == (r.clf_score > 0)
+
+
+def test_heavy_hitters_exact_under_bucket_collisions(spark):
+    # n_buckets=4 forces massive bucket collisions: the candidate superset
+    # balloons but the recount must still return the exact answer
+    rows = [(i, ("common " * 5) + f"rare{i} filler{i % 7}") for i in range(80)]
+    df = _docs(spark, rows).repartition(9)
+    got = {(r.term, r.cnt)
+           for r in heavy_hitters(df, "text", 50, n_buckets=4).collect()}
+    ex = df.select(F.explode(tokens(F.col("text"))).alias("term"))
+    total = ex.count()
+    want = {(r.term, r.cnt) for r in
+            ex.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") * 50 > total).collect()}
+    assert got == want
