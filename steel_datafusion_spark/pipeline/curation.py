@@ -36,7 +36,7 @@ from .sampling import hash_unit
 from .text import tokens
 
 __all__ = ["repetition_stats", "decontaminate", "mixture_resample",
-           "pos_ngrams"]
+           "pos_ngrams", "iqr_outlier_stats"]
 
 
 def pos_ngrams(toks: Column, n: int) -> Column:
@@ -185,3 +185,38 @@ def mixture_resample(
             .filter(hash_unit(F.col(key_col), salt) * F.lit(_RATE_SCALE)
                     < F.col("_rate_ppm") * F.lit(_MOD))
             .drop("_rate_ppm"))
+
+
+def iqr_outlier_stats(
+    df, group_col: str, value_col: str, k: float = 1.5,
+    accuracy: int = 10_000,
+):
+    """Per-group Tukey-fence outlier stats: bounds = [p25 - k*IQR,
+    p75 + k*IQR], computed with the mergeable Greenwald-Khanna summary
+    (``percentile_approx`` — O(accuracy) state per group, composing with
+    partial aggregation; crank ``accuracy`` above the group size for exact
+    ``quantile_disc`` semantics, the oracle-parity mode).
+
+    Returns one row per group: n, n_outliers, lo/hi fence (6dp).  Two
+    aggregations on the group key and one broadcast join back — the fence
+    table is |groups|-sized, so the value stream is scanned twice and never
+    shuffled on anything finer than the group key.
+    """
+    from pyspark.sql import functions as F
+
+    v = F.col(value_col)
+    fences = (df.groupBy(group_col).agg(
+        F.percentile_approx(v, 0.25, accuracy).alias("_p25"),
+        F.percentile_approx(v, 0.75, accuracy).alias("_p75"))
+        .select(group_col,
+                (F.col("_p25") - k * (F.col("_p75") - F.col("_p25")))
+                .alias("_lo"),
+                (F.col("_p75") + k * (F.col("_p75") - F.col("_p25")))
+                .alias("_hi")))
+    joined = df.join(F.broadcast(fences), group_col)
+    return (joined.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(((v < F.col("_lo")) | (v > F.col("_hi"))).cast("long"))
+        .alias("n_outliers"),
+        F.round(F.min("_lo"), 6).alias("lo_fence"),
+        F.round(F.max("_hi"), 6).alias("hi_fence")))

@@ -1438,6 +1438,79 @@ ASOF LEFT JOIN (
 """
 
 
+def q_embedding_normalize(spark, sf_dir):
+    """L2 normalization at ingest (pipeline/similarity.py normalize_l2):
+    per-vector norm, the first normalized component, and a unit check
+    (sum of squares of the normalized vector) — all left-to-right folds
+    with exact DuckDB mirrors.  Map-only; at scale this is the one-time
+    projection that lets every downstream cosine scan skip both norm
+    folds."""
+    from .similarity import dot, norm2, normalize_l2
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    nv = normalize_l2(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        F.round(F.sqrt(norm2(F.col("embedding"))), 6).alias("l2_norm"),
+        F.round(F.element_at(nv, 1), 6).alias("comp1"),
+        F.round(dot(nv, nv), 6).alias("unit_check"))
+
+
+_SQL_EMB_NORMALIZE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+    sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+  FROM e
+),
+u AS (
+  SELECT vec_id, nrm,
+    CASE WHEN nrm = 0 THEN v
+         ELSE list_transform(v, x -> x / nrm) END AS nv
+  FROM n
+)
+SELECT vec_id, round(nrm, 6) AS l2_norm,
+  round(nv[1], 6) AS comp1,
+  round(list_sum(list_transform(nv, x -> x*x)), 6) AS unit_check
+FROM u
+"""
+
+
+def q_iqr_outlier_filter(spark, sf_dir):
+    """Tukey-fence outlier stats per event type (pipeline/curation.py
+    iqr_outlier_stats): GK quantile summaries with accuracy above the
+    group size, so the fences equal DuckDB's quantile_disc exactly —
+    the curation filter that drops pathological values before training
+    (at 100 TB drop accuracy to the default for O(accuracy) state)."""
+    from .curation import iqr_outlier_stats
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return iqr_outlier_stats(ev, "event_type", "value", k=1.5,
+                             accuracy=10_000_000)
+
+
+_SQL_IQR_OUTLIER = """
+WITH fences AS (
+  SELECT event_type,
+    quantile_disc(value, 0.25) AS p25,
+    quantile_disc(value, 0.75) AS p75
+  FROM events GROUP BY event_type
+),
+b AS (
+  SELECT event_type, p25 - 1.5 * (p75 - p25) AS lo,
+         p75 + 1.5 * (p75 - p25) AS hi
+  FROM fences
+)
+SELECT e.event_type, COUNT(*) AS n,
+  SUM(CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END)::BIGINT
+    AS n_outliers,
+  round(MIN(b.lo), 6) AS lo_fence,
+  round(MAX(b.hi), 6) AS hi_fence
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type
+"""
+
+
 def q_similarity_pq(spark, sf_dir):
     """Product-quantization ANN top-10 (pipeline/similarity.py pq_topk):
     4 subspaces × 16 centroids (static codebooks = sub-vectors of the 16
@@ -1648,6 +1721,8 @@ PIPELINE_QUERIES = {
     "frame_sample_rollup": (q_frame_sample_rollup, _SQL_FRAME_SAMPLE),
     "resize_media_stats": (q_resize_media_stats, _SQL_RESIZE_MEDIA),
     "similarity_pq": (q_similarity_pq, _sql_similarity_pq()),
+    "embedding_normalize": (q_embedding_normalize, _SQL_EMB_NORMALIZE),
+    "iqr_outlier_filter": (q_iqr_outlier_filter, _SQL_IQR_OUTLIER),
     "doc_chunking": (q_doc_chunking, _sql_doc_chunking()),
     "dedup_substring_spans": (q_dedup_substring_spans,
                               _sql_dedup_substring_spans()),

@@ -29,8 +29,8 @@ from ..cache import iteration_barrier, release_local_checkpoint, track
 
 __all__ = ["dot", "norm2", "cosine", "cosine_topk", "cosine_neardup_pairs",
            "ivf_assign", "ivf_topk", "kmeans", "lsh_bucket", "lsh_topk",
-           "hyperplanes", "pq_codebooks", "pq_encode", "pq_topk",
-           "SQL_COSINE"]
+           "hyperplanes", "normalize_l2", "pq_codebooks", "pq_encode",
+           "pq_topk", "SQL_COSINE"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -398,6 +398,17 @@ def kmeans(
                 .select("cluster",
                         F.transform(F.col("dm"), lambda s: s["m"]).alias("c")))
     return assign.select("vid", "cluster"), cent.withColumnRenamed("c", "centroid")
+
+
+def normalize_l2(vec: Column) -> Column:
+    """Unit-normalize an embedding (double array); zero vectors pass
+    through unchanged (no NaN poisoning downstream cosine math).  With
+    unit-normalized corpora, cosine reduces to a plain dot product — at
+    scale, normalize once at ingest and every similarity scan drops the
+    two norm folds."""
+    n = F.sqrt(norm2(vec))
+    return F.when(n == 0, F.transform(vec, lambda x: x.cast("double"))) \
+            .otherwise(F.transform(vec, lambda x: x.cast("double") / n))
 
 
 def pq_codebooks(

@@ -71,3 +71,19 @@ def test_mixture_resample_is_deterministic(spark):
     a = sorted(r.doc_id for r in mixture_resample(df, targets).collect())
     b = sorted(r.doc_id for r in mixture_resample(df, targets).collect())
     assert a == b and len(a) > 0
+
+
+def test_iqr_outlier_stats_exact_small(spark):
+    from steel_datafusion_spark.pipeline.curation import iqr_outlier_stats
+
+    # group a: values 1..8 plus outliers -100, 100; quantile_disc p25=3,
+    # p75=7 over the 10 values (GK with huge accuracy matches) -> IQR 4,
+    # fences [-3, 13] -> exactly the two planted outliers
+    rows = [("a", float(v)) for v in range(1, 9)] + [("a", -100.0), ("a", 100.0)]
+    rows += [("b", 5.0)] * 4
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = {r.grp: r for r in iqr_outlier_stats(
+        df, "grp", "value", accuracy=1_000_000).collect()}
+    assert out["a"].n == 10 and out["a"].n_outliers == 2
+    assert out["b"].n == 4 and out["b"].n_outliers == 0
+    assert out["b"].lo_fence == 5.0 and out["b"].hi_fence == 5.0

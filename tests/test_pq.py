@@ -76,3 +76,20 @@ def test_pq_trained_codebooks_refine_static(spark, emb):
     out = pq_topk(q, emb, k=5, shortlist=32, codebooks=trained).collect()
     assert {r.query_id for r in out} == {0, 1}
     assert all(r.rank <= 5 for r in out)
+
+
+def test_normalize_l2_unit_norm_and_zero_safe(spark):
+    from steel_datafusion_spark.pipeline.similarity import (
+        norm2, normalize_l2,
+    )
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    out = df.select(
+        "vec_id",
+        F.round(norm2(normalize_l2(F.col("embedding"))), 9).alias("unit"),
+        normalize_l2(F.col("embedding")).alias("nv")).collect()
+    rows = {r.vec_id: r for r in out}
+    assert rows[1].unit == 1.0 and rows[1].nv == [0.6, 0.8]
+    assert rows[2].unit == 0.0 and rows[2].nv == [0.0, 0.0]  # no NaN
+    assert rows[3].unit == 1.0
