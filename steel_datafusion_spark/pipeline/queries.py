@@ -703,6 +703,50 @@ WHERE round({_COS.format(a='a.v', b='c.v')}, 6) >= {threshold}
 """
 
 
+def q_embedding_dedup(spark, sf_dir):
+    """End-to-end SEMANTIC dedup over embeddings: LSH near-dup pairs
+    (cosine >= 0.99, same plan as embedding_neardup) -> connected
+    components -> per-vector cluster id/size plus keeper flag (min vec_id
+    per component).  The composition every curation pipeline runs between
+    pair generation and the drop; the oracle closes the same pair set with
+    a recursive CTE."""
+    pairs = cosine_neardup_pairs(_aug_emb(spark, sf_dir), threshold=0.99,
+                                 n_planes=8, multiprobe=True)
+    cc = connected_components(pairs, src="vec_a", dst="vec_b")
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (cc.join(sizes, "cluster_id")
+            .select(F.col("doc_id").alias("vec_id"), "cluster_id",
+                    "cluster_size",
+                    (F.col("doc_id") == F.col("cluster_id"))
+                    .alias("is_keeper")))
+
+
+def _sql_embedding_dedup() -> str:
+    """Recursive-CTE transitive closure over the LSH-verified pair set
+    (the same candidate+verify SQL as _sql_emb_neardup)."""
+    inner = _sql_emb_neardup(n_planes=8, threshold=0.99)
+    # reuse the pair query as a CTE body: strip its WITH and wrap
+    body = inner.strip()
+    assert body.startswith("WITH")
+    return f"""
+WITH RECURSIVE {body[len('WITH '):].rsplit('SELECT a.vec_id', 1)[0].rstrip()},
+p AS (SELECT a.vec_id{body.rsplit('SELECT a.vec_id', 1)[1]}),
+edges AS (SELECT vec_a AS a, vec_b AS b FROM p
+          UNION SELECT vec_b, vec_a FROM p),
+reach AS (SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+lab AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size
+          FROM lab GROUP BY cluster_id)
+SELECT l.vec_id, l.cluster_id, s.cluster_size,
+       l.vec_id = l.cluster_id AS is_keeper
+FROM lab l JOIN sizes s USING (cluster_id)
+"""
+
+
 def q_embedding_neardup_banded(spark, sf_dir):
     """Banded variant of embedding_neardup (8 planes × 4 bands): a pair is
     a candidate if ANY 2-bit band code matches — the high-recall knob for
@@ -1699,6 +1743,7 @@ PIPELINE_QUERIES = {
     "similarity_topk": (q_similarity_topk, _SQL_SIM_TOPK),
     "similarity_ivf": (q_similarity_ivf, _SQL_SIM_IVF),
     "embedding_neardup": (q_embedding_neardup, _sql_emb_neardup()),
+    "embedding_dedup": (q_embedding_dedup, _sql_embedding_dedup()),
     "embedding_neardup_banded": (q_embedding_neardup_banded,
                                  _sql_emb_neardup_banded()),
     "multimodal_features": (q_multimodal_features, _SQL_MULTIMODAL),
