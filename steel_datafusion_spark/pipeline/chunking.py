@@ -114,14 +114,29 @@ chunked_{table} AS (
 
 def _grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, pos, g): 60-bit hash of the word n-gram starting at 1-based
-    token position pos.  Documents with < n tokens emit no grams."""
+    token position pos.  Documents with < n tokens emit no grams.
+
+    The tokenized array is MATERIALIZED (repartition + persist) before the
+    position explode: Catalyst otherwise collapses the projection and
+    re-inlines the full tokenize expression into the per-position slice —
+    O(doc_len²) re-tokenization per document, measured 8× wall-time at
+    sf0.1 in the scale sweep (the same projection-collapse trap documented
+    at pipeline/dedup.py:_hashed_shingles).  The repartition also spreads
+    a few-input-split parquet source across cores before the CPU-heavy
+    hash stage."""
+    from ..cache import track
+
+    spark = df.sparkSession
+    parts = spark.sparkContext.defaultParallelism * 2
     tk = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    toks = track(df.repartition(parts, F.col(id_col))
+                 .select(F.col(id_col), tk.alias("tk")).persist())
     positions = F.when(
-        F.size(tk) >= n, F.sequence(F.lit(1), F.size(tk) - (n - 1))
+        F.size("tk") >= n, F.sequence(F.lit(1), F.size("tk") - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
     return (
-        df.select(F.col(id_col), tk.alias("tk"),
-                  F.explode(positions).alias("pos"))
+        toks.select(F.col(id_col), F.col("tk"),
+                    F.explode(positions).alias("pos"))
         .select(F.col(id_col), F.col("pos").cast("long").alias("pos"),
                 md5_int60(F.concat_ws(" ", F.slice(F.col("tk"), F.col("pos"),
                                                    n))).alias("g"))
@@ -151,7 +166,11 @@ def duplicated_span_extents(
     grams (hash join on g) -> per-doc window merge.  Three shuffles total,
     none keyed coarser than the gram hash.
     """
-    grams = _grams(df, id_col, text_col, n)
+    from ..cache import track
+
+    # persisted: the gram table feeds BOTH the doc-frequency count and the
+    # position join — without the barrier every md5 is computed twice
+    grams = track(_grams(df, id_col, text_col, n).persist())
     dup = grams.groupBy("g").agg(
         F.countDistinct(id_col).alias("gram_df"))
     dup = dup.filter(F.col("gram_df") >= min_df)
