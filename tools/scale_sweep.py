@@ -33,7 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 OPS = ["dedup_minhash_lsh", "dedup_index_probe", "dedup_clusters_twophase",
-       "embedding_neardup_banded", "fuzzy_match"]
+       "embedding_neardup_banded", "fuzzy_match",
+       # round-6 continuation headline ops
+       "doc_chunking", "dedup_substring_spans", "heavy_hitters",
+       "similarity_pq"]
 SF1X_DIR = "/tmp/sdf_scale_sf1x"
 REPS = 2
 
