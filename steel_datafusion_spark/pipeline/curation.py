@@ -36,7 +36,7 @@ from .sampling import hash_unit
 from .text import tokens
 
 __all__ = ["repetition_stats", "decontaminate", "mixture_resample",
-           "pos_ngrams", "iqr_outlier_stats"]
+           "pos_ngrams", "iqr_outlier_stats", "mixture_resample_temperature"]
 
 
 def pos_ngrams(toks: Column, n: int) -> Column:
@@ -220,3 +220,41 @@ def iqr_outlier_stats(
         .alias("n_outliers"),
         F.round(F.min("_lo"), 6).alias("lo_fence"),
         F.round(F.max("_hi"), 6).alias("hi_fence")))
+
+
+def mixture_resample_temperature(
+    df, alpha: float = 0.5,
+    group_col: str = "source", key_col: str = "doc_id",
+    salt: str = "mixT",
+):
+    """Temperature-flattened mixture sampling: keep rates chosen so the
+    output mixture is proportional to ``observed_share ** alpha`` — the
+    standard multilingual/domain rebalancing rule (alpha=1 keeps the
+    corpus as-is, alpha=0 equalizes all groups, alpha~0.3-0.7 flattens
+    head domains while keeping tail domains intact).
+
+    Downsample-only: rate_g = share_g^(alpha-1) normalized by its max, so
+    the SMALLEST group keeps everything and head groups shed rows — no
+    duplication.  Same deterministic md5 coin + ppm-quantized integer
+    threshold as :func:`mixture_resample` (no float boundary flicker);
+    same plan shape: two tiny broadcast aggregates, map-side filter.
+    """
+    from pyspark.sql import functions as F
+
+    from .sampling import hash_unit
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    total = counts.agg(F.sum("_n").alias("_tot"))
+    ratio = (counts.crossJoin(F.broadcast(total))
+             .select(group_col,
+                     F.pow(F.col("_n") / F.col("_tot"), F.lit(alpha - 1.0))
+                     .alias("_ratio")))
+    mx = ratio.agg(F.max("_ratio").alias("_mx"))
+    rates = (ratio.crossJoin(F.broadcast(mx))
+             .select(group_col,
+                     F.floor(F.round(F.col("_ratio") / F.col("_mx"), 6)
+                             * _RATE_SCALE).cast("long").alias("_rate_ppm")))
+    return (df.join(F.broadcast(rates), group_col, "inner")
+            .filter(hash_unit(F.col(key_col), salt) * F.lit(_RATE_SCALE)
+                    < F.col("_rate_ppm") * F.lit(_MOD))
+            .drop("_rate_ppm"))

@@ -927,6 +927,46 @@ def q_mixture_resample(spark, sf_dir):
     return mixture_resample(d, _MIX_TARGETS).select("doc_id", "source")
 
 
+def q_mixture_temperature(spark, sf_dir):
+    """Temperature-flattened mixture (pipeline/curation.py
+    mixture_resample_temperature, alpha=0.5): output shares proportional
+    to sqrt(observed share) — the multilingual rebalancing rule — via the
+    same deterministic md5 coin and ppm-quantized threshold as
+    mixture_resample."""
+    from .curation import mixture_resample_temperature
+
+    d = load_tables(spark, sf_dir)["documents"]
+    out = mixture_resample_temperature(d, alpha=0.5)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"))
+
+
+def _sql_mixture_temperature() -> str:
+    from .sampling import sql_hash_unit
+
+    h = sql_hash_unit("doc_id", "mixT")
+    return f"""
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+tot AS (SELECT sum(n) AS t FROM counts),
+ratio AS (
+  SELECT source,
+         pow(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), -0.5) AS ratio
+  FROM counts CROSS JOIN tot),
+mx AS (SELECT max(ratio) AS m FROM ratio),
+rates AS (SELECT source, floor(round(ratio / m, 6) * 1000000)::BIGINT AS ppm
+          FROM ratio, mx),
+kept AS (
+  SELECT d.doc_id, d.source
+  FROM documents d JOIN rates USING (source)
+  WHERE {h} * 1000000 < ppm * 4294967296)
+SELECT source, count(*) AS n_kept, min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM kept GROUP BY source
+"""
+
+
 def _sql_mixture_resample() -> str:
     from .sampling import sql_hash_unit
 
@@ -1730,6 +1770,7 @@ PIPELINE_QUERIES = {
     "repetition_quality": (q_repetition_quality, _sql_repetition_quality()),
     "decontaminate": (q_decontaminate, _sql_decontaminate()),
     "mixture_resample": (q_mixture_resample, _sql_mixture_resample()),
+    "mixture_temperature": (q_mixture_temperature, _sql_mixture_temperature()),
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_dedup_minhash()),
     "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),

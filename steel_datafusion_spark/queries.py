@@ -936,6 +936,44 @@ FROM embeddings WHERE vec_id < 200
 """
 
 
+def q_higher_order_funcs(spark, sf_dir):
+    """Higher-order array functions (transform / filter / exists / forall /
+    zip_with) — the lambda surface that keeps nested-type logic JVM-side
+    instead of dropping to Python.  All folds are left-to-right, matching
+    DuckDB's list_* functions bit-for-bit."""
+    e = _t(spark, sf_dir)["embeddings"]
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return df_filter(e, F.col("vec_id") < 200).select(
+        "vec_id",
+        F.round(F.aggregate(F.transform(v, lambda x: x * x),
+                            F.lit(0.0), lambda a, x: a + x), 6)
+         .alias("sum_sq"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.exists(v, lambda x: x > 0.5).alias("has_big"),
+        F.forall(v, lambda x: x > -10.0).alias("all_sane"),
+        F.round(F.aggregate(
+            F.zip_with(F.slice(v, 1, 32), F.slice(v, 33, 32),
+                       lambda a, b: a * b),
+            F.lit(0.0), lambda a, x: a + x), 6).alias("half_dot"),
+    )
+
+
+_SQL_HIGHER_ORDER = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings WHERE vec_id < 200
+)
+SELECT vec_id,
+  round(list_sum(list_transform(v, x -> x * x)), 6) AS sum_sq,
+  len(list_filter(v, x -> x > 0)) AS n_pos,
+  len(list_filter(v, x -> x > 0.5)) > 0 AS has_big,
+  len(list_filter(v, x -> NOT (x > -10.0))) = 0 AS all_sane,
+  round(list_sum(list_transform(list_zip(v[1:32], v[33:64]),
+                                p -> p[1] * p[2])), 6) AS half_dot
+FROM e
+"""
+
+
 def q_having_filter(spark, sf_dir):
     """Aggregate + HAVING (post-aggregation filter pushed onto the agg
     result — same plan Catalyst produces from SQL HAVING)."""
@@ -1271,6 +1309,7 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
                                     _SQL_WRITE_ROUNDTRIP),
     "read_json_surface": (q_read_json_surface, _SQL_READ_JSON_SURFACE),
     "orc_roundtrip": (q_orc_roundtrip, _SQL_ORC_ROUNDTRIP),
+    "higher_order_funcs": (q_higher_order_funcs, _SQL_HIGHER_ORDER),
 }
 
 

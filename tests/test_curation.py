@@ -87,3 +87,29 @@ def test_iqr_outlier_stats_exact_small(spark):
     assert out["a"].n == 10 and out["a"].n_outliers == 2
     assert out["b"].n == 4 and out["b"].n_outliers == 0
     assert out["b"].lo_fence == 5.0 and out["b"].hi_fence == 5.0
+
+
+def test_mixture_temperature_flattens_and_keeps_tail(spark):
+    from steel_datafusion_spark.pipeline.curation import (
+        mixture_resample_temperature,
+    )
+
+    rows = ([("head", i) for i in range(900)]
+            + [("mid", 1000 + i) for i in range(90)]
+            + [("tail", 2000 + i) for i in range(10)])
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    out = mixture_resample_temperature(df, alpha=0.5)
+    kept = {r.source: r.n for r in
+            out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # smallest group keeps everything (rate 1 by construction)
+    assert kept["tail"] == 10
+    # head is downsampled hardest: expected rate = sqrt(10/900) ~ 0.105
+    assert kept["head"] < 900 * 0.2
+    # output shares flatten toward sqrt: head/tail ratio drops from 90x
+    # toward sqrt(90) ~ 9.5x (coin noise allowed)
+    assert kept["head"] / kept["tail"] < 20
+    # deterministic: second run identical
+    again = {r.source: r.n for r in
+             mixture_resample_temperature(df, alpha=0.5)
+             .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == kept
