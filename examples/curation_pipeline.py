@@ -71,6 +71,23 @@ def main() -> None:
             .select("doc_id")
         survivors = survivors.join(bad, "doc_id", "left_anti")
 
+        # 4b. exact-substring duplicated-span gate: drop docs that are
+        # mostly duplicated token runs (Lee et al. style)
+        from steel_datafusion_spark.pipeline.chunking import (
+            duplicated_span_stats,
+        )
+        spans = duplicated_span_stats(survivors, n=8)
+        spanbad = spans.filter(
+            (F.col("n_tokens") > 0)
+            & (F.col("dup_tokens") * 2 > F.col("n_tokens"))).select("doc_id")
+        survivors = survivors.join(spanbad, "doc_id", "left_anti")
+
+        # 4c. model-shaped quality gate: hashed linear classifier score
+        from steel_datafusion_spark.pipeline.terms import with_classifier
+        survivors = (with_classifier(survivors)
+                     .filter(F.col("clf_score") > -0.5)
+                     .drop("clf_score", "clf_label"))
+
         # 5. mixture: skew toward the first five sources
         targets = {f"src{i}": w for i, w in
                    enumerate([0.4, 0.3, 0.2, 0.05, 0.05])}
@@ -93,9 +110,16 @@ def main() -> None:
                   .collect()}
         n_packed = packed.select("source", "bin_id").distinct().count()
 
+        # corpus report: boilerplate heavy hitters over the kept train set
+        from steel_datafusion_spark.pipeline.terms import heavy_hitters
+        hot = heavy_hitters(train, "text", threshold_inv=64) \
+            .orderBy(F.col("cnt").desc()).limit(5).collect()
+
     print(f"raw docs:        {n0}")
     print(f"after curation:  {sum(counts.values())} {counts}")
     print(f"packed chunks:   {n_packed} (512-token, train split)")
+    print("top boilerplate terms (>1/64 of train tokens): "
+          + ", ".join(f"{r.term}({r.cnt})" for r in hot))
 
 
 if __name__ == "__main__":

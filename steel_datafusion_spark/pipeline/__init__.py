@@ -1,8 +1,13 @@
 """Beyond-reference pipeline operators for training-data curation at scale:
 dedup (incl. connected-components cluster resolution and a persisted
 incremental-dedup index), similarity/ANN (banded LSH, IVF, k-means),
-text analysis + PII redaction, curation (repetition quality,
-decontamination, mixture resampling, per-domain caps), deterministic
+text analysis + PII redaction + hashed linear quality classification
+(terms.py), exact heavy hitters with bucketized pigeonhole pruning
+(terms.py), token-window chunking and exact-substring duplicated-span
+extents (chunking.py), product-quantization ANN and L2 normalization
+(similarity.py), curation (repetition quality, decontamination, mixture
+resampling incl. temperature flattening, per-domain caps, IQR outlier
+fences), deterministic
 sampling & splitting & training-order sharding, sequence packing, fuzzy
 edit-distance joins, mergeable HLL/KLL sketches (two-level salted merge),
 multimodal binary columns with real image decode (pipeline/codecs.py:
