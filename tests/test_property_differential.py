@@ -118,3 +118,40 @@ def test_joins_match_duckdb(spark, rows, rows2):
     want = sorted(str((None if g is None else int(g), s, s2)) for g, s, s2 in con.execute(
         "SELECT t.g, t.s, u.s AS s2 FROM t LEFT JOIN u ON t.g = u.g").fetchall())
     assert got == want
+
+
+# --- chunking invariants (round-6 continuation) -------------------------
+
+_chunk_params = st.tuples(
+    st.integers(min_value=2, max_value=40),   # size
+    st.integers(min_value=0, max_value=39),   # overlap (clamped below size)
+    st.integers(min_value=0, max_value=120),  # doc token count
+)
+
+
+@given(params=_chunk_params)
+@settings(**_SETTINGS)
+def test_chunking_invariants(spark, params):
+    from steel_datafusion_spark.pipeline.chunking import chunk_by_tokens
+
+    size, overlap, n_tok = params
+    overlap = min(overlap, size - 1)
+    stride = size - overlap
+    text = " ".join(f"w{i}" for i in range(n_tok))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ch = sorted(chunk_by_tokens(df, size=size, overlap=overlap).collect(),
+                key=lambda r: r.chunk_id)
+    # every doc yields >= 1 chunk; chunk ids are dense from 0
+    assert [r.chunk_id for r in ch] == list(range(len(ch)))
+    # starts advance by exactly stride; no chunk exceeds `size` tokens
+    assert all(r.chunk_start == r.chunk_id * stride + 1 for r in ch)
+    assert all(0 <= r.n_chunk_tokens <= size for r in ch)
+    # full coverage: reconstruct from stride-prefixes + final chunk
+    toks = []
+    for r in ch[:-1]:
+        toks.extend(r.chunk_text.split()[:stride])
+    toks.extend(ch[-1].chunk_text.split())
+    assert toks == text.split()
+    # minimality: at most one trailing chunk would be empty-of-new-tokens
+    if len(ch) > 1:
+        assert ch[-1].chunk_start <= max(n_tok, 1)
