@@ -183,3 +183,28 @@ def test_session_rollup_foreachbatch_parquet_vs_duckdb_oracle(
     # the durable artifact is real parquet on disk
     import glob as _glob
     assert _glob.glob(f"{out}/*.parquet")
+
+
+def test_streaming_chunking_and_classifier_match_batch(spark, docs_dir):
+    """chunk_by_tokens and the quality classifier are stateless projections
+    (explode + expression folds, no order/partition dependence), so they
+    compose onto a stream unchanged and must equal the batch result
+    row-for-row — the ingest-time shape: chunk + score documents as they
+    arrive."""
+    from steel_datafusion_spark.pipeline.chunking import chunk_by_tokens
+    from steel_datafusion_spark.pipeline.terms import with_classifier
+
+    batch = spark.read.parquet(docs_dir)
+    stream = read_stream_parquet(spark, docs_dir, batch.schema)
+
+    def stage(df):
+        scored = with_classifier(df)
+        return chunk_by_tokens(
+            scored.filter(F.col("clf_score") > -0.9), size=48, overlap=16
+        ).select("doc_id", "chunk_id", "chunk_start", "n_chunk_tokens",
+                 F.md5(F.col("chunk_text")).alias("h"))
+
+    got = run_stream_to_memory(stage(stream), "chunk_stream_test").collect()
+    want = stage(batch).collect()
+    assert len(got) == len(want) > 0
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
