@@ -38,7 +38,8 @@ from .operators.relational import (
     df_sort_by, df_union, df_union_distinct, df_window,
 )
 from .sources.readers import (
-    load_tables, read_csv, read_json, read_orc, write_orc,
+    load_tables, merge_upsert, read_csv, read_json, read_orc, read_parquet,
+    write_orc,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -936,6 +937,52 @@ FROM embeddings WHERE vec_id < 200
 """
 
 
+def q_upsert_roundtrip(spark, sf_dir):
+    """Keyed parquet upsert (sources/readers.py merge_upsert — CDC-style
+    incremental corpus maintenance): seed a table from documents, apply an
+    update batch (50 in-place edits + 10 inserts), read back and aggregate.
+    The oracle computes the post-merge expectation directly from the source
+    table, so the hash certifies replace-by-key + append semantics through
+    a real write→swap→read cycle."""
+    import shutil
+    import tempfile
+
+    d = _t(spark, sf_dir)["documents"].select("doc_id", "source", "n_chars")
+    out = _os.path.join(
+        tempfile.gettempdir(),
+        f"sdf_upsert_{_os.path.basename(_os.path.normpath(sf_dir))}")
+    if _os.path.exists(out):
+        shutil.rmtree(out)
+    merge_upsert(spark, out, d, ["doc_id"])  # seed
+    edits = d.filter(F.col("doc_id") < 50).withColumn(
+        "n_chars", F.col("n_chars") + 1000)
+    inserts = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.lit("upserted").alias("source"), F.col("n_chars"))
+    merge_upsert(spark, out, edits.unionByName(inserts), ["doc_id"])
+    back = read_parquet(spark, out)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.max("doc_id").alias("max_doc_id"))
+
+
+_SQL_UPSERT_ROUNDTRIP = """
+WITH merged AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id < 50 THEN n_chars + 1000 ELSE n_chars END
+           AS n_chars
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 5000000, 'upserted', n_chars
+  FROM documents WHERE doc_id < 10
+)
+SELECT source, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars,
+       MAX(doc_id) AS max_doc_id
+FROM merged GROUP BY source
+"""
+
+
 def q_higher_order_funcs(spark, sf_dir):
     """Higher-order array functions (transform / filter / exists / forall /
     zip_with) — the lambda surface that keeps nested-type logic JVM-side
@@ -1310,6 +1357,7 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "read_json_surface": (q_read_json_surface, _SQL_READ_JSON_SURFACE),
     "orc_roundtrip": (q_orc_roundtrip, _SQL_ORC_ROUNDTRIP),
     "higher_order_funcs": (q_higher_order_funcs, _SQL_HIGHER_ORDER),
+    "upsert_roundtrip": (q_upsert_roundtrip, _SQL_UPSERT_ROUNDTRIP),
 }
 
 

@@ -19,7 +19,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["read_csv", "read_json", "read_orc", "read_parquet", "load_tables",
-           "write_parquet", "write_json", "write_csv", "write_orc",
+           "write_parquet", "write_json", "write_csv", "write_orc", "merge_upsert",
            "TABLE_NAMES"]
 
 TABLE_NAMES = [
@@ -183,3 +183,42 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def merge_upsert(spark: SparkSession, table_dir: str, updates: DataFrame,
+                 key_cols: list[str]) -> None:
+    """Keyed upsert into a parquet table directory (CDC-style incremental
+    corpus maintenance without a lakehouse format): rows in ``updates``
+    replace same-key rows in the table; new keys append.
+
+    Implementation is copy-on-write at table granularity: anti-join the
+    existing table against the update keys (broadcast — the update set is
+    the small side), union the updates, write to a sibling temp dir, then
+    swap directories.  The swap makes a crash re-runnable (the original
+    survives until the new table is fully written); concurrent readers of
+    the old path finish against the old files.
+
+    At real scale you would partition the table and rewrite ONLY the
+    partitions containing updated keys (pair with
+    ``write_parquet(partition_by=...)`` and prune via the update keys'
+    partition values) — the same plan per touched partition; table-granular
+    rewrite is the portable fallback this helper implements.
+    """
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    if not os.path.exists(table_dir):
+        updates.write.mode("overwrite").parquet(table_dir)
+        return
+    base = read_parquet(spark, table_dir)
+    keys = updates.select(*key_cols).distinct()
+    merged = base.join(F.broadcast(keys), key_cols, "left_anti") \
+                 .unionByName(updates)
+    tmp = f"{table_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = f"{table_dir}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(table_dir, old)
+    os.rename(tmp, table_dir)
+    shutil.rmtree(old)

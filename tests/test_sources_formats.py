@@ -68,3 +68,23 @@ def test_write_csv_read_csv_roundtrip(spark, tmp_path_factory):
     assert back.count() == d.count()
     assert (back.agg(F.sum("n_chars")).first()[0]
             == d.agg(F.sum("n_chars")).first()[0])
+
+
+def test_merge_upsert_replace_and_insert(spark, tmp_path_factory):
+    from steel_datafusion_spark.sources.readers import (
+        merge_upsert, read_parquet,
+    )
+    out = str(tmp_path_factory.mktemp("upsert")) + "/tbl"
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, s string, v long")
+    merge_upsert(spark, out, base, ["k"])          # seed (no existing table)
+    upd = spark.createDataFrame(
+        [(2, "b2", 99), (4, "d", 40)], "k long, s string, v long")
+    merge_upsert(spark, out, upd, ["k"])
+    got = {r.k: (r.s, r.v) for r in read_parquet(spark, out).collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 99), 3: ("c", 30), 4: ("d", 40)}
+    # idempotent: re-applying the same batch changes nothing
+    merge_upsert(spark, out, upd, ["k"])
+    again = {r.k: (r.s, r.v) for r in read_parquet(spark, out).collect()}
+    assert again == got
