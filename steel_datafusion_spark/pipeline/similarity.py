@@ -463,6 +463,27 @@ def _sub_d2(vec: Column, centroid: list[float], start: int) -> Column:
         F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _sub_d2_table(vec: Column, book: list[list[float]],
+                  start: int) -> Column:
+    """Array of squared L2 distances from vec[start : start+sub] to EVERY
+    centroid of one subspace codebook, as a single ``transform`` over a
+    literal centroid matrix — one expression tree instead of ks separate
+    folds (16× fewer py4j round-trips to build; the JVM work is
+    identical, and the left-to-right fold order per centroid is unchanged,
+    so values are bit-equal with the per-centroid form)."""
+    sub = len(book[0])
+    lit_book = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in book])
+    sv = F.slice(vec, start + 1, sub)
+    return F.transform(
+        lit_book,
+        lambda c: F.aggregate(
+            F.zip_with(sv, c,
+                       lambda x, y: (x.cast("double") - y)
+                       * (x.cast("double") - y)),
+            F.lit(0.0), lambda acc, x: acc + x))
+
+
 def pq_encode(
     corpus: DataFrame, codebooks: list[list[list[float]]],
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -480,7 +501,7 @@ def pq_encode(
     v = F.col(vec_col)
     codes = []
     for j, book in enumerate(codebooks):
-        d2s = F.array(*[_sub_d2(v, c, j * sub) for c in book])
+        d2s = _sub_d2_table(v, book, j * sub)
         codes.append((F.array_position(d2s, F.array_min(d2s)) - 1)
                      .cast("int"))
     return corpus.select(F.col(id_col), F.array(*codes).alias("codes"))
@@ -519,8 +540,8 @@ def pq_topk(
 
     qv = F.col(vec_col)
     dtables = [
-        F.array(*[F.round(_sub_d2(qv, c, j * sub), 9) for c in book])
-        .alias(f"dt{j}")
+        F.transform(_sub_d2_table(qv, book, j * sub),
+                    lambda d: F.round(d, 9)).alias(f"dt{j}")
         for j, book in enumerate(codebooks)
     ]
     q = queries.select(F.col(id_col).alias("query_id"), qv.alias("qv"),
