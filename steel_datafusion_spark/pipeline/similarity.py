@@ -453,16 +453,6 @@ def pq_codebooks(
     return books
 
 
-def _sub_d2(vec: Column, centroid: list[float], start: int) -> Column:
-    """Squared L2 distance between vec[start:start+len(centroid)] and a
-    literal centroid — a JVM fold, no Python in the row path."""
-    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(F.slice(vec, start + 1, len(centroid)), lit_c,
-                   lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-        F.lit(0.0), lambda acc, x: acc + x)
-
-
 def _sub_d2_table(vec: Column, book: list[list[float]],
                   start: int) -> Column:
     """Array of squared L2 distances from vec[start : start+sub] to EVERY
