@@ -927,6 +927,42 @@ def q_mixture_resample(spark, sf_dir):
     return mixture_resample(d, _MIX_TARGETS).select("doc_id", "source")
 
 
+def q_token_budget_subset(spark, sf_dir):
+    """Exact token-budget corpus cut (pipeline/sampling.py
+    token_budget_subset): keep documents in deterministic md5-shuffle
+    order until 20k tokens, computed as a distributed two-phase prefix
+    sum (per-bucket offsets + within-bucket windows — no global sort).
+    The oracle computes the same inclusive running total with one global
+    window, exact at oracle scale."""
+    from .sampling import token_budget_subset
+
+    d = load_tables(spark, sf_dir)["documents"]
+    d = d.withColumn("n_tok", TX.token_count(F.col("text")))
+    kept = token_budget_subset(d, "n_tok", budget=20_000)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.max("_cum_tokens").alias("max_cum"))
+
+
+def _sql_token_budget() -> str:
+    from .sampling import sql_hash_unit
+
+    h = sql_hash_unit("doc_id", "budget")
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, {TX.sql_token_count('text')} AS n_tok, {h} AS hu
+  FROM documents
+),
+c AS (
+  SELECT *, SUM(n_tok) OVER (ORDER BY hu, doc_id) AS cum FROM t
+)
+SELECT source, COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS sum_tokens,
+       MAX(cum)::BIGINT AS max_cum
+FROM c WHERE cum <= 20000 GROUP BY source
+"""
+
+
 def q_mixture_temperature(spark, sf_dir):
     """Temperature-flattened mixture (pipeline/curation.py
     mixture_resample_temperature, alpha=0.5): output shares proportional
@@ -1771,6 +1807,7 @@ PIPELINE_QUERIES = {
     "decontaminate": (q_decontaminate, _sql_decontaminate()),
     "mixture_resample": (q_mixture_resample, _sql_mixture_resample()),
     "mixture_temperature": (q_mixture_temperature, _sql_mixture_temperature()),
+    "token_budget_subset": (q_token_budget_subset, _sql_token_budget()),
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_dedup_minhash()),
     "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),

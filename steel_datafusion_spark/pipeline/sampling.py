@@ -28,6 +28,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "hash_unit", "hash_sample", "weighted_sample", "stratified_sample_n",
     "hash_split", "sql_hash_unit", "domain_cap", "shard_assignment",
+    "token_budget_subset",
 ]
 
 _MOD = 1 << 32
@@ -163,3 +164,47 @@ def shard_assignment(df: DataFrame, n_shards: int,
                         .cast("int"))
             .withColumn("pos", F.row_number().over(w).cast("long"))
             .drop("_hu"))
+
+
+def token_budget_subset(
+    df: DataFrame, token_col: str, budget: int,
+    key_col: str = "doc_id", salt: str = "budget",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministically take documents until an exact token budget: order
+    the corpus by the md5 coin (reproducible, growth-stable shuffle order),
+    keep every document whose INCLUSIVE running token total is <= budget.
+
+    The running total is a distributed prefix sum — NO global sort:
+
+    1. bucket = top bits of the order hash, so bucket order IS hash order;
+    2. per-bucket token totals (one tiny aggregate), cumulated EXCLUSIVE
+       over the <= n_buckets ordered buckets (a window over a tiny frame)
+       = each bucket's starting offset;
+    3. within-bucket running sum (window partitioned BY BUCKET — sorts
+       only bucket-sized slices, in parallel) + broadcast offset = the
+       exact global running total.
+
+    The classic two-phase scan pattern: wall-clock scales with the largest
+    bucket, not the corpus.  Rows keep their columns plus ``_cum_tokens``
+    (the inclusive global running total) — filter is `_cum_tokens <=
+    budget`, already applied.
+    """
+    bits = (n_buckets - 1).bit_length()
+    if n_buckets != 1 << bits:
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    h = hash_unit(F.col(key_col), salt)
+    with_h = df.withColumn("_hu", h) \
+               .withColumn("_bkt", F.shiftright("_hu", 32 - bits))
+    totals = with_h.groupBy("_bkt").agg(F.sum(token_col).alias("_btot"))
+    w_off = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_boff", F.coalesce(F.sum("_btot").over(w_off), F.lit(0)))
+    w_in = Window.partitionBy("_bkt").orderBy("_hu", key_col)
+    return (with_h.join(F.broadcast(offsets.select("_bkt", "_boff")), "_bkt")
+            .withColumn("_cum_tokens",
+                        (F.col("_boff")
+                         + F.sum(token_col).over(w_in)).cast("long"))
+            .filter(F.col("_cum_tokens") <= budget)
+            .drop("_hu", "_bkt", "_boff"))

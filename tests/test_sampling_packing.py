@@ -343,3 +343,33 @@ def test_shard_assignment_contract(spark):
     assert sorted(map(tuple, out)) != sorted(map(tuple, other))
     with _pytest.raises(ValueError, match="n_shards"):
         shard_assignment(d, 0)
+
+
+def test_token_budget_subset_matches_global_sort(spark):
+    """The two-phase prefix sum must equal the naive global-window running
+    total exactly, for every bucket count, including the budget boundary."""
+    from pyspark.sql.window import Window
+
+    from steel_datafusion_spark.pipeline.sampling import (
+        hash_unit, token_budget_subset,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 10 + (i * 7) % 50) for i in range(300)], "doc_id long, tok long")
+    w = Window.orderBy(hash_unit(F.col("doc_id"), "budget"), "doc_id")
+    naive = df.withColumn("cum", F.sum("tok").over(w)) \
+              .filter(F.col("cum") <= 3000)
+    want = {(r.doc_id, r.cum) for r in naive.collect()}
+    for n_buckets in (1, 16, 256):
+        got = {(r.doc_id, r._cum_tokens) for r in token_budget_subset(
+            df, "tok", 3000, n_buckets=n_buckets).collect()}
+        assert got == want, n_buckets
+    assert 0 < len(want) < 300          # budget actually bites
+    # exact boundary: budget = max cum of the kept set keeps the same rows
+    edge = max(c for _, c in want)
+    got_edge = {(r.doc_id, r._cum_tokens) for r in token_budget_subset(
+        df, "tok", edge).collect()}
+    assert got_edge == want
+    import pytest
+    with pytest.raises(ValueError):
+        token_budget_subset(df, "tok", 100, n_buckets=100)  # not power of 2
