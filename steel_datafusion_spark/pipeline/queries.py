@@ -927,6 +927,43 @@ def q_mixture_resample(spark, sf_dir):
     return mixture_resample(d, _MIX_TARGETS).select("doc_id", "source")
 
 
+def q_corpus_overlap(spark, sf_dir):
+    """Corpus-level overlap (pipeline/dedup.py corpus_overlap): exact
+    shingle Jaccard between two overlapping document slices plus the
+    64-slot MinHash corpus-sketch estimate — the sketch is md5-affine
+    arithmetic, so the oracle recomputes the ESTIMATE exactly too (a
+    hash-checked sketch, not a bound check)."""
+    from .dedup import corpus_overlap
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    a = d.filter(F.col("doc_id") < 300)
+    b = d.filter(F.col("doc_id") >= 200)
+    return corpus_overlap(a, b, k=64)
+
+
+def _sql_corpus_overlap(k: int = 64) -> str:
+    hs = DSQL.hashed_shingles("text")
+    mins_a = ", ".join(
+        f"min({DSQL.mix(DSQL.mix('h', i), i + k)}) AS m{i}"
+        for i in range(k))
+    mins_b = mins_a
+    eq = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(k))
+    return f"""
+WITH A AS (SELECT DISTINCT unnest({hs}) AS h FROM documents WHERE doc_id < 300),
+B AS (SELECT DISTINCT unnest({hs}) AS h FROM documents WHERE doc_id >= 200),
+na AS (SELECT count(*) AS n_a FROM A),
+nb AS (SELECT count(*) AS n_b FROM B),
+nc AS (SELECT count(*) AS n_common FROM A JOIN B USING (h)),
+sa AS (SELECT {mins_a} FROM A),
+sb AS (SELECT {mins_b} FROM B)
+SELECT n_a, n_b, n_common,
+  round(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 6) AS jaccard,
+  round(({eq}) / {float(k)}, 6) AS est_jaccard
+FROM na, nb, nc, sa, sb
+"""
+
+
 def q_token_budget_subset(spark, sf_dir):
     """Exact token-budget corpus cut (pipeline/sampling.py
     token_budget_subset): keep documents in deterministic md5-shuffle
@@ -1808,6 +1845,7 @@ PIPELINE_QUERIES = {
     "mixture_resample": (q_mixture_resample, _sql_mixture_resample()),
     "mixture_temperature": (q_mixture_temperature, _sql_mixture_temperature()),
     "token_budget_subset": (q_token_budget_subset, _sql_token_budget()),
+    "corpus_overlap": (q_corpus_overlap, _sql_corpus_overlap()),
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_dedup_minhash()),
     "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),

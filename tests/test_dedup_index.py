@@ -96,3 +96,26 @@ def test_probe_rejects_mismatched_banding_params(spark, corpus_and_batches):
     finally:
         for t in ("dd_idx3_bands", "dd_idx3_shingles", "dd_idx3_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_corpus_overlap_exact_and_sketch(spark):
+    from steel_datafusion_spark.pipeline.dedup import corpus_overlap
+
+    docs = [(i, f"unique text number {i} with shared words {i%3} here")
+            for i in range(60)]
+    a = spark.createDataFrame(docs[:40], "doc_id long, text string")
+    b = spark.createDataFrame(docs[20:], "doc_id long, text string")
+    row = corpus_overlap(a, b, k=64).first()
+    assert row.n_common > 0 and row.n_a > 0 and row.n_b > 0
+    j = row.n_common / (row.n_a + row.n_b - row.n_common)
+    assert abs(row.jaccard - round(j, 6)) < 1e-9
+    # sketch estimate within 3 sigma of exact (sigma = sqrt(J(1-J)/64))
+    sigma = (j * (1 - j) / 64) ** 0.5
+    assert abs(row.est_jaccard - j) <= 3 * sigma + 1e-9
+
+    same = corpus_overlap(a, a, k=32).first()
+    assert same.jaccard == 1.0 and same.est_jaccard == 1.0
+    disjoint = corpus_overlap(
+        a, spark.createDataFrame([(99, "totally different vocabulary alto")],
+                                 "doc_id long, text string"), k=32).first()
+    assert disjoint.n_common == 0 and disjoint.jaccard == 0.0
