@@ -63,3 +63,39 @@ def test_case_null_condition_falls_through(spark):
         case_otherwise(when(F.col("x"), lit("t")), lit("e")).alias("r")
     ).collect()
     assert got[0].r == "e"  # NULL condition ⇒ arm skipped ⇒ ELSE
+
+
+def test_new_ops_empty_input_safety(spark):
+    """Round-6 continuation ops must degrade to empty/zero results on an
+    empty corpus — not throw (a pipeline stage fed an empty partition
+    filter result is routine at scale)."""
+    from steel_datafusion_spark.pipeline.chunking import (
+        chunk_by_tokens, duplicated_span_extents,
+    )
+    from steel_datafusion_spark.pipeline.sampling import token_budget_subset
+    from steel_datafusion_spark.pipeline.terms import (
+        heavy_hitters, with_classifier,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert chunk_by_tokens(empty).count() == 0
+    assert duplicated_span_extents(empty).count() == 0
+    assert heavy_hitters(empty, "text", 64).count() == 0
+    assert with_classifier(empty).count() == 0
+    et = spark.createDataFrame([], "doc_id long, tok long")
+    assert token_budget_subset(et, "tok", 100).count() == 0
+
+
+def test_pq_with_tiny_corpus(spark):
+    """PQ on a corpus barely >= ks still returns valid ranked neighbors."""
+    from steel_datafusion_spark.pipeline.similarity import pq_topk
+
+    rows = [(i, [float((i * j) % 7 - 3) for j in range(8)])
+            for i in range(18)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_topk(df.filter("vec_id < 2"), df, k=3, m=2, ks=16, shortlist=8)
+    got = out.collect()
+    assert {r.query_id for r in got} == {0, 1}
+    for qid in (0, 1):
+        ranks = sorted(r.rank for r in got if r.query_id == qid)
+        assert ranks == list(range(1, len(ranks) + 1))
