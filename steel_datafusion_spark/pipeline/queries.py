@@ -927,6 +927,47 @@ def q_mixture_resample(spark, sf_dir):
     return mixture_resample(d, _MIX_TARGETS).select("doc_id", "source")
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered conversion funnel (operators/funnel.py): users entering
+    view -> click -> purchase, each step anchored at the user's earliest
+    qualifying time (an event can't satisfy step i before the user's
+    step i-1 entry).  One filtered min-aggregate per step on the user
+    key — no per-user event sorting, no windows over the raw stream."""
+    from ..operators.funnel import funnel_counts
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return funnel_counts(ev, ["view", "click", "purchase"],
+                         within="2 hours")
+
+
+_SQL_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT s1.user_id, t1,
+         min(CASE WHEN e.ts >= t1
+                   AND e.ts <= t1 + INTERVAL 2 HOUR THEN e.ts END) AS t2
+  FROM s1 LEFT JOIN events e
+    ON e.user_id = s1.user_id AND e.event_type = 'click'
+  GROUP BY s1.user_id, t1),
+s3 AS (
+  SELECT s2.user_id, t1, t2,
+         min(CASE WHEN e.ts >= t2
+                   AND e.ts <= t1 + INTERVAL 2 HOUR THEN e.ts END) AS t3
+  FROM s2 LEFT JOIN events e
+    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+  GROUP BY s2.user_id, t1, t2),
+c AS (SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3 FROM s3)
+SELECT 1 AS step_idx, 'view' AS step, n1::BIGINT AS n_users,
+       round(n1 / CAST(n1 AS DOUBLE), 6) AS conversion_from_first FROM c
+UNION ALL
+SELECT 2, 'click', n2::BIGINT, round(n2 / CAST(n1 AS DOUBLE), 6) FROM c
+UNION ALL
+SELECT 3, 'purchase', n3::BIGINT, round(n3 / CAST(n1 AS DOUBLE), 6) FROM c
+"""
+
+
 def q_corpus_overlap(spark, sf_dir):
     """Corpus-level overlap (pipeline/dedup.py corpus_overlap): exact
     shingle Jaccard between two overlapping document slices plus the
@@ -1857,6 +1898,7 @@ PIPELINE_QUERIES = {
     "mixture_temperature": (q_mixture_temperature, _sql_mixture_temperature()),
     "token_budget_subset": (q_token_budget_subset, _sql_token_budget()),
     "corpus_overlap": (q_corpus_overlap, _sql_corpus_overlap()),
+    "funnel_conversion": (q_funnel, _SQL_FUNNEL),
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_dedup_minhash()),
     "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
