@@ -19,7 +19,48 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps", "funnel_counts"]
+__all__ = ["funnel_steps", "funnel_counts", "cohort_retention"]
+
+
+def cohort_retention(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
+    granularity: str = "week", max_offset: int = 8,
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by their first-activity
+    period (the cohort), counted as retained in each later period they
+    were active in.
+
+    Returns (cohort, period_offset, n_active, cohort_size, retention) for
+    offsets 0..max_offset — offset 0 is the cohort size itself, so
+    retention at 0 is 1.0 by construction.
+
+    Plan: first-activity per user (one agg on the user key), joined back
+    to the distinct (user, period) activity set (same key — co-located),
+    then a (cohort, offset) rollup.  Period arithmetic uses date_trunc +
+    integer day/7 (or day) offsets — exact in both engines.
+    """
+    if granularity not in ("day", "week"):
+        raise ValueError(f"granularity must be day|week, got {granularity}")
+    div = 7 if granularity == "week" else 1
+    period = F.floor(
+        F.datediff(F.to_date(ts_col), F.lit("2020-01-06")) / div)
+    activity = (events.select(F.col(user_col), period.alias("_p"))
+                .distinct())
+    first = activity.groupBy(user_col).agg(F.min("_p").alias("cohort"))
+    joined = (activity.join(first, user_col)
+              .withColumn("offset", (F.col("_p") - F.col("cohort"))
+                          .cast("long"))
+              .filter(F.col("offset") <= max_offset))
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    return (joined.groupBy("cohort", "offset")
+            .agg(F.count(F.lit(1)).alias("n_active"))
+            .join(sizes, "cohort")
+            .select(F.col("cohort").cast("long").alias("cohort"),
+                    F.col("offset").alias("period_offset"),
+                    "n_active", "cohort_size",
+                    F.round(F.col("n_active") / F.col("cohort_size"), 6)
+                    .alias("retention")))
 
 
 def funnel_steps(

@@ -968,6 +968,37 @@ SELECT 3, 'purchase', n3::BIGINT, round(n3 / CAST(n1 AS DOUBLE), 6) FROM c
 """
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle (operators/funnel.py
+    cohort_retention): users bucketed by first-activity week, retention =
+    share active in each later week.  Two aggregations on the user key +
+    one (cohort, offset) rollup; the DuckDB oracle mirrors the integer
+    week arithmetic exactly."""
+    from ..operators.funnel import cohort_retention
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return cohort_retention(ev, granularity="week", max_offset=8)
+
+
+_SQL_COHORT = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+    CAST(floor(date_diff('day', DATE '2020-01-06', ts::DATE) / 7.0)
+         AS BIGINT) AS p
+  FROM events),
+first AS (SELECT user_id, min(p) AS cohort FROM act GROUP BY user_id),
+sizes AS (SELECT cohort, count(*) AS cohort_size FROM first GROUP BY cohort),
+j AS (
+  SELECT f.cohort, a.p - f.cohort AS period_offset
+  FROM act a JOIN first f USING (user_id)
+  WHERE a.p - f.cohort <= 8)
+SELECT j.cohort, j.period_offset, count(*) AS n_active, s.cohort_size,
+       round(count(*) / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+FROM j JOIN sizes s USING (cohort)
+GROUP BY j.cohort, j.period_offset, s.cohort_size
+"""
+
+
 def q_corpus_overlap(spark, sf_dir):
     """Corpus-level overlap (pipeline/dedup.py corpus_overlap): exact
     shingle Jaccard between two overlapping document slices plus the
@@ -1899,6 +1930,7 @@ PIPELINE_QUERIES = {
     "token_budget_subset": (q_token_budget_subset, _sql_token_budget()),
     "corpus_overlap": (q_corpus_overlap, _sql_corpus_overlap()),
     "funnel_conversion": (q_funnel, _SQL_FUNNEL),
+    "cohort_retention": (q_cohort_retention, _SQL_COHORT),
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_dedup_minhash()),
     "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),

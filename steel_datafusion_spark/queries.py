@@ -1021,6 +1021,87 @@ FROM e
 """
 
 
+def q_zscore_normalize(spark, sf_dir):
+    """Per-group z-score standardization with DETERMINISTIC moments: mean
+    and variance derive from exact-decimal sums (sum x, sum x² — order-
+    independent at any partition count), cast to double only for the final
+    mu/sigma arithmetic, so every z value is bit-identical across engines
+    and partitionings.  Group stats broadcast back onto the rows — the
+    feature-scaling shape of a numeric training pipeline (two scans, one
+    tiny broadcast, no row ever shuffles)."""
+    li = df_filter(_t(spark, sf_dir)["lineitem"], F.col("l_orderkey") < 2000)
+    x = F.col("l_extendedprice")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x.cast(_DEC)).cast("double").alias("_sx"),
+        F.sum((x * x).cast(_DEC)).cast("double").alias("_sxx"))
+    st = stats.select(
+        "l_returnflag",
+        (F.col("_sx") / F.col("_n")).alias("_mu"),
+        F.sqrt((F.col("_sxx") - F.col("_sx") * F.col("_sx") / F.col("_n"))
+               / (F.col("_n") - 1)).alias("_sigma"))
+    return (li.join(F.broadcast(st), "l_returnflag")
+            .select("l_orderkey", "l_linenumber", "l_returnflag",
+                    F.round((x - F.col("_mu")) / F.col("_sigma"), 6)
+                    .alias("z")))
+
+
+_SQL_ZSCORE = f"""
+WITH s AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+    CAST(SUM(CAST(l_extendedprice AS {_SQL_DEC})) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS {_SQL_DEC}))
+         AS DOUBLE) AS sxx
+  FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_returnflag),
+st AS (
+  SELECT l_returnflag, sx / n AS mu,
+         sqrt((sxx - sx * sx / n) / (n - 1)) AS sigma
+  FROM s)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       round((l.l_extendedprice - st.mu) / st.sigma, 6) AS z
+FROM lineitem l JOIN st USING (l_returnflag)
+WHERE l.l_orderkey < 2000
+"""
+
+
+def q_rolling_time_features(spark, sf_dir):
+    """Time-RANGE window features: per purchase event, the count and
+    value sum of the same user's events in the preceding hour — a RANGE
+    frame over epoch microseconds (exact cross-engine frame membership;
+    epoch *seconds* would disagree with the oracle's INTERVAL arithmetic
+    on sub-second timestamps).  The feature shape behind
+    "activity-in-last-N-minutes" model inputs; one shuffle on user_id,
+    frames evaluated in a single pass per partition."""
+    ev = _t(spark, sf_dir)["events"]
+    # ts arrives as TIMESTAMP_NTZ (ns-parquet conversion); the session is
+    # pinned to UTC, so the cast to TIMESTAMP is value-identity
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (window_spec(partition_by=["user_id"], order_by=[us.asc()])
+         .rangeBetween(-3_600_000_000, 0))
+    scored = ev.select(
+        "event_id", "user_id", "event_type",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum(F.col("value").cast(_DEC)).over(w).cast("double"), 6)
+        .alias("sum_value_last_hour"))
+    return scored.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "n_last_hour", "sum_value_last_hour")
+
+
+_SQL_ROLLING_TIME = f"""
+WITH scored AS (
+  SELECT event_id, user_id, event_type,
+    COUNT(*) OVER w AS n_last_hour,
+    round(CAST(SUM(CAST(value AS {_SQL_DEC})) OVER w AS DOUBLE), 6)
+      AS sum_value_last_hour
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, n_last_hour, sum_value_last_hour
+FROM scored WHERE event_type = 'purchase'
+"""
+
+
 def q_having_filter(spark, sf_dir):
     """Aggregate + HAVING (post-aggregation filter pushed onto the agg
     result — same plan Catalyst produces from SQL HAVING)."""
@@ -1358,6 +1439,8 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orc_roundtrip": (q_orc_roundtrip, _SQL_ORC_ROUNDTRIP),
     "higher_order_funcs": (q_higher_order_funcs, _SQL_HIGHER_ORDER),
     "upsert_roundtrip": (q_upsert_roundtrip, _SQL_UPSERT_ROUNDTRIP),
+    "rolling_time_features": (q_rolling_time_features, _SQL_ROLLING_TIME),
+    "zscore_normalize": (q_zscore_normalize, _SQL_ZSCORE),
 }
 
 

@@ -57,3 +57,23 @@ def test_funnel_within_horizon(spark):
 def test_funnel_rejects_empty_steps(spark):
     with pytest.raises(ValueError):
         funnel_steps(_ev(spark, [(1, "view", 9, 0)]), [])
+
+
+def test_cohort_retention_triangle(spark):
+    from steel_datafusion_spark.operators.funnel import cohort_retention
+
+    rows = [
+        (1, "view", 9, 0),                 # cohort week w: users 1,2
+        (2, "view", 9, 30),
+        (1, "view", 9, 0),                 # duplicate activity same week
+    ]
+    ev = _ev(spark, rows)
+    # shift user 2's second activity one week later
+    ev = ev.union(spark.createDataFrame(
+        [(2, "view", datetime(2024, 1, 10, 9, 0))],
+        "user_id long, event_type string, ts timestamp"))
+    got = {(r.cohort, r.period_offset): r for r in
+           cohort_retention(ev, granularity="week", max_offset=4).collect()}
+    c0 = next(k[0] for k in got if k[1] == 0)
+    assert got[(c0, 0)].cohort_size == 2 and got[(c0, 0)].retention == 1.0
+    assert got[(c0, 1)].n_active == 1 and got[(c0, 1)].retention == 0.5
