@@ -19,6 +19,7 @@ import os as _os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.windows import window_spec
 from ..sources.readers import load_tables
 from . import text as TX
 from .dedup import (
@@ -965,6 +966,43 @@ UNION ALL
 SELECT 2, 'click', n2::BIGINT, round(n2 / CAST(n1 AS DOUBLE), 6) FROM c
 UNION ALL
 SELECT 3, 'purchase', n3::BIGINT, round(n3 / CAST(n1 AS DOUBLE), 6) FROM c
+"""
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order event-type transition counts (Markov sequence stats):
+    per user, each event paired with the next by (ts, event_id) order via
+    one lead() window, rolled up to (from_type, to_type, n, share).  The
+    sequence-statistics shape behind session modeling; one user-key
+    exchange, one rollup."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = window_spec(partition_by=["user_id"],
+                    order_by=[F.col("ts").asc(), F.col("event_id").asc()])
+    nxt = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"))
+    pairs = nxt.filter(F.col("to_type").isNotNull())
+    totals = pairs.groupBy("from_type").agg(
+        F.count(F.lit(1)).alias("_tot"))
+    return (pairs.groupBy("from_type", "to_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .join(F.broadcast(totals), "from_type")
+            .select("from_type", "to_type", "n",
+                    F.round(F.col("n") / F.col("_tot"), 6).alias("share")))
+
+
+_SQL_TRANSITIONS = """
+WITH nxt AS (
+  SELECT event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS to_type
+  FROM events),
+pairs AS (SELECT * FROM nxt WHERE to_type IS NOT NULL),
+tot AS (SELECT from_type, count(*) AS t FROM pairs GROUP BY from_type)
+SELECT p.from_type, p.to_type, count(*) AS n,
+       round(count(*) / CAST(t AS DOUBLE), 6) AS share
+FROM pairs p JOIN tot USING (from_type)
+GROUP BY p.from_type, p.to_type, t
 """
 
 
@@ -1931,6 +1969,7 @@ PIPELINE_QUERIES = {
     "corpus_overlap": (q_corpus_overlap, _sql_corpus_overlap()),
     "funnel_conversion": (q_funnel, _SQL_FUNNEL),
     "cohort_retention": (q_cohort_retention, _SQL_COHORT),
+    "event_transitions": (q_event_transitions, _SQL_TRANSITIONS),
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, _sql_dedup_minhash()),
     "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
