@@ -150,11 +150,17 @@ def duplicated_span_extents(
     """Maximal duplicated token runs per document.
 
     A token position is *duplicated* when the word n-gram starting there
-    occurs in >= ``min_df`` distinct documents; adjacent duplicated
-    positions merge into one span (gaps-and-islands), whose extent covers
-    through the last gram's final token.  Returns
-    (id, span_start, span_end, span_tokens) — 1-based inclusive token
-    indices, exactly the slices an exact-substring cleaner would drop.
+    occurs in >= ``min_df`` distinct documents; duplicated positions whose
+    n-token extents overlap or touch (gap <= n) merge into one span
+    (gaps-and-islands on the lag-gap, not on consecutive positions — two
+    hit positions p1 < p2 cover overlapping token ranges whenever
+    p2 - p1 < n and contiguous ones when p2 - p1 == n, so only a gap > n
+    starts a new maximal run).  Each span's extent covers through the last
+    gram's final token.  Returns (id, span_start, span_end, span_tokens) —
+    1-based inclusive token indices, exactly the slices an exact-substring
+    cleaner would drop.  Spans are DISJOINT and non-adjacent by
+    construction, so summing span_tokens per document never exceeds the
+    document's token count.
 
     ``max_df`` (optional) drops grams above a document-frequency cap before
     the position join — the same hot-key bound as ngram_jaccard_pairs: a
@@ -178,7 +184,16 @@ def duplicated_span_extents(
         dup = dup.filter(F.col("gram_df") <= max_df)
     hits = grams.join(dup.select("g"), "g").select(id_col, "pos").distinct()
     w = Window.partitionBy(id_col).orderBy("pos")
-    runs = hits.withColumn("island", F.col("pos") - F.row_number().over(w))
+    # new island only when the gap to the previous hit exceeds n (extents
+    # [p1, p1+n-1] and [p2, p2+n-1] overlap/touch iff p2 - p1 <= n); the
+    # NULL lag of each partition's first row falls through to the ELSE 1.
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= n, F.lit(0)) \
+        .otherwise(F.lit(1))
+    runs = (
+        hits.withColumn("brk", brk)
+        .withColumn("island", F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
     return (
         runs.groupBy(id_col, "island")
         .agg(F.min("pos").alias("span_start"),
@@ -244,12 +259,19 @@ sp_hits AS (
 ),
 sp_runs AS (
   SELECT {id_col}, pos,
-    pos - row_number() OVER (PARTITION BY {id_col} ORDER BY pos) AS island
+    CASE WHEN pos - lag(pos) OVER (PARTITION BY {id_col} ORDER BY pos)
+              <= {n} THEN 0 ELSE 1 END AS brk
   FROM sp_hits
+),
+sp_islands AS (
+  SELECT {id_col}, pos,
+    sum(brk) OVER (PARTITION BY {id_col} ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM sp_runs
 ),
 sp_extents AS (
   SELECT {id_col}, min(pos) AS span_start,
     max(pos) + {n - 1} AS span_end,
     max(pos) + {n - 1} - min(pos) + 1 AS span_tokens
-  FROM sp_runs GROUP BY {id_col}, island
+  FROM sp_islands GROUP BY {id_col}, island
 )"""

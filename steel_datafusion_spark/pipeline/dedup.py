@@ -839,6 +839,12 @@ def corpus_overlap(
     reproducible exactly in the DuckDB oracle — the estimate is
     hash-checked, not bound-checked.
     """
+    if not 1 <= k <= len(PERM_CONSTS) // 2:
+        raise ValueError(
+            f"k must be in [1, {len(PERM_CONSTS) // 2}] (the double mix "
+            f"draws permutation constants at slots i and i+k from the "
+            f"{len(PERM_CONSTS)}-entry PERM_CONSTS table), got k={k}")
+
     def _distinct_hashes(df: DataFrame) -> DataFrame:
         hs = _hashed_shingles(df, id_col, text_col, n)
         return track(hs.select(F.explode("hs").alias("h"))

@@ -63,12 +63,16 @@ def heavy_hitters(df: DataFrame, text_col: str = "text",
     global threshold.  Both passes are map-only scans plus bounded
     aggregations; nothing vocabulary-sized ever crosses the wire.
     """
+    from ..cache import track
+
     bucket = (md5_int60(F.col("term")) % n_buckets).alias("bucket")
     ex = df.select(F.explode(tokens(F.col(text_col))).alias("term"))
     bucketed = ex.select(bucket).withColumn("pid", F.spark_partition_id())
-    local = (bucketed.groupBy("pid", "bucket")
-             .agg(F.count(F.lit(1)).alias("cnt"))
-             .persist())
+    # track()ed like every other pipeline persist so release_all()/
+    # pipeline_cache_scope can free it in long-lived sessions
+    local = track(bucketed.groupBy("pid", "bucket")
+                  .agg(F.count(F.lit(1)).alias("cnt"))
+                  .persist())
     part_totals = local.groupBy("pid").agg(F.sum("cnt").alias("n_pid"))
     heavy_buckets = (local.join(part_totals, "pid")
                      .filter(F.col("cnt") * threshold_inv > F.col("n_pid"))

@@ -1444,9 +1444,12 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-def _last_verified_round(root: str | None = None) -> dict[str, int]:
+def _last_verified_round(root: str | None = None) -> dict[str, float]:
     """name → newest round whose committed CORRECTNESS_r*.json has a clean
-    row (err is null and rows matched) for that query.
+    row (err is null and rows matched) for that query.  Rounds whose best
+    row was rows-only (no oracle hash) count as ``round - 0.5`` so a gate
+    whose strongest driver evidence is weaker than its peers' sorts AHEAD
+    of same-round hash-green gates in the recheck rotation.
 
     The correctness driver caps its artifact at 50 entries *in registry
     order*, while the registry has grown past 50 — so a fixed order would
@@ -1461,7 +1464,7 @@ def _last_verified_round(root: str | None = None) -> dict[str, int]:
 
     if root is None:
         root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    newest: dict[str, int] = {}
+    newest: dict[str, float] = {}
     for path in glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -1492,8 +1495,10 @@ def _last_verified_round(root: str | None = None) -> dict[str, int]:
             # 50-cap slot every round.
             rows_only_ok = (row.get("err") == "no_oracle"
                             and row.get("spark_rows") is not None)
-            if clean or rows_only_ok:
+            if clean:
                 newest[name] = max(newest.get(name, 0), rnd)
+            elif rows_only_ok:
+                newest[name] = max(newest.get(name, 0), rnd - 0.5)
     return newest
 
 

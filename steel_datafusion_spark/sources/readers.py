@@ -194,9 +194,16 @@ def merge_upsert(spark: SparkSession, table_dir: str, updates: DataFrame,
     Implementation is copy-on-write at table granularity: anti-join the
     existing table against the update keys (broadcast — the update set is
     the small side), union the updates, write to a sibling temp dir, then
-    swap directories.  The swap makes a crash re-runnable (the original
-    survives until the new table is fully written); concurrent readers of
-    the old path finish against the old files.
+    swap directories.  Crash safety: the backup uses the DETERMINISTIC
+    name ``<table_dir>.old`` and the next call recovers it — a crash in
+    the window between the two renames (table absent, backup present) is
+    healed by renaming the backup back before merging, so the table is
+    never lost, merely one upsert behind.  The swap itself is two renames,
+    not one atomic operation, and the backup is deleted as soon as the new
+    table is in place — a reader racing the swap on the SAME path can see
+    a brief window with the new files (or, mid-crash, no directory);
+    point-in-time readers should read a snapshot copy or a lakehouse
+    format with real MVCC.
 
     At real scale you would partition the table and rewrite ONLY the
     partitions containing updated keys (pair with
@@ -209,6 +216,10 @@ def merge_upsert(spark: SparkSession, table_dir: str, updates: DataFrame,
 
     from pyspark.sql import functions as F
 
+    backup = f"{table_dir}.old"
+    if not os.path.exists(table_dir) and os.path.exists(backup):
+        # prior call crashed between its two renames: restore the backup
+        os.rename(backup, table_dir)
     if not os.path.exists(table_dir):
         updates.write.mode("overwrite").parquet(table_dir)
         return
@@ -218,7 +229,10 @@ def merge_upsert(spark: SparkSession, table_dir: str, updates: DataFrame,
                  .unionByName(updates)
     tmp = f"{table_dir}.tmp-{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
-    old = f"{table_dir}.old-{uuid.uuid4().hex[:8]}"
-    os.rename(table_dir, old)
+    if os.path.exists(backup):
+        # prior call crashed after its second rename but before cleanup;
+        # the live table is current, the stale backup can go
+        shutil.rmtree(backup)
+    os.rename(table_dir, backup)
     os.rename(tmp, table_dir)
-    shutil.rmtree(old)
+    shutil.rmtree(backup)

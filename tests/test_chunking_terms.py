@@ -79,6 +79,43 @@ def test_duplicated_spans_stats_zero_for_clean_docs(spark):
     assert stats[3].n_tokens == 4
 
 
+def test_duplicated_spans_with_gap_merge_into_disjoint_span(spark):
+    # doc1's duplicated gram hits sit at positions 1 and 4 (gap 3 < n=8):
+    # their extents [1,8] and [4,11] overlap, so they must merge into ONE
+    # maximal span [1,11] — not two overlapping spans whose token sum (16)
+    # exceeds the document's 11 tokens.
+    a = [f"a{i}" for i in range(11)]
+    rows = [
+        (1, " ".join(a)),
+        (2, " ".join(a[:8]) + " z1 z2 z3"),      # shares gram @ doc1 pos 1
+        (3, "y1 y2 " + " ".join(a[3:11])),       # shares gram @ doc1 pos 4
+    ]
+    spans = duplicated_span_extents(_docs(spark, rows), n=8, min_df=2)
+    d1 = [(r.span_start, r.span_end, r.span_tokens)
+          for r in spans.filter(F.col("doc_id") == 1).collect()]
+    assert d1 == [(1, 11, 11)]
+    stats = {r.doc_id: r for r in duplicated_span_stats(
+        _docs(spark, rows), n=8, min_df=2).collect()}
+    for r in stats.values():
+        assert r.dup_tokens <= r.n_tokens
+    assert stats[1].dup_tokens == 11 and stats[1].n_spans == 1
+
+
+def test_duplicated_spans_gap_beyond_n_stays_split(spark):
+    # hits at positions 1 and 10 (gap 9 > n=8): extents [1,8] and [10,17]
+    # are disjoint and non-adjacent — must remain two spans.
+    s = [f"s{i}" for i in range(16)]
+    rows = [
+        (1, " ".join(s[:8]) + " u " + " ".join(s[8:])),
+        (2, " ".join(s[:8]) + " v1 v2 v3"),
+        (3, "w1 w2 w3 " + " ".join(s[8:])),
+    ]
+    spans = duplicated_span_extents(_docs(spark, rows), n=8, min_df=2)
+    d1 = sorted((r.span_start, r.span_end)
+                for r in spans.filter(F.col("doc_id") == 1).collect())
+    assert d1 == [(1, 8), (10, 17)]
+
+
 def test_duplicated_spans_max_df_caps_hot_grams(spark):
     shared = " ".join(f"s{i}" for i in range(8))
     rows = [(i, shared) for i in range(1, 6)]  # gram df = 5

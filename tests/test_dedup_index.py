@@ -119,3 +119,16 @@ def test_corpus_overlap_exact_and_sketch(spark):
         a, spark.createDataFrame([(99, "totally different vocabulary alto")],
                                  "doc_id long, text string"), k=32).first()
     assert disjoint.n_common == 0 and disjoint.jaccard == 0.0
+
+
+def test_corpus_overlap_rejects_oversized_k(spark):
+    import pytest
+
+    from steel_datafusion_spark.pipeline.dedup import PERM_CONSTS, corpus_overlap
+
+    a = spark.createDataFrame([(1, "some text here")], "doc_id long, text string")
+    cap = len(PERM_CONSTS) // 2
+    with pytest.raises(ValueError, match="k must be"):
+        corpus_overlap(a, a, k=cap + 1)
+    with pytest.raises(ValueError, match="k must be"):
+        corpus_overlap(a, a, k=0)

@@ -74,3 +74,47 @@ def test_last_verified_round_rules(tmp_path):
     assert got["rows_only"] == 7
     assert got["hash_fail"] == 3      # r7's hash failure doesn't count
     assert "errored" not in got
+
+
+def test_rows_only_driver_rows_sort_ahead_of_hash_green_peers(tmp_path):
+    """A gate whose newest driver row was rows-only (err='no_oracle')
+    counts as round - 0.5, so it re-enters the 50-cap rotation BEFORE
+    same-round hash-green gates — this is how sketch_distinct_rollup got
+    its first hash row after its r05 no_oracle row."""
+    import json
+
+    from steel_datafusion_spark.queries import _last_verified_round
+
+    (tmp_path / "CORRECTNESS_r05.json").write_text(json.dumps({
+        "hash_green": {"err": None, "rows_match": True, "hash_match": True},
+        "rows_only_drive": {"err": "no_oracle", "rows_match": None,
+                            "spark_rows": 12},
+    }))
+    got = _last_verified_round(root=str(tmp_path))
+    assert got["hash_green"] == 5
+    assert got["rows_only_drive"] == 4.5
+
+
+def test_no_gate_driver_evidence_older_than_two_rounds():
+    """Staleness invariant (VERDICT r6 #2): with a 50-entry driver cap and
+    least-recently-verified-first rotation, every gate that has EVER had a
+    committed driver row must have one no older than max_round - 2.  Gates
+    never seen by the driver (added this round) are exempt — they sort
+    first and get their row next round; their count must fit the cap."""
+    from steel_datafusion_spark.queries import all_queries, _last_verified_round
+
+    verified = _last_verified_round()
+    if not verified:
+        pytest.skip("no committed CORRECTNESS artifacts")
+    max_round = int(max(verified.values()))
+    gates = list(all_queries())
+    stale = {n: verified[n] for n in gates
+             if n in verified and verified[n] < max_round - 2}
+    assert not stale, (
+        f"gates with driver evidence older than r{max_round - 2}: {stale} "
+        f"— the rotation should have resurfaced these; check the 50-cap "
+        f"math (catalog size {len(gates)})")
+    never = [n for n in gates if n not in verified]
+    assert len(never) <= 50, (
+        f"{len(never)} gates have never had a driver row — more than one "
+        f"round's cap can absorb")

@@ -88,3 +88,30 @@ def test_merge_upsert_replace_and_insert(spark, tmp_path_factory):
     merge_upsert(spark, out, upd, ["k"])
     again = {r.k: (r.s, r.v) for r in read_parquet(spark, out).collect()}
     assert again == got
+
+
+def test_merge_upsert_recovers_from_crashed_swap(spark, tmp_path_factory):
+    import os
+
+    from steel_datafusion_spark.sources.readers import (
+        merge_upsert, read_parquet,
+    )
+    out = str(tmp_path_factory.mktemp("upsert_crash")) + "/tbl"
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, s string, v long")
+    merge_upsert(spark, out, base, ["k"])
+    # simulate a crash between the two swap renames: table gone, backup
+    # sits at the deterministic .old name
+    os.rename(out, out + ".old")
+    upd = spark.createDataFrame([(2, "b2", 99)], "k long, s string, v long")
+    merge_upsert(spark, out, upd, ["k"])   # must heal the backup, then merge
+    got = {r.k: (r.s, r.v) for r in read_parquet(spark, out).collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 99)}
+    assert not os.path.exists(out + ".old")
+
+    # crash after the second rename but before backup cleanup: stale .old
+    os.makedirs(out + ".old")
+    merge_upsert(spark, out, upd, ["k"])
+    got = {r.k: (r.s, r.v) for r in read_parquet(spark, out).collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 99)}
+    assert not os.path.exists(out + ".old")
