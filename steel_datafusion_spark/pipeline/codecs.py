@@ -17,6 +17,9 @@ Supported without Pillow:
   6 (RGBA); all five scanline filters; non-interlaced.
 - **BMP**: uncompressed (BI_RGB) 24/32-bit, bottom-up or top-down.
 - **PPM/PGM**: binary ``P6``/``P5`` and ASCII ``P3``/``P2``, maxval ≤ 255.
+- **JPEG**: baseline/extended sequential Huffman (SOF0/SOF1), grayscale
+  and YCbCr, sampling up to 2x2 (4:4:4/4:2:2/4:2:0), restart markers —
+  pipeline/jpeg.py; progressive JPEGs need Pillow.
 """
 
 from __future__ import annotations
@@ -25,8 +28,10 @@ import struct
 import zlib
 from typing import NamedTuple
 
+from .jpeg import JPEG_MAGIC, decode_jpeg, encode_jpeg
+
 __all__ = ["DecodedImage", "decode_image_bytes", "sniff_format",
-           "encode_png", "encode_bmp", "encode_ppm"]
+           "encode_png", "encode_bmp", "encode_ppm", "encode_jpeg"]
 
 
 class DecodedImage(NamedTuple):
@@ -45,6 +50,8 @@ def sniff_format(payload: bytes) -> str | None:
     """Best-effort container sniff by magic bytes; None if unrecognized."""
     if payload.startswith(PNG_MAGIC):
         return "png"
+    if payload.startswith(JPEG_MAGIC[:2]) and len(payload) >= 4:
+        return "jpeg"
     if payload.startswith(b"BM") and len(payload) >= 54:
         return "bmp"
     if payload[:2] in (b"P6", b"P5", b"P3", b"P2") and \
@@ -74,13 +81,15 @@ def decode_image_bytes(payload: bytes) -> DecodedImage:
     fmt = sniff_format(payload)
     if fmt == "png":
         return _decode_png(payload)
+    if fmt == "jpeg":
+        return DecodedImage(*decode_jpeg(payload))
     if fmt == "bmp":
         return _decode_bmp(payload)
     if fmt == "ppm":
         return _decode_ppm(payload)
     raise ValueError(
-        "unrecognized image payload (supported without Pillow: PNG, BMP, "
-        "PPM/PGM); first bytes: %r" % payload[:8])
+        "unrecognized image payload (supported without Pillow: PNG, JPEG, "
+        "BMP, PPM/PGM); first bytes: %r" % payload[:8])
 
 
 # ---------------------------------------------------------------------------

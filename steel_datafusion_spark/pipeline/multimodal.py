@@ -3,8 +3,9 @@
 Beyond-reference surface.  The contract at 100 TB: media travels as
 ``binary`` columns with a typed metadata struct; decode / feature-extraction
 runs as Arrow-batched Python (``mapInPandas``) because media codecs live in
-Python/native libs, not the JVM.  Image decode is REAL for PNG / BMP /
-PPM-PGM via the pure-Python codecs in ``pipeline/codecs.py`` (Pillow covers
+Python/native libs, not the JVM.  Image decode is REAL for PNG / JPEG /
+BMP / PPM-PGM via the pure-Python codecs in ``pipeline/codecs.py`` and
+``pipeline/jpeg.py`` (Pillow covers
 everything else when installed); payloads in no recognized container — e.g.
 the deterministic ASCII fixture the oracle gate uses — fall back to
 byte-level stats, so one operator serves real media and DuckDB-checkable
@@ -77,8 +78,8 @@ def decode_image(payload: bytes):
 
     Pillow handles any format it knows when installed; without it the
     pure-Python codecs in ``pipeline/codecs.py`` decode PNG (stdlib zlib
-    inflate + all five scanline filters), uncompressed 24/32-bit BMP, and
-    PPM/PGM.  Returns a ``DecodedImage(width, height, mode, pixels)``;
+    inflate + all five scanline filters), baseline JPEG (pipeline/jpeg.py),
+    uncompressed 24/32-bit BMP, and PPM/PGM.  Returns a ``DecodedImage(width, height, mode, pixels)``;
     raises ``ValueError`` for unrecognized/malformed payloads."""
     from .codecs import decode_image_bytes
 
@@ -89,7 +90,7 @@ def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads (mapInPandas).
 
     Per payload the worker sniffs the container by magic bytes: recognized
-    image formats (PNG/BMP/PPM via pipeline/codecs.py, anything via Pillow
+    image formats (PNG/JPEG/BMP/PPM via pipeline/codecs.py, anything via Pillow
     when installed) are REALLY decoded — width/height/aspect come from the
     decoded frame, checksum from the raw pixel bytes.  Unrecognized payloads
     (including the deterministic ASCII fixture the gate uses) fall back to

@@ -154,3 +154,93 @@ def test_decode_image_public_api():
 
     img = _gradient(6, 3, "RGB")
     assert decode_image(encode_ppm(img)) == img
+
+
+# ---------------------------------------------------------------------------
+# JPEG (VERDICT r6 item 4): pure-Python baseline codec, lossy round-trips
+# ---------------------------------------------------------------------------
+
+def _smooth(width, height, mode):
+    """Low-frequency gradient — the content JPEG quantization preserves
+    tightly, so round-trip error bounds stay meaningful."""
+    from steel_datafusion_spark.pipeline.codecs import DecodedImage, _CHANNELS
+    nch = _CHANNELS[mode]
+    px = bytearray()
+    for y in range(height):
+        for x in range(width):
+            base = [x * 255 // max(1, width - 1),
+                    y * 255 // max(1, height - 1),
+                    (x + y) * 255 // max(1, width + height - 2), 255]
+            px += bytes(base[:nch])
+    return DecodedImage(width, height, mode, bytes(px))
+
+
+def _maxdiff(a, b):
+    return max(abs(x - y) for x, y in zip(a, b))
+
+
+def test_jpeg_roundtrip_rgb_and_grey():
+    from steel_datafusion_spark.pipeline.codecs import (
+        decode_image_bytes, encode_jpeg, sniff_format)
+
+    img = _smooth(37, 29, "RGB")   # non-multiple-of-8 dims
+    payload = encode_jpeg(img.width, img.height, img.mode, img.pixels,
+                          quality=92)
+    assert sniff_format(payload) == "jpeg"
+    out = decode_image_bytes(payload)
+    assert (out.width, out.height, out.mode) == (37, 29, "RGB")
+    assert _maxdiff(out.pixels, img.pixels) <= 8     # lossy, tight on gradients
+
+    grey = _smooth(24, 17, "L")
+    out = decode_image_bytes(encode_jpeg(24, 17, "L", grey.pixels, quality=95))
+    assert (out.width, out.height, out.mode) == (24, 17, "L")
+    assert _maxdiff(out.pixels, grey.pixels) <= 8
+
+
+def test_jpeg_420_subsampling_roundtrip():
+    """4:2:0 exercises the decoder's sampling-factor upsampler (2x2 luma,
+    1x1 chroma MCUs) — the dominant layout in real corpora."""
+    from steel_datafusion_spark.pipeline.codecs import (
+        decode_image_bytes, encode_jpeg)
+
+    img = _smooth(37, 29, "RGB")
+    p444 = encode_jpeg(37, 29, "RGB", img.pixels, quality=92)
+    p420 = encode_jpeg(37, 29, "RGB", img.pixels, quality=92,
+                       subsampling="4:2:0")
+    out = decode_image_bytes(p420)
+    assert (out.width, out.height, out.mode) == (37, 29, "RGB")
+    assert _maxdiff(out.pixels, img.pixels) <= 24    # chroma is halved
+    assert len(p420) < len(p444)                     # subsampling shrinks
+
+
+def test_jpeg_alpha_dropped_and_errors():
+    import pytest as _pytest
+
+    from steel_datafusion_spark.pipeline.codecs import (
+        decode_image_bytes, encode_jpeg)
+
+    rgba = _smooth(16, 16, "RGBA")
+    out = decode_image_bytes(encode_jpeg(16, 16, "RGBA", rgba.pixels))
+    assert out.mode == "RGB"                         # alpha dropped
+    with _pytest.raises(ValueError):
+        encode_jpeg(4, 4, "RGB", bytes(48), subsampling="4:1:1")
+    with _pytest.raises(ValueError):
+        decode_image_bytes(b"\xff\xd8\xff\xe0 truncated junk")
+
+
+def test_jpeg_in_extract_features(spark):
+    """A real JPEG payload through the Arrow-batched mapInPandas feature
+    path: aspect from the decoded frame, not the metadata struct."""
+    from steel_datafusion_spark.pipeline.codecs import encode_jpeg
+    from steel_datafusion_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA, extract_features)
+
+    img = _smooth(32, 16, "RGB")
+    payload = encode_jpeg(32, 16, "RGB", img.pixels, quality=90)
+    rows = [(1, "image", bytearray(payload),
+             {"width": 0, "height": 0, "duration_ms": 0})]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    row = extract_features(media).collect()[0]
+    assert row["aspect"] == 32 / 16
+    assert row["n_bytes"] == len(payload)
+    assert row["checksum"] > 0
