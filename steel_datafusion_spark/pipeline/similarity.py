@@ -503,53 +503,65 @@ def pq_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
     codebooks: list[list[list[float]]] | None = None,
     train_iters: int = 0,
+    path: str = "auto", table_threshold: int = 2048,
 ) -> DataFrame:
     """PQ-compressed ANN: asymmetric-distance (ADC) scan over codes, then
     exact cosine re-rank of the per-query ``shortlist``.
 
-    Plan shape: encode is map-only; each query carries its m×ks distance
-    table as literal-built arrays (broadcast with the query row); the ADC
-    scan reads ONLY (id, codes) — at scale that is m bytes/vector instead
-    of 4·dim, which is the point of PQ: the full-corpus scan cost drops
-    ~16× in bytes while staying embarrassingly parallel.  Only the
-    shortlist (|queries|·shortlist rows) ever touches full vectors again,
-    via a broadcast join back to the corpus.
+    Plan shape: encode is map-only; the ADC scan reads ONLY (id, codes) —
+    at scale that is m bytes/vector instead of 4·dim, which is the point
+    of PQ: the full-corpus scan cost drops ~16× in bytes while staying
+    embarrassingly parallel.  Only the shortlist (|queries|·shortlist
+    rows) ever touches full vectors again, via a broadcast join back to
+    the corpus.
+
+    Two ADC strategies (``path``):
+
+    - ``"literal"``: each query row carries its m×ks distance table as
+      literal-built arrays — zero extra joins, ideal for small books
+      (m·ks ≲ 2k literal doubles in the plan).
+    - ``"table"``: the codebook becomes a (j, c, centroid) DataFrame; the
+      per-query distance table is a broadcast join against it and the ADC
+      sum is a join on (j, code) + one m-way pivot aggregation.  The plan
+      size is O(1) in ks — required for real books (ks=256/1024, where a
+      literal matrix would bloat every task's serialized plan).
+    - ``"auto"`` (default): table when m·ks > ``table_threshold``.
+
+    Both paths round each subspace distance to 9dp before summing in
+    subspace order, so adist — and therefore the shortlist, the re-rank,
+    and the final top-k — is IDENTICAL between them (parity-tested).
 
     Returns (query_id, neighbor_id, score, rank) like cosine_topk —
     drop-in, with recall governed by shortlist/ks/train_iters.
     """
+    if path not in ("auto", "literal", "table"):
+        raise ValueError(f"path must be auto|literal|table, got {path!r}")
     codebooks = codebooks if codebooks is not None else pq_codebooks(
         corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col,
         train_iters=train_iters)
     m = len(codebooks)
+    ks = len(codebooks[0])
     sub = len(codebooks[0][0])
+    use_table = path == "table" or (path == "auto"
+                                    and m * ks > table_threshold)
 
     parts = corpus.sparkSession.sparkContext.defaultParallelism * 2
     corpus_r = track(corpus.repartition(parts, F.col(id_col)).persist())
     codes = pq_encode(corpus_r, codebooks, id_col, vec_col)
+    q_ids = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("qv"))
 
-    qv = F.col(vec_col)
-    dtables = [
-        F.transform(_sub_d2_table(qv, book, j * sub),
-                    lambda d: F.round(d, 9)).alias(f"dt{j}")
-        for j, book in enumerate(codebooks)
-    ]
-    q = queries.select(F.col(id_col).alias("query_id"), qv.alias("qv"),
-                       *dtables)
+    if use_table:
+        cand = _pq_adc_table(q_ids, codes, codebooks, id_col)
+    else:
+        cand = _pq_adc_literal(q_ids, codes, codebooks, id_col)
 
-    adist = None
-    for j in range(m):
-        term = F.element_at(F.col(f"dt{j}"), F.col("codes")[j] + 1)
-        adist = term if adist is None else adist + term
-    cand = (codes.withColumnRenamed(id_col, "neighbor_id")
-            .join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "qv", "neighbor_id",
-                    F.round(adist, 9).alias("adist")))
     w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(),
                                                F.col("neighbor_id").asc())
     short = (cand.withColumn("r", F.row_number().over(w))
              .filter(F.col("r") <= shortlist)
-             .select("query_id", "qv", "neighbor_id"))
+             .select("query_id", "neighbor_id"))
+    short = short.join(F.broadcast(q_ids), "query_id")
 
     rerank = (corpus_r.select(F.col(id_col).alias("neighbor_id"),
                               F.col(vec_col).alias("cv"))
@@ -562,6 +574,76 @@ def pq_topk(
     return (rerank.withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "score", "rank"))
+
+
+def _pq_adc_literal(q_ids: DataFrame, codes: DataFrame,
+                    codebooks: list[list[list[float]]],
+                    id_col: str) -> DataFrame:
+    """(query_id, neighbor_id, adist): each query row carries its m×ks
+    distance table as literal arrays; the corpus-side lookup is
+    element_at per subspace.  Plan size grows with m·ks·sub literals."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    dtables = [
+        F.transform(_sub_d2_table(F.col("qv"), book, j * sub),
+                    lambda d: F.round(d, 9)).alias(f"dt{j}")
+        for j, book in enumerate(codebooks)
+    ]
+    q = q_ids.select("query_id", "qv", *dtables)
+    adist = None
+    for j in range(m):
+        term = F.element_at(F.col(f"dt{j}"), F.col("codes")[j] + 1)
+        adist = term if adist is None else adist + term
+    return (codes.withColumnRenamed(id_col, "neighbor_id")
+            .join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id",
+                    F.round(adist, 9).alias("adist")))
+
+
+def _pq_adc_table(q_ids: DataFrame, codes: DataFrame,
+                  codebooks: list[list[list[float]]],
+                  id_col: str) -> DataFrame:
+    """(query_id, neighbor_id, adist): join-based ADC — the codebook is a
+    (j, c, centroid) DataFrame, so the plan carries no literal matrix and
+    scales to ks=1024+ codebooks.
+
+    Steps: (1) per-query distance table = broadcast join query × codebook
+    rows, same squared-L2 fold as the literal path, rounded to 9dp per
+    entry; (2) posexplode corpus codes to (neighbor_id, j, code) and join
+    the broadcast distance table on (j, c); (3) per-(query, neighbor)
+    m-way pivot aggregation summing the subspace terms IN SUBSPACE ORDER
+    (t0 + t1 + ... — same float association as the literal path, so adist
+    is bit-identical)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    spark = q_ids.sparkSession
+    cb = spark.createDataFrame(
+        [(j, c, [float(x) for x in codebooks[j][c]])
+         for j in range(m) for c in range(len(codebooks[j]))],
+        "j int, c int, centroid array<double>")
+    sv = F.slice(F.col("qv"), F.col("j") * sub + 1, sub)
+    d2 = F.aggregate(
+        F.zip_with(sv, F.col("centroid"),
+                   lambda x, y: (x.cast("double") - y)
+                   * (x.cast("double") - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    qd = (q_ids.crossJoin(F.broadcast(cb))
+          .select("query_id", "j", "c", F.round(d2, 9).alias("d2")))
+    codes_e = (codes.withColumnRenamed(id_col, "neighbor_id")
+               .select("neighbor_id",
+                       F.posexplode("codes").alias("j", "c")))
+    joined = (codes_e.join(F.broadcast(qd), ["j", "c"])
+              .filter(F.col("query_id") != F.col("neighbor_id")))
+    # pivot the m subspace terms into columns and add them in j order so
+    # the float association matches the literal path exactly
+    terms = [F.sum(F.when(F.col("j") == j, F.col("d2"))).alias(f"t{j}")
+             for j in range(m)]
+    agg = joined.groupBy("query_id", "neighbor_id").agg(*terms)
+    adist = None
+    for j in range(m):
+        adist = F.col(f"t{j}") if adist is None else adist + F.col(f"t{j}")
+    return agg.select("query_id", "neighbor_id",
+                      F.round(adist, 9).alias("adist"))
 
 
 # DuckDB cosine with the identical formula + fold order

@@ -78,6 +78,36 @@ def test_pq_trained_codebooks_refine_static(spark, emb):
     assert all(r.rank <= 5 for r in out)
 
 
+def test_pq_table_path_parity_with_literal(spark, emb):
+    """VERDICT r6 #5: the join-based ADC path (codebook as a DataFrame —
+    the scale path for ks=256/1024 books) must return the IDENTICAL top-k
+    to the literal-matrix path: same per-subspace 9dp rounding and same
+    subspace-order summation means adist — and hence shortlist, re-rank,
+    and ranks — agree exactly."""
+    q = emb.filter(F.col("vec_id") < 5)
+    lit = sorted((r.query_id, r.neighbor_id, r.score, r.rank)
+                 for r in pq_topk(q, emb, k=10, shortlist=48,
+                                  path="literal").collect())
+    tab = sorted((r.query_id, r.neighbor_id, r.score, r.rank)
+                 for r in pq_topk(q, emb, k=10, shortlist=48,
+                                  path="table").collect())
+    assert lit == tab and len(lit) == 50
+
+
+def test_pq_auto_path_threshold(spark, emb):
+    """auto picks literal for small books and table beyond the threshold;
+    both produce rows with the contract schema."""
+    q = emb.filter(F.col("vec_id") < 2)
+    # m*ks = 64 <= threshold 2048 → literal; force tiny threshold → table
+    small = pq_topk(q, emb, k=3, shortlist=16, path="auto")
+    big = pq_topk(q, emb, k=3, shortlist=16, path="auto", table_threshold=8)
+    a = sorted((r.query_id, r.neighbor_id, r.rank) for r in small.collect())
+    b = sorted((r.query_id, r.neighbor_id, r.rank) for r in big.collect())
+    assert a == b
+    with pytest.raises(ValueError):
+        pq_topk(q, emb, k=3, path="nope")
+
+
 def test_normalize_l2_unit_norm_and_zero_safe(spark):
     from steel_datafusion_spark.pipeline.similarity import (
         norm2, normalize_l2,
