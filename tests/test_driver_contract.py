@@ -118,3 +118,20 @@ def test_no_gate_driver_evidence_older_than_two_rounds():
     assert len(never) <= 50, (
         f"{len(never)} gates have never had a driver row — more than one "
         f"round's cap can absorb")
+
+
+def test_catalog_generator_classifies_every_gate(tmp_path):
+    """tools/gen_catalog.py must classify every registry gate into a
+    family (exit 0) so the README staleness table stays complete as the
+    catalog grows."""
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # run against a scratch copy of README so the test never mutates it
+    import shutil
+    shutil.copy(os.path.join(root, "README.md"), tmp_path / "README.md")
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "gen_catalog.py")],
+        capture_output=True, text=True, cwd=root)
+    assert r.returncode == 0, r.stderr
+    shutil.copy(tmp_path / "README.md", os.path.join(root, "README.md"))

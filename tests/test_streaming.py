@@ -208,3 +208,57 @@ def test_streaming_chunking_and_classifier_match_batch(spark, docs_dir):
     want = stage(batch).collect()
     assert len(got) == len(want) > 0
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_restart_from_checkpoint_no_duplicates_no_loss(spark, tmp_path):
+    """VERDICT r6 #7: kill-and-restart-from-checkpoint.  A query processes
+    tranche 1 and terminates (the query object is gone — the process-death
+    equivalent for a checkpointed stream); a NEW query over the same
+    checkpoint picks up only tranche 2.  Exactly-once across the restart:
+    every source row lands in the sink exactly once, committed batches are
+    never re-fired (a third run with no new data changes nothing)."""
+    from steel_datafusion_spark.streaming.operators import (
+        run_stream_to_parquet)
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_tables(spark, SF_DIR)["events"] \
+        .select("event_id", "user_id", "value")
+    t1 = ev.filter(F.col("event_id") % 2 == 0)
+    t2 = ev.filter(F.col("event_id") % 2 == 1)
+    t1.write.mode("append").parquet(str(src))
+
+    schema = spark.read.parquet(str(src)).schema
+    # stateless projection: row identity in == row identity out, so
+    # duplicates/loss across the restart are directly countable
+    def stage(df):
+        return df.select("event_id", "user_id",
+                         (F.col("value") * 2).alias("v2"))
+
+    # run 1: tranche 1 only
+    got1 = run_stream_to_parquet(
+        stage(read_stream_parquet(spark, str(src), schema)), out, ckpt)
+    n1 = t1.count()
+    assert got1.count() == n1
+
+    # "crash": the first query is terminated; new files arrive while down
+    t2.write.mode("append").parquet(str(src))
+
+    # run 2: NEW query, same checkpoint — must process ONLY tranche 2
+    got2 = run_stream_to_parquet(
+        stage(read_stream_parquet(spark, str(src), schema)), out, ckpt)
+    n_all = n1 + t2.count()
+    assert got2.count() == n_all          # no loss
+    ids = [r.event_id for r in got2.select("event_id").collect()]
+    assert len(ids) == len(set(ids))      # no duplicates
+    want = {r.event_id: r for r in
+            stage(ev).collect()}
+    for r in got2.collect():
+        w = want[r.event_id]
+        assert (r.user_id, r.v2) == (w.user_id, w.v2)
+
+    # run 3: no new data — committed batches must not re-fire
+    got3 = run_stream_to_parquet(
+        stage(read_stream_parquet(spark, str(src), schema)), out, ckpt)
+    assert got3.count() == n_all
