@@ -1950,6 +1950,72 @@ FROM documents
 """
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality scoring (pipeline/scoring.py): add-0.5-smoothed
+    unigram model fit on the corpus, every document scored by mean
+    -ln p(token) — the cheapest perplexity-shaped quality signal.  Per-row
+    logs rounded to 9dp then summed as exact decimals, so the per-doc mean
+    is order-independent across engines and partitionings."""
+    from .scoring import unigram_logprob_score
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    return unigram_logprob_score(d)
+
+
+def _sql_unigram_logprob() -> str:
+    from .scoring import sql_unigram_logprob_score
+
+    return sql_unigram_logprob_score("documents")
+
+
+_BM25_QUERY = ["spark", "window", "join", "stream"]
+
+
+def q_bm25_rank(spark, sf_dir):
+    """BM25 top-20 retrieval (pipeline/scoring.py) for a fixed query over
+    the documents corpus — query-anchored curation/subsetting.  The token
+    stream filters to the 4 query terms before any aggregation (the
+    inverted-index seek shape), per-term scores sum as exact decimals,
+    ties broken by doc_id."""
+    from .scoring import bm25_score
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    return bm25_score(d, _BM25_QUERY, k=20)
+
+
+def _sql_bm25_rank() -> str:
+    from .scoring import sql_bm25_score
+
+    return sql_bm25_score("documents", _BM25_QUERY, k=20)
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-screen decontamination (pipeline/scoring.py): benchmark =
+    doc_id % 50 == 3 folded into a 4096-bit / 4-hash Bloom filter
+    (broadcast as its set-bit positions, O(bits) regardless of benchmark
+    size); every corpus doc reports its 5-gram count, Bloom-hit count, and
+    flagged bit.  The 100 TB screen-then-verify front half of the exact
+    `decontaminate` gate — no false negatives, bounded false positives."""
+    from .scoring import bloom_decontaminate
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    ev = d.filter(F.col("doc_id") % 50 == 3)
+    return bloom_decontaminate(d, ev, n=5, bits=4096, k_hashes=4)
+
+
+def _sql_bloom_decontaminate() -> str:
+    from .scoring import sql_bloom_decontaminate
+
+    body = sql_bloom_decontaminate("bd_corpus", "bd_bench", n=5,
+                                   bits=4096, k_hashes=4)
+    return f"""
+WITH bd_corpus AS (SELECT doc_id, text FROM documents),
+bd_bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 3),
+{body[1:]}
+SELECT * FROM bl_out
+"""
+
+
 PIPELINE_QUERIES = {
     "text_stats": (q_text_stats, _SQL_TEXT_STATS),
     "text_quality_by_source": (q_text_quality_by_source, _SQL_TEXT_QUALITY),
@@ -2013,4 +2079,8 @@ PIPELINE_QUERIES = {
                               _sql_dedup_substring_spans()),
     "heavy_hitters": (q_heavy_hitters, _sql_heavy_hitters_gate()),
     "quality_classifier": (q_quality_classifier, _sql_quality_classifier()),
+    "unigram_logprob": (q_unigram_logprob, _sql_unigram_logprob()),
+    "bm25_rank": (q_bm25_rank, _sql_bm25_rank()),
+    "bloom_decontaminate": (q_bloom_decontaminate,
+                            _sql_bloom_decontaminate()),
 }

@@ -1,0 +1,338 @@
+"""Corpus-statistical scoring & screening: unigram language-model scores,
+BM25 retrieval, Bloom-filter decontamination.
+
+Beyond-reference surface for the LLM-training-data north star:
+
+- **unigram_logprob_score** — the cheapest useful "perplexity-ish" quality
+  signal: fit an add-alpha-smoothed unigram model on the corpus itself, then
+  score every document by its mean negative log-probability.  Gibberish and
+  boilerplate-heavy documents land in the tails; quality filters threshold
+  on it (the shape of the fastText/KenLM scoring stage, with the model
+  reduced to a term table).
+- **bm25_score** — classic probabilistic retrieval over the inverted index:
+  rank documents against a query term set.  Curation uses it for
+  query-anchored subsetting ("pull the docs most relevant to X") and for
+  benchmark-leakage triage beyond exact n-gram hits.
+- **bloom_decontaminate** — the 100 TB decontamination shape: instead of
+  joining the corpus against the full benchmark n-gram set (pipeline/
+  curation.py ``decontaminate`` — exact, but the benchmark set rides every
+  task), fold the benchmark into a ``bits``-wide Bloom filter (k affine
+  hash positions per gram, the same md5+Mersenne mixes as MinHash), and
+  screen corpus grams against the O(bits) broadcast set.  False positives
+  are possible (bounded by the classic (1-e^{-kn/m})^k), false negatives are
+  not — exactly the right direction for a screen-then-verify pipeline: the
+  exact join only runs over the flagged survivors.
+
+Determinism / oracle parity: ln() on identical double inputs agrees across
+engines to the last bit in practice; every per-row score is rounded before
+any cross-row aggregation, and cross-row sums route through exact decimals,
+so aggregates are order-independent (the repo-wide convention).
+
+Scale notes: the unigram model and BM25 document-frequency tables shuffle
+on the term hash (fine-grained keys); the Bloom bit-set is a broadcast of
+at most ``bits`` longs regardless of benchmark size; nothing collects to
+the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import PERM_CONSTS, SQL, _mix, md5_int60, shingles
+from .text import sql_tokens, tokens
+
+__all__ = [
+    "unigram_logprob_score", "bm25_score", "bloom_bit_positions",
+    "bloom_decontaminate", "sql_unigram_logprob_score", "sql_bm25_score",
+    "sql_bloom_decontaminate",
+]
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM scoring
+# ---------------------------------------------------------------------------
+
+def unigram_logprob_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(id, n_tokens, mean_neg_logprob): add-alpha unigram model fit on the
+    corpus, documents scored by mean -ln p(token).
+
+    p(t) = (count(t) + alpha) / (total_tokens + alpha * vocab_size); each
+    token's -ln p is rounded to 9dp and summed as an exact decimal, so the
+    per-document mean is order-independent (hash-oracle safe).  Empty
+    documents score 0.0 (they carry no evidence either way; a length filter
+    owns that axis).
+
+    Plan: explode → term-count groupBy (fine-grained key) → 1-row totals
+    broadcast → logprob term table joined back to the token stream (shuffle
+    on term) → per-doc decimal sum.  Two aggregations + one join, all
+    partial-agg'd; the model "table" never exists driver-side.
+    """
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").cast("double").alias("_total"),
+        F.count(F.lit(1)).cast("double").alias("_vocab"))
+    logp = (counts.crossJoin(F.broadcast(totals))
+            .select("term",
+                    F.round(-F.log((F.col("c") + F.lit(alpha))
+                                   / (F.col("_total")
+                                      + F.lit(alpha) * F.col("_vocab"))), 9)
+                    .cast("decimal(20,9)").alias("nlp")))
+    scored = (toks.join(logp, "term")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.sum("nlp").alias("s")))
+    return (df.select(F.col(id_col)).distinct()
+            .join(scored, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+                .alias("n_tokens"),
+                F.when(F.col("n_tokens").isNull(), F.lit(0.0))
+                .otherwise(F.round(F.col("s").cast("double")
+                                   / F.col("n_tokens"), 6))
+                .alias("mean_neg_logprob")))
+
+
+def sql_unigram_logprob_score(table: str, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              alpha: float = 0.5) -> str:
+    toks = sql_tokens(text_col)
+    return f"""
+WITH ulp_tok AS (
+  SELECT {id_col}, unnest({toks}) AS term FROM {table}
+),
+ulp_counts AS (SELECT term, COUNT(*) AS c FROM ulp_tok GROUP BY term),
+ulp_tot AS (SELECT SUM(c)::DOUBLE AS total, COUNT(*)::DOUBLE AS vocab
+            FROM ulp_counts),
+ulp_logp AS (
+  SELECT term,
+    round(-ln((c + {alpha}) / (t.total + {alpha} * t.vocab)),
+          9)::DECIMAL(20,9) AS nlp
+  FROM ulp_counts, ulp_tot t
+),
+ulp_scored AS (
+  SELECT {id_col}, COUNT(*) AS n_tokens, SUM(nlp) AS s
+  FROM ulp_tok JOIN ulp_logp USING (term) GROUP BY {id_col}
+)
+SELECT d.{id_col},
+  coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+  CASE WHEN s.n_tokens IS NULL THEN 0.0
+       ELSE round(s.s::DOUBLE / s.n_tokens, 6) END AS mean_neg_logprob
+FROM (SELECT DISTINCT {id_col} FROM {table}) d
+LEFT JOIN ulp_scored s USING ({id_col})
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+def bm25_score(
+    df: DataFrame, query_terms: list[str],
+    id_col: str = "doc_id", text_col: str = "text",
+    k1: float = 1.2, b: float = 0.75, k: int = 20,
+) -> DataFrame:
+    """Top-``k`` documents for ``query_terms`` under BM25
+    (Robertson/Sparck-Jones idf: ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    Per-term partial scores are rounded to 9dp and summed as exact
+    decimals (order-independent); final score rounded to 6dp, ties broken
+    by id.  Only documents containing at least one query term appear.
+
+    Plan: the token stream filters to the query terms FIRST (a tiny
+    broadcast literal array — at scale this is the inverted-index seek,
+    not a corpus scan), then per-(doc, term) tf, per-term df, document
+    lengths, and a 1-row (N, avgdl) broadcast fold into the score.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    qlit = F.array(*[F.lit(t) for t in query_terms])
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("term"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = df.select(
+        F.count(F.lit(1)).cast("double").alias("_n")).crossJoin(
+        dl.agg(F.avg("dl").alias("_avgdl")))
+    qtoks = toks.filter(F.array_contains(qlit, F.col("term")))
+    tf = qtoks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    part = (tf.join(F.broadcast(dfreq), "term")
+            .join(dl, id_col)
+            .crossJoin(F.broadcast(stats))
+            .select(
+                F.col(id_col),
+                F.round(
+                    F.log(1.0 + (F.col("_n") - F.col("df") + 0.5)
+                          / (F.col("df") + 0.5))
+                    * (F.col("tf") * (k1 + 1))
+                    / (F.col("tf") + k1 * (1 - b + b * F.col("dl")
+                                           / F.col("_avgdl"))), 9)
+                .cast("decimal(20,9)").alias("part")))
+    scored = part.groupBy(id_col).agg(
+        F.round(F.sum("part").cast("double"), 6).alias("bm25"))
+    from pyspark.sql.window import Window
+    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(id_col, "bm25", "rnk"))
+
+
+def sql_bm25_score(table: str, query_terms: list[str],
+                   id_col: str = "doc_id", text_col: str = "text",
+                   k1: float = 1.2, b: float = 0.75, k: int = 20) -> str:
+    toks = sql_tokens(text_col)
+    qlist = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    return f"""
+WITH bm_tok AS (
+  SELECT {id_col}, unnest({toks}) AS term FROM {table}
+),
+bm_dl AS (SELECT {id_col}, COUNT(*) AS dl FROM bm_tok GROUP BY {id_col}),
+bm_stats AS (
+  SELECT (SELECT COUNT(*) FROM {table})::DOUBLE AS n,
+         (SELECT AVG(dl) FROM bm_dl) AS avgdl
+),
+bm_tf AS (
+  SELECT {id_col}, term, COUNT(*) AS tf FROM bm_tok
+  WHERE term IN ({qlist}) GROUP BY {id_col}, term
+),
+bm_df AS (SELECT term, COUNT(*) AS df FROM bm_tf GROUP BY term),
+bm_part AS (
+  SELECT t.{id_col},
+    round(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+          * (t.tf * ({k1} + 1))
+          / (t.tf + {k1} * (1 - {b} + {b} * d.dl / s.avgdl)),
+          9)::DECIMAL(20,9) AS part
+  FROM bm_tf t JOIN bm_df f USING (term)
+  JOIN bm_dl d USING ({id_col}), bm_stats s
+),
+bm_scored AS (
+  SELECT {id_col}, round(SUM(part)::DOUBLE, 6) AS bm25
+  FROM bm_part GROUP BY {id_col}
+)
+SELECT {id_col}, bm25, rnk FROM (
+  SELECT *, row_number() OVER (ORDER BY bm25 DESC, {id_col} ASC) AS rnk
+  FROM bm_scored) t WHERE rnk <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination
+# ---------------------------------------------------------------------------
+
+def _gram_hashes(df: DataFrame, id_col: str, text_col: str,
+                 n: int) -> DataFrame:
+    """(id, g): distinct 60-bit word-n-gram hashes (whole-doc gram for
+    short docs — dedup.shingles semantics)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.transform(shingles(F.col(text_col), n), md5_int60))
+        .alias("g"))
+
+
+def bloom_bit_positions(benchmark: DataFrame, text_col: str = "text",
+                        n: int = 3, bits: int = 4096,
+                        k_hashes: int = 4) -> DataFrame:
+    """The Bloom filter as its SET BIT POSITIONS: one row per distinct set
+    bit (``pos``), at most ``bits`` rows.  Equivalent to the bit array but
+    join-friendly, mergeable by trivial union, and broadcastable.
+
+    Positions: ``mix_i(md5_60(gram)) % bits`` for i in 0..k_hashes-1 — the
+    same Mersenne affine mixes as the MinHash family, bit-reproducible in
+    the DuckDB oracle."""
+    if not 1 <= k_hashes <= len(PERM_CONSTS):
+        raise ValueError(f"k_hashes must be in [1, {len(PERM_CONSTS)}]")
+    grams = benchmark.select(
+        F.explode(F.transform(shingles(F.col(text_col), n),
+                              md5_int60)).alias("g")).distinct()
+    pos = grams.select(
+        F.explode(F.array(*[(_mix(F.col("g"), i) % bits).cast("int")
+                            for i in range(k_hashes)])).alias("pos"))
+    return pos.distinct()
+
+
+def bloom_decontaminate(
+    corpus: DataFrame, benchmark: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, bits: int = 4096, k_hashes: int = 4,
+) -> DataFrame:
+    """Per-corpus-document Bloom screen against the benchmark n-gram set:
+    (id, n_grams, n_hits, flagged) where a gram "hits" when ALL
+    ``k_hashes`` of its bit positions are set in the benchmark filter and
+    ``flagged`` = any gram hit.
+
+    No false negatives (every true benchmark gram hits); false positives
+    at the classic Bloom rate — callers route flagged docs into the exact
+    ``decontaminate`` join, giving the screen-then-verify plan whose first
+    pass broadcasts O(bits) instead of O(|benchmark grams|).
+    """
+    bloom = bloom_bit_positions(benchmark, text_col, n, bits, k_hashes)
+    grams = _gram_hashes(corpus, id_col, text_col, n)
+    gpos = grams.select(
+        F.col(id_col), F.col("g"),
+        F.explode(F.array(*[(_mix(F.col("g"), i) % bits).cast("int")
+                            for i in range(k_hashes)])).alias("pos"))
+    hits_per_gram = (gpos.join(F.broadcast(bloom), "pos")
+                     .groupBy(id_col, "g")
+                     .agg(F.count(F.lit(1)).alias("nset"))
+                     .filter(F.col("nset") >= k_hashes)
+                     .groupBy(id_col)
+                     .agg(F.count(F.lit(1)).alias("n_hits")))
+    n_grams = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    return (corpus.select(F.col(id_col)).distinct()
+            .join(n_grams, id_col, "left")
+            .join(hits_per_gram, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+                .alias("n_grams"),
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+                .alias("n_hits"),
+                (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("flagged")))
+
+
+def sql_bloom_decontaminate(
+    corpus_cte: str, benchmark_cte: str,
+    id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, bits: int = 4096, k_hashes: int = 4,
+) -> str:
+    """DuckDB mirror over CTEs named ``corpus_cte``/``benchmark_cte`` with
+    (id_col, text_col).  Same md5 + Mersenne mixes, same k-of-k hit rule."""
+    hs = SQL.hashed_shingles(text_col, n)
+    mixes = ", ".join(f"({SQL.mix('g', i)}) % {bits}"
+                      for i in range(k_hashes))
+    return f"""
+bl_bits AS (
+  SELECT DISTINCT unnest([{mixes}]) AS pos FROM (
+    SELECT DISTINCT unnest({hs}) AS g FROM {benchmark_cte})
+),
+bl_grams AS (
+  SELECT {id_col}, unnest({hs}) AS g FROM {corpus_cte}
+),
+bl_gpos AS (
+  SELECT {id_col}, g, unnest([{mixes}]) AS pos FROM bl_grams
+),
+bl_hits AS (
+  SELECT {id_col}, COUNT(*) AS n_hits FROM (
+    SELECT {id_col}, g, COUNT(*) AS nset
+    FROM bl_gpos JOIN bl_bits USING (pos)
+    GROUP BY {id_col}, g HAVING COUNT(*) >= {k_hashes})
+  GROUP BY {id_col}
+),
+bl_ngrams AS (
+  SELECT {id_col}, COUNT(*) AS n_grams FROM bl_grams GROUP BY {id_col}
+),
+bl_out AS (
+  SELECT d.{id_col},
+    coalesce(ng.n_grams, 0)::BIGINT AS n_grams,
+    coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+    coalesce(h.n_hits, 0) > 0 AS flagged
+  FROM (SELECT DISTINCT {id_col} FROM {corpus_cte}) d
+  LEFT JOIN bl_ngrams ng USING ({id_col})
+  LEFT JOIN bl_hits h USING ({id_col})
+)"""

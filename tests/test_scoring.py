@@ -1,0 +1,117 @@
+"""Unigram-LM scoring, BM25 retrieval, Bloom decontamination
+(pipeline/scoring.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from steel_datafusion_spark.pipeline.scoring import (
+    bloom_bit_positions, bloom_decontaminate, bm25_score,
+    unigram_logprob_score,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_unigram_rare_tokens_score_higher(spark):
+    rows = [(i, "common words common words common") for i in range(10)]
+    rows.append((100, "zebra quark xylophone obelisk glyph"))
+    rows.append((101, ""))
+    out = {r.doc_id: r for r in
+           unigram_logprob_score(_docs(spark, rows)).collect()}
+    # identical docs -> identical scores
+    assert len({out[i].mean_neg_logprob for i in range(10)}) == 1
+    # all-rare doc carries much higher mean -ln p than the common docs
+    assert out[100].mean_neg_logprob > out[0].mean_neg_logprob
+    # empty doc: zero tokens, score 0
+    assert out[101].n_tokens == 0 and out[101].mean_neg_logprob == 0.0
+    assert out[0].n_tokens == 5
+
+
+def test_unigram_score_is_plain_average(spark):
+    """Single-token docs: score == -ln p of that token exactly (up to the
+    documented 9dp term rounding)."""
+    import math
+
+    rows = [(1, "a"), (2, "a"), (3, "b")]
+    out = {r.doc_id: r for r in
+           unigram_logprob_score(_docs(spark, rows), alpha=0.5).collect()}
+    total, vocab = 3.0, 2.0
+    pa = (2 + 0.5) / (total + 0.5 * vocab)
+    pb = (1 + 0.5) / (total + 0.5 * vocab)
+    assert out[1].mean_neg_logprob == round(round(-math.log(pa), 9), 6)
+    assert out[3].mean_neg_logprob == round(round(-math.log(pb), 9), 6)
+    assert out[1].mean_neg_logprob < out[3].mean_neg_logprob
+
+
+def test_bm25_orders_by_relevance(spark):
+    rows = [
+        (1, "spark spark spark query engine"),   # tf=3 for 'spark'
+        (2, "spark appears once here only"),
+        (3, "totally unrelated text about cats"),
+        (4, "spark query spark query data"),     # two matching terms
+    ]
+    out = bm25_score(_docs(spark, rows), ["spark", "query"], k=10).collect()
+    got = {r.doc_id: r for r in out}
+    assert 3 not in got                           # no query term, no row
+    assert got[4].rnk == 1                        # covers both terms
+    assert got[1].bm25 > got[2].bm25              # higher tf wins
+    with pytest.raises(ValueError):
+        bm25_score(_docs(spark, rows), [])
+
+
+def test_bm25_k_caps_results(spark):
+    rows = [(i, f"spark doc number {i}") for i in range(30)]
+    out = bm25_score(_docs(spark, rows), ["spark"], k=7).collect()
+    assert len(out) == 7 and sorted(r.rnk for r in out) == list(range(1, 8))
+
+
+def test_bloom_no_false_negatives(spark):
+    """Benchmark docs screened against their own filter: every gram hits
+    (n_hits == n_grams), flagged everywhere."""
+    rows = [(i, f"shared prefix words here tail_{i} more filler text ok")
+            for i in range(20)]
+    d = _docs(spark, rows)
+    out = {r.doc_id: r for r in
+           bloom_decontaminate(d, d, n=3, bits=4096, k_hashes=4).collect()}
+    for r in out.values():
+        assert r.n_hits == r.n_grams > 0 and r.flagged
+
+
+def test_bloom_disjoint_corpus_unflagged(spark):
+    """A corpus sharing no 3-grams with the benchmark: at 4096 bits /
+    4 hashes and this few grams, the deterministic filter has no false
+    positives (verified fixture), so nothing flags."""
+    bench = _docs(spark, [(1, "alpha beta gamma delta epsilon zeta")])
+    corpus = _docs(spark, [(10, "one two three four five six seven"),
+                           (11, "eight nine ten eleven twelve")])
+    out = {r.doc_id: r for r in
+           bloom_decontaminate(corpus, bench, n=3,
+                               bits=4096, k_hashes=4).collect()}
+    assert not out[10].flagged and not out[11].flagged
+    assert out[10].n_hits == 0 and out[10].n_grams > 0
+
+
+def test_bloom_bit_positions_bounded_and_validated(spark):
+    bench = _docs(spark, [(1, "some benchmark text with several tokens")])
+    pos = bloom_bit_positions(bench, bits=256, k_hashes=3).collect()
+    assert 0 < len(pos) <= 256
+    assert all(0 <= r.pos < 256 for r in pos)
+    with pytest.raises(ValueError):
+        bloom_bit_positions(bench, k_hashes=0)
+
+
+def test_bloom_partial_overlap_counts(spark):
+    """Corpus doc sharing exactly its prefix 3-grams with the benchmark:
+    n_hits >= the true shared-gram count (Bloom may only ADD false
+    positives, never lose true hits)."""
+    shared = "alpha beta gamma delta"           # 2 distinct 3-grams
+    bench = _docs(spark, [(1, shared)])
+    corpus = _docs(spark, [(10, shared + " unique tail here"),
+                           (11, "unrelated content entirely different")])
+    out = {r.doc_id: r for r in
+           bloom_decontaminate(corpus, bench, n=3,
+                               bits=4096, k_hashes=4).collect()}
+    assert out[10].flagged and out[10].n_hits >= 2
+    assert not out[11].flagged

@@ -15,9 +15,16 @@ exactly, ten times over, so linear output growth is the *ground truth*:
 - embeddings: copy i rotates each vector by i positions — an isometry, so
   within-copy cosines are identical and cross-copy pairs are uncorrelated.
 
+Round 7 adds the NEXT decade (VERDICT r6 item 3): ``--sf10x`` builds a
+100-copy corpus (~500k docs — 100x sf0.1) with the same structure-preserving
+vocabulary permutation, and every op run now records the SHUFFLE WRITE BYTES
+attributable to it (delta of the UI REST stage metrics), so both the time
+exponent and the shuffle-volume exponent are measured.
+
 Usage:
     python tools/scale_sweep.py [--out bench_runs/scale_sweep.json]
-                                [--skip-sf1x]
+                                [--skip-sf1x] [--sf10x]
+                                [--ops op1,op2] [--only-scales sf0.1,sf10x]
 """
 
 from __future__ import annotations
@@ -38,7 +45,27 @@ OPS = ["dedup_minhash_lsh", "dedup_index_probe", "dedup_clusters_twophase",
        "doc_chunking", "dedup_substring_spans", "heavy_hitters",
        "similarity_pq"]
 SF1X_DIR = "/tmp/sdf_scale_sf1x"
+SF10X_DIR = "/tmp/sdf_scale_sf10x"
 REPS = 2
+
+
+def total_shuffle_write_bytes(spark) -> int:
+    """Cumulative shuffle write bytes across all completed stages, via the
+    local UI REST API (delta around an op = that op's shuffle volume)."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return -1
+    app_id = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app_id}/stages?status=complete",
+                timeout=10) as r:
+            stages = json.load(r)
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:
+        return -1
 
 
 def build_sf1x(spark, src_dir: str, out_dir: str, copies: int = 10) -> None:
@@ -73,11 +100,13 @@ def build_sf1x(spark, src_dir: str, out_dir: str, copies: int = 10) -> None:
     dim = len(emb.select("embedding").head()[0])
     emb_parts = []
     for i in range(copies):
+        r = i % dim   # rotation amount; copies beyond dim reuse isometries
         if i == 0:
             emb_parts.append(emb)
             continue
-        rolled = F.concat(F.slice("embedding", i + 1, dim - i),
-                          F.slice("embedding", 1, i))
+        rolled = F.col("embedding") if r == 0 else F.concat(
+            F.slice("embedding", r + 1, dim - r),
+            F.slice("embedding", 1, r))
         emb_parts.append(
             emb.withColumn("vec_id", F.col("vec_id") + i * 10_000_000)
                .withColumn("embedding", rolled))
@@ -122,6 +151,17 @@ def main() -> int:
         out_path = args[i + 1]
         del args[i:i + 2]
     skip_sf1x = "--skip-sf1x" in args
+    with_sf10x = "--sf10x" in args
+    ops = list(OPS)
+    if "--ops" in args:
+        i = args.index("--ops")
+        ops = args[i + 1].split(",")
+        del args[i:i + 2]
+    only_scales = None
+    if "--only-scales" in args:
+        i = args.index("--only-scales")
+        only_scales = set(args[i + 1].split(","))
+        del args[i:i + 2]
 
     import __spark_entry__ as entry
     from steel_datafusion_spark import session_context
@@ -136,9 +176,18 @@ def main() -> int:
               ("sf0.01", "/root/testdata/sf0.01"),
               ("sf0.1", "/root/testdata/sf0.1")]
     if not skip_sf1x:
-        print("building synthetic sf1x (10x sf0.1) ...", flush=True)
-        build_sf1x(spark, "/root/testdata/sf0.1", SF1X_DIR)
         scales.append(("sf1x", SF1X_DIR))
+    if with_sf10x:
+        scales.append(("sf10x", SF10X_DIR))
+    if only_scales is not None:
+        scales = [s for s in scales if s[0] in only_scales]
+    for sc_name, sc_dir, copies in (("sf1x", SF1X_DIR, 10),
+                                    ("sf10x", SF10X_DIR, 100)):
+        if any(n == sc_name for n, _ in scales) and \
+                not os.path.exists(os.path.join(sc_dir, "documents.parquet")):
+            print(f"building synthetic {sc_name} ({copies}x sf0.1) ...",
+                  flush=True)
+            build_sf1x(spark, "/root/testdata/sf0.1", sc_dir, copies=copies)
 
     results: dict[str, dict] = {}
     for sc_name, sc_dir in scales:
@@ -150,23 +199,34 @@ def main() -> int:
         cand = minhash_candidate_pairs(spark, sc_dir)
         row["minhash_candidate_pairs"] = cand
         print(f"   minhash band-bucket candidate pairs: {cand}", flush=True)
-        for op in OPS:
-            times, n_out = [], None
+        for op in ops:
+            times, n_out, shuffle_mb = [], None, []
             for _ in range(REPS):
+                sh0 = total_shuffle_write_bytes(spark)
                 t0 = time.perf_counter()
                 n_out = qs[op](spark, sc_dir).toArrow().num_rows
                 times.append(round(time.perf_counter() - t0, 3))
+                sh1 = total_shuffle_write_bytes(spark)
+                shuffle_mb.append(
+                    round((sh1 - sh0) / 1e6, 2) if sh0 >= 0 and sh1 >= 0
+                    else None)
                 release_all(spark)
                 spark.catalog.clearCache()
             row["ops"][op] = {"times_s": times, "best_s": min(times),
-                              "n_out": n_out}
-            print(f"   {op}: {times} s, {n_out} rows", flush=True)
+                              "n_out": n_out,
+                              "shuffle_write_mb": shuffle_mb}
+            print(f"   {op}: {times} s, {n_out} rows, "
+                  f"shuffle {shuffle_mb} MB", flush=True)
 
         # the banded-LSH sizing rule applied (similarity.py docstring):
         # band-code width ≈ log2(N / target_bucket) keeps per-band occupancy
         # flat as N grows; the fixed-parameter gate (8 planes / 2-bit bands)
         # deliberately ignores this, so measuring BOTH shows the fixed
         # variant go superlinear while the resized one stays ~linear.
+        if "embedding_neardup_banded" not in ops:
+            results[sc_name] = row
+            continue
+
         import math
 
         from steel_datafusion_spark.pipeline.queries import _aug_emb
