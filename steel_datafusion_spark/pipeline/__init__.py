@@ -11,7 +11,9 @@ fences), deterministic
 sampling & splitting & training-order sharding, sequence packing, fuzzy
 edit-distance joins, mergeable HLL/KLL sketches (two-level salted merge),
 multimodal binary columns with real image decode (pipeline/codecs.py:
-pure-Python PNG/BMP/PPM; Pillow when installed).
+pure-Python PNG/JPEG/BMP/PPM — baseline JPEG in pipeline/jpeg.py; Pillow
+when installed), and corpus-statistical scoring (scoring.py: unigram-LM
+quality scores, BM25 retrieval, Bloom-filter decontamination screens).
 
 Submodules are imported lazily by the operators that need them; import
 directly for explicit use::
