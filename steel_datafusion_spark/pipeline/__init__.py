@@ -12,8 +12,13 @@ sampling & splitting & training-order sharding, sequence packing, fuzzy
 edit-distance joins, mergeable HLL/KLL sketches (two-level salted merge),
 multimodal binary columns with real image decode (pipeline/codecs.py:
 pure-Python PNG/JPEG/BMP/PPM — baseline JPEG in pipeline/jpeg.py; Pillow
-when installed), and corpus-statistical scoring (scoring.py: unigram-LM
-quality scores, BM25 retrieval, Bloom-filter decontamination screens).
+when installed), corpus-statistical scoring (scoring.py: unigram-LM
+quality scores, BM25 retrieval, Bloom-filter decontamination screens,
+cross-document n-gram novelty), snapshot change-data-capture (cdc.py:
+keyed snapshot diff + SCD2 batch-versioned dimensions), deterministic
+count-min sketches (sketches.py: oracle-exact, vocabulary-independent
+shuffle), and source-pair overlap matrices (dedup.py
+source_overlap_matrix).
 
 Submodules are imported lazily by the operators that need them; import
 directly for explicit use::

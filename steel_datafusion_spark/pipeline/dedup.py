@@ -39,7 +39,7 @@ __all__ = [
     "build_dedup_index", "dedup_against_index",
     "exact_dedup", "simhash_from_hashes", "simhash_pairs",
     "ngram_jaccard_pairs", "winnow_fingerprints", "connected_components",
-    "corpus_overlap",
+    "corpus_overlap", "source_overlap_matrix",
     "keep_representatives", "dedup_corpus",
     "PERM_CONSTS", "MERSENNE61", "SQL",
 ]
@@ -880,3 +880,49 @@ def corpus_overlap(
                         / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
                         6).alias("jaccard"),
                 F.round(matches / F.lit(float(k)), 6).alias("est_jaccard")))
+
+
+def source_overlap_matrix(
+    df: DataFrame, group_col: str = "source", id_col: str = "doc_id",
+    text_col: str = "text", n: int = 3,
+) -> DataFrame:
+    """Pairwise shingle-overlap matrix between corpus subsets (sources,
+    crawls, shards): for every group pair (a < b), the exact count of
+    shared distinct shingles and the Jaccard of the two shingle sets —
+    the cross-SOURCE contamination picture, where ``corpus_overlap`` gives
+    one corpus pair and doc-level dedup gives row pairs.
+
+    Plan: distinct (group, shingle-hash) pairs (fine-grained hash
+    aggregation) → per-group set sizes (small: |groups| rows, broadcast
+    both ways) → self-join on the 60-bit shingle key with group_a <
+    group_b.  The shuffle key is the shingle hash; per-shingle fan-out is
+    bounded by C(|groups|, 2), so with the tens-of-sources cardinality this
+    targets, the join output is |distinct shingles| · O(|groups|²) worst
+    case but in practice near the input size.  For group counts in the
+    thousands, fall back to per-group MinHash corpus sketches
+    (``corpus_overlap``'s signature side) and compare signatures instead.
+
+    Returns (group_a, group_b, n_a, n_b, n_common, jaccard 6dp),
+    group_a < group_b.  Exact arithmetic end-to-end — fully oracle-checkable.
+    """
+    gs = track(
+        df.select(F.col(group_col).alias("g"),
+                  F.explode(shingles(F.col(text_col), n)).alias("s"))
+        .select("g", md5_int60(F.col("s")).alias("h"))
+        .distinct().persist())
+    sizes = gs.groupBy("g").agg(F.count(F.lit(1)).alias("n_set"))
+    pairs = (gs.alias("a").join(gs.alias("b"),
+                                (F.col("a.h") == F.col("b.h"))
+                                & (F.col("a.g") < F.col("b.g")))
+             .groupBy(F.col("a.g").alias("group_a"),
+                      F.col("b.g").alias("group_b"))
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    return (pairs
+            .join(F.broadcast(sizes.withColumnRenamed("g", "group_a")
+                              .withColumnRenamed("n_set", "n_a")), "group_a")
+            .join(F.broadcast(sizes.withColumnRenamed("g", "group_b")
+                              .withColumnRenamed("n_set", "n_b")), "group_b")
+            .select("group_a", "group_b", "n_a", "n_b", "n_common",
+                    F.round(F.col("n_common")
+                            / (F.col("n_a") + F.col("n_b")
+                               - F.col("n_common")), 6).alias("jaccard")))

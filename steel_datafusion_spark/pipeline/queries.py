@@ -2016,6 +2016,215 @@ SELECT * FROM bl_out
 """
 
 
+# ---------------------------------------------------------------------------
+# CDC / SCD2 (pipeline/cdc.py)
+# ---------------------------------------------------------------------------
+
+# Deterministic "next crawl" of the documents snapshot, identical in the
+# Spark plan and the oracle CTE: doc_id % 11 == 3 dropped, doc_id % 7 == 0
+# re-crawled with changed text, doc_id % 13 == 5 re-landed as new ids.
+_CDC_COMPARE = ["text", "lang", "source", "n_chars"]
+
+_CDC_NEW_SQL = """
+cdc_new AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN text || ' [recrawled v2]' ELSE text END
+      AS text,
+    lang, source,
+    CASE WHEN doc_id % 7 = 0 THEN n_chars + 17 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 11 <> 3
+  UNION ALL
+  SELECT doc_id + 5000000, text || ' newly crawled', lang, source,
+    n_chars + 14
+  FROM documents WHERE doc_id % 13 = 5
+)"""
+
+
+def _cdc_new_crawl(d):
+    survived = d.filter(F.col("doc_id") % 11 != 3)
+    mutated = survived.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" [recrawled v2]")))
+        .otherwise(F.col("text")).alias("text"),
+        "lang", "source",
+        F.when(F.col("doc_id") % 7 == 0, F.col("n_chars") + 17)
+        .otherwise(F.col("n_chars")).alias("n_chars"))
+    inserted = d.filter(F.col("doc_id") % 13 == 5).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" newly crawled")).alias("text"),
+        "lang", "source", (F.col("n_chars") + 14).alias("n_chars"))
+    return mutated.unionByName(inserted)
+
+
+def q_cdc_snapshot_diff(spark, sf_dir):
+    """Snapshot-diff changelog (pipeline/cdc.py): documents vs a
+    deterministic next crawl; every changed key classified
+    insert/update/delete with its old/new row fingerprints.  One
+    key-partitioned full-outer join — the MERGE-source shape."""
+    from .cdc import snapshot_diff
+
+    d = load_tables(spark, sf_dir)["documents"]
+    diff = snapshot_diff(d, _cdc_new_crawl(d), ["doc_id"], _CDC_COMPARE)
+    return diff.filter(F.col("change_type") != "unchanged")
+
+
+def _sql_cdc_snapshot_diff() -> str:
+    from .cdc import sql_snapshot_diff
+
+    body = sql_snapshot_diff("documents", "cdc_new", ["doc_id"],
+                             _CDC_COMPARE)
+    return f"""
+WITH {_CDC_NEW_SQL[1:]},
+{body[1:]}
+SELECT doc_id, change_type, old_fp, new_fp FROM cdc_diff
+WHERE change_type <> 'unchanged'
+"""
+
+
+def q_scd2_merge(spark, sf_dir):
+    """SCD2 merge (pipeline/cdc.py): bootstrap the dimension from the
+    documents snapshot at batch 0, apply the next crawl at batch 1 —
+    updated/deleted keys close (valid_to=1), inserted/updated keys open a
+    new current version.  History never rejoins any shuffle."""
+    from .cdc import scd2_apply, scd2_init
+
+    d = load_tables(spark, sf_dir)["documents"]
+    dim = scd2_init(d, batch_id=0)
+    merged = scd2_apply(dim, _cdc_new_crawl(d), ["doc_id"], 1,
+                        _CDC_COMPARE)
+    return merged.select("doc_id", "source", "n_chars",
+                         F.md5(F.col("text")).alias("text_fp"),
+                         "valid_from", "valid_to",
+                         F.col("valid_to").isNull().alias("is_current"))
+
+
+def _sql_scd2_merge() -> str:
+    from .cdc import sql_snapshot_diff
+
+    body = sql_snapshot_diff("documents", "cdc_new", ["doc_id"],
+                             _CDC_COMPARE)
+    return f"""
+WITH {_CDC_NEW_SQL[1:]},
+{body[1:]}
+SELECT d.doc_id, d.source, d.n_chars, md5(d.text) AS text_fp,
+  0::BIGINT AS valid_from,
+  CASE WHEN f.change_type IN ('update', 'delete') THEN 1::BIGINT END
+    AS valid_to,
+  f.change_type NOT IN ('update', 'delete') AS is_current
+FROM documents d JOIN cdc_diff f USING (doc_id)
+UNION ALL
+SELECT n.doc_id, n.source, n.n_chars, md5(n.text) AS text_fp,
+  1::BIGINT AS valid_from, NULL::BIGINT AS valid_to, true AS is_current
+FROM cdc_new n JOIN cdc_diff f USING (doc_id)
+WHERE f.change_type IN ('insert', 'update')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (pipeline/sketches.py)
+# ---------------------------------------------------------------------------
+
+def q_countmin_term_counts(spark, sf_dir):
+    """Count-min point estimates (pipeline/sketches.py) for the corpus's
+    top-20 terms: depth-4 × width-512 sketch — shuffle cardinality capped
+    at depth·width regardless of vocabulary — vs the exact counts.  The
+    sketch is md5-affine integer arithmetic, so the DuckDB oracle
+    reproduces every estimate bit-for-bit (overshoot included)."""
+    from .sketches import countmin_estimate, countmin_table
+
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(F.explode(TX.tokens(F.col("text"))).alias("term"))
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_c"))
+    probes = exact.orderBy(F.desc("exact_c"), F.asc("term")).limit(20)
+    sketch = countmin_table(toks, [], "term", depth=4, width=512)
+    est = countmin_estimate(sketch, probes.select("term"), [], "term",
+                            depth=4, width=512)
+    return (probes.join(est, "term")
+            .select("term", "exact_c", "est_c",
+                    (F.col("est_c") - F.col("exact_c")).alias("overshoot")))
+
+
+def _sql_countmin_term_counts() -> str:
+    from .sketches import sql_countmin_estimate
+    from .text import sql_tokens
+
+    body = sql_countmin_estimate("cm_toks", "cm_probes", depth=4, width=512)
+    return f"""
+WITH cm_toks AS (
+  SELECT unnest({sql_tokens('text')}) AS term FROM documents
+),
+cm_exact AS (SELECT term, COUNT(*) AS exact_c FROM cm_toks GROUP BY term),
+cm_probes AS (SELECT term, exact_c FROM cm_exact
+              ORDER BY exact_c DESC, term ASC LIMIT 20),
+{body[1:]}
+SELECT p.term, p.exact_c, e.est_c, e.est_c - p.exact_c AS overshoot
+FROM cm_probes p JOIN cm_est e USING (term)
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty + source overlap matrix
+# ---------------------------------------------------------------------------
+
+def q_ngram_novelty(spark, sf_dir):
+    """Cross-document n-gram novelty (pipeline/scoring.py) on the augmented
+    corpus (planted near-dups share most of their trigrams): per doc, the
+    fraction of its distinct trigrams appearing in no other document.
+    Inverted-index shape — gram-hash shuffle, no pair join."""
+    from .scoring import ngram_novelty_score
+
+    return ngram_novelty_score(_aug_docs(spark, sf_dir))
+
+
+def _sql_ngram_novelty() -> str:
+    from .scoring import sql_ngram_novelty_score
+
+    inner = sql_ngram_novelty_score("corpus")
+    # splice the augmented-corpus CTE ahead of the scorer's own WITH
+    return f"WITH {_AUG_DOCS_SQL[1:]}, " + inner.lstrip()[len("WITH "):]
+
+
+def q_source_overlap_matrix(spark, sf_dir):
+    """Pairwise source-level shingle overlap (pipeline/dedup.py
+    source_overlap_matrix): exact shared-shingle counts + Jaccard for every
+    source pair.  A mirror source (every doc_id % 9 == 2 re-landed under
+    'mirror:<source>') plants known overlap, as the synthetic sources are
+    otherwise near-disjoint."""
+    from .dedup import source_overlap_matrix
+
+    d = load_tables(spark, sf_dir)["documents"]
+    mirr = d.filter(F.col("doc_id") % 9 == 2).select(
+        F.concat(F.lit("mirror:"), F.col("source")).alias("source"), "text")
+    corpus = d.select("source", "text").unionByName(mirr)
+    return source_overlap_matrix(corpus, "source", text_col="text")
+
+
+def _sql_source_overlap_matrix() -> str:
+    hs = DSQL.hashed_shingles("text", 3)
+    return f"""
+WITH som_corpus AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT 'mirror:' || source, text FROM documents WHERE doc_id % 9 = 2
+),
+som_gs AS (
+  SELECT DISTINCT source AS g, unnest({hs}) AS h FROM som_corpus
+),
+som_sizes AS (SELECT g, COUNT(*) AS n_set FROM som_gs GROUP BY g),
+som_pairs AS (
+  SELECT a.g AS group_a, b.g AS group_b, COUNT(*) AS n_common
+  FROM som_gs a JOIN som_gs b ON a.h = b.h AND a.g < b.g
+  GROUP BY a.g, b.g
+)
+SELECT group_a, group_b, sa.n_set AS n_a, sb.n_set AS n_b, n_common,
+  round(n_common / (sa.n_set + sb.n_set - n_common), 6) AS jaccard
+FROM som_pairs
+JOIN som_sizes sa ON sa.g = group_a
+JOIN som_sizes sb ON sb.g = group_b
+"""
+
+
 PIPELINE_QUERIES = {
     "text_stats": (q_text_stats, _SQL_TEXT_STATS),
     "text_quality_by_source": (q_text_quality_by_source, _SQL_TEXT_QUALITY),
@@ -2083,4 +2292,11 @@ PIPELINE_QUERIES = {
     "bm25_rank": (q_bm25_rank, _sql_bm25_rank()),
     "bloom_decontaminate": (q_bloom_decontaminate,
                             _sql_bloom_decontaminate()),
+    "cdc_snapshot_diff": (q_cdc_snapshot_diff, _sql_cdc_snapshot_diff()),
+    "scd2_merge": (q_scd2_merge, _sql_scd2_merge()),
+    "countmin_term_counts": (q_countmin_term_counts,
+                             _sql_countmin_term_counts()),
+    "ngram_novelty": (q_ngram_novelty, _sql_ngram_novelty()),
+    "source_overlap_matrix": (q_source_overlap_matrix,
+                              _sql_source_overlap_matrix()),
 }

@@ -45,7 +45,7 @@ from .text import sql_tokens, tokens
 __all__ = [
     "unigram_logprob_score", "bm25_score", "bloom_bit_positions",
     "bloom_decontaminate", "sql_unigram_logprob_score", "sql_bm25_score",
-    "sql_bloom_decontaminate",
+    "sql_bloom_decontaminate", "ngram_novelty_score", "sql_ngram_novelty_score",
 ]
 
 
@@ -336,3 +336,63 @@ bl_out AS (
   LEFT JOIN bl_ngrams ng USING ({id_col})
   LEFT JOIN bl_hits h USING ({id_col})
 )"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty (cross-document uniqueness)
+# ---------------------------------------------------------------------------
+
+def ngram_novelty_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, n_grams, shared_grams, novelty): per-document fraction of its
+    DISTINCT word n-grams that appear in no other document.
+
+    The cross-document complement of ``curation.repetition_stats`` (which
+    is within-document): boilerplate, mirrored pages, and template text
+    score low; genuinely novel prose scores near 1.  Curation pipelines
+    threshold on it where near-dup removal is too blunt (a doc can be 40%
+    boilerplate yet not be anyone's near-duplicate).
+
+    Plan: distinct (doc, gram-hash) explode → gram document-frequency
+    groupBy (fine-grained 60-bit key, map-side partials) → join back on the
+    gram hash → per-doc count/sum.  Same inverted-index shape and shuffle
+    profile as ``dedup.ngram_jaccard_pairs`` minus the pair join, so it
+    rides the same 100 TB argument.  Exact integer arithmetic until the
+    final 6dp division — fully oracle-checkable.
+    """
+    grams = (df.select(F.col(id_col),
+                       F.explode(shingles(F.col(text_col), n)).alias("s"))
+             .select(id_col, md5_int60(F.col("s")).alias("h")))
+    gdf = grams.groupBy("h").agg(F.count(F.lit(1)).alias("df_count"))
+    per_doc = (grams.join(gdf, "h")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    F.sum(F.when(F.col("df_count") > 1, 1).otherwise(0))
+                    .alias("shared_grams")))
+    return per_doc.select(
+        id_col, "n_grams", F.col("shared_grams").cast("long")
+        .alias("shared_grams"),
+        F.round(1.0 - F.col("shared_grams") / F.col("n_grams"), 6)
+        .alias("novelty"))
+
+
+def sql_ngram_novelty_score(table: str, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3) -> str:
+    hs = SQL.hashed_shingles(text_col, n)
+    return f"""
+WITH nv_grams AS (
+  SELECT {id_col}, unnest({hs}) AS h FROM {table}
+),
+nv_df AS (SELECT h, COUNT(*) AS df_count FROM nv_grams GROUP BY h),
+nv_out AS (
+  SELECT {id_col}, COUNT(*) AS n_grams,
+    SUM(CASE WHEN df_count > 1 THEN 1 ELSE 0 END)::BIGINT AS shared_grams
+  FROM nv_grams JOIN nv_df USING (h) GROUP BY {id_col}
+)
+SELECT {id_col}, n_grams,
+  shared_grams,
+  round(1.0 - shared_grams / n_grams, 6) AS novelty
+FROM nv_out
+"""

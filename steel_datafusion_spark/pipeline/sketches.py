@@ -29,8 +29,119 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import MERSENNE61, _perm_consts, md5_int60
+
 __all__ = ["hll_rollup", "hll_merge_rollup", "kll_quantile_rollup",
-           "kll_merge_quantiles"]
+           "kll_merge_quantiles", "countmin_table", "countmin_estimate",
+           "sql_countmin_estimate"]
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (deterministic — fully reproducible in the DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+# Affine-mix constants for the count-min hash rows.  _perm_consts is a fixed
+# LCG emitting constants sequentially, so extending the table to 136 leaves
+# dedup's 128 MinHash/corpus-sketch slots bit-identical; count-min owns
+# slots [128, 136) — depth ≤ 8.
+_CM_CONSTS = _perm_consts(136)[128:136]
+_LO_MASK = (1 << 30) - 1
+
+
+def _cm_cell(h: Column, d: int, width: int) -> Column:
+    """Row-d count-min cell of a 60-bit hash (pure int64 arithmetic, ANSI
+    overflow-safe; identical expression mirrored in SQL)."""
+    A, B, C = _CM_CONSTS[d]
+    lo = h.bitwiseAND(F.lit(_LO_MASK))
+    hi = F.shiftright(h, 30)
+    mixed = (lo * F.lit(A) + hi * F.lit(B) + F.lit(C)) % F.lit(MERSENNE61)
+    return mixed % F.lit(width)
+
+
+def _sql_cm_cell(h: str, d: int, width: int) -> str:
+    A, B, C = _CM_CONSTS[d]
+    return (f"(((({h}) & {_LO_MASK}) * {A} + (({h}) >> 30) * {B} + {C}) "
+            f"% {MERSENNE61}) % {width}")
+
+
+def countmin_table(df: DataFrame, group_cols: list[str], term_col: str,
+                   depth: int = 4, width: int = 512) -> DataFrame:
+    """Per-group count-min sketch as a tall table
+    ``(*group_cols, d, cell, c)`` — ``depth * width`` cells per group,
+    regardless of term cardinality.
+
+    Unlike HLL/KLL this sketch is plain integer arithmetic over md5, so the
+    DuckDB oracle reproduces every cell (and every estimate) bit-for-bit —
+    the gate hashes estimates, not just bounds.  Mergeable by construction:
+    summing cells across sketches IS the union sketch (tests pin
+    per-group-sum ≡ global).  Point-estimate guarantee: est ≥ true count,
+    est ≤ true + e/width · N with prob ≥ 1 − e^−depth.
+
+    Plan: explode terms → explode ``depth`` (row, cell) pairs →
+    groupBy-count with map-side partials; shuffle key cardinality is capped
+    at |groups| · depth · width, independent of vocabulary — the reason to
+    choose it over exact term counts at 100 TB."""
+    if not 1 <= depth <= len(_CM_CONSTS):
+        raise ValueError(f"depth must be in [1, {len(_CM_CONSTS)}]")
+    h = md5_int60(F.col(term_col))
+    pairs = F.array(*[
+        F.struct(F.lit(d).alias("d"), _cm_cell(h, d, width).alias("cell"))
+        for d in range(depth)
+    ])
+    exploded = df.select(*group_cols, F.explode(pairs).alias("p")) \
+                 .select(*group_cols, "p.d", "p.cell")
+    return (exploded.groupBy(*group_cols, "d", "cell")
+            .agg(F.count(F.lit(1)).alias("c")))
+
+
+def countmin_estimate(sketch: DataFrame, probes: DataFrame,
+                      group_cols: list[str], term_col: str,
+                      depth: int = 4, width: int = 512) -> DataFrame:
+    """Point-estimate each probe term against a count-min sketch table:
+    ``(*group_cols, term, est_c)`` with est = min over rows of the term's
+    cell (a missing cell is 0).
+
+    Plan: the probe side fans out to ``depth`` (d, cell) keys and joins the
+    sketch on (group, d, cell) — broadcast-sized when probes are a term
+    list; the sketch itself never moves to the driver."""
+    cells = probes.select(
+        *group_cols, F.col(term_col).alias("term"),
+        F.explode(F.array(*[
+            F.struct(F.lit(d).alias("d"),
+                     _cm_cell(md5_int60(F.col(term_col)), d, width)
+                     .alias("cell"))
+            for d in range(depth)
+        ])).alias("p")).select(*group_cols, "term", "p.d", "p.cell")
+    joined = cells.join(sketch, [*group_cols, "d", "cell"], "left")
+    return (joined.groupBy(*group_cols, "term")
+            .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_c")))
+
+
+def sql_countmin_estimate(tokens_rel: str, probes_rel: str,
+                          depth: int = 4, width: int = 512,
+                          prefix: str = "cm") -> str:
+    """DuckDB CTE body mirroring countmin_table + countmin_estimate for the
+    ungrouped (global) case.  ``tokens_rel``/``probes_rel`` expose a
+    ``term`` column; result relation ``{prefix}_est`` has (term, est_c)."""
+    h = "('0x' || substr(md5(term), 1, 15))::BIGINT"
+    cell_rows = " UNION ALL ".join(
+        f"SELECT term, {d} AS d, {_sql_cm_cell(h, d, width)} AS cell "
+        f"FROM {tokens_rel}" for d in range(depth))
+    probe_rows = " UNION ALL ".join(
+        f"SELECT term, {d} AS d, {_sql_cm_cell(h, d, width)} AS cell "
+        f"FROM {probes_rel}" for d in range(depth))
+    return f"""
+{prefix}_cells AS ({cell_rows}),
+{prefix}_sketch AS (
+  SELECT d, cell, COUNT(*) AS c FROM {prefix}_cells GROUP BY d, cell
+),
+{prefix}_probe_cells AS ({probe_rows}),
+{prefix}_est AS (
+  SELECT p.term, MIN(coalesce(s.c, 0)) AS est_c
+  FROM {prefix}_probe_cells p
+  LEFT JOIN {prefix}_sketch s ON p.d = s.d AND p.cell = s.cell
+  GROUP BY p.term
+)"""
 
 
 def hll_rollup(df: DataFrame, group_cols: list[str], value_col: str,

@@ -132,3 +132,37 @@ def test_corpus_overlap_rejects_oversized_k(spark):
         corpus_overlap(a, a, k=cap + 1)
     with pytest.raises(ValueError, match="k must be"):
         corpus_overlap(a, a, k=0)
+
+
+# ---------------------------------------------------------------------------
+# source_overlap_matrix
+# ---------------------------------------------------------------------------
+
+def test_source_overlap_matrix_exact_jaccard(spark):
+    from steel_datafusion_spark.pipeline.dedup import source_overlap_matrix
+
+    rows = [
+        ("s1", "alpha beta gamma delta epsilon"),
+        ("s2", "alpha beta gamma delta epsilon"),   # identical to s1's doc
+        ("s2", "zeta eta theta iota kappa"),
+        ("s3", "completely disjoint vocabulary here now"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r.group_a, r.group_b): r
+           for r in source_overlap_matrix(df, "source").collect()}
+    # s1 ⊂ s2: intersection = all of s1's 3 shingles; s2 has 6 distinct
+    r = out[("s1", "s2")]
+    assert (r.n_a, r.n_b, r.n_common) == (3, 6, 3)
+    assert r.jaccard == 0.5
+    # s3 overlaps nothing -> no row at all (inner pair join)
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
+    assert len(out) == 1
+
+
+def test_source_overlap_matrix_ordering_and_symmetry(spark):
+    from steel_datafusion_spark.pipeline.dedup import source_overlap_matrix
+
+    rows = [("b", "one two three four"), ("a", "two three four five")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = source_overlap_matrix(df, "source").collect()
+    assert len(out) == 1 and (out[0].group_a, out[0].group_b) == ("a", "b")

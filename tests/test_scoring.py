@@ -115,3 +115,35 @@ def test_bloom_partial_overlap_counts(spark):
                                bits=4096, k_hashes=4).collect()}
     assert out[10].flagged and out[10].n_hits >= 2
     assert not out[11].flagged
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty
+# ---------------------------------------------------------------------------
+
+def test_ngram_novelty_flags_shared_text(spark):
+    from steel_datafusion_spark.pipeline.scoring import ngram_novelty_score
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [(1, shared), (2, shared + " tail one"),
+            (3, "completely different words appear in this document")]
+    out = {r.doc_id: r for r in
+           ngram_novelty_score(_docs(spark, rows), n=3).collect()}
+    # doc 1 is wholly contained in doc 2's gram set
+    assert out[1].novelty == 0.0
+    assert out[1].shared_grams == out[1].n_grams
+    # doc 2 shares doc 1's grams but its tail grams are unique
+    assert 0.0 < out[2].novelty < 1.0
+    # doc 3 shares nothing
+    assert out[3].novelty == 1.0 and out[3].shared_grams == 0
+
+
+def test_ngram_novelty_short_doc_whole_shingle(spark):
+    from steel_datafusion_spark.pipeline.scoring import ngram_novelty_score
+
+    rows = [(1, "two words"), (2, "two words"), (3, "other pair")]
+    out = {r.doc_id: r for r in
+           ngram_novelty_score(_docs(spark, rows), n=3).collect()}
+    # <n tokens -> one whole-doc shingle; identical short docs share it
+    assert out[1].n_grams == 1 and out[1].novelty == 0.0
+    assert out[3].novelty == 1.0

@@ -109,3 +109,61 @@ def test_kll_levels_validation(spark):
     sk = kll_quantile_rollup(df, ["source"], "value")
     with _pytest.raises(ValueError, match="levels"):
         kll_merge_quantiles(sk, [], [0.5], levels=3)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+def _terms(spark, words):
+    return spark.createDataFrame([(w,) for w in words], "term string")
+
+
+def test_countmin_never_undercounts_and_is_tight_when_sparse(spark):
+    from steel_datafusion_spark.pipeline.sketches import (
+        countmin_estimate, countmin_table)
+
+    words = ["a"] * 50 + ["b"] * 7 + ["c"] * 1
+    toks = _terms(spark, words)
+    sk = countmin_table(toks, [], "term", depth=4, width=512)
+    probes = _terms(spark, ["a", "b", "c", "absent"])
+    est = {r.term: r.est_c
+           for r in countmin_estimate(sk, probes, [], "term",
+                                      depth=4, width=512).collect()}
+    exact = {"a": 50, "b": 7, "c": 1, "absent": 0}
+    for t, c in exact.items():
+        assert est[t] >= c                      # CM never undercounts
+        assert est[t] <= c + len(words)         # trivial upper bound
+    # 3 distinct terms in 512 cells: collisions are impossible unless two
+    # terms share a cell in EVERY row — astronomically unlikely and fixed
+    # by the deterministic constants; pin exactness here
+    assert est == exact
+
+
+def test_countmin_merge_by_summing_cells_equals_global(spark):
+    from steel_datafusion_spark.pipeline.sketches import (
+        countmin_estimate, countmin_table)
+    from pyspark.sql import functions as F
+
+    rows = [(f"g{i % 3}", f"w{i % 17}") for i in range(200)]
+    df = spark.createDataFrame(rows, "grp string, term string")
+    # per-group sketches merged by summing cells
+    per_group = countmin_table(df, ["grp"], "term", depth=4, width=64)
+    merged = (per_group.groupBy("d", "cell")
+              .agg(F.sum("c").alias("c")))
+    direct = countmin_table(df, [], "term", depth=4, width=64)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
+
+    probes = _terms(spark, [f"w{i}" for i in range(17)])
+    em = countmin_estimate(merged, probes, [], "term", depth=4, width=64)
+    ed = countmin_estimate(direct, probes, [], "term", depth=4, width=64)
+    assert sorted(map(tuple, em.collect())) == sorted(map(tuple, ed.collect()))
+
+
+def test_countmin_depth_bounds_validated(spark):
+    import pytest
+    from steel_datafusion_spark.pipeline.sketches import countmin_table
+
+    with pytest.raises(ValueError, match="depth"):
+        countmin_table(_terms(spark, ["x"]), [], "term", depth=9)
