@@ -1,0 +1,160 @@
+"""Graph centrality over DataFrame edge lists: weighted PageRank.
+
+Beyond-reference surface for the LLM-training-data north star: link-graph
+authority is a classic corpus-quality prior (a page's rank feeds crawl
+scheduling and quality classifiers), and the same power iteration scores
+any entity graph the pipeline builds — event-type transition graphs,
+near-dup cluster graphs, citation graphs.
+
+Pure DataFrame power iteration — no GraphX/graphframes dependency:
+
+- edges normalize once to per-source transition probabilities
+  (``w / out_w``);
+- each iteration joins ranks onto edges by source (key-partitioned
+  shuffle), aggregates contributions by destination (second shuffle), adds
+  the teleport term and the dangling-node mass (a 1-row broadcast
+  aggregate), and lineage-truncates through ``cache.iteration_barrier``
+  exactly like k-means/connected-components (``reliable=True`` for
+  executor-loss-safe multi-hour runs).
+
+At 100 TB the per-iteration cost is two shuffles keyed on node id; edges
+are re-used from cache every round (persisted once), ranks are |V| rows.
+Pre-partitioning edges and ranks on the same key (bucketing) makes the
+rank-onto-edges join shuffle-free, leaving one exchange per iteration.
+
+Determinism / oracle parity: per-edge contributions are rounded to 14dp
+and summed as exact decimals (order-independent), and the new rank rounds
+to 12dp each iteration — the DuckDB oracle unrolls the same arithmetic per
+iteration and matches bit-for-bit (the repo-wide rounded-before-aggregate
+convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..cache import iteration_barrier, track
+
+__all__ = ["pagerank", "sql_pagerank"]
+
+
+def pagerank(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    weight: str | None = None, damping: float = 0.85,
+    iterations: int = 10, reliable: bool = False,
+) -> DataFrame:
+    """(node, rank): weighted PageRank after ``iterations`` power steps.
+
+    Nodes are the distinct union of sources and destinations; parallel
+    edges merge by summing weights.  Dangling nodes (no out-edges) spread
+    their mass uniformly, so total rank stays 1 (up to the documented
+    rounding).  Uniform initial rank 1/N.
+    """
+    w = (F.col(weight).cast("double") if weight is not None
+         else F.lit(1.0))
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                      w.alias("w"))
+         .groupBy("src", "dst").agg(F.sum("w").alias("w")))
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # transition probability per edge, fixed for every iteration
+    trans = track(
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
+        .persist())
+
+    nodes = track(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct().persist())
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    teleport = (1.0 - damping) / n
+
+    ranks = nodes.select("node", F.round(F.lit(1.0 / n), 12).alias("rank"))
+    has_out = out_w.select(F.col("src").alias("node"),
+                           F.lit(True).alias("_has_out"))
+    for _ in range(iterations):
+        contrib = (ranks.join(trans, ranks["node"] == trans["src"])
+                   .select("dst",
+                           F.round(F.col("rank") * F.col("p"), 14)
+                           .cast("decimal(32,14)").alias("c"))
+                   .groupBy("dst")
+                   .agg(F.sum("c").alias("c_sum")))
+        dangling = (ranks.join(has_out, "node", "left")
+                    .filter(F.col("_has_out").isNull())
+                    .agg(F.coalesce(
+                        F.sum(F.round(F.col("rank"), 14)
+                              .cast("decimal(32,14)")),
+                        F.lit(0).cast("decimal(32,14)")).alias("d_mass")))
+        ranks = (nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select(
+                     "node",
+                     F.round(
+                         F.lit(teleport)
+                         + F.lit(damping)
+                         * (F.coalesce(F.col("c_sum"),
+                                       F.lit(0).cast("decimal(32,14)"))
+                            .cast("double")
+                            + F.col("d_mass").cast("double") / F.lit(n)),
+                         12).alias("rank")))
+        ranks = iteration_barrier(ranks, reliable=reliable)
+    return ranks
+
+
+def sql_pagerank(edges_rel: str, src: str = "src", dst: str = "dst",
+                 weight: str | None = None, damping: float = 0.85,
+                 iterations: int = 10, prefix: str = "pr") -> str:
+    """DuckDB CTE body mirroring ``pagerank`` iteration-for-iteration;
+    exposes ``{prefix}_out`` with (node, rank).  ``edges_rel`` is an
+    existing relation with the src/dst(/weight) columns."""
+    w = f"{weight}::DOUBLE" if weight is not None else "1.0"
+    # Every CTE is AS MATERIALIZED: each r{i+1} references r{i} more than
+    # once, and DuckDB's default CTE inlining would otherwise expand the
+    # unrolled chain exponentially (observed: 10 iterations never finish;
+    # materialized, the whole chain runs in milliseconds).
+    parts = [f"""
+{prefix}_e AS MATERIALIZED (
+  SELECT {src} AS src, {dst} AS dst, SUM({w}) AS w
+  FROM {edges_rel} GROUP BY 1, 2
+),
+{prefix}_outw AS MATERIALIZED (
+  SELECT src, SUM(w) AS out_w FROM {prefix}_e GROUP BY src
+),
+{prefix}_trans AS MATERIALIZED (
+  SELECT src, dst, w / out_w AS p FROM {prefix}_e JOIN {prefix}_outw USING (src)
+),
+{prefix}_nodes AS MATERIALIZED (
+  SELECT src AS node FROM {prefix}_e UNION SELECT dst FROM {prefix}_e
+),
+{prefix}_n AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM {prefix}_nodes),
+{prefix}_r0 AS MATERIALIZED (
+  SELECT node, round(1.0 / n, 12) AS rank FROM {prefix}_nodes, {prefix}_n
+)"""]
+    for i in range(iterations):
+        prev, cur = f"{prefix}_r{i}", f"{prefix}_r{i + 1}"
+        parts.append(f"""
+{cur}_c AS MATERIALIZED (
+  SELECT t.dst, SUM(round(r.rank * t.p, 14)::DECIMAL(32,14)) AS c_sum
+  FROM {prev} r JOIN {prefix}_trans t ON r.node = t.src GROUP BY t.dst
+),
+{cur}_d AS MATERIALIZED (
+  SELECT coalesce(SUM(round(r.rank, 14)::DECIMAL(32,14)),
+                  0::DECIMAL(32,14)) AS d_mass
+  FROM {prev} r LEFT JOIN {prefix}_outw o ON r.node = o.src
+  WHERE o.src IS NULL
+),
+{cur} AS MATERIALIZED (
+  SELECT nd.node,
+    round((1.0 - {damping}) / n.n
+          + {damping} * (coalesce(c.c_sum, 0::DECIMAL(32,14))::DOUBLE
+                         + d.d_mass::DOUBLE / n.n), 12) AS rank
+  FROM {prefix}_nodes nd
+  LEFT JOIN {cur}_c c ON nd.node = c.dst
+  CROSS JOIN {cur}_d d CROSS JOIN {prefix}_n n
+)""")
+        last = cur
+    parts.append(f"\n{prefix}_out AS (SELECT node, rank FROM {last})")
+    return ",".join(parts)

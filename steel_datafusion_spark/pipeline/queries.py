@@ -2225,6 +2225,45 @@ JOIN som_sizes sb ON sb.g = group_b
 """
 
 
+def q_pagerank_event_graph(spark, sf_dir):
+    """Weighted PageRank (pipeline/graph.py) over the event-type transition
+    graph (the same lead()-window edges as `event_transitions`): 10 power
+    steps, damping 0.85, exact-decimal contribution sums.  The graph here
+    is small; the operator's per-iteration cost is two node-key shuffles
+    regardless of |V| (see module docstring), and the oracle unrolls all
+    10 iterations."""
+    from .graph import pagerank
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w = window_spec(partition_by=["user_id"],
+                    order_by=[F.col("ts").asc(), F.col("event_id").asc()])
+    edges = (ev.select(F.col("event_type").alias("src"),
+                       F.lead("event_type").over(w).alias("dst"))
+             .filter(F.col("dst").isNotNull())
+             .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n")))
+    return pagerank(edges, weight="n", damping=0.85, iterations=10) \
+        .withColumnRenamed("node", "event_type")
+
+
+def _sql_pagerank_event_graph() -> str:
+    from .graph import sql_pagerank
+
+    body = sql_pagerank("pr_edges", weight="n", damping=0.85, iterations=10)
+    return f"""
+WITH pr_nxt AS (
+  SELECT event_type AS src,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS dst
+  FROM events
+),
+pr_edges AS (
+  SELECT src, dst, COUNT(*) AS n FROM pr_nxt WHERE dst IS NOT NULL
+  GROUP BY src, dst
+),{body}
+SELECT node AS event_type, rank FROM pr_out
+"""
+
+
 PIPELINE_QUERIES = {
     "text_stats": (q_text_stats, _SQL_TEXT_STATS),
     "text_quality_by_source": (q_text_quality_by_source, _SQL_TEXT_QUALITY),
@@ -2299,4 +2338,6 @@ PIPELINE_QUERIES = {
     "ngram_novelty": (q_ngram_novelty, _sql_ngram_novelty()),
     "source_overlap_matrix": (q_source_overlap_matrix,
                               _sql_source_overlap_matrix()),
+    "pagerank_event_graph": (q_pagerank_event_graph,
+                             _sql_pagerank_event_graph()),
 }
