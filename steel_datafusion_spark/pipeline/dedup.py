@@ -41,7 +41,7 @@ __all__ = [
     "ngram_jaccard_pairs", "winnow_fingerprints", "connected_components",
     "corpus_overlap", "source_overlap_matrix",
     "keep_representatives", "dedup_corpus",
-    "PERM_CONSTS", "MERSENNE61", "SQL",
+    "PERM_CONSTS", "MERSENNE61", "SQL", "DEFAULT_MAX_BUCKET",
 ]
 
 SIMHASH_BITS = 48   # stays well inside signed int64 under ANSI arithmetic
@@ -168,25 +168,75 @@ def lsh_bands(sig_col: Column, bands: int = 8, rows: int = 4) -> Column:
     ])
 
 
+DEFAULT_MAX_BUCKET = 1000
+
+
 def minhash_candidate_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, k: int = 32, bands: int = 8, rows: int = 4,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs sharing ≥1 LSH band."""
+    """Distinct (doc_a < doc_b) pairs sharing ≥1 LSH band.  See
+    ``_candidates`` for the ``max_bucket`` occupancy guard."""
     hs = _hashed_shingles(df, id_col, text_col, n)
-    return _candidates(hs, k, bands, rows)
+    return _candidates(hs, k, bands, rows, max_bucket)
 
 
-def _candidates(hs: DataFrame, k: int, bands: int, rows: int) -> DataFrame:
+def _split_hot_buckets(banded: DataFrame, max_bucket: int):
+    """(normal, star) split of a banded table by bucket occupancy.
+
+    ``normal`` = rows in buckets with ≤ max_bucket members (safe for the
+    all-pairs self-join); ``star`` = (rep, doc_id) edges linking every
+    member of an OVERSIZED bucket to the bucket minimum.  The hot-bucket
+    key list is tiny by construction (≥ max_bucket docs must share a band
+    hash to create one entry) ⇒ broadcast anti/semi joins, no extra
+    shuffle of the banded table."""
+    occ = (banded.groupBy("band_idx", "band_hash")
+           .agg(F.count(F.lit(1)).alias("occ"),
+                F.min("doc_id").alias("rep"))
+           .filter(F.col("occ") > max_bucket)
+           .select("band_idx", "band_hash", "rep"))
+    hot = F.broadcast(track(occ.persist()))
+    normal = banded.join(hot.select("band_idx", "band_hash"),
+                         ["band_idx", "band_hash"], "left_anti")
+    star = (banded.join(hot, ["band_idx", "band_hash"])
+            .where(F.col("doc_id") != F.col("rep"))
+            .select(F.col("rep").alias("doc_a"),
+                    F.col("doc_id").alias("doc_b")))
+    return normal, star
+
+
+def _candidates(hs: DataFrame, k: int, bands: int, rows: int,
+                max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """LSH candidate pairs with a bucket-occupancy guard.
+
+    The band-bucket self-join costs Σ_bucket m² — one boilerplate flood
+    putting m=10⁶ near-identical docs in a single (band_idx, band_hash)
+    key would emit 5·10¹¹ pairs from that key alone, and AQE can split the
+    task but not shrink quadratic OUTPUT.  ``max_bucket`` caps it: buckets
+    with more than ``max_bucket`` members skip the all-pairs join and
+    instead emit STAR edges (bucket-min, member) — O(m) per bucket.  An
+    oversized bucket is by definition a dense near-dup cluster (≥
+    max_bucket docs agreeing on a full signature band), so the star keeps
+    every member connected to the cluster representative and downstream
+    connected-components still merges the cluster, while the pair count
+    from any bucket is bounded by max(max_bucket², m).  Star pairs flow
+    through the same exact-Jaccard verify as join pairs.  ``None`` disables
+    the guard (exact all-pairs semantics).  Mirror of the ``max_df`` guard
+    in ``ngram_jaccard_pairs``."""
     banded = _banded_table(hs, k, bands, rows)
+    if max_bucket is not None:
+        banded, star = _split_hot_buckets(banded, max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    pairs = (
         a.join(b, on=[F.col("a.band_idx") == F.col("b.band_idx"),
                       F.col("a.band_hash") == F.col("b.band_hash"),
                       F.col("a.doc_id") < F.col("b.doc_id")])
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    if max_bucket is not None:
+        pairs = pairs.union(star)
+    return pairs.distinct()
 
 
 def _jaccard(inter: Column, la: Column, lb: Column) -> Column:
@@ -196,13 +246,14 @@ def _jaccard(inter: Column, la: Column, lb: Column) -> Column:
 def minhash_dedup_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, k: int = 32, bands: int = 8, rows: int = 4,
-    threshold: float = 0.5,
+    threshold: float = 0.5, max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """LSH candidates verified with exact hashed-shingle-set Jaccard ≥
     threshold (hash collisions perturb Jaccard by ~2^-60 — negligible).
-    Output: (doc_a, doc_b, jaccard), jaccard rounded to 6dp."""
+    Output: (doc_a, doc_b, jaccard), jaccard rounded to 6dp.
+    ``max_bucket`` bounds band-bucket fan-out (see ``_candidates``)."""
     hs = _hashed_shingles(df, id_col, text_col, n)
-    pairs = _candidates(hs, k, bands, rows)
+    pairs = _candidates(hs, k, bands, rows, max_bucket)
     a = hs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     b = hs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     j = (
@@ -228,6 +279,7 @@ def _match_batch_to_corpus(
     hb: DataFrame, bb: DataFrame,
     corpus_shingles: DataFrame, corpus_bands: DataFrame,
     threshold: float, broadcast_batch: bool,
+    corpus_hot: DataFrame | None = None,
 ) -> DataFrame:
     """Shared tail of the incremental-dedup shapes: band-bucket join for
     candidates, then exact hashed-shingle Jaccard verify.
@@ -238,10 +290,31 @@ def _match_batch_to_corpus(
     both joins so the corpus is NEVER shuffled — the right plan whenever the
     increment is small relative to the corpus (the incremental-ingest
     contract); leave False if a huge backfill batch would blow the broadcast
-    limit, and AQE picks the join."""
+    limit, and AQE picks the join.
+
+    ``corpus_hot`` (band_idx, band_hash, rep) is the oversized-bucket guard:
+    a corpus bucket with m ≫ max_bucket members would emit m candidates per
+    matching batch band — a boilerplate flood makes that quadratic over an
+    ingest run.  Batch bands hitting a hot bucket probe ONLY the bucket
+    representative (rep = min corpus_id — an oversized bucket is a dense
+    near-dup cluster, so membership is decided by one verify against rep),
+    bounding per-bucket fan-out at 1; the remaining bands take the normal
+    join.  The hot list is tiny by construction ⇒ broadcast."""
     bb_side = F.broadcast(bb) if broadcast_batch else bb
-    cand = (bb_side.join(corpus_bands, ["band_idx", "band_hash"])
-            .select("batch_id", "corpus_id").distinct())
+    if corpus_hot is not None:
+        hot = F.broadcast(corpus_hot)
+        bb_normal = bb_side.join(hot.select("band_idx", "band_hash"),
+                                 ["band_idx", "band_hash"], "left_anti")
+        if broadcast_batch:
+            bb_normal = F.broadcast(bb_normal)
+        star = (bb.join(hot, ["band_idx", "band_hash"])
+                .select("batch_id", F.col("rep").alias("corpus_id")))
+        cand = (bb_normal.join(corpus_bands, ["band_idx", "band_hash"])
+                .select("batch_id", "corpus_id")
+                .union(star).distinct())
+    else:
+        cand = (bb_side.join(corpus_bands, ["band_idx", "band_hash"])
+                .select("batch_id", "corpus_id").distinct())
     a = hb.select(F.col("doc_id").alias("batch_id"), F.col("hs").alias("hs_a"))
     c = corpus_shingles.select("corpus_id", F.col("hs").alias("hs_b"))
     cand_a = cand.join(a, "batch_id")
@@ -260,6 +333,7 @@ def minhash_dedup_against(
     id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, k: int = 32, bands: int = 8, rows: int = 4,
     threshold: float = 0.5, broadcast_batch: bool = False,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Incremental dedup: which BATCH documents are near-duplicates of the
     existing CORPUS — the continuous-ingest shape (dedup each increment
@@ -283,16 +357,28 @@ def minhash_dedup_against(
         "batch_id", "band_idx", "band_hash")
     bc = _banded_table(hc, k, bands, rows).toDF(
         "corpus_id", "band_idx", "band_hash")
+    hot = None if max_bucket is None else _corpus_hot_buckets(bc, max_bucket)
     return _match_batch_to_corpus(
         hb, bb, hc.withColumnRenamed("doc_id", "corpus_id"), bc,
-        threshold, broadcast_batch)
+        threshold, broadcast_batch, corpus_hot=hot)
+
+
+def _corpus_hot_buckets(bc: DataFrame, max_bucket: int) -> DataFrame:
+    """(band_idx, band_hash, rep) for corpus buckets with > max_bucket
+    members; rep = min corpus_id.  Persisted — both the anti-join and the
+    star probe read it."""
+    return track(
+        bc.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("occ"), F.min("corpus_id").alias("rep"))
+        .filter(F.col("occ") > max_bucket)
+        .select("band_idx", "band_hash", "rep").persist())
 
 
 def build_dedup_index(
     corpus: DataFrame, name: str,
     id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, k: int = 32, bands: int = 8, rows: int = 4,
-    n_buckets: int = 8,
+    n_buckets: int = 8, max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> None:
     """Materialize the corpus side of incremental dedup ONCE, as two managed
     bucketed tables (sources/bucketing.py layout):
@@ -310,9 +396,16 @@ def build_dedup_index(
     8 suits local tests).  Banding parameters (n, k, bands, rows) are
     persisted in a one-row ``{name}_meta`` table and validated by
     ``dedup_against_index`` — a probe with mismatched parameters would
-    silently return (near-)empty matches, i.e. quietly admit duplicates."""
+    silently return (near-)empty matches, i.e. quietly admit duplicates.
+
+    ``max_bucket`` guards oversized band buckets at BUILD time: corpus
+    buckets with more members are recorded in a small ``{name}_hot`` table
+    (band_idx, band_hash, rep) that every probe broadcasts, so a
+    boilerplate flood in the corpus can never make a probe quadratic (see
+    ``_match_batch_to_corpus``)."""
     spark = corpus.sparkSession
-    for t in (f"{name}_bands", f"{name}_shingles", f"{name}_meta"):
+    for t in (f"{name}_bands", f"{name}_shingles", f"{name}_meta",
+              f"{name}_hot"):
         # overwrite alone is not enough: a fresh session may find a stale
         # warehouse directory with no catalog entry (LOCATION_ALREADY_EXISTS)
         spark.sql(f"DROP TABLE IF EXISTS `{t}`")
@@ -333,9 +426,13 @@ def build_dedup_index(
                    sort_cols=["band_hash"])
     write_bucketed(hc.withColumnRenamed("doc_id", "corpus_id"),
                    f"{name}_shingles", ["corpus_id"], n_buckets)
+    if max_bucket is not None:
+        (_corpus_hot_buckets(spark.table(f"{name}_bands"), max_bucket)
+         .write.saveAsTable(f"{name}_hot"))
     spark.createDataFrame(
-        [(int(n), int(k), int(bands), int(rows))],
-        "n int, k int, bands int, rows int",
+        [(int(n), int(k), int(bands), int(rows),
+          -1 if max_bucket is None else int(max_bucket))],
+        "n int, k int, bands int, rows int, max_bucket int",
     ).write.saveAsTable(f"{name}_meta")
 
 
@@ -371,10 +468,15 @@ def dedup_against_index(
                 "recorded parameters")
     bc = spark.table(f"{name}_bands")
     hc = spark.table(f"{name}_shingles")
+    # hot-bucket guard table written by build_dedup_index (absent on
+    # pre-cap or max_bucket=None indexes → uncapped probe, old behavior)
+    hot = (spark.table(f"{name}_hot")
+           if spark.catalog.tableExists(f"{name}_hot") else None)
     hb = _hashed_shingles(batch, id_col, text_col, n)
     bb = _banded_table(hb, k, bands, rows).toDF(
         "batch_id", "band_idx", "band_hash")
-    return _match_batch_to_corpus(hb, bb, hc, bc, threshold, broadcast_batch)
+    return _match_batch_to_corpus(hb, bb, hc, bc, threshold, broadcast_batch,
+                                  corpus_hot=hot)
 
 
 def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",

@@ -73,8 +73,10 @@ def pagerank(
     teleport = (1.0 - damping) / n
 
     ranks = nodes.select("node", F.round(F.lit(1.0 / n), 12).alias("rank"))
-    has_out = out_w.select(F.col("src").alias("node"),
-                           F.lit(True).alias("_has_out"))
+    # persisted: without the barrier the dangling-mass join re-aggregates
+    # the raw edges every iteration (trans and nodes already cache)
+    has_out = track(out_w.select(F.col("src").alias("node"),
+                                 F.lit(True).alias("_has_out")).persist())
     for _ in range(iterations):
         contrib = (ranks.join(trans, ranks["node"] == trans["src"])
                    .select("dst",
@@ -111,6 +113,11 @@ def sql_pagerank(edges_rel: str, src: str = "src", dst: str = "dst",
     exposes ``{prefix}_out`` with (node, rank).  ``edges_rel`` is an
     existing relation with the src/dst(/weight) columns."""
     w = f"{weight}::DOUBLE" if weight is not None else "1.0"
+    # (1 - damping) precomputed in PYTHON and embedded via repr: DuckDB
+    # would otherwise evaluate `1.0 - 0.85` in exact DECIMAL (0.15) where
+    # Python/Spark compute the double 0.15000000000000002 — a 1-ulp input
+    # difference that could flip the 12dp round on boundary values
+    one_minus_d = repr(1.0 - damping)
     # Every CTE is AS MATERIALIZED: each r{i+1} references r{i} more than
     # once, and DuckDB's default CTE inlining would otherwise expand the
     # unrolled chain exponentially (observed: 10 iterations never finish;
@@ -133,6 +140,7 @@ def sql_pagerank(edges_rel: str, src: str = "src", dst: str = "dst",
 {prefix}_r0 AS MATERIALIZED (
   SELECT node, round(1.0 / n, 12) AS rank FROM {prefix}_nodes, {prefix}_n
 )"""]
+    last = f"{prefix}_r0"  # iterations=0 → initial ranks (parity with pagerank)
     for i in range(iterations):
         prev, cur = f"{prefix}_r{i}", f"{prefix}_r{i + 1}"
         parts.append(f"""
@@ -148,7 +156,7 @@ def sql_pagerank(edges_rel: str, src: str = "src", dst: str = "dst",
 ),
 {cur} AS MATERIALIZED (
   SELECT nd.node,
-    round((1.0 - {damping}) / n.n
+    round({one_minus_d} / n.n
           + {damping} * (coalesce(c.c_sum, 0::DECIMAL(32,14))::DOUBLE
                          + d.d_mass::DOUBLE / n.n), 12) AS rank
   FROM {prefix}_nodes nd

@@ -343,7 +343,10 @@ def q_dedup_minhash(spark, sf_dir):
     return minhash_dedup_pairs(_aug_docs(spark, sf_dir), threshold=0.5)
 
 
-def _sql_dedup_minhash() -> str:
+def _sql_dedup_minhash(max_bucket: int = 1000) -> str:
+    """Mirrors minhash_dedup_pairs INCLUDING the band-bucket occupancy cap:
+    buckets with > max_bucket members contribute star edges (bucket-min,
+    member) instead of all pairs (pipeline/dedup.py _candidates)."""
     hs = DSQL.hashed_shingles("text")
     sig_items = ",\n    ".join(DSQL.minhash_sig_items("hs", 32))
     return f"""
@@ -354,10 +357,22 @@ bands AS (
   SELECT doc_id, b.band_idx,
          md5(array_to_string(list_slice(sig, b.band_idx*4+1, b.band_idx*4+4), ',')) AS band_hash
   FROM sigs, (SELECT unnest(generate_series(0, 7)) AS band_idx) b),
+hot AS (
+  SELECT band_idx, band_hash, MIN(doc_id) AS rep
+  FROM bands GROUP BY band_idx, band_hash
+  HAVING COUNT(*) > {max_bucket}),
+normal AS (
+  SELECT b.* FROM bands b ANTI JOIN hot h
+    ON b.band_idx = h.band_idx AND b.band_hash = h.band_hash),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+  FROM normal a JOIN normal b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  UNION
+  SELECT DISTINCT h.rep AS doc_a, b.doc_id AS doc_b
+  FROM bands b JOIN hot h
+    ON b.band_idx = h.band_idx AND b.band_hash = h.band_hash
+  WHERE b.doc_id <> h.rep),
 j AS (
   SELECT p.doc_a, p.doc_b,
     round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
@@ -381,7 +396,11 @@ def q_dedup_incremental(spark, sf_dir):
     return minhash_dedup_against(batch, d, threshold=0.5)
 
 
-def _sql_dedup_incremental() -> str:
+def _sql_dedup_incremental(max_bucket: int = 1000) -> str:
+    """Mirrors minhash_dedup_against INCLUDING the corpus hot-bucket guard:
+    batch bands hitting a corpus bucket with > max_bucket members probe
+    only the bucket representative (pipeline/dedup.py
+    _match_batch_to_corpus)."""
     hs = DSQL.hashed_shingles("text")
     sig_items = ",\n    ".join(DSQL.minhash_sig_items("hs", 32))
     return f"""
@@ -400,10 +419,20 @@ bandsc AS (
   SELECT doc_id, b.band_idx,
          md5(array_to_string(list_slice(sig, b.band_idx*4+1, b.band_idx*4+4), ',')) AS band_hash
   FROM sigc, (SELECT unnest(generate_series(0, 7)) AS band_idx) b),
+hotc AS (
+  SELECT band_idx, band_hash, MIN(doc_id) AS rep
+  FROM bandsc GROUP BY band_idx, band_hash
+  HAVING COUNT(*) > {max_bucket}),
 cand AS (
   SELECT DISTINCT a.doc_id AS batch_id, c.doc_id AS corpus_id
-  FROM bandsb a JOIN bandsc c
-    ON a.band_idx = c.band_idx AND a.band_hash = c.band_hash),
+  FROM (SELECT b.* FROM bandsb b ANTI JOIN hotc h
+          ON b.band_idx = h.band_idx AND b.band_hash = h.band_hash) a
+  JOIN bandsc c
+    ON a.band_idx = c.band_idx AND a.band_hash = c.band_hash
+  UNION
+  SELECT DISTINCT b.doc_id AS batch_id, h.rep AS corpus_id
+  FROM bandsb b JOIN hotc h
+    ON b.band_idx = h.band_idx AND b.band_hash = h.band_hash),
 j AS (
   SELECT p.batch_id, p.corpus_id,
     round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /

@@ -270,17 +270,33 @@ def bloom_decontaminate(
     at the classic Bloom rate — callers route flagged docs into the exact
     ``decontaminate`` join, giving the screen-then-verify plan whose first
     pass broadcasts O(bits) instead of O(|benchmark grams|).
+
+    Plan: the k-position explode runs over the DISTINCT gram-hash
+    vocabulary (|vocab| rows), not the per-(doc, gram) stream — the
+    screening work is corpus-vocabulary-sized instead of corpus-sized
+    (a k_hashes× explode of every doc-gram occurrence was the
+    second-heaviest gate in the r7 bench).  Surviving "hit grams" then
+    semi-join back to the per-doc stream on the fine-grained 60-bit key.
+
+    Sizing: ``bits=4096`` is a TOY default for oracle-checkable tests.  A
+    real benchmark with n distinct grams needs ``bits ≈ 10·n`` (k=4 →
+    ~1.2% false positives at that load); an undersized filter saturates
+    and flags every document, silently degrading the screen to a no-op.
     """
+    from ..cache import track
     bloom = bloom_bit_positions(benchmark, text_col, n, bits, k_hashes)
-    grams = _gram_hashes(corpus, id_col, text_col, n)
-    gpos = grams.select(
-        F.col(id_col), F.col("g"),
+    grams = track(_gram_hashes(corpus, id_col, text_col, n).persist())
+    vocab = grams.select("g").distinct()
+    vpos = vocab.select(
+        F.col("g"),
         F.explode(F.array(*[(_mix(F.col("g"), i) % bits).cast("int")
                             for i in range(k_hashes)])).alias("pos"))
-    hits_per_gram = (gpos.join(F.broadcast(bloom), "pos")
-                     .groupBy(id_col, "g")
-                     .agg(F.count(F.lit(1)).alias("nset"))
-                     .filter(F.col("nset") >= k_hashes)
+    hit_grams = (vpos.join(F.broadcast(bloom), "pos")
+                 .groupBy("g")
+                 .agg(F.count(F.lit(1)).alias("nset"))
+                 .filter(F.col("nset") >= k_hashes)
+                 .select("g"))
+    hits_per_gram = (grams.join(hit_grams, "g")
                      .groupBy(id_col)
                      .agg(F.count(F.lit(1)).alias("n_hits")))
     n_grams = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
@@ -314,14 +330,17 @@ bl_bits AS (
 bl_grams AS (
   SELECT {id_col}, unnest({hs}) AS g FROM {corpus_cte}
 ),
-bl_gpos AS (
-  SELECT {id_col}, g, unnest([{mixes}]) AS pos FROM bl_grams
+bl_vpos AS (
+  SELECT g, unnest([{mixes}]) AS pos
+  FROM (SELECT DISTINCT g FROM bl_grams)
+),
+bl_hitg AS (
+  SELECT g FROM bl_vpos JOIN bl_bits USING (pos)
+  GROUP BY g HAVING COUNT(*) >= {k_hashes}
 ),
 bl_hits AS (
-  SELECT {id_col}, COUNT(*) AS n_hits FROM (
-    SELECT {id_col}, g, COUNT(*) AS nset
-    FROM bl_gpos JOIN bl_bits USING (pos)
-    GROUP BY {id_col}, g HAVING COUNT(*) >= {k_hashes})
+  SELECT {id_col}, COUNT(*) AS n_hits
+  FROM bl_grams JOIN bl_hitg USING (g)
   GROUP BY {id_col}
 ),
 bl_ngrams AS (
@@ -355,27 +374,37 @@ def ngram_novelty_score(
     threshold on it where near-dup removal is too blunt (a doc can be 40%
     boilerplate yet not be anyone's near-duplicate).
 
-    Plan: distinct (doc, gram-hash) explode → gram document-frequency
-    groupBy (fine-grained 60-bit key, map-side partials) → join back on the
-    gram hash → per-doc count/sum.  Same inverted-index shape and shuffle
-    profile as ``dedup.ngram_jaccard_pairs`` minus the pair join, so it
-    rides the same 100 TB argument.  Exact integer arithmetic until the
-    final 6dp division — fully oracle-checkable.
+    Plan: distinct (doc, gram-hash) explode (persisted — the fan-out point
+    both aggregates read) → ``n_grams`` as a PLAIN per-doc groupBy (no join
+    needed) → gram document-frequency groupBy (fine-grained 60-bit key,
+    map-side partials) → only the ``df_count > 1`` SUBSET joins back to the
+    gram stream to count shared grams.  In a real corpus most distinct
+    grams are unique, so the join input is a fraction of the stream — vs
+    the naive "join the full df table onto every gram" plan this roughly
+    halves the shuffled volume (it was the heaviest gate in the r7 bench).
+    Same inverted-index shape and shuffle profile as
+    ``dedup.ngram_jaccard_pairs`` minus the pair join, so it rides the
+    same 100 TB argument.  Exact integer arithmetic until the final 6dp
+    division — fully oracle-checkable.
     """
-    grams = (df.select(F.col(id_col),
-                       F.explode(shingles(F.col(text_col), n)).alias("s"))
-             .select(id_col, md5_int60(F.col("s")).alias("h")))
-    gdf = grams.groupBy("h").agg(F.count(F.lit(1)).alias("df_count"))
-    per_doc = (grams.join(gdf, "h")
-               .groupBy(id_col)
-               .agg(F.count(F.lit(1)).alias("n_grams"),
-                    F.sum(F.when(F.col("df_count") > 1, 1).otherwise(0))
-                    .alias("shared_grams")))
-    return per_doc.select(
-        id_col, "n_grams", F.col("shared_grams").cast("long")
-        .alias("shared_grams"),
-        F.round(1.0 - F.col("shared_grams") / F.col("n_grams"), 6)
-        .alias("novelty"))
+    from ..cache import track
+    grams = track(
+        df.select(F.col(id_col),
+                  F.explode(shingles(F.col(text_col), n)).alias("s"))
+        .select(id_col, md5_int60(F.col("s")).alias("h")).persist())
+    n_grams = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    shared_h = (grams.groupBy("h").agg(F.count(F.lit(1)).alias("df_count"))
+                .filter(F.col("df_count") > 1).select("h"))
+    shared = (grams.join(shared_h, "h")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("shared_grams")))
+    return (n_grams.join(shared, id_col, "left")
+            .select(
+                id_col, "n_grams",
+                F.coalesce(F.col("shared_grams"), F.lit(0)).cast("long")
+                .alias("shared_grams"),
+                F.round(1.0 - F.coalesce(F.col("shared_grams"), F.lit(0))
+                        / F.col("n_grams"), 6).alias("novelty")))
 
 
 def sql_ngram_novelty_score(table: str, id_col: str = "doc_id",
@@ -385,14 +414,15 @@ def sql_ngram_novelty_score(table: str, id_col: str = "doc_id",
 WITH nv_grams AS (
   SELECT {id_col}, unnest({hs}) AS h FROM {table}
 ),
-nv_df AS (SELECT h, COUNT(*) AS df_count FROM nv_grams GROUP BY h),
-nv_out AS (
-  SELECT {id_col}, COUNT(*) AS n_grams,
-    SUM(CASE WHEN df_count > 1 THEN 1 ELSE 0 END)::BIGINT AS shared_grams
-  FROM nv_grams JOIN nv_df USING (h) GROUP BY {id_col}
+nv_n AS (SELECT {id_col}, COUNT(*) AS n_grams FROM nv_grams
+         GROUP BY {id_col}),
+nv_sharedh AS (SELECT h FROM nv_grams GROUP BY h HAVING COUNT(*) > 1),
+nv_shared AS (
+  SELECT {id_col}, COUNT(*) AS shared_grams
+  FROM nv_grams JOIN nv_sharedh USING (h) GROUP BY {id_col}
 )
-SELECT {id_col}, n_grams,
-  shared_grams,
-  round(1.0 - shared_grams / n_grams, 6) AS novelty
-FROM nv_out
+SELECT n.{id_col}, n.n_grams,
+  coalesce(s.shared_grams, 0)::BIGINT AS shared_grams,
+  round(1.0 - coalesce(s.shared_grams, 0) / n.n_grams, 6) AS novelty
+FROM nv_n n LEFT JOIN nv_shared s USING ({id_col})
 """

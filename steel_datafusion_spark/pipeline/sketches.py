@@ -83,6 +83,8 @@ def countmin_table(df: DataFrame, group_cols: list[str], term_col: str,
     choose it over exact term counts at 100 TB."""
     if not 1 <= depth <= len(_CM_CONSTS):
         raise ValueError(f"depth must be in [1, {len(_CM_CONSTS)}]")
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
     h = md5_int60(F.col(term_col))
     pairs = F.array(*[
         F.struct(F.lit(d).alias("d"), _cm_cell(h, d, width).alias("cell"))
@@ -104,6 +106,8 @@ def countmin_estimate(sketch: DataFrame, probes: DataFrame,
     Plan: the probe side fans out to ``depth`` (d, cell) keys and joins the
     sketch on (group, d, cell) — broadcast-sized when probes are a term
     list; the sketch itself never moves to the driver."""
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
     cells = probes.select(
         *group_cols, F.col(term_col).alias("term"),
         F.explode(F.array(*[
