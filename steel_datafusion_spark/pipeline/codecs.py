@@ -20,6 +20,9 @@ Supported without Pillow:
 - **JPEG**: baseline/extended sequential Huffman (SOF0/SOF1), grayscale
   and YCbCr, sampling up to 2x2 (4:4:4/4:2:2/4:2:0), restart markers —
   pipeline/jpeg.py; progressive JPEGs need Pillow.
+- **WAV**: RIFF/WAVE integer PCM (8/16/24/32-bit) and IEEE float32/64,
+  any channel count — real audio decode (duration, channels, sample
+  rate, per-channel interleaved samples) with no third-party library.
 """
 
 from __future__ import annotations
@@ -31,7 +34,8 @@ from typing import NamedTuple
 from .jpeg import JPEG_MAGIC, decode_jpeg, encode_jpeg
 
 __all__ = ["DecodedImage", "decode_image_bytes", "sniff_format",
-           "encode_png", "encode_bmp", "encode_ppm", "encode_jpeg"]
+           "encode_png", "encode_bmp", "encode_ppm", "encode_jpeg",
+           "DecodedAudio", "decode_wav", "encode_wav"]
 
 
 class DecodedImage(NamedTuple):
@@ -57,6 +61,8 @@ def sniff_format(payload: bytes) -> str | None:
     if payload[:2] in (b"P6", b"P5", b"P3", b"P2") and \
             (len(payload) > 2 and payload[2:3].isspace()):
         return "ppm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
     return None
 
 
@@ -309,3 +315,119 @@ def encode_ppm(img: DecodedImage) -> bytes:
         mode = "L" if mode == "LA" else "RGB"
     magic = b"P6" if mode == "RGB" else b"P5"
     return magic + b"\n%d %d\n255\n" % (img.width, img.height) + px
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF/WAVE PCM)
+# ---------------------------------------------------------------------------
+
+class DecodedAudio(NamedTuple):
+    n_channels: int
+    sample_rate: int
+    bits: int              # bits per sample as stored
+    n_frames: int          # samples per channel
+    samples: list[float]   # interleaved, normalized to [-1, 1]
+
+    @property
+    def duration_ms(self) -> int:
+        return (self.n_frames * 1000) // self.sample_rate
+
+    def rms(self) -> float:
+        """Root-mean-square of the normalized interleaved samples."""
+        if not self.samples:
+            return 0.0
+        return (sum(s * s for s in self.samples) / len(self.samples)) ** 0.5
+
+
+_WAVE_FORMAT_PCM = 1
+_WAVE_FORMAT_IEEE_FLOAT = 3
+_WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+def decode_wav(payload: bytes) -> DecodedAudio:
+    """Real RIFF/WAVE decode: walks the chunk list (fmt / data, skipping
+    LIST/fact/cue), supports integer PCM at 8 (unsigned), 16, 24, 32 bits
+    and IEEE float32/64, any channel count; WAVE_FORMAT_EXTENSIBLE resolves
+    through its SubFormat tag.  Samples normalize to [-1, 1] doubles.
+    Raises ``ValueError`` on malformed or compressed (ADPCM/µ-law) files."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size, = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt[0] == _WAVE_FORMAT_EXTENSIBLE:
+                if size < 40:
+                    raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt")
+                sub, = struct.unpack_from("<H", body, 24)  # SubFormat GUID head
+                fmt = (sub,) + fmt[1:]
+        elif cid == b"data":
+            if len(body) < size:
+                raise ValueError("truncated data chunk")
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, n_ch, rate, _brate, _align, bits = fmt
+    if n_ch < 1 or rate < 1:
+        raise ValueError(f"bad WAV fmt (channels={n_ch}, rate={rate})")
+    if tag == _WAVE_FORMAT_PCM:
+        if bits == 8:       # unsigned
+            vals = [(b - 128) / 128.0 for b in data]
+        elif bits == 16:
+            vals = [v / 32768.0 for v, in struct.iter_unpack("<h", data)]
+        elif bits == 24:
+            vals = []
+            for i in range(0, len(data) - 2, 3):
+                v = int.from_bytes(data[i:i + 3], "little", signed=True)
+                vals.append(v / 8388608.0)
+        elif bits == 32:
+            vals = [v / 2147483648.0
+                    for v, in struct.iter_unpack("<i", data)]
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif tag == _WAVE_FORMAT_IEEE_FLOAT:
+        if bits == 32:
+            vals = [v for v, in struct.iter_unpack("<f", data)]
+        elif bits == 64:
+            vals = [v for v, in struct.iter_unpack("<d", data)]
+        else:
+            raise ValueError(f"unsupported float bit depth {bits}")
+    else:
+        raise ValueError(f"unsupported WAV format tag {tag} "
+                         "(only PCM and IEEE float)")
+    n_frames = len(vals) // n_ch
+    return DecodedAudio(n_ch, rate, bits, n_frames, vals)
+
+
+def encode_wav(samples: list[float], sample_rate: int = 16000,
+               n_channels: int = 1, bits: int = 16) -> bytes:
+    """Minimal valid RIFF/WAVE writer (integer PCM 8/16/24/32) from
+    normalized [-1, 1] interleaved samples — the fixture generator for
+    codec round-trip tests."""
+    if bits == 8:
+        body = bytes(max(0, min(255, int(round(s * 128)) + 128))
+                     for s in samples)
+    elif bits in (16, 24, 32):
+        full = 1 << (bits - 1)
+        nbytes = bits // 8
+        out = bytearray()
+        for s in samples:
+            v = max(-full, min(full - 1, int(round(s * full))))
+            out += v.to_bytes(nbytes, "little", signed=True)
+        body = bytes(out)
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    align = n_channels * bits // 8
+    fmt = struct.pack("<HHIIHH", _WAVE_FORMAT_PCM, n_channels, sample_rate,
+                      sample_rate * align, align, bits)
+    chunks = (b"WAVE"
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(body)) + body
+              + (b"\x00" if len(body) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks

@@ -1005,7 +1005,11 @@ def source_overlap_matrix(
     (``corpus_overlap``'s signature side) and compare signatures instead.
 
     Returns (group_a, group_b, n_a, n_b, n_common, jaccard 6dp),
-    group_a < group_b.  Exact arithmetic end-to-end — fully oracle-checkable.
+    group_a < group_b.  SPARSE: pairs sharing zero shingles produce NO row
+    (the self-join is inner on the shingle hash) — callers rendering a
+    dense matrix should cross-join the group list and left-join this
+    result with coalesce(n_common, 0).  Exact arithmetic end-to-end —
+    fully oracle-checkable.
     """
     gs = track(
         df.select(F.col(group_col).alias("g"),

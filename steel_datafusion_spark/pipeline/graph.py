@@ -36,7 +36,41 @@ from pyspark.sql import functions as F
 
 from ..cache import iteration_barrier, track
 
-__all__ = ["pagerank", "sql_pagerank"]
+__all__ = ["pagerank", "pagerank_bucketed", "sql_pagerank"]
+
+
+def _pr_iteration(ranks: DataFrame, trans: DataFrame, nodes: DataFrame,
+                  has_out: DataFrame, teleport: float, damping: float,
+                  n: int) -> DataFrame:
+    """One power step — shared by ``pagerank`` (cached frames) and
+    ``pagerank_bucketed`` (bucketed tables): join ranks onto transitions by
+    source, aggregate contributions by destination, add teleport + dangling
+    mass (1-row broadcast).  Arithmetic is the rounded-before-aggregate
+    convention, identical in both callers and the SQL oracle."""
+    contrib = (ranks.join(trans, ranks["node"] == trans["src"])
+               .select("dst",
+                       F.round(F.col("rank") * F.col("p"), 14)
+                       .cast("decimal(32,14)").alias("c"))
+               .groupBy("dst")
+               .agg(F.sum("c").alias("c_sum")))
+    dangling = (ranks.join(has_out, "node", "left")
+                .filter(F.col("_has_out").isNull())
+                .agg(F.coalesce(
+                    F.sum(F.round(F.col("rank"), 14)
+                          .cast("decimal(32,14)")),
+                    F.lit(0).cast("decimal(32,14)")).alias("d_mass")))
+    return (nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c_sum"),
+                                  F.lit(0).cast("decimal(32,14)"))
+                       .cast("double")
+                       + F.col("d_mass").cast("double") / F.lit(n)),
+                    12).alias("rank")))
 
 
 def pagerank(
@@ -78,31 +112,74 @@ def pagerank(
     has_out = track(out_w.select(F.col("src").alias("node"),
                                  F.lit(True).alias("_has_out")).persist())
     for _ in range(iterations):
-        contrib = (ranks.join(trans, ranks["node"] == trans["src"])
-                   .select("dst",
-                           F.round(F.col("rank") * F.col("p"), 14)
-                           .cast("decimal(32,14)").alias("c"))
-                   .groupBy("dst")
-                   .agg(F.sum("c").alias("c_sum")))
-        dangling = (ranks.join(has_out, "node", "left")
-                    .filter(F.col("_has_out").isNull())
-                    .agg(F.coalesce(
-                        F.sum(F.round(F.col("rank"), 14)
-                              .cast("decimal(32,14)")),
-                        F.lit(0).cast("decimal(32,14)")).alias("d_mass")))
-        ranks = (nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-                 .crossJoin(F.broadcast(dangling))
-                 .select(
-                     "node",
-                     F.round(
-                         F.lit(teleport)
-                         + F.lit(damping)
-                         * (F.coalesce(F.col("c_sum"),
-                                       F.lit(0).cast("decimal(32,14)"))
-                            .cast("double")
-                            + F.col("d_mass").cast("double") / F.lit(n)),
-                         12).alias("rank")))
-        ranks = iteration_barrier(ranks, reliable=reliable)
+        ranks = iteration_barrier(
+            _pr_iteration(ranks, trans, nodes, has_out, teleport, damping, n),
+            reliable=reliable)
+    return ranks
+
+
+def pagerank_bucketed(
+    edges: DataFrame, name: str, src: str = "src", dst: str = "dst",
+    weight: str | None = None, damping: float = 0.85,
+    iterations: int = 10, reliable: bool = False, n_buckets: int = 8,
+) -> DataFrame:
+    """PageRank over PRE-BUCKETED tables: transitions, nodes, and the
+    has-out-edges set are written ONCE as managed tables bucketed (and
+    sorted) on their join keys (``{name}_trans`` by src, ``{name}_nodes``
+    and ``{name}_hasout`` by node — sources/bucketing.py layout), and
+    every iteration joins against the bucketed scans.
+
+    Why: in plain ``pagerank`` each iteration exchanges BOTH the rank
+    frame and (logically) aligns against cached transitions — two
+    node-keyed shuffles per iteration.  With the bucket layout the
+    rank-onto-edges join plans with NO Exchange above the edge-table scan
+    (the |E|-scale side — the one that matters at 100 TB), leaving the
+    contribution aggregate as the only |E|-scale exchange per iteration;
+    tests/test_graph.py asserts the Exchange-free edge side on the real
+    plan with broadcast disabled.  Results are bit-identical to
+    ``pagerank`` (same ``_pr_iteration`` arithmetic, same oracle).
+
+    Cost model: the bucketed write is one extra pass over the edges, paid
+    back after ~2 iterations; use plain ``pagerank`` for one-shot small
+    graphs, this for big graphs or reruns over a stable edge set.  Size
+    ``n_buckets`` to cluster parallelism (thousands at 100 TB)."""
+    from ..sources.bucketing import drop_managed_table, write_bucketed
+
+    spark = edges.sparkSession
+    w = (F.col(weight).cast("double") if weight is not None
+         else F.lit(1.0))
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                      w.alias("w"))
+         .groupBy("src", "dst").agg(F.sum("w").alias("w")))
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    trans = (e.join(out_w, "src")
+             .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p")))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    has_out = out_w.select(F.col("src").alias("node"),
+                           F.lit(True).alias("_has_out"))
+    for t in (f"{name}_trans", f"{name}_nodes", f"{name}_hasout"):
+        drop_managed_table(spark, t)
+    write_bucketed(trans, f"{name}_trans", ["src"], n_buckets,
+                   sort_cols=["src"])
+    write_bucketed(nodes, f"{name}_nodes", ["node"], n_buckets,
+                   sort_cols=["node"])
+    write_bucketed(has_out, f"{name}_hasout", ["node"], n_buckets,
+                   sort_cols=["node"])
+    trans_t = spark.table(f"{name}_trans")
+    nodes_t = spark.table(f"{name}_nodes")
+    has_out_t = spark.table(f"{name}_hasout")
+
+    n = nodes_t.count()
+    if n == 0:
+        return nodes_t.select("node", F.lit(0.0).alias("rank"))
+    teleport = (1.0 - damping) / n
+    ranks = nodes_t.select("node", F.round(F.lit(1.0 / n), 12).alias("rank"))
+    for _ in range(iterations):
+        ranks = iteration_barrier(
+            _pr_iteration(ranks, trans_t, nodes_t, has_out_t,
+                          teleport, damping, n),
+            reliable=reliable)
     return ranks
 
 

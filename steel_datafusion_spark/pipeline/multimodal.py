@@ -9,8 +9,10 @@ BMP / PPM-PGM via the pure-Python codecs in ``pipeline/codecs.py`` and
 everything else when installed); payloads in no recognized container — e.g.
 the deterministic ASCII fixture the oracle gate uses — fall back to
 byte-level stats, so one operator serves real media and DuckDB-checkable
-fakes alike.  Audio/video decode remains metadata-driven (no pure-Python
-codec is practical); the frame/resize plumbing is real and tested.
+fakes alike.  Audio decode is REAL for RIFF/WAVE PCM and IEEE-float via
+``codecs.decode_wav`` (``extract_audio_features`` below); video decode
+remains metadata-driven (no pure-Python codec is practical) with the
+frame/resize plumbing real and tested.
 
 Scale notes: feature extraction is embarrassingly parallel (mapInPandas,
 no shuffle); keep ``spark.sql.execution.arrow.maxRecordsPerBatch`` sized so
@@ -21,6 +23,7 @@ both flow through the same column type.
 
 from __future__ import annotations
 
+from struct import error as struct_error
 from typing import Iterator
 
 import pandas as pd
@@ -30,8 +33,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "FRAME_SCHEMA",
-           "make_media_table", "extract_features", "decode_image",
-           "resize_media", "frame_sample"]
+           "AUDIO_FEATURE_SCHEMA",
+           "make_media_table", "extract_features", "extract_audio_features",
+           "decode_image", "resize_media", "frame_sample"]
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -127,6 +131,59 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     parts = media.sparkSession.sparkContext.defaultParallelism
     return media.repartition(parts).mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("decoded", T.BooleanType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("bits", T.IntegerType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("rms", T.DoubleType()),
+])
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction (mapInPandas) over ``kind='audio'``
+    rows: RIFF/WAVE payloads decode with the pure-Python PCM/float parser
+    (``codecs.decode_wav`` — channels, sample rate, bit depth, frame
+    count, duration, RMS of the normalized samples).  Payloads in no
+    recognized audio container fall back to metadata duration with
+    ``decoded=false`` — same honest-fallback contract as image
+    ``extract_features``.
+
+    Scale: pure map stage (Arrow-batched, no shuffle); decode cost is
+    per-payload CPU on the executors, never the driver."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import decode_wav
+
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "decoded", "n_channels",
+                                    "sample_rate", "bits", "n_frames",
+                                    "duration_ms", "rms")}
+            for mid, kind, p, m in zip(pdf["media_id"], pdf["kind"],
+                                       pdf["payload"], pdf["meta"]):
+                if kind != "audio":
+                    continue
+                try:
+                    a = decode_wav(p)
+                    vals = (True, a.n_channels, a.sample_rate, a.bits,
+                            a.n_frames, a.duration_ms, round(a.rms(), 6))
+                except (ValueError, IndexError, struct_error):
+                    vals = (False, 0, 0, 0, 0, int(m["duration_ms"] or 0), 0.0)
+                rows["media_id"].append(mid)
+                for k, v in zip(("decoded", "n_channels", "sample_rate",
+                                 "bits", "n_frames", "duration_ms", "rms"),
+                                vals):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    parts = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(parts).mapInPandas(
+        _extract, schema=AUDIO_FEATURE_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType([

@@ -1252,6 +1252,61 @@ FROM feats GROUP BY kind
 """
 
 
+def q_audio_features(spark, sf_dir):
+    """REAL WAV decode as a hashed gate: per-document square-wave WAV
+    payloads are synthesized executor-side (pipeline/codecs.py encode_wav)
+    with doc_id-derived parameters, then decoded back through
+    extract_audio_features (codecs.decode_wav — RIFF walk, PCM parse,
+    normalization, RMS).  Because every encode parameter is a closed-form
+    function of doc_id, the DuckDB oracle computes the exact expected
+    decode output (a ±a square wave quantized to 16-bit has RMS
+    round(a*32768)/32768 exactly) — a wrong chunk walk, byte order,
+    normalization, or RMS shows up as a hash mismatch."""
+    import pandas as pd_local
+
+    from .codecs import encode_wav
+    from .multimodal import extract_audio_features
+
+    d = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("doc_id") < 200).select("doc_id")
+
+    def _gen(batches):
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rate = 8000 + (did % 4) * 4000
+                n = 100 + did % 50
+                amp = ((did % 9) + 1) / 10.0
+                samples = [amp if i % 2 == 0 else -amp for i in range(n)]
+                payloads.append(encode_wav(samples, sample_rate=rate,
+                                           n_channels=1, bits=16))
+                metas.append({"width": 0, "height": 0, "duration_ms": 0})
+            yield pd_local.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "kind": ["audio"] * len(pdf),
+                "payload": payloads,
+                "meta": metas,
+            })
+
+    from .multimodal import MEDIA_SCHEMA
+    media = d.mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return extract_audio_features(media).select(
+        "media_id", "decoded", "n_channels", "sample_rate", "bits",
+        "n_frames", "duration_ms", "rms")
+
+
+_SQL_AUDIO_FEATURES = """
+SELECT doc_id AS media_id, TRUE AS decoded, 1 AS n_channels,
+  (8000 + (doc_id % 4) * 4000)::INT AS sample_rate, 16 AS bits,
+  (100 + doc_id % 50)::BIGINT AS n_frames,
+  ((100 + doc_id % 50) * 1000) // (8000 + (doc_id % 4) * 4000)
+    AS duration_ms,
+  round(round(((doc_id % 9) + 1) / 10.0 * 32768) / 32768, 6) AS rms
+FROM documents WHERE doc_id < 200
+"""
+
+
 def q_resize_media_stats(spark, sf_dir):
     """Resize plumbing (pipeline/multimodal.py resize_media) as a hashed
     gate: resize every payload toward 640x480, roll up per kind.  The
@@ -2330,6 +2385,7 @@ PIPELINE_QUERIES = {
     "embedding_neardup_banded": (q_embedding_neardup_banded,
                                  _sql_emb_neardup_banded()),
     "multimodal_features": (q_multimodal_features, _SQL_MULTIMODAL),
+    "audio_features": (q_audio_features, _SQL_AUDIO_FEATURES),
     "winnow_fingerprints": (q_winnow_fingerprints, _SQL_WINNOW),
     "kmeans_clusters": (q_kmeans_clusters, _sql_kmeans()),
     "tfidf_top_terms": (q_tfidf_top_terms, _sql_tfidf()),

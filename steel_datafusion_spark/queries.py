@@ -983,6 +983,39 @@ FROM merged GROUP BY source
 """
 
 
+def q_upsert_partitioned(spark, sf_dir):
+    """Partition-granular upsert (sources/readers.py merge_upsert with
+    partition_by): the table lives Hive-partitioned by ``source`` and only
+    the partitions containing updated keys are rewritten — the scan is
+    pruned to touched partitions and untouched partition files stay
+    byte-identical (tests/test_sources_formats.py asserts the bytes; this
+    gate hash-checks the merged VALUES end-to-end through the
+    prune→merge→per-partition-swap cycle).  Same update batch and oracle
+    expectation as upsert_roundtrip, different physical path."""
+    import shutil
+    import tempfile
+
+    d = _t(spark, sf_dir)["documents"].select("doc_id", "source", "n_chars")
+    out = _os.path.join(
+        tempfile.gettempdir(),
+        f"sdf_upsert_part_{_os.path.basename(_os.path.normpath(sf_dir))}")
+    if _os.path.exists(out):
+        shutil.rmtree(out)
+    merge_upsert(spark, out, d, ["doc_id"], partition_by=["source"])  # seed
+    edits = d.filter(F.col("doc_id") < 50).withColumn(
+        "n_chars", F.col("n_chars") + 1000)
+    inserts = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.lit("upserted").alias("source"), F.col("n_chars"))
+    merge_upsert(spark, out, edits.unionByName(inserts), ["doc_id"],
+                 partition_by=["source"])
+    back = read_parquet(spark, out)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.max("doc_id").alias("max_doc_id"))
+
+
 def q_higher_order_funcs(spark, sf_dir):
     """Higher-order array functions (transform / filter / exists / forall /
     zip_with) — the lambda surface that keeps nested-type logic JVM-side
@@ -1439,6 +1472,7 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "orc_roundtrip": (q_orc_roundtrip, _SQL_ORC_ROUNDTRIP),
     "higher_order_funcs": (q_higher_order_funcs, _SQL_HIGHER_ORDER),
     "upsert_roundtrip": (q_upsert_roundtrip, _SQL_UPSERT_ROUNDTRIP),
+    "upsert_partitioned": (q_upsert_partitioned, _SQL_UPSERT_ROUNDTRIP),
     "rolling_time_features": (q_rolling_time_features, _SQL_ROLLING_TIME),
     "zscore_normalize": (q_zscore_normalize, _SQL_ZSCORE),
 }

@@ -17,7 +17,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_bucketed", "read_table"]
+__all__ = ["write_bucketed", "read_table", "drop_managed_table"]
+
+
+def drop_managed_table(spark: SparkSession, table_name: str) -> None:
+    """DROP TABLE + best-effort warehouse-dir cleanup: a fresh session can
+    find a stale warehouse directory with no catalog entry
+    (LOCATION_ALREADY_EXISTS), so the directory is removed too."""
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+    try:
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), table_name.lower())
+        fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if fs.exists(path):
+            fs.delete(path, True)
+    except Exception:
+        pass  # best-effort; saveAsTable raises a clear error if stuck
 
 
 def write_bucketed(

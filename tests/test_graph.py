@@ -61,3 +61,57 @@ def test_pagerank_weights_shift_mass(spark):
                              iterations=20).collect()}
     assert got["b"] > got["c"]
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_bucketed_matches_plain(spark):
+    from steel_datafusion_spark.pipeline.graph import (
+        pagerank, pagerank_bucketed,
+    )
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 2.0), (3, 1, 1.0), (4, 1, 1.0), (2, 1, 0.5),
+         (5, 5, 1.0), (6, 2, 3.0)],
+        "src long, dst long, w double")
+    plain = {r.node: r.rank for r in
+             pagerank(edges, weight="w", iterations=4).collect()}
+    buck = {r.node: r.rank for r in
+            pagerank_bucketed(edges, "pr_bt", weight="w",
+                              iterations=4).collect()}
+    assert plain == buck and len(plain) == 6
+
+
+def test_pagerank_bucketed_edge_join_is_shuffle_free(spark):
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.pipeline.graph import pagerank_bucketed
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 50, 1.0) for i in range(200)],
+        "src long, dst long, w double")
+    pagerank_bucketed(edges, "pr_plan", weight="w", iterations=1)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        trans_t = spark.table("pr_plan_trans")
+        nodes_t = spark.table("pr_plan_nodes")
+        # one rank-onto-edges iteration join exactly as _pr_iteration
+        # builds it, from the bucketed scans
+        ranks = nodes_t.select("node", F.lit(0.01).alias("rank"))
+        contrib = (ranks.join(trans_t, ranks["node"] == trans_t["src"])
+                   .select("dst", (F.col("rank") * F.col("p")).alias("c"))
+                   .groupBy("dst").agg(F.sum("c").alias("c_sum")))
+        plan = contrib._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, f"expected SMJ in:\n{plan[:2000]}"
+        # the |E|-scale side (bucketed trans scan) and the rank side
+        # (bucketed nodes scan) must both reach the join with NO Exchange;
+        # the only Exchange is the contribution aggregate on dst
+        assert "Exchange hashpartitioning(src" not in plan
+        assert "Exchange hashpartitioning(node" not in plan
+        assert plan.count("Exchange") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is not None:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)

@@ -115,3 +115,74 @@ def test_merge_upsert_recovers_from_crashed_swap(spark, tmp_path_factory):
     got = {r.k: (r.s, r.v) for r in read_parquet(spark, out).collect()}
     assert got == {1: ("a", 10), 2: ("b2", 99)}
     assert not os.path.exists(out + ".old")
+
+
+def _part_files(root, rel):
+    import hashlib
+    import os
+
+    d = os.path.join(root, rel)
+    out = {}
+    for dirpath, _, files in os.walk(d):
+        for f in sorted(files):
+            p = os.path.join(dirpath, f)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, root)] = (
+                    hashlib.sha256(fh.read()).hexdigest(),
+                    os.stat(p).st_mtime_ns)
+    return out
+
+
+def test_merge_upsert_partitioned_touches_only_updated_partitions(
+        spark, tmp_path_factory):
+    from steel_datafusion_spark.sources.readers import (
+        merge_upsert, read_parquet,
+    )
+    out = str(tmp_path_factory.mktemp("upsert_part")) + "/tbl"
+    base = spark.createDataFrame(
+        [(1, "a", 10, "p1"), (2, "b", 20, "p1"),
+         (3, "c", 30, "p2"), (4, "d", 40, "p3")],
+        "k long, s string, v long, p string")
+    merge_upsert(spark, out, base, ["k"], partition_by=["p"])
+    before_p2 = _part_files(out, "p=p2")
+    before_p3 = _part_files(out, "p=p3")
+    assert before_p2 and before_p3
+
+    upd = spark.createDataFrame(
+        [(2, "b2", 99, "p1"), (5, "e", 50, "p4")],
+        "k long, s string, v long, p string")
+    merge_upsert(spark, out, upd, ["k"], partition_by=["p"])
+
+    # untouched partitions byte-identical (content hash AND mtime)
+    assert _part_files(out, "p=p2") == before_p2
+    assert _part_files(out, "p=p3") == before_p3
+    got = {r.k: (r.s, r.v, r.p) for r in read_parquet(spark, out).collect()}
+    assert got == {1: ("a", 10, "p1"), 2: ("b2", 99, "p1"),
+                   3: ("c", 30, "p2"), 4: ("d", 40, "p3"),
+                   5: ("e", 50, "p4")}
+    # idempotent re-apply
+    merge_upsert(spark, out, upd, ["k"], partition_by=["p"])
+    again = {r.k: (r.s, r.v, r.p) for r in read_parquet(spark, out).collect()}
+    assert again == got
+
+
+def test_merge_upsert_partitioned_heals_crashed_partition_swap(
+        spark, tmp_path_factory):
+    import os
+
+    from steel_datafusion_spark.sources.readers import (
+        merge_upsert, read_parquet,
+    )
+    out = str(tmp_path_factory.mktemp("upsert_part_crash")) + "/tbl"
+    base = spark.createDataFrame(
+        [(1, "a", 10, "p1"), (3, "c", 30, "p2")],
+        "k long, s string, v long, p string")
+    merge_upsert(spark, out, base, ["k"], partition_by=["p"])
+    # crash between the per-partition renames: p=p1 gone, backup present
+    os.rename(os.path.join(out, "p=p1"), os.path.join(out, "p=p1.old"))
+    upd = spark.createDataFrame([(1, "a2", 11, "p1")],
+                                "k long, s string, v long, p string")
+    merge_upsert(spark, out, upd, ["k"], partition_by=["p"])
+    got = {r.k: (r.s, r.v, r.p) for r in read_parquet(spark, out).collect()}
+    assert got == {1: ("a2", 11, "p1"), 3: ("c", 30, "p2")}
+    assert not os.path.exists(os.path.join(out, "p=p1.old"))
