@@ -39,7 +39,7 @@ __all__ = [
     "build_dedup_index", "dedup_against_index",
     "exact_dedup", "simhash_from_hashes", "simhash_pairs",
     "ngram_jaccard_pairs", "winnow_fingerprints", "connected_components",
-    "corpus_overlap", "source_overlap_matrix",
+    "corpus_overlap", "source_overlap_matrix", "source_overlap_sketch",
     "keep_representatives", "dedup_corpus",
     "PERM_CONSTS", "MERSENNE61", "SQL", "DEFAULT_MAX_BUCKET",
 ]
@@ -1032,3 +1032,53 @@ def source_overlap_matrix(
                     F.round(F.col("n_common")
                             / (F.col("n_a") + F.col("n_b")
                                - F.col("n_common")), 6).alias("jaccard")))
+
+
+def source_overlap_sketch(
+    df: DataFrame, group_col: str = "source", id_col: str = "doc_id",
+    text_col: str = "text", n: int = 3, k: int = 64,
+) -> DataFrame:
+    """The SCALE path ``source_overlap_matrix``'s docstring promises for
+    group counts in the thousands: per-group K-slot MinHash corpus
+    sketches (the ``corpus_overlap`` signature side, generalized to any
+    number of groups) compared pairwise — the shingle-keyed self-join
+    never forms.
+
+    Plan: distinct (group, shingle-hash) pairs → ONE aggregation per the
+    whole frame producing each group's set size and K sketch minima
+    (map-side partial mins — K longs per group per partition, mergeable at
+    any fan-in) → pairwise slot-match join over the |groups|-row signature
+    table (broadcast; |groups|²·K work is group-level, independent of
+    corpus size).  Slot-match fraction estimates Jaccard with
+    std ≈ sqrt(J(1-J)/K).
+
+    Same double affine mix as ``corpus_overlap`` (slots i and i+k), so the
+    estimate is bit-reproducible in the DuckDB oracle — hash-checked, not
+    bound-checked.  Returns (group_a, group_b, n_a, n_b, est_jaccard 6dp),
+    group_a < group_b, ALL pairs present (zero-overlap pairs estimate 0 —
+    unlike the sparse exact matrix)."""
+    if not 1 <= k <= len(PERM_CONSTS) // 2:
+        raise ValueError(
+            f"k must be in [1, {len(PERM_CONSTS) // 2}] (double mix draws "
+            f"constants at slots i and i+k), got k={k}")
+    gs = track(
+        df.select(F.col(group_col).alias("g"),
+                  F.explode(shingles(F.col(text_col), n)).alias("s"))
+        .select("g", md5_int60(F.col("s")).alias("h"))
+        .distinct().persist())
+    sig = (gs.groupBy("g")
+           .agg(F.count(F.lit(1)).alias("n_set"),
+                *[F.min(_mix(_mix(F.col("h"), i), i + k)).alias(f"m{i}")
+                  for i in range(k)])
+           .select("g", "n_set",
+                   F.array(*[F.col(f"m{i}") for i in range(k)])
+                   .alias("sig")))
+    a = sig.toDF("group_a", "n_a", "sig_a")
+    b = sig.toDF("group_b", "n_b", "sig_b")
+    matches = F.size(F.filter(
+        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+        lambda t: t))
+    return (a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+            .select("group_a", "group_b", "n_a", "n_b",
+                    F.round(matches / F.lit(float(k)), 6)
+                    .alias("est_jaccard")))

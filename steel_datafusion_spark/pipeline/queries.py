@@ -2052,6 +2052,25 @@ def _sql_unigram_logprob() -> str:
     return sql_unigram_logprob_score("documents")
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Bigram-LM quality scoring (pipeline/scoring.py): one conditioning
+    step deeper than unigram_logprob — word-salad with plausible words but
+    implausible sequences lands in the tail.  The bigram stream is built
+    map-side (token array zipped with its own tail, no positional join);
+    prefix counts derive from the bigram table itself, so the model is one
+    fine-grained aggregation."""
+    from .scoring import bigram_logprob_score
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    return bigram_logprob_score(d)
+
+
+def _sql_bigram_logprob() -> str:
+    from .scoring import sql_bigram_logprob_score
+
+    return sql_bigram_logprob_score("documents")
+
+
 _BM25_QUERY = ["spark", "window", "join", "stream"]
 
 
@@ -2309,6 +2328,47 @@ JOIN som_sizes sb ON sb.g = group_b
 """
 
 
+def q_source_overlap_sketch(spark, sf_dir):
+    """Sketch-mode source overlap (pipeline/dedup.py source_overlap_sketch
+    — the documented scale fallback for thousands of groups): per-group
+    K=64-slot MinHash corpus signatures from ONE mergeable aggregation,
+    compared pairwise at group level.  Same mirrored-source fixture as the
+    exact matrix so known overlap is planted; the estimate itself is
+    hash-checked (same double affine mix as corpus_overlap)."""
+    from .dedup import source_overlap_sketch
+
+    d = load_tables(spark, sf_dir)["documents"]
+    mirr = d.filter(F.col("doc_id") % 9 == 2).select(
+        F.concat(F.lit("mirror:"), F.col("source")).alias("source"), "text")
+    corpus = d.select("source", "text").unionByName(mirr)
+    return source_overlap_sketch(corpus, "source", text_col="text", k=64)
+
+
+def _sql_source_overlap_sketch(k: int = 64) -> str:
+    hs = DSQL.hashed_shingles("text", 3)
+    mins = ", ".join(
+        f"min({DSQL.mix(DSQL.mix('h', i), i + k)}) AS m{i}"
+        for i in range(k))
+    eq = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(k))
+    return f"""
+WITH sos_corpus AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT 'mirror:' || source, text FROM documents WHERE doc_id % 9 = 2
+),
+sos_gs AS (
+  SELECT DISTINCT source AS g, unnest({hs}) AS h FROM sos_corpus
+),
+sos_sig AS (
+  SELECT g, COUNT(*) AS n_set, {mins} FROM sos_gs GROUP BY g
+)
+SELECT sa.g AS group_a, sb.g AS group_b, sa.n_set AS n_a, sb.n_set AS n_b,
+  round(({eq}) / {float(k)}, 6) AS est_jaccard
+FROM sos_sig sa JOIN sos_sig sb ON sa.g < sb.g
+"""
+
+
 def q_pagerank_event_graph(spark, sf_dir):
     """Weighted PageRank (pipeline/graph.py) over the event-type transition
     graph (the same lead()-window edges as `event_transitions`): 10 power
@@ -2345,6 +2405,157 @@ pr_edges AS (
   GROUP BY src, dst
 ),{body}
 SELECT node AS event_type, rank FROM pr_out
+"""
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization + registrable-domain extraction
+    (pipeline/urls.py): four deterministic URL spellings per doc_id —
+    messy uppercase host with default port, tracking params and fragment;
+    https with :443; bare host; non-URL passthrough — canonicalized
+    per-row.  The oracle rebuilds the same raw URLs and applies the
+    mirrored SQL expressions, so scheme/host/port/path/query/fragment
+    handling is value-checked string-for-string."""
+    from .urls import canonicalize_url, registrable_domain
+
+    d = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("doc_id") < 400).select("doc_id")
+    k7 = (F.col("doc_id") % 7).cast("string")
+    k10 = (F.col("doc_id") % 10).cast("string")
+    m = F.col("doc_id") % 4
+    url = (F.when(m == 0, F.concat(
+        F.lit("HTTP://WWW.Site"), k7, F.lit(".CO.UK:80/Path"), k10,
+        F.lit("/?utm_source=x&b=2&a=1#frag")))
+        .when(m == 1, F.concat(
+            F.lit("https://Sub.site"), k7, F.lit(".com:443/a/b?z=1&y=2")))
+        .when(m == 2, F.concat(F.lit("http://site"), k7, F.lit(".org")))
+        .otherwise(F.concat(F.lit("Not A Url "), k7)))
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id", "url",
+        canonicalize_url(F.col("url")).alias("canonical_url"),
+        registrable_domain(F.col("url")).alias("domain"))
+
+
+def _sql_url_canonicalize() -> str:
+    from .urls import sql_canonicalize_url, sql_registrable_domain
+
+    return f"""
+WITH u_raw AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'HTTP://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.CO.UK:80/Path' || CAST(doc_id % 10 AS VARCHAR)
+                  || '/?utm_source=x&b=2&a=1#frag'
+      WHEN 1 THEN 'https://Sub.site' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.com:443/a/b?z=1&y=2'
+      WHEN 2 THEN 'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+      ELSE 'Not A Url ' || CAST(doc_id % 7 AS VARCHAR)
+    END AS url
+  FROM documents WHERE doc_id < 400
+)
+SELECT doc_id, url,
+  {sql_canonicalize_url('url')} AS canonical_url,
+  {sql_registrable_domain('url')} AS domain
+FROM u_raw
+"""
+
+
+_LD_B1 = "this site uses cookies accept our terms to continue"
+_LD_B2 = "all rights reserved contact the webmaster for details"
+
+
+def q_line_dedup(spark, sf_dir):
+    """Cross-document line dedup (pipeline/lines.py — the C4/RefinedWeb
+    boilerplate-stripping step): documents are reshaped into '#'-joined
+    lines (leading planted cookie-banner line on every 3rd doc, first-8
+    -tokens line, remainder line, trailing rights-reserved line on every
+    5th doc) and line_dedup(max_df=1) must drop exactly the recurring
+    lines — the planted boilerplate plus any organically colliding
+    prefix — while reassembling the survivors in original order.  The
+    hash covers the rebuilt text, so ordering and trim/empty semantics
+    are value-checked end-to-end."""
+    from .lines import line_dedup
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    first = F.array_join(F.slice(toks, 1, 8), " ")
+    rest = F.array_join(
+        F.slice(toks, 9, 1_000_000), " ")
+    lined = d.select(
+        "doc_id",
+        F.concat_ws(
+            "#",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_LD_B1)),
+            first,
+            rest,
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_LD_B2)),
+        ).alias("text"))
+    return line_dedup(lined, delim="#", max_df=1)
+
+
+def _sql_line_dedup() -> str:
+    from .lines import sql_line_dedup
+
+    body = sql_line_dedup("ld_docs", delim="#", max_df=1)
+    # splice the fixture CTE ahead of the operator's own WITH chain
+    return body.replace(
+        "WITH ld_split AS (",
+        f"""WITH ld_docs AS (
+  SELECT doc_id,
+    concat_ws('#',
+      CASE WHEN doc_id % 3 = 0 THEN '{_LD_B1}' END,
+      array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '),
+      array_to_string(list_slice(string_split(text, ' '), 9, 1000000), ' '),
+      CASE WHEN doc_id % 5 = 0 THEN '{_LD_B2}' END) AS text
+  FROM documents
+),
+ld_split AS (""", 1)
+
+
+def q_pagerank_bucketed_bipartite(spark, sf_dir):
+    """PageRank through the BUCKETED path (pipeline/graph.py
+    pagerank_bucketed): transitions/nodes/has-out persisted as
+    bucket-sorted managed tables so the rank-onto-edges join plans with no
+    Exchange above the edge scan (plan-asserted in tests/test_graph.py;
+    this gate hash-checks the VALUES).  Graph: bipartite user↔event-type
+    (rank flows both ways), a few thousand nodes at sf0.01 — large enough
+    that the bucketed layout is exercised across many buckets, small
+    enough that the oracle's 6-iteration materialized-CTE unroll stays
+    cheap.  Identical arithmetic to plain pagerank (shared
+    _pr_iteration), so the same sql_pagerank oracle applies."""
+    from .graph import pagerank_bucketed
+
+    ev = load_tables(spark, sf_dir)["events"]
+    pairs = (ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("u"),
+        F.col("event_type").alias("t"))
+        .groupBy("u", "t").agg(F.count(F.lit(1)).alias("n")))
+    edges = (pairs.select(F.col("u").alias("src"), F.col("t").alias("dst"),
+                          "n")
+             .unionByName(pairs.select(F.col("t").alias("src"),
+                                       F.col("u").alias("dst"), "n")))
+    return pagerank_bucketed(edges, "gate_pr_buck", weight="n",
+                             damping=0.85, iterations=6)
+
+
+def _sql_pagerank_bucketed_bipartite() -> str:
+    from .graph import sql_pagerank
+
+    body = sql_pagerank("prb_edges", weight="n", damping=0.85,
+                        iterations=6, prefix="prb")
+    return f"""
+WITH prb_pairs AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS u, event_type AS t,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+prb_edges AS (
+  SELECT u AS src, t AS dst, n FROM prb_pairs
+  UNION ALL
+  SELECT t AS src, u AS dst, n FROM prb_pairs
+),{body}
+SELECT node, rank FROM prb_out
 """
 
 
@@ -2413,6 +2624,7 @@ PIPELINE_QUERIES = {
     "heavy_hitters": (q_heavy_hitters, _sql_heavy_hitters_gate()),
     "quality_classifier": (q_quality_classifier, _sql_quality_classifier()),
     "unigram_logprob": (q_unigram_logprob, _sql_unigram_logprob()),
+    "bigram_logprob": (q_bigram_logprob, _sql_bigram_logprob()),
     "bm25_rank": (q_bm25_rank, _sql_bm25_rank()),
     "bloom_decontaminate": (q_bloom_decontaminate,
                             _sql_bloom_decontaminate()),
@@ -2423,6 +2635,12 @@ PIPELINE_QUERIES = {
     "ngram_novelty": (q_ngram_novelty, _sql_ngram_novelty()),
     "source_overlap_matrix": (q_source_overlap_matrix,
                               _sql_source_overlap_matrix()),
+    "source_overlap_sketch": (q_source_overlap_sketch,
+                              _sql_source_overlap_sketch()),
     "pagerank_event_graph": (q_pagerank_event_graph,
                              _sql_pagerank_event_graph()),
+    "pagerank_bucketed": (q_pagerank_bucketed_bipartite,
+                          _sql_pagerank_bucketed_bipartite()),
+    "line_dedup": (q_line_dedup, _sql_line_dedup()),
+    "url_canonicalize": (q_url_canonicalize, _sql_url_canonicalize()),
 }

@@ -43,8 +43,9 @@ from .dedup import PERM_CONSTS, SQL, _mix, md5_int60, shingles
 from .text import sql_tokens, tokens
 
 __all__ = [
-    "unigram_logprob_score", "bm25_score", "bloom_bit_positions",
-    "bloom_decontaminate", "sql_unigram_logprob_score", "sql_bm25_score",
+    "unigram_logprob_score", "bigram_logprob_score", "bm25_score",
+    "bloom_bit_positions", "bloom_decontaminate",
+    "sql_unigram_logprob_score", "sql_bigram_logprob_score", "sql_bm25_score",
     "sql_bloom_decontaminate", "ngram_novelty_score", "sql_ngram_novelty_score",
 ]
 
@@ -126,6 +127,109 @@ SELECT d.{id_col},
        ELSE round(s.s::DOUBLE / s.n_tokens, 6) END AS mean_neg_logprob
 FROM (SELECT DISTINCT {id_col} FROM {table}) d
 LEFT JOIN ulp_scored s USING ({id_col})
+"""
+
+
+def bigram_logprob_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(id, n_bigrams, mean_neg_logprob): add-alpha BIGRAM model fit on the
+    corpus itself — one conditioning step deeper than
+    ``unigram_logprob_score``, so word-salad that passes a unigram filter
+    (plausible words, implausible sequences) lands in the tail.
+
+    p(w_i | w_{i-1}) = (c(w_{i-1} w_i) + alpha) / (c_prefix(w_{i-1}) +
+    alpha * V_bigram), with c_prefix counting the word's occurrences AS A
+    BIGRAM PREFIX and V_bigram the distinct-bigram count — every quantity
+    comes from one bigram-count table, keeping the model a single
+    fine-grained aggregation.  Documents with < 2 tokens score 0 over 0
+    bigrams.  Per-position -ln p is rounded to 9dp and summed as an exact
+    decimal (order-independent, hash-oracle safe).
+
+    Plan: posexplode tokens → self-join-free bigram stream via lead()
+    ... actually a positional self-join is avoided entirely by zipping
+    the token array with its own tail (arrays_zip + slice) map-side →
+    bigram counts groupBy (fine-grained key) → prefix counts as a second
+    groupBy OVER THE BIGRAM TABLE (|vocab| keys, not corpus-sized) →
+    1-row totals broadcast → logprob table joined back to the bigram
+    stream (shuffle on the bigram key) → per-doc decimal sum."""
+    toks = tokens(F.col(text_col))
+    bigram_arr = F.when(
+        F.size(toks) < 2, F.array().cast("array<string>")
+    ).otherwise(F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat_ws(" ", a, b)))
+    bg = df.select(F.col(id_col), F.explode(bigram_arr).alias("bg"))
+    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    prefix = (counts.select(
+        F.element_at(F.split(F.col("bg"), " "), 1).alias("w1"), "c")
+        .groupBy("w1").agg(F.sum("c").alias("cp")))
+    totals = counts.agg(F.count(F.lit(1)).cast("double").alias("_vocab"))
+    logp = (counts
+            .withColumn("w1", F.element_at(F.split(F.col("bg"), " "), 1))
+            .join(prefix, "w1")
+            .crossJoin(F.broadcast(totals))
+            .select("bg",
+                    F.round(-F.log((F.col("c") + F.lit(alpha))
+                                   / (F.col("cp")
+                                      + F.lit(alpha) * F.col("_vocab"))), 9)
+                    .cast("decimal(20,9)").alias("nlp")))
+    scored = (bg.join(logp, "bg")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.sum("nlp").alias("s")))
+    return (df.select(F.col(id_col)).distinct()
+            .join(scored, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+                .alias("n_bigrams"),
+                F.when(F.col("n_bigrams").isNull(), F.lit(0.0))
+                .otherwise(F.round(F.col("s").cast("double")
+                                   / F.col("n_bigrams"), 6))
+                .alias("mean_neg_logprob")))
+
+
+def sql_bigram_logprob_score(table: str, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             alpha: float = 0.5) -> str:
+    toks = sql_tokens(text_col)
+    return f"""
+WITH bg_tok AS (
+  SELECT {id_col}, {toks} AS t FROM {table}
+),
+bg_stream AS (
+  SELECT {id_col},
+    unnest(list_transform(generate_series(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM bg_tok WHERE len(t) >= 2
+),
+bg_counts AS (SELECT bg, COUNT(*) AS c FROM bg_stream GROUP BY bg),
+bg_prefix AS (
+  SELECT list_extract(string_split(bg, ' '), 1) AS w1, SUM(c) AS cp
+  FROM bg_counts GROUP BY 1
+),
+bg_tot AS (SELECT COUNT(*)::DOUBLE AS vocab FROM bg_counts),
+bg_logp AS (
+  SELECT bg,
+    round(-ln((c + {alpha}) / (p.cp + {alpha} * t.vocab)),
+          9)::DECIMAL(20,9) AS nlp
+  FROM bg_counts
+  JOIN bg_prefix p ON list_extract(string_split(bg, ' '), 1) = p.w1,
+  bg_tot t
+),
+bg_scored AS (
+  SELECT {id_col}, COUNT(*) AS n_bigrams, SUM(nlp) AS s
+  FROM bg_stream JOIN bg_logp USING (bg) GROUP BY {id_col}
+)
+SELECT d.{id_col},
+  coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+  CASE WHEN s.n_bigrams IS NULL THEN 0.0
+       ELSE round(s.s::DOUBLE / s.n_bigrams, 6) END AS mean_neg_logprob
+FROM (SELECT DISTINCT {id_col} FROM {table}) d
+LEFT JOIN bg_scored s USING ({id_col})
 """
 
 

@@ -147,3 +147,40 @@ def test_ngram_novelty_short_doc_whole_shingle(spark):
     # <n tokens -> one whole-doc shingle; identical short docs share it
     assert out[1].n_grams == 1 and out[1].novelty == 0.0
     assert out[3].novelty == 1.0
+
+
+def test_bigram_logprob_flags_word_salad(spark):
+    from steel_datafusion_spark.pipeline.scoring import bigram_logprob_score
+
+    # corpus where "the quick fox" sequences recur; doc 4 shuffles the
+    # same words into unseen orders -> higher mean -ln p under bigrams
+    docs = spark.createDataFrame([
+        (1, "the quick fox runs home"),
+        (2, "the quick fox runs away"),
+        (3, "the quick fox sleeps now"),
+        (4, "fox the runs quick home the"),
+        (5, "x"),                      # <2 tokens -> 0 over 0 bigrams
+        (6, ""),
+    ], "doc_id long, text string")
+    got = {r.doc_id: r for r in bigram_logprob_score(docs).collect()}
+    assert got[5].n_bigrams == 0 and got[5].mean_neg_logprob == 0.0
+    assert got[6].n_bigrams == 0
+    assert got[1].n_bigrams == 4
+    assert got[4].mean_neg_logprob > got[1].mean_neg_logprob
+    assert got[4].mean_neg_logprob > got[2].mean_neg_logprob
+
+
+def test_bigram_logprob_matches_duckdb(spark, duck):
+    import os
+
+    from steel_datafusion_spark import load_tables
+    from steel_datafusion_spark.pipeline.scoring import (
+        bigram_logprob_score, sql_bigram_logprob_score,
+    )
+    from tests.conftest import assert_df_matches_duck
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = load_tables(spark, sf)["documents"].select("doc_id", "text")
+    assert_df_matches_duck(
+        bigram_logprob_score(d), duck,
+        sql_bigram_logprob_score("documents"))

@@ -43,7 +43,12 @@ OPS = ["dedup_minhash_lsh", "dedup_index_probe", "dedup_clusters_twophase",
        "embedding_neardup_banded", "fuzzy_match",
        # round-6 continuation headline ops
        "doc_chunking", "dedup_substring_spans", "heavy_hitters",
-       "similarity_pq"]
+       "similarity_pq",
+       # round-7 text headliners (VERDICT r7 item 7).  Note: the synthetic
+       # sf1x/sf10x decades copy the events table AS-IS, so
+       # pagerank_event_graph only scales over the real sf0.001-0.1 range.
+       "ngram_novelty", "bloom_decontaminate", "source_overlap_matrix",
+       "pagerank_event_graph"]
 SF1X_DIR = "/tmp/sdf_scale_sf1x"
 SF10X_DIR = "/tmp/sdf_scale_sf10x"
 REPS = 2
