@@ -1800,6 +1800,25 @@ ASOF LEFT JOIN (
 """
 
 
+def q_embedding_sq8(spark, sf_dir):
+    """Scalar 8-bit quantization round-trip (pipeline/similarity.py
+    sq8_error_stats): per-dimension corpus min/max calibration, 255-level
+    codes, dequantize, per-vector RMSE — the 4x-compression sanity
+    report before an ANN index switches to SQ8 codes.  Per-dim squared
+    errors are rounded then summed as exact decimals, so the RMSE hash
+    matches DuckDB at any partitioning."""
+    from .similarity import sq8_error_stats
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return sq8_error_stats(e)
+
+
+def _sql_embedding_sq8() -> str:
+    from .similarity import sql_sq8_error_stats
+
+    return sql_sq8_error_stats("embeddings")
+
+
 def q_embedding_normalize(spark, sf_dir):
     """L2 normalization at ingest (pipeline/similarity.py normalize_l2):
     per-vector norm, the first normalized component, and a unit check
@@ -2334,17 +2353,19 @@ def q_source_overlap_sketch(spark, sf_dir):
     K=64-slot MinHash corpus signatures from ONE mergeable aggregation,
     compared pairwise at group level.  Same mirrored-source fixture as the
     exact matrix so known overlap is planted; the estimate itself is
-    hash-checked (same double affine mix as corpus_overlap)."""
+    hash-checked (same double affine mix as corpus_overlap; K=32 keeps
+    the min-aggregate expression inside whole-stage codegen limits —
+    estimate std ~ 0.09 at J=0.5, plenty for a contamination screen)."""
     from .dedup import source_overlap_sketch
 
     d = load_tables(spark, sf_dir)["documents"]
     mirr = d.filter(F.col("doc_id") % 9 == 2).select(
         F.concat(F.lit("mirror:"), F.col("source")).alias("source"), "text")
     corpus = d.select("source", "text").unionByName(mirr)
-    return source_overlap_sketch(corpus, "source", text_col="text", k=64)
+    return source_overlap_sketch(corpus, "source", text_col="text", k=32)
 
 
-def _sql_source_overlap_sketch(k: int = 64) -> str:
+def _sql_source_overlap_sketch(k: int = 32) -> str:
     hs = DSQL.hashed_shingles("text", 3)
     mins = ", ".join(
         f"min({DSQL.mix(DSQL.mix('h', i), i + k)}) AS m{i}"
@@ -2617,6 +2638,7 @@ PIPELINE_QUERIES = {
     "resize_media_stats": (q_resize_media_stats, _SQL_RESIZE_MEDIA),
     "similarity_pq": (q_similarity_pq, _sql_similarity_pq()),
     "embedding_normalize": (q_embedding_normalize, _SQL_EMB_NORMALIZE),
+    "embedding_sq8": (q_embedding_sq8, _sql_embedding_sq8()),
     "iqr_outlier_filter": (q_iqr_outlier_filter, _SQL_IQR_OUTLIER),
     "doc_chunking": (q_doc_chunking, _sql_doc_chunking()),
     "dedup_substring_spans": (q_dedup_substring_spans,

@@ -27,7 +27,8 @@ from pyspark.sql.window import Window
 
 from ..cache import iteration_barrier, release_local_checkpoint, track
 
-__all__ = ["dot", "norm2", "cosine", "cosine_topk", "cosine_neardup_pairs",
+__all__ = ["sq8_stats", "sq8_error_stats", "sql_sq8_error_stats",
+           "dot", "norm2", "cosine", "cosine_topk", "cosine_neardup_pairs",
            "ivf_assign", "ivf_topk", "kmeans", "lsh_bucket", "lsh_topk",
            "hyperplanes", "normalize_l2", "pq_codebooks", "pq_encode",
            "pq_topk", "SQL_COSINE"]
@@ -653,3 +654,88 @@ SQL_COSINE = (
     "sqrt(list_sum(list_transform({a}::DOUBLE[], x -> x*x)) * "
     "list_sum(list_transform({b}::DOUBLE[], x -> x*x))))"
 )
+
+
+def sq8_stats(emb: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Per-DIMENSION (d, mn, mx) corpus statistics for scalar 8-bit
+    quantization — the calibration table an SQ8 index stores.  One
+    fine-grained aggregation keyed on the dimension index (|dim| keys,
+    map-side partials); the result is |dim| rows, broadcastable to every
+    encode/decode site."""
+    dims = emb.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("d", "x"))
+    return (dims.groupBy("d")
+            .agg(F.min(F.col("x").cast("double")).alias("mn"),
+                 F.max(F.col("x").cast("double")).alias("mx")))
+
+
+def sq8_error_stats(emb: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Scalar 8-bit quantization (SQ8) round-trip error per vector:
+    codes = round(255 * (x - mn_d) / (mx_d - mn_d)), dequantized back and
+    compared — (id, dim, rmse 6dp).  The 4x-compression sanity report any
+    embedding pipeline runs before switching its ANN index to SQ8 codes.
+
+    Scale: posexplode -> broadcast join against the |dim|-row calibration
+    table -> per-vector aggregate; per-dim squared errors are rounded to
+    12dp and summed as exact decimals, so the per-vector RMSE is
+    order-independent (hash-oracle safe).  Constant dimensions
+    (mx == mn) quantize to code 0 with zero error."""
+    from ..cache import track
+
+    dims = track(emb.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("d", "x"))
+        .withColumn("x", F.col("x").cast("double")).persist())
+    stats = (dims.groupBy("d")
+             .agg(F.min("x").alias("mn"), F.max("x").alias("mx")))
+    code = F.when(
+        F.col("mx") == F.col("mn"), F.lit(0.0)
+    ).otherwise(F.round((F.col("x") - F.col("mn"))
+                        / (F.col("mx") - F.col("mn")) * 255.0))
+    q = (dims.join(F.broadcast(stats), "d")
+         .withColumn("code", code)
+         .withColumn("deq", F.when(
+             F.col("mx") == F.col("mn"), F.col("mn")
+         ).otherwise(F.col("mn") + F.col("code")
+                     * (F.col("mx") - F.col("mn")) / 255.0))
+         .withColumn("e2", F.round((F.col("x") - F.col("deq"))
+                                   * (F.col("x") - F.col("deq")), 12)
+                     .cast("decimal(32,12)")))
+    return (q.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("dim"),
+                 F.sum("e2").alias("sse"))
+            .select(id_col, "dim",
+                    F.round(F.sqrt(F.col("sse").cast("double")
+                                   / F.col("dim")), 6).alias("rmse")))
+
+
+def sql_sq8_error_stats(table: str, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> str:
+    """DuckDB mirror of ``sq8_error_stats`` (same rounding discipline)."""
+    return f"""
+WITH sq_dims AS (
+  SELECT {id_col},
+    unnest(generate_series(0, len({vec_col}) - 1)) AS d,
+    unnest(list_transform({vec_col}, e -> e::DOUBLE)) AS x
+  FROM {table}
+),
+sq_stats AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM sq_dims GROUP BY d),
+sq_q AS (
+  SELECT {id_col},
+    CASE WHEN mx = mn THEN mn
+         ELSE mn + round((x - mn) / (mx - mn) * 255.0) * (mx - mn) / 255.0
+    END AS deq,
+    x
+  FROM sq_dims JOIN sq_stats USING (d)
+),
+sq_e AS (
+  SELECT {id_col}, round((x - deq) * (x - deq), 12)::DECIMAL(32,12) AS e2
+  FROM sq_q
+)
+SELECT {id_col}, COUNT(*) AS dim,
+  round(sqrt(SUM(e2)::DOUBLE / COUNT(*)), 6) AS rmse
+FROM sq_e GROUP BY {id_col}
+"""

@@ -166,6 +166,136 @@ GROUP BY n_name
 """
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): unshipped-as-of-date orders
+    ranked by discounted revenue.  Top 10 with deterministic tie-breaks
+    (revenue desc, o_orderdate asc, l_orderkey asc).
+
+    Scale: customer⋈orders prunes on the date filter before the shuffle;
+    lineitem joins on the fine-grained orderkey; the top-10 is
+    TakeOrderedAndProject (no global sort materializes)."""
+    t = _t(spark, sf_dir)
+    cut = "1998-06-01"
+    disc = (F.col("l_extendedprice").cast(_DEC2)
+            * (F.lit(1).cast(_DEC2) - F.col("l_discount").cast(_DEC2)))
+    o = df_filter(t["orders"], F.col("o_orderdate") < cut)
+    l = df_filter(t["lineitem"], F.col("l_shipdate") > cut)
+    joined = df_join(o, l, "inner", ["o_orderkey"], ["l_orderkey"])
+    agg = df_aggregate(
+        joined,
+        [col("l_orderkey"), col("o_orderdate"), col("o_orderpriority")],
+        [F.sum(disc).cast("double").alias("revenue")])
+    return df_limit(
+        df_sort(agg, [sort_desc(col("revenue")),
+                      sort_asc(col("o_orderdate")),
+                      sort_asc(col("l_orderkey"))]),
+        0, 10)
+
+
+_SQL_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS {_SQL_DEC2})
+           * (CAST(1 AS {_SQL_DEC2}) - CAST(l_discount AS {_SQL_DEC2})))
+       AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_returned_customers(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): customers ranked by
+    revenue lost to returns in a half-year window, with nation context.
+    Top 20, ties broken by c_custkey.
+
+    Scale: the date+returnflag filters push to the scans; nation
+    broadcasts; the two fact joins shuffle on their keys once each."""
+    t = _t(spark, sf_dir)
+    disc = (F.col("l_extendedprice").cast(_DEC2)
+            * (F.lit(1).cast(_DEC2) - F.col("l_discount").cast(_DEC2)))
+    o = df_filter(t["orders"],
+                  (F.col("o_orderdate") >= "1998-01-01")
+                  & (F.col("o_orderdate") < "1998-07-01"))
+    l = df_filter(t["lineitem"], F.col("l_returnflag") == "R")
+    j = df_join(
+        df_join(df_join(t["customer"], o, "inner",
+                        ["c_custkey"], ["o_custkey"]),
+                l, "inner", ["o_orderkey"], ["l_orderkey"]),
+        F.broadcast(t["nation"]), "inner", ["c_nationkey"], ["n_nationkey"])
+    agg = df_aggregate(
+        j,
+        [col("c_custkey"), col("c_name"), col("n_name")],
+        [F.sum(disc).cast("double").alias("revenue"),
+         agg_count_star().alias("n_items")])
+    return df_limit(
+        df_sort(agg, [sort_desc(col("revenue")), sort_asc(col("c_custkey"))]),
+        0, 20)
+
+
+_SQL_RETURNED_CUSTOMERS = f"""
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM(CAST(l_extendedprice AS {_SQL_DEC2})
+           * (CAST(1 AS {_SQL_DEC2}) - CAST(l_discount AS {_SQL_DEC2})))
+       AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_big_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    quantity exceeds 200, with customer context.  Top 100 by totalprice
+    desc / orderkey asc.
+
+    Scale: the HAVING-style pre-aggregation on lineitem is the classic
+    semi-join reduction — the big fact reduces to qualifying orderkeys
+    BEFORE joining orders/customer, so the wide join only sees the
+    qualifying fraction."""
+    t = _t(spark, sf_dir)
+    big = df_filter(
+        df_aggregate(t["lineitem"], [col("l_orderkey")],
+                     [F.sum(F.col("l_quantity").cast(_DEC))
+                      .cast("double").alias("sum_qty")]),
+        F.col("sum_qty") > 200)
+    j = df_join(
+        df_join(big, t["orders"], "inner", ["l_orderkey"], ["o_orderkey"]),
+        t["customer"], "inner", ["o_custkey"], ["c_custkey"])
+    out = df_select(j, [col("c_custkey"), col("c_name"),
+                        col("l_orderkey"), col("o_orderdate"),
+                        col("o_totalprice"), col("sum_qty")])
+    return df_limit(
+        df_sort(out, [sort_desc(col("o_totalprice")),
+                      sort_asc(col("l_orderkey"))]),
+        0, 100)
+
+
+_SQL_BIG_ORDERS = f"""
+SELECT c_custkey, c_name, l_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS {_SQL_DEC})) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE sum_qty > 200
+ORDER BY o_totalprice DESC, l_orderkey ASC
+LIMIT 100
+"""
+
+
 def q_semi_join(spark, sf_dir):
     """left-semi: customers having at least one high-value order."""
     t = _t(spark, sf_dir)
@@ -1434,6 +1564,9 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "filter_project_case": (q_filter_project_case, _SQL_FILTER_PROJECT),
     "revenue_by_nation": (q_revenue_by_nation, _SQL_REVENUE_BY_NATION),
     "semi_join": (q_semi_join, _SQL_SEMI),
+    "shipping_priority": (q_shipping_priority, _SQL_SHIPPING_PRIORITY),
+    "returned_customers": (q_returned_customers, _SQL_RETURNED_CUSTOMERS),
+    "big_orders": (q_big_orders, _SQL_BIG_ORDERS),
     "anti_join": (q_anti_join, _SQL_ANTI),
     "outer_join_agg": (q_outer_join_agg, _SQL_OUTER),
     "theta_join": (q_theta_join, _SQL_THETA),

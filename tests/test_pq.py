@@ -123,3 +123,28 @@ def test_normalize_l2_unit_norm_and_zero_safe(spark):
     assert rows[1].unit == 1.0 and rows[1].nv == [0.6, 0.8]
     assert rows[2].unit == 0.0 and rows[2].nv == [0.0, 0.0]  # no NaN
     assert rows[3].unit == 1.0
+
+
+def test_sq8_error_bounded_by_half_step(spark):
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.pipeline.similarity import (
+        sq8_error_stats, sq8_stats,
+    )
+    import random
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats = {r.d: (r.mn, r.mx) for r in sq8_stats(emb).collect()}
+    assert len(stats) == 16
+    # worst per-dim quantization error is half a step: (mx-mn)/510
+    max_half_step = max((mx - mn) / 510.0 for mn, mx in stats.values())
+    got = sq8_error_stats(emb).collect()
+    assert len(got) == 50
+    assert all(r.dim == 16 for r in got)
+    assert all(r.rmse <= max_half_step + 1e-9 for r in got)
+    # constant dimension quantizes exactly
+    const = spark.createDataFrame([(1, [3.0, 5.0]), (2, [3.0, 9.0])],
+                                  "vec_id long, embedding array<double>")
+    g2 = {r.vec_id: r.rmse for r in sq8_error_stats(const).collect()}
+    assert g2[1] == 0.0 and g2[2] == 0.0  # dim0 constant, dim1 endpoints
