@@ -1011,9 +1011,15 @@ def source_overlap_matrix(
     result with coalesce(n_common, 0).  Exact arithmetic end-to-end —
     fully oracle-checkable.
     """
+    # repartition before the CPU-heavy shingle+md5 explode: a small parquet
+    # source arrives as ONE input split, which would serialize the hash
+    # stage onto a single core (measured 8-9 s single-threaded vs ~2 s
+    # parallel at sf0.1 — same rationale as _hashed_shingles)
+    parts = df.sparkSession.sparkContext.defaultParallelism * 2
     gs = track(
-        df.select(F.col(group_col).alias("g"),
-                  F.explode(shingles(F.col(text_col), n)).alias("s"))
+        df.repartition(parts)
+        .select(F.col(group_col).alias("g"),
+                F.explode(shingles(F.col(text_col), n)).alias("s"))
         .select("g", md5_int60(F.col("s")).alias("h"))
         .distinct().persist())
     sizes = gs.groupBy("g").agg(F.count(F.lit(1)).alias("n_set"))
@@ -1061,9 +1067,11 @@ def source_overlap_sketch(
         raise ValueError(
             f"k must be in [1, {len(PERM_CONSTS) // 2}] (double mix draws "
             f"constants at slots i and i+k), got k={k}")
+    parts = df.sparkSession.sparkContext.defaultParallelism * 2
     gs = track(
-        df.select(F.col(group_col).alias("g"),
-                  F.explode(shingles(F.col(text_col), n)).alias("s"))
+        df.repartition(parts)
+        .select(F.col(group_col).alias("g"),
+                F.explode(shingles(F.col(text_col), n)).alias("s"))
         .select("g", md5_int60(F.col("s")).alias("h"))
         .distinct().persist())
     sig = (gs.groupBy("g")

@@ -50,6 +50,17 @@ __all__ = [
 ]
 
 
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition before a CPU-heavy tokenize/hash explode: a small
+    parquet source arrives as ONE input split, which would serialize the
+    per-row stage onto a single core (measured 3-4x gate slowdowns at
+    sf0.1 — same rationale as dedup._hashed_shingles)."""
+    parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(parts)
+
+
 # ---------------------------------------------------------------------------
 # Unigram LM scoring
 # ---------------------------------------------------------------------------
@@ -72,8 +83,8 @@ def unigram_logprob_score(
     on term) → per-doc decimal sum.  Two aggregations + one join, all
     partial-agg'd; the model "table" never exists driver-side.
     """
-    toks = df.select(F.col(id_col),
-                     F.explode(tokens(F.col(text_col))).alias("term"))
+    toks = _spread(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     totals = counts.agg(
         F.sum("c").cast("double").alias("_total"),
@@ -161,7 +172,7 @@ def bigram_logprob_score(
         F.slice(toks, 1, F.size(toks) - 1),
         F.slice(toks, 2, F.size(toks) - 1),
         lambda a, b: F.concat_ws(" ", a, b)))
-    bg = df.select(F.col(id_col), F.explode(bigram_arr).alias("bg"))
+    bg = _spread(df).select(F.col(id_col), F.explode(bigram_arr).alias("bg"))
     counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
     prefix = (counts.select(
         F.element_at(F.split(F.col("bg"), " "), 1).alias("w1"), "c")
@@ -333,7 +344,7 @@ def _gram_hashes(df: DataFrame, id_col: str, text_col: str,
                  n: int) -> DataFrame:
     """(id, g): distinct 60-bit word-n-gram hashes (whole-doc gram for
     short docs — dedup.shingles semantics)."""
-    return df.select(
+    return _spread(df).select(
         F.col(id_col),
         F.explode(F.transform(shingles(F.col(text_col), n), md5_int60))
         .alias("g"))
@@ -493,8 +504,9 @@ def ngram_novelty_score(
     """
     from ..cache import track
     grams = track(
-        df.select(F.col(id_col),
-                  F.explode(shingles(F.col(text_col), n)).alias("s"))
+        _spread(df)
+        .select(F.col(id_col),
+                F.explode(shingles(F.col(text_col), n)).alias("s"))
         .select(id_col, md5_int60(F.col("s")).alias("h")).persist())
     n_grams = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     shared_h = (grams.groupBy("h").agg(F.count(F.lit(1)).alias("df_count"))
