@@ -1829,6 +1829,9 @@ def q_embedding_normalize(spark, sf_dir):
     from .similarity import dot, norm2, normalize_l2
 
     e = load_tables(spark, sf_dir)["embeddings"]
+    # spread the single parquet split: the three 64-slot folds per row are
+    # CPU-bound and would otherwise evaluate on one core
+    e = e.repartition(spark.sparkContext.defaultParallelism * 2)
     nv = normalize_l2(F.col("embedding"))
     return e.select(
         "vec_id",
@@ -2256,7 +2259,11 @@ def q_countmin_term_counts(spark, sf_dir):
     from .sketches import countmin_estimate, countmin_table
 
     d = load_tables(spark, sf_dir)["documents"]
-    toks = d.select(F.explode(TX.tokens(F.col("text"))).alias("term"))
+    # spread the single parquet split so tokenization + the 4-cell md5
+    # explode run on all cores (see scoring._spread)
+    parts = spark.sparkContext.defaultParallelism * 2
+    toks = d.repartition(parts).select(
+        F.explode(TX.tokens(F.col("text"))).alias("term"))
     exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_c"))
     probes = exact.orderBy(F.desc("exact_c"), F.asc("term")).limit(20)
     sketch = countmin_table(toks, [], "term", depth=4, width=512)
