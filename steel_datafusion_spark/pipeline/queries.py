@@ -2436,6 +2436,76 @@ SELECT node AS event_type, rank FROM pr_out
 """
 
 
+_STREAM_SRC_BUILT: set = set()
+
+
+def q_streaming_sessions(spark, sf_dir):
+    """Structured Streaming session rollup as a HASH gate (the streaming
+    surface previously had only batch-parity tests): events re-land once
+    per (session, sf_dir) as a µs-timestamp parquet stream source, a REAL
+    streaming query (``F.session_window`` + 2 h watermark,
+    trigger=availableNow) runs to completion through ``foreachBatch`` into
+    parquet (streaming/operators.py run_stream_to_parquet), and the
+    WRITTEN files read back are the result.  Append mode emits exactly
+    the sessions finalized by the end-of-stream watermark (session_end ≤
+    max(ts) − 2 h); the oracle is an independent DuckDB sessionization
+    with the same strict-gap semantics and cutoff.  sum_value routes
+    through exact decimals inside the streaming aggregate, so the hash is
+    partition- and trigger-order-independent."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.operators import (
+        read_stream_parquet, run_stream_to_parquet, session_rollup,
+    )
+
+    base = _os.path.join(
+        tempfile.gettempdir(),
+        f"sdf_stream_gate_{_os.path.basename(_os.path.normpath(sf_dir))}")
+    src = _os.path.join(base, "src")
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    if key not in _STREAM_SRC_BUILT or not _os.path.exists(src):
+        shutil.rmtree(base, ignore_errors=True)
+        load_tables(spark, sf_dir)["events"].write.mode(
+            "overwrite").parquet(src)
+        _STREAM_SRC_BUILT.add(key)
+    run_id = uuid.uuid4().hex[:8]
+    out = _os.path.join(base, f"out-{run_id}")
+    ckpt = _os.path.join(base, f"ckpt-{run_id}")
+    batch = spark.read.parquet(src)
+    stream = read_stream_parquet(spark, src, batch.schema)
+    got = run_stream_to_parquet(
+        session_rollup(stream, gap="30 minutes"), out, ckpt)
+    return got.select("user_id", "session_start", "session_end",
+                      "n_events", F.round("sum_value", 6).alias("sum_value"))
+
+
+_SQL_STREAMING_SESSIONS = """
+WITH g AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR date_diff('microsecond', lag(ts) OVER w, ts)
+              >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, value,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g),
+sess AS (
+  SELECT user_id, MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         COUNT(*) AS n_events,
+         round(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6)
+           AS sum_value
+  FROM s GROUP BY user_id, sid)
+SELECT user_id, session_start, session_end, n_events, sum_value
+FROM sess
+WHERE session_end <= (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events)
+"""
+
+
 def q_url_canonicalize(spark, sf_dir):
     """URL canonicalization + registrable-domain extraction
     (pipeline/urls.py): four deterministic URL spellings per doc_id —
@@ -2672,4 +2742,5 @@ PIPELINE_QUERIES = {
                           _sql_pagerank_bucketed_bipartite()),
     "line_dedup": (q_line_dedup, _sql_line_dedup()),
     "url_canonicalize": (q_url_canonicalize, _sql_url_canonicalize()),
+    "streaming_sessions": (q_streaming_sessions, _SQL_STREAMING_SESSIONS),
 }
