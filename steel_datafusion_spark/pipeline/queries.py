@@ -2506,6 +2506,62 @@ WHERE session_end <= (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events)
 """
 
 
+def q_streaming_windowed(spark, sf_dir):
+    """Tumbling-window streaming rollup as a HASH gate (companion to
+    streaming_sessions — covers the windowed-aggregate operator): 1-hour
+    event-time windows with a 2 h watermark run availableNow through
+    foreachBatch into parquet; append mode emits exactly the windows whose
+    end the final watermark passed.  The oracle is a DuckDB date_trunc
+    rollup with the same cutoff; sum_value routes through exact decimals
+    so the hash is trigger-order-independent."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.operators import (
+        read_stream_parquet, run_stream_to_parquet, windowed_rollup,
+    )
+
+    base = _os.path.join(
+        tempfile.gettempdir(),
+        f"sdf_stream_gate_{_os.path.basename(_os.path.normpath(sf_dir))}")
+    src = _os.path.join(base, "src")
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    if key not in _STREAM_SRC_BUILT or not _os.path.exists(src):
+        shutil.rmtree(base, ignore_errors=True)
+        load_tables(spark, sf_dir)["events"].write.mode(
+            "overwrite").parquet(src)
+        _STREAM_SRC_BUILT.add(key)
+    run_id = uuid.uuid4().hex[:8]
+    out = _os.path.join(base, f"wout-{run_id}")
+    ckpt = _os.path.join(base, f"wckpt-{run_id}")
+    batch = spark.read.parquet(src)
+    stream = read_stream_parquet(spark, src, batch.schema)
+    got = run_stream_to_parquet(
+        windowed_rollup(stream, window="1 hour"), out, ckpt)
+    return got.select(
+        "window_start", "event_type", "n",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"))
+
+
+_SQL_STREAMING_WINDOWED = """
+WITH w AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         COUNT(*) AS n,
+         round(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6)
+           AS sum_value,
+         round(MIN(value), 6) AS min_value,
+         round(MAX(value), 6) AS max_value
+  FROM events GROUP BY 1, 2)
+SELECT window_start, event_type, n, sum_value, min_value, max_value
+FROM w
+WHERE window_start + INTERVAL 1 HOUR
+      <= (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events)
+"""
+
+
 def q_url_canonicalize(spark, sf_dir):
     """URL canonicalization + registrable-domain extraction
     (pipeline/urls.py): four deterministic URL spellings per doc_id —
@@ -2743,4 +2799,5 @@ PIPELINE_QUERIES = {
     "line_dedup": (q_line_dedup, _sql_line_dedup()),
     "url_canonicalize": (q_url_canonicalize, _sql_url_canonicalize()),
     "streaming_sessions": (q_streaming_sessions, _SQL_STREAMING_SESSIONS),
+    "streaming_windowed": (q_streaming_windowed, _SQL_STREAMING_WINDOWED),
 }
