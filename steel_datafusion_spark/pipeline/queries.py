@@ -2506,6 +2506,26 @@ WHERE session_end <= (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events)
 """
 
 
+def q_robust_stats(spark, sf_dir):
+    """Exact per-group robust statistics (pipeline/robust.py
+    grouped_median_mad): median / MAD / p10 / p90 of event values per
+    event_type, computed in a GROUPED-MAP pandas worker (applyInPandas) —
+    the Python boundary Spark reserves for semantics JVM aggregates can't
+    express (exact order statistics).  One shuffle on the group key; the
+    oracle recomputes with DuckDB's median/quantile_cont, which match
+    numpy's interpolating definitions bit-for-bit on doubles."""
+    from .robust import grouped_median_mad
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return grouped_median_mad(ev, ["event_type"], "value")
+
+
+def _sql_robust_stats() -> str:
+    from .robust import sql_grouped_median_mad
+
+    return sql_grouped_median_mad("events", ["event_type"], "value")
+
+
 def q_streaming_windowed(spark, sf_dir):
     """Tumbling-window streaming rollup as a HASH gate (companion to
     streaming_sessions — covers the windowed-aggregate operator): 1-hour
@@ -2800,4 +2820,5 @@ PIPELINE_QUERIES = {
     "url_canonicalize": (q_url_canonicalize, _sql_url_canonicalize()),
     "streaming_sessions": (q_streaming_sessions, _SQL_STREAMING_SESSIONS),
     "streaming_windowed": (q_streaming_windowed, _SQL_STREAMING_WINDOWED),
+    "robust_stats": (q_robust_stats, _sql_robust_stats()),
 }
