@@ -1559,6 +1559,354 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H decorrelation pack — the classic subquery shapes (EXISTS, NOT IN,
+# correlated scalar, disjunctive pushdown) expressed the Spark way: semi/anti
+# joins, windows over the correlation key, and 1-row broadcast scalars.  The
+# oracle side keeps the textbook correlated-SQL form, so each gate checks
+# that the decorrelated plan computes exactly the subquery semantics.
+# (Schemas here lack l_commitdate/l_shipmode/p_container, so predicates are
+# adapted to the driver's columns; the plan shapes are the TPC-H ones.)
+# ---------------------------------------------------------------------------
+
+def q_order_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS-correlated count by priority, decorrelated to
+    a left-semi join.
+
+    Scale: the o_orderdate range predicate pushes to the parquet scan
+    (partition-prunable on a date-partitioned layout); the semi join
+    shuffles both sides on orderkey and keeps at most one probe hit per
+    order, so the join output is bounded by the filtered orders — no
+    fan-out.  Final agg key has 5 values → map-side partials do the work."""
+    t = _t(spark, sf_dir)
+    o = df_filter(
+        t["orders"],
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp")))
+    returned = df_filter(t["lineitem"], F.col("l_returnflag") == "R")
+    return df_aggregate(
+        df_join(o, returned, "left_semi", ["o_orderkey"], ["l_orderkey"]),
+        [col("o_orderpriority")],
+        [agg_count_star().alias("order_count")],
+    ).orderBy("o_orderpriority")
+
+
+_SQL_ORDER_PRIORITY_EXISTS = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregate ratio over a fact↔dim join.
+
+    Scale: part is the small side → broadcast-hash join, zero shuffle on
+    lineitem; the one-month shipdate filter pushes to the scan.  Both sums
+    route through exact decimals so the single output row is identical at
+    any partition count; the division happens once, in double, at the end."""
+    t = _t(spark, sf_dir)
+    li = df_filter(
+        t["lineitem"],
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp")))
+    j = df_join(li, F.broadcast(t["part"]), "inner",
+                ["l_partkey"], ["p_partkey"])
+    rev = (F.col("l_extendedprice").cast(_DEC2)
+           * (F.lit(1).cast(_DEC2) - F.col("l_discount").cast(_DEC2)))
+    promo = F.when(F.col("p_type") == "PROMO", rev) \
+        .otherwise(F.lit(0).cast("decimal(38,4)"))
+    return j.agg(
+        F.round(F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"), 6).alias("promo_revenue_pct"),
+        agg_count_star().alias("n_lines"))
+
+
+_SQL_PROMO_REVENUE = f"""
+SELECT
+  round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      THEN CAST(l_extendedprice AS {_SQL_DEC2})
+           * (CAST(1 AS {_SQL_DEC2}) - CAST(l_discount AS {_SQL_DEC2}))
+      ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice AS {_SQL_DEC2})
+           * (CAST(1 AS {_SQL_DEC2}) - CAST(l_discount AS {_SQL_DEC2})))
+       AS DOUBLE), 6) AS promo_revenue_pct,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
+def q_disjunctive_pushdown(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs join predicate.
+
+    Scale: Catalyst extracts the common conjuncts it can (the equi-key) for
+    the broadcast-hash join and keeps the disjunction as the join residual;
+    constraint propagation derives a scan-level filter from the OR branches
+    (l_quantity <= 30 covers all three), so the fact scan still prunes.
+    One broadcast join, one 1-row agg — no shuffle of lineitem at all."""
+    t = _t(spark, sf_dir)
+    li, p = t["lineitem"], t["part"]
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 25))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 35))
+           & (F.col("l_quantity").between(20, 30))))
+    j = df_join(li, F.broadcast(p), "inner", ["l_partkey"], ["p_partkey"],
+                filter=branch)
+    rev = (F.col("l_extendedprice").cast(_DEC2)
+           * (F.lit(1).cast(_DEC2) - F.col("l_discount").cast(_DEC2)))
+    return j.agg(F.sum(rev).cast("double").alias("revenue"),
+                 agg_count_star().alias("n_lines"))
+
+
+_SQL_DISJUNCTIVE = f"""
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS {_SQL_DEC2})
+       * (CAST(1 AS {_SQL_DEC2}) - CAST(l_discount AS {_SQL_DEC2})))
+    AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: correlated scalar MIN (cheapest supplier per part),
+    decorrelated to a window MIN over the correlation key.
+
+    Scale: per-(part, supplier) MIN first (one shuffle on the pair key,
+    map-side combine collapses the fact table), then the window MIN reuses
+    a partkey shuffle of the already-tiny pair relation; part/supplier/
+    nation are broadcast dims.  Ties keep every minimal supplier — same as
+    the SQL form."""
+    t = _t(spark, sf_dir)
+    pairs = df_aggregate(
+        t["lineitem"], [col("l_partkey"), col("l_suppkey")],
+        [agg_min("l_extendedprice").alias("pair_min")])
+    pf = df_filter(F.broadcast(t["part"]),
+                   F.col("p_size").isin(15, 25, 35)
+                   & F.col("p_type").isin("LARGE", "STANDARD"))
+    j = df_join(pairs, pf, "inner", ["l_partkey"], ["p_partkey"])
+    w = window_spec(partition_by=["p_partkey"])
+    j = j.withColumn("part_min", F.min("pair_min").over(w)) \
+         .filter(F.col("pair_min") == F.col("part_min"))
+    j = df_join(j, F.broadcast(t["supplier"]), "inner",
+                ["l_suppkey"], ["s_suppkey"])
+    j = df_join(j, F.broadcast(t["nation"]), "inner",
+                ["s_nationkey"], ["n_nationkey"])
+    return j.select("p_partkey", "p_brand", "s_name", "n_name",
+                    F.col("pair_min").alias("min_price"))
+
+
+_SQL_MIN_COST_SUPPLIER = """
+WITH pairs AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS pair_min
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT p_partkey, p_brand, s_name, n_name, pair_min AS min_price
+FROM pairs
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_size IN (15, 25, 35) AND p_type IN ('LARGE', 'STANDARD')
+  AND pair_min = (SELECT MIN(p2.pair_min) FROM pairs p2
+                  WHERE p2.l_partkey = pairs.l_partkey)
+"""
+
+
+def q_supplier_relation_counts(spark, sf_dir):
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part class, excluding a
+    NOT-IN supplier set, decorrelated to a left-anti join.
+
+    Scale: the part-supplier relation is DISTINCT pairs of the fact table
+    (one shuffle with map-side combine); the NOT-IN side is a tiny filtered
+    dim → broadcast anti join (s_suppkey is non-null, so anti == NOT IN
+    here — the null-aware case is exercised in tests); part is broadcast.
+    The count-distinct agg shuffles once on the 3-part class key."""
+    t = _t(spark, sf_dir)
+    supply = df_distinct(t["lineitem"].select(
+        F.col("l_partkey"), F.col("l_suppkey")))
+    bad = df_filter(t["supplier"], F.col("s_acctbal") < 0) \
+        .select("s_suppkey")
+    supply = df_join(supply, F.broadcast(bad), "left_anti",
+                     ["l_suppkey"], ["s_suppkey"])
+    pf = df_filter(
+        F.broadcast(t["part"]),
+        (F.col("p_brand") != "Brand#45") & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)))
+    j = df_join(supply, pf, "inner", ["l_partkey"], ["p_partkey"])
+    return df_aggregate(
+        j, [col("p_brand"), col("p_type"), col("p_size")],
+        [agg_count_distinct("l_suppkey").alias("supplier_cnt")])
+
+
+_SQL_SUPPLIER_RELATION = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) supply
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: rows under a correlated per-part average, decorrelated
+    to a window AVG over the correlation key.
+
+    Scale: only the one brand's parts survive the broadcast join, but the
+    per-part average must see ALL of a part's lineitems, so the window runs
+    before the brand filter would prune rows — one shuffle on l_partkey.
+    The average routes through an exact decimal sum (identical on the
+    oracle side) so the `<` threshold compares bit-identical doubles."""
+    t = _t(spark, sf_dir)
+    pf = df_filter(F.broadcast(t["part"]), F.col("p_brand") == "Brand#23") \
+        .select("p_partkey")
+    li = df_join(t["lineitem"], pf, "left_semi", ["l_partkey"], ["p_partkey"])
+    w = window_spec(partition_by=["l_partkey"])
+    part_avg = (F.sum(F.col("l_quantity").cast(_DEC)).over(w).cast("double")
+                / F.count(F.lit(1)).over(w))
+    small = (li.withColumn("part_avg", part_avg)
+             .filter(F.col("l_quantity") < 0.2 * F.col("part_avg")))
+    return small.agg(
+        F.round(F.sum(F.col("l_extendedprice").cast(_DEC2)).cast("double")
+                / F.lit(7.0), 6).alias("avg_yearly"),
+        agg_count_star().alias("n_lines"))
+
+
+_SQL_SMALL_QTY = f"""
+SELECT
+  round(CAST(SUM(CAST(l_extendedprice AS {_SQL_DEC2})) AS DOUBLE) / 7.0, 6)
+    AS avg_yearly,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < 0.2 * (
+    SELECT CAST(SUM(CAST(l2.l_quantity AS {_SQL_DEC})) AS DOUBLE) / COUNT(*)
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: EXISTS + NOT-EXISTS on the same fact with different
+    correlation predicates, decorrelated to one semi and one anti join.
+
+    Scale: all three join legs shuffle on l_orderkey (Spark reuses the
+    exchange across same-key joins); per-order fan-out is bounded by the
+    lines-per-order cap, so no leg is quadratic.  supplier/orders'F' are
+    broadcast.  LIMIT sits under a total order (count desc, name asc —
+    names are unique)."""
+    t = _t(spark, sf_dir)
+    li = t["lineitem"]
+    f_orders = df_filter(t["orders"], F.col("o_orderstatus") == "F") \
+        .select("o_orderkey")
+    base = df_join(df_filter(li, F.col("l_returnflag") == "R"),
+                   f_orders, "left_semi", ["l_orderkey"], ["o_orderkey"]) \
+        .select("l_orderkey", "l_suppkey")
+    others = df_distinct(li.select(F.col("l_orderkey").alias("o2_orderkey"),
+                                   F.col("l_suppkey").alias("o2_suppkey")))
+    base = df_join_on(
+        base, others, "left_semi",
+        [F.col("l_orderkey") == F.col("o2_orderkey"),
+         F.col("l_suppkey") != F.col("o2_suppkey")])
+    others_r = df_distinct(
+        df_filter(li, F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("r_orderkey"),
+                F.col("l_suppkey").alias("r_suppkey")))
+    base = df_join_on(
+        base, others_r, "left_anti",
+        [F.col("l_orderkey") == F.col("r_orderkey"),
+         F.col("l_suppkey") != F.col("r_suppkey")])
+    j = df_join(base, F.broadcast(t["supplier"]), "inner",
+                ["l_suppkey"], ["s_suppkey"])
+    agg = df_aggregate(j, [col("s_name")],
+                       [agg_count_star().alias("numwait")])
+    return df_limit(
+        df_sort(agg, [sort_desc(col("numwait")), sort_asc(col("s_name"))]),
+        0, 20)
+
+
+_SQL_WAITING_SUPPLIER = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
+def q_global_acctbal_anti(spark, sf_dir):
+    """TPC-H Q22 shape: uncorrelated scalar subquery (global average) + anti
+    join, the scalar decorrelated to a 1-row broadcast cross join.
+
+    Scale: the scalar aggregate reduces customer to one row (map-side
+    partials), broadcast to every task — the Spark analogue of a scalar
+    subquery; the NOT-EXISTS leg is a shuffled anti join on custkey.  The
+    final agg key (2-char code) is tiny → partials collapse everything."""
+    t = _t(spark, sf_dir)
+    c = t["customer"].withColumn(
+        "cntrycode", F.substring(F.col("c_name"), 17, 2))
+    codes = ("13", "31", "23", "29", "30", "18", "17")
+    c = df_filter(c, F.col("cntrycode").isin(*codes))
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast(_DEC2)).cast("double")
+         / F.count(F.lit(1))).alias("avg_bal"))
+    rich = c.crossJoin(F.broadcast(avg_bal)) \
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+    big = df_filter(t["orders"], F.col("o_totalprice") > 450000) \
+        .select("o_custkey")
+    lonely = df_join(rich, big, "left_anti", ["c_custkey"], ["o_custkey"])
+    return df_aggregate(
+        lonely, [col("cntrycode")],
+        [agg_count_star().alias("numcust"),
+         F.sum(F.col("c_acctbal").cast(_DEC2)).cast("double")
+         .alias("totacctbal")])
+
+
+_SQL_GLOBAL_ACCTBAL = f"""
+WITH coded AS (
+  SELECT c_custkey, c_acctbal, substring(c_name, 17, 2) AS cntrycode
+  FROM customer
+  WHERE substring(c_name, 17, 2)
+        IN ('13', '31', '23', '29', '30', '18', '17')
+)
+SELECT cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS {_SQL_DEC2})) AS DOUBLE) AS totacctbal
+FROM coded
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c2.c_acctbal AS {_SQL_DEC2})) AS DOUBLE) / COUNT(*)
+    FROM coded c2 WHERE c2.c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+GROUP BY cntrycode
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "pricing_summary": (q_pricing_summary, _SQL_PRICING),
     "filter_project_case": (q_filter_project_case, _SQL_FILTER_PROJECT),
@@ -1608,6 +1956,16 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "upsert_partitioned": (q_upsert_partitioned, _SQL_UPSERT_ROUNDTRIP),
     "rolling_time_features": (q_rolling_time_features, _SQL_ROLLING_TIME),
     "zscore_normalize": (q_zscore_normalize, _SQL_ZSCORE),
+    "order_priority_exists": (q_order_priority_exists,
+                              _SQL_ORDER_PRIORITY_EXISTS),
+    "promo_revenue": (q_promo_revenue, _SQL_PROMO_REVENUE),
+    "disjunctive_pushdown": (q_disjunctive_pushdown, _SQL_DISJUNCTIVE),
+    "min_cost_supplier": (q_min_cost_supplier, _SQL_MIN_COST_SUPPLIER),
+    "supplier_relation_counts": (q_supplier_relation_counts,
+                                 _SQL_SUPPLIER_RELATION),
+    "small_qty_revenue": (q_small_qty_revenue, _SQL_SMALL_QTY),
+    "waiting_supplier": (q_waiting_supplier, _SQL_WAITING_SUPPLIER),
+    "global_acctbal_anti": (q_global_acctbal_anti, _SQL_GLOBAL_ACCTBAL),
 }
 
 

@@ -71,9 +71,20 @@ def session_context(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
 
+    # Python workers must be able to import this package no matter what the
+    # driver process's cwd is (mapInPandas/applyInPandas kernels unpickle
+    # `from .codecs import ...` worker-side).  PYTHONPATH is inherited by
+    # local-mode workers and shipped via spark.executorEnv on a cluster.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pypath if pypath else ""))
+
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(DEFAULT_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    conf.setdefault("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     if extra_conf:
         conf.update(extra_conf)

@@ -1,0 +1,93 @@
+"""TPC-H decorrelation pack: the classic subquery shapes (EXISTS, NOT IN,
+correlated scalar, disjunctive pushdown) checked value-for-value against the
+textbook correlated SQL in DuckDB, plus plan-shape assertions that the
+decorrelated Spark plans are the scalable ones (broadcast dims, TakeOrdered
+for sorted limits, pushed scan filters)."""
+
+import pytest
+
+from conftest import SF_DIR, assert_df_matches_duck
+
+from steel_datafusion_spark.plans.explain import explain_string
+from steel_datafusion_spark.queries import (
+    _SQL_DISJUNCTIVE,
+    _SQL_GLOBAL_ACCTBAL,
+    _SQL_MIN_COST_SUPPLIER,
+    _SQL_ORDER_PRIORITY_EXISTS,
+    _SQL_PROMO_REVENUE,
+    _SQL_SMALL_QTY,
+    _SQL_SUPPLIER_RELATION,
+    _SQL_WAITING_SUPPLIER,
+    q_disjunctive_pushdown,
+    q_global_acctbal_anti,
+    q_min_cost_supplier,
+    q_order_priority_exists,
+    q_promo_revenue,
+    q_small_qty_revenue,
+    q_supplier_relation_counts,
+    q_waiting_supplier,
+)
+
+PACK = [
+    (q_order_priority_exists, _SQL_ORDER_PRIORITY_EXISTS),
+    (q_promo_revenue, _SQL_PROMO_REVENUE),
+    (q_disjunctive_pushdown, _SQL_DISJUNCTIVE),
+    (q_min_cost_supplier, _SQL_MIN_COST_SUPPLIER),
+    (q_supplier_relation_counts, _SQL_SUPPLIER_RELATION),
+    (q_small_qty_revenue, _SQL_SMALL_QTY),
+    (q_waiting_supplier, _SQL_WAITING_SUPPLIER),
+    (q_global_acctbal_anti, _SQL_GLOBAL_ACCTBAL),
+]
+
+
+@pytest.mark.parametrize("fn,sql", PACK, ids=[f.__name__ for f, _ in PACK])
+def test_pack_matches_oracle(spark, duck, fn, sql):
+    assert_df_matches_duck(fn(spark, SF_DIR), duck, sql)
+
+
+def test_pack_nonempty(spark):
+    # every gate must exercise real rows at the smallest SF — an
+    # accidentally-empty result would pass the oracle check vacuously
+    for fn, _ in PACK:
+        assert fn(spark, SF_DIR).count() > 0, fn.__name__
+
+
+def test_disjunctive_join_is_broadcast_no_lineitem_shuffle(spark):
+    plan = explain_string(q_disjunctive_pushdown(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # the fact side reaches the join without an Exchange (only the
+    # broadcast and the final 1-row agg exchange appear)
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_waiting_supplier_sorted_limit_is_take_ordered(spark):
+    plan = explain_string(q_waiting_supplier(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_order_priority_date_filter_pushed(spark):
+    plan = explain_string(q_order_priority_exists(spark, SF_DIR))
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_semi_anti_join_shapes(spark):
+    plan = explain_string(q_waiting_supplier(spark, SF_DIR))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_not_in_null_awareness_documented(spark):
+    """supplier_relation_counts uses left-anti for NOT IN, valid because
+    s_suppkey is non-null.  This test pins the semantic difference: SQL
+    NOT IN against a set containing NULL matches NOTHING, while left-anti
+    still returns the non-matching rows — so anti-join is only a NOT IN
+    rewrite on null-free subqueries."""
+    df = spark.createDataFrame([(1,), (2,)], ["k"])
+    sub = spark.createDataFrame([(2,), (None,)], ["k2"])
+    df.createOrReplaceTempView("tnn_main")
+    sub.createOrReplaceTempView("tnn_sub")
+    sql_rows = spark.sql(
+        "SELECT k FROM tnn_main WHERE k NOT IN (SELECT k2 FROM tnn_sub)"
+    ).count()
+    anti_rows = df.join(sub, df["k"] == sub["k2"], "anti").count()
+    assert sql_rows == 0      # null-aware: NULL poisons NOT IN
+    assert anti_rows == 1     # anti join: row k=1 survives
