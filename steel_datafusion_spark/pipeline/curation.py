@@ -36,7 +36,8 @@ from .sampling import hash_unit
 from .text import tokens
 
 __all__ = ["repetition_stats", "decontaminate", "mixture_resample",
-           "pos_ngrams", "iqr_outlier_stats", "mixture_resample_temperature"]
+           "pos_ngrams", "iqr_outlier_stats", "mixture_resample_temperature",
+           "gopher_rules", "sql_gopher_rules"]
 
 
 def pos_ngrams(toks: Column, n: int) -> Column:
@@ -258,3 +259,128 @@ def mixture_resample_temperature(
             .filter(hash_unit(F.col(key_col), salt) * F.lit(_RATE_SCALE)
                     < F.col("_rate_ppm") * F.lit(_MOD))
             .drop("_rate_ppm"))
+
+
+def gopher_rules(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_words: int = 10, max_words: int = 100_000,
+    min_mean_word_len: float = 3.0, max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1, max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3, min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher/MassiveText structural quality battery (Rae et al. 2021
+    §A1.1, public; thresholds here adapted to short synthetic docs — the
+    defaults in the paper are min_words=50 etc.).  Per document, one flag
+    per rule plus the conjunction ``keep``:
+
+    - ``ok_words``: word count in [min_words, max_words]
+    - ``ok_mean_len``: mean word length in [min_mean_word_len, max_..]
+    - ``ok_symbols``: (# + … occurrences) / words ≤ max_symbol_ratio
+    - ``ok_bullets``: fraction of raw lines starting with a bullet
+      (-, *, •) ≤ max_bullet_frac
+    - ``ok_ellipsis``: fraction of raw lines ending with … or ... ≤
+      max_ellipsis_frac
+    - ``ok_alpha``: fraction of words containing ≥1 [a-z] ≥ min_alpha_frac
+    - ``ok_stopwords``: ≥ min_stopword_hits distinct hits from a small
+      function-word set (the "stop word" rule)
+
+    Scale: ONE codegen'd projection — array folds over the token list and
+    the raw line list, integer/string arithmetic only, ratios rounded to
+    6dp before every threshold compare (cross-engine oracle convention).
+    No shuffle, no Python, no UDF: at 100 TB this is a map-only pass that
+    fuses with whatever scan precedes it."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_len = F.round(
+        F.aggregate(toks, F.lit(0),
+                    lambda acc, w: acc + F.length(w)).cast("double") / nw, 6)
+    n_sym = (F.length(t) - F.length(F.regexp_replace(t, r"[#…]", "")))
+    sym_ratio = F.round(n_sym.cast("double") / nw, 6)
+    lines = F.split(t, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    n_bullet = F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
+    n_ellip = F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")))
+    bullet_frac = F.round(n_bullet.cast("double") / n_lines, 6)
+    ellip_frac = F.round(n_ellip.cast("double") / n_lines, 6)
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    alpha_frac = F.round(n_alpha.cast("double") / nw, 6)
+    stop_set = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    sw_hits = F.size(F.array_intersect(
+        toks, F.array(*[F.lit(s) for s in stop_set])))
+    flags = {
+        "ok_words": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_len": (mean_len >= min_mean_word_len)
+                       & (mean_len <= max_mean_word_len),
+        "ok_symbols": sym_ratio <= max_symbol_ratio,
+        "ok_bullets": bullet_frac <= max_bullet_frac,
+        "ok_ellipsis": ellip_frac <= max_ellipsis_frac,
+        "ok_alpha": alpha_frac >= min_alpha_frac,
+        "ok_stopwords": sw_hits >= min_stopword_hits,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        F.col(id_col), n_words.alias("n_words"), mean_len.alias("mean_len"),
+        sym_ratio.alias("sym_ratio"), bullet_frac.alias("bullet_frac"),
+        ellip_frac.alias("ellip_frac"), alpha_frac.alias("alpha_frac"),
+        sw_hits.alias("sw_hits"),
+        *[v.alias(k) for k, v in flags.items()],
+        keep.alias("keep"))
+
+
+def sql_gopher_rules(
+    text_col: str = "text",
+    min_words: int = 10, max_words: int = 100_000,
+    min_mean_word_len: float = 3.0, max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1, max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3, min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> dict[str, str]:
+    """DuckDB expression mirror of :func:`gopher_rules` — returns
+    column-name → SQL-expression (caller assembles the SELECT)."""
+    from .text import sql_tokens
+
+    toks = sql_tokens(text_col)
+    exprs: dict[str, str] = {}
+    exprs["n_words"] = f"len({toks})"
+    nw = f"greatest(len({toks}), 1)::DOUBLE"
+    exprs["mean_len"] = (
+        f"round(list_sum(list_transform({toks}, w -> len(w)))"
+        f"::DOUBLE / {nw}, 6)")
+    n_sym = (f"(length({text_col}) - "
+             f"length(regexp_replace({text_col}, '[#…]', '', 'g')))")
+    exprs["sym_ratio"] = f"round({n_sym}::DOUBLE / {nw}, 6)"
+    lines = f"string_split({text_col}, chr(10))"
+    n_lines = f"greatest(len({lines}), 1)::DOUBLE"
+    exprs["bullet_frac"] = (
+        f"round(len(list_filter({lines}, l -> "
+        f"regexp_matches(trim(l), '^[-*•]')))::DOUBLE / {n_lines}, 6)")
+    exprs["ellip_frac"] = (
+        f"round(len(list_filter({lines}, l -> "
+        f"regexp_matches(trim(l), '(\\.\\.\\.|…)$')))::DOUBLE "
+        f"/ {n_lines}, 6)")
+    exprs["alpha_frac"] = (
+        f"round(len(list_filter({toks}, w -> "
+        f"regexp_matches(w, '[a-z]')))::DOUBLE / {nw}, 6)")
+    stop_set = "['the','be','to','of','and','that','have','with']"
+    exprs["sw_hits"] = (
+        f"len(list_intersect(list_distinct({toks}), {stop_set}))")
+    exprs["ok_words"] = (f"(n_words >= {min_words} "
+                         f"AND n_words <= {max_words})")
+    exprs["ok_mean_len"] = (f"(mean_len >= {min_mean_word_len} "
+                            f"AND mean_len <= {max_mean_word_len})")
+    exprs["ok_symbols"] = f"(sym_ratio <= {max_symbol_ratio})"
+    exprs["ok_bullets"] = f"(bullet_frac <= {max_bullet_frac})"
+    exprs["ok_ellipsis"] = f"(ellip_frac <= {max_ellipsis_frac})"
+    exprs["ok_alpha"] = f"(alpha_frac >= {min_alpha_frac})"
+    exprs["ok_stopwords"] = f"(sw_hits >= {min_stopword_hits})"
+    exprs["keep"] = ("(ok_words AND ok_mean_len AND ok_symbols AND "
+                     "ok_bullets AND ok_ellipsis AND ok_alpha AND "
+                     "ok_stopwords)")
+    return exprs

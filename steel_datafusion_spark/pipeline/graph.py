@@ -36,7 +36,8 @@ from pyspark.sql import functions as F
 
 from ..cache import iteration_barrier, track
 
-__all__ = ["pagerank", "pagerank_bucketed", "sql_pagerank"]
+__all__ = ["pagerank", "pagerank_bucketed", "sql_pagerank",
+           "triangle_count", "sql_triangle_count"]
 
 
 def _pr_iteration(ranks: DataFrame, trans: DataFrame, nodes: DataFrame,
@@ -243,3 +244,113 @@ def sql_pagerank(edges_rel: str, src: str = "src", dst: str = "dst",
         last = cur
     parts.append(f"\n{prefix}_out AS (SELECT node, rank FROM {last})")
     return ",".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting — degree-ordered edge orientation
+# ---------------------------------------------------------------------------
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """(node, triangles): per-node triangle counts of the undirected simple
+    graph induced by ``edges`` (direction and multiplicity are dropped;
+    self-loops ignored).
+
+    Plan — the classic degree-ordered orientation that keeps the pair join
+    subquadratic on skewed graphs (the same idea as Suri & Vassilvitskii's
+    MR triangle counting): orient every undirected edge from the endpoint
+    with the smaller (degree, node) pair to the larger.  Every node's
+    out-degree in the oriented graph is then O(sqrt(|E|)) regardless of its
+    raw degree, so the wedge-building self-join on the oriented source
+    produces at most sum(outdeg²) = O(|E|^1.5) candidate wedges — a hub
+    with 10⁷ neighbors contributes zero wedges from its own key because
+    almost all of its edges point INTO it.  The closing join probes wedges
+    against the oriented edge set (shuffle on the (lo, hi) pair key).
+    Total: three shuffles (degree agg, wedge join, closing join), no
+    driver-side state.
+
+    Each triangle {a, b, c} is found exactly once (at its smallest-ordered
+    apex); the per-node counts re-explode the found triangles to their
+    three corners.  Nodes in no triangle are absent (sparse result —
+    left-join + coalesce for a dense view).
+    """
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .filter(F.col("a") != F.col("b")))
+    # und feeds both the degree agg and the orientation join, and oriented
+    # feeds three joins (two wedge legs + the closing probe) — persist both
+    # or Spark re-derives the whole upstream edge build once per reference
+    # (measured: 241 plan exchanges unpersisted vs 3 logical shuffles).
+    und = track(
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct().persist())
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg")) \
+        .withColumnRenamed("a", "n_")
+    # orient: keep (u, v) iff (deg_u, u) < (deg_v, v)
+    du = deg.select(F.col("n_").alias("a"), F.col("deg").alias("da"))
+    dv = deg.select(F.col("n_").alias("b"), F.col("deg").alias("db"))
+    oriented = track(
+        (und.join(du, "a").join(dv, "b")
+         .filter((F.col("da") < F.col("db"))
+                 | ((F.col("da") == F.col("db"))
+                    & (F.col("a") < F.col("b"))))
+         .select("a", "b")).persist())
+    # wedges: two oriented edges out of the same apex; order the far ends
+    # so the wedge key matches the oriented closing edge exactly once
+    e1 = oriented.select(F.col("a").alias("apex"), F.col("b").alias("u"))
+    e2 = oriented.select(F.col("a").alias("apex"), F.col("b").alias("v"))
+    wedges = e1.join(e2, "apex").filter(F.col("u") < F.col("v"))
+    closing = oriented.select(F.col("a").alias("cu"), F.col("b").alias("cv"))
+    closing = closing.union(
+        closing.select(F.col("cv").alias("cu"), F.col("cu").alias("cv"))
+    ).filter(F.col("cu") < F.col("cv")).distinct()
+    tris = wedges.join(
+        closing,
+        (F.col("u") == F.col("cu")) & (F.col("v") == F.col("cv")))
+    corners = (tris.select(F.col("apex").alias("node"))
+               .union(tris.select(F.col("u").alias("node")))
+               .union(tris.select(F.col("v").alias("node"))))
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("triangles"))
+
+
+def sql_triangle_count(edges_rel: str, src: str = "src",
+                       dst: str = "dst", prefix: str = "tc") -> str:
+    """DuckDB CTE chain mirroring :func:`triangle_count` exactly (same
+    orientation rule, same wedge/closing joins) — `{prefix}_out` is the
+    final (node, triangles) relation."""
+    return f"""
+{prefix}_e AS (
+  SELECT {src} AS a, {dst} AS b FROM {edges_rel} WHERE {src} <> {dst}
+),
+{prefix}_und AS (
+  SELECT a, b FROM {prefix}_e UNION SELECT b, a FROM {prefix}_e
+),
+{prefix}_deg AS (
+  SELECT a AS n_, COUNT(*) AS deg FROM {prefix}_und GROUP BY a
+),
+{prefix}_orient AS (
+  SELECT u.a, u.b FROM {prefix}_und u
+  JOIN {prefix}_deg x ON x.n_ = u.a
+  JOIN {prefix}_deg y ON y.n_ = u.b
+  WHERE x.deg < y.deg OR (x.deg = y.deg AND u.a < u.b)
+),
+{prefix}_wedge AS (
+  SELECT e1.a AS apex, e1.b AS u, e2.b AS v
+  FROM {prefix}_orient e1 JOIN {prefix}_orient e2 ON e1.a = e2.a
+  WHERE e1.b < e2.b
+),
+{prefix}_close AS (
+  SELECT DISTINCT least(a, b) AS cu, greatest(a, b) AS cv
+  FROM {prefix}_orient
+),
+{prefix}_tri AS (
+  SELECT apex, u, v FROM {prefix}_wedge
+  JOIN {prefix}_close ON u = cu AND v = cv
+),
+{prefix}_out AS (
+  SELECT node, COUNT(*) AS triangles FROM (
+    SELECT apex AS node FROM {prefix}_tri
+    UNION ALL SELECT u FROM {prefix}_tri
+    UNION ALL SELECT v FROM {prefix}_tri
+  ) GROUP BY node
+)"""

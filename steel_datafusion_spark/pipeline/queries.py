@@ -592,12 +592,18 @@ _DEDUP_INDEX_BUILT: set = set()
 
 
 def _ensure_dedup_index(spark, sf_dir, name="gate_dedup_idx"):
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), name)
-    if key in _DEDUP_INDEX_BUILT:
-        return
-    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
-    build_dedup_index(d, name)
-    _DEDUP_INDEX_BUILT.add(key)
+    # the table NAME is app-scoped too: two concurrent Spark applications
+    # (e.g. the test suite and a bench run) share the warehouse directory,
+    # and an un-scoped name lets one app's rebuild delete parquet parts out
+    # from under the other's scan mid-query (observed as FAILED_READ_FILE)
+    app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    scoped = f"{name}_{app[-12:]}"
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), scoped)
+    if key not in _DEDUP_INDEX_BUILT:
+        d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+        build_dedup_index(d, scoped)
+        _DEDUP_INDEX_BUILT.add(key)
+    return scoped
 
 
 def q_dedup_index_probe(spark, sf_dir):
@@ -608,12 +614,12 @@ def q_dedup_index_probe(spark, sf_dir):
     Same results contract (and oracle) as dedup_incremental, but the probe
     plan must never rescan the raw corpus (tests/test_dedup_index.py asserts
     it; this gate hash-checks the values end-to-end)."""
-    _ensure_dedup_index(spark, sf_dir)
+    scoped = _ensure_dedup_index(spark, sf_dir)
     d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
     batch = d.filter(F.col("doc_id") < 20).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" steel spark dedup")).alias("text"))
-    return dedup_against_index(batch, "gate_dedup_idx", threshold=0.5)
+    return dedup_against_index(batch, scoped, threshold=0.5)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -1385,17 +1391,25 @@ def q_kmeans_clusters(spark, sf_dir):
             .orderBy("cluster"))
 
 
-def _sql_kmeans(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+def _sql_kmeans(
+    k: int = 8, iters: int = 3, dim: int = 64,
+    vecs_sql: str = "SELECT vec_id AS vid, embedding::DOUBLE[] AS v "
+                    "FROM embeddings",
+    body_only: bool = False,
+) -> str:
     """Unrolled Lloyd iterations as DuckDB CTEs — same init, same rounded
     argmin tie-breaks, same 6dp-rounded per-dim centroid means as
     similarity.kmeans (the rounding step absorbs the ~1e-13 cross-engine
-    AVG summation-order difference)."""
+    AVG summation-order difference).  ``vecs_sql`` overrides the source
+    relation (any query producing (vid, v)); ``body_only`` returns just the
+    CTE list (no WITH / final SELECT) so callers can extend the chain —
+    the final assignment relation is ``a{iters}`` (vid, v, cluster)."""
     avg_list = "[" + ", ".join(
         f"round(avg(v[{i}]), 6)" for i in range(1, dim + 1)) + "]"
     d2 = ("list_sum(list_transform(list_zip(e.v, c.c), "
           "p -> (p[1]-p[2])*(p[1]-p[2])))")
     ctes = [
-        "vecs AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"vecs AS ({vecs_sql})",
         f"c0 AS (SELECT row_number() OVER (ORDER BY vid) - 1 AS cluster, v AS c\n"
         f"       FROM (SELECT vid, v FROM vecs ORDER BY vid LIMIT {k}) t)",
     ]
@@ -1410,9 +1424,57 @@ def _sql_kmeans(k: int = 8, iters: int = 3, dim: int = 64) -> str:
             ctes.append(
                 f"c{i} AS (SELECT cluster, {avg_list} AS c "
                 f"FROM a{i} GROUP BY cluster)")
-    return ("WITH " + ",\n".join(ctes)
+    body = ",\n".join(ctes)
+    if body_only:
+        return body
+    return ("WITH " + body
             + f"\nSELECT cluster, COUNT(*) AS n_vectors FROM a{iters} "
             f"GROUP BY cluster ORDER BY cluster")
+
+
+def q_semdedup_prune(spark, sf_dir):
+    """SemDeDup-style semantic dedup (similarity.semdedup): k-means blocks
+    the corpus, cosine ≥ 0.99 within each cluster marks duplicates,
+    higher-id member of each pair is dropped.  Runs on the augmented
+    embeddings (10 planted exact copies) so the prune demonstrably fires.
+    Output: per-cluster total/kept/removed counts.  The oracle unrolls the
+    identical k-means trajectory (``_sql_kmeans`` CTEs) and mirrors the
+    intra-cluster pair compare, so the whole cluster→prune pipeline is
+    hash-checked."""
+    from .similarity import semdedup
+
+    verdict = semdedup(_aug_emb(spark, sf_dir), k=8, iters=3,
+                       threshold=0.99)
+    return (verdict.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.sum(F.when(F.col("is_kept"), 0).otherwise(1))
+                 .cast("long").alias("n_removed"),
+                 F.sum(F.when(F.col("is_kept"), 1).otherwise(0))
+                 .cast("long").alias("n_kept"))
+            .orderBy("cluster"))
+
+
+def _sql_semdedup(k: int = 8, iters: int = 3, threshold: float = 0.99) -> str:
+    cos = _COS.format(a="a.v", b="b.v")
+    kme = _sql_kmeans(k=k, iters=iters, body_only=True,
+                      vecs_sql="SELECT vec_id AS vid, v FROM corpus")
+    return f"""
+WITH {_AUG_EMB_SQL},
+{kme},
+sd_pairs AS (
+  SELECT a.vid AS a_id, b.vid AS b_id
+  FROM a{iters} a JOIN a{iters} b
+    ON a.cluster = b.cluster AND a.vid < b.vid
+  WHERE round({cos}, 6) >= {threshold}
+),
+sd_removed AS (SELECT DISTINCT b_id AS vid FROM sd_pairs)
+SELECT t.cluster,
+       COUNT(*) AS n_vectors,
+       COUNT(r.vid) AS n_removed,
+       COUNT(*) - COUNT(r.vid) AS n_kept
+FROM a{iters} t LEFT JOIN sd_removed r ON t.vid = r.vid
+GROUP BY t.cluster ORDER BY t.cluster
+"""
 
 
 def q_tfidf_top_terms(spark, sf_dir):
@@ -2031,6 +2093,64 @@ def _sql_heavy_hitters_gate() -> str:
     return sql_heavy_hitters("documents", "text", threshold_inv=64)
 
 
+_GOPHER_PLANTS = [
+    (3000000, "tiny doc"),                                   # ok_words
+    (3000001, "\n".join(["- bullet item one"] * 10)),        # ok_bullets
+    (3000002, "\n".join(["we will continue this later..."] * 5)),  # ellipsis
+    (3000003, "data # value # table # row # part # key # item # batch "
+              "# scan # merge # join # sort"),               # ok_symbols
+    (3000004, "111 222 333 444 555 666 777 888 999 000 123 456"),  # alpha
+    (3000005, " ".join(["incomprehensibility justification throughout "
+                        "extraordinary happenings categorically"] * 2)),
+]                                                            # mean_len
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher/MassiveText structural quality battery (curation.py
+    gopher_rules): per-doc word-count / mean-word-length / symbol-ratio /
+    bullet-line / ellipsis-line / alpha-word / stopword flags + keep, over
+    documents plus 6 planted docs each violating exactly one rule family.
+    One codegen'd projection — map-only at any scale; every ratio rounds
+    to 6dp before its threshold so the flags hash identically."""
+    from .curation import gopher_rules
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    planted = spark.createDataFrame(_GOPHER_PLANTS,
+                                    "doc_id long, text string")
+    return gopher_rules(d.unionByName(planted), min_stopword_hits=1)
+
+
+def _sql_gopher_rules_gate() -> str:
+    from .curation import sql_gopher_rules
+
+    ex = sql_gopher_rules(min_stopword_hits=1)
+    base_cols = ["n_words", "mean_len", "sym_ratio", "bullet_frac",
+                 "ellip_frac", "alpha_frac", "sw_hits"]
+    flag_cols = ["ok_words", "ok_mean_len", "ok_symbols", "ok_bullets",
+                 "ok_ellipsis", "ok_alpha", "ok_stopwords", "keep"]
+    plants = ", ".join(
+        "(" + str(i) + ", " + "'" + t.replace("'", "''").replace("\n", "' || chr(10) || '") + "')"
+        for i, t in _GOPHER_PLANTS)
+    base_sel = ",\n    ".join(f"{ex[c]} AS {c}" for c in base_cols)
+    flag_sel = ",\n    ".join(f"{ex[c]} AS {c}" for c in flag_cols)
+    return f"""
+WITH gr_corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES {plants}) v(doc_id, text)
+),
+gr_base AS (
+  SELECT doc_id,
+    {base_sel}
+  FROM gr_corpus
+)
+SELECT doc_id, n_words, mean_len, sym_ratio, bullet_frac, ellip_frac,
+       alpha_frac, sw_hits,
+    {flag_sel}
+FROM gr_base
+"""
+
+
 def q_quality_classifier(spark, sf_dir):
     """Hashed linear quality classifier (pipeline/terms.py): per-document
     score from an integer weight fold over tokens (the label decides on the
@@ -2460,9 +2580,8 @@ def q_streaming_sessions(spark, sf_dir):
         read_stream_parquet, run_stream_to_parquet, session_rollup,
     )
 
-    base = _os.path.join(
-        tempfile.gettempdir(),
-        f"sdf_stream_gate_{_os.path.basename(_os.path.normpath(sf_dir))}")
+    from ..queries import scratch_dir
+    base = scratch_dir(spark, sf_dir, "stream_gate")
     src = _os.path.join(base, "src")
     key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
     if key not in _STREAM_SRC_BUILT or not _os.path.exists(src):
@@ -2542,9 +2661,8 @@ def q_streaming_windowed(spark, sf_dir):
         read_stream_parquet, run_stream_to_parquet, windowed_rollup,
     )
 
-    base = _os.path.join(
-        tempfile.gettempdir(),
-        f"sdf_stream_gate_{_os.path.basename(_os.path.normpath(sf_dir))}")
+    from ..queries import scratch_dir
+    base = scratch_dir(spark, sf_dir, "stream_gate")
     src = _os.path.join(base, "src")
     key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
     if key not in _STREAM_SRC_BUILT or not _os.path.exists(src):
@@ -2579,6 +2697,131 @@ SELECT window_start, event_type, n, sum_value, min_value, max_value
 FROM w
 WHERE window_start + INTERVAL 1 HOUR
       <= (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events)
+"""
+
+
+def q_streaming_hopping(spark, sf_dir):
+    """HOPPING-window streaming rollup (windowed_rollup with slide <
+    window): 1-hour windows every 30 min, 2 h watermark, availableNow
+    through foreachBatch — each event contributes to exactly 2 overlapping
+    windows, so state and output carry the documented 2× overlap factor.
+    The oracle expands each event to its two slide-grid windows and
+    applies the same final-watermark cutoff as the tumbling gate."""
+    import shutil
+    import uuid
+
+    from ..queries import scratch_dir
+    from ..streaming.operators import (
+        read_stream_parquet, run_stream_to_parquet, windowed_rollup,
+    )
+
+    base = scratch_dir(spark, sf_dir, "stream_gate")
+    src = _os.path.join(base, "src")
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    if key not in _STREAM_SRC_BUILT or not _os.path.exists(src):
+        shutil.rmtree(base, ignore_errors=True)
+        load_tables(spark, sf_dir)["events"].write.mode(
+            "overwrite").parquet(src)
+        _STREAM_SRC_BUILT.add(key)
+    run_id = uuid.uuid4().hex[:8]
+    out = _os.path.join(base, f"hout-{run_id}")
+    ckpt = _os.path.join(base, f"hckpt-{run_id}")
+    batch = spark.read.parquet(src)
+    stream = read_stream_parquet(spark, src, batch.schema)
+    got = run_stream_to_parquet(
+        windowed_rollup(stream, window="1 hour", slide="30 minutes"),
+        out, ckpt)
+    return got.select(
+        "window_start", "event_type", "n",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"))
+
+
+_SQL_STREAMING_HOPPING = """
+WITH expanded AS (
+  SELECT date_trunc('hour', ts)
+           + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                  ELSE INTERVAL 0 MINUTE END
+           - i.o * INTERVAL 30 MINUTE AS window_start,
+         event_type, value, ts
+  FROM events, (SELECT unnest([0, 1]) AS o) i),
+w AS (
+  SELECT window_start, event_type,
+         COUNT(*) AS n,
+         round(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6)
+           AS sum_value,
+         round(MIN(value), 6) AS min_value,
+         round(MAX(value), 6) AS max_value
+  FROM expanded GROUP BY 1, 2)
+SELECT window_start, event_type, n, sum_value, min_value, max_value
+FROM w
+WHERE window_start + INTERVAL 1 HOUR
+      <= (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events)
+"""
+
+
+def q_streaming_join(spark, sf_dir):
+    """Stream↔stream interval join (streaming/operators.py
+    stream_stream_join): view→purchase attribution — every (view,
+    purchase) pair of the same user within 30 min, both sides real
+    streams with 2 h watermarks, driven availableNow through foreachBatch
+    into parquet.
+
+    The time-range join condition is what bounds each side's state to the
+    watermark+30 min horizon (without it, inner-join state grows without
+    bound and outer variants are rejected), so this runs forever on
+    unbounded streams; an inner interval join emits each pair exactly
+    once, making the finite-source drive hash-comparable to the
+    batch/DuckDB range join."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.operators import (
+        read_stream_parquet, run_stream_to_parquet, stream_stream_join,
+    )
+
+    from ..queries import scratch_dir
+    base = scratch_dir(spark, sf_dir, "stream_gate")
+    src = _os.path.join(base, "src")
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    if key not in _STREAM_SRC_BUILT or not _os.path.exists(src):
+        shutil.rmtree(base, ignore_errors=True)
+        load_tables(spark, sf_dir)["events"].write.mode(
+            "overwrite").parquet(src)
+        _STREAM_SRC_BUILT.add(key)
+    run_id = uuid.uuid4().hex[:8]
+    out = _os.path.join(base, f"jout-{run_id}")
+    ckpt = _os.path.join(base, f"jckpt-{run_id}")
+    batch = spark.read.parquet(src)
+    stream = read_stream_parquet(spark, src, batch.schema)
+    views = stream.filter(F.col("event_type") == "view") \
+        .select("user_id", "ts", "event_id")
+    buys = stream.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "event_id", "value")
+    joined = stream_stream_join(views, buys, key_col="user_id",
+                                ts_col="ts", within="30 minutes")
+    got = run_stream_to_parquet(joined, out, ckpt)
+    return got.select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        ((F.col("r_ts").cast("long") - F.col("ts").cast("long")))
+        .alias("gap_sec"),
+        F.round("r_value", 6).alias("purchase_value"))
+
+
+_SQL_STREAMING_JOIN = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       date_diff('second', v.ts, p.ts) AS gap_sec,
+       round(p.value, 6) AS purchase_value
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
 """
 
 
@@ -2733,7 +2976,58 @@ SELECT node, rank FROM prb_out
 """
 
 
+def q_triangle_count(spark, sf_dir):
+    """Per-node triangle counts (pipeline/graph.py triangle_count) on the
+    part co-purchase graph: parts are adjacent iff some order contains both.
+
+    Scale: the co-purchase edge build self-joins lineitem on l_orderkey —
+    per-order fan-out is C(lines_per_order, 2), a small constant in any
+    order-lines schema, so edge count is linear in the fact table.  The
+    2-year shipdate window is pushed to both parquet scans (the gate's cost
+    knob — the operator itself has no input cap).  The
+    triangle operator then bounds wedge generation by degree-ordered
+    orientation (O(|E|^1.5) worst case, hub-proof — see graph.py).  Output
+    is clamped to the top 100 by (triangles desc, node asc) under a total
+    order."""
+    from .graph import triangle_count
+
+    li = load_tables(spark, sf_dir)["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_partkey")
+    b = li.select(F.col("l_orderkey").alias("o2"),
+                  F.col("l_partkey").alias("p2"))
+    edges = (li.join(b, (F.col("l_orderkey") == F.col("o2"))
+                     & (F.col("l_partkey") < F.col("p2")))
+             .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+             .distinct())
+    out = triangle_count(edges).withColumnRenamed("node", "part")
+    return out.orderBy(F.col("triangles").desc(), F.col("part").asc()) \
+        .limit(100)
+
+
+def _sql_triangle_count_gate() -> str:
+    from .graph import sql_triangle_count
+
+    body = sql_triangle_count("tcg_edges", prefix="tcg")
+    return f"""
+WITH tcg_li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+),
+tcg_edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM tcg_li a JOIN tcg_li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),{body}
+SELECT node AS part, triangles FROM tcg_out
+ORDER BY triangles DESC, part ASC LIMIT 100
+"""
+
+
 PIPELINE_QUERIES = {
+    "triangle_count": (q_triangle_count, _sql_triangle_count_gate()),
     "text_stats": (q_text_stats, _SQL_TEXT_STATS),
     "text_quality_by_source": (q_text_quality_by_source, _SQL_TEXT_QUALITY),
     "pii_redact": (q_pii_redact, _sql_pii_redact()),
@@ -2773,6 +3067,7 @@ PIPELINE_QUERIES = {
     "audio_features": (q_audio_features, _SQL_AUDIO_FEATURES),
     "winnow_fingerprints": (q_winnow_fingerprints, _SQL_WINNOW),
     "kmeans_clusters": (q_kmeans_clusters, _sql_kmeans()),
+    "semdedup_prune": (q_semdedup_prune, _sql_semdedup()),
     "tfidf_top_terms": (q_tfidf_top_terms, _sql_tfidf()),
     "similarity_lsh": (q_similarity_lsh, _sql_similarity_lsh()),
     "asof_join": (q_asof_join, _SQL_ASOF),
@@ -2798,6 +3093,7 @@ PIPELINE_QUERIES = {
                               _sql_dedup_substring_spans()),
     "heavy_hitters": (q_heavy_hitters, _sql_heavy_hitters_gate()),
     "quality_classifier": (q_quality_classifier, _sql_quality_classifier()),
+    "gopher_rules": (q_gopher_rules, _sql_gopher_rules_gate()),
     "unigram_logprob": (q_unigram_logprob, _sql_unigram_logprob()),
     "bigram_logprob": (q_bigram_logprob, _sql_bigram_logprob()),
     "bm25_rank": (q_bm25_rank, _sql_bm25_rank()),
@@ -2820,5 +3116,7 @@ PIPELINE_QUERIES = {
     "url_canonicalize": (q_url_canonicalize, _sql_url_canonicalize()),
     "streaming_sessions": (q_streaming_sessions, _SQL_STREAMING_SESSIONS),
     "streaming_windowed": (q_streaming_windowed, _SQL_STREAMING_WINDOWED),
+    "streaming_join": (q_streaming_join, _SQL_STREAMING_JOIN),
+    "streaming_hopping": (q_streaming_hopping, _SQL_STREAMING_HOPPING),
     "robust_stats": (q_robust_stats, _sql_robust_stats()),
 }

@@ -30,6 +30,7 @@ from ..cache import iteration_barrier, release_local_checkpoint, track
 __all__ = ["sq8_stats", "sq8_error_stats", "sql_sq8_error_stats",
            "dot", "norm2", "cosine", "cosine_topk", "cosine_neardup_pairs",
            "ivf_assign", "ivf_topk", "kmeans", "lsh_bucket", "lsh_topk",
+           "semdedup",
            "hyperplanes", "normalize_l2", "pq_codebooks", "pq_encode",
            "pq_topk", "SQL_COSINE"]
 
@@ -399,6 +400,56 @@ def kmeans(
                 .select("cluster",
                         F.transform(F.col("dm"), lambda s: s["m"]).alias("c")))
     return assign.select("vid", "cluster"), cent.withColumnRenamed("c", "centroid")
+
+
+def semdedup(
+    corpus: DataFrame, k: int = 8, iters: int = 3, threshold: float = 0.99,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    reliable: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    k-means partitions the embedding space, near-duplicate pairs are
+    searched ONLY within each cluster (cosine ≥ threshold), and within a
+    duplicate pair the higher id is dropped — deterministic keep-first.
+
+    Returns (vid, cluster, is_kept): every corpus vector with its cluster
+    and whether it survives the prune.
+
+    Scale: the clustering IS the candidate-blocking structure — the
+    pairwise compare shuffles once on the cluster key and costs
+    Σ_c |c|² · dim, so k is the knob: pick k ≈ N / B for a target cluster
+    size B (10³–10⁴ at cluster scale) and per-vector cost is O(B · dim),
+    independent of corpus size — the same envelope as the LSH route
+    (cosine_neardup_pairs) with centroids instead of hyperplanes.  A
+    skewed cluster (one giant blob) is the known SemDeDup failure mode;
+    at scale, re-cluster oversized clusters recursively or fall back to
+    LSH inside them (documented, not silently capped here — test corpora
+    stay far below the envelope).
+
+    Determinism: the k-means trajectory is bit-reproducible (see
+    :func:`kmeans`); cosine is rounded to 6dp before the threshold compare
+    (repo-wide convention), so the keep/drop verdict is oracle-checkable.
+    Keep-first (min id) is the common SemDeDup policy (keep one
+    representative per duplicate relation); note it is pairwise, not
+    transitive-closure — `connected_components` composes on top when
+    cluster-level grouping is wanted (see the embedding_dedup gate)."""
+    assign, _cent = kmeans(corpus, k=k, iters=iters, id_col=id_col,
+                           vec_col=vec_col, reliable=reliable)
+    v = corpus.select(F.col(id_col).alias("vid"),
+                      F.col(vec_col).alias("v")).join(assign, "vid")
+    a = v.select("cluster", F.col("vid").alias("a_id"),
+                 F.col("v").alias("a_v"))
+    b = v.select(F.col("cluster").alias("b_cluster"),
+                 F.col("vid").alias("b_id"), F.col("v").alias("b_v"))
+    pairs = (a.join(b, (F.col("cluster") == F.col("b_cluster"))
+                    & (F.col("a_id") < F.col("b_id")))
+             .filter(F.round(cosine(F.col("a_v"), F.col("b_v")), 6)
+                     >= threshold))
+    removed = pairs.select(F.col("b_id").alias("vid")).distinct() \
+        .withColumn("_rm", F.lit(True))
+    return (v.join(removed, "vid", "left")
+            .select("vid", "cluster",
+                    F.col("_rm").isNull().alias("is_kept")))
 
 
 def normalize_l2(vec: Column) -> Column:

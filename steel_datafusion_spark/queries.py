@@ -58,6 +58,22 @@ def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return load_tables(spark, sf_dir)
 
 
+def scratch_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """App-scoped scratch path for write→read gates.  Scoping by
+    applicationId matters: gates that overwrite-then-read a fixed path race
+    a concurrent Spark application (test suite + bench on one machine, two
+    jobs on a shared staging bucket at scale) — the other app's overwrite
+    deletes parquet parts out from under this app's scan mid-query
+    (observed as FAILED_READ_FILE).  Within one app the path is stable, so
+    reruns stay idempotent and per-app source caches keep working."""
+    import tempfile
+
+    app = spark.sparkContext.applicationId.replace("-", "_")[-12:]
+    return _os.path.join(
+        tempfile.gettempdir(),
+        f"sdf_{tag}_{_os.path.basename(_os.path.normpath(sf_dir))}_{app}")
+
+
 # ---------------------------------------------------------------------------
 # Relational core (SURVEY.md §2) — every df/* operator exercised
 # ---------------------------------------------------------------------------
@@ -941,9 +957,7 @@ def q_write_partitioned_roundtrip(spark, sf_dir):
     import tempfile
 
     d = _t(spark, sf_dir)["documents"]
-    out = _os.path.join(
-        tempfile.gettempdir(),
-        f"sdf_roundtrip_{_os.path.basename(_os.path.normpath(sf_dir))}")
+    out = scratch_dir(spark, sf_dir, "roundtrip")
     (d.select("doc_id", "source", "n_chars", "lang")
      .write.mode("overwrite").partitionBy("lang").parquet(out))
     back = spark.read.parquet(out).filter(F.col("lang").isin("en", "de"))
@@ -1078,9 +1092,7 @@ def q_upsert_roundtrip(spark, sf_dir):
     import tempfile
 
     d = _t(spark, sf_dir)["documents"].select("doc_id", "source", "n_chars")
-    out = _os.path.join(
-        tempfile.gettempdir(),
-        f"sdf_upsert_{_os.path.basename(_os.path.normpath(sf_dir))}")
+    out = scratch_dir(spark, sf_dir, "upsert")
     if _os.path.exists(out):
         shutil.rmtree(out)
     merge_upsert(spark, out, d, ["doc_id"])  # seed
@@ -1126,9 +1138,7 @@ def q_upsert_partitioned(spark, sf_dir):
     import tempfile
 
     d = _t(spark, sf_dir)["documents"].select("doc_id", "source", "n_chars")
-    out = _os.path.join(
-        tempfile.gettempdir(),
-        f"sdf_upsert_part_{_os.path.basename(_os.path.normpath(sf_dir))}")
+    out = scratch_dir(spark, sf_dir, "upsert_part")
     if _os.path.exists(out):
         shutil.rmtree(out)
     merge_upsert(spark, out, d, ["doc_id"], partition_by=["source"])  # seed
@@ -1539,9 +1549,7 @@ def q_orc_roundtrip(spark, sf_dir):
     import tempfile
 
     d = _t(spark, sf_dir)["documents"]
-    out = _os.path.join(
-        tempfile.gettempdir(),
-        f"sdf_orc_{_os.path.basename(_os.path.normpath(sf_dir))}")
+    out = scratch_dir(spark, sf_dir, "orc")
     write_orc(d.select("doc_id", "source", "lang", "n_chars"), out)
     back = read_orc(spark, out).filter(F.col("n_chars") >= 400)
     return back.groupBy("source").agg(

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["read_stream_parquet", "windowed_rollup", "session_rollup",
-           "streaming_dedup", "run_stream_to_memory",
+           "streaming_dedup", "stream_stream_join", "run_stream_to_memory",
            "run_stream_to_parquet"]
 
 
@@ -55,13 +55,21 @@ def windowed_rollup(
     value_col: str = "value",
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
     """Tumbling-window aggregate with watermark — the streaming form of the
     batch ``events_time_rollup`` gate query.  Output: one row per
-    (window_start, key) with count/sum/min/max."""
+    (window_start, key) with count/sum/min/max.
+
+    ``slide`` < ``window`` switches to HOPPING windows: each event lands in
+    window/slide overlapping windows (state and output scale by the same
+    factor — the documented cost of overlap; the watermark still bounds
+    total state)."""
+    win = (F.window(F.col(ts_col), window, slide) if slide
+           else F.window(F.col(ts_col), window))
     return (
         _ensure_event_time(events, ts_col).withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .groupBy(win.alias("w"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col(value_col).cast("decimal(28,10)")).cast("double").alias("sum_value"),
@@ -115,6 +123,45 @@ def streaming_dedup(
     return _ensure_event_time(events, ts_col) \
         .withWatermark(ts_col, watermark) \
         .dropDuplicatesWithinWatermark(key_cols)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream↔stream interval join (attribution shape): each left event
+    pairs with every right event of the same key whose timestamp falls in
+    ``[left.ts, left.ts + within]``.
+
+    Both sides carry watermarks and the join condition carries the time
+    range, so Spark derives a state-eviction bound for each side — state
+    holds only the watermark+within horizon per key, which is what lets the
+    join run forever on unbounded streams.  Without them an inner join
+    still runs but its state grows without bound, and outer variants are
+    rejected outright (no way to finalize a non-match).
+
+    Columns: left keeps its names; right's key/ts are exposed as
+    ``r_<key>``/``r_<ts>`` plus any other right columns prefixed ``r_``.
+    Works identically on batch DataFrames (no watermark applied) — the
+    parity tests exploit that."""
+    l = _ensure_event_time(left, ts_col)
+    r = _ensure_event_time(right, ts_col)
+    if l.isStreaming:
+        l = l.withWatermark(ts_col, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(ts_col, watermark)
+    r = r.select([F.col(c).alias(f"r_{c}") for c in r.columns])
+    cond = (
+        (F.col(key_col) == F.col(f"r_{key_col}"))
+        & (F.col(f"r_{ts_col}") >= F.col(ts_col))
+        & (F.col(f"r_{ts_col}")
+           <= F.col(ts_col) + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner")
 
 
 def run_stream_to_memory(stream_df: DataFrame, query_name: str,

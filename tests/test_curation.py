@@ -113,3 +113,49 @@ def test_mixture_temperature_flattens_and_keeps_tail(spark):
              mixture_resample_temperature(df, alpha=0.5)
              .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert again == kept
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    from steel_datafusion_spark.pipeline.curation import gopher_rules
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and that is "
+            "fine to be sure with plenty of ordinary words here"),
+        (2, "too short"),                                     # ok_words
+        (3, "\n".join(["- bullet one two three four five six seven eight "
+                       "nine ten of the and that"] * 10)),    # ok_bullets
+        (4, "\n".join(["the and of that keep going here fine..."] * 4)),
+        (5, "the of # and # that # words # here # fine # more # pad "
+            "# text # stuff"),                                # ok_symbols
+        (6, "the of 111 222 333 444 555 666 777 888 999 000"),  # ok_alpha
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert out[1]["keep"]
+    assert not out[2]["ok_words"]
+    assert not out[3]["ok_bullets"]
+    assert not out[4]["ok_ellipsis"]
+    assert not out[5]["ok_symbols"]
+    assert not out[6]["ok_alpha"]
+
+
+def test_gopher_rules_matches_duckdb_mirror(spark, duck):
+    from steel_datafusion_spark.pipeline.curation import (
+        gopher_rules, sql_gopher_rules,
+    )
+    from conftest import SF_DIR, assert_df_matches_duck
+    from steel_datafusion_spark.sources.readers import load_tables
+
+    d = load_tables(spark, SF_DIR)["documents"].select("doc_id", "text")
+    got = gopher_rules(d)
+    ex = sql_gopher_rules()
+    base_cols = ["n_words", "mean_len", "sym_ratio", "bullet_frac",
+                 "ellip_frac", "alpha_frac", "sw_hits"]
+    flag_cols = ["ok_words", "ok_mean_len", "ok_symbols", "ok_bullets",
+                 "ok_ellipsis", "ok_alpha", "ok_stopwords", "keep"]
+    base_sel = ", ".join(f"{ex[c]} AS {c}" for c in base_cols)
+    flag_sel = ", ".join(f"{ex[c]} AS {c}" for c in flag_cols)
+    sql = (f"SELECT doc_id, n_words, mean_len, sym_ratio, bullet_frac, "
+           f"ellip_frac, alpha_frac, sw_hits, {flag_sel} FROM "
+           f"(SELECT doc_id, {base_sel} FROM documents) b")
+    assert_df_matches_duck(got, duck, sql)

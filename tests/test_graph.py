@@ -115,3 +115,49 @@ def test_pagerank_bucketed_edge_join_is_shuffle_free(spark):
         if old_aqe is not None:
             spark.conf.set(
                 "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting
+# ---------------------------------------------------------------------------
+
+def test_triangle_count_planted(spark):
+    from steel_datafusion_spark.pipeline.graph import triangle_count
+
+    # K4 on {a,b,c,d} (4 triangles, each node in 3) plus a pendant edge and
+    # a disconnected pair; direction/multiplicity/self-loops must not matter
+    rows = [("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"), ("b", "c"),
+            ("b", "d"), ("c", "d"), ("d", "e"), ("x", "y"), ("a", "a")]
+    got = {r["node"]: r["triangles"]
+           for r in triangle_count(_edges(spark, rows)).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangle_count_star_is_zero(spark):
+    from steel_datafusion_spark.pipeline.graph import triangle_count
+
+    # hub with 30 spokes: no triangles, and the degree orientation points
+    # every edge INTO the hub so the hub key generates zero wedges
+    rows = [("hub", f"s{i}") for i in range(30)]
+    assert triangle_count(_edges(spark, rows)).count() == 0
+
+
+def test_triangle_count_matches_duckdb_mirror(spark):
+    import duckdb
+
+    from steel_datafusion_spark.pipeline.graph import (
+        sql_triangle_count, triangle_count,
+    )
+
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a"),
+            ("b", "d"), ("d", "e"), ("e", "f"), ("f", "d"), ("a", "e")]
+    spark_out = sorted(
+        (r["node"], r["triangles"])
+        for r in triangle_count(_edges(spark, rows)).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edges (src VARCHAR, dst VARCHAR)")
+    con.executemany("INSERT INTO edges VALUES (?, ?)", rows)
+    duck_out = sorted(con.execute(
+        f"WITH {sql_triangle_count('edges').lstrip()} "
+        "SELECT node, triangles FROM tc_out").fetchall())
+    assert spark_out == duck_out

@@ -285,3 +285,25 @@ def test_keep_representatives_and_dedup_corpus(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="method"):
         dedup_corpus(corpus, method="nope")
+
+
+def test_semdedup_drops_planted_duplicates(spark):
+    from steel_datafusion_spark.pipeline.similarity import semdedup
+
+    # 3 well-separated base vectors, each duplicated with a higher id;
+    # plus one singleton.  keep-first must drop exactly the higher-id copies.
+    base = [
+        (0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]), (3, [0.5, 0.5, 0.5, 0.5]),
+        (100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0]),
+        (102, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    out = semdedup(df, k=3, iters=2, threshold=0.99)
+    verdict = {r["vid"]: r["is_kept"] for r in out.collect()}
+    assert len(verdict) == 7
+    assert all(verdict[i] for i in (0, 1, 2, 3))
+    assert not any(verdict[i] for i in (100, 101, 102))
+    # duplicates land in the same cluster as their originals
+    cl = {r["vid"]: r["cluster"] for r in out.collect()}
+    assert cl[0] == cl[100] and cl[1] == cl[101] and cl[2] == cl[102]

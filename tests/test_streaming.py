@@ -262,3 +262,49 @@ def test_restart_from_checkpoint_no_duplicates_no_loss(spark, tmp_path):
     got3 = run_stream_to_parquet(
         stage(read_stream_parquet(spark, str(src), schema)), out, ckpt)
     assert got3.count() == n_all
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    from steel_datafusion_spark.streaming.operators import stream_stream_join
+
+    batch = spark.read.parquet(events_dir)
+    stream = read_stream_parquet(spark, events_dir, batch.schema)
+
+    def split(df):
+        v = df.filter(F.col("event_type") == "view") \
+            .select("user_id", "ts", "event_id")
+        p = df.filter(F.col("event_type") == "purchase") \
+            .select("user_id", "ts", "event_id")
+        return v, p
+
+    sv, sp = split(stream)
+    got = run_stream_to_memory(
+        stream_stream_join(sv, sp, within="30 minutes"), "ssj_pairs")
+    bv, bp = split(batch)
+    want = stream_stream_join(bv, bp, within="30 minutes")
+    key = lambda r: (r["user_id"], r["event_id"], r["r_event_id"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    assert want.count() > 0
+
+
+def test_stream_stream_outer_join_requires_time_bound(spark, events_dir):
+    # inner stream-stream joins merely grow state without a time bound, but
+    # OUTER joins are rejected outright without watermark + range condition
+    # — Spark cannot decide when a non-match is final.  This pins why
+    # stream_stream_join always carries both.
+    batch = spark.read.parquet(events_dir)
+    stream = read_stream_parquet(spark, events_dir, batch.schema)
+    ev = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    v = ev.filter(F.col("event_type") == "view") \
+        .select("user_id", "ts").withWatermark("ts", "2 hours")
+    p = ev.filter(F.col("event_type") == "purchase") \
+        .select(F.col("user_id").alias("r_user_id"),
+                F.col("ts").alias("r_ts")).withWatermark("r_ts", "2 hours")
+    unbounded = v.join(p, F.col("user_id") == F.col("r_user_id"),
+                       "left_outer")
+    with pytest.raises(Exception) as ei:
+        q = (unbounded.writeStream.format("memory").queryName("ssj_bad")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(60)
+    msg = str(ei.value).lower()
+    assert "watermark" in msg or "join" in msg
