@@ -1443,8 +1443,14 @@ def q_semdedup_prune(spark, sf_dir):
     hash-checked."""
     from .similarity import semdedup
 
-    verdict = semdedup(_aug_emb(spark, sf_dir), k=8, iters=3,
-                       threshold=0.99)
+    # gate-side corpus cap (vec_id % 1e6 < 800, keeping the planted copies):
+    # the pairwise-within-cluster stage is Σ|c|²·dim by design — the
+    # OPERATOR keeps that bounded by sizing k to the corpus (see semdedup
+    # docstring); the GATE demos it on a fixed k=8, so the demo corpus is
+    # capped instead of letting the demo quadratic dominate the bench.
+    corpus = _aug_emb(spark, sf_dir).filter(
+        (F.col("vec_id") % 1000000) < 800)
+    verdict = semdedup(corpus, k=8, iters=3, threshold=0.99)
     return (verdict.groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n_vectors"),
                  F.sum(F.when(F.col("is_kept"), 0).otherwise(1))
@@ -1457,7 +1463,8 @@ def q_semdedup_prune(spark, sf_dir):
 def _sql_semdedup(k: int = 8, iters: int = 3, threshold: float = 0.99) -> str:
     cos = _COS.format(a="a.v", b="b.v")
     kme = _sql_kmeans(k=k, iters=iters, body_only=True,
-                      vecs_sql="SELECT vec_id AS vid, v FROM corpus")
+                      vecs_sql="SELECT vec_id AS vid, v FROM corpus "
+                               "WHERE vec_id % 1000000 < 800")
     return f"""
 WITH {_AUG_EMB_SQL},
 {kme},

@@ -1915,6 +1915,134 @@ GROUP BY cntrycode
 """
 
 
+def q_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: HAVING against an uncorrelated scalar aggregate
+    (per-part value share of the global total), the scalar decorrelated to
+    a 1-row broadcast cross join.
+
+    Scale: both the per-part agg and the global total reduce the same
+    filtered fact stream (map-side partials); the total is one broadcast
+    row, so the HAVING filter is map-only over the per-part aggregate —
+    no second pass over the fact table."""
+    t = _t(spark, sf_dir)
+    li = df_join(t["lineitem"],
+                 F.broadcast(df_filter(t["supplier"],
+                                       F.col("s_nationkey") < 5)),
+                 "left_semi", ["l_suppkey"], ["s_suppkey"])
+    per_part = df_aggregate(
+        li, [col("l_partkey")],
+        [F.sum(F.col("l_extendedprice").cast(_DEC2)).alias("_v")])
+    total = per_part.agg(F.sum("_v").alias("_tot"))
+    out = (per_part.crossJoin(F.broadcast(total))
+           .filter(F.col("_v").cast("double")
+                   > F.lit(0.001) * F.col("_tot").cast("double"))
+           .select("l_partkey", F.col("_v").cast("double").alias("value")))
+    return df_sort(out, [sort_desc(col("value")), sort_asc(col("l_partkey"))])
+
+
+_SQL_IMPORTANT_STOCK = f"""
+WITH flt AS (
+  SELECT l_partkey, l_extendedprice FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+),
+pp AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS {_SQL_DEC2})) AS v
+  FROM flt GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(v AS DOUBLE) AS value
+FROM pp
+WHERE CAST(v AS DOUBLE) > 0.001 * (SELECT CAST(SUM(v) AS DOUBLE) FROM pp)
+ORDER BY value DESC, l_partkey ASC
+"""
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the revenue view + scalar MAX — supplier(s) whose
+    quarterly revenue equals the maximum, ties kept (the SQL semantics).
+
+    Scale: one shuffle aggregates revenue per supplier; the MAX is a 1-row
+    broadcast; the equality filter is map-only.  The exact-decimal revenue
+    makes the double equality safe — both sides derive the compared value
+    from the same decimal sum."""
+    t = _t(spark, sf_dir)
+    li = df_filter(
+        t["lineitem"],
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+    rev = (F.col("l_extendedprice").cast(_DEC2)
+           * (F.lit(1).cast(_DEC2) - F.col("l_discount").cast(_DEC2)))
+    per_supp = df_aggregate(li, [col("l_suppkey")],
+                            [F.sum(rev).alias("_r")])
+    mx = per_supp.agg(F.max("_r").alias("_mx"))
+    out = (per_supp.crossJoin(F.broadcast(mx))
+           .filter(F.col("_r") == F.col("_mx")))
+    out = df_join(out, F.broadcast(t["supplier"]), "inner",
+                  ["l_suppkey"], ["s_suppkey"])
+    return out.select("s_suppkey", "s_name",
+                      F.col("_r").cast("double").alias("total_revenue")) \
+        .orderBy("s_suppkey")
+
+
+_SQL_TOP_SUPPLIER = f"""
+WITH r AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS {_SQL_DEC2})
+             * (CAST(1 AS {_SQL_DEC2}) - CAST(l_discount AS {_SQL_DEC2})))
+           AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+WHERE rev = (SELECT MAX(rev) FROM r)
+ORDER BY s_suppkey
+"""
+
+
+def q_dominant_promo_supplier(spark, sf_dir):
+    """TPC-H Q20 shape: nested IN with a correlated aggregate inside —
+    suppliers shipping > 15% of some PROMO part's total volume.  The inner
+    correlated SUM decorrelates to a window total over the correlation key
+    (partkey); the outer IN becomes a semi join onto supplier.
+
+    Scale: one shuffle builds (part, supplier) volumes with map-side
+    combine; the window total reuses the partkey distribution; the final
+    semi join probes the tiny qualifying-supplier set against the
+    broadcast dim."""
+    t = _t(spark, sf_dir)
+    promo = df_filter(F.broadcast(t["part"]), F.col("p_type") == "PROMO") \
+        .select("p_partkey")
+    li = df_join(t["lineitem"], promo, "left_semi",
+                 ["l_partkey"], ["p_partkey"])
+    ps = df_aggregate(li, [col("l_partkey"), col("l_suppkey")],
+                      [F.sum(F.col("l_quantity").cast(_DEC)).alias("_q")])
+    w = window_spec(partition_by=["l_partkey"])
+    qualifying = (ps.withColumn("_pt", F.sum("_q").over(w))
+                  .filter(F.col("_q").cast("double")
+                          > F.lit(0.15) * F.col("_pt").cast("double"))
+                  .select("l_suppkey"))
+    out = df_join(t["supplier"], qualifying, "left_semi",
+                  ["s_suppkey"], ["l_suppkey"])
+    return out.select("s_suppkey", "s_name").orderBy("s_suppkey")
+
+
+_SQL_DOMINANT_PROMO = f"""
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'PROMO'
+  GROUP BY l_suppkey, l_partkey
+  HAVING CAST(SUM(CAST(l_quantity AS {_SQL_DEC})) AS DOUBLE) > 0.15 * (
+    SELECT CAST(SUM(CAST(l2.l_quantity AS {_SQL_DEC})) AS DOUBLE)
+    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+)
+ORDER BY s_suppkey
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "pricing_summary": (q_pricing_summary, _SQL_PRICING),
     "filter_project_case": (q_filter_project_case, _SQL_FILTER_PROJECT),
@@ -1974,6 +2102,10 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "small_qty_revenue": (q_small_qty_revenue, _SQL_SMALL_QTY),
     "waiting_supplier": (q_waiting_supplier, _SQL_WAITING_SUPPLIER),
     "global_acctbal_anti": (q_global_acctbal_anti, _SQL_GLOBAL_ACCTBAL),
+    "important_stock": (q_important_stock, _SQL_IMPORTANT_STOCK),
+    "top_supplier": (q_top_supplier, _SQL_TOP_SUPPLIER),
+    "dominant_promo_supplier": (q_dominant_promo_supplier,
+                                _SQL_DOMINANT_PROMO),
 }
 
 

@@ -308,3 +308,24 @@ def test_stream_stream_outer_join_requires_time_bound(spark, events_dir):
         q.awaitTermination(60)
     msg = str(ei.value).lower()
     assert "watermark" in msg or "join" in msg
+
+
+def test_hopping_rollup_matches_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    stream = read_stream_parquet(spark, events_dir, batch.schema)
+    got = run_stream_to_memory(
+        windowed_rollup(stream, window="1 hour", slide="30 minutes"),
+        "hop_rollup")
+    want = windowed_rollup(batch, window="1 hour", slide="30 minutes")
+    # append mode only emits windows the final watermark closed
+    cutoff = batch.agg(
+        F.max(F.col("ts").cast("timestamp"))).first()[0]
+    import datetime
+    closed = want.filter(
+        F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+        <= F.lit(cutoff - datetime.timedelta(hours=2)))
+    key = lambda r: (str(r["window_start"]), r["event_type"], r["n"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, closed.collect()))
+    # each event lands in exactly window/slide = 2 windows
+    n_events = batch.count()
+    assert want.agg(F.sum("n")).first()[0] == 2 * n_events

@@ -11,20 +11,26 @@ from conftest import SF_DIR, assert_df_matches_duck
 from steel_datafusion_spark.plans.explain import explain_string
 from steel_datafusion_spark.queries import (
     _SQL_DISJUNCTIVE,
+    _SQL_DOMINANT_PROMO,
     _SQL_GLOBAL_ACCTBAL,
+    _SQL_IMPORTANT_STOCK,
     _SQL_MIN_COST_SUPPLIER,
     _SQL_ORDER_PRIORITY_EXISTS,
     _SQL_PROMO_REVENUE,
     _SQL_SMALL_QTY,
     _SQL_SUPPLIER_RELATION,
+    _SQL_TOP_SUPPLIER,
     _SQL_WAITING_SUPPLIER,
     q_disjunctive_pushdown,
+    q_dominant_promo_supplier,
     q_global_acctbal_anti,
+    q_important_stock,
     q_min_cost_supplier,
     q_order_priority_exists,
     q_promo_revenue,
     q_small_qty_revenue,
     q_supplier_relation_counts,
+    q_top_supplier,
     q_waiting_supplier,
 )
 
@@ -37,6 +43,9 @@ PACK = [
     (q_small_qty_revenue, _SQL_SMALL_QTY),
     (q_waiting_supplier, _SQL_WAITING_SUPPLIER),
     (q_global_acctbal_anti, _SQL_GLOBAL_ACCTBAL),
+    (q_important_stock, _SQL_IMPORTANT_STOCK),
+    (q_top_supplier, _SQL_TOP_SUPPLIER),
+    (q_dominant_promo_supplier, _SQL_DOMINANT_PROMO),
 ]
 
 
