@@ -2158,6 +2158,25 @@ FROM gr_base
 """
 
 
+def q_bpe_learn(spark, sf_dir):
+    """Distributed BPE vocabulary learning (pipeline/bpe.py): 10 merges
+    learned over the word-frequency table — the corpus is scanned once;
+    every merge round touches only the vocab relation (corpus-size-
+    independent).  The oracle unrolls the identical 10 rounds (same
+    separator/EOW representation, same left-to-right replace, same
+    (count desc, left, right) tie-break) as MATERIALIZED CTEs."""
+    from .bpe import bpe_learn
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return bpe_learn(d, n_merges=10, vocab_partitions=1)
+
+
+def _sql_bpe_learn_gate() -> str:
+    from .bpe import sql_bpe_learn
+
+    return sql_bpe_learn(n_merges=10)
+
+
 def q_quality_classifier(spark, sf_dir):
     """Hashed linear quality classifier (pipeline/terms.py): per-document
     score from an integer weight fold over tokens (the label decides on the
@@ -3101,6 +3120,7 @@ PIPELINE_QUERIES = {
     "heavy_hitters": (q_heavy_hitters, _sql_heavy_hitters_gate()),
     "quality_classifier": (q_quality_classifier, _sql_quality_classifier()),
     "gopher_rules": (q_gopher_rules, _sql_gopher_rules_gate()),
+    "bpe_learn": (q_bpe_learn, _sql_bpe_learn_gate()),
     "unigram_logprob": (q_unigram_logprob, _sql_unigram_logprob()),
     "bigram_logprob": (q_bigram_logprob, _sql_bigram_logprob()),
     "bm25_rank": (q_bm25_rank, _sql_bm25_rank()),

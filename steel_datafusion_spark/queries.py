@@ -2043,6 +2043,149 @@ ORDER BY s_suppkey
 """
 
 
+def q_nation_trade_flow(spark, sf_dir):
+    """TPC-H Q7 shape: revenue flow between supplier-nation and
+    customer-nation pairs by year — a 5-table join tree (lineitem ⋈ orders
+    ⋈ customer ⋈ supplier ⋈ nation×2) that Catalyst must order so the fact
+    table joins dims by broadcast and the two nation legs stay distinct.
+
+    Scale: lineitem⋈orders is the only big⋈big leg (orderkey shuffle);
+    customer/supplier/nation broadcast; the 2-year shipdate filter pushes
+    to the fact scan.  Output key (n1, n2, year) is tiny → map-side
+    partials collapse the aggregation."""
+    t = _t(spark, sf_dir)
+    li = df_filter(
+        t["lineitem"],
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    j = df_join(li, t["orders"], "inner", ["l_orderkey"], ["o_orderkey"])
+    j = df_join(j, F.broadcast(t["customer"]), "inner",
+                ["o_custkey"], ["c_custkey"])
+    j = df_join(j, F.broadcast(t["supplier"]), "inner",
+                ["l_suppkey"], ["s_suppkey"])
+    n1 = t["nation"].select(F.col("n_nationkey").alias("n1_key"),
+                            F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("n2_key"),
+                            F.col("n_name").alias("cust_nation"))
+    j = df_join(j, F.broadcast(n1), "inner", ["s_nationkey"], ["n1_key"])
+    j = df_join(j, F.broadcast(n2), "inner", ["c_nationkey"], ["n2_key"])
+    j = df_filter(j, F.col("supp_nation") != F.col("cust_nation"))
+    rev = (F.col("l_extendedprice").cast(_DEC2)
+           * (F.lit(1).cast(_DEC2) - F.col("l_discount").cast(_DEC2)))
+    return df_aggregate(
+        j.withColumn("l_year", F.year("l_shipdate")),
+        [col("supp_nation"), col("cust_nation"), col("l_year")],
+        [F.sum(rev).cast("double").alias("revenue"),
+         agg_count_star().alias("n_lines")],
+    ).orderBy("supp_nation", "cust_nation", "l_year")
+
+
+_SQL_NATION_TRADE = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS {_SQL_DEC2})
+            * (CAST(1 AS {_SQL_DEC2}) - CAST(l_discount AS {_SQL_DEC2})))
+         AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by (nation, year) through a 5-table tree with
+    a part-name predicate — the join-reordering stress test: the selective
+    part filter must reach the fact table first (broadcast semi-reduction)
+    before the wider orders join.
+
+    Scale: part(filtered) broadcasts and prunes lineitem early; orders
+    joins on orderkey (the one fact-sized shuffle); supplier/nation
+    broadcast.  Profit = rev − cost proxy (retailprice·qty), exact
+    decimals end-to-end."""
+    t = _t(spark, sf_dir)
+    pf = df_filter(F.broadcast(t["part"]),
+                   F.col("p_name").like("%a%") & (F.col("p_size") <= 25))
+    j = df_join(t["lineitem"], pf, "inner", ["l_partkey"], ["p_partkey"])
+    j = df_join(j, t["orders"], "inner", ["l_orderkey"], ["o_orderkey"])
+    j = df_join(j, F.broadcast(t["supplier"]), "inner",
+                ["l_suppkey"], ["s_suppkey"])
+    j = df_join(j, F.broadcast(t["nation"]), "inner",
+                ["s_nationkey"], ["n_nationkey"])
+    amount = (F.col("l_extendedprice").cast(_DEC2)
+              * (F.lit(1).cast(_DEC2) - F.col("l_discount").cast(_DEC2))
+              - F.col("p_retailprice").cast(_DEC2)
+              * F.col("l_quantity").cast(_DEC2))
+    return df_aggregate(
+        j.withColumn("o_year", F.year("o_orderdate")),
+        [col("n_name"), col("o_year")],
+        [F.sum(amount).cast("double").alias("sum_profit"),
+         agg_count_star().alias("n_lines")],
+    ).orderBy("n_name", "o_year")
+
+
+_SQL_PRODUCT_PROFIT = f"""
+SELECT n_name, year(o_orderdate) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS {_SQL_DEC2})
+              * (CAST(1 AS {_SQL_DEC2}) - CAST(l_discount AS {_SQL_DEC2}))
+            - CAST(p_retailprice AS {_SQL_DEC2})
+              * CAST(l_quantity AS {_SQL_DEC2})) AS DOUBLE) AS sum_profit,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%a%' AND p_size <= 25
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_window_distribution(spark, sf_dir):
+    """Distribution window functions (cume_dist + nth_value — the two §2.6
+    ctors no other gate exercises), per customer-segment order-price
+    distribution.  One shuffle on the segment key; both functions reuse the
+    same sort."""
+    o = _t(spark, sf_dir)["orders"]
+    c = _t(spark, sf_dir)["customer"]
+    j = df_join(o, F.broadcast(c), "inner", ["o_custkey"], ["c_custkey"])
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    wf = (Window.partitionBy("c_mktsegment")
+          .orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    out = j.select(
+        "o_orderkey", "c_mktsegment",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("o_orderkey", 3).over(wf).alias("third_cheapest"))
+    return df_filter(out, F.col("cd") <= 0.01)
+
+
+_SQL_WINDOW_DISTRIBUTION = """
+SELECT o_orderkey, c_mktsegment, cd, third_cheapest FROM (
+  SELECT o_orderkey, c_mktsegment,
+    round(cume_dist() OVER w, 6) AS cd,
+    nth_value(o_orderkey, 3) OVER (PARTITION BY c_mktsegment
+      ORDER BY o_totalprice ASC, o_orderkey ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      AS third_cheapest
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  WINDOW w AS (PARTITION BY c_mktsegment
+               ORDER BY o_totalprice ASC, o_orderkey ASC)) t
+WHERE cd <= 0.01
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "pricing_summary": (q_pricing_summary, _SQL_PRICING),
     "filter_project_case": (q_filter_project_case, _SQL_FILTER_PROJECT),
@@ -2106,6 +2249,10 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "top_supplier": (q_top_supplier, _SQL_TOP_SUPPLIER),
     "dominant_promo_supplier": (q_dominant_promo_supplier,
                                 _SQL_DOMINANT_PROMO),
+    "nation_trade_flow": (q_nation_trade_flow, _SQL_NATION_TRADE),
+    "product_profit": (q_product_profit, _SQL_PRODUCT_PROFIT),
+    "window_distribution": (q_window_distribution,
+                            _SQL_WINDOW_DISTRIBUTION),
 }
 
 

@@ -18,20 +18,26 @@ from steel_datafusion_spark.queries import (
     _SQL_ORDER_PRIORITY_EXISTS,
     _SQL_PROMO_REVENUE,
     _SQL_SMALL_QTY,
+    _SQL_NATION_TRADE,
+    _SQL_PRODUCT_PROFIT,
     _SQL_SUPPLIER_RELATION,
     _SQL_TOP_SUPPLIER,
     _SQL_WAITING_SUPPLIER,
+    _SQL_WINDOW_DISTRIBUTION,
     q_disjunctive_pushdown,
     q_dominant_promo_supplier,
     q_global_acctbal_anti,
     q_important_stock,
     q_min_cost_supplier,
+    q_nation_trade_flow,
     q_order_priority_exists,
+    q_product_profit,
     q_promo_revenue,
     q_small_qty_revenue,
     q_supplier_relation_counts,
     q_top_supplier,
     q_waiting_supplier,
+    q_window_distribution,
 )
 
 PACK = [
@@ -46,6 +52,9 @@ PACK = [
     (q_important_stock, _SQL_IMPORTANT_STOCK),
     (q_top_supplier, _SQL_TOP_SUPPLIER),
     (q_dominant_promo_supplier, _SQL_DOMINANT_PROMO),
+    (q_nation_trade_flow, _SQL_NATION_TRADE),
+    (q_product_profit, _SQL_PRODUCT_PROFIT),
+    (q_window_distribution, _SQL_WINDOW_DISTRIBUTION),
 ]
 
 
