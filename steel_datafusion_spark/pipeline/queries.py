@@ -2787,6 +2787,73 @@ WHERE window_start + INTERVAL 1 HOUR
 """
 
 
+def q_streaming_enrich(spark, sf_dir):
+    """Stream-static enrichment join: the events STREAM joins the static
+    nation dimension (broadcast — stream-static joins are stateless, the
+    static side is just a lookup each micro-batch) and rolls up 1-hour
+    windows per nation with the usual 2 h watermark.  The third streaming
+    join mode next to stream↔stream (streaming_join) and the batch gates.
+
+    Scale: no join state at all — the dim broadcast is re-resolved per
+    batch (picking up dim updates between batches, the documented
+    stream-static semantic); state is only the windowed aggregate, bounded
+    by the watermark."""
+    import shutil
+    import uuid
+
+    from ..queries import scratch_dir
+    from ..streaming.operators import (
+        read_stream_parquet, run_stream_to_parquet,
+    )
+
+    base = scratch_dir(spark, sf_dir, "stream_gate")
+    src = _os.path.join(base, "src")
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    if key not in _STREAM_SRC_BUILT or not _os.path.exists(src):
+        shutil.rmtree(base, ignore_errors=True)
+        load_tables(spark, sf_dir)["events"].write.mode(
+            "overwrite").parquet(src)
+        _STREAM_SRC_BUILT.add(key)
+    run_id = uuid.uuid4().hex[:8]
+    out = _os.path.join(base, f"eout-{run_id}")
+    ckpt = _os.path.join(base, f"eckpt-{run_id}")
+    batch = spark.read.parquet(src)
+    stream = read_stream_parquet(spark, src, batch.schema) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    dim = load_tables(spark, sf_dir)["nation"].select(
+        F.col("n_nationkey").alias("seg_key"),
+        F.col("n_name").alias("segment"))
+    enriched = stream.withColumn(
+        "seg_key", (F.col("user_id") % 25).cast("int")) \
+        .join(F.broadcast(dim), "seg_key")
+    agg = (enriched.withWatermark("ts", "2 hours")
+           .groupBy(F.window("ts", "1 hour").alias("w"), F.col("segment"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+                .alias("sum_value"))
+           .select(F.col("w.start").alias("window_start"), "segment",
+                   "n", "sum_value"))
+    got = run_stream_to_parquet(agg, out, ckpt)
+    return got.select("window_start", "segment", "n",
+                      F.round("sum_value", 6).alias("sum_value"))
+
+
+_SQL_STREAMING_ENRICH = """
+WITH e AS (
+  SELECT date_trunc('hour', ts) AS window_start, n_name AS segment, value
+  FROM events JOIN nation ON n_nationkey = CAST(user_id % 25 AS INT)),
+w AS (
+  SELECT window_start, segment, COUNT(*) AS n,
+         round(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6)
+           AS sum_value
+  FROM e GROUP BY 1, 2)
+SELECT window_start, segment, n, sum_value
+FROM w
+WHERE window_start + INTERVAL 1 HOUR
+      <= (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events)
+"""
+
+
 def q_streaming_join(spark, sf_dir):
     """Stream↔stream interval join (streaming/operators.py
     stream_stream_join): view→purchase attribution — every (view,
@@ -3145,5 +3212,6 @@ PIPELINE_QUERIES = {
     "streaming_windowed": (q_streaming_windowed, _SQL_STREAMING_WINDOWED),
     "streaming_join": (q_streaming_join, _SQL_STREAMING_JOIN),
     "streaming_hopping": (q_streaming_hopping, _SQL_STREAMING_HOPPING),
+    "streaming_enrich": (q_streaming_enrich, _SQL_STREAMING_ENRICH),
     "robust_stats": (q_robust_stats, _sql_robust_stats()),
 }

@@ -2186,6 +2186,41 @@ WHERE cd <= 0.01
 """
 
 
+def q_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: count-of-counts histogram — per-customer order
+    counts (left outer join, so zero-order customers count as 0, with a
+    join residual excluding one priority class), then the distribution of
+    those counts.
+
+    Scale: the first agg shuffles on custkey (high-cardinality key, AQE
+    coalesces); the second agg's key is the tiny count domain → map-side
+    partials collapse it.  The residual predicate stays in the join
+    condition, not a post-filter — null-extended rows must survive."""
+    t = _t(spark, sf_dir)
+    j = df_join(t["customer"], t["orders"], "left",
+                ["c_custkey"], ["o_custkey"],
+                filter=~F.col("o_orderpriority").like("5-%"))
+    per_cust = df_aggregate(
+        j, [col("c_custkey")],
+        [F.count(F.col("o_orderkey")).alias("c_count")])
+    return df_aggregate(
+        per_cust, [col("c_count")],
+        [agg_count_star().alias("custdist")],
+    ).orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+
+
+_SQL_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '5-%'
+  GROUP BY c_custkey) c
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "pricing_summary": (q_pricing_summary, _SQL_PRICING),
     "filter_project_case": (q_filter_project_case, _SQL_FILTER_PROJECT),
@@ -2253,6 +2288,8 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "product_profit": (q_product_profit, _SQL_PRODUCT_PROFIT),
     "window_distribution": (q_window_distribution,
                             _SQL_WINDOW_DISTRIBUTION),
+    "customer_distribution": (q_customer_distribution,
+                              _SQL_CUSTOMER_DISTRIBUTION),
 }
 
 
