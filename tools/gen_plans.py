@@ -23,6 +23,11 @@ NOTES = {
  "surface_misc": "right_semi/right_anti run as a single shuffle on the join key (broadcast under AQE at this SF); the CASE/ilike/idiv projections are all one codegen'd stage — no Python, no extra exchange; sort_by + limit fuses to TakeOrderedAndProject.",
  "skew_salted_join": "the salted path: explode(compact × salt) on the build side, hash(event_id)%salt added to the probe key — the hot key's output spreads over salt sub-keys, so no task owns the quadratic hot-key output. AQE skew-split does NOT rescue the plain plan here (granularity = 256 MB partitions; hot partition is ~1 MB at this SF but one task still owns 100% of hot-key work). Measured before/after below.",
  "approx_percentile": "approx_percentile (Greenwald-Khanna) is a mergeable partial→final aggregate — the plan is the same partial/final HashAggregate pair as any sum, with NO per-group sort. Contrast exact F.median (describe_stats/stats_agg): correct, but the only non-streaming aggregate in the catalog — this gate is its documented 100 TB replacement.",
+ "disjunctive_pushdown": "Q19 shape: the OR-of-ANDs predicate stays a BroadcastHashJoin residual (Catalyst extracts the equi-key, keeps the disjunction in the join condition); constraint propagation derives a lineitem scan filter from the OR branches, and the fact side reaches the join with ZERO hash exchanges — asserted in test_tpch_pack.",
+ "waiting_supplier": "Q21 shape: EXISTS and NOT-EXISTS on the same fact decorrelate to one LeftSemi and one LeftAnti leg, all three legs keyed on l_orderkey (exchange reuse); supplier broadcasts; the sorted LIMIT fuses to TakeOrderedAndProject.",
+ "triangle_count": "degree-ordered orientation: und/oriented persisted (InMemoryRelation) because three joins reference them — unpersisted, Spark re-derives the co-purchase edge build once per reference. Wedge join keyed on the oriented apex; closing probe keyed on the (lo,hi) pair — both fine-grained, AQE-splittable; no vertex's raw degree appears as a join fan-out (hub-proof).",
+ "semdedup_prune": "k-means assignment truncated by localCheckpoint barriers (the iterative-loop pattern), then ONE shuffle on the cluster key for the intra-cluster pair compare — the clustering IS the candidate-blocking structure; k is the occupancy knob (measured in scale_sweep_r08b/c).",
+ "bpe_learn": "corpus touched once (word-freq groupBy with map-side combine); each merge round is a pair-explode + pair-key aggregate over the VOCAB relation only (31 rows here, ~10⁷ at web scale — never corpus-sized), top-1 via TakeOrdered, merge application a map-only literal replace.",
  "read_csv_surface": "CSV scan with inferSchema feeds the same codegen'd projection pipeline as parquet sources; the fold/comparison expressions (col_add/col_sub/col_mul/col_lt) stay inside one WholeStageCodegen span — expression-surface parity costs nothing at scale.",
  "dedup_clusters": "cluster resolution = simhash pair generation + the converged CC labels, read as flat LogicalRDD scans: every loop iteration (one edge-label hash join + min-agg on fine-grained vertex keys) is eagerly localCheckpoint-ed. The truncation is load-bearing: with persist() the InMemoryRelation child plans nested recursively — plan text grew 4x/iter to 41 MB by iteration 2 and PLANNING dominated at 3-9 s/iter; checkpointed, 0.2 s/iter (24x less loop wall-clock at sf0.1). Iterations = component diameter (<=3 measured); superseded iterations free their blocks via cache.release_local_checkpoint.",
  "dedup_clusters_twophase": "same fixpoint as dedup_clusters via alternating large-star/small-star EDGE rewriting (O(log n) rounds regardless of component diameter — the 100 TB choice for chain-shaped graphs): per round two groupBy-min aggregates + one join, all keyed on fine-grained vertex ids; every round eagerly checkpointed (flat scan), superseded rounds freed. reliable=True swaps localCheckpoint for durable checkpoint at cluster scale.",
