@@ -417,14 +417,21 @@ def semdedup(
 
     Scale: the clustering IS the candidate-blocking structure — the
     pairwise compare shuffles once on the cluster key and costs
-    Σ_c |c|² · dim, so k is the knob: pick k ≈ N / B for a target cluster
-    size B (10³–10⁴ at cluster scale) and per-vector cost is O(B · dim),
-    independent of corpus size — the same envelope as the LSH route
-    (cosine_neardup_pairs) with centroids instead of hyperplanes.  A
-    skewed cluster (one giant blob) is the known SemDeDup failure mode;
-    at scale, re-cluster oversized clusters recursively or fall back to
-    LSH inside them (documented, not silently capped here — test corpora
-    stay far below the envelope).
+    Σ_c |c|² · dim ≈ N·B·dim for target cluster size B = N/k, so the
+    PAIRWISE stage's per-vector cost O(B·dim) is corpus-size-independent.
+    The ASSIGNMENT stage is not free though: Lloyd assignment is N·k·dim
+    per iteration, so growing k with N makes assignment the bottleneck —
+    the two stages balance at k ≈ √(N/ B₀), giving the method its true
+    O(N^1.5·dim) total envelope (measured: k=N/250 is fine through ~20k
+    vectors, scale_sweep_r08b/c; at 200k vectors assignment dominates).
+    Real deployments break the assignment term the IVF way: train the k
+    centroids on a SAMPLE (cost k·|sample|·dim), then assign the full
+    corpus with ``ivf_assign``-style coarse quantization — this module
+    provides both pieces; compose them when N pushes past ~10⁵·dim
+    budget.  A skewed cluster (one giant blob) is the known SemDeDup
+    failure mode; at scale, re-cluster oversized clusters recursively or
+    fall back to LSH inside them (documented, not silently capped here —
+    test corpora stay far below the envelope).
 
     Determinism: the k-means trajectory is bit-reproducible (see
     :func:`kmeans`); cosine is rounded to 6dp before the threshold compare
