@@ -2221,6 +2221,226 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): revenue from orders where
+    the customer and the line's supplier sit in the SAME nation, one
+    region, one order-date year — the 6-table join tree whose distinctive
+    constraint (c_nationkey = s_nationkey) is a residual between two
+    different dimension legs, not an equi-key either leg owns alone.
+
+    Scale: region→nation prunes to one region's nations and broadcasts;
+    customer and supplier broadcast; orders is date-pruned at the scan
+    before its orderkey shuffle against lineitem — the tree's only
+    fact-sized exchange.  The same-nation residual applies after both dim
+    joins as a cheap int equality on already-joined rows (completes Q1-22:
+    every TPC-H query shape now has a gate)."""
+    t = _t(spark, sf_dir)
+    asia = df_join(t["nation"],
+                   df_filter(t["region"], F.col("r_name") == "ASIA"),
+                   "inner", ["n_regionkey"], ["r_regionkey"])
+    o = df_filter(
+        t["orders"],
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    j = df_join(t["lineitem"], o, "inner", ["l_orderkey"], ["o_orderkey"])
+    j = df_join(j, F.broadcast(t["customer"]), "inner",
+                ["o_custkey"], ["c_custkey"])
+    j = df_join(j, F.broadcast(t["supplier"]), "inner",
+                ["l_suppkey"], ["s_suppkey"])
+    j = df_filter(j, F.col("c_nationkey") == F.col("s_nationkey"))
+    j = df_join(j, F.broadcast(asia), "inner",
+                ["s_nationkey"], ["n_nationkey"])
+    rev = (F.col("l_extendedprice").cast(_DEC2)
+           * (F.lit(1).cast(_DEC2) - F.col("l_discount").cast(_DEC2)))
+    return df_aggregate(
+        j, [col("n_name")],
+        [F.sum(rev).cast("double").alias("revenue"),
+         agg_count_star().alias("n_lines")],
+    ).orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+
+
+_SQL_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS {_SQL_DEC2})
+           * (CAST(1 AS {_SQL_DEC2}) - CAST(l_discount AS {_SQL_DEC2})))
+       AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape (forecast revenue change): a pure scan-side
+    aggregation — no join, no groupBy key — whose entire value is
+    predicate pushdown: all three range filters (shipdate year, discount
+    band, quantity cap) must reach the parquet scan as PushedFilters so
+    row groups outside the year are never decompressed.
+
+    Scale: the cheapest possible distributed plan — scan with pushed
+    filters → map-side partial sums → single-row final merge.  At 100 TB
+    this is the query shape where columnar min/max skipping does ~90% of
+    the work; anything beyond a one-exchange partial→final agg is a bug."""
+    li = _t(spark, sf_dir)["lineitem"]
+    f = df_filter(
+        li,
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    rev = (F.col("l_extendedprice").cast(_DEC2)
+           * F.col("l_discount").cast(_DEC2))
+    return df_aggregate(
+        f, [],
+        [F.sum(rev).cast("double").alias("revenue"),
+         agg_count_star().alias("n_lines")])
+
+
+_SQL_FORECAST_REVENUE = f"""
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS {_SQL_DEC2})
+           * CAST(l_discount AS {_SQL_DEC2})) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): one nation's share of a
+    region's revenue in a part segment, by order year — conditional
+    aggregation (sum-of-CASE over sum) across a 7-table tree with TWO
+    nation roles: the customer's nation selects the market (region
+    filter), the supplier's nation labels the volume for the numerator.
+
+    Scale: part(filtered) broadcasts and semi-reduces lineitem before the
+    orderkey shuffle (the one fact-sized exchange); customer/supplier/
+    nation×2/region broadcast; the share divides two decimal-exact sums
+    per year AFTER the final agg — a 2-row result, so the division cost is
+    nil and the ratio is reproducible at any partition count."""
+    t = _t(spark, sf_dir)
+    pf = df_filter(F.broadcast(t["part"]), F.col("p_type") == "ECONOMY")
+    j = df_join(t["lineitem"], pf, "inner", ["l_partkey"], ["p_partkey"])
+    o = df_filter(
+        t["orders"],
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    j = df_join(j, o, "inner", ["l_orderkey"], ["o_orderkey"])
+    j = df_join(j, F.broadcast(t["customer"]), "inner",
+                ["o_custkey"], ["c_custkey"])
+    j = df_join(j, F.broadcast(t["supplier"]), "inner",
+                ["l_suppkey"], ["s_suppkey"])
+    # customer leg picks the market region; supplier leg labels the volume
+    n_cust = df_join(t["nation"],
+                     df_filter(t["region"], F.col("r_name") == "AMERICA"),
+                     "inner", ["n_regionkey"], ["r_regionkey"]
+                     ).select(F.col("n_nationkey").alias("cn_key"))
+    n_supp = t["nation"].select(F.col("n_nationkey").alias("sn_key"),
+                                F.col("n_name").alias("supp_nation"))
+    j = df_join(j, F.broadcast(n_cust), "inner", ["c_nationkey"], ["cn_key"])
+    j = df_join(j, F.broadcast(n_supp), "inner", ["s_nationkey"], ["sn_key"])
+    vol = (F.col("l_extendedprice").cast(_DEC2)
+           * (F.lit(1).cast(_DEC2) - F.col("l_discount").cast(_DEC2)))
+    agg = df_aggregate(
+        j.withColumn("o_year", F.year("o_orderdate")),
+        [col("o_year")],
+        [F.sum(F.when(F.col("supp_nation") == "NATION_6", vol)
+               .otherwise(F.lit(0).cast(_DEC2))).alias("_nation_vol"),
+         F.sum(vol).alias("_total_vol")])
+    return agg.select(
+        "o_year",
+        F.round(F.col("_nation_vol").cast("double")
+                / F.col("_total_vol").cast("double"), 6).alias("mkt_share"),
+        F.col("_total_vol").cast("double").alias("total_volume"),
+    ).orderBy("o_year")
+
+
+_SQL_MARKET_SHARE = f"""
+SELECT o_year,
+  round(CAST(nation_vol AS DOUBLE) / CAST(total_vol AS DOUBLE), 6)
+    AS mkt_share,
+  CAST(total_vol AS DOUBLE) AS total_volume
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+    SUM(CASE WHEN ns.n_name = 'NATION_6'
+        THEN CAST(l_extendedprice AS {_SQL_DEC2})
+             * (CAST(1 AS {_SQL_DEC2}) - CAST(l_discount AS {_SQL_DEC2}))
+        ELSE CAST(0 AS {_SQL_DEC2}) END) AS nation_vol,
+    SUM(CAST(l_extendedprice AS {_SQL_DEC2})
+        * (CAST(1 AS {_SQL_DEC2}) - CAST(l_discount AS {_SQL_DEC2})))
+      AS total_vol
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation nc ON nc.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = nc.n_regionkey
+  JOIN nation ns ON ns.n_nationkey = s_nationkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1) t
+ORDER BY o_year
+"""
+
+
+def q_late_shipment_modes(spark, sf_dir):
+    """TPC-H Q12 shape (shipping modes / late lines): lines shipped AFTER
+    a lag past their order date (the cross-column residual that mirrors
+    Q12's l_commitdate < l_receiptdate — it cannot push to either scan),
+    bucketed by return flag with CASE-conditional priority counts.
+    Adapted: the test schema carries no l_shipmode/l_commitdate, so the
+    mode dimension is l_returnflag and lateness is l_shipdate vs
+    o_orderdate + 60 days.
+
+    Scale: both scans prune on their own pushable ranges first; the
+    cross-column predicate evaluates post-join on the orderkey-shuffled
+    stream (the only exchange); the 3-value group key collapses map-side."""
+    t = _t(spark, sf_dir)
+    li = df_filter(
+        t["lineitem"],
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    j = df_join(li, t["orders"], "inner", ["l_orderkey"], ["o_orderkey"])
+    late = df_filter(
+        j, F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return df_aggregate(
+        late, [col("l_returnflag")],
+        [F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+         F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count")],
+    ).orderBy("l_returnflag")
+
+
+_SQL_LATE_SHIPMENT = """
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "pricing_summary": (q_pricing_summary, _SQL_PRICING),
     "filter_project_case": (q_filter_project_case, _SQL_FILTER_PROJECT),
@@ -2290,6 +2510,11 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
                             _SQL_WINDOW_DISTRIBUTION),
     "customer_distribution": (q_customer_distribution,
                               _SQL_CUSTOMER_DISTRIBUTION),
+    "local_supplier_volume": (q_local_supplier_volume,
+                              _SQL_LOCAL_SUPPLIER_VOLUME),
+    "forecast_revenue": (q_forecast_revenue, _SQL_FORECAST_REVENUE),
+    "market_share": (q_market_share, _SQL_MARKET_SHARE),
+    "late_shipment_modes": (q_late_shipment_modes, _SQL_LATE_SHIPMENT),
 }
 
 

