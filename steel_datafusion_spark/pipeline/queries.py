@@ -2651,6 +2651,32 @@ WHERE session_end <= (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events)
 """
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (pipeline/selection.py, Xie et al.
+    arXiv:2302.03169): select the 100 non-English documents whose hashed
+    unigram+bigram feature distribution is most English-like, by Gumbel
+    top-k over importance log-weights (target model: lang='en' docs;
+    pool model: the rest; 2048 hashed buckets, add-0.5 smoothing).
+
+    Scale: both models are bucket-bounded aggregations (2048 rows max
+    regardless of corpus size); the LLR table broadcasts to the scoring
+    join; the only doc-keyed shuffle is the per-doc weight sum; the
+    Gumbel draw is a pure function of (doc_id, seed), so the weighted
+    sample is reproducible — and hash-checked — in the oracle."""
+    from .selection import dsir_select
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return dsir_select(d, F.col("lang") == "en", k=100,
+                       n_buckets=2048, seed=7)
+
+
+def _sql_dsir_select() -> str:
+    from .selection import sql_dsir_select
+
+    return sql_dsir_select("documents", "lang = 'en'", 100,
+                           n_buckets=2048, seed=7)
+
+
 def q_robust_stats(spark, sf_dir):
     """Exact per-group robust statistics (pipeline/robust.py
     grouped_median_mad): median / MAD / p10 / p90 of event values per
@@ -3214,4 +3240,5 @@ PIPELINE_QUERIES = {
     "streaming_hopping": (q_streaming_hopping, _SQL_STREAMING_HOPPING),
     "streaming_enrich": (q_streaming_enrich, _SQL_STREAMING_ENRICH),
     "robust_stats": (q_robust_stats, _sql_robust_stats()),
+    "dsir_select": (q_dsir_select, _sql_dsir_select()),
 }
