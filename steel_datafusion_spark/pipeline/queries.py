@@ -2677,6 +2677,34 @@ def _sql_dsir_select() -> str:
                            n_buckets=2048, seed=7)
 
 
+_ZORDER_PREDS = [
+    ("mid_box", {"user_id": (0.4, 0.6), "value": (0.4, 0.6)}),
+    ("user_slice", {"user_id": (0.45, 0.55)}),
+    ("value_slice", {"value": (0.45, 0.55)}),
+]
+
+
+def q_zorder_skipping(spark, sf_dir):
+    """Z-order layout pruning report (sources/layout.py): bucket events on
+    (user_id, value), Morton-interleave, and for three rectangle
+    predicates count the cells a min/max-pruning scan must touch under
+    the Z-order layout vs each single-column sort — the analytic,
+    oracle-exact form of the file-skipping decision that dominates scan
+    cost at 100 TB.  One 1-row min/max broadcast + one bounded-domain
+    cell aggregation per (predicate, layout)."""
+    from ..sources.layout import zorder_skipping_stats
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return zorder_skipping_stats(ev, ["user_id", "value"], _ZORDER_PREDS)
+
+
+def _sql_zorder_skipping() -> str:
+    from ..sources.layout import sql_zorder_skipping_stats
+
+    return sql_zorder_skipping_stats("events", ["user_id", "value"],
+                                     _ZORDER_PREDS)
+
+
 def q_robust_stats(spark, sf_dir):
     """Exact per-group robust statistics (pipeline/robust.py
     grouped_median_mad): median / MAD / p10 / p90 of event values per
@@ -3241,4 +3269,5 @@ PIPELINE_QUERIES = {
     "streaming_enrich": (q_streaming_enrich, _SQL_STREAMING_ENRICH),
     "robust_stats": (q_robust_stats, _sql_robust_stats()),
     "dsir_select": (q_dsir_select, _sql_dsir_select()),
+    "zorder_skipping": (q_zorder_skipping, _sql_zorder_skipping()),
 }
