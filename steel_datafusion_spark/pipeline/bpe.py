@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 from ..cache import iteration_barrier
 from .text import tokens
 
-__all__ = ["bpe_learn", "bpe_segment", "sql_bpe_learn", "SEP", "EOW"]
+__all__ = ["bpe_learn", "bpe_segment", "sql_bpe_learn",
+           "sql_bpe_segment_tokens", "SEP", "EOW"]
 
 SEP = "␟"   # symbol separator inside a word's symbol string
 EOW = "</w>"     # end-of-word symbol (distinguishes "st</w>" from "st")
@@ -122,13 +123,11 @@ def bpe_segment(df: DataFrame, merges: list[tuple[str, str]],
             .withColumn("n_bpe_tokens", F.size("bpe_tokens")))
 
 
-def sql_bpe_learn(n_merges: int = 12, corpus_rel: str = "documents",
-                  text_col: str = "text", prefix: str = "bpe") -> str:
-    """DuckDB mirror of :func:`bpe_learn`: the word-frequency build, then
-    ``n_merges`` unrolled (pairs → top-1 → replace) rounds as MATERIALIZED
-    CTEs; ``{prefix}_out`` is the merge table.  Uses the identical
-    separator/EOW representation and the identical left-to-right
-    ``replace`` application."""
+def _sql_learn_ctes(n_merges: int, corpus_rel: str, text_col: str,
+                    prefix: str) -> list[str]:
+    """The shared CTE chain of the learning unroll: word frequencies,
+    initial symbol strings, then per-round (pairs → top-1 → replace)
+    MATERIALIZED CTEs.  ``{prefix}_v{i}_t`` holds round i's merge row."""
     from .text import sql_tokens
 
     toks = sql_tokens(text_col)
@@ -160,8 +159,67 @@ def sql_bpe_learn(n_merges: int = 12, corpus_rel: str = "documents",
   SELECT w, freq, replace(s, t.l || '{SEP}' || t.r, t.l || t.r) AS s
   FROM {prev}, {cur}_t t
 )""")
+    return ctes
+
+
+def sql_bpe_learn(n_merges: int = 12, corpus_rel: str = "documents",
+                  text_col: str = "text", prefix: str = "bpe") -> str:
+    """DuckDB mirror of :func:`bpe_learn`: the word-frequency build, then
+    ``n_merges`` unrolled (pairs → top-1 → replace) rounds as MATERIALIZED
+    CTEs.  Uses the identical separator/EOW representation and the
+    identical left-to-right ``replace`` application."""
+    ctes = _sql_learn_ctes(n_merges, corpus_rel, text_col, prefix)
     tops = "\nUNION ALL\n".join(
         f"SELECT rank, l AS left, r AS right, merged, pair_freq "
         f"FROM {prefix}_v{i}_t" for i in range(1, n_merges + 1))
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT * FROM ({tops}) u ORDER BY rank")
+
+
+def sql_bpe_segment_tokens(
+    n_merges: int = 12, corpus_rel: str = "documents",
+    text_col: str = "text", id_col: str = "doc_id",
+    prefix: str = "bpe",
+) -> str:
+    """DuckDB mirror of learn-then-:func:`bpe_segment`: re-learns the
+    merge list with the shared CTE chain, then applies every merge in
+    rank order to each word occurrence as nested ``replace`` calls whose
+    search/replacement strings come from scalar subqueries over the
+    per-round merge CTEs — the exact greedy application
+    :func:`bpe_segment` bakes in as literals.  Early-stopped rounds
+    (empty merge CTE) substitute an impossible search string
+    ('{SEP}{SEP}' can never occur: symbols are non-empty), making the
+    extra replaces no-ops instead of NULL-poisoning the string.
+
+    Returns (id, n_words, n_bpe_tokens) per document; documents with no
+    words report 0/0."""
+    ctes = _sql_learn_ctes(n_merges, corpus_rel, text_col, prefix)
+    from .text import sql_tokens
+
+    toks = sql_tokens(text_col)
+    s = f"regexp_replace(w, '(.)', '\\1{SEP}', 'g') || '{EOW}'"
+    for i in range(1, n_merges + 1):
+        t = f"{prefix}_v{i}_t"
+        s = (f"replace({s}, "
+             f"coalesce((SELECT l || '{SEP}' || r FROM {t}), "
+             f"'{SEP}{SEP}'), "
+             f"coalesce((SELECT merged FROM {t}), ''))")
+    return ("WITH " + ",\n".join(ctes) + f""",
+{prefix}_words AS (
+  SELECT {id_col}, unnest({toks}) AS w FROM {corpus_rel}
+),
+{prefix}_seg AS (
+  SELECT {id_col},
+         len(string_split({s}, '{SEP}')) AS n_sym
+  FROM {prefix}_words WHERE length(w) > 0
+),
+{prefix}_per_doc AS (
+  SELECT {id_col}, COUNT(*) AS n_words, SUM(n_sym) AS n_bpe_tokens
+  FROM {prefix}_seg GROUP BY {id_col}
+)
+SELECT d.{id_col},
+  coalesce(p.n_words, 0)::BIGINT AS n_words,
+  coalesce(p.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens
+FROM (SELECT DISTINCT {id_col} FROM {corpus_rel}) d
+LEFT JOIN {prefix}_per_doc p USING ({id_col})
+""")

@@ -2171,6 +2171,46 @@ def q_bpe_learn(spark, sf_dir):
     return bpe_learn(d, n_merges=10, vocab_partitions=1)
 
 
+def q_bpe_segment_tokens(spark, sf_dir):
+    """BPE APPLY path (pipeline/bpe.py bpe_segment): learn 10 merges, then
+    tokenize every document with them and report per-doc word and
+    BPE-token counts — the unit that matters for training-data budgeting
+    under a real learned vocabulary (whitespace counts undercount; see
+    text.bpe_ish_token_count for the regex approximation this replaces).
+
+    Scale: learning is vocab-bounded (see bpe_learn); application is
+    MAP-ONLY — the merge list is a constant-size model baked into the
+    plan as literals (broadcast-by-construction), so segmentation costs
+    one pass over the corpus with no shuffle before the per-doc count.
+    The driver holds only the 10-row merge table (model fetch, not data
+    collect).  Oracle: re-learns the same 10 merges as materialized CTEs
+    and applies them as nested replaces — end-to-end hash-checked."""
+    from .bpe import bpe_learn, bpe_segment
+
+    d = load_tables(spark, sf_dir)["documents"]
+    merges_df = bpe_learn(d, n_merges=10, vocab_partitions=1)
+    merges = [(r["left"], r["right"])
+              for r in merges_df.orderBy("rank").collect()]
+    seg = bpe_segment(d.select("doc_id", "text"), merges)
+    per_doc = seg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_bpe_tokens").alias("n_bpe_tokens"))
+    return (d.select("doc_id").distinct()
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_words", F.lit(0)).cast("long")
+                    .alias("n_words"),
+                    F.coalesce("n_bpe_tokens", F.lit(0)).cast("long")
+                    .alias("n_bpe_tokens"))
+            .orderBy("doc_id"))
+
+
+def _sql_bpe_segment_gate() -> str:
+    from .bpe import sql_bpe_segment_tokens
+
+    return sql_bpe_segment_tokens(n_merges=10) + " ORDER BY doc_id"
+
+
 def _sql_bpe_learn_gate() -> str:
     from .bpe import sql_bpe_learn
 
@@ -3270,4 +3310,5 @@ PIPELINE_QUERIES = {
     "robust_stats": (q_robust_stats, _sql_robust_stats()),
     "dsir_select": (q_dsir_select, _sql_dsir_select()),
     "zorder_skipping": (q_zorder_skipping, _sql_zorder_skipping()),
+    "bpe_segment_tokens": (q_bpe_segment_tokens, _sql_bpe_segment_gate()),
 }

@@ -63,3 +63,52 @@ def test_bpe_stops_when_no_pairs_remain(spark):
     m = bpe_learn(df, n_merges=10, vocab_partitions=1).collect()
     assert len(m) == 2
     assert {(r["left"], r["right"]) for r in m} == {("a", EOW), ("b", EOW)}
+
+
+def test_sql_segment_mirror_matches_spark(toy, spark):
+    """Learn-then-segment per-doc token counts: Spark (merges as plan
+    literals) vs the DuckDB mirror (merges re-learned in CTEs, applied as
+    nested replaces) — identical counts, including the early-stop case
+    where n_merges exceeds the available pairs."""
+    from steel_datafusion_spark.pipeline.bpe import sql_bpe_segment_tokens
+
+    corpus = spark.createDataFrame(
+        [(1, "newest widest low"), (2, "lower newest newest"), (3, "")],
+        "doc_id long, text string")
+    merges = [(r["left"], r["right"]) for r in
+              bpe_learn(corpus, n_merges=8, vocab_partitions=1)
+              .orderBy("rank").collect()]
+    seg = bpe_segment(corpus.select("doc_id", "text"), merges)
+    got = {r["doc_id"]: (r["n_words"], r["n_bpe"]) for r in
+           seg.groupBy("doc_id").agg(
+               F.count(F.lit(1)).alias("n_words"),
+               F.sum("n_bpe_tokens").alias("n_bpe")).collect()}
+    got[3] = got.get(3, (0, 0))  # empty doc never reaches the explode
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    for i, t in [(1, "newest widest low"), (2, "lower newest newest"),
+                 (3, "")]:
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    exp = {r[0]: (r[1], r[2]) for r in con.execute(
+        sql_bpe_segment_tokens(n_merges=8)).fetchall()}
+    assert got == exp
+    assert exp[3] == (0, 0)
+
+
+def test_segment_token_count_shrinks_with_merges(toy, spark):
+    """More merges -> never more tokens per word (each merge is a strict
+    contraction of the symbol string)."""
+    merges = [(r["left"], r["right"]) for r in
+              bpe_learn(toy, n_merges=6, vocab_partitions=1)
+              .orderBy("rank").collect()]
+    doc = spark.createDataFrame([(1, "newest lowest widest")],
+                                "doc_id long, text string")
+    n_none = bpe_segment(doc, []).agg(
+        F.sum("n_bpe_tokens")).collect()[0][0]
+    n_some = bpe_segment(doc, merges[:3]).agg(
+        F.sum("n_bpe_tokens")).collect()[0][0]
+    n_all = bpe_segment(doc, merges).agg(
+        F.sum("n_bpe_tokens")).collect()[0][0]
+    assert n_none >= n_some >= n_all
+    assert n_all < n_none
