@@ -2717,6 +2717,40 @@ def _sql_dsir_select() -> str:
                            n_buckets=2048, seed=7)
 
 
+def q_skew_diagnose(spark, sf_dir):
+    """Shuffle-key skew report (operators/skew.py skew_diagnose) for the
+    three fact-table keys a real deployment would shuffle on: per key,
+    the count distribution, skew factor (hottest key vs mean), top-1 row
+    share, and the recommended salt for salted_agg/salted_join.  Each
+    diagnosis costs exactly one groupBy on the candidate key; the
+    summaries are 1-row — the union is 3 rows, fully oracle-exact."""
+    from ..operators.skew import skew_diagnose
+
+    t = load_tables(spark, sf_dir)
+    parts = [
+        skew_diagnose(t["events"], ["user_id"], "events.user_id"),
+        skew_diagnose(t["orders"], ["o_custkey"], "orders.o_custkey"),
+        skew_diagnose(t["lineitem"], ["l_suppkey"], "lineitem.l_suppkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("key")
+
+
+def _sql_skew_diagnose() -> str:
+    from ..operators.skew import sql_skew_diagnose
+
+    parts = [
+        sql_skew_diagnose("events", ["user_id"], "events.user_id"),
+        sql_skew_diagnose("orders", ["o_custkey"], "orders.o_custkey"),
+        sql_skew_diagnose("lineitem", ["l_suppkey"],
+                          "lineitem.l_suppkey"),
+    ]
+    return ("SELECT * FROM (" + " UNION ALL ".join(
+        f"({p})" for p in parts) + ") u ORDER BY key")
+
+
 _ZORDER_PREDS = [
     ("mid_box", {"user_id": (0.4, 0.6), "value": (0.4, 0.6)}),
     ("user_slice", {"user_id": (0.45, 0.55)}),
@@ -3311,4 +3345,5 @@ PIPELINE_QUERIES = {
     "dsir_select": (q_dsir_select, _sql_dsir_select()),
     "zorder_skipping": (q_zorder_skipping, _sql_zorder_skipping()),
     "bpe_segment_tokens": (q_bpe_segment_tokens, _sql_bpe_segment_gate()),
+    "skew_diagnose": (q_skew_diagnose, _sql_skew_diagnose()),
 }

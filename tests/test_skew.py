@@ -51,3 +51,50 @@ def test_salted_join_accepts_spark_join_aliases(spark, tables):
         raise AssertionError("full_outer must be rejected")
     except ValueError:
         pass
+
+
+def test_skew_diagnose_planted_hot_key(spark):
+    """900 rows on key 1, 10 keys with 10 rows each: n=1000, 11 keys,
+    mean=90.909.., skew_factor=9.9, top1_share=0.9, salt=ceil(9.9)=10."""
+    from steel_datafusion_spark.operators.skew import skew_diagnose
+
+    rows = [(1, i) for i in range(900)] + [
+        (k, i) for k in range(2, 12) for i in range(10)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    r = skew_diagnose(df, ["k"], "planted").collect()[0]
+    assert r["key"] == "planted"
+    assert r["n_rows"] == 1000 and r["n_keys"] == 11
+    assert r["max_count"] == 900
+    assert r["top1_share"] == 0.9
+    assert abs(r["skew_factor"] - 9.9) < 1e-6
+    assert r["recommended_salt"] == 10
+    assert r["p50_count"] == 10.0
+
+
+def test_skew_diagnose_uniform_key_needs_no_salt(spark):
+    from steel_datafusion_spark.operators.skew import skew_diagnose
+
+    df = spark.createDataFrame([(k, i) for k in range(20) for i in range(5)],
+                               "k int, v int")
+    r = skew_diagnose(df, ["k"]).collect()[0]
+    assert r["skew_factor"] == 1.0
+    assert r["recommended_salt"] == 1
+
+
+def test_skew_diagnose_salt_clamped(spark):
+    from steel_datafusion_spark.operators.skew import skew_diagnose
+
+    # one key with everything + many singletons -> huge factor, clamped
+    rows = [(1, i) for i in range(5000)] + [(k, 0) for k in range(2, 1002)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    r = skew_diagnose(df, ["k"], max_salt=64).collect()[0]
+    assert r["recommended_salt"] == 64
+
+
+def test_skew_diagnose_matches_duck(spark, duck):
+    from conftest import SF_DIR, assert_df_matches_duck
+    from steel_datafusion_spark.pipeline.queries import (
+        _sql_skew_diagnose, q_skew_diagnose)
+
+    assert_df_matches_duck(q_skew_diagnose(spark, SF_DIR), duck,
+                           _sql_skew_diagnose())
