@@ -102,9 +102,14 @@ def dsir_logweights(
         id_col, "_tgt",
         F.pmod(md5_int60(F.col("feat")), F.lit(n_buckets)).alias("b"))
     pool_feats = track(feats.filter(~F.col("_tgt")).persist())
-    tgt_counts = feats.filter(F.col("_tgt")).groupBy("b") \
-        .agg(F.count(F.lit(1)).alias("ct"))
-    pool_counts = pool_feats.groupBy("b").agg(F.count(F.lit(1)).alias("cq"))
+    # both count tables feed TWO consumers (the LLR join and their own
+    # 1-row total) — persisted, the target corpus is scanned once instead
+    # of twice and the pool re-reads its ≤n_buckets-row aggregate, not the
+    # cached feature stream
+    tgt_counts = track(feats.filter(F.col("_tgt")).groupBy("b")
+                       .agg(F.count(F.lit(1)).alias("ct")).persist())
+    pool_counts = track(pool_feats.groupBy("b")
+                        .agg(F.count(F.lit(1)).alias("cq")).persist())
     tgt_total = tgt_counts.agg(
         F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("_tt"))
     pool_total = pool_counts.agg(

@@ -137,11 +137,16 @@ def zorder_skipping_stats(
     A cell "intersects" when its per-dimension [min,max] bucket envelope
     overlaps the predicate's bucket rectangle — precisely the file-skipping
     decision parquet/iceberg make from footer stats."""
+    from ..cache import track
+
     dims = len(cols)
     if shift is None:
         # coarse cells: keep ~2^(bits) cells for the z layout
         shift = max(0, bits * dims - bits)
-    keyed = zorder_key(df, cols, bits)
+    # every (predicate, layout) report re-reads the bucketed relation —
+    # persisted, the input is scanned and bucketed ONCE instead of
+    # |predicates|·(dims+1) times
+    keyed = track(zorder_key(df, cols, bits).persist())
     layouts = [("zorder", F.shiftright(F.col("zkey"), shift))]
     for c in cols:
         layouts.append((f"linear_{c}", F.col(f"_b_{c}")))

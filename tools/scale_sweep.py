@@ -54,7 +54,13 @@ OPS = ["dedup_minhash_lsh", "dedup_index_probe", "dedup_clusters_twophase",
        # scales over the real sf0.001-0.1 range, like pagerank; the
        # semdedup GATE caps its demo corpus — the k-scaled operator run
        # below is the true scale measurement.
-       "triangle_count", "semdedup_prune"]
+       "triangle_count", "semdedup_prune",
+       # round-8 continuation: DSIR selection and the BPE apply path scale
+       # over the synthetic document decades (the vocab permutation keeps
+       # the lang split and word structure); zorder_skipping/skew_diagnose
+       # ride the events table (copied AS-IS) so they sweep the real range
+       # only and are cheap enough not to need it.
+       "dsir_select", "bpe_segment_tokens"]
 SF1X_DIR = "/tmp/sdf_scale_sf1x"
 SF10X_DIR = "/tmp/sdf_scale_sf10x"
 REPS = 2
