@@ -2717,6 +2717,47 @@ def _sql_dsir_select() -> str:
                            n_buckets=2048, seed=7)
 
 
+def q_logreg_quality(spark, sf_dir):
+    """Quality-classifier TRAINING (pipeline/classifier.py): logistic
+    regression by 20 full-batch GD iterations over bounded text features
+    (stopword/punct ratios, capped token/char counts), label = long-doc
+    (n_chars ≥ 300 — learnable through the capped char feature, so the
+    gate demonstrates CONVERGENCE: ~0.99 train accuracy vs a 0.51 base
+    rate, not just a weight trajectory).  This is the training half of
+    the fastText-style filter whose inference half is the
+    quality_classifier gate.  Each iteration is ONE map-side-combinable
+    aggregation over the persisted featurized corpus; the driver holds
+    only the 5-float model.  The oracle unrolls the exact weight
+    trajectory as chained 1-row CTEs (same 9dp-rounded decimal gradient
+    sums), so the learned weights AND training accuracy are hash-checked,
+    not eyeballed."""
+    from .classifier import (
+        FEATURE_COLS, logreg_predict, logreg_train, quality_features)
+
+    d = load_tables(spark, sf_dir)["documents"]
+    base = quality_features(d.select("text", "n_chars")).withColumn(
+        "y", (F.col("n_chars") >= 300).cast("double"))
+    w, b = logreg_train(base, FEATURE_COLS, "y", iterations=20, lr=8.0)
+    pred = logreg_predict(base, w, b, FEATURE_COLS)
+    return pred.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg((F.col("pred") == (F.col("y") == 1.0))
+                      .cast("double")), 6).alias("train_accuracy"),
+    ).select(
+        "n", F.lit(20).cast("long").alias("iterations"),
+        *[F.round(F.lit(w[j]), 6).alias(f"w_{c}")
+          for j, c in enumerate(FEATURE_COLS)],
+        F.round(F.lit(b), 6).alias("bias"),
+        "train_accuracy")
+
+
+def _sql_logreg_quality() -> str:
+    from .classifier import sql_logreg_train, sql_quality_features
+
+    return sql_logreg_train("documents", sql_quality_features("text"),
+                            "n_chars >= 300", iterations=20, lr=8.0)
+
+
 def q_skew_diagnose(spark, sf_dir):
     """Shuffle-key skew report (operators/skew.py skew_diagnose) for the
     three fact-table keys a real deployment would shuffle on: per key,
@@ -3346,4 +3387,5 @@ PIPELINE_QUERIES = {
     "zorder_skipping": (q_zorder_skipping, _sql_zorder_skipping()),
     "bpe_segment_tokens": (q_bpe_segment_tokens, _sql_bpe_segment_gate()),
     "skew_diagnose": (q_skew_diagnose, _sql_skew_diagnose()),
+    "logreg_quality": (q_logreg_quality, _sql_logreg_quality()),
 }
