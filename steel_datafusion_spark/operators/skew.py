@@ -21,7 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["salted_agg", "salted_join", "skew_diagnose",
-           "sql_skew_diagnose"]
+           "sql_skew_diagnose", "join_size_estimate",
+           "sql_join_size_estimate"]
 
 
 def salted_agg(
@@ -140,4 +141,69 @@ SELECT '{lbl}' AS key,
     ceil(MAX(c) / (SUM(c)::DOUBLE / COUNT(*)))))::BIGINT
     AS recommended_salt
 FROM (SELECT {keys}, COUNT(*)::DOUBLE AS c FROM {table} GROUP BY {keys}) t
+"""
+
+
+def join_size_estimate(left: DataFrame, lkey: str,
+                       right: DataFrame, rkey: str,
+                       label: str | None = None) -> DataFrame:
+    """Exact pre-flight for a big equi-join: the output cardinality
+    sum_k c_left(k)·c_right(k), computed from the two per-key COUNT
+    tables — |distinct keys| rows each — instead of the join itself.
+
+    The 100 TB decision this feeds: ``join_rows`` vs inputs is the
+    amplification factor (a many-to-many key mistake shows up here as
+    amplification >> 1 BEFORE the shuffle is paid), and
+    ``max_pair_rows`` (the hottest key's c_l·c_r) is the single-task
+    output bound that AQE's skew split cannot shrink — the number that
+    says "salt this" (see :func:`skew_diagnose`).
+
+    Plan: one count-aggregate per side (the same key shuffles the real
+    join would pay, at count-table size), an inner join of the two count
+    relations (|distinct| rows), and a 1-row summary.  Exact integers —
+    fully oracle-checkable."""
+    lc = left.groupBy(F.col(lkey).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_cl"))
+    rc = right.groupBy(F.col(rkey).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_cr"))
+    lt = lc.agg(F.sum("_cl").cast("long").alias("n_left"),
+                F.count(F.lit(1)).cast("long").alias("k_left"))
+    rt = rc.agg(F.sum("_cr").cast("long").alias("n_right"),
+                F.count(F.lit(1)).cast("long").alias("k_right"))
+    m = lc.join(rc, "_k").agg(
+        F.count(F.lit(1)).cast("long").alias("k_matched"),
+        F.coalesce(F.sum(F.col("_cl") * F.col("_cr")), F.lit(0))
+        .cast("long").alias("join_rows"),
+        F.coalesce(F.max(F.col("_cl") * F.col("_cr")), F.lit(0))
+        .cast("long").alias("max_pair_rows"))
+    return (m.crossJoin(F.broadcast(lt)).crossJoin(F.broadcast(rt))
+            .select(
+                F.lit(label if label is not None
+                      else f"{lkey}={rkey}").alias("join_name"),
+                "n_left", "n_right", "k_left", "k_right", "k_matched",
+                "join_rows", "max_pair_rows",
+                F.round(F.col("join_rows")
+                        / F.greatest(F.col("n_left"), F.col("n_right")),
+                        6).alias("amplification")))
+
+
+def sql_join_size_estimate(ltable: str, lkey: str, rtable: str, rkey: str,
+                           label: str | None = None) -> str:
+    """DuckDB mirror of :func:`join_size_estimate`."""
+    lbl = label if label is not None else f"{lkey}={rkey}"
+    return f"""
+SELECT '{lbl}' AS join_name,
+  (SELECT COUNT(*) FROM {ltable})::BIGINT AS n_left,
+  (SELECT COUNT(*) FROM {rtable})::BIGINT AS n_right,
+  (SELECT COUNT(DISTINCT {lkey}) FROM {ltable})::BIGINT AS k_left,
+  (SELECT COUNT(DISTINCT {rkey}) FROM {rtable})::BIGINT AS k_right,
+  COUNT(*)::BIGINT AS k_matched,
+  coalesce(SUM(cl * cr), 0)::BIGINT AS join_rows,
+  coalesce(MAX(cl * cr), 0)::BIGINT AS max_pair_rows,
+  round(coalesce(SUM(cl * cr), 0)::DOUBLE
+        / greatest((SELECT COUNT(*) FROM {ltable}),
+                   (SELECT COUNT(*) FROM {rtable})), 6) AS amplification
+FROM (SELECT {lkey} AS k, COUNT(*) AS cl FROM {ltable} GROUP BY 1) l
+JOIN (SELECT {rkey} AS k, COUNT(*) AS cr FROM {rtable} GROUP BY 1) r
+  USING (k)
 """

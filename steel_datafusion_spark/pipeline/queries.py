@@ -2792,6 +2792,37 @@ def _sql_skew_diagnose() -> str:
         f"({p})" for p in parts) + ") u ORDER BY key")
 
 
+def q_join_size_estimate(spark, sf_dir):
+    """Exact join-cardinality pre-flight (operators/skew.py
+    join_size_estimate): for two prospective equi-joins, the output row
+    count, matched-key count, hottest key-pair output, and amplification
+    factor — computed from per-key COUNT tables (|distinct keys| rows)
+    instead of paying the join.  The companion to skew_diagnose: together
+    they answer "how big is this shuffle's output and does one task own
+    it" before the job runs."""
+    from ..operators.skew import join_size_estimate
+
+    t = load_tables(spark, sf_dir)
+    a = join_size_estimate(t["orders"], "o_orderkey",
+                           t["lineitem"], "l_orderkey",
+                           "orders*lineitem")
+    b = join_size_estimate(t["customer"], "c_custkey",
+                           t["orders"], "o_custkey",
+                           "customer*orders")
+    return a.unionByName(b).orderBy("join_name")
+
+
+def _sql_join_size_estimate() -> str:
+    from ..operators.skew import sql_join_size_estimate
+
+    a = sql_join_size_estimate("orders", "o_orderkey",
+                               "lineitem", "l_orderkey",
+                               "orders*lineitem")
+    b = sql_join_size_estimate("customer", "c_custkey",
+                               "orders", "o_custkey", "customer*orders")
+    return (f"SELECT * FROM (({a}) UNION ALL ({b})) u ORDER BY join_name")
+
+
 _ZORDER_PREDS = [
     ("mid_box", {"user_id": (0.4, 0.6), "value": (0.4, 0.6)}),
     ("user_slice", {"user_id": (0.45, 0.55)}),
@@ -3388,4 +3419,6 @@ PIPELINE_QUERIES = {
     "bpe_segment_tokens": (q_bpe_segment_tokens, _sql_bpe_segment_gate()),
     "skew_diagnose": (q_skew_diagnose, _sql_skew_diagnose()),
     "logreg_quality": (q_logreg_quality, _sql_logreg_quality()),
+    "join_size_estimate": (q_join_size_estimate,
+                           _sql_join_size_estimate()),
 }

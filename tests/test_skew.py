@@ -98,3 +98,41 @@ def test_skew_diagnose_matches_duck(spark, duck):
 
     assert_df_matches_duck(q_skew_diagnose(spark, SF_DIR), duck,
                            _sql_skew_diagnose())
+
+
+def test_join_size_estimate_exact(spark):
+    """The estimate IS the true join cardinality (exact, not a sketch):
+    verify against the actual join on a hand-built many-to-many case."""
+    from steel_datafusion_spark.operators.skew import join_size_estimate
+
+    l = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,)], "k int")          # counts: 1->2, 2->1, 3->1
+    r = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (9,)], "k2 int")   # counts: 1->3, 2->1, 9->1
+    rep = join_size_estimate(l, "k", r, "k2", "toy").collect()[0]
+    true_rows = l.join(r, l["k"] == r["k2"]).count()
+    assert rep["join_rows"] == true_rows == 7        # 2*3 + 1*1
+    assert rep["max_pair_rows"] == 6                 # hot key 1: 2*3
+    assert rep["k_matched"] == 2
+    assert rep["n_left"] == 4 and rep["n_right"] == 5
+    assert rep["k_left"] == 3 and rep["k_right"] == 3
+    assert rep["amplification"] == round(7 / 5, 6)
+
+
+def test_join_size_estimate_disjoint_keys(spark):
+    from steel_datafusion_spark.operators.skew import join_size_estimate
+
+    l = spark.createDataFrame([(1,), (2,)], "k int")
+    r = spark.createDataFrame([(3,), (4,)], "k2 int")
+    rep = join_size_estimate(l, "k", r, "k2").collect()[0]
+    assert rep["join_rows"] == 0 and rep["k_matched"] == 0
+    assert rep["amplification"] == 0.0
+
+
+def test_join_size_gate_matches_duck(spark, duck):
+    from conftest import SF_DIR, assert_df_matches_duck
+    from steel_datafusion_spark.pipeline.queries import (
+        _sql_join_size_estimate, q_join_size_estimate)
+
+    assert_df_matches_duck(q_join_size_estimate(spark, SF_DIR), duck,
+                           _sql_join_size_estimate())
