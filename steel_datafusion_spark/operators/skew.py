@@ -162,10 +162,14 @@ def join_size_estimate(left: DataFrame, lkey: str,
     join would pay, at count-table size), an inner join of the two count
     relations (|distinct| rows), and a 1-row summary.  Exact integers —
     fully oracle-checkable."""
-    lc = left.groupBy(F.col(lkey).alias("_k")).agg(
-        F.count(F.lit(1)).alias("_cl"))
-    rc = right.groupBy(F.col(rkey).alias("_k")).agg(
-        F.count(F.lit(1)).alias("_cr"))
+    from ..cache import track
+
+    # each count table feeds its own totals row AND the matched-key join
+    # — persisted, each input is scanned and key-aggregated exactly once
+    lc = track(left.groupBy(F.col(lkey).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_cl")).persist())
+    rc = track(right.groupBy(F.col(rkey).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_cr")).persist())
     lt = lc.agg(F.sum("_cl").cast("long").alias("n_left"),
                 F.count(F.lit(1)).cast("long").alias("k_left"))
     rt = rc.agg(F.sum("_cr").cast("long").alias("n_right"),
