@@ -88,6 +88,24 @@ def main() -> None:
                      .filter(F.col("clf_score") > -0.5)
                      .drop("clf_score", "clf_label"))
 
+        # 4d. domain adaptation: keep every English doc, plus the 50
+        # non-English docs whose hashed n-gram distribution is most
+        # English-like (DSIR importance resampling — the published
+        # target-vs-pool selection shape)
+        from steel_datafusion_spark.pipeline.selection import dsir_select
+
+        # stage barrier: DSIR references the survivors relation several
+        # times (target model, pool model, pool ids) — checkpointing here
+        # keeps it from re-running the dedup/decontamination lineage per
+        # reference
+        survivors = survivors.localCheckpoint()
+        tgt = F.col("lang") == "en"
+        picked = dsir_select(survivors, tgt, k=50, n_buckets=2048,
+                             seed=7).select("doc_id")
+        survivors = survivors.join(
+            survivors.filter(tgt).select("doc_id").unionByName(picked)
+            .distinct(), "doc_id")
+
         # 5. mixture: skew toward the first five sources
         targets = {f"src{i}": w for i, w in
                    enumerate([0.4, 0.3, 0.2, 0.05, 0.05])}
@@ -115,11 +133,18 @@ def main() -> None:
         hot = heavy_hitters(train, "text", threshold_inv=64) \
             .orderBy(F.col("cnt").desc()).limit(5).collect()
 
+        # shuffle-health report: would a groupBy/join on `source` hot-spot?
+        from steel_datafusion_spark.operators.skew import skew_diagnose
+        sk = skew_diagnose(train, ["source"], "train.source").collect()[0]
+
     print(f"raw docs:        {n0}")
     print(f"after curation:  {sum(counts.values())} {counts}")
     print(f"packed chunks:   {n_packed} (512-token, train split)")
     print("top boilerplate terms (>1/64 of train tokens): "
           + ", ".join(f"{r.term}({r.cnt})" for r in hot))
+    print(f"source-key skew: factor {sk['skew_factor']}, "
+          f"top1 share {sk['top1_share']}, "
+          f"recommended salt {sk['recommended_salt']}")
 
 
 if __name__ == "__main__":
