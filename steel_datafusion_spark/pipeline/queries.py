@@ -2926,6 +2926,70 @@ WHERE window_start + INTERVAL 1 HOUR
 """
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming dedup as a HASH gate (streaming/operators.py
+    streaming_dedup — previously batch-parity-tested only): the source
+    re-lands events WITH planted full-row duplicates (every third
+    event_id, appended as exact copies), then a real two-stateful-operator
+    streaming query — dropDuplicatesWithinWatermark(event_id) feeding a
+    1 h tumbling watermarked rollup — runs availableNow through
+    foreachBatch into parquet.  Because the planted copies are
+    bit-identical rows, the post-dedup stream is deterministic whichever
+    copy survives, and the oracle is the DISTINCT-collapsed rollup with
+    the same final-watermark cutoff — an undeduplicated run inflates n/
+    sum and hash-fails, so the gate passing PROVES the dedup operator
+    fired.  State is bounded by the watermark horizon on both operators."""
+    import shutil
+    import uuid
+
+    from ..streaming.operators import (
+        read_stream_parquet, run_stream_to_parquet, streaming_dedup,
+        windowed_rollup,
+    )
+
+    from ..queries import scratch_dir
+    base = scratch_dir(spark, sf_dir, "stream_dup_gate")
+    src = _os.path.join(base, "src")
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir),
+           "dup")
+    if key not in _STREAM_SRC_BUILT or not _os.path.exists(src):
+        shutil.rmtree(base, ignore_errors=True)
+        ev = load_tables(spark, sf_dir)["events"]
+        dups = ev.filter(F.col("event_id") % 3 == 0)
+        ev.unionByName(dups).write.mode("overwrite").parquet(src)
+        _STREAM_SRC_BUILT.add(key)
+    run_id = uuid.uuid4().hex[:8]
+    out = _os.path.join(base, f"dout-{run_id}")
+    ckpt = _os.path.join(base, f"dckpt-{run_id}")
+    batch = spark.read.parquet(src)
+    stream = read_stream_parquet(spark, src, batch.schema)
+    deduped = streaming_dedup(stream, ["event_id"])
+    got = run_stream_to_parquet(
+        windowed_rollup(deduped, window="1 hour", watermark=None), out,
+        ckpt)
+    return got.select(
+        "window_start", "event_type", "n",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"))
+
+
+_SQL_STREAMING_DEDUP = """
+WITH w AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         COUNT(*) AS n,
+         round(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6)
+           AS sum_value,
+         round(MIN(value), 6) AS min_value,
+         round(MAX(value), 6) AS max_value
+  FROM events GROUP BY 1, 2)
+SELECT window_start, event_type, n, sum_value, min_value, max_value
+FROM w
+WHERE window_start + INTERVAL 1 HOUR
+      <= (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events)
+"""
+
+
 def q_streaming_hopping(spark, sf_dir):
     """HOPPING-window streaming rollup (windowed_rollup with slide <
     window): 1-hour windows every 30 min, 2 h watermark, availableNow
@@ -3413,6 +3477,7 @@ PIPELINE_QUERIES = {
     "streaming_join": (q_streaming_join, _SQL_STREAMING_JOIN),
     "streaming_hopping": (q_streaming_hopping, _SQL_STREAMING_HOPPING),
     "streaming_enrich": (q_streaming_enrich, _SQL_STREAMING_ENRICH),
+    "streaming_dedup": (q_streaming_dedup, _SQL_STREAMING_DEDUP),
     "robust_stats": (q_robust_stats, _sql_robust_stats()),
     "dsir_select": (q_dsir_select, _sql_dsir_select()),
     "zorder_skipping": (q_zorder_skipping, _sql_zorder_skipping()),

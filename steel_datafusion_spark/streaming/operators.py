@@ -54,7 +54,7 @@ def windowed_rollup(
     key_col: str = "event_type",
     value_col: str = "value",
     window: str = "1 hour",
-    watermark: str = "2 hours",
+    watermark: str | None = "2 hours",
     slide: str | None = None,
 ) -> DataFrame:
     """Tumbling-window aggregate with watermark — the streaming form of the
@@ -64,11 +64,19 @@ def windowed_rollup(
     ``slide`` < ``window`` switches to HOPPING windows: each event lands in
     window/slide overlapping windows (state and output scale by the same
     factor — the documented cost of overlap; the watermark still bounds
-    total state)."""
+    total state).
+
+    ``watermark=None`` means the input is ALREADY watermarked by an
+    upstream stateful operator (e.g. streaming_dedup → rollup): Spark
+    disallows redefining the watermark in one query, so chained stateful
+    operators set it exactly once."""
     win = (F.window(F.col(ts_col), window, slide) if slide
            else F.window(F.col(ts_col), window))
+    src = _ensure_event_time(events, ts_col)
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
     return (
-        _ensure_event_time(events, ts_col).withWatermark(ts_col, watermark)
+        src
         .groupBy(win.alias("w"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -329,3 +329,33 @@ def test_hopping_rollup_matches_batch(spark, events_dir):
     # each event lands in exactly window/slide = 2 windows
     n_events = batch.count()
     assert want.agg(F.sum("n")).first()[0] == 2 * n_events
+
+
+def test_streaming_dedup_gate_proves_dedup(spark, duck):
+    """The streaming_dedup gate's oracle is the distinct-collapsed
+    rollup: run the same source WITHOUT the dedup stage and assert the
+    counts inflate — i.e. the gate can only pass because the stateful
+    dedup actually fired."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF_DIR, assert_df_matches_duck
+    from steel_datafusion_spark.pipeline.queries import (
+        _SQL_STREAMING_DEDUP, q_streaming_dedup)
+
+    deduped = q_streaming_dedup(spark, SF_DIR)
+    assert_df_matches_duck(deduped, duck, _SQL_STREAMING_DEDUP)
+
+    # undeduplicated control: same planted-duplicate source, rollup only
+    import os
+
+    from steel_datafusion_spark.queries import scratch_dir
+    from steel_datafusion_spark.streaming.operators import windowed_rollup
+
+    src = os.path.join(scratch_dir(spark, SF_DIR, "stream_dup_gate"), "src")
+    raw = spark.read.parquet(src)
+    control = windowed_rollup(
+        raw.withColumn("ts", F.col("ts").cast("timestamp")),
+        window="1 hour", watermark=None)
+    n_dup = control.agg(F.sum("n")).collect()[0][0]
+    n_clean = deduped.agg(F.sum("n")).collect()[0][0]
+    assert n_dup > n_clean  # the planted copies really inflate the rollup
