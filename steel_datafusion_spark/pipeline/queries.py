@@ -2792,6 +2792,46 @@ def _sql_skew_diagnose() -> str:
         f"({p})" for p in parts) + ") u ORDER BY key")
 
 
+_EXPECT_RULES = [
+    ("not_null", "l_orderkey"),
+    ("not_null", "l_shipdate"),
+    ("range", "l_discount", 0.0, 0.1),
+    ("range", "l_quantity", 1.0, 50.0),
+    ("in_set", "l_returnflag", ["A", "N", "R"]),
+    ("matches", "l_linestatus", "^[FO]$"),
+    ("unique", "l_orderkey_l_linenumber"),
+]
+
+
+def q_validate_expectations(spark, sf_dir):
+    """Declarative data-quality gate (operators/expectations.py): the
+    dbt-test / Great-Expectations shape over lineitem — null checks,
+    value ranges, categorical membership, regex, composite-key
+    uniqueness, and orderkey referential containment against orders.
+    All row-level rules fold into ONE scan (a single aggregate of
+    conditional counts); uniqueness costs one key-count aggregate; the
+    FK check is one broadcast anti-probe against distinct orderkeys."""
+    from ..operators.expectations import validate_expectations
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].withColumn(
+        "l_orderkey_l_linenumber",
+        F.concat_ws("#", F.col("l_orderkey"), F.col("l_linenumber")))
+    rules = list(_EXPECT_RULES) + [
+        ("fk", "l_orderkey", t["orders"], "o_orderkey")]
+    return validate_expectations(li, rules)
+
+
+def _sql_validate_expectations() -> str:
+    from ..operators.expectations import sql_validate_expectations
+
+    rules = list(_EXPECT_RULES) + [
+        ("fk", "l_orderkey", "orders", "o_orderkey")]
+    return sql_validate_expectations(
+        "(SELECT *, l_orderkey || '#' || l_linenumber AS "
+        "l_orderkey_l_linenumber FROM lineitem)", rules)
+
+
 def q_join_size_estimate(spark, sf_dir):
     """Exact join-cardinality pre-flight (operators/skew.py
     join_size_estimate): for two prospective equi-joins, the output row
@@ -3486,4 +3526,6 @@ PIPELINE_QUERIES = {
     "logreg_quality": (q_logreg_quality, _sql_logreg_quality()),
     "join_size_estimate": (q_join_size_estimate,
                            _sql_join_size_estimate()),
+    "validate_expectations": (q_validate_expectations,
+                              _sql_validate_expectations()),
 }
