@@ -2792,6 +2792,34 @@ def _sql_skew_diagnose() -> str:
         f"({p})" for p in parts) + ") u ORDER BY key")
 
 
+def q_gapfill_resample(spark, sf_dir):
+    """Time-bucket gap filling (pipeline/rollup.py gapfill — the
+    TimescaleDB time_bucket_gapfill shape): regularize each event type's
+    series onto an hourly grid and fill the empty buckets, LOCF and
+    linear interpolation unioned under a method label.  Per key the grid
+    is bounded by time span, not row count (dense keys collapse into
+    buckets first); the fill is two window passes over (key, bucket)."""
+    from .rollup import gapfill
+
+    ev = load_tables(spark, sf_dir)["events"]
+    locf = gapfill(ev, method="locf").select(
+        F.lit("locf").alias("method"), "*")
+    lin = gapfill(ev, method="linear").select(
+        F.lit("linear").alias("method"), "*")
+    return locf.unionByName(lin).orderBy("method", "event_type",
+                                         "bucket_ts")
+
+
+def _sql_gapfill_resample() -> str:
+    from .rollup import sql_gapfill
+
+    locf = sql_gapfill(method="locf")
+    lin = sql_gapfill(method="linear")
+    return (f"SELECT * FROM (SELECT 'locf' AS method, * FROM ({locf}) a "
+            f"UNION ALL SELECT 'linear' AS method, * FROM ({lin}) b) u "
+            f"ORDER BY method, event_type, bucket_ts")
+
+
 _EXPECT_RULES = [
     ("not_null", "l_orderkey"),
     ("not_null", "l_shipdate"),
@@ -3528,4 +3556,5 @@ PIPELINE_QUERIES = {
                            _sql_join_size_estimate()),
     "validate_expectations": (q_validate_expectations,
                               _sql_validate_expectations()),
+    "gapfill_resample": (q_gapfill_resample, _sql_gapfill_resample()),
 }

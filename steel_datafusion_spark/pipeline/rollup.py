@@ -24,7 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["time_rollup", "rollup_refresh", "cascade_rollup", "ROLLUP_COLS"]
+__all__ = ["time_rollup", "rollup_refresh", "cascade_rollup",
+           "gapfill", "sql_gapfill", "ROLLUP_COLS"]
 
 ROLLUP_COLS = ("n", "sum_value", "min_value", "max_value")
 
@@ -88,3 +89,129 @@ def _merge(rollups: DataFrame, key_cols: list[str]) -> DataFrame:
                  F.sum("sum_value").alias("sum_value"),
                  F.min("min_value").alias("min_value"),
                  F.max("max_value").alias("max_value")))
+
+
+def gapfill(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    interval_s: int = 3600,
+    method: str = "locf",
+) -> DataFrame:
+    """Time-bucket gap filling (the TimescaleDB ``time_bucket_gapfill``
+    shape): regularize each key's series onto an ``interval_s`` grid
+    spanning that key's [min, max] bucket range, and fill empty buckets —
+    ``method='locf'`` carries the last observation forward;
+    ``method='linear'`` interpolates between the surrounding observed
+    buckets (leading/trailing gaps stay NULL under linear; leading gaps
+    stay NULL under locf).
+
+    Per bucket the observed value is the mean of that bucket's rows
+    (decimal-exact sum / count, 6 dp) — regularize-then-fill, the
+    standard resampling contract.
+
+    Returns (key, bucket_ts, value 6dp-or-NULL, filled boolean).
+
+    Scale: one shuffle on the key for the per-bucket aggregate; the grid
+    generates from each key's 2-value [min, max] envelope (sequence +
+    explode — |keys| · span/interval rows, never a driver loop); the fill
+    itself is two window passes over (key ORDER BY bucket).  A key's grid
+    length is bounded by its time span, not its row count — dense keys
+    collapse into their buckets first."""
+    if method not in ("locf", "linear"):
+        raise ValueError(f"method must be locf|linear, got {method!r}")
+    if interval_s < 1:
+        raise ValueError(f"interval_s must be >= 1, got {interval_s}")
+    from pyspark.sql.window import Window
+
+    step = F.lit(interval_s)
+    bucket = (F.floor(F.unix_timestamp(F.col(ts_col)) / step) * step)
+    obs = (events
+           .groupBy(F.col(key_col).alias("k"), bucket.alias("b"))
+           .agg(F.round(
+               (F.sum(F.col(value_col).cast("decimal(28,10)"))
+                / F.count(F.lit(1))).cast("double"), 6).alias("v")))
+    grid = (obs.groupBy("k")
+            .agg(F.min("b").alias("_b0"), F.max("b").alias("_b1"))
+            .select("k", F.explode(F.sequence(
+                F.col("_b0"), F.col("_b1"), step)).alias("b")))
+    g = grid.join(obs, ["k", "b"], "left")
+    w_prev = (Window.partitionBy("k").orderBy("b")
+              .rowsBetween(Window.unboundedPreceding, 0))
+    if method == "locf":
+        filled = F.last("v", ignorenulls=True).over(w_prev)
+    else:
+        w_next = (Window.partitionBy("k").orderBy("b")
+                  .rowsBetween(0, Window.unboundedFollowing))
+        prev = F.last(F.when(F.col("v").isNotNull(),
+                             F.struct("b", "v")), ignorenulls=True) \
+            .over(w_prev)
+        nxt = F.first(F.when(F.col("v").isNotNull(),
+                             F.struct("b", "v")), ignorenulls=True) \
+            .over(w_next)
+        span = (nxt["b"] - prev["b"]).cast("double")
+        frac = (F.col("b") - prev["b"]).cast("double") / span
+        filled = F.when(F.col("v").isNotNull(), F.col("v")) \
+            .when(prev.isNull() | nxt.isNull(), F.lit(None)) \
+            .otherwise(F.round(prev["v"] + frac * (nxt["v"] - prev["v"]),
+                               6))
+    return (g.select(
+        F.col("k").alias(key_col),
+        F.col("b").cast("long").alias("bucket_ts"),
+        F.round(filled, 6).alias("value"),
+        F.col("v").isNull().alias("filled"))
+        .orderBy(key_col, "bucket_ts"))
+
+
+def sql_gapfill(
+    table: str = "events", key_col: str = "event_type",
+    ts_col: str = "ts", value_col: str = "value",
+    interval_s: int = 3600, method: str = "locf",
+) -> str:
+    """DuckDB mirror of :func:`gapfill` (generate_series grid, the same
+    IGNORE NULLS window fills, same rounding)."""
+    if method == "locf":
+        filled = "last_value(v IGNORE NULLS) OVER wp"
+    else:
+        filled = """CASE WHEN v IS NOT NULL THEN v
+      WHEN last_value(pb IGNORE NULLS) OVER wp IS NULL
+        OR first_value(nb IGNORE NULLS) OVER wn IS NULL THEN NULL
+      ELSE round(
+        last_value(pv IGNORE NULLS) OVER wp
+        + (b - last_value(pb IGNORE NULLS) OVER wp)::DOUBLE
+          / (first_value(nb IGNORE NULLS) OVER wn
+             - last_value(pb IGNORE NULLS) OVER wp)
+          * (first_value(nv IGNORE NULLS) OVER wn
+             - last_value(pv IGNORE NULLS) OVER wp), 6) END"""
+    return f"""
+WITH gf_obs AS (
+  SELECT {key_col} AS k,
+         (floor(epoch({ts_col}) / {interval_s}) * {interval_s})::BIGINT
+           AS b,
+         round((SUM(CAST({value_col} AS DECIMAL(28,10)))
+                / COUNT(*))::DOUBLE, 6) AS v
+  FROM {table} GROUP BY 1, 2
+),
+gf_grid AS (
+  SELECT k, unnest(generate_series(min_b, max_b, {interval_s})) AS b
+  FROM (SELECT k, MIN(b) AS min_b, MAX(b) AS max_b FROM gf_obs GROUP BY k) e
+),
+gf AS (
+  SELECT g.k, g.b, o.v,
+         CASE WHEN o.v IS NOT NULL THEN g.b END AS pb,
+         o.v AS pv,
+         CASE WHEN o.v IS NOT NULL THEN g.b END AS nb,
+         o.v AS nv
+  FROM gf_grid g LEFT JOIN gf_obs o ON g.k = o.k AND g.b = o.b
+)
+SELECT k AS {key_col}, b AS bucket_ts,
+  round({filled}, 6) AS value,
+  v IS NULL AS filled
+FROM gf
+WINDOW wp AS (PARTITION BY k ORDER BY b
+              ROWS UNBOUNDED PRECEDING),
+       wn AS (PARTITION BY k ORDER BY b
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+ORDER BY {key_col}, bucket_ts
+"""
