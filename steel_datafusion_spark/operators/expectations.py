@@ -89,9 +89,14 @@ def validate_expectations(df: DataFrame,
                      F.lit(col).alias("col_name"), "n_rows", "n_violations")
             out = rep if out is None else out.unionByName(rep)
         elif r[0] == "fk":
+            from ..cache import track
+
             col, other, other_col = r[1], r[2], r[3]
             keys = other.select(F.col(other_col).alias("_k")).distinct()
-            present = df.filter(F.col(col).isNotNull())
+            # `present` feeds both the row count and the anti-probe —
+            # persisted, the fact table is scanned once for the fk rule
+            present = track(df.filter(F.col(col).isNotNull())
+                            .select(col).persist())
             miss = present.join(F.broadcast(keys),
                                 present[col] == F.col("_k"), "left_anti")
             rep = (present.agg(F.count(F.lit(1)).cast("long")

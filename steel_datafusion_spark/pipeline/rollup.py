@@ -127,11 +127,16 @@ def gapfill(
 
     step = F.lit(interval_s)
     bucket = (F.floor(F.unix_timestamp(F.col(ts_col)) / step) * step)
-    obs = (events
-           .groupBy(F.col(key_col).alias("k"), bucket.alias("b"))
-           .agg(F.round(
-               (F.sum(F.col(value_col).cast("decimal(28,10)"))
-                / F.count(F.lit(1))).cast("double"), 6).alias("v")))
+    from ..cache import track
+
+    # the observed-bucket relation feeds the grid envelope AND the grid
+    # join — persisted, the raw events are scanned and bucketed once
+    obs = track(events
+                .groupBy(F.col(key_col).alias("k"), bucket.alias("b"))
+                .agg(F.round(
+                    (F.sum(F.col(value_col).cast("decimal(28,10)"))
+                     / F.count(F.lit(1))).cast("double"), 6).alias("v"))
+                .persist())
     grid = (obs.groupBy("k")
             .agg(F.min("b").alias("_b0"), F.max("b").alias("_b1"))
             .select("k", F.explode(F.sequence(
