@@ -17,8 +17,17 @@ quality scores, BM25 retrieval, Bloom-filter decontamination screens,
 cross-document n-gram novelty), snapshot change-data-capture (cdc.py:
 keyed snapshot diff + SCD2 batch-versioned dimensions), deterministic
 count-min sketches (sketches.py: oracle-exact, vocabulary-independent
-shuffle), and source-pair overlap matrices (dedup.py
-source_overlap_matrix).
+shuffle), source-pair overlap matrices (dedup.py
+source_overlap_matrix), DSIR importance resampling (selection.py:
+hashed n-gram target/pool models, Gumbel top-k), logistic-regression
+quality-filter training (classifier.py: one aggregation per GD
+iteration, oracle-unrolled trajectory), distributed BPE learn+apply
+(bpe.py), weighted PageRank / triangle counting (graph.py), time-bucket
+gap filling with LOCF/linear interpolation (rollup.py gapfill), and —
+in the sibling packages — Z-order clustering layout (sources/layout.py),
+shuffle-key skew diagnosis + exact join-cardinality pre-flight
+(operators/skew.py), and declarative data-quality expectations
+(operators/expectations.py).
 
 Submodules are imported lazily by the operators that need them; import
 directly for explicit use::
