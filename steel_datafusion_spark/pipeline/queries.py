@@ -674,6 +674,34 @@ def q_similarity_ivf(spark, sf_dir):
     return ivf_topk(q, e, k=10, nprobe=2, centroid_mod=50)
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN QUALITY measurement (recall@10 of the IVF path against exact
+    brute force, per query vector): the report every approximate index
+    owes its operator — IVF/LSH trade recall for the bucketed plan, and
+    this gate makes the trade a hash-checked NUMBER instead of a claim.
+    Both paths share one scan lineage; the compare is a tiny
+    (queries × k) join.  At 100 TB you run this on a sampled query set:
+    cost = one brute-force pass over the sample, amortized across every
+    future index deployment."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    bf = cosine_topk(q, e, k=10).select("query_id", "neighbor_id")
+    approx = ivf_topk(q, e, k=10, nprobe=2, centroid_mod=50) \
+        .select("query_id", "neighbor_id")
+    n_exact = bf.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"))
+    n_hit = (approx.join(bf, ["query_id", "neighbor_id"])
+             .groupBy("query_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_hit")))
+    return (n_exact.join(n_hit, "query_id", "left")
+            .select("query_id", "n_exact",
+                    F.coalesce("n_hit", F.lit(0)).cast("long")
+                    .alias("n_hit"))
+            .withColumn("recall",
+                        F.round(F.col("n_hit") / F.col("n_exact"), 6))
+            .orderBy("query_id"))
+
+
 _SQL_SIM_IVF = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id % 50 = 0),
@@ -2792,6 +2820,26 @@ def _sql_skew_diagnose() -> str:
         f"({p})" for p in parts) + ") u ORDER BY key")
 
 
+def _sql_ann_recall() -> str:
+    """Composes the committed brute-force and IVF mirrors (identical
+    query set and k) into a per-query recall report."""
+    return f"""
+SELECT b.query_id, b.n_exact,
+  coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+  round(coalesce(h.n_hit, 0)::DOUBLE / b.n_exact, 6) AS recall
+FROM (SELECT query_id, COUNT(*)::BIGINT AS n_exact
+      FROM ({_SQL_SIM_TOPK}) bf GROUP BY 1) b
+LEFT JOIN (
+  SELECT query_id, COUNT(*) AS n_hit
+  FROM ({_SQL_SIM_IVF}) i
+  JOIN (SELECT query_id AS bq, neighbor_id AS bn
+        FROM ({_SQL_SIM_TOPK}) bf2) b2
+    ON i.query_id = b2.bq AND i.neighbor_id = b2.bn
+  GROUP BY 1) h USING (query_id)
+ORDER BY query_id
+"""
+
+
 def q_gapfill_resample(spark, sf_dir):
     """Time-bucket gap filling (pipeline/rollup.py gapfill — the
     TimescaleDB time_bucket_gapfill shape): regularize each event type's
@@ -3484,6 +3532,7 @@ PIPELINE_QUERIES = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _sql_ngram_jaccard()),
     "similarity_topk": (q_similarity_topk, _SQL_SIM_TOPK),
     "similarity_ivf": (q_similarity_ivf, _SQL_SIM_IVF),
+    "ann_recall": (q_ann_recall, _sql_ann_recall()),
     "embedding_neardup": (q_embedding_neardup, _sql_emb_neardup()),
     "embedding_dedup": (q_embedding_dedup, _sql_embedding_dedup()),
     "embedding_neardup_banded": (q_embedding_neardup_banded,

@@ -148,3 +148,34 @@ def test_sq8_error_bounded_by_half_step(spark):
                                   "vec_id long, embedding array<double>")
     g2 = {r.vec_id: r.rmse for r in sq8_error_stats(const).collect()}
     assert g2[1] == 0.0 and g2[2] == 0.0  # dim0 constant, dim1 endpoints
+
+
+def test_ann_recall_gate_and_nprobe_knob(spark, duck):
+    """The recall report matches its composed oracle, and raising nprobe
+    strictly improves mean recall on the same index — the knob the gate
+    exists to inform."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF_DIR, assert_df_matches_duck
+    from steel_datafusion_spark.pipeline.queries import (
+        _sql_ann_recall, q_ann_recall)
+    from steel_datafusion_spark.pipeline.similarity import (
+        cosine_topk, ivf_topk)
+    from steel_datafusion_spark.sources.readers import load_tables
+
+    assert_df_matches_duck(q_ann_recall(spark, SF_DIR), duck,
+                           _sql_ann_recall())
+
+    e = load_tables(spark, SF_DIR)["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    bf = cosine_topk(q, e, k=10).select("query_id", "neighbor_id")
+
+    def mean_recall(nprobe):
+        approx = ivf_topk(q, e, k=10, nprobe=nprobe, centroid_mod=50) \
+            .select("query_id", "neighbor_id")
+        hit = approx.join(bf, ["query_id", "neighbor_id"]).count()
+        return hit / bf.count()
+
+    r2, r8 = mean_recall(2), mean_recall(8)
+    assert 0.0 <= r2 <= r8 <= 1.0
+    assert r8 > r2  # more probes -> strictly better on this corpus
