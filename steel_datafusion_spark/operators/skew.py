@@ -170,9 +170,11 @@ def join_size_estimate(left: DataFrame, lkey: str,
         F.count(F.lit(1)).alias("_cl")).persist())
     rc = track(right.groupBy(F.col(rkey).alias("_k")).agg(
         F.count(F.lit(1)).alias("_cr")).persist())
-    lt = lc.agg(F.sum("_cl").cast("long").alias("n_left"),
+    lt = lc.agg(F.coalesce(F.sum("_cl"), F.lit(0)).cast("long")
+                .alias("n_left"),
                 F.count(F.lit(1)).cast("long").alias("k_left"))
-    rt = rc.agg(F.sum("_cr").cast("long").alias("n_right"),
+    rt = rc.agg(F.coalesce(F.sum("_cr"), F.lit(0)).cast("long")
+                .alias("n_right"),
                 F.count(F.lit(1)).cast("long").alias("k_right"))
     m = lc.join(rc, "_k").agg(
         F.count(F.lit(1)).cast("long").alias("k_matched"),
