@@ -23,6 +23,10 @@ Supported without Pillow:
 - **WAV**: RIFF/WAVE integer PCM (8/16/24/32-bit) and IEEE float32/64,
   any channel count — real audio decode (duration, channels, sample
   rate, per-channel interleaved samples) with no third-party library.
+- **AVI**: RIFF/AVI container walk (hdrl/strh/strf/movi/idx1) with
+  raw-DIB (``00db``, bottom-up padded BGR) and MJPEG (``00dc``, each
+  frame through the baseline JPEG codec) streams — real video decode
+  (dimensions, fps as rate/scale, frame count, sampled frame pixels).
 """
 
 from __future__ import annotations
@@ -35,7 +39,8 @@ from .jpeg import JPEG_MAGIC, decode_jpeg, encode_jpeg
 
 __all__ = ["DecodedImage", "decode_image_bytes", "sniff_format",
            "encode_png", "encode_bmp", "encode_ppm", "encode_jpeg",
-           "DecodedAudio", "decode_wav", "encode_wav"]
+           "DecodedAudio", "decode_wav", "encode_wav",
+           "DecodedVideo", "decode_avi", "encode_avi"]
 
 
 class DecodedImage(NamedTuple):
@@ -63,6 +68,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "ppm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     return None
 
 
@@ -431,3 +438,193 @@ def encode_wav(samples: list[float], sample_rate: int = 16000,
               + b"data" + struct.pack("<I", len(body)) + body
               + (b"\x00" if len(body) & 1 else b""))
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF video container: raw-DIB and MJPEG streams)
+# ---------------------------------------------------------------------------
+
+class DecodedVideo(NamedTuple):
+    width: int
+    height: int
+    rate: int               # strh dwRate   (frames = rate/scale per second)
+    scale: int              # strh dwScale
+    n_frames: int           # total frames in the stream
+    codec: str              # "DIB " | "MJPG"
+    frames: list            # decoded DecodedImage for each *sampled* frame
+    frame_indices: list     # stream index of each entry in ``frames``
+
+    @property
+    def fps(self) -> float:
+        return self.rate / self.scale
+
+    @property
+    def duration_ms(self) -> int:
+        return (self.n_frames * 1000 * self.scale) // self.rate
+
+
+def _avi_row_stride(width: int) -> int:
+    return (width * 3 + 3) & ~3          # BGR rows pad to 4 bytes (BI_RGB)
+
+
+def _dib_to_rgb(body: bytes, width: int, height: int) -> DecodedImage:
+    """Bottom-up BGR rows (the BI_RGB convention) -> row-major RGB."""
+    stride = _avi_row_stride(width)
+    if len(body) < stride * height:
+        raise ValueError("truncated DIB frame")
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src = (height - 1 - y) * stride
+        dst = y * width * 3
+        row = body[src:src + width * 3]
+        out[dst:dst + width * 3:3] = row[2::3]
+        out[dst + 1:dst + width * 3:3] = row[1::3]
+        out[dst + 2:dst + width * 3:3] = row[0::3]
+    return DecodedImage(width, height, "RGB", bytes(out))
+
+
+def _rgb_to_dib(img: "DecodedImage") -> bytes:
+    """Row-major RGB (or L, replicated) -> bottom-up padded BGR rows."""
+    px = img.pixels
+    if img.mode == "L":
+        px = bytes(b for v in px for b in (v, v, v))
+    elif img.mode != "RGB":
+        raise ValueError(f"AVI DIB frames need RGB or L, got {img.mode}")
+    stride = _avi_row_stride(img.width)
+    pad = b"\x00" * (stride - img.width * 3)
+    rows = []
+    for y in range(img.height - 1, -1, -1):
+        row = px[y * img.width * 3:(y + 1) * img.width * 3]
+        bgr = bytearray(len(row))
+        bgr[0::3] = row[2::3]
+        bgr[1::3] = row[1::3]
+        bgr[2::3] = row[0::3]
+        rows.append(bytes(bgr) + pad)
+    return b"".join(rows)
+
+
+def decode_avi(payload: bytes, frame_step: int = 1,
+               max_frames: int | None = None) -> DecodedVideo:
+    """Real AVI decode: walks the RIFF chunk tree (hdrl -> avih + the first
+    ``vids`` strh/strf, then the movi LIST), decoding ``00db`` raw-DIB
+    frames directly and ``00dc`` MJPEG frames through the baseline JPEG
+    decoder (pipeline/jpeg.py; Pillow when installed).  ``frame_step``/
+    ``max_frames`` sample every k-th frame without decoding the rest —
+    the container is still walked chunk-by-chunk, so sampling skips the
+    pixel work (the expensive part), which is what a frame-sampling
+    pipeline stage needs.  Raises ``ValueError`` on malformed containers
+    or unsupported stream codecs."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    if frame_step < 1:
+        raise ValueError("frame_step must be >= 1")
+
+    width = height = 0
+    rate, scale, n_stream_frames = 0, 1, 0
+    codec = None
+    frames: list[DecodedImage] = []
+    indices: list[int] = []
+    seen = 0
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height, rate, scale, n_stream_frames, codec, seen
+        while pos + 8 <= end:
+            cid = payload[pos:pos + 4]
+            size, = struct.unpack_from("<I", payload, pos + 4)
+            body_at = pos + 8
+            if cid == b"LIST":
+                walk(body_at + 4, body_at + size)   # skip the list type tag
+            elif cid == b"strh":
+                fcc_type = payload[body_at:body_at + 4]
+                if fcc_type == b"vids" and rate == 0:
+                    handler = payload[body_at + 4:body_at + 8]
+                    scale_, rate_, _start, length = struct.unpack_from(
+                        "<IIII", payload, body_at + 20)
+                    scale, rate = max(1, scale_), max(1, rate_)
+                    n_stream_frames = length
+                    if handler in (b"MJPG", b"mjpg"):
+                        codec = "MJPG"
+                    elif handler in (b"DIB ", b"\x00\x00\x00\x00", b"RGB "):
+                        codec = "DIB "
+                    else:
+                        raise ValueError(
+                            f"unsupported AVI stream codec {handler!r}")
+            elif cid == b"strf" and width == 0:
+                if size >= 24:
+                    w, h = struct.unpack_from("<ii", payload, body_at + 4)
+                    width, height = abs(w), abs(h)
+            elif cid in (b"00db", b"00dc"):
+                take = (seen % frame_step == 0 and
+                        (max_frames is None or len(frames) < max_frames))
+                if take:
+                    body = payload[body_at:body_at + size]
+                    if cid == b"00dc" and codec == "MJPG":
+                        img = decode_image_bytes(bytes(body))
+                    else:
+                        img = _dib_to_rgb(body, width, height)
+                    frames.append(img)
+                    indices.append(seen)
+                seen += 1
+            pos = body_at + size + (size & 1)       # chunks are word-aligned
+
+    walk(12, len(payload))
+    if codec is None or width == 0:
+        raise ValueError("AVI missing vids strh/strf headers")
+    n = n_stream_frames or seen
+    return DecodedVideo(width, height, rate, scale, n, codec, frames, indices)
+
+
+def encode_avi(frames: list, rate: int = 10, scale: int = 1,
+               codec: str = "DIB ", quality: int = 85) -> bytes:
+    """Minimal valid AVI writer from ``DecodedImage`` frames (all one
+    size): raw bottom-up BGR DIB frames (``codec='DIB '``) or MJPEG
+    (``codec='MJPG'``, each frame through the baseline JPEG encoder) —
+    the fixture generator for video round-trip tests."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    if codec not in ("DIB ", "MJPG"):
+        raise ValueError(f"unsupported codec {codec!r}")
+    w, h = frames[0].width, frames[0].height
+    if any(f.width != w or f.height != h for f in frames):
+        raise ValueError("all frames must share one size")
+
+    bodies = []
+    for f in frames:
+        if codec == "MJPG":
+            px = f if f.mode in ("RGB", "L") else \
+                DecodedImage(f.width, f.height, "RGB", f.pixels)
+            bodies.append(encode_jpeg(px.width, px.height, px.mode,
+                                      px.pixels, quality=quality))
+        else:
+            bodies.append(_rgb_to_dib(f))
+    buf_size = max(len(b) for b in bodies)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return tag + struct.pack("<I", len(data)) + data + \
+            (b"\x00" if len(data) & 1 else b"")
+
+    def lst(tag: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", tag + data)
+
+    us_per_frame = (1_000_000 * scale) // rate
+    avih = struct.pack("<IIIIIIIIII", us_per_frame, buf_size * rate // scale,
+                       0, 0x10, len(frames), 0, 1, buf_size, w, h) + b"\x00" * 16
+    handler = b"MJPG" if codec == "MJPG" else b"DIB "
+    strh = (b"vids" + handler +
+            struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, scale, rate, 0,
+                        len(frames), buf_size, 0, 0) +
+            struct.pack("<hhhh", 0, 0, w, h))
+    compression = struct.unpack("<I", b"MJPG")[0] if codec == "MJPG" else 0
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, compression,
+                       _avi_row_stride(w) * h, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) +
+               lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    tag = b"00dc" if codec == "MJPG" else b"00db"
+    movi_items = [chunk(tag, b) for b in bodies]
+    movi = lst(b"movi", b"".join(movi_items))
+    idx, off = [], 4
+    for body, item in zip(bodies, movi_items):
+        idx.append(tag + struct.pack("<III", 0x10, off, len(body)))
+        off += len(item)
+    idx1 = chunk(b"idx1", b"".join(idx))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)

@@ -10,9 +10,11 @@ everything else when installed); payloads in no recognized container — e.g.
 the deterministic ASCII fixture the oracle gate uses — fall back to
 byte-level stats, so one operator serves real media and DuckDB-checkable
 fakes alike.  Audio decode is REAL for RIFF/WAVE PCM and IEEE-float via
-``codecs.decode_wav`` (``extract_audio_features`` below); video decode
-remains metadata-driven (no pure-Python codec is practical) with the
-frame/resize plumbing real and tested.
+``codecs.decode_wav`` (``extract_audio_features`` below); video decode is
+REAL for RIFF/AVI containers with raw-DIB or MJPEG streams via
+``codecs.decode_avi`` (``extract_video_features`` and the real
+``frame_sample`` path below) — all three modalities now decode genuinely,
+with unrecognized containers falling back to metadata-driven stats.
 
 Scale notes: feature extraction is embarrassingly parallel (mapInPandas,
 no shuffle); keep ``spark.sql.execution.arrow.maxRecordsPerBatch`` sized so
@@ -33,8 +35,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "FRAME_SCHEMA",
-           "AUDIO_FEATURE_SCHEMA",
+           "AUDIO_FEATURE_SCHEMA", "VIDEO_FEATURE_SCHEMA",
            "make_media_table", "extract_features", "extract_audio_features",
+           "extract_video_features",
            "decode_image", "resize_media", "frame_sample"]
 
 MEDIA_SCHEMA = T.StructType([
@@ -193,6 +196,65 @@ FRAME_SCHEMA = T.StructType([
     T.StructField("frame_payload", T.BinaryType()),
 ])
 
+VIDEO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("decoded", T.BooleanType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("fps", T.DoubleType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("mean_luma", T.DoubleType()),
+])
+
+
+def extract_video_features(media: DataFrame, frame_step: int = 1) -> DataFrame:
+    """REAL video feature extraction (mapInPandas) over ``kind='video'``
+    rows: RIFF/AVI payloads decode with the pure-Python container walker
+    (``codecs.decode_avi`` — raw-DIB and MJPEG streams) into dimensions,
+    fps (rate/scale), frame count, duration, and the mean pixel value of
+    the sampled frames' RGB bytes (``mean_luma``).  ``frame_step``
+    decodes every k-th frame only — the container walk touches every
+    chunk header but skips the pixel work for unsampled frames, which is
+    the shape a 100 TB frame-sampling stage needs.  Payloads in no
+    recognized video container fall back to metadata duration with
+    ``decoded=false`` — the same honest-fallback contract as the image
+    and audio extractors.
+
+    Scale: pure map stage (Arrow-batched, no shuffle); decode cost is
+    per-payload CPU on the executors, never the driver."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import decode_avi
+
+        cols = ("media_id", "decoded", "width", "height", "fps",
+                "n_frames", "duration_ms", "mean_luma")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, kind, p, m in zip(pdf["media_id"], pdf["kind"],
+                                       pdf["payload"], pdf["meta"]):
+                if kind != "video":
+                    continue
+                try:
+                    v = decode_avi(bytes(p), frame_step=frame_step)
+                    lumas = [sum(f.pixels) / len(f.pixels)
+                             for f in v.frames if len(f.pixels)]
+                    luma = round(sum(lumas) / len(lumas), 6) if lumas else 0.0
+                    vals = (True, v.width, v.height,
+                            round(v.fps, 6), v.n_frames, v.duration_ms, luma)
+                except (ValueError, IndexError, struct_error):
+                    vals = (False, int(m["width"] or 0),
+                            int(m["height"] or 0), 0.0, 0,
+                            int(m["duration_ms"] or 0), 0.0)
+                rows["media_id"].append(mid)
+                for k, vv in zip(cols[1:], vals):
+                    rows[k].append(vv)
+            yield pd.DataFrame(rows)
+
+    parts = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(parts).mapInPandas(
+        _extract, schema=VIDEO_FEATURE_SCHEMA)
+
 
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing (mapInPandas): same schema out, metadata updated,
@@ -224,14 +286,20 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
 
 def frame_sample(media: DataFrame, every_ms: int = 1000,
                  max_frames: int = 8) -> DataFrame:
-    """Frame sampling plumbing for video payloads: one output row per sampled
-    frame (media_id, frame_idx, ts, frame_payload).  The deterministic fake
-    slices the payload evenly; a real implementation would seek the container
-    — identical batch shape and fan-out.
+    """Frame sampling for video payloads: one output row per sampled frame
+    (media_id, frame_idx, ts, frame_payload).  RIFF/AVI payloads decode for
+    REAL (``codecs.decode_avi``): the sampled frames re-encode as PNG, the
+    frame step derives from the stream's own fps (one frame per
+    ``every_ms``), and unsampled frames never pay the pixel decode.
+    Unrecognized containers keep the deterministic payload-slice fake —
+    identical batch shape and fan-out, so the oracle-checkable fixture path
+    and the real-media path share one operator.
 
     Scale: map-side explode (1→N rows) with bounded N; no shuffle."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import decode_avi, encode_png, sniff_format
+
         for pdf in batches:
             rows = {"media_id": [], "frame_idx": [], "frame_ts_ms": [],
                     "frame_payload": []}
@@ -239,6 +307,24 @@ def frame_sample(media: DataFrame, every_ms: int = 1000,
                                        pdf["payload"], pdf["meta"]):
                 if kind != "video":
                     continue
+                p = bytes(p)
+                if sniff_format(p) == "avi":
+                    try:
+                        step_probe = decode_avi(p, max_frames=0)
+                        step = max(1, int(round(
+                            step_probe.fps * every_ms / 1000.0)))
+                        v = decode_avi(p, frame_step=step,
+                                       max_frames=max_frames)
+                        for j, (img, idx) in enumerate(
+                                zip(v.frames, v.frame_indices)):
+                            rows["media_id"].append(mid)
+                            rows["frame_idx"].append(j)
+                            rows["frame_ts_ms"].append(
+                                int(idx * 1000 * v.scale // v.rate))
+                            rows["frame_payload"].append(encode_png(img))
+                        continue
+                    except (ValueError, IndexError, struct_error):
+                        pass
                 dur = m["duration_ms"] or 0
                 n = min(max_frames, max(1, dur // every_ms))
                 step = max(1, len(p) // n) if len(p) else 1

