@@ -1,4 +1,5 @@
-"""Graph centrality over DataFrame edge lists: weighted PageRank.
+"""Graph algorithms over DataFrame edge lists: weighted PageRank,
+degree-ordered triangle counting, and deterministic label propagation.
 
 Beyond-reference surface for the LLM-training-data north star: link-graph
 authority is a classic corpus-quality prior (a page's rank feeds crawl
@@ -37,7 +38,8 @@ from pyspark.sql import functions as F
 from ..cache import iteration_barrier, track
 
 __all__ = ["pagerank", "pagerank_bucketed", "sql_pagerank",
-           "triangle_count", "sql_triangle_count"]
+           "triangle_count", "sql_triangle_count",
+           "label_propagation", "sql_label_propagation"]
 
 
 def _pr_iteration(ranks: DataFrame, trans: DataFrame, nodes: DataFrame,
@@ -354,3 +356,100 @@ def sql_triangle_count(edges_rel: str, src: str = "src",
     UNION ALL SELECT v FROM {prefix}_tri
   ) GROUP BY node
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Label propagation — synchronous, deterministic community detection
+# ---------------------------------------------------------------------------
+
+def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
+                      iterations: int = 4,
+                      reliable: bool = False) -> DataFrame:
+    """(node, label): communities after ``iterations`` synchronous label
+    propagation steps over the undirected simple graph induced by
+    ``edges`` (direction, multiplicity, self-loops dropped).
+
+    Deterministic LPA variant: every node starts labeled with its own id;
+    each step relabels every node with the MOST FREQUENT label among its
+    neighbors, ties broken by the SMALLEST label.  Fixed synchronous
+    steps + a total tie order make the result a pure function of the edge
+    set — no randomized visit order, so the DuckDB oracle can unroll the
+    same steps and match hash-exactly (all-integer/string arithmetic, no
+    float rounding at all).
+
+    Plan, per iteration (the same two-shuffle shape as ``pagerank``):
+    join labels onto the symmetrized edge list by source (node-key
+    shuffle), count labels per destination (second node-key shuffle), and
+    pick each node's winner with one ``row_number`` window over the
+    (count DESC, label ASC) order.  The mode aggregation is bounded by
+    node degree, labels stay |V| rows, edges persist once, and
+    ``cache.iteration_barrier`` truncates lineage every round exactly
+    like k-means / connected-components / pagerank.  Bucketing labels and
+    edges on the node key drops the label join's exchange, leaving one
+    shuffle per iteration (``pagerank_bucketed`` shows the layout).
+    """
+    from pyspark.sql import Window
+
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .filter(F.col("src") != F.col("dst")))
+    und = track(
+        e.union(e.select(F.col("dst").alias("src"),
+                         F.col("src").alias("dst")))
+        .distinct().persist())
+    nodes = track(und.select(F.col("src").alias("node")).distinct()
+                  .persist())
+    labels = nodes.select("node", F.col("node").alias("label"))
+
+    win = Window.partitionBy("nb_node").orderBy(
+        F.col("c").desc(), F.col("label").asc())
+    for _ in range(iterations):
+        counts = (und.join(labels, und["src"] == labels["node"])
+                  .select(F.col("dst").alias("nb_node"), "label")
+                  .groupBy("nb_node", "label")
+                  .agg(F.count(F.lit(1)).alias("c")))
+        labels = iteration_barrier(
+            counts.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select(F.col("nb_node").alias("node"), "label"),
+            reliable=reliable)
+    return labels
+
+
+def sql_label_propagation(edges_rel: str, src: str = "src",
+                          dst: str = "dst", iterations: int = 4,
+                          prefix: str = "lp") -> str:
+    """DuckDB CTE body mirroring ``label_propagation`` step-for-step;
+    exposes ``{prefix}_out`` with (node, label).  Every round is
+    AS MATERIALIZED — each references its predecessor twice, and default
+    CTE inlining would expand the unrolled chain exponentially (the
+    sql_pagerank lesson)."""
+    parts = [f"""
+{prefix}_e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT {src} AS src, {dst} AS dst FROM {edges_rel}
+    UNION ALL
+    SELECT {dst} AS src, {src} AS dst FROM {edges_rel})
+  WHERE src <> dst
+),
+{prefix}_l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS label FROM {prefix}_e
+)"""]
+    last = f"{prefix}_l0"
+    for i in range(iterations):
+        prev, cur = f"{prefix}_l{i}", f"{prefix}_l{i + 1}"
+        parts.append(f"""
+{cur}_c AS MATERIALIZED (
+  SELECT e.dst AS node, l.label, COUNT(*) AS c
+  FROM {prefix}_e e JOIN {prev} l ON e.src = l.node
+  GROUP BY e.dst, l.label
+),
+{cur} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+      row_number() OVER (PARTITION BY node
+                         ORDER BY c DESC, label ASC) AS rn
+    FROM {cur}_c) WHERE rn = 1
+)""")
+        last = cur
+    parts.append(f"\n{prefix}_out AS (SELECT node, label FROM {last})")
+    return ",".join(parts)

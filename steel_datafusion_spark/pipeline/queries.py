@@ -2726,6 +2726,42 @@ SELECT node AS event_type, rank FROM pr_out
 """
 
 
+def q_label_propagation(spark, sf_dir):
+    """Deterministic label-propagation communities (pipeline/graph.py
+    label_propagation: synchronous steps, mode-of-neighbors with min-label
+    tie-break) over the bipartite customer—supplier trade graph
+    (orders ⋈ lineitem, node ids prefixed 'c'/'s').  All-integer/string
+    arithmetic, so the unrolled DuckDB oracle matches hash-exactly; the
+    operator's per-iteration cost is two node-key shuffles regardless of
+    |V| (see module docstring)."""
+    from .graph import label_propagation
+
+    t = load_tables(spark, sf_dir)
+    edges = (t["lineitem"].select("l_orderkey", "l_suppkey")
+             .join(t["orders"].select("o_orderkey", "o_custkey"),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+             .select(
+                 F.concat(F.lit("c"),
+                          F.col("o_custkey").cast("string")).alias("src"),
+                 F.concat(F.lit("s"),
+                          F.col("l_suppkey").cast("string")).alias("dst")))
+    return label_propagation(edges, iterations=4)
+
+
+def _sql_label_propagation_gate() -> str:
+    from .graph import sql_label_propagation
+
+    body = sql_label_propagation("lp_edges", iterations=4)
+    return f"""
+WITH lp_edges AS (
+  SELECT 'c' || o_custkey::VARCHAR AS src,
+         's' || l_suppkey::VARCHAR AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),{body}
+SELECT node, label FROM lp_out
+"""
+
+
 _STREAM_SRC_BUILT: set = set()
 
 
@@ -3660,6 +3696,8 @@ PIPELINE_QUERIES = {
                               _sql_source_overlap_matrix()),
     "source_overlap_sketch": (q_source_overlap_sketch,
                               _sql_source_overlap_sketch()),
+    "label_propagation": (q_label_propagation,
+                          _sql_label_propagation_gate()),
     "pagerank_event_graph": (q_pagerank_event_graph,
                              _sql_pagerank_event_graph()),
     "pagerank_bucketed": (q_pagerank_bucketed_bipartite,

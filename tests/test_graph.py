@@ -161,3 +161,66 @@ def test_triangle_count_matches_duckdb_mirror(spark):
         f"WITH {sql_triangle_count('edges').lstrip()} "
         "SELECT node, triangles FROM tc_out").fetchall())
     assert spark_out == duck_out
+
+
+# ---------------------------------------------------------------------------
+# Label propagation
+# ---------------------------------------------------------------------------
+
+def test_lpa_two_cliques_converge_to_min_member(spark):
+    from steel_datafusion_spark.pipeline.graph import label_propagation
+
+    def clique(names):
+        return [(a, b) for a in names for b in names if a < b]
+
+    rows = clique(["a1", "a2", "a3", "a4"]) + clique(["z1", "z2", "z3"])
+    got = {r["node"]: r["label"]
+           for r in label_propagation(_edges(spark, rows),
+                                      iterations=4).collect()}
+    assert {got[n] for n in ("a1", "a2", "a3", "a4")} == {"a1"}
+    assert {got[n] for n in ("z1", "z2", "z3")} == {"z1"}
+
+
+def test_lpa_tie_breaks_to_smallest_label(spark):
+    from steel_datafusion_spark.pipeline.graph import label_propagation
+
+    # m's neighbors are a and b (one vote each): one step picks min("a","b")
+    got = {r["node"]: r["label"]
+           for r in label_propagation(_edges(spark, [("a", "m"), ("b", "m")]),
+                                      iterations=1).collect()}
+    assert got["m"] == "a"
+    # a and b each see only m
+    assert got["a"] == got["b"] == "m"
+
+
+def test_lpa_drops_direction_multiplicity_and_self_loops(spark):
+    from steel_datafusion_spark.pipeline.graph import label_propagation
+
+    # 5 parallel b->m edges must not outvote {a,c}; self-loop ignored
+    rows = [("b", "m")] * 5 + [("m", "a"), ("c", "m"), ("m", "m")]
+    got = {r["node"]: r["label"]
+           for r in label_propagation(_edges(spark, rows),
+                                      iterations=1).collect()}
+    assert got["m"] == "a"     # one vote each from a, b, c -> min
+
+
+def test_lpa_matches_duckdb_mirror(spark):
+    import duckdb
+
+    from steel_datafusion_spark.pipeline.graph import (
+        label_propagation, sql_label_propagation,
+    )
+
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+            ("d", "e"), ("e", "f"), ("f", "d"), ("x", "y")]
+    spark_out = sorted(
+        (r["node"], r["label"])
+        for r in label_propagation(_edges(spark, rows),
+                                   iterations=3).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE g(src VARCHAR, dst VARCHAR)")
+    con.executemany("INSERT INTO g VALUES (?, ?)", rows)
+    body = sql_label_propagation("g", iterations=3)
+    duck = sorted(map(tuple, con.execute(
+        f"WITH {body.lstrip()} SELECT node, label FROM lp_out").fetchall()))
+    assert spark_out == duck
