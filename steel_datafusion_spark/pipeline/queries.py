@@ -2383,6 +2383,26 @@ def _sql_bigram_logprob() -> str:
     return sql_bigram_logprob_score("documents")
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (pipeline/scoring.py
+    perplexity_buckets): every document scored by a Jelinek-Mercer
+    interpolated bigram+unigram LM fit on the corpus itself, then cut
+    into 3 equal-count head/middle/tail buckets.  The gate uses the exact
+    ntile path (total (score, doc_id) order → hash-stable); the
+    broadcast-cuts path — no global sort, the 100 TB filter shape — is
+    asserted equivalent-up-to-boundaries in tests/test_scoring.py."""
+    from .scoring import perplexity_buckets
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    return perplexity_buckets(d, n_buckets=3)
+
+
+def _sql_perplexity_buckets() -> str:
+    from .scoring import sql_perplexity_buckets
+
+    return sql_perplexity_buckets("documents", n_buckets=3)
+
+
 _BM25_QUERY = ["spark", "window", "join", "stream"]
 
 
@@ -3684,6 +3704,7 @@ PIPELINE_QUERIES = {
     "bpe_learn": (q_bpe_learn, _sql_bpe_learn_gate()),
     "unigram_logprob": (q_unigram_logprob, _sql_unigram_logprob()),
     "bigram_logprob": (q_bigram_logprob, _sql_bigram_logprob()),
+    "perplexity_buckets": (q_perplexity_buckets, _sql_perplexity_buckets()),
     "bm25_rank": (q_bm25_rank, _sql_bm25_rank()),
     "bloom_decontaminate": (q_bloom_decontaminate,
                             _sql_bloom_decontaminate()),

@@ -47,6 +47,8 @@ __all__ = [
     "bloom_bit_positions", "bloom_decontaminate",
     "sql_unigram_logprob_score", "sql_bigram_logprob_score", "sql_bm25_score",
     "sql_bloom_decontaminate", "ngram_novelty_score", "sql_ngram_novelty_score",
+    "interpolated_logprob_score", "perplexity_buckets",
+    "sql_interpolated_logprob_score", "sql_perplexity_buckets",
 ]
 
 
@@ -541,4 +543,212 @@ SELECT n.{id_col}, n.n_grams,
   coalesce(s.shared_grams, 0)::BIGINT AS shared_grams,
   round(1.0 - coalesce(s.shared_grams, 0) / n.n_grams, 6) AS novelty
 FROM nv_n n LEFT JOIN nv_shared s USING ({id_col})
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interpolated LM perplexity + CCNet-style quality buckets
+# ---------------------------------------------------------------------------
+
+def interpolated_logprob_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    alpha: float = 0.5, lam: float = 0.7,
+) -> DataFrame:
+    """(id, n_grams, mean_neg_logprob): Jelinek-Mercer interpolated LM fit
+    on the corpus itself — per position,
+
+        p(w_i | w_{i-1}) = lam * p_bigram + (1 - lam) * p_unigram
+
+    with both components add-alpha smoothed (the same estimators as
+    ``bigram_logprob_score`` / ``unigram_logprob_score``).  Interpolation
+    is what real perplexity filters (CCNet's KenLM) do: an unseen bigram
+    backs off to the unigram instead of flooring at the smoothing
+    constant, separating rare-but-plausible text from genuine word salad.
+    Documents with < 2 tokens score 0 over 0 grams.
+
+    Determinism: per-position -ln p rounds to 9dp and sums as an exact
+    decimal (order-independent, hash-oracle safe; repo convention).
+
+    Plan: the bigram stream builds map-side (zip_with of the token array
+    with its own tail — no positional self-join); bigram counts, prefix
+    counts, and unigram counts are three fine-grained aggregations whose
+    keys are vocab-sized, never corpus-sized; totals are a 1-row
+    broadcast; the per-bigram logprob table joins back to the stream on
+    the bigram key (one corpus-sized shuffle) and sums per doc.  Nothing
+    here is quadratic and no key exceeds vocabulary cardinality."""
+    toks = tokens(F.col(text_col))
+    bigram_arr = F.when(
+        F.size(toks) < 2, F.array().cast("array<string>")
+    ).otherwise(F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat_ws(" ", a, b)))
+    bg = _spread(df).select(F.col(id_col), F.explode(bigram_arr).alias("bg"))
+
+    from ..cache import track
+    counts = track(
+        bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c")).persist())
+    prefix = (counts.select(
+        F.element_at(F.split(F.col("bg"), " "), 1).alias("w1"), "c")
+        .groupBy("w1").agg(F.sum("c").alias("cp")))
+    # unigram counts of the SECOND word of each position = counts over the
+    # bigram table weighted by c (vocab-sized, never rescans the corpus)
+    uni = (counts.select(
+        F.element_at(F.split(F.col("bg"), " "), 2).alias("w2"), "c")
+        .groupBy("w2").agg(F.sum("c").alias("cu")))
+    totals = counts.agg(
+        F.count(F.lit(1)).cast("double").alias("_vocab_bi"),
+        F.sum("c").cast("double").alias("_n_pos"))
+    vocab_uni = uni.agg(F.count(F.lit(1)).cast("double").alias("_vocab_uni"))
+
+    logp = (counts
+            .withColumn("w1", F.element_at(F.split(F.col("bg"), " "), 1))
+            .withColumn("w2", F.element_at(F.split(F.col("bg"), " "), 2))
+            .join(prefix, "w1").join(uni, "w2")
+            .crossJoin(F.broadcast(totals))
+            .crossJoin(F.broadcast(vocab_uni))
+            .select("bg", F.round(-F.log(
+                F.lit(lam) * ((F.col("c") + F.lit(alpha))
+                              / (F.col("cp")
+                                 + F.lit(alpha) * F.col("_vocab_bi")))
+                + F.lit(1.0 - lam) * ((F.col("cu") + F.lit(alpha))
+                                      / (F.col("_n_pos")
+                                         + F.lit(alpha)
+                                         * F.col("_vocab_uni")))), 9)
+                .cast("decimal(20,9)").alias("nlp")))
+    scored = (bg.join(logp, "bg")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_grams"),
+                   F.sum("nlp").alias("s")))
+    return (df.select(F.col(id_col)).distinct()
+            .join(scored, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+                .alias("n_grams"),
+                F.when(F.col("n_grams").isNull(), F.lit(0.0))
+                .otherwise(F.round(F.col("s").cast("double")
+                                   / F.col("n_grams"), 6))
+                .alias("mean_neg_logprob")))
+
+
+def perplexity_buckets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_buckets: int = 3, alpha: float = 0.5, lam: float = 0.7,
+    mode: str = "ntile",
+) -> DataFrame:
+    """(id, n_grams, mean_neg_logprob, bucket): CCNet-style quality
+    bucketing — score every document with the interpolated-LM perplexity
+    proxy above, then cut the corpus into ``n_buckets`` equal-count
+    buckets (bucket 1 = lowest perplexity = 'head', the CCNet keep set).
+
+    Two cut strategies:
+
+    - ``mode='ntile'`` (default): exact equal-count buckets via one
+      ``ntile`` window over (score, id) — a TOTAL order, so ties break
+      deterministically and the DuckDB oracle matches hash-exactly.  The
+      window's global sort is the scale cost; fine to a few hundred
+      million score rows (they're 2 columns), and the semantics the
+      hash gate needs.
+    - ``mode='cuts'``: the 100 TB path — bucket boundaries come from one
+      ``approx_percentile`` aggregate (a 1-row broadcast), then every doc
+      buckets map-side by comparing its score to the cuts.  No global
+      sort, no single-partition window; boundary docs may land one bucket
+      off versus exact ntile (the approx trade), which is irrelevant to a
+      keep/drop quality filter.
+    """
+    scored = interpolated_logprob_score(df, id_col, text_col, alpha, lam)
+    if mode == "cuts":
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = scored.agg(F.approx_percentile(
+            "mean_neg_logprob", qs, 10_000).alias("cuts"))
+        bucket = F.lit(1)
+        for i in range(n_buckets - 1):
+            bucket = bucket + F.when(
+                F.col("mean_neg_logprob") > F.element_at("cuts", i + 1),
+                1).otherwise(0)
+        return (scored.crossJoin(F.broadcast(cuts))
+                .select(id_col, "n_grams", "mean_neg_logprob",
+                        bucket.alias("bucket")))
+    if mode != "ntile":
+        raise ValueError(f"unknown mode {mode!r} (ntile|cuts)")
+    from pyspark.sql import Window
+
+    win = Window.orderBy(F.col("mean_neg_logprob").asc(),
+                         F.col(id_col).asc())
+    return scored.select(id_col, "n_grams", "mean_neg_logprob",
+                         F.ntile(n_buckets).over(win).alias("bucket"))
+
+
+def sql_interpolated_logprob_score(table: str, id_col: str = "doc_id",
+                                   text_col: str = "text",
+                                   alpha: float = 0.5,
+                                   lam: float = 0.7) -> str:
+    """DuckDB CTE chain mirroring ``interpolated_logprob_score``; exposes
+    ``il_scored_out`` with (id, n_grams, mean_neg_logprob)."""
+    toks = sql_tokens(text_col)
+    one_minus_lam = repr(1.0 - lam)
+    return f"""
+il_tok AS (
+  SELECT {id_col}, {toks} AS t FROM {table}
+),
+il_stream AS (
+  SELECT {id_col},
+    unnest(list_transform(generate_series(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM il_tok WHERE len(t) >= 2
+),
+il_counts AS MATERIALIZED (
+  SELECT bg, COUNT(*) AS c FROM il_stream GROUP BY bg
+),
+il_prefix AS (
+  SELECT list_extract(string_split(bg, ' '), 1) AS w1, SUM(c) AS cp
+  FROM il_counts GROUP BY 1
+),
+il_uni AS MATERIALIZED (
+  SELECT list_extract(string_split(bg, ' '), 2) AS w2, SUM(c) AS cu
+  FROM il_counts GROUP BY 1
+),
+il_tot AS (
+  SELECT COUNT(*)::DOUBLE AS vocab_bi, SUM(c)::DOUBLE AS n_pos
+  FROM il_counts
+),
+il_vu AS (SELECT COUNT(*)::DOUBLE AS vocab_uni FROM il_uni),
+il_logp AS (
+  SELECT bg,
+    round(-ln({lam} * ((c + {alpha}) / (p.cp + {alpha} * t.vocab_bi))
+              + {one_minus_lam} * ((u.cu + {alpha})
+                                   / (t.n_pos + {alpha} * v.vocab_uni))),
+          9)::DECIMAL(20,9) AS nlp
+  FROM il_counts
+  JOIN il_prefix p ON list_extract(string_split(bg, ' '), 1) = p.w1
+  JOIN il_uni u ON list_extract(string_split(bg, ' '), 2) = u.w2,
+  il_tot t, il_vu v
+),
+il_agg AS (
+  SELECT {id_col}, COUNT(*) AS n_grams, SUM(nlp) AS s
+  FROM il_stream JOIN il_logp USING (bg) GROUP BY {id_col}
+),
+il_scored_out AS (
+  SELECT d.{id_col},
+    coalesce(a.n_grams, 0)::BIGINT AS n_grams,
+    CASE WHEN a.n_grams IS NULL THEN 0.0
+         ELSE round(a.s::DOUBLE / a.n_grams, 6) END AS mean_neg_logprob
+  FROM (SELECT DISTINCT {id_col} FROM {table}) d
+  LEFT JOIN il_agg a USING ({id_col})
+)"""
+
+
+def sql_perplexity_buckets(table: str, id_col: str = "doc_id",
+                           text_col: str = "text", n_buckets: int = 3,
+                           alpha: float = 0.5, lam: float = 0.7) -> str:
+    """Full DuckDB mirror of ``perplexity_buckets(mode='ntile')``."""
+    body = sql_interpolated_logprob_score(table, id_col, text_col,
+                                          alpha, lam)
+    return f"""
+WITH {body.lstrip()}
+SELECT {id_col}, n_grams, mean_neg_logprob,
+  ntile({n_buckets}) OVER (ORDER BY mean_neg_logprob ASC, {id_col} ASC)
+    AS bucket
+FROM il_scored_out
 """

@@ -184,3 +184,77 @@ def test_bigram_logprob_matches_duckdb(spark, duck):
     assert_df_matches_duck(
         bigram_logprob_score(d), duck,
         sql_bigram_logprob_score("documents"))
+
+
+def test_interpolated_unseen_bigram_backs_off_to_unigram(spark):
+    from steel_datafusion_spark.pipeline.scoring import (
+        bigram_logprob_score, interpolated_logprob_score,
+    )
+
+    # "order words" never occurs as a bigram, but both words are common:
+    # the interpolated model should punish the salad doc LESS than the
+    # pure bigram floor does relative to the fluent docs
+    rows = [(i, "common words in common order appear in common order")
+            for i in range(8)]
+    rows.append((100, "order words common in appear order common in"))
+    inter = {r.doc_id: r.mean_neg_logprob for r in
+             interpolated_logprob_score(_docs(spark, rows)).collect()}
+    bi = {r.doc_id: r.mean_neg_logprob for r in
+          bigram_logprob_score(_docs(spark, rows)).collect()}
+    # salad still scores worse than fluent under both models
+    assert inter[100] > inter[0]
+    assert bi[100] > bi[0]
+    # but interpolation softens the gap (unigram mass is shared)
+    assert (inter[100] - inter[0]) < (bi[100] - bi[0])
+
+
+def test_interpolated_short_doc_scores_zero(spark):
+    from steel_datafusion_spark.pipeline.scoring import (
+        interpolated_logprob_score,
+    )
+
+    rows = [(1, "one"), (2, ""), (3, "two words here")]
+    out = {r.doc_id: r for r in
+           interpolated_logprob_score(_docs(spark, rows)).collect()}
+    assert out[1].n_grams == 0 and out[1].mean_neg_logprob == 0.0
+    assert out[2].n_grams == 0
+    assert out[3].n_grams == 2
+
+
+def test_perplexity_buckets_cuts_mode_agrees_with_ntile(spark):
+    from steel_datafusion_spark.pipeline.scoring import perplexity_buckets
+
+    rows = [(i, " ".join(["common"] * 5 + [f"rare{i % 7}"] * (i % 4)))
+            for i in range(30)]
+    docs = _docs(spark, rows)
+    exact = {r.doc_id: r for r in
+             perplexity_buckets(docs, n_buckets=3, mode="ntile").collect()}
+    cuts = {r.doc_id: r for r in
+            perplexity_buckets(docs, n_buckets=3, mode="cuts").collect()}
+    assert set(exact) == set(cuts)
+    # buckets are monotone in score in both modes
+    for out in (exact, cuts):
+        ordered = sorted(out.values(),
+                         key=lambda r: (r.mean_neg_logprob, r.doc_id))
+        bs = [r.bucket for r in ordered]
+        assert bs == sorted(bs)
+        assert {1, 2, 3} == set(bs)
+    # the approx path may only disagree at quantile boundaries
+    agree = sum(exact[i].bucket == cuts[i].bucket for i in exact)
+    assert agree >= len(exact) * 0.8
+
+
+def test_perplexity_buckets_matches_duckdb(spark, duck):
+    import os
+
+    from steel_datafusion_spark import load_tables
+    from steel_datafusion_spark.pipeline.scoring import (
+        perplexity_buckets, sql_perplexity_buckets,
+    )
+    from tests.conftest import assert_df_matches_duck
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = load_tables(spark, sf)["documents"].select("doc_id", "text")
+    assert_df_matches_duck(
+        perplexity_buckets(d, n_buckets=3), duck,
+        sql_perplexity_buckets("documents", n_buckets=3))
