@@ -3099,6 +3099,48 @@ def _sql_zorder_skipping() -> str:
                                      _ZORDER_PREDS)
 
 
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (sources/layout.py plan_compaction —
+    the OPTIMIZE bin-packing half): a deterministic file listing derived
+    from lineitem (one 'file' per (l_returnflag, l_suppkey mod 211)
+    group, size = exact quantity cents) plans into ~1 MB rewrite bins per
+    returnflag partition; files >= the 250 kB floor are kept untouched.
+    Largest-first + path tie-break is a total order, so the whole plan —
+    keep/compact action AND bin assignment — is integer-exact against the
+    DuckDB window mirror.  The operator itself is one window over
+    |files| metadata rows; it never touches data files."""
+    from ..sources.layout import plan_compaction
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    files = (li.groupBy("l_returnflag",
+                        (F.col("l_suppkey") % 211).alias("g"))
+             .agg(F.sum((F.col("l_quantity") * 100).cast("long"))
+                  .alias("size_bytes"))
+             .select(F.col("l_returnflag").alias("part"),
+                     F.concat(F.lit("f"), F.col("g").cast("string"),
+                              F.lit("_"), F.col("l_returnflag"))
+                     .alias("path"),
+                     "size_bytes"))
+    return plan_compaction(files, target_bytes=1_000_000,
+                           min_file_bytes=250_000, partition_col="part")
+
+
+def _sql_compaction_plan() -> str:
+    from ..sources.layout import sql_plan_compaction
+
+    body = sql_plan_compaction("cp_files", target_bytes=1_000_000,
+                               min_file_bytes=250_000,
+                               partition_col="part")
+    return f"""
+WITH cp_files AS (
+  SELECT l_returnflag AS part,
+    'f' || (l_suppkey % 211)::VARCHAR || '_' || l_returnflag AS path,
+    SUM((l_quantity * 100)::BIGINT)::BIGINT AS size_bytes
+  FROM lineitem GROUP BY l_returnflag, l_suppkey % 211
+){body}
+"""
+
+
 def q_robust_stats(spark, sf_dir):
     """Exact per-group robust statistics (pipeline/robust.py
     grouped_median_mad): median / MAD / p10 / p90 of event values per
@@ -3734,6 +3776,7 @@ PIPELINE_QUERIES = {
     "robust_stats": (q_robust_stats, _sql_robust_stats()),
     "dsir_select": (q_dsir_select, _sql_dsir_select()),
     "zorder_skipping": (q_zorder_skipping, _sql_zorder_skipping()),
+    "compaction_plan": (q_compaction_plan, _sql_compaction_plan()),
     "bpe_segment_tokens": (q_bpe_segment_tokens, _sql_bpe_segment_gate()),
     "skew_diagnose": (q_skew_diagnose, _sql_skew_diagnose()),
     "logreg_quality": (q_logreg_quality, _sql_logreg_quality()),

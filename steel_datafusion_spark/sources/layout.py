@@ -44,6 +44,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "zorder_key", "write_zordered", "zorder_skipping_stats",
     "sql_zorder_skipping_stats",
+    "list_data_files", "plan_compaction", "compaction_summary",
+    "sql_plan_compaction",
 ]
 
 
@@ -229,4 +231,126 @@ zo_buckets AS (SELECT {bexprs} FROM {table}, zo_stats),
 zo_keyed AS (SELECT *, {z} AS zkey FROM zo_buckets)
 {union}
 ORDER BY pred_name, layout
+"""
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning (OPTIMIZE / bin-packing shape)
+# ---------------------------------------------------------------------------
+
+def list_data_files(spark, path: str, suffix: str = ".parquet"):
+    """(path, size_bytes) listing of a table directory through the JVM
+    Hadoop FileSystem API — the same interface Spark's own scans use, so
+    it works unchanged for local paths, HDFS, and object stores.  Driver-
+    side by design: a table's FILE listing is metadata (thousands of
+    rows), not data; at real scale you'd read the same facts from a
+    manifest/metastore, and this returns a DataFrame so the planner below
+    is agnostic to where the listing came from."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    out = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        if p.endswith(suffix):
+            out.append((p, int(st.getLen())))
+    return spark.createDataFrame(out, "path string, size_bytes long")
+
+
+def plan_compaction(
+    files: DataFrame, target_bytes: int,
+    min_file_bytes: int | None = None,
+    partition_col: str | None = None,
+    path_col: str = "path", size_col: str = "size_bytes",
+) -> DataFrame:
+    """Compaction plan over a file listing — the small-file half of Delta
+    Lake's ``OPTIMIZE`` as a pure DataFrame op: files already at least
+    ``min_file_bytes`` (default ``target_bytes // 2``) are kept as-is;
+    the rest greedily pack into bins of ~``target_bytes`` within their
+    partition (largest-first, path tie-break — a total order, so the
+    plan is a pure function of the listing).
+
+    Output: (partition?, path, size_bytes, action, bin_id) where action
+    is 'keep' | 'compact' and bin_id numbers the rewrite groups within
+    each partition (NULL for kept files).  A bin overshoots the target by
+    at most one file — the classic streaming bin-pack bound.
+
+    Plan / scale: one window over (partition, size desc, path) — a
+    listing is metadata (|files| rows, not |rows|), so even a million-file
+    lake is a few MB through one exchange keyed on the partition column;
+    nothing touches the data files themselves.  The rewrite executor is
+    ``spark.read.parquet(bin_files).repartition(1).write`` per bin —
+    embarrassingly parallel across bins."""
+    from pyspark.sql import Window
+
+    if min_file_bytes is None:
+        min_file_bytes = target_bytes // 2
+    part = [partition_col] if partition_col else []
+    small = F.col(size_col) < F.lit(min_file_bytes)
+    w = (Window.partitionBy(*part)
+         .orderBy(F.col(size_col).desc(), F.col(path_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(F.when(small, F.col(size_col)).otherwise(0)).over(w)
+    bin_id = F.floor((cum - F.col(size_col)) / F.lit(target_bytes))
+    return files.select(
+        *part, path_col, size_col,
+        F.when(small, F.lit("compact")).otherwise(F.lit("keep"))
+        .alias("action"),
+        F.when(small, bin_id).cast("long").alias("bin_id"))
+
+
+def compaction_summary(
+    files: DataFrame, target_bytes: int,
+    min_file_bytes: int | None = None,
+    partition_col: str | None = None,
+    path_col: str = "path", size_col: str = "size_bytes",
+) -> DataFrame:
+    """Per-partition rollup of ``plan_compaction``: file counts before
+    and after, small-file count and bytes, and the number of rewrite
+    bins — the report a table-maintenance job logs before rewriting."""
+    plan = plan_compaction(files, target_bytes, min_file_bytes,
+                           partition_col, path_col, size_col)
+    part = [partition_col] if partition_col else [F.lit(1).alias("_all")]
+    is_small = F.col("action") == "compact"
+    out = (plan.groupBy(*part).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.when(is_small, 1).otherwise(0)).cast("long")
+        .alias("n_small"),
+        F.sum(F.when(is_small, F.col(size_col)).otherwise(0)).cast("long")
+        .alias("small_bytes"),
+        F.countDistinct(F.when(is_small, F.col("bin_id"))).cast("long")
+        .alias("n_bins")))
+    out = out.withColumn(
+        "n_files_after",
+        (F.col("n_files") - F.col("n_small") + F.col("n_bins"))
+        .cast("long"))
+    return out if partition_col else out.drop("_all")
+
+
+def sql_plan_compaction(
+    files_rel: str, target_bytes: int,
+    min_file_bytes: int | None = None,
+    partition_col: str | None = None,
+    path_col: str = "path", size_col: str = "size_bytes",
+) -> str:
+    """DuckDB mirror of ``plan_compaction`` over an existing relation."""
+    if min_file_bytes is None:
+        min_file_bytes = target_bytes // 2
+    part = f"PARTITION BY {partition_col} " if partition_col else ""
+    sel_part = f"{partition_col}, " if partition_col else ""
+    return f"""
+SELECT {sel_part}{path_col}, {size_col},
+  CASE WHEN {size_col} < {min_file_bytes}
+       THEN 'compact' ELSE 'keep' END AS action,
+  CASE WHEN {size_col} < {min_file_bytes} THEN
+    ((SUM(CASE WHEN {size_col} < {min_file_bytes}
+               THEN {size_col} ELSE 0 END)
+        OVER ({part}ORDER BY {size_col} DESC, {path_col} ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - {size_col}) // {target_bytes})::BIGINT
+  END AS bin_id
+FROM {files_rel}
 """

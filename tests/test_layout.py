@@ -92,3 +92,89 @@ def test_validation(spark):
         zorder_key(df, [], bits=8)
     with pytest.raises(ValueError):
         zorder_key(df, ["x"], bits=63)
+
+
+# ---------------------------------------------------------------------------
+# Compaction planning
+# ---------------------------------------------------------------------------
+
+def _listing(spark, rows):
+    return spark.createDataFrame(
+        rows, "part string, path string, size_bytes long")
+
+
+def test_plan_compaction_greedy_bins_and_keeps(spark):
+    from steel_datafusion_spark.sources.layout import plan_compaction
+
+    rows = [("p", "big", 900), ("p", "a", 400), ("p", "b", 300),
+            ("p", "c", 200), ("p", "d", 100)]
+    plan = {r["path"]: r.asDict() for r in plan_compaction(
+        _listing(spark, rows), target_bytes=600, min_file_bytes=500,
+        partition_col="part").collect()}
+    assert plan["big"]["action"] == "keep" and plan["big"]["bin_id"] is None
+    # largest-first cumsum: a(400)->bin0, b(300) starts at 400 -> bin0,
+    # c(200) starts at 700 -> bin1, d(100) starts at 900 -> bin1
+    assert [plan[p]["bin_id"] for p in "abcd"] == [0, 0, 1, 1]
+    assert all(plan[p]["action"] == "compact" for p in "abcd")
+
+
+def test_plan_compaction_partitions_never_mix(spark):
+    from steel_datafusion_spark.sources.layout import plan_compaction
+
+    rows = [(f"p{i}", f"f{i}_{j}", 100) for i in range(3) for j in range(4)]
+    plan = plan_compaction(_listing(spark, rows), target_bytes=250,
+                           min_file_bytes=250, partition_col="part")
+    per = (plan.groupBy("part", "bin_id").count().collect())
+    # each partition packs independently: bins restart at 0 per partition
+    parts = {}
+    for r in per:
+        parts.setdefault(r["part"], set()).add(r["bin_id"])
+    assert all(bins == {0, 1} for bins in parts.values())
+
+
+def test_compaction_summary_counts(spark):
+    from steel_datafusion_spark.sources.layout import compaction_summary
+
+    rows = [("p", "big", 900), ("p", "a", 400), ("p", "b", 300),
+            ("p", "c", 200), ("p", "d", 100)]
+    out = compaction_summary(_listing(spark, rows), target_bytes=600,
+                             min_file_bytes=500,
+                             partition_col="part").collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert (r["n_files"], r["n_small"], r["n_bins"]) == (5, 4, 2)
+    assert r["small_bytes"] == 1000
+    assert r["n_files_after"] == 3     # 1 kept + 2 bins
+
+
+def test_plan_compaction_matches_duckdb(spark, duck):
+    import random
+
+    from steel_datafusion_spark.sources.layout import (
+        plan_compaction, sql_plan_compaction,
+    )
+    from tests.conftest import assert_df_matches_duck
+
+    rng = random.Random(7)
+    rows = [(f"p{i % 4}", f"file_{i}", rng.randrange(10, 2000))
+            for i in range(200)]
+    duck.execute("CREATE OR REPLACE TABLE cp(part VARCHAR, path VARCHAR, "
+                 "size_bytes BIGINT)")
+    duck.executemany("INSERT INTO cp VALUES (?, ?, ?)", rows)
+    assert_df_matches_duck(
+        plan_compaction(_listing(spark, rows), target_bytes=3000,
+                        partition_col="part"),
+        duck,
+        sql_plan_compaction("cp", target_bytes=3000,
+                            partition_col="part"))
+
+
+def test_list_data_files_real_fs(spark, tmp_path):
+    from steel_datafusion_spark.sources.layout import list_data_files
+
+    out = str(tmp_path / "t")
+    spark.range(1000).repartition(4).write.parquet(out)
+    files = list_data_files(spark, out).collect()
+    assert len(files) == 4
+    assert all(r["size_bytes"] > 0 and r["path"].endswith(".parquet")
+               for r in files)
