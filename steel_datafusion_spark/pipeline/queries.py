@@ -1973,6 +1973,27 @@ ASOF LEFT JOIN (
 """
 
 
+def q_embedding_covariance(spark, sf_dir):
+    """Distributed covariance of the leading 16 embedding dimensions
+    (pipeline/similarity.py embedding_covariance) — the map-reduce half
+    of PCA: per-row upper-triangular products explode map-side, partial
+    aggregation combines per partition, and only |pairs| x partitions
+    skinny rows cross the wire; 9dp-decimal rounded sums make the matrix
+    hash-exact against the DuckDB mirror.  The driver-side eigenstep
+    (pca_components) and the no-shuffle projection map (pca_project) are
+    verified against numpy in tests/test_pq.py."""
+    from .similarity import embedding_covariance
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return embedding_covariance(e, dims=16)
+
+
+def _sql_embedding_covariance() -> str:
+    from .similarity import sql_embedding_covariance
+
+    return sql_embedding_covariance("embeddings", dims=16)
+
+
 def q_embedding_sq8(spark, sf_dir):
     """Scalar 8-bit quantization round-trip (pipeline/similarity.py
     sq8_error_stats): per-dimension corpus min/max calibration, 255-level
@@ -3736,6 +3757,8 @@ PIPELINE_QUERIES = {
     "similarity_pq": (q_similarity_pq, _sql_similarity_pq()),
     "embedding_normalize": (q_embedding_normalize, _SQL_EMB_NORMALIZE),
     "embedding_sq8": (q_embedding_sq8, _sql_embedding_sq8()),
+    "embedding_covariance": (q_embedding_covariance,
+                             _sql_embedding_covariance()),
     "iqr_outlier_filter": (q_iqr_outlier_filter, _SQL_IQR_OUTLIER),
     "doc_chunking": (q_doc_chunking, _sql_doc_chunking()),
     "dedup_substring_spans": (q_dedup_substring_spans,

@@ -32,7 +32,9 @@ __all__ = ["sq8_stats", "sq8_error_stats", "sql_sq8_error_stats",
            "ivf_assign", "ivf_topk", "kmeans", "lsh_bucket", "lsh_topk",
            "semdedup",
            "hyperplanes", "normalize_l2", "pq_codebooks", "pq_encode",
-           "pq_topk", "SQL_COSINE"]
+           "pq_topk", "SQL_COSINE",
+           "embedding_covariance", "sql_embedding_covariance",
+           "pca_components", "pca_project"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -797,3 +799,148 @@ SELECT {id_col}, COUNT(*) AS dim,
   round(sqrt(SUM(e2)::DOUBLE / COUNT(*)), 6) AS rmse
 FROM sq_e GROUP BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Distributed covariance + PCA over embedding columns
+# ---------------------------------------------------------------------------
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str = "embedding", dims: int | None = None,
+) -> DataFrame:
+    """(i, j, n, cov): upper-triangular sample covariance matrix of the
+    leading ``dims`` dimensions of an ``array<float>`` column — the
+    distributed half of PCA (the k x k eigenproblem that follows is
+    driver-trivial; ``pca_components`` below).
+
+    Plan — one pass, no row-keyed shuffle: each row maps to its
+    d(d+1)/2 upper-triangular products (a map-side literal-pair array →
+    explode), partial aggregation combines them per partition, and the
+    only exchange carries |pairs| x partitions skinny rows to a
+    dims²-keyed final agg.  Per-row products and per-dimension sums round
+    to 9dp and sum as exact decimals (order-independent → hash-oracle
+    safe, the repo convention); the covariance assembles from the sums
+    with the textbook (S_ij - S_i*S_j/n) / (n-1) identity in double.
+
+    ``dims`` defaults to the first row's vector length.  The pair list is
+    built as dims² column expressions — ideal to a few hundred dims
+    (vision/text-embedding scale); for thousands of dims switch to a
+    posexplode self-join keyed on the row id (one extra shuffle),
+    which this module deliberately avoids at its target scale."""
+    if dims is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("empty DataFrame and no dims given")
+        dims = int(first["d"])
+    v = (df.filter(F.size(F.col(vec_col)) >= dims)
+         .select(*[F.element_at(F.col(vec_col), i + 1).cast("double")
+                   .alias(f"x{i}") for i in range(dims)]))
+    pair_structs = [
+        F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"),
+                 F.round(F.col(f"x{i}") * F.col(f"x{j}"), 9)
+                 .cast("decimal(30,9)").alias("p"))
+        for i in range(dims) for j in range(i, dims)]
+    prods = (v.select(F.explode(F.array(*pair_structs)).alias("e"))
+             .select("e.i", "e.j", "e.p")
+             .groupBy("i", "j").agg(F.sum("p").alias("s_ij")))
+    sums = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.round(F.col(f"x{i}"), 9).cast("decimal(30,9)"))
+          .alias(f"s{i}") for i in range(dims)])
+    s_i = F.element_at(
+        F.array(*[F.col(f"s{i}").cast("double") for i in range(dims)]),
+        F.col("i") + 1)
+    s_j = F.element_at(
+        F.array(*[F.col(f"s{i}").cast("double") for i in range(dims)]),
+        F.col("j") + 1)
+    return (prods.crossJoin(F.broadcast(sums))
+            .select("i", "j", "n",
+                    F.round((F.col("s_ij").cast("double")
+                             - s_i * s_j / F.col("n"))
+                            / (F.col("n") - 1), 9).alias("cov"))
+            .orderBy("i", "j"))
+
+
+def sql_embedding_covariance(table: str, vec_col: str = "embedding",
+                             dims: int = 16) -> str:
+    """DuckDB mirror of ``embedding_covariance`` (same rounded-decimal
+    sums, same assembly identity)."""
+    return f"""
+WITH ec_v AS (
+  SELECT list_transform({vec_col}[1:{dims}], e -> e::DOUBLE) AS x
+  FROM {table} WHERE len({vec_col}) >= {dims}
+),
+ec_pairs AS (
+  SELECT i.i AS i, j.j AS j
+  FROM generate_series(0, {dims - 1}) i(i),
+       generate_series(0, {dims - 1}) j(j)
+  WHERE j.j >= i.i
+),
+ec_prod AS (
+  SELECT p.i, p.j,
+    SUM(round(v.x[p.i + 1] * v.x[p.j + 1], 9)::DECIMAL(30,9)) AS s_ij
+  FROM ec_v v, ec_pairs p GROUP BY p.i, p.j
+),
+ec_sums AS (
+  SELECT d.d AS k, SUM(round(v.x[d.d + 1], 9)::DECIMAL(30,9)) AS s,
+    COUNT(*) AS n
+  FROM ec_v v, generate_series(0, {dims - 1}) d(d) GROUP BY d.d
+)
+SELECT p.i, p.j, si.n::BIGINT AS n,
+  round((p.s_ij::DOUBLE - si.s::DOUBLE * sj.s::DOUBLE / si.n)
+        / (si.n - 1), 9) AS cov
+FROM ec_prod p
+JOIN ec_sums si ON p.i = si.k
+JOIN ec_sums sj ON p.j = sj.k
+ORDER BY p.i, p.j
+"""
+
+
+def pca_components(cov_df: DataFrame, k: int | None = None):
+    """Eigendecomposition of a covariance DataFrame (the ``(i, j, cov)``
+    upper triangle from ``embedding_covariance``): returns
+    ``(eigenvalues, components, explained_ratio)`` as numpy arrays,
+    eigenvalues descending, components row-per-component with a
+    deterministic sign convention (largest-|coefficient| entry positive).
+
+    Driver-side BY DESIGN: the distributed pass reduced 100 TB of vectors
+    to a dims x dims matrix — a few kB; the eigenproblem is O(dims³) on
+    one core.  This is the standard big-data PCA split (the same shape as
+    k-means' driver-held centroids)."""
+    import numpy as np
+
+    rows = cov_df.collect()
+    d = max(r["j"] for r in rows) + 1
+    m = np.zeros((d, d))
+    for r in rows:
+        m[r["i"]][r["j"]] = m[r["j"]][r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(m)
+    order = np.argsort(vals)[::-1]
+    vals, vecs = vals[order], vecs[:, order].T
+    for c in range(vecs.shape[0]):           # deterministic sign
+        pivot = np.argmax(np.abs(vecs[c]))
+        if vecs[c][pivot] < 0:
+            vecs[c] = -vecs[c]
+    if k is not None:
+        vals, vecs = vals[:k], vecs[:k]
+    total = float(np.sum(np.abs(vals))) or 1.0
+    return vals, vecs, np.abs(vals) / total
+
+
+def pca_project(df: DataFrame, components, vec_col: str = "embedding",
+                out_col: str = "pca") -> DataFrame:
+    """Project each vector onto the given components (rows of a numpy
+    array / list of lists) — a pure map stage: the component matrix
+    travels as a literal (it came FROM the driver; broadcasting kB-scale
+    constants in the plan is free), each output coordinate is one
+    fold-dot against the vector, no shuffle, no Python."""
+    comps = [list(map(float, c)) for c in components]
+    dims = len(comps[0])
+    x = F.slice(F.col(vec_col), 1, dims)
+    outs = [
+        F.aggregate(
+            F.zip_with(x, F.array(*[F.lit(w) for w in c]),
+                       lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, e: acc + e)
+        for c in comps]
+    return df.withColumn(out_col, F.array(*outs))

@@ -179,3 +179,72 @@ def test_ann_recall_gate_and_nprobe_knob(spark, duck):
     r2, r8 = mean_recall(2), mean_recall(8)
     assert 0.0 <= r2 <= r8 <= 1.0
     assert r8 > r2  # more probes -> strictly better on this corpus
+
+
+# ---------------------------------------------------------------------------
+# Covariance + PCA
+# ---------------------------------------------------------------------------
+
+def _vec_df(spark, mat):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>")
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from steel_datafusion_spark.pipeline.similarity import (
+        embedding_covariance,
+    )
+
+    rng = np.random.RandomState(3)
+    mat = rng.randn(80, 6).astype("float32")
+    got = embedding_covariance(_vec_df(spark, mat), dims=6).collect()
+    assert len(got) == 6 * 7 // 2
+    exp = np.cov(mat.astype("float64"), rowvar=False, ddof=1)
+    for r in got:
+        assert r["n"] == 80
+        assert abs(r["cov"] - exp[r["i"]][r["j"]]) < 1e-6
+
+
+def test_pca_components_match_numpy_eigh(spark):
+    import numpy as np
+
+    from steel_datafusion_spark.pipeline.similarity import (
+        embedding_covariance, pca_components,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(200, 2)
+    # embed a rank-2 signal in 5 dims + small noise: top-2 dominate
+    lift = rng.randn(2, 5)
+    mat = (base @ lift + 0.01 * rng.randn(200, 5)).astype("float32")
+    cov = embedding_covariance(_vec_df(spark, mat), dims=5)
+    vals, vecs, ratio = pca_components(cov)
+    assert list(vals) == sorted(vals, reverse=True)
+    assert ratio[:2].sum() > 0.99
+    # components are orthonormal
+    assert np.allclose(vecs @ vecs.T, np.eye(5), atol=1e-9)
+    # sign convention: the largest-|coeff| entry of each component is +
+    for c in vecs:
+        assert c[np.argmax(np.abs(c))] > 0
+
+
+def test_pca_project_variance_equals_eigenvalue(spark):
+    import numpy as np
+
+    from steel_datafusion_spark.pipeline.similarity import (
+        embedding_covariance, pca_components, pca_project,
+    )
+
+    rng = np.random.RandomState(5)
+    mat = (rng.randn(300, 4) * np.array([5.0, 2.0, 0.5, 0.1])) \
+        .astype("float32")
+    df = _vec_df(spark, mat)
+    cov = embedding_covariance(df, dims=4)
+    vals, vecs, _ = pca_components(cov, k=2)
+    proj = np.array([r["pca"] for r in
+                     pca_project(df, vecs).select("pca").collect()])
+    got_var = proj.var(axis=0, ddof=1)
+    assert np.allclose(got_var, vals[:2], rtol=0.01)
