@@ -3493,6 +3493,49 @@ FROM events v JOIN events p
 """
 
 
+_HTML_HEAD = ('<html><head><title>Doc</title><style>p {margin:0}</style>'
+              '</head><body><nav>Home &amp;&nbsp;About</nav><p>')
+_HTML_TAIL = ('</p><script type="text/javascript">var x = 1 < 2;</script>'
+              '<footer>Footer Corp</footer></body></html>')
+
+
+def q_html_strip(spark, sf_dir):
+    """HTML extraction front door (pipeline/text.py strip_html): every
+    document wraps in a deterministic page template (nav boilerplate,
+    entities, an inline script whose body contains a bare '<', a styled
+    head, a footer), then strips back to text through the JVM regexp
+    chain.  The oracle applies the identical wrap + strip in DuckDB —
+    block-drop order, single-level entity decode (&amp; last), and
+    whitespace collapse all hash-checked.  Map-side only; no shuffle at
+    all until the driver's own collect."""
+    from .text import strip_html, token_count
+
+    d = load_tables(spark, sf_dir)["documents"]
+    page = F.concat(F.lit(_HTML_HEAD), F.col("text"), F.lit(_HTML_TAIL))
+    clean = strip_html(page)
+    return d.select(
+        "doc_id",
+        F.length(clean).alias("clean_len"),
+        token_count(clean).alias("n_tokens"),
+        F.substring(clean, 1, 16).alias("head"))
+
+
+def _sql_html_strip() -> str:
+    from .text import sql_strip_html, sql_token_count
+
+    head = _HTML_HEAD.replace("'", "''")
+    tail = _HTML_TAIL.replace("'", "''")
+    page = f"('{head}' || text || '{tail}')"
+    clean = sql_strip_html(page)
+    return f"""
+WITH hs AS (SELECT doc_id, {clean} AS clean FROM documents)
+SELECT doc_id, length(clean)::INT AS clean_len,
+  {sql_token_count('clean')}::INT AS n_tokens,
+  substring(clean, 1, 16) AS head
+FROM hs
+"""
+
+
 def q_url_canonicalize(spark, sf_dir):
     """URL canonicalization + registrable-domain extraction
     (pipeline/urls.py): four deterministic URL spellings per doc_id —
@@ -3790,6 +3833,7 @@ PIPELINE_QUERIES = {
                           _sql_pagerank_bucketed_bipartite()),
     "line_dedup": (q_line_dedup, _sql_line_dedup()),
     "url_canonicalize": (q_url_canonicalize, _sql_url_canonicalize()),
+    "html_strip": (q_html_strip, _sql_html_strip()),
     "streaming_sessions": (q_streaming_sessions, _SQL_STREAMING_SESSIONS),
     "streaming_windowed": (q_streaming_windowed, _SQL_STREAMING_WINDOWED),
     "streaming_join": (q_streaming_join, _SQL_STREAMING_JOIN),

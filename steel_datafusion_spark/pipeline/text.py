@@ -23,6 +23,7 @@ __all__ = [
     "bpe_ish_token_count", "BPE_ISH_PATTERN", "sql_bpe_ish_token_count",
     "PII_PATTERNS", "redact_pii", "pii_counts", "sql_redact_pii",
     "sql_pii_count",
+    "strip_html", "sql_strip_html", "HTML_STRIP_STEPS", "HTML_ENTITIES",
 ]
 
 # GPT-2-style pre-tokenization shape: letter runs, digit runs, single
@@ -253,3 +254,49 @@ def sql_pii_count(col: str, upto: int) -> str:
     for _name, pat, repl in PII_PATTERNS[:upto]:
         cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
     return f"len(regexp_extract_all({cur}, '{PII_PATTERNS[upto][1]}'))"
+
+
+# ---------------------------------------------------------------------------
+# HTML stripping (web-corpus extraction front door)
+# ---------------------------------------------------------------------------
+
+# (pattern, replacement) pairs applied IN ORDER; kept to a dialect-neutral
+# regex subset so Java regex (Spark) and RE2 (DuckDB) agree: (?is) flags,
+# non-greedy block bodies, plain character classes.  Entity decode order is
+# the standard one — &amp; LAST so '&amp;lt;' decodes to '&lt;' (one level),
+# never to '<'.
+HTML_STRIP_STEPS = [
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?is)<!--.*?-->", " "),
+    (r"<[^>]*>", " "),
+]
+HTML_ENTITIES = [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                 ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")]
+
+
+def strip_html(text: Column) -> Column:
+    """Plain text from an HTML payload: script/style/comment blocks drop
+    whole, remaining tags become spaces, the six core entities decode
+    (&amp; last — single-level, the HTML spec's unescape order), and
+    whitespace collapses.  Pure JVM regexp chain — map-side, no Python,
+    no parser state; the 'lossy but linear' trade every web-scale
+    pipeline (C4, CCNet) makes for the extraction front door, where a
+    real DOM parse would put a Python library in the hottest path."""
+    out = text
+    for pat, repl in HTML_STRIP_STEPS:
+        out = F.regexp_replace(out, pat, repl)
+    for ent, repl in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(repl))
+    return F.trim(F.regexp_replace(out, _WS, " "))
+
+
+def sql_strip_html(col: str) -> str:
+    """DuckDB mirror of ``strip_html`` (same steps, same order)."""
+    out = col
+    for pat, repl in HTML_STRIP_STEPS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    for ent, repl in HTML_ENTITIES:
+        r = repl.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{r}')"
+    return f"trim(regexp_replace({out}, '{_WS}', ' ', 'g'))"

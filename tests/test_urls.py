@@ -59,3 +59,55 @@ def test_url_dedup_stats(spark):
            for r in url_dedup_stats(df).collect()}
     assert got["a.com"] == (3, 2, 1)
     assert got["b.co.uk"] == (1, 1, 0)
+
+
+# ---------------------------------------------------------------------------
+# HTML stripping
+# ---------------------------------------------------------------------------
+
+HTML_FIXTURES = [
+    ('<html><head><style>p{a:1}</style></head><body><nav>Home &amp; '
+     'About</nav><p>hi   there</p><script>var x = 1 < 2;</script>'
+     '</body></html>'),
+    'a &amp;lt; b &nbsp; c <!-- note\nmultiline --> d <B>bold</B>',
+    '<script\nsrc="x.js">junk</script>keep<style type="a">s</style>',
+    'plain text no markup',
+    '<p>unclosed tag at end <',
+]
+
+
+def test_strip_html_spark_matches_duckdb(spark):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.pipeline.text import (
+        sql_strip_html, strip_html,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(HTML_FIXTURES)],
+                               "i long, t string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", strip_html(F.col("t")).alias("c")).collect()}
+    expr = sql_strip_html("t")
+    for i, t in enumerate(HTML_FIXTURES):
+        exp = duckdb.sql(f"SELECT {expr} FROM (SELECT ? AS t)",
+                         params=[t]).fetchone()[0]
+        assert got[i] == exp, (i, got[i], exp)
+
+
+def test_strip_html_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.pipeline.text import strip_html
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(HTML_FIXTURES)],
+                               "i long, t string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", strip_html(F.col("t")).alias("c")).collect()}
+    assert got[0] == "Home & About hi there"
+    # single-level decode: &amp;lt; -> &lt;, never <
+    assert got[1] == "a &lt; b c d bold"
+    # script/style bodies drop whole, including attrs spanning newlines
+    assert got[2] == "keep"
+    assert got[3] == "plain text no markup"
