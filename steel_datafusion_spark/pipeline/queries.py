@@ -2771,7 +2771,8 @@ def q_label_propagation(spark, sf_dir):
     """Deterministic label-propagation communities (pipeline/graph.py
     label_propagation: synchronous steps, mode-of-neighbors with min-label
     tie-break) over the bipartite customer—supplier trade graph
-    (orders ⋈ lineitem, node ids prefixed 'c'/'s').  All-integer/string
+    (orders ⋈ lineitem over the 1998 order tail, node ids prefixed
+    'c'/'s').  All-integer/string
     arithmetic, so the unrolled DuckDB oracle matches hash-exactly; the
     operator's per-iteration cost is two node-key shuffles regardless of
     |V| (see module docstring)."""
@@ -2779,7 +2780,9 @@ def q_label_propagation(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     edges = (t["lineitem"].select("l_orderkey", "l_suppkey")
-             .join(t["orders"].select("o_orderkey", "o_custkey"),
+             .join(t["orders"]
+                   .filter(F.col("o_orderdate") >= "1998-01-01")
+                   .select("o_orderkey", "o_custkey"),
                    F.col("l_orderkey") == F.col("o_orderkey"))
              .select(
                  F.concat(F.lit("c"),
@@ -2798,6 +2801,7 @@ WITH lp_edges AS (
   SELECT 'c' || o_custkey::VARCHAR AS src,
          's' || l_suppkey::VARCHAR AS dst
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate >= DATE '1998-01-01'
 ),{body}
 SELECT node, label FROM lp_out
 """
