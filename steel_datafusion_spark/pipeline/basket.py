@@ -1,0 +1,116 @@
+"""Market-basket co-occurrence: frequent item pairs and association rules.
+
+Beyond-reference surface.  Co-occurrence mining is the same shape whether
+the 'basket' is a retail order, a user session, or a document and the
+'item' is a product, an event type, or a vocabulary term — and at corpus
+scale it powers related-term discovery, topic co-occurrence matrices, and
+recommendation priors over training data.
+
+Plan, end to end:
+
+1. distinct (basket, item) — one fine-grained aggregate (dedups repeat
+   purchases so a pair counts once per basket);
+2. per-item basket counts — second fine-grained aggregate (|items| keys);
+3. pair counts via a self-join ON THE BASKET KEY with ``item_a < item_b``
+   — output per basket is C(k,2) for basket size k, so the quadratic
+   knob is the BASKET size, not the catalog: ``max_basket`` drops
+   pathological baskets (a crawler cart with 10⁴ items) before the join,
+   the same occupancy-cap pattern as the MinHash band guard;
+4. rules assemble from broadcast item counts + a 1-row total — support,
+   confidence (both directions), lift; all ratios from exact counts.
+
+Nothing is ever keyed on an item pair before counting, and no key's
+fan-out exceeds the capped basket size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["association_rules", "sql_association_rules"]
+
+
+def association_rules(
+    df: DataFrame, basket_col: str, item_col: str,
+    min_pair_count: int = 2, max_basket: int | None = None,
+) -> DataFrame:
+    """(item_a, item_b, pair_count, support, conf_a_b, conf_b_a, lift)
+    for every unordered item pair co-occurring in at least
+    ``min_pair_count`` baskets.  ``lift > 1`` means the pair co-occurs
+    more than independence predicts — the association worth surfacing."""
+    bi = (df.select(F.col(basket_col).alias("basket"),
+                    F.col(item_col).alias("item"))
+          .distinct())
+    if max_basket is not None:
+        sizes = bi.groupBy("basket").agg(F.count(F.lit(1)).alias("_bs"))
+        bi = (bi.join(sizes.filter(F.col("_bs") <= max_basket)
+                      .select("basket"), "basket"))
+    bi = bi.persist()
+    from ..cache import track
+    track(bi)
+
+    n_baskets = bi.select("basket").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n"))
+    item_counts = bi.groupBy("item").agg(
+        F.count(F.lit(1)).alias("c_item"))
+
+    a = bi.select("basket", F.col("item").alias("item_a"))
+    b = bi.select("basket", F.col("item").alias("item_b"))
+    pairs = (a.join(b, "basket")
+             .filter(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b")
+             .agg(F.count(F.lit(1)).alias("pair_count"))
+             .filter(F.col("pair_count") >= min_pair_count))
+
+    ca = item_counts.select(F.col("item").alias("item_a"),
+                            F.col("c_item").alias("c_a"))
+    cb = item_counts.select(F.col("item").alias("item_b"),
+                            F.col("c_item").alias("c_b"))
+    return (pairs.join(F.broadcast(ca), "item_a")
+            .join(F.broadcast(cb), "item_b")
+            .crossJoin(F.broadcast(n_baskets))
+            .select(
+                "item_a", "item_b", "pair_count",
+                F.round(F.col("pair_count") / F.col("n"), 6)
+                .alias("support"),
+                F.round(F.col("pair_count") / F.col("c_a"), 6)
+                .alias("conf_a_b"),
+                F.round(F.col("pair_count") / F.col("c_b"), 6)
+                .alias("conf_b_a"),
+                F.round(F.col("pair_count") * F.col("n")
+                        / (F.col("c_a") * F.col("c_b")), 6).alias("lift")))
+
+
+def sql_association_rules(
+    table: str, basket_col: str, item_col: str,
+    min_pair_count: int = 2, max_basket: int | None = None,
+) -> str:
+    """DuckDB mirror of ``association_rules``."""
+    cap = (f",\nar_sz AS (SELECT basket FROM ar_bi GROUP BY basket "
+           f"HAVING COUNT(*) <= {max_basket})" if max_basket else "")
+    src = ("ar_bi JOIN ar_sz USING (basket)" if max_basket else "ar_bi")
+    return f"""
+WITH ar_bi0 AS (
+  SELECT DISTINCT {basket_col} AS basket, {item_col} AS item FROM {table}
+),
+ar_bi AS (SELECT * FROM ar_bi0){cap},
+ar_src AS (SELECT basket, item FROM {src}),
+ar_n AS (SELECT COUNT(DISTINCT basket)::DOUBLE AS n FROM ar_src),
+ar_ic AS (SELECT item, COUNT(*)::BIGINT AS c_item FROM ar_src GROUP BY item),
+ar_p AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*)::BIGINT AS pair_count
+  FROM ar_src a JOIN ar_src b
+    ON a.basket = b.basket AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING COUNT(*) >= {min_pair_count}
+)
+SELECT p.item_a, p.item_b, p.pair_count,
+  round(p.pair_count / n.n, 6) AS support,
+  round(p.pair_count / ca.c_item, 6) AS conf_a_b,
+  round(p.pair_count / cb.c_item, 6) AS conf_b_a,
+  round(p.pair_count * n.n / (ca.c_item * cb.c_item), 6) AS lift
+FROM ar_p p
+JOIN ar_ic ca ON p.item_a = ca.item
+JOIN ar_ic cb ON p.item_b = cb.item, ar_n n
+"""

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "row_fingerprint", "snapshot_diff", "scd2_init", "scd2_apply",
     "sql_row_fingerprint", "sql_snapshot_diff",
+    "agg_state", "merge_agg_state", "sql_agg_state",
 ]
 
 _US = "\x1f"   # unit separator between fields
@@ -178,3 +179,61 @@ def scd2_apply(
     return (history.select(*out_cols)
             .unionByName(closed_or_kept.select(*out_cols))
             .unionByName(opened.select(*out_cols)))
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (materialized-view merge)
+# ---------------------------------------------------------------------------
+
+def agg_state(df: DataFrame, key_cols: Sequence[str],
+              value_col: str) -> DataFrame:
+    """Mergeable per-key aggregate state over ``value_col``: (keys..., n,
+    s, mn, mx) with the sum carried as an exact DECIMAL(20,9) of
+    9dp-rounded inputs — order-independent, so states built from any
+    partitioning of the data merge to identical bits.  This is the
+    partial half of every distributive aggregate (count/sum/min/max, avg
+    derives as s/n) — the representation a materialized view stores so a
+    snapshot delta can refresh it WITHOUT rescanning history."""
+    return df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col(value_col), 9).cast("decimal(20,9)"))
+        .alias("s"),
+        F.min(F.col(value_col).cast("double")).alias("mn"),
+        F.max(F.col(value_col).cast("double")).alias("mx"))
+
+
+def merge_agg_state(state: DataFrame, delta: DataFrame,
+                    key_cols: Sequence[str]) -> DataFrame:
+    """Merge two ``agg_state`` frames (the standing view + a delta batch)
+    into the state the full rescan would have produced: counts and sums
+    add, min/max fold — one full-outer join keyed on the view key, which
+    is shuffle-free when both sides are bucketed on it (the view IS a
+    managed table in practice; sources/bucketing.py layout).  History is
+    never rescanned: refresh cost is O(|delta| + |touched keys|), the
+    whole point of maintaining state instead of recomputing."""
+    s, d = state.alias("s"), delta.alias("d")
+    cond = [s[k].eqNullSafe(d[k]) for k in key_cols]
+    keys = [F.coalesce(s[k], d[k]).alias(k) for k in key_cols]
+    return s.join(d, cond, "full_outer").select(
+        *keys,
+        (F.coalesce(s["n"], F.lit(0)) + F.coalesce(d["n"], F.lit(0)))
+        .cast("long").alias("n"),
+        (F.coalesce(s["s"], F.lit(0).cast("decimal(20,9)"))
+         + F.coalesce(d["s"], F.lit(0).cast("decimal(20,9)")))
+        .cast("decimal(20,9)").alias("s"),
+        F.least(F.coalesce(s["mn"], d["mn"]),
+                F.coalesce(d["mn"], s["mn"])).alias("mn"),
+        F.greatest(F.coalesce(s["mx"], d["mx"]),
+                   F.coalesce(d["mx"], s["mx"])).alias("mx"))
+
+
+def sql_agg_state(table: str, key_cols: Sequence[str],
+                  value_col: str) -> str:
+    """DuckDB mirror of ``agg_state`` (same decimal convention)."""
+    keys = ", ".join(key_cols)
+    return f"""
+SELECT {keys}, COUNT(*)::BIGINT AS n,
+  SUM(round({value_col}, 9)::DECIMAL(20,9))::DECIMAL(20,9) AS s,
+  MIN({value_col}::DOUBLE) AS mn, MAX({value_col}::DOUBLE) AS mx
+FROM {table} GROUP BY {keys}
+"""

@@ -42,6 +42,7 @@ __all__ = [
     "corpus_overlap", "source_overlap_matrix", "source_overlap_sketch",
     "keep_representatives", "dedup_corpus",
     "PERM_CONSTS", "MERSENNE61", "SQL", "DEFAULT_MAX_BUCKET",
+    "keep_best_representatives",
 ]
 
 SIMHASH_BITS = 48   # stays well inside signed int64 under ANSI arithmetic
@@ -1090,3 +1091,33 @@ def source_overlap_sketch(
             .select("group_a", "group_b", "n_a", "n_b",
                     F.round(matches / F.lit(float(k)), 6)
                     .alias("est_jaccard")))
+
+
+def keep_best_representatives(
+    corpus: DataFrame, clusters: DataFrame, score,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply resolved dedup clusters keeping each cluster's BEST member by
+    ``score`` (a Column over corpus rows — quality score, length, recency)
+    instead of ``keep_representatives``' minimum-id convention.  Ties
+    break on the smaller id, so the kept set is a pure function of
+    (corpus, clusters, score) — the curation-grade final dedup step:
+    near-dup classes usually contain one full document and several
+    truncated/boilerplated variants, and min-id keeps an arbitrary one.
+
+    Scale: the clusters frame is proportional to the DUPLICATE count, not
+    the corpus, so scoring members is one broadcast join; the per-cluster
+    argmax is a window over that same small set; and the resulting drop
+    list broadcasts into a left-anti probe the corpus streams through
+    map-side — the corpus itself never shuffles."""
+    from pyspark.sql import Window
+
+    members = (corpus.select(F.col(id_col), score.alias("_score"))
+               .join(F.broadcast(clusters.select(id_col, "cluster_id")),
+                     id_col))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_score").desc(), F.col(id_col).asc())
+    drop = (members.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select(F.col(id_col)))
+    return corpus.join(F.broadcast(drop), id_col, "left_anti")

@@ -570,6 +570,64 @@ WHERE c.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Curation-grade dedup application (pipeline/dedup.py
+    keep_best_representatives): same simhash pairs → two-phase CC as
+    dedup_apply, but each cluster keeps its LONGEST member (char length,
+    id tie-break) instead of the min id — the real canonical-document
+    choice (near-dup classes hold one full doc and several truncated
+    variants).  Clusters are duplicate-proportional, so scoring, the
+    per-cluster argmax window, and the drop list all ride broadcasts;
+    the corpus never shuffles."""
+    from .dedup import (connected_components, keep_best_representatives,
+                        simhash_pairs)
+
+    docs = _aug_docs(spark, sf_dir)
+    pairs = simhash_pairs(docs, max_hamming=10)
+    cc = connected_components(pairs, algorithm="two-phase")
+    return keep_best_representatives(docs, cc, F.length("text")) \
+        .select("doc_id", F.length("text").alias("n_chars"))
+
+
+def _sql_dedup_keep_best() -> str:
+    """The _sql_dedup_apply transitive closure with an argmax-by-length
+    keep rule instead of min-id."""
+    return f"""
+WITH RECURSIVE {_AUG_DOCS_SQL},
+hsrc AS (SELECT doc_id, {DSQL.hashed_shingles('text')} AS hs FROM corpus),
+sh AS (SELECT doc_id, {DSQL.simhash_terms('hs')} AS sh FROM hsrc),
+chunks AS (
+  SELECT doc_id, sh, c.chunk_idx, (sh >> (12 * c.chunk_idx)) & 4095 AS chunk_val
+  FROM sh, (SELECT unnest(generate_series(0, 3)) AS chunk_idx) c),
+p AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= 10),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+          UNION SELECT doc_b, doc_a FROM p),
+reach AS (SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a),
+scored AS (
+  SELECT l.doc_id, l.cluster_id, length(c.text) AS n_chars
+  FROM lab l JOIN corpus c USING (doc_id)),
+keep1 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY cluster_id
+      ORDER BY n_chars DESC, doc_id ASC) AS rn FROM scored)
+  WHERE rn = 1),
+dropped AS (
+  SELECT doc_id FROM lab
+  WHERE doc_id NOT IN (SELECT doc_id FROM keep1))
+SELECT c.doc_id, length(c.text)::INT AS n_chars FROM corpus c
+WHERE c.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
 def q_dedup_clusters_twophase(spark, sf_dir):
     """Same cluster resolution as dedup_clusters, but via the alternating
     large-star/small-star algorithm (pipeline/dedup.py, O(log n) rounds
@@ -1973,6 +2031,40 @@ ASOF LEFT JOIN (
 """
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (pipeline/similarity.py hard_negatives): per
+    anchor, the 5 most-cosine-similar OTHER-labeled vectors — the
+    contrastive-training pair miner.  Broadcast anchors, map-side cosine,
+    WindowGroupLimit top-k before the single anchor-key exchange; the
+    oracle brute-forces the same labeled top-k in DuckDB."""
+    from .similarity import hard_negatives
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return hard_negatives(e, k=5, anchors=e.filter(F.col("vec_id") < 20))
+
+
+def _sql_hard_negatives() -> str:
+    from .similarity import SQL_COSINE
+
+    cos = SQL_COSINE.format(a="a.av", b="c.cv")
+    return f"""
+WITH hn_a AS (
+  SELECT vec_id AS anchor_id, embedding AS av, label AS a_label
+  FROM embeddings WHERE vec_id < 20),
+hn_c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, label AS n_label
+  FROM embeddings),
+hn_s AS (
+  SELECT a.anchor_id, c.neighbor_id, round({cos}, 6) AS score
+  FROM hn_a a JOIN hn_c c ON a.a_label <> c.n_label)
+SELECT anchor_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY score DESC, neighbor_id ASC)::INT
+    AS rank
+  FROM hn_s) WHERE rank <= 5
+"""
+
+
 def q_embedding_covariance(spark, sf_dir):
     """Distributed covariance of the leading 16 embedding dimensions
     (pipeline/similarity.py embedding_covariance) — the map-reduce half
@@ -2765,6 +2857,67 @@ pr_edges AS (
 ),{body}
 SELECT node AS event_type, rank FROM pr_out
 """
+
+
+def q_incremental_agg(spark, sf_dir):
+    """Incremental materialized-view maintenance (pipeline/cdc.py
+    agg_state/merge_agg_state): a standing per-key aggregate state built
+    from pre-1997 orders merges with the 1997+ delta batch — and the
+    oracle recomputes the aggregate FROM SCRATCH over all orders, so the
+    hash proves the merge is indistinguishable from a full rescan
+    (count/sum/min/max/avg; decimal sums make the split point
+    irrelevant).  Refresh cost is O(delta + touched keys); history is
+    never rescanned."""
+    from .cdc import agg_state, merge_agg_state
+
+    o = load_tables(spark, sf_dir)["orders"].select(
+        (F.col("o_custkey") % 500).alias("kg"), "o_orderdate",
+        "o_totalprice")
+    state = agg_state(o.filter(F.col("o_orderdate") < "1997-01-01"),
+                      ["kg"], "o_totalprice")
+    delta = agg_state(o.filter(F.col("o_orderdate") >= "1997-01-01"),
+                      ["kg"], "o_totalprice")
+    merged = merge_agg_state(state, delta, ["kg"])
+    return merged.select(
+        "kg", "n", F.col("s").cast("double").alias("total"),
+        "mn", "mx",
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("avg"))
+
+
+def _sql_incremental_agg() -> str:
+    from .cdc import sql_agg_state
+
+    body = sql_agg_state(
+        "(SELECT o_custkey % 500 AS kg, o_totalprice FROM orders)",
+        ["kg"], "o_totalprice")
+    return f"""
+WITH full_state AS ({body})
+SELECT kg, n, s::DOUBLE AS total, mn, mx,
+  round(s::DOUBLE / n, 6) AS avg
+FROM full_state
+"""
+
+
+def q_association_rules(spark, sf_dir):
+    """Market-basket association rules (pipeline/basket.py): co-purchased
+    part groups per order with support / confidence / lift from exact
+    counts.  The pair join keys on the BASKET, so fan-out is bounded by
+    basket size (the max_basket occupancy cap guards pathological
+    baskets); items never key a join before counting."""
+    from .basket import association_rules
+
+    li = (load_tables(spark, sf_dir)["lineitem"]
+          .select("l_orderkey", (F.col("l_partkey") % 97).alias("pg")))
+    return association_rules(li, "l_orderkey", "pg",
+                             min_pair_count=30, max_basket=50)
+
+
+def _sql_association_rules() -> str:
+    from .basket import sql_association_rules
+
+    return sql_association_rules(
+        "(SELECT l_orderkey, l_partkey % 97 AS pg FROM lineitem)",
+        "l_orderkey", "pg", min_pair_count=30, max_basket=50)
 
 
 def q_label_propagation(spark, sf_dir):
@@ -3771,6 +3924,7 @@ PIPELINE_QUERIES = {
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "dedup_clusters_twophase": (q_dedup_clusters_twophase, _sql_dedup_clusters()),
     "dedup_apply": (q_dedup_apply, _sql_dedup_apply()),
+    "dedup_keep_best": (q_dedup_keep_best, _sql_dedup_keep_best()),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _sql_ngram_jaccard()),
     "similarity_topk": (q_similarity_topk, _SQL_SIM_TOPK),
     "similarity_ivf": (q_similarity_ivf, _SQL_SIM_IVF),
@@ -3806,6 +3960,7 @@ PIPELINE_QUERIES = {
     "embedding_sq8": (q_embedding_sq8, _sql_embedding_sq8()),
     "embedding_covariance": (q_embedding_covariance,
                              _sql_embedding_covariance()),
+    "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
     "iqr_outlier_filter": (q_iqr_outlier_filter, _SQL_IQR_OUTLIER),
     "doc_chunking": (q_doc_chunking, _sql_doc_chunking()),
     "dedup_substring_spans": (q_dedup_substring_spans,
@@ -3829,6 +3984,8 @@ PIPELINE_QUERIES = {
                               _sql_source_overlap_matrix()),
     "source_overlap_sketch": (q_source_overlap_sketch,
                               _sql_source_overlap_sketch()),
+    "association_rules": (q_association_rules, _sql_association_rules()),
+    "incremental_agg": (q_incremental_agg, _sql_incremental_agg()),
     "label_propagation": (q_label_propagation,
                           _sql_label_propagation_gate()),
     "pagerank_event_graph": (q_pagerank_event_graph,

@@ -34,7 +34,7 @@ __all__ = ["sq8_stats", "sq8_error_stats", "sql_sq8_error_stats",
            "hyperplanes", "normalize_l2", "pq_codebooks", "pq_encode",
            "pq_topk", "SQL_COSINE",
            "embedding_covariance", "sql_embedding_covariance",
-           "pca_components", "pca_project"]
+           "pca_components", "pca_project", "hard_negatives"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -944,3 +944,37 @@ def pca_project(df: DataFrame, components, vec_col: str = "embedding",
             F.lit(0.0), lambda acc, e: acc + e)
         for c in comps]
     return df.withColumn(out_col, F.array(*outs))
+
+
+def hard_negatives(
+    df: DataFrame, k: int = 5, id_col: str = "vec_id",
+    vec_col: str = "embedding", label_col: str = "label",
+    anchors: DataFrame | None = None,
+) -> DataFrame:
+    """(anchor_id, neighbor_id, score, rank): for each anchor, the k
+    OTHER-labeled vectors most similar to it — hard-negative mining, the
+    contrastive-training data op (easy negatives are random; the ones
+    that move the loss are near the anchor with a different label).
+
+    Scale: the anchor set broadcasts (mining runs over a sampled/batched
+    anchor set by nature — the corpus side never shuffles for the join);
+    scoring is map-side cosine; WindowGroupLimit prunes to k per
+    partition before the single anchor-key exchange.  For corpus-scale
+    anchor sets, run batched (the ann_recall amortization note) or swap
+    the exact scorer for ivf_topk/lsh_topk — same output contract."""
+    a = (anchors if anchors is not None else df).select(
+        F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("av"),
+        F.col(label_col).alias("a_label"))
+    parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    c = df.repartition(parts, F.col(id_col)).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("n_label"))
+    scored = (c.join(F.broadcast(a), F.col("a_label") != F.col("n_label"))
+              .select("anchor_id", "neighbor_id",
+                      F.round(cosine(F.col("av"), F.col("cv")), 6)
+                      .alias("score")))
+    w = Window.partitionBy("anchor_id").orderBy(F.col("score").desc(),
+                                                F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("anchor_id", "neighbor_id", "score", "rank"))

@@ -1,0 +1,182 @@
+"""Round-9 continuation operators: hard-negative mining, best-member
+dedup representatives, association rules, incremental aggregate merge."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# hard_negatives
+# ---------------------------------------------------------------------------
+
+def test_hard_negatives_excludes_same_label_and_ranks(spark):
+    from steel_datafusion_spark.pipeline.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 0),      # anchor
+        (1, [0.99, 0.14], 0),    # same label — must never appear
+        (2, [0.95, 0.31], 1),    # closest other-label
+        (3, [0.0, 1.0], 1),      # orthogonal other-label
+        (4, [-1.0, 0.0], 2),     # opposite
+    ]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<float>, "
+                               "label int")
+    out = [r.asDict() for r in
+           hard_negatives(df, k=2, anchors=df.filter(F.col("vec_id") == 0))
+           .orderBy("rank").collect()]
+    assert [r["neighbor_id"] for r in out] == [2, 3]
+    assert [r["rank"] for r in out] == [1, 2]
+    assert out[0]["score"] > out[1]["score"]
+    assert all(r["neighbor_id"] != 1 for r in out)
+
+
+def test_hard_negatives_k_caps_per_anchor(spark):
+    from steel_datafusion_spark.pipeline.similarity import hard_negatives
+
+    rows = [(i, [float(i % 7 + 1), 1.0], i % 2) for i in range(20)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<float>, "
+                               "label int")
+    out = hard_negatives(df, k=3).groupBy("anchor_id").count().collect()
+    assert len(out) == 20
+    assert all(r["count"] == 3 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# keep_best_representatives
+# ---------------------------------------------------------------------------
+
+def test_keep_best_representatives_argmax_and_singletons(spark):
+    from steel_datafusion_spark.pipeline.dedup import (
+        keep_best_representatives,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "short"), (2, "the longest text here"), (3, "middle len"),
+         (10, "a singleton")],
+        "doc_id long, text string")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long")
+    kept = sorted(r["doc_id"] for r in keep_best_representatives(
+        corpus, clusters, F.length("text")).collect())
+    assert kept == [2, 10]            # longest member wins; singleton kept
+
+
+def test_keep_best_representatives_tie_breaks_min_id(spark):
+    from steel_datafusion_spark.pipeline.dedup import (
+        keep_best_representatives,
+    )
+
+    corpus = spark.createDataFrame(
+        [(5, "same"), (7, "same"), (6, "samX")],
+        "doc_id long, text string")
+    clusters = spark.createDataFrame(
+        [(5, 5), (7, 5), (6, 5)], "doc_id long, cluster_id long")
+    kept = [r["doc_id"] for r in keep_best_representatives(
+        corpus, clusters, F.length("text")).collect()]
+    assert kept == [5]
+
+
+# ---------------------------------------------------------------------------
+# association_rules
+# ---------------------------------------------------------------------------
+
+def _baskets(spark, rows):
+    return spark.createDataFrame(rows, "basket long, item string")
+
+
+def test_association_rules_exact_counts(spark):
+    from steel_datafusion_spark.pipeline.basket import association_rules
+
+    # 4 baskets: {a,b} x3, {a,c} x1 — and a repeat purchase of b in
+    # basket 0 that must count once
+    rows = [(0, "a"), (0, "b"), (0, "b"),
+            (1, "a"), (1, "b"),
+            (2, "a"), (2, "b"),
+            (3, "a"), (3, "c")]
+    out = {(r["item_a"], r["item_b"]): r.asDict()
+           for r in association_rules(_baskets(spark, rows), "basket",
+                                      "item", min_pair_count=1).collect()}
+    ab = out[("a", "b")]
+    assert ab["pair_count"] == 3
+    assert ab["support"] == 0.75          # 3 of 4 baskets
+    assert ab["conf_a_b"] == 0.75         # a appears in all 4
+    assert ab["conf_b_a"] == 1.0          # every b basket has a
+    assert ab["lift"] == 1.0              # 3*4/(4*3)
+    ac = out[("a", "c")]
+    assert ac["pair_count"] == 1 and ac["conf_b_a"] == 1.0
+    assert ("b", "c") not in out
+
+
+def test_association_rules_max_basket_cap(spark):
+    from steel_datafusion_spark.pipeline.basket import association_rules
+
+    rows = [(0, "a"), (0, "b")] + [(99, f"i{j}") for j in range(30)]
+    out = association_rules(_baskets(spark, rows), "basket", "item",
+                            min_pair_count=1, max_basket=10).collect()
+    # the 30-item flood basket contributes no pairs; {a,b} survives
+    assert {(r["item_a"], r["item_b"]) for r in out} == {("a", "b")}
+
+
+def test_association_rules_matches_duckdb(spark, duck):
+    import random
+
+    from steel_datafusion_spark.pipeline.basket import (
+        association_rules, sql_association_rules,
+    )
+    from tests.conftest import assert_df_matches_duck
+
+    rng = random.Random(13)
+    rows = [(rng.randrange(50), f"it{rng.randrange(12)}")
+            for _ in range(600)]
+    duck.execute("CREATE OR REPLACE TABLE bsk(basket BIGINT, item VARCHAR)")
+    duck.executemany("INSERT INTO bsk VALUES (?, ?)", rows)
+    assert_df_matches_duck(
+        association_rules(_baskets(spark, rows), "basket", "item",
+                          min_pair_count=3, max_basket=8),
+        duck,
+        sql_association_rules("bsk", "basket", "item",
+                              min_pair_count=3, max_basket=8))
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance
+# ---------------------------------------------------------------------------
+
+def test_merge_agg_state_equals_full_rescan(spark):
+    import random
+
+    from steel_datafusion_spark.pipeline.cdc import agg_state, merge_agg_state
+
+    rng = random.Random(3)
+    rows = [(rng.randrange(5), round(rng.uniform(-100, 100), 3))
+            for _ in range(400)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    full = {r["k"]: r.asDict()
+            for r in agg_state(df, ["k"], "v").collect()}
+    a, b = rows[:150], rows[150:]
+    merged = merge_agg_state(
+        agg_state(spark.createDataFrame(a, "k int, v double"), ["k"], "v"),
+        agg_state(spark.createDataFrame(b, "k int, v double"), ["k"], "v"),
+        ["k"])
+    got = {r["k"]: r.asDict() for r in merged.collect()}
+    assert got == full
+
+
+def test_merge_agg_state_disjoint_and_empty_sides(spark):
+    from steel_datafusion_spark.pipeline.cdc import agg_state, merge_agg_state
+
+    left = agg_state(spark.createDataFrame([(1, 2.0)], "k int, v double"),
+                     ["k"], "v")
+    right = agg_state(spark.createDataFrame([(2, 5.0)], "k int, v double"),
+                      ["k"], "v")
+    got = {r["k"]: r.asDict()
+           for r in merge_agg_state(left, right, ["k"]).collect()}
+    assert got[1]["n"] == 1 and float(got[1]["s"]) == 2.0
+    assert got[2]["n"] == 1 and got[2]["mn"] == 5.0 and got[2]["mx"] == 5.0
+    empty = agg_state(
+        spark.createDataFrame([], "k int, v double"), ["k"], "v")
+    again = {r["k"]: r.asDict()
+             for r in merge_agg_state(left, empty, ["k"]).collect()}
+    assert again[1]["n"] == 1 and again[1]["mn"] == 2.0
