@@ -2496,6 +2496,24 @@ def _sql_bigram_logprob() -> str:
     return sql_bigram_logprob_score("documents")
 
 
+def q_tfidf_doc_topk(spark, sf_dir):
+    """Sparse document similarity (pipeline/terms.py tfidf_doc_topk):
+    per-doc top-5 peers by TF-IDF-weighted cosine over 3-token shingle
+    phrases — the inverted-index (model-free) half of the similarity
+    family.  Stop-phrase df cap bounds every shingle's pair fan-out at
+    C(max_df, 2); decimal dot sums keep the score hash-exact."""
+    from .terms import tfidf_doc_topk
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    return tfidf_doc_topk(d, k=5, max_df=100)
+
+
+def _sql_tfidf_doc_topk() -> str:
+    from .terms import sql_tfidf_doc_topk
+
+    return sql_tfidf_doc_topk("documents", k=5, max_df=100)
+
+
 def q_perplexity_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing (pipeline/scoring.py
     perplexity_buckets): every document scored by a Jelinek-Mercer
@@ -3972,6 +3990,7 @@ PIPELINE_QUERIES = {
     "unigram_logprob": (q_unigram_logprob, _sql_unigram_logprob()),
     "bigram_logprob": (q_bigram_logprob, _sql_bigram_logprob()),
     "perplexity_buckets": (q_perplexity_buckets, _sql_perplexity_buckets()),
+    "tfidf_doc_topk": (q_tfidf_doc_topk, _sql_tfidf_doc_topk()),
     "bm25_rank": (q_bm25_rank, _sql_bm25_rank()),
     "bloom_decontaminate": (q_bloom_decontaminate,
                             _sql_bloom_decontaminate()),

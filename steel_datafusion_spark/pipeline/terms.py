@@ -40,6 +40,7 @@ from .text import sql_tokens, tokens
 __all__ = [
     "heavy_hitters", "classifier_score", "with_classifier",
     "sql_heavy_hitters", "sql_classifier_score",
+    "tfidf_doc_topk", "sql_tfidf_doc_topk",
 ]
 
 
@@ -134,3 +135,129 @@ def sql_classifier_score(col: str) -> tuple[str, str]:
              f"ELSE round({wsum} / (500.0 * {n}), 6) END")
     label = f"coalesce({wsum} > 0, false)"
     return score, label
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF document similarity (inverted-index top-k)
+# ---------------------------------------------------------------------------
+
+def tfidf_doc_topk(
+    df: DataFrame, k: int = 5, id_col: str = "doc_id",
+    text_col: str = "text", ngram: int = 3, max_df: int = 100,
+) -> DataFrame:
+    """(doc_id, neighbor_id, sim, rank): each document's k most similar
+    peers by TF-IDF-weighted cosine over ``ngram``-token shingle phrases —
+    the SPARSE half of the similarity family (embedding_neardup/
+    cosine_topk are the dense half): no model, exact phrase evidence,
+    and the inverted index IS the candidate structure.
+
+    Plan: tokens → shingle stream (map-side slice window, no join) →
+    per-(doc, shingle) tf → shingle df; shingles with df > ``max_df``
+    drop BEFORE the postings join (stop-phrase guard — df caps every
+    shingle's pair fan-out at C(max_df, 2), the same occupancy bound as
+    ngram_jaccard's); idf = ln((N+1)/(df+1)) + 1; per-doc L2 norms from
+    one doc-keyed aggregate (over the post-cap space — similarity lives
+    in the capped space on both engines); the postings self-join keys on
+    the SHINGLE (fine-grained), pair dots sum 9dp-rounded weight products
+    as exact decimals (order-independent), and one doc-keyed window takes
+    top-k over both pair orientations.
+
+    At 100 TB: every key in every shuffle is a shingle or a doc id —
+    fine-grained; quadratic exposure is bounded by max_df; and the heavy
+    stream (postings) carries 3 columns."""
+    from pyspark.sql import Window
+
+    from ..cache import track
+
+    toks = tokens(F.col(text_col))
+    sh_arr = F.when(F.size(toks) < ngram, F.array(
+        F.array_join(toks, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (ngram - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + off)
+                       for off in range(ngram)])))
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    sh = df.select(F.col(id_col), F.explode(sh_arr).alias("s"))
+    tf = track(sh.groupBy(id_col, "s")
+               .agg(F.count(F.lit(1)).alias("tf")).persist())
+    dfreq = (tf.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
+             .filter(F.col("df_") <= max_df))
+    w = (tf.join(dfreq, "s")
+         .crossJoin(F.broadcast(n_docs))
+         .select(F.col(id_col), "s",
+                 (F.col("tf") * (F.log((F.col("_n") + 1.0)
+                                       / (F.col("df_") + 1.0)) + 1.0))
+                 .alias("w")))
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.round(F.col("w") * F.col("w"), 9)
+                     .cast("decimal(30,9)")).cast("double")).alias("nrm"))
+    wn = track(
+        w.join(norms, id_col)
+        .select(F.col(id_col), "s", (F.col("w") / F.col("nrm")).alias("wn"))
+        .persist())
+    pa = wn.select(F.col("s"), F.col(id_col).alias("a"),
+                   F.col("wn").alias("wa"))
+    pb = wn.select(F.col("s"), F.col(id_col).alias("b"),
+                   F.col("wn").alias("wb"))
+    dots = (pa.join(pb, "s")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum(F.round(F.col("wa") * F.col("wb"), 9)
+                       .cast("decimal(30,9)")).alias("d")))
+    both = (dots.select(F.col("a").alias(id_col),
+                        F.col("b").alias("neighbor_id"), "d")
+            .union(dots.select(F.col("b").alias(id_col),
+                               F.col("a").alias("neighbor_id"), "d")))
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (both.select(id_col, "neighbor_id",
+                        F.round(F.col("d").cast("double"), 6).alias("sim"))
+            .withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k))
+
+
+def sql_tfidf_doc_topk(table: str, k: int = 5, id_col: str = "doc_id",
+                       text_col: str = "text", ngram: int = 3,
+                       max_df: int = 100) -> str:
+    """DuckDB mirror of ``tfidf_doc_topk``."""
+    toks = sql_tokens(text_col)
+    return f"""
+WITH td_tok AS (SELECT {id_col}, {toks} AS t FROM {table}),
+td_sh AS (
+  SELECT {id_col},
+    unnest(CASE WHEN len(t) < {ngram} THEN [array_to_string(t, ' ')]
+      ELSE list_transform(generate_series(1, len(t) - {ngram - 1}),
+        i -> array_to_string(list_slice(t, i, i + {ngram - 1}), ' ')) END)
+      AS s
+  FROM td_tok),
+td_tf AS (SELECT {id_col}, s, COUNT(*) AS tf FROM td_sh
+          GROUP BY {id_col}, s),
+td_n AS (SELECT COUNT(*)::DOUBLE AS n FROM {table}),
+td_df AS (SELECT s, COUNT(*) AS df_ FROM td_tf GROUP BY s
+          HAVING COUNT(*) <= {max_df}),
+td_w AS (
+  SELECT {id_col}, s, tf * (ln((n.n + 1.0) / (df_ + 1.0)) + 1.0) AS w
+  FROM td_tf JOIN td_df USING (s), td_n n),
+td_nrm AS (
+  SELECT {id_col},
+    sqrt(SUM(round(w * w, 9)::DECIMAL(30,9))::DOUBLE) AS nrm
+  FROM td_w GROUP BY {id_col}),
+td_wn AS (
+  SELECT {id_col}, s, w / nrm AS wn FROM td_w JOIN td_nrm USING ({id_col})),
+td_dots AS (
+  SELECT a.{id_col} AS a, b.{id_col} AS b,
+    SUM(round(a.wn * b.wn, 9)::DECIMAL(30,9)) AS d
+  FROM td_wn a JOIN td_wn b ON a.s = b.s AND a.{id_col} < b.{id_col}
+  GROUP BY a.{id_col}, b.{id_col}),
+td_both AS (
+  SELECT a AS {id_col}, b AS neighbor_id, d FROM td_dots
+  UNION ALL
+  SELECT b, a, d FROM td_dots)
+SELECT {id_col}, neighbor_id, sim, rank FROM (
+  SELECT {id_col}, neighbor_id, round(d::DOUBLE, 6) AS sim,
+    row_number() OVER (PARTITION BY {id_col}
+                       ORDER BY round(d::DOUBLE, 6) DESC,
+                                neighbor_id ASC)::INT AS rank
+  FROM td_both) WHERE rank <= {k}
+"""

@@ -180,3 +180,57 @@ def test_merge_agg_state_disjoint_and_empty_sides(spark):
     again = {r["k"]: r.asDict()
              for r in merge_agg_state(left, empty, ["k"]).collect()}
     assert again[1]["n"] == 1 and again[1]["mn"] == 2.0
+
+
+# ---------------------------------------------------------------------------
+# tfidf_doc_topk
+# ---------------------------------------------------------------------------
+
+def test_tfidf_doc_topk_finds_shared_phrases(spark):
+    from steel_datafusion_spark.pipeline.terms import tfidf_doc_topk
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma other words here"),       # shares a phrase w/1
+        (3, "completely different text with nothing shared"),
+        (4, "completely different text plus extra tail"),  # shares w/3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_id"], r["rank"]): r["neighbor_id"]
+           for r in tfidf_doc_topk(df, k=2, max_df=3).collect()}
+    assert out[(1, 1)] == 2 and out[(2, 1)] == 1
+    assert out[(3, 1)] == 4 and out[(4, 1)] == 3
+    # cross-group pairs share no shingle at all -> absent
+    assert (1, 2) not in out or out[(1, 2)] in (2,)
+
+
+def test_tfidf_doc_topk_max_df_drops_stop_phrases(spark):
+    from steel_datafusion_spark.pipeline.terms import tfidf_doc_topk
+
+    # every doc shares the same boilerplate phrase; with max_df=2 the
+    # boilerplate shingles (df=4) drop, so only the planted pair remains
+    rows = [(i, f"the common boilerplate line unique{i} word{i}")
+            for i in range(4)]
+    rows.append((100, "planted rare phrase match one two"))
+    rows.append((101, "planted rare phrase match six seven"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_doc_topk(df, k=3, max_df=2).collect()
+    pairs = {(r["doc_id"], r["neighbor_id"]) for r in out}
+    assert (100, 101) in pairs and (101, 100) in pairs
+    assert all(r["doc_id"] >= 100 for r in out), pairs
+
+
+def test_tfidf_doc_topk_matches_duckdb(spark, duck):
+    import os
+
+    from steel_datafusion_spark import load_tables
+    from steel_datafusion_spark.pipeline.terms import (
+        sql_tfidf_doc_topk, tfidf_doc_topk,
+    )
+    from tests.conftest import assert_df_matches_duck
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = load_tables(spark, sf)["documents"].select("doc_id", "text")
+    assert_df_matches_duck(
+        tfidf_doc_topk(d, k=3, max_df=50), duck,
+        sql_tfidf_doc_topk("documents", k=3, max_df=50))
