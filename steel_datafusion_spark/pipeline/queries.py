@@ -3357,6 +3357,48 @@ def _sql_robust_stats() -> str:
     return sql_grouped_median_mad("events", ["event_type"], "value")
 
 
+def q_streaming_view_maintenance(spark, sf_dir):
+    """Streaming incremental view maintenance (streaming/operators.py
+    streaming_view_maintenance): the events stream drives, 8 files per
+    trigger, a per-event-type count/sum/min/max state table through
+    cdc.agg_state + merge_agg_state — one versioned parquet state per
+    micro-batch, history never rescanned.  The oracle recomputes the
+    aggregate FROM SCRATCH over all events, so the hash proves the
+    batch-chopped merge chain is bit-identical to a full rescan
+    (mergeable state + exact decimal sums = trigger-count-invariant)."""
+    import shutil
+    import uuid
+
+    from ..streaming.operators import streaming_view_maintenance
+
+    from ..queries import scratch_dir
+    base = scratch_dir(spark, sf_dir, "stream_gate")
+    src = _os.path.join(base, "src")
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    if key not in _STREAM_SRC_BUILT or not _os.path.exists(src):
+        shutil.rmtree(base, ignore_errors=True)
+        load_tables(spark, sf_dir)["events"].write.mode(
+            "overwrite").parquet(src)
+        _STREAM_SRC_BUILT.add(key)
+    run_id = uuid.uuid4().hex[:8]
+    work = _os.path.join(base, f"ivm-{run_id}")
+    batch = spark.read.parquet(src)
+    state = streaming_view_maintenance(
+        spark, src, batch.schema, ["event_type"], "value", work,
+        max_files_per_trigger=8)
+    return state.select(
+        "event_type", "n", F.col("s").cast("double").alias("total"),
+        F.round("mn", 6).alias("mn"), F.round("mx", 6).alias("mx"))
+
+
+_SQL_STREAMING_IVM = """
+SELECT event_type, COUNT(*)::BIGINT AS n,
+  SUM(round(value, 9)::DECIMAL(20,9))::DOUBLE AS total,
+  round(MIN(value), 6) AS mn, round(MAX(value), 6) AS mx
+FROM events GROUP BY event_type
+"""
+
+
 def q_streaming_windowed(spark, sf_dir):
     """Tumbling-window streaming rollup as a HASH gate (companion to
     streaming_sessions — covers the windowed-aggregate operator): 1-hour
@@ -4016,6 +4058,8 @@ PIPELINE_QUERIES = {
     "html_strip": (q_html_strip, _sql_html_strip()),
     "streaming_sessions": (q_streaming_sessions, _SQL_STREAMING_SESSIONS),
     "streaming_windowed": (q_streaming_windowed, _SQL_STREAMING_WINDOWED),
+    "streaming_view_maintenance": (q_streaming_view_maintenance,
+                                   _SQL_STREAMING_IVM),
     "streaming_join": (q_streaming_join, _SQL_STREAMING_JOIN),
     "streaming_hopping": (q_streaming_hopping, _SQL_STREAMING_HOPPING),
     "streaming_enrich": (q_streaming_enrich, _SQL_STREAMING_ENRICH),

@@ -359,3 +359,31 @@ def test_streaming_dedup_gate_proves_dedup(spark, duck):
     n_dup = control.agg(F.sum("n")).collect()[0][0]
     n_clean = deduped.agg(F.sum("n")).collect()[0][0]
     assert n_dup > n_clean  # the planted copies really inflate the rollup
+
+
+def test_streaming_view_maintenance_matches_batch_agg(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.pipeline.cdc import agg_state
+    from steel_datafusion_spark.streaming.operators import (
+        streaming_view_maintenance,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [(i % 3, float((i * 37) % 100) - 50.0) for i in range(300)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    # several files -> several micro-batches at max_files_per_trigger=1
+    df.repartition(5).write.parquet(src)
+    import glob
+    n_files = len(glob.glob(src + "/*.parquet"))
+    assert n_files >= 4
+
+    got = streaming_view_maintenance(
+        spark, src, df.schema, ["k"], "v", str(tmp_path / "work"),
+        max_files_per_trigger=1)
+    want = {r["k"]: r.asDict() for r in agg_state(df, ["k"], "v").collect()}
+    got_d = {r["k"]: r.asDict() for r in got.collect()}
+    assert got_d == want
+    # versioned state dirs prove the chain really ran multiple merges
+    versions = glob.glob(str(tmp_path / "work" / "state_v*"))
+    assert len(versions) >= 4
