@@ -3357,6 +3357,82 @@ def _sql_robust_stats() -> str:
     return sql_grouped_median_mad("events", ["event_type"], "value")
 
 
+def q_streaming_join_outer(spark, sf_dir):
+    """Stream↔stream LEFT OUTER interval join (streaming/operators.py
+    stream_stream_join(how='left_outer')): view→purchase attribution
+    where unconverted views ALSO emit (null purchase) — the semantics the
+    inner-join gate can't cover, and the one that needs real watermark
+    machinery: Spark finalizes a non-match only once the watermark passes
+    the row's join horizon.  The finite drive therefore appends TWO
+    sentinel files past the last real event and triggers per-file — the
+    first advances the watermark beyond every real horizon, the second's
+    batch evicts-and-emits the unmatched state (sentinels filter out of
+    the result).  Oracle: the equivalent batch left range-join; matching
+    hashes prove every unmatched view flushed exactly once."""
+    import shutil
+    import uuid
+    from datetime import timedelta
+
+    from ..streaming.operators import (
+        read_stream_parquet, run_stream_to_parquet, stream_stream_join,
+    )
+
+    from ..queries import scratch_dir
+    base = scratch_dir(spark, sf_dir, "stream_outer_gate")
+    src = _os.path.join(base, "src")
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir),
+           "outer")
+    if key not in _STREAM_SRC_BUILT or not _os.path.exists(src):
+        shutil.rmtree(base, ignore_errors=True)
+        ev = (load_tables(spark, sf_dir)["events"]
+              .filter(F.col("event_type").isin("view", "purchase"))
+              .filter(F.col("user_id") % 5 == 0)
+              .select("event_id", "ts", "user_id", "event_type", "value"))
+        ev.coalesce(3).write.mode("overwrite").parquet(src)
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        for i, hours in enumerate((10, 12)):
+            sent = spark.createDataFrame(
+                [(-1 - i, max_ts + timedelta(hours=hours), -1, t, 0.0)
+                 for t in ("view", "purchase")],
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double")
+            sent.coalesce(1).write.mode("append").parquet(src)
+        _STREAM_SRC_BUILT.add(key)
+    run_id = uuid.uuid4().hex[:8]
+    out = _os.path.join(base, f"oout-{run_id}")
+    ckpt = _os.path.join(base, f"ockpt-{run_id}")
+    batch = spark.read.parquet(src)
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    views = stream.filter(F.col("event_type") == "view") \
+        .select("user_id", "ts", "event_id")
+    buys = stream.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "event_id", "value")
+    joined = stream_stream_join(views, buys, key_col="user_id",
+                                ts_col="ts", within="30 minutes",
+                                how="left_outer")
+    got = run_stream_to_parquet(joined, out, ckpt)
+    return (got.filter(F.col("user_id") >= 0)
+            .select("user_id",
+                    F.col("event_id").alias("view_id"),
+                    F.col("r_event_id").alias("purchase_id"),
+                    F.col("r_event_id").isNotNull().alias("converted")))
+
+
+_SQL_STREAMING_JOIN_OUTER = """
+WITH src AS (
+  SELECT * FROM events
+  WHERE event_type IN ('view', 'purchase') AND user_id % 5 = 0),
+v AS (SELECT user_id, ts, event_id FROM src WHERE event_type = 'view'),
+b AS (SELECT user_id, ts, event_id FROM src WHERE event_type = 'purchase')
+SELECT v.user_id, v.event_id AS view_id, b.event_id AS purchase_id,
+  b.event_id IS NOT NULL AS converted
+FROM v LEFT JOIN b
+  ON v.user_id = b.user_id
+ AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 30 MINUTE
+"""
+
+
 def q_streaming_view_maintenance(spark, sf_dir):
     """Streaming incremental view maintenance (streaming/operators.py
     streaming_view_maintenance): the events stream drives, 8 files per
@@ -4060,6 +4136,8 @@ PIPELINE_QUERIES = {
     "streaming_windowed": (q_streaming_windowed, _SQL_STREAMING_WINDOWED),
     "streaming_view_maintenance": (q_streaming_view_maintenance,
                                    _SQL_STREAMING_IVM),
+    "streaming_join_outer": (q_streaming_join_outer,
+                             _SQL_STREAMING_JOIN_OUTER),
     "streaming_join": (q_streaming_join, _SQL_STREAMING_JOIN),
     "streaming_hopping": (q_streaming_hopping, _SQL_STREAMING_HOPPING),
     "streaming_enrich": (q_streaming_enrich, _SQL_STREAMING_ENRICH),

@@ -140,6 +140,7 @@ def stream_stream_join(
     ts_col: str = "ts",
     within: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream↔stream interval join (attribution shape): each left event
     pairs with every right event of the same key whose timestamp falls in
@@ -155,7 +156,15 @@ def stream_stream_join(
     Columns: left keeps its names; right's key/ts are exposed as
     ``r_<key>``/``r_<ts>`` plus any other right columns prefixed ``r_``.
     Works identically on batch DataFrames (no watermark applied) — the
-    parity tests exploit that."""
+    parity tests exploit that.
+
+    ``how='left_outer'`` emits null-matched left rows — but ONLY once the
+    watermark passes a row's join horizon (Spark cannot finalize a
+    non-match earlier; an unmatched row near the stream's end stays in
+    state forever on a finite drive).  Finite drives that need the full
+    outer result must advance the watermark past the last real event —
+    e.g. append sentinel rows in a later file and trigger per-file
+    (the streaming_join_outer gate shows the recipe)."""
     l = _ensure_event_time(left, ts_col)
     r = _ensure_event_time(right, ts_col)
     if l.isStreaming:
@@ -169,7 +178,7 @@ def stream_stream_join(
         & (F.col(f"r_{ts_col}")
            <= F.col(ts_col) + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def run_stream_to_memory(stream_df: DataFrame, query_name: str,
