@@ -3295,6 +3295,74 @@ def _sql_zorder_skipping() -> str:
                                      _ZORDER_PREDS)
 
 
+def q_schema_evolution(spark, sf_dir):
+    """Schema-evolution read (mergeSchema): two parquet generations land
+    in one table directory — v1 rows lack the o_orderpriority column that
+    v2 adds — and a mergeSchema read unions them by NAME, nulling the
+    missing column (the lakehouse schema-drift contract; bare
+    positional/strict readers would refuse or misalign).  The gate
+    aggregates over the merged frame with the null group made explicit;
+    the oracle recomputes the expected merge closed-form from the source
+    table, so a wrong union (dropped column, misaligned rows, non-null
+    backfill) hash-mismatches.  Scale note: mergeSchema's cost is footer
+    reads at PLANNING time — schema merge never touches row data."""
+    import shutil
+
+    from ..queries import scratch_dir
+    base = scratch_dir(spark, sf_dir, "schema_evo")
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir),
+           "schema_evo")
+    if key not in _STREAM_SRC_BUILT or not _os.path.exists(base):
+        shutil.rmtree(base, ignore_errors=True)
+        o = load_tables(spark, sf_dir)["orders"]
+        v1 = (o.filter(F.col("o_orderkey") % 2 == 0)
+              .select("o_orderkey", "o_totalprice"))
+        v2 = (o.filter(F.col("o_orderkey") % 2 == 1)
+              .select("o_orderkey", "o_totalprice", "o_orderpriority"))
+        v1.write.mode("append").parquet(base)
+        v2.write.mode("append").parquet(base)
+        _STREAM_SRC_BUILT.add(key)
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return (merged
+            .groupBy(F.coalesce("o_orderpriority", F.lit("MISSING"))
+                     .alias("pri"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(F.round(F.col("o_totalprice"), 9)
+                       .cast("decimal(20,9)")).cast("double")
+                 .alias("total"))
+            .orderBy("pri"))
+
+
+_SQL_SCHEMA_EVOLUTION = """
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+            ELSE 'MISSING' END AS pri,
+  COUNT(*)::BIGINT AS n,
+  SUM(round(o_totalprice, 9)::DECIMAL(20,9))::DOUBLE AS total
+FROM orders GROUP BY 1 ORDER BY pri
+"""
+
+
+def q_debounce_events(spark, sf_dir):
+    """Burst-collapse debounce (pipeline/rollup.py debounce_events): per
+    (user_id, event_type), events closer than 5 minutes collapse to their
+    first occurrence (+ burst_size audit column).  One key exchange, two
+    window passes over a total (ts, event_id) order — hash-exact against
+    the identical DuckDB window chain."""
+    from .rollup import debounce_events
+
+    ev = load_tables(spark, sf_dir)["events"]
+    out = debounce_events(ev, ["user_id", "event_type"], gap="5 minutes")
+    return out.select("event_id", "user_id", "event_type", "burst_size")
+
+
+def _sql_debounce_events() -> str:
+    from .rollup import sql_debounce_events
+
+    return sql_debounce_events(
+        "events", ["user_id", "event_type"], gap="5 minutes",
+        select_cols="event_id, user_id, event_type")
+
+
 def q_compaction_plan(spark, sf_dir):
     """Small-file compaction planning (sources/layout.py plan_compaction —
     the OPTIMIZE bin-packing half): a deterministic file listing derived
@@ -4146,6 +4214,8 @@ PIPELINE_QUERIES = {
     "dsir_select": (q_dsir_select, _sql_dsir_select()),
     "zorder_skipping": (q_zorder_skipping, _sql_zorder_skipping()),
     "compaction_plan": (q_compaction_plan, _sql_compaction_plan()),
+    "debounce_events": (q_debounce_events, _sql_debounce_events()),
+    "schema_evolution": (q_schema_evolution, _SQL_SCHEMA_EVOLUTION),
     "bpe_segment_tokens": (q_bpe_segment_tokens, _sql_bpe_segment_gate()),
     "skew_diagnose": (q_skew_diagnose, _sql_skew_diagnose()),
     "logreg_quality": (q_logreg_quality, _sql_logreg_quality()),

@@ -24,7 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["time_rollup", "rollup_refresh", "cascade_rollup",
+__all__ = ["debounce_events", "sql_debounce_events",
+           "time_rollup", "rollup_refresh", "cascade_rollup",
            "gapfill", "sql_gapfill", "ROLLUP_COLS"]
 
 ROLLUP_COLS = ("n", "sum_value", "min_value", "max_value")
@@ -219,4 +220,80 @@ WINDOW wp AS (PARTITION BY k ORDER BY b
        wn AS (PARTITION BY k ORDER BY b
               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 ORDER BY {key_col}, bucket_ts
+"""
+
+
+def debounce_events(
+    events: DataFrame, key_cols, ts_col: str = "ts",
+    gap: str = "5 minutes", id_col: str = "event_id",
+) -> DataFrame:
+    """Burst-collapse ("debounce"): within each key, consecutive events
+    closer than ``gap`` form one burst, and only the burst's FIRST event
+    survives — the batch analogue of a sensor/click debouncer and the
+    session boundary rule (gap > g starts a new burst), applied as a keep
+    filter instead of an aggregate.
+
+    Output: the surviving rows plus ``burst_size`` (how many events the
+    kept row absorbed) — enough to audit what was dropped.
+
+    Plan: ONE exchange on the key, then two window passes over the
+    in-partition (ts, id) order: lag() marks burst starts (a new burst
+    when the gap from the predecessor exceeds ``gap``), a running sum
+    numbers the bursts, and the keep filter + size aggregate are
+    per-(key, burst).  The (ts, id) order is total, so the result is a
+    pure function of the input — hash-oracle safe."""
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    order = [F.col(ts_col).asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    marked = events.withColumn(
+        "_new_burst",
+        F.when(F.lag(ts_col).over(w).isNull(), 1)
+        .when(F.col(ts_col) > F.lag(ts_col).over(w) + gap_expr, 1)
+        .otherwise(0))
+    burst = marked.withColumn(
+        "_burst", F.sum("_new_burst").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    wb = Window.partitionBy(*keys, "_burst")
+    return (burst
+            .withColumn("burst_size", F.count(F.lit(1)).over(wb)
+                        .cast("long"))
+            .withColumn("_rn", F.row_number().over(
+                Window.partitionBy(*keys, "_burst").orderBy(*order)))
+            .filter(F.col("_rn") == 1)
+            .drop("_new_burst", "_burst", "_rn"))
+
+
+def sql_debounce_events(
+    table: str, key_cols, ts_col: str = "ts",
+    gap: str = "5 minutes", id_col: str = "event_id",
+    select_cols: str = "*",
+) -> str:
+    """DuckDB mirror of ``debounce_events``."""
+    keys = ", ".join(key_cols)
+    return f"""
+WITH db_m AS (
+  SELECT *, CASE
+    WHEN lag({ts_col}) OVER w IS NULL THEN 1
+    WHEN {ts_col} > lag({ts_col}) OVER w + INTERVAL {gap} THEN 1
+    ELSE 0 END AS new_burst
+  FROM {table}
+  WINDOW w AS (PARTITION BY {keys} ORDER BY {ts_col}, {id_col})
+),
+db_b AS (
+  SELECT *, SUM(new_burst) OVER (PARTITION BY {keys}
+    ORDER BY {ts_col}, {id_col}
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst
+  FROM db_m
+),
+db_k AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY {keys}, burst)::BIGINT
+      AS burst_size,
+    row_number() OVER (PARTITION BY {keys}, burst
+                       ORDER BY {ts_col}, {id_col}) AS rn
+  FROM db_b
+)
+SELECT {select_cols}, burst_size FROM db_k WHERE rn = 1
 """

@@ -234,3 +234,68 @@ def test_tfidf_doc_topk_matches_duckdb(spark, duck):
     assert_df_matches_duck(
         tfidf_doc_topk(d, k=3, max_df=50), duck,
         sql_tfidf_doc_topk("documents", k=3, max_df=50))
+
+
+# ---------------------------------------------------------------------------
+# debounce_events
+# ---------------------------------------------------------------------------
+
+def test_debounce_collapses_bursts(spark):
+    from datetime import datetime
+
+    from steel_datafusion_spark.pipeline.rollup import debounce_events
+
+    def t(m, s=0):
+        return datetime(2026, 1, 1, 10, m, s)
+
+    rows = [
+        (1, 1, "click", t(0)),     # burst 1 start
+        (2, 1, "click", t(2)),     #   within 5m
+        (3, 1, "click", t(4)),     #   within 5m of #2
+        (4, 1, "click", t(20)),    # burst 2 (gap 16m)
+        (5, 1, "view",  t(1)),     # different type: own burst
+        (6, 2, "click", t(3)),     # different user: own burst
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp")
+    out = {r["event_id"]: r["burst_size"]
+           for r in debounce_events(df, ["user_id", "event_type"],
+                                    gap="5 minutes").collect()}
+    assert out == {1: 3, 4: 1, 5: 1, 6: 1}
+
+
+def test_debounce_chain_semantics_gap_from_predecessor(spark):
+    from datetime import datetime
+
+    from steel_datafusion_spark.pipeline.rollup import debounce_events
+
+    # events every 4 minutes for 20 minutes: each is within gap of its
+    # PREDECESSOR, so the whole chain is ONE burst even though the last
+    # is 20m from the first (chained debounce, not windowed)
+    rows = [(i, 1, "c", datetime(2026, 1, 1, 10, 4 * i))
+            for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp")
+    out = debounce_events(df, ["user_id", "event_type"],
+                          gap="5 minutes").collect()
+    assert len(out) == 1
+    assert out[0]["event_id"] == 0 and out[0]["burst_size"] == 6
+
+
+# ---------------------------------------------------------------------------
+# schema evolution (mergeSchema)
+# ---------------------------------------------------------------------------
+
+def test_merge_schema_read_nulls_missing_column(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, 10.0)], "k long, v double") \
+        .write.mode("append").parquet(base)
+    spark.createDataFrame([(2, 20.0, "x")], "k long, v double, tag string") \
+        .write.mode("append").parquet(base)
+    got = {r["k"]: r.asDict() for r in
+           spark.read.option("mergeSchema", "true").parquet(base).collect()}
+    assert set(got[1]) == {"k", "v", "tag"}
+    assert got[1]["tag"] is None and got[2]["tag"] == "x"
+    assert got[1]["v"] == 10.0 and got[2]["v"] == 20.0
