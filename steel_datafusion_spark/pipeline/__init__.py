@@ -22,12 +22,22 @@ source_overlap_matrix), DSIR importance resampling (selection.py:
 hashed n-gram target/pool models, Gumbel top-k), logistic-regression
 quality-filter training (classifier.py: one aggregation per GD
 iteration, oracle-unrolled trajectory), distributed BPE learn+apply
-(bpe.py), weighted PageRank / triangle counting (graph.py), time-bucket
-gap filling with LOCF/linear interpolation (rollup.py gapfill), and —
-in the sibling packages — Z-order clustering layout (sources/layout.py),
-shuffle-key skew diagnosis + exact join-cardinality pre-flight
-(operators/skew.py), and declarative data-quality expectations
-(operators/expectations.py).
+(bpe.py), weighted PageRank / triangle counting / deterministic
+label-propagation communities (graph.py), time-bucket gap filling with
+LOCF/linear interpolation and chained event debounce (rollup.py),
+real VIDEO decode (codecs.py decode_avi: RIFF/AVI raw-DIB + MJPEG, all
+three modalities genuine), CCNet-style interpolated-LM perplexity
+bucketing and HTML stripping (scoring.py / text.py), sparse TF-IDF
+document similarity + hard-negative mining (terms.py / similarity.py),
+distributed PCA (similarity.py embedding_covariance + driver
+eigenstep), best-member dedup representatives (dedup.py), market-basket
+association rules (basket.py), incremental aggregate-view maintenance
+(cdc.py agg_state/merge_agg_state; streamed via
+streaming.operators.streaming_view_maintenance), and — in the sibling
+packages — Z-order clustering layout + small-file compaction planning
+(sources/layout.py), shuffle-key skew diagnosis + exact
+join-cardinality pre-flight (operators/skew.py), and declarative
+data-quality expectations (operators/expectations.py).
 
 Submodules are imported lazily by the operators that need them; import
 directly for explicit use::
