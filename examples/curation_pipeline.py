@@ -8,9 +8,11 @@ own barriers:
     raw docs
       → exact dedup            (md5 fingerprint, keep min doc_id)
       → near-dup clustering    (MinHash+LSH pairs → connected components,
-                                keep each cluster's canonical doc)
+                                keep each cluster's BEST member)
       → decontamination        (drop docs sharing 5-grams with the eval set)
       → repetition quality     (Gopher top-2-gram / dup-5-gram thresholds)
+      → perplexity gate        (CCNet-style interpolated-LM buckets,
+                                broadcast-cuts mode — drop the tail third)
       → mixture resampling     (deterministic md5 coin toward target
                                 source weights)
       → train/val/test split   (hash thresholds — anti-leak)
@@ -53,12 +55,16 @@ def main() -> None:
         dup_ids = exact_dedup(docs).filter(F.col("is_dup")).select("doc_id")
         survivors = docs.join(dup_ids, "doc_id", "left_anti")
 
-        # 2. near-dup clusters: keep each cluster's canonical (min id) doc
+        # 2. near-dup clusters: keep each cluster's BEST member (longest
+        # text — near-dup classes usually hold one full doc and several
+        # truncated variants), not an arbitrary min-id one
+        from steel_datafusion_spark.pipeline.dedup import (
+            keep_best_representatives,
+        )
         pairs = minhash_dedup_pairs(survivors, threshold=0.8)
         clusters = connected_components(pairs)
-        losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")) \
-                         .select("doc_id")
-        survivors = survivors.join(losers, "doc_id", "left_anti")
+        survivors = keep_best_representatives(survivors, clusters,
+                                              F.length("text"))
 
         # 3. decontamination vs a (stand-in) benchmark set
         eval_set = docs.filter(F.col("doc_id") % 97 == 0)
@@ -105,6 +111,15 @@ def main() -> None:
         survivors = survivors.join(
             survivors.filter(tgt).select("doc_id").unionByName(picked)
             .distinct(), "doc_id")
+
+        # 4e. perplexity gate: CCNet-style interpolated-LM buckets over
+        # the surviving corpus — drop the worst (tail) third
+        from steel_datafusion_spark.pipeline.scoring import (
+            perplexity_buckets,
+        )
+        tail = (perplexity_buckets(survivors, n_buckets=3, mode="cuts")
+                .filter(F.col("bucket") == 3).select("doc_id"))
+        survivors = survivors.join(tail, "doc_id", "left_anti")
 
         # 5. mixture: skew toward the first five sources
         targets = {f"src{i}": w for i, w in
