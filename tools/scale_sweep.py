@@ -60,7 +60,13 @@ OPS = ["dedup_minhash_lsh", "dedup_index_probe", "dedup_clusters_twophase",
        # the lang split and word structure); zorder_skipping/skew_diagnose
        # ride the events table (copied AS-IS) so they sweep the real range
        # only and are cheap enough not to need it.
-       "dsir_select", "bpe_segment_tokens"]
+       "dsir_select", "bpe_segment_tokens",
+       # round-9 continuation: sparse TF-IDF similarity, perplexity
+       # buckets, and best-member dedup scale over the synthetic document
+       # decades; label_propagation / association_rules ride
+       # lineitem/orders (copied AS-IS) so they sweep the real range only.
+       "tfidf_doc_topk", "perplexity_buckets", "dedup_keep_best",
+       "label_propagation", "association_rules"]
 SF1X_DIR = "/tmp/sdf_scale_sf1x"
 SF10X_DIR = "/tmp/sdf_scale_sf10x"
 REPS = 2
