@@ -2501,17 +2501,20 @@ def q_tfidf_doc_topk(spark, sf_dir):
     per-doc top-5 peers by TF-IDF-weighted cosine over 3-token shingle
     phrases — the inverted-index (model-free) half of the similarity
     family.  Stop-phrase df cap bounds every shingle's pair fan-out at
-    C(max_df, 2); decimal dot sums keep the score hash-exact."""
+    C(max_df, 2) — max_df=30 keeps the pair stream ~10x smaller than a
+    df-100 cap at sf0.1's tiny shared vocabulary (measured 24 s -> ~3 s)
+    while still admitting any phrase rarer than 6% of the sf0.01 corpus;
+    decimal dot sums keep the score hash-exact."""
     from .terms import tfidf_doc_topk
 
     d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
-    return tfidf_doc_topk(d, k=5, max_df=100)
+    return tfidf_doc_topk(d, k=5, max_df=30)
 
 
 def _sql_tfidf_doc_topk() -> str:
     from .terms import sql_tfidf_doc_topk
 
-    return sql_tfidf_doc_topk("documents", k=5, max_df=100)
+    return sql_tfidf_doc_topk("documents", k=5, max_df=30)
 
 
 def q_perplexity_buckets(spark, sf_dir):

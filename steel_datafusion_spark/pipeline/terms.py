@@ -169,16 +169,27 @@ def tfidf_doc_topk(
 
     from ..cache import track
 
-    toks = tokens(F.col(text_col))
-    sh_arr = F.when(F.size(toks) < ngram, F.array(
-        F.array_join(toks, " "))).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (ngram - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + off)
-                       for off in range(ngram)])))
     n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
-    sh = df.select(F.col(id_col), F.explode(sh_arr).alias("s"))
+    # Tokenize ONCE per doc below the exchange, shingle above it: the
+    # repartition both spreads the work (a small parquet source arrives
+    # as ONE input split — scoring._spread rationale) and materializes
+    # the token array, so each element_at reads the shuffled array
+    # instead of re-running the tokenizer per position (which is
+    # O(len^2) regex work; measured 20 s -> ~1 s for the shingle stream
+    # at sf0.1).
+    parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    tok = (df.repartition(parts)
+           .select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+           .repartition(parts, F.col(id_col)))
+    t = F.col("_t")
+    sh_arr = F.when(F.size(t) < ngram, F.array(
+        F.array_join(t, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (ngram - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + off)
+                       for off in range(ngram)])))
+    sh = tok.select(F.col(id_col), F.explode(sh_arr).alias("s"))
     tf = track(sh.groupBy(id_col, "s")
                .agg(F.count(F.lit(1)).alias("tf")).persist())
     dfreq = (tf.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
