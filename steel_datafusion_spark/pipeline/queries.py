@@ -2517,6 +2517,25 @@ def _sql_tfidf_doc_topk() -> str:
     return sql_tfidf_doc_topk("documents", k=5, max_df=30)
 
 
+def q_source_kl(spark, sf_dir):
+    """Source-mixture divergence (pipeline/terms.py source_kl_divergence):
+    per-source KL of the smoothed unigram distribution from the corpus
+    blend, in bits — the data-mixing diagnostic that feeds mixture-weight
+    decisions.  One token explode, all aggregates term- or group-keyed,
+    corpus counts derived from the group table (one scan)."""
+    from .terms import source_kl_divergence
+
+    d = load_tables(spark, sf_dir)["documents"] \
+        .select("doc_id", "source", "text")
+    return source_kl_divergence(d)
+
+
+def _sql_source_kl() -> str:
+    from .terms import sql_source_kl_divergence
+
+    return sql_source_kl_divergence("documents")
+
+
 def q_perplexity_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing (pipeline/scoring.py
     perplexity_buckets): every document scored by a Jelinek-Mercer
@@ -3342,6 +3361,52 @@ SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
   COUNT(*)::BIGINT AS n,
   SUM(round(o_totalprice, 9)::DECIMAL(20,9))::DOUBLE AS total
 FROM orders GROUP BY 1 ORDER BY pri
+"""
+
+
+def q_csv_dirty_read(spark, sf_dir):
+    """Dirty-CSV ingestion (sources/readers.py read_csv_permissive): a
+    deterministic CSV derived from documents (every 7th row's int column
+    is the unparseable token 'oops') reads back in PERMISSIVE mode —
+    malformed rows null out and land in the quarantine column instead of
+    failing the load.  The gate rolls up good vs corrupt; the oracle
+    recomputes the expected split closed-form, so a reader that drops,
+    misparses, or mis-quarantines rows hash-mismatches."""
+    import shutil
+
+    from ..queries import scratch_dir
+    base = scratch_dir(spark, sf_dir, "dirty_csv")
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir),
+           "dirty_csv")
+    if key not in _STREAM_SRC_BUILT or not _os.path.exists(base):
+        shutil.rmtree(base, ignore_errors=True)
+        d = load_tables(spark, sf_dir)["documents"] \
+            .filter(F.col("doc_id") < 100)
+        lines = d.select(F.concat(
+            F.col("doc_id").cast("string"), F.lit(","),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("oops"))
+            .otherwise((F.col("doc_id") * 3).cast("string"))
+        ).alias("value"))
+        lines.coalesce(2).write.mode("overwrite").text(base)
+        _STREAM_SRC_BUILT.add(key)
+    from ..sources.readers import read_csv_permissive
+
+    df = read_csv_permissive(spark, base, "id int, val int")
+    return (df.groupBy(F.col("_corrupt_record").isNotNull()
+                       .alias("is_corrupt"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("val").cast("long").alias("sum_val"),
+                 F.sum("id").cast("long").alias("sum_id"))
+            .orderBy("is_corrupt"))
+
+
+_SQL_CSV_DIRTY = """
+SELECT (doc_id % 7 = 0) AS is_corrupt, COUNT(*)::BIGINT AS n,
+  CASE WHEN doc_id % 7 = 0 THEN NULL
+       ELSE SUM(doc_id * 3) END::BIGINT AS sum_val,
+  SUM(doc_id)::BIGINT AS sum_id
+FROM documents WHERE doc_id < 100
+GROUP BY doc_id % 7 = 0 ORDER BY is_corrupt
 """
 
 
@@ -4180,6 +4245,7 @@ PIPELINE_QUERIES = {
     "bigram_logprob": (q_bigram_logprob, _sql_bigram_logprob()),
     "perplexity_buckets": (q_perplexity_buckets, _sql_perplexity_buckets()),
     "tfidf_doc_topk": (q_tfidf_doc_topk, _sql_tfidf_doc_topk()),
+    "source_kl": (q_source_kl, _sql_source_kl()),
     "bm25_rank": (q_bm25_rank, _sql_bm25_rank()),
     "bloom_decontaminate": (q_bloom_decontaminate,
                             _sql_bloom_decontaminate()),
@@ -4219,6 +4285,7 @@ PIPELINE_QUERIES = {
     "compaction_plan": (q_compaction_plan, _sql_compaction_plan()),
     "debounce_events": (q_debounce_events, _sql_debounce_events()),
     "schema_evolution": (q_schema_evolution, _SQL_SCHEMA_EVOLUTION),
+    "csv_dirty_read": (q_csv_dirty_read, _SQL_CSV_DIRTY),
     "bpe_segment_tokens": (q_bpe_segment_tokens, _sql_bpe_segment_gate()),
     "skew_diagnose": (q_skew_diagnose, _sql_skew_diagnose()),
     "logreg_quality": (q_logreg_quality, _sql_logreg_quality()),

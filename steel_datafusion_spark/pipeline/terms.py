@@ -41,6 +41,7 @@ __all__ = [
     "heavy_hitters", "classifier_score", "with_classifier",
     "sql_heavy_hitters", "sql_classifier_score",
     "tfidf_doc_topk", "sql_tfidf_doc_topk",
+    "source_kl_divergence", "sql_source_kl_divergence",
 ]
 
 
@@ -271,4 +272,91 @@ SELECT {id_col}, neighbor_id, sim, rank FROM (
                        ORDER BY round(d::DOUBLE, 6) DESC,
                                 neighbor_id ASC)::INT AS rank
   FROM td_both) WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture divergence (data-mixing diagnostic)
+# ---------------------------------------------------------------------------
+
+def source_kl_divergence(
+    df: DataFrame, group_col: str = "source", id_col: str = "doc_id",
+    text_col: str = "text", alpha: float = 0.5,
+) -> DataFrame:
+    """(group, n_tokens, vocab, kl_bits): per-source KL divergence of the
+    source's add-alpha-smoothed unigram distribution from the whole
+    corpus's — the data-mixing diagnostic (which sources are
+    distributionally far from the blend they'll be mixed into; feeds
+    mixture-weight and curriculum decisions).
+
+    KL(P_src || P_corpus) = Σ_t P_src(t) · log2(P_src(t) / P_corpus(t)),
+    summed over the CORPUS vocabulary with both estimators add-alpha
+    smoothed over that same vocabulary (so every term has mass on both
+    sides and the sum is finite).  Per-term contributions round to 9dp
+    and sum as exact decimals — order-independent, hash-oracle safe.
+
+    Plan: one token explode → (group, term) counts (fine-grained keys);
+    corpus counts derive FROM the group table (never a second corpus
+    scan); the join is (group-vocab × 1) on the term key; totals are
+    1-row broadcasts.  Nothing is ever keyed coarser than a term."""
+    from ..cache import track
+
+    parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    tok = (df.repartition(parts)
+           .select(F.col(group_col).alias("g"),
+                   F.explode(tokens(F.col(text_col))).alias("t")))
+    gc = track(tok.groupBy("g", "t").agg(F.count(F.lit(1)).alias("c"))
+               .persist())
+    cc = gc.groupBy("t").agg(F.sum("c").alias("cc"))
+    vocab = cc.agg(F.count(F.lit(1)).cast("double").alias("_v"),
+                   F.sum("cc").cast("double").alias("_nc"))
+    gtot = gc.groupBy("g").agg(F.sum("c").cast("double").alias("ng"))
+    # every (group, corpus-term) pair needs mass: right-join group counts
+    # onto the corpus vocabulary per group
+    grid = (gtot.crossJoin(cc)
+            .join(gc, ["g", "t"], "left")
+            .crossJoin(F.broadcast(vocab)))
+    p_src = (F.coalesce(F.col("c"), F.lit(0)) + F.lit(alpha)) \
+        / (F.col("ng") + F.lit(alpha) * F.col("_v"))
+    p_cor = (F.col("cc") + F.lit(alpha)) \
+        / (F.col("_nc") + F.lit(alpha) * F.col("_v"))
+    contrib = F.round(p_src * F.log2(p_src / p_cor), 9) \
+        .cast("decimal(20,9)")
+    return (grid.groupBy("g")
+            .agg(F.max("ng").alias("_ng"),
+                 F.count(F.lit(1)).cast("long").alias("vocab"),
+                 F.sum(contrib).alias("_kl"))
+            .select(F.col("g").alias(group_col),
+                    F.col("_ng").cast("long").alias("n_tokens"),
+                    "vocab",
+                    F.round(F.col("_kl").cast("double"), 6)
+                    .alias("kl_bits")))
+
+
+def sql_source_kl_divergence(
+    table: str, group_col: str = "source", text_col: str = "text",
+    alpha: float = 0.5,
+) -> str:
+    """DuckDB mirror of ``source_kl_divergence``."""
+    toks = sql_tokens(text_col)
+    return f"""
+WITH kl_tok AS (
+  SELECT {group_col} AS g, unnest({toks}) AS t FROM {table}
+),
+kl_gc AS (SELECT g, t, COUNT(*) AS c FROM kl_tok GROUP BY g, t),
+kl_cc AS (SELECT t, SUM(c)::BIGINT AS cc FROM kl_gc GROUP BY t),
+kl_v AS (SELECT COUNT(*)::DOUBLE AS v, SUM(cc)::DOUBLE AS nc FROM kl_cc),
+kl_gt AS (SELECT g, SUM(c)::DOUBLE AS ng FROM kl_gc GROUP BY g),
+kl_grid AS (
+  SELECT gt.g, gt.ng, c.t, c.cc, coalesce(gc.c, 0) AS c
+  FROM kl_gt gt CROSS JOIN kl_cc c
+  LEFT JOIN kl_gc gc ON gc.g = gt.g AND gc.t = c.t
+)
+SELECT g AS {group_col}, MAX(ng)::BIGINT AS n_tokens,
+  COUNT(*)::BIGINT AS vocab,
+  round(SUM(round(((c + {alpha}) / (ng + {alpha} * v.v))
+        * log2(((c + {alpha}) / (ng + {alpha} * v.v))
+               / ((cc + {alpha}) / (v.nc + {alpha} * v.v))),
+        9)::DECIMAL(20,9))::DOUBLE, 6) AS kl_bits
+FROM kl_grid, kl_v v GROUP BY g
 """

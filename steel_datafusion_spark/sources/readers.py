@@ -18,7 +18,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_csv", "read_json", "read_orc", "read_parquet", "load_tables",
+__all__ = ["read_csv", "read_csv_permissive", "read_json", "read_orc",
+           "read_parquet", "load_tables",
            "write_parquet", "write_json", "write_csv", "write_orc", "merge_upsert",
            "TABLE_NAMES"]
 
@@ -333,3 +334,23 @@ def _merge_upsert_partitioned(spark: SparkSession, table_dir: str,
         if os.path.exists(bak):
             shutil.rmtree(bak)
     shutil.rmtree(tmp)
+
+
+def read_csv_permissive(spark: SparkSession, path: str, schema_ddl: str,
+                        corrupt_col: str = "_corrupt_record") -> DataFrame:
+    """CSV ingestion that SURVIVES dirty data instead of failing the job:
+    PERMISSIVE mode parses what it can, nulls what it can't, and lands
+    the raw offending line in ``corrupt_col`` — the quarantine-column
+    pattern every web-scale ingest needs (FAILFAST kills a 100 TB load
+    on line one; DROPMALFORMED silently loses data; PERMISSIVE keeps the
+    evidence routable to a dead-letter sink).
+
+    ``schema_ddl`` is the expected schema as a DDL string; the corrupt
+    column is appended automatically.  Malformed rows are exactly the
+    rows where ``corrupt_col`` is not null."""
+    full = f"{schema_ddl}, {corrupt_col} string"
+    return (spark.read
+            .schema(full)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt_col)
+            .csv(path))

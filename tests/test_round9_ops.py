@@ -299,3 +299,55 @@ def test_merge_schema_read_nulls_missing_column(spark, tmp_path):
     assert set(got[1]) == {"k", "v", "tag"}
     assert got[1]["tag"] is None and got[2]["tag"] == "x"
     assert got[1]["v"] == 10.0 and got[2]["v"] == 20.0
+
+
+# ---------------------------------------------------------------------------
+# source_kl_divergence
+# ---------------------------------------------------------------------------
+
+def test_source_kl_far_source_scores_higher(spark):
+    from steel_datafusion_spark.pipeline.terms import source_kl_divergence
+
+    rows = [(i, "a", "common words shared by both typical sources")
+            for i in range(10)]
+    rows += [(100 + i, "b", "common words shared by both typical sources")
+             for i in range(10)]
+    rows += [(200 + i, "weird", "zebra quark xylophone obelisk glyph runic")
+             for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, "
+                                     "text string")
+    out = {r["source"]: r.asDict()
+           for r in source_kl_divergence(df).collect()}
+    # identical sources diverge equally (and little); the alien source most
+    assert abs(out["a"]["kl_bits"] - out["b"]["kl_bits"]) < 1e-9
+    assert out["weird"]["kl_bits"] > out["a"]["kl_bits"] * 2
+    # every group sums over the full corpus vocabulary
+    assert len({out[g]["vocab"] for g in out}) == 1
+
+
+def test_source_kl_identical_mixture_is_near_zero(spark):
+    from steel_datafusion_spark.pipeline.terms import source_kl_divergence
+
+    rows = [(i, f"s{i % 2}", "one two three four five") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, "
+                                     "text string")
+    out = source_kl_divergence(df).collect()
+    assert all(abs(r["kl_bits"]) < 1e-6 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# read_csv_permissive
+# ---------------------------------------------------------------------------
+
+def test_read_csv_permissive_quarantines_bad_rows(spark, tmp_path):
+    from steel_datafusion_spark.sources.readers import read_csv_permissive
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("1,10\n2,oops\n3,30\nnot,even,close\n")
+    df = read_csv_permissive(spark, str(p), "id int, val int")
+    rows = {r["id"]: r.asDict() for r in df.collect()}
+    assert rows[1]["val"] == 10 and rows[1]["_corrupt_record"] is None
+    assert rows[2]["val"] is None
+    assert rows[2]["_corrupt_record"] == "2,oops"
+    bad = [r for r in rows.values() if r["_corrupt_record"] is not None]
+    assert len(bad) == 2                     # type error + arity error
