@@ -28,17 +28,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..hints import DEFAULT_BROADCAST_ROWS, broadcast_if_small
+
 __all__ = ["association_rules", "sql_association_rules"]
 
 
 def association_rules(
     df: DataFrame, basket_col: str, item_col: str,
     min_pair_count: int = 2, max_basket: int | None = None,
+    broadcast_limit: int | None = DEFAULT_BROADCAST_ROWS,
 ) -> DataFrame:
     """(item_a, item_b, pair_count, support, conf_a_b, conf_b_a, lift)
     for every unordered item pair co-occurring in at least
     ``min_pair_count`` baskets.  ``lift > 1`` means the pair co-occurs
-    more than independence predicts — the association worth surfacing."""
+    more than independence predicts — the association worth surfacing.
+
+    Scale: the per-item count frame is VOCABULARY-proportional — 10⁷-10⁸
+    items in real retail/co-occurrence corpora — so attaching counts to
+    the pair table is size-guarded: vocabularies under
+    ``broadcast_limit`` rows broadcast (map-side join); larger ones fall
+    through to plain shuffled hash joins on ``item_a``/``item_b`` (the
+    pair table is already item-keyed, so each costs one exchange)."""
     bi = (df.select(F.col(basket_col).alias("basket"),
                     F.col(item_col).alias("item"))
           .distinct())
@@ -67,8 +77,8 @@ def association_rules(
                             F.col("c_item").alias("c_a"))
     cb = item_counts.select(F.col("item").alias("item_b"),
                             F.col("c_item").alias("c_b"))
-    return (pairs.join(F.broadcast(ca), "item_a")
-            .join(F.broadcast(cb), "item_b")
+    return (pairs.join(broadcast_if_small(ca, broadcast_limit), "item_a")
+            .join(broadcast_if_small(cb, broadcast_limit), "item_b")
             .crossJoin(F.broadcast(n_baskets))
             .select(
                 "item_a", "item_b", "pair_count",
@@ -88,8 +98,10 @@ def sql_association_rules(
 ) -> str:
     """DuckDB mirror of ``association_rules``."""
     cap = (f",\nar_sz AS (SELECT basket FROM ar_bi GROUP BY basket "
-           f"HAVING COUNT(*) <= {max_basket})" if max_basket else "")
-    src = ("ar_bi JOIN ar_sz USING (basket)" if max_basket else "ar_bi")
+           f"HAVING COUNT(*) <= {max_basket})"
+           if max_basket is not None else "")
+    src = ("ar_bi JOIN ar_sz USING (basket)" if max_basket is not None
+           else "ar_bi")
     return f"""
 WITH ar_bi0 AS (
   SELECT DISTINCT {basket_col} AS basket, {item_col} AS item FROM {table}

@@ -188,16 +188,19 @@ def scd2_apply(
 def agg_state(df: DataFrame, key_cols: Sequence[str],
               value_col: str) -> DataFrame:
     """Mergeable per-key aggregate state over ``value_col``: (keys..., n,
-    s, mn, mx) with the sum carried as an exact DECIMAL(20,9) of
-    9dp-rounded inputs — order-independent, so states built from any
-    partitioning of the data merge to identical bits.  This is the
-    partial half of every distributive aggregate (count/sum/min/max, avg
-    derives as s/n) — the representation a materialized view stores so a
-    snapshot delta can refresh it WITHOUT rescanning history."""
+    s, mn, mx) with the sum carried as an exact DECIMAL(30,9) of
+    9dp-rounded inputs (each input fits (20,9); the sum gets 10 more
+    integer digits, so a standing view absorbs ~10^21 worth of 9dp values
+    before overflow — wide enough for a 100 TB view under ANSI mode) —
+    order-independent, so states built from any partitioning of the data
+    merge to identical bits.  This is the partial half of every
+    distributive aggregate (count/sum/min/max, avg derives as s/n) — the
+    representation a materialized view stores so a snapshot delta can
+    refresh it WITHOUT rescanning history."""
     return df.groupBy(*key_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.round(F.col(value_col), 9).cast("decimal(20,9)"))
-        .alias("s"),
+        .cast("decimal(30,9)").alias("s"),
         F.min(F.col(value_col).cast("double")).alias("mn"),
         F.max(F.col(value_col).cast("double")).alias("mx"))
 
@@ -218,9 +221,9 @@ def merge_agg_state(state: DataFrame, delta: DataFrame,
         *keys,
         (F.coalesce(s["n"], F.lit(0)) + F.coalesce(d["n"], F.lit(0)))
         .cast("long").alias("n"),
-        (F.coalesce(s["s"], F.lit(0).cast("decimal(20,9)"))
-         + F.coalesce(d["s"], F.lit(0).cast("decimal(20,9)")))
-        .cast("decimal(20,9)").alias("s"),
+        (F.coalesce(s["s"], F.lit(0).cast("decimal(30,9)"))
+         + F.coalesce(d["s"], F.lit(0).cast("decimal(30,9)")))
+        .cast("decimal(30,9)").alias("s"),
         F.least(F.coalesce(s["mn"], d["mn"]),
                 F.coalesce(d["mn"], s["mn"])).alias("mn"),
         F.greatest(F.coalesce(s["mx"], d["mx"]),
@@ -233,7 +236,7 @@ def sql_agg_state(table: str, key_cols: Sequence[str],
     keys = ", ".join(key_cols)
     return f"""
 SELECT {keys}, COUNT(*)::BIGINT AS n,
-  SUM(round({value_col}, 9)::DECIMAL(20,9))::DECIMAL(20,9) AS s,
+  SUM(round({value_col}, 9)::DECIMAL(20,9))::DECIMAL(30,9) AS s,
   MIN({value_col}::DOUBLE) AS mn, MAX({value_col}::DOUBLE) AS mx
 FROM {table} GROUP BY {keys}
 """

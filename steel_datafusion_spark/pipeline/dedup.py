@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..cache import track
+from ..hints import DEFAULT_BROADCAST_ROWS, broadcast_if_small
 from ..sources.bucketing import write_bucketed
 from .text import fingerprint, sql_norm, tokens
 
@@ -811,7 +812,9 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
 
 
 def keep_representatives(corpus: DataFrame, clusters: DataFrame,
-                         id_col: str = "doc_id") -> DataFrame:
+                         id_col: str = "doc_id",
+                         broadcast_limit: int | None = DEFAULT_BROADCAST_ROWS,
+                         ) -> DataFrame:
     """Apply resolved dedup clusters to the corpus: keep each cluster's
     representative (its minimum doc id — which IS ``cluster_id`` by the
     ``connected_components`` contract) and every singleton, drop the rest.
@@ -819,13 +822,17 @@ def keep_representatives(corpus: DataFrame, clusters: DataFrame,
     one document per near-dup class.
 
     Scale: the drop list (cluster members minus representatives) is
-    proportional to the DUPLICATE count, not the corpus — typically a small
-    fraction, so the left-anti join broadcasts it and the corpus streams
-    through map-side with no shuffle.  Column-pruned: only doc ids leave
-    the clusters frame."""
+    proportional to the DUPLICATE count, not the corpus — but at web-crawl
+    duplicate rates (30-50%) that IS corpus-order, so the broadcast is
+    size-guarded: a bounded count ≤ ``broadcast_limit`` rows broadcasts
+    the drop list and the corpus streams through a map-side anti-join with
+    no shuffle; anything larger falls through to a plain shuffled
+    anti-join on the id (one exchange, still linear, never an executor
+    OOM).  Column-pruned: only doc ids leave the clusters frame."""
     drop = (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
             .select(F.col("doc_id").alias(id_col)))
-    return corpus.join(F.broadcast(drop), id_col, "left_anti")
+    return corpus.join(broadcast_if_small(drop, broadcast_limit),
+                       id_col, "left_anti")
 
 
 def dedup_corpus(df: DataFrame, id_col: str = "doc_id",
@@ -1096,6 +1103,7 @@ def source_overlap_sketch(
 def keep_best_representatives(
     corpus: DataFrame, clusters: DataFrame, score,
     id_col: str = "doc_id",
+    broadcast_limit: int | None = DEFAULT_BROADCAST_ROWS,
 ) -> DataFrame:
     """Apply resolved dedup clusters keeping each cluster's BEST member by
     ``score`` (a Column over corpus rows — quality score, length, recency)
@@ -1105,19 +1113,25 @@ def keep_best_representatives(
     near-dup classes usually contain one full document and several
     truncated/boilerplated variants, and min-id keeps an arbitrary one.
 
-    Scale: the clusters frame is proportional to the DUPLICATE count, not
-    the corpus, so scoring members is one broadcast join; the per-cluster
-    argmax is a window over that same small set; and the resulting drop
-    list broadcasts into a left-anti probe the corpus streams through
-    map-side — the corpus itself never shuffles."""
+    Scale: the clusters frame and the drop list derived from it are
+    proportional to the DUPLICATE count — corpus-order at web-crawl dup
+    rates (30-50%) — so both joins are size-guarded: under
+    ``broadcast_limit`` rows they broadcast (scoring is a map-side join,
+    the final anti-probe streams the corpus with no shuffle); over it
+    they fall through to shuffled hash joins on the id (one exchange
+    each, linear, never an OOM).  The per-cluster argmax is a window over
+    the members frame either way."""
     from pyspark.sql import Window
 
     members = (corpus.select(F.col(id_col), score.alias("_score"))
-               .join(F.broadcast(clusters.select(id_col, "cluster_id")),
+               .join(broadcast_if_small(
+                         clusters.select(id_col, "cluster_id"),
+                         broadcast_limit),
                      id_col))
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("_score").desc(), F.col(id_col).asc())
     drop = (members.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") > 1)
             .select(F.col(id_col)))
-    return corpus.join(F.broadcast(drop), id_col, "left_anti")
+    return corpus.join(broadcast_if_small(drop, broadcast_limit),
+                       id_col, "left_anti")

@@ -3526,6 +3526,19 @@ def q_streaming_join_outer(spark, sf_dir):
               .select("event_id", "ts", "user_id", "event_type", "value"))
         ev.coalesce(3).write.mode("overwrite").parquet(src)
         max_ts = ev.agg(F.max("ts")).first()[0]
+
+        # FileStreamSource orders files by MODIFICATION TIME — the two
+        # watermark-advancing sentinels must be processed after every real
+        # data file, and on a coarse-mtime filesystem a same-second write
+        # could sort first (watermark races ahead, real joins drop).  Set
+        # explicit strictly-increasing mtimes on each sentinel's part
+        # files instead of trusting write-order.
+        def _parts(d):
+            return {_os.path.join(d, f) for f in _os.listdir(d)
+                    if f.startswith("part-")}
+
+        seen = _parts(src)
+        base_mtime = max(_os.path.getmtime(p) for p in seen)
         for i, hours in enumerate((10, 12)):
             sent = spark.createDataFrame(
                 [(-1 - i, max_ts + timedelta(hours=hours), -1, t, 0.0)
@@ -3533,6 +3546,11 @@ def q_streaming_join_outer(spark, sf_dir):
                 "event_id long, ts timestamp, user_id long, "
                 "event_type string, value double")
             sent.coalesce(1).write.mode("append").parquet(src)
+            cur = _parts(src)
+            t_sent = base_mtime + 10.0 * (i + 1)
+            for p in cur - seen:
+                _os.utime(p, (t_sent, t_sent))
+            seen = cur
         _STREAM_SRC_BUILT.add(key)
     run_id = uuid.uuid4().hex[:8]
     out = _os.path.join(base, f"oout-{run_id}")

@@ -34,7 +34,8 @@ __all__ = ["sq8_stats", "sq8_error_stats", "sql_sq8_error_stats",
            "hyperplanes", "normalize_l2", "pq_codebooks", "pq_encode",
            "pq_topk", "SQL_COSINE",
            "embedding_covariance", "sql_embedding_covariance",
-           "pca_components", "pca_project", "hard_negatives"]
+           "pca_components", "pca_project", "hard_negatives",
+           "hard_negatives_ivf"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -212,10 +213,13 @@ def cosine_neardup_pairs(
 def ivf_assign(
     corpus: DataFrame, centroid_mod: int = 100,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    carry: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic IVF coarse quantizer: centroids = vectors whose id ≡ 0
     (mod centroid_mod); every corpus vector is assigned to its max-cosine
     centroid (tie → smallest centroid id).  Returns (centroids, assignment).
+    ``carry`` names extra corpus columns to keep on the assignment rows
+    (e.g. a label for hard-negative mining) without a second corpus join.
 
     Scale: centroids are tiny (N/centroid_mod) ⇒ broadcast; assignment is one
     map-side join + window, partitioned by vec_id."""
@@ -223,16 +227,18 @@ def ivf_assign(
                  .select(F.col(id_col).alias("centroid_id"),
                          F.col(vec_col).alias("centv"))
     parts = corpus.sparkSession.sparkContext.defaultParallelism * 2
+    extra = [F.col(c) for c in carry]
     c = corpus.repartition(parts, F.col(id_col)).select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), *extra)
     scored = c.join(F.broadcast(cent)).select(
-        "vid", "v", "centroid_id",
+        "vid", "v", *carry, "centroid_id",
         F.round(cosine(F.col("v"), F.col("centv")), 6).alias("cscore"),
     )
     w = Window.partitionBy("vid").orderBy(F.col("cscore").desc(),
                                           F.col("centroid_id").asc())
     assign = (scored.withColumn("r", F.row_number().over(w))
-              .filter(F.col("r") == 1).select("vid", "v", "centroid_id"))
+              .filter(F.col("r") == 1)
+              .select("vid", "v", *carry, "centroid_id"))
     return cent, assign
 
 
@@ -950,21 +956,36 @@ def hard_negatives(
     df: DataFrame, k: int = 5, id_col: str = "vec_id",
     vec_col: str = "embedding", label_col: str = "label",
     anchors: DataFrame | None = None,
+    max_anchors: int = 100_000,
 ) -> DataFrame:
     """(anchor_id, neighbor_id, score, rank): for each anchor, the k
     OTHER-labeled vectors most similar to it — hard-negative mining, the
     contrastive-training data op (easy negatives are random; the ones
     that move the loss are near the anchor with a different label).
 
-    Scale: the anchor set broadcasts (mining runs over a sampled/batched
-    anchor set by nature — the corpus side never shuffles for the join);
-    scoring is map-side cosine; WindowGroupLimit prunes to k per
-    partition before the single anchor-key exchange.  For corpus-scale
-    anchor sets, run batched (the ann_recall amortization note) or swap
-    the exact scorer for ivf_topk/lsh_topk — same output contract."""
+    Scale: this is the EXACT scorer — the anchor set broadcasts into a
+    nested-loop join (the non-equi ``label != label`` condition has no
+    shuffle-join form), so the anchor set MUST be small.  That envelope is
+    enforced, not assumed: a bounded count caps the anchor frame (the
+    default ``anchors=None`` scores ``df`` against itself, which is
+    quadratic) at ``max_anchors`` rows and raises pointing at
+    :func:`hard_negatives_ivf` (or ``ivf_topk``/``lsh_topk`` + a label
+    filter) for corpus-scale mining.  Within the envelope: scoring is
+    map-side cosine, WindowGroupLimit prunes to k per partition before
+    the single anchor-key exchange."""
     a = (anchors if anchors is not None else df).select(
         F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("av"),
         F.col(label_col).alias("a_label"))
+    a = track(a.persist())
+    n = a.limit(max_anchors + 1).count()
+    if n > max_anchors:
+        raise ValueError(
+            f"hard_negatives anchor set exceeds max_anchors={max_anchors} "
+            f"rows (the exact scorer broadcasts anchors into a nested-loop "
+            f"join — corpus-scale anchor sets would OOM executors and go "
+            f"quadratic). Pass a sampled `anchors` frame, raise "
+            f"`max_anchors` deliberately, or use hard_negatives_ivf / "
+            f"ivf_topk / lsh_topk for the corpus-scale path.")
     parts = df.sparkSession.sparkContext.defaultParallelism * 2
     c = df.repartition(parts, F.col(id_col)).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
@@ -973,6 +994,50 @@ def hard_negatives(
               .select("anchor_id", "neighbor_id",
                       F.round(cosine(F.col("av"), F.col("cv")), 6)
                       .alias("score")))
+    w = Window.partitionBy("anchor_id").orderBy(F.col("score").desc(),
+                                                F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("anchor_id", "neighbor_id", "score", "rank"))
+
+
+def hard_negatives_ivf(
+    df: DataFrame, k: int = 5, nprobe: int = 2, centroid_mod: int = 100,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Corpus-scale hard-negative mining: every vector is an anchor, and
+    candidates come from the anchor's ``nprobe`` best IVF buckets instead
+    of the whole corpus — the approximate path :func:`hard_negatives`'
+    guard points at.  Same output contract (anchor_id, neighbor_id,
+    score, rank); recall vs the exact scorer depends on the quantizer,
+    exactly as ``ivf_topk`` vs ``brute_topk``.
+
+    Scale: no broadcast of anything corpus-sized — centroids (N /
+    centroid_mod rows) broadcast, probing is a map-side join + per-anchor
+    window, and candidate generation is ONE shuffle join on centroid_id
+    whose per-key fan-out is bounded by bucket occupancy × nprobe.  The
+    label filter rides the candidate join; the final top-k is one
+    anchor-key window with WindowGroupLimit."""
+    cent, assign = ivf_assign(df, centroid_mod, id_col, vec_col,
+                              carry=(label_col,))
+    q = df.select(F.col(id_col).alias("anchor_id"),
+                  F.col(vec_col).alias("qv"),
+                  F.col(label_col).alias("a_label"))
+    qs = q.join(F.broadcast(cent)).select(
+        "anchor_id", "qv", "a_label", "centroid_id",
+        F.round(cosine(F.col("qv"), F.col("centv")), 6).alias("cscore"))
+    wq = Window.partitionBy("anchor_id").orderBy(F.col("cscore").desc(),
+                                                 F.col("centroid_id").asc())
+    probes = (qs.withColumn("r", F.row_number().over(wq))
+              .filter(F.col("r") <= nprobe)
+              .select("anchor_id", "qv", "a_label", "centroid_id"))
+    cand = (probes.join(assign, "centroid_id")
+            .filter((F.col("anchor_id") != F.col("vid"))
+                    & (F.col("a_label") != F.col(label_col))))
+    scored = cand.select(
+        "anchor_id", F.col("vid").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("score"))
     w = Window.partitionBy("anchor_id").orderBy(F.col("score").desc(),
                                                 F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

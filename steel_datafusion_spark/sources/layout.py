@@ -294,8 +294,13 @@ def plan_compaction(
          .orderBy(F.col(size_col).desc(), F.col(path_col).asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = F.sum(F.when(small, F.col(size_col)).otherwise(0)).over(w)
-    bin_id = F.floor((cum - F.col(size_col)) / F.lit(target_bytes))
-    return files.select(
+    # integer `div`, not double-divide-then-floor: past 2^53 cumulative
+    # bytes the double mantissa rounds and the DuckDB mirror's exact `//`
+    # would assign a different bin
+    staged = files.select(*part, path_col, size_col,
+                          cum.cast("long").alias("_cum"))
+    bin_id = F.expr(f"(_cum - {size_col}) div {int(target_bytes)}")
+    return staged.select(
         *part, path_col, size_col,
         F.when(small, F.lit("compact")).otherwise(F.lit("keep"))
         .alias("action"),

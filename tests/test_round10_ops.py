@@ -1,0 +1,212 @@
+"""Round-10 operators and guards: size-guarded broadcasts in the dedup
+apply step / association rules, the hard-negative anchor cap + the IVF
+corpus-scale variant, and the compaction planner's integer bin math."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def no_auto_broadcast(spark):
+    """Disable Catalyst's stats-driven broadcasts so any BroadcastExchange
+    in a plan must come from an explicit hint — isolates the guard."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _corpus_and_clusters(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}", float(i % 5)) for i in range(30)],
+        "doc_id long, text string, quality double")
+    # clusters: {0,1,2} -> 0, {10,11} -> 10, rest singletons (absent)
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long")
+    return corpus, clusters
+
+
+# ---------------------------------------------------------------------------
+# size-guarded broadcast: dedup apply step
+# ---------------------------------------------------------------------------
+
+def test_keep_representatives_guard_paths_identical(spark, no_auto_broadcast):
+    from steel_datafusion_spark.pipeline.dedup import keep_representatives
+
+    corpus, clusters = _corpus_and_clusters(spark)
+    want = sorted([0, 10] + [i for i in range(30) if i not in
+                             (0, 1, 2, 10, 11)])
+    small = keep_representatives(corpus, clusters)
+    assert sorted(r.doc_id for r in small.collect()) == want
+    # under the guard threshold: drop list broadcasts (map-side anti-join)
+    assert "BroadcastExchange" in _plan(small)
+    # clear the guard's persisted intermediates so the forced variant
+    # re-plans from scratch instead of replaying a cached broadcast plan
+    spark.catalog.clearCache()
+    forced_shuffle = keep_representatives(corpus, clusters,
+                                          broadcast_limit=0)
+    assert sorted(r.doc_id for r in forced_shuffle.collect()) == want
+    # over it (limit=0 forces the large branch): plain shuffled anti-join,
+    # no broadcast anywhere — the plan that can't OOM at 50% dup rates
+    assert "BroadcastExchange" not in _plan(forced_shuffle)
+
+
+def test_keep_best_representatives_guard_paths_identical(
+        spark, no_auto_broadcast):
+    from steel_datafusion_spark.pipeline.dedup import (
+        keep_best_representatives,
+    )
+
+    corpus, clusters = _corpus_and_clusters(spark)
+    score = F.col("quality")
+    # cluster {0,1,2}: quality = 0,1,2 -> keep 2; {10,11}: 0,1 -> keep 11
+    want = sorted([2, 11] + [i for i in range(30) if i not in
+                             (0, 1, 2, 10, 11)])
+    small = keep_best_representatives(corpus, clusters, score)
+    assert sorted(r.doc_id for r in small.collect()) == want
+    assert "BroadcastExchange" in _plan(small)
+    spark.catalog.clearCache()
+    forced = keep_best_representatives(corpus, clusters, score,
+                                       broadcast_limit=0)
+    assert sorted(r.doc_id for r in forced.collect()) == want
+    assert "BroadcastExchange" not in _plan(forced)
+
+
+# ---------------------------------------------------------------------------
+# size-guarded broadcast: association rules item counts
+# ---------------------------------------------------------------------------
+
+def test_association_rules_guard_paths_identical(spark, no_auto_broadcast):
+    from steel_datafusion_spark.pipeline.basket import association_rules
+
+    rows = [(b, it) for b in range(12)
+            for it in (["x", "y"] if b % 2 == 0 else ["x", "z"])]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    canon = lambda d: sorted(  # noqa: E731
+        (r.item_a, r.item_b, r.pair_count, r.support, r.conf_a_b,
+         r.conf_b_a, r.lift) for r in d.collect())
+    small = association_rules(df, "basket", "item", min_pair_count=1)
+    got_small = canon(small)
+    plan_small = _plan(small)
+    spark.catalog.clearCache()
+    forced = association_rules(df, "basket", "item", min_pair_count=1,
+                               broadcast_limit=0)
+    assert got_small == canon(forced)
+    # the guarded path still broadcasts the 1-row n_baskets scalar (a
+    # forced, size-safe broadcast) — so assert specifically that the
+    # item-count HASH joins lost their BroadcastExchange
+    assert "BroadcastHashJoin" in plan_small
+    assert "BroadcastHashJoin" not in _plan(forced)
+
+
+def test_sql_association_rules_max_basket_zero_matches_engine(spark, duck):
+    """ADVICE r9: max_basket=0 must cap in BOTH engines (the SQL mirror
+    used truthiness and skipped the cap)."""
+    from steel_datafusion_spark.pipeline.basket import (
+        association_rules, sql_association_rules,
+    )
+
+    rows = [(b, it) for b in range(6) for it in ("x", "y")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = association_rules(df, "basket", "item", min_pair_count=1,
+                            max_basket=0)
+    assert got.count() == 0  # every basket has 2 items > 0 cap
+    duck.execute(
+        "CREATE OR REPLACE TABLE ar10 AS SELECT * FROM (VALUES "
+        + ", ".join(f"({b}, '{it}')" for b, it in rows)
+        + ") t(basket, item)")
+    sql = sql_association_rules("ar10", "basket", "item",
+                                min_pair_count=1, max_basket=0)
+    assert len(duck.execute(sql).fetchall()) == 0
+
+
+# ---------------------------------------------------------------------------
+# hard_negatives anchor cap + IVF variant
+# ---------------------------------------------------------------------------
+
+def _vec_df(spark, n=24):
+    rows = [(i, [float((i * 7 + d * 3) % 11 - 5) / 5.0 + 0.01
+                 for d in range(4)], i % 3) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_hard_negatives_anchor_cap_fires(spark):
+    from steel_datafusion_spark.pipeline.similarity import hard_negatives
+
+    df = _vec_df(spark)
+    with pytest.raises(ValueError, match="hard_negatives_ivf"):
+        hard_negatives(df, k=2, max_anchors=3)
+    # explicit small anchors under the cap still work
+    out = hard_negatives(df, k=2, anchors=df.filter(F.col("vec_id") < 3),
+                         max_anchors=3)
+    assert out.count() == 6
+
+
+def test_hard_negatives_ivf_matches_exact_when_probing_everything(spark):
+    """centroid_mod=1 makes every vector a centroid (its own bucket);
+    probing n buckets covers the whole corpus, so the IVF path must
+    reproduce the exact scorer bit-for-bit."""
+    from steel_datafusion_spark.pipeline.similarity import (
+        hard_negatives, hard_negatives_ivf,
+    )
+
+    df = _vec_df(spark, n=12)
+    exact = sorted((r.anchor_id, r.neighbor_id, r.score, r.rank)
+                   for r in hard_negatives(df, k=3).collect())
+    ivf = sorted((r.anchor_id, r.neighbor_id, r.score, r.rank)
+                 for r in hard_negatives_ivf(
+                     df, k=3, nprobe=12, centroid_mod=1).collect())
+    assert ivf == exact
+
+
+def test_hard_negatives_ivf_no_corpus_broadcast(spark, no_auto_broadcast):
+    """The corpus-scale path must not broadcast anything corpus-sized:
+    the only BroadcastExchanges are the centroid table (N/centroid_mod
+    rows by construction)."""
+    from steel_datafusion_spark.pipeline.similarity import hard_negatives_ivf
+
+    df = _vec_df(spark, n=24)
+    out = hard_negatives_ivf(df, k=2, nprobe=1, centroid_mod=6)
+    plan = _plan(out)
+    # the two centroid-table joins ARE broadcast nested loops (build side
+    # = N/centroid_mod rows, bounded by construction); the corpus-sized
+    # candidate join must key on centroid_id through a shuffle, never a
+    # broadcast of assignments or probes
+    assert "SortMergeJoin [centroid_id" in plan \
+        or "ShuffledHashJoin [centroid_id" in plan, plan
+    rows = out.collect()
+    assert all(r.rank <= 2 for r in rows)
+    labels = {r.vec_id: r.label for r in df.collect()}
+    assert all(labels[r.anchor_id] != labels[r.neighbor_id] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# compaction planner integer bin math (ADVICE r9)
+# ---------------------------------------------------------------------------
+
+def test_plan_compaction_integer_bins_past_double_precision(spark):
+    """Cumulative small-file bytes past 2^53: double divide-then-floor
+    misassigns bins; integer `div` must match exact // arithmetic."""
+    from steel_datafusion_spark.sources.layout import plan_compaction
+
+    big = 2 ** 53  # each file is huge but still < min_file_bytes below
+    sizes = [(f"f{i}", big + i) for i in range(4)]
+    files = spark.createDataFrame(sizes, "path string, size_bytes long")
+    target = 3 * big
+    plan = {r.path: r.bin_id for r in plan_compaction(
+        files, target_bytes=target,
+        min_file_bytes=2 * target).collect()}
+    # exact python replay (sorted by size desc, path asc)
+    order = sorted(sizes, key=lambda t: (-t[1], t[0]))
+    cum = 0
+    want = {}
+    for p, s in order:
+        cum += s
+        want[p] = (cum - s) // target
+    assert plan == want
