@@ -1,0 +1,290 @@
+"""Manifest-commit protocol: atomic, versioned parquet tables.
+
+The dir-swap upsert (``merge_upsert(protocol="swap")``) is atomic enough
+for one writer but a reader racing the swap can see a torn table — the
+gap a real lakehouse format (Delta/Iceberg) closes with a commit log.
+This module is the minimal in-repo version of that commit log:
+
+Layout::
+
+    root/
+      _commits/v0000000001.json       <- one immutable file per version
+      _versions/v0000000001-3f2a.../  <- immutable data dir per version
+
+Protocol:
+
+- **Write data first, commit last.**  A version's data directory is fully
+  written (and never mutated again) before its commit file appears.  The
+  commit file is created with ``O_CREAT | O_EXCL`` — an atomic
+  claim of that version number on POSIX — so two concurrent writers
+  racing to commit version N cannot both succeed: the loser gets
+  ``CommitConflict`` and retries on top of the winner's table.  This is
+  the same optimistic-concurrency shape as Delta's ``_delta_log/N.json``.
+- **Readers resolve the newest commit file.**  A commit file is immutable
+  and names an immutable data dir, so a reader mid-upsert sees a complete
+  snapshot — either the old version or the new one, never a torn mix, no
+  locks.  ``read_table`` (and ``readers.read_parquet`` on a manifest
+  root) do this resolution.
+- **Old versions are retained, then vacuumed.**  ``vacuum`` keeps the
+  newest ``keep`` versions (a retention window for in-flight readers,
+  exactly like Delta VACUUM) and also removes orphan data dirs left by
+  crashed or conflicted writers — a crash BEFORE commit leaves the table
+  untouched by construction.
+- **Unchanged files are hardlinked across versions**, so a
+  partition-granular upsert still costs O(touched partitions) in both
+  write volume and disk: untouched partition files in the new version
+  share inodes with the old one (content, mtime and all).
+
+Local-filesystem implementation of the concept; on an object store the
+production answer is the real table format the docstrings name — the
+reader/writer API here is shaped so that swap is a one-liner.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["CommitConflict", "latest_commit", "latest_commit_info",
+           "commit_version", "new_version_dir", "read_table",
+           "is_manifest_root", "manifest_upsert", "vacuum"]
+
+_COMMITS = "_commits"
+_VERSIONS = "_versions"
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version number first."""
+
+
+def _commits_dir(root: str) -> str:
+    return os.path.join(root, _COMMITS)
+
+
+def is_manifest_root(root: str) -> bool:
+    d = _commits_dir(root)
+    return os.path.isdir(d) and any(
+        f.endswith(".json") for f in os.listdir(d))
+
+
+def latest_commit_info(root: str) -> dict | None:
+    """Full payload of the newest commit ({"version", "data_dir" (abs),
+    "meta"}), or None for an empty/absent table.  Pure directory listing —
+    no locks, no reads of mutable state."""
+    d = _commits_dir(root)
+    if not os.path.isdir(d):
+        return None
+    best = None
+    for f in os.listdir(d):
+        if not (f.startswith("v") and f.endswith(".json")):
+            continue
+        try:
+            v = int(f[1:-5])
+        except ValueError:
+            continue
+        if best is None or v > best:
+            best = v
+    if best is None:
+        return None
+    with open(os.path.join(d, f"v{best:010d}.json")) as fh:
+        payload = json.load(fh)
+    payload["data_dir"] = os.path.join(root, payload["data_dir"])
+    payload.setdefault("meta", {})
+    return payload
+
+
+def latest_commit(root: str) -> tuple[int, str] | None:
+    """(version, absolute data dir) of the newest commit, or None."""
+    info = latest_commit_info(root)
+    return None if info is None else (info["version"], info["data_dir"])
+
+
+def new_version_dir(root: str, version: int) -> str:
+    """A fresh, uniquely-named data dir for ``version`` (not yet
+    committed — invisible to readers until ``commit_version``)."""
+    name = f"v{version:010d}-{uuid.uuid4().hex[:8]}"
+    path = os.path.join(root, _VERSIONS, name)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def commit_version(root: str, version: int, data_dir: str,
+                   meta: dict | None = None) -> None:
+    """Atomically claim ``version`` for ``data_dir``.  O_EXCL create =
+    first writer wins; raises :class:`CommitConflict` for the loser, whose
+    (orphan) data dir the next vacuum removes.  The commit file and its
+    directory are fsynced so the commit survives a crash.  ``meta`` rides
+    along in the payload (e.g. a streaming batch_id, so a replayed batch
+    can recognize itself and skip — exactly-once across restarts)."""
+    cdir = _commits_dir(root)
+    os.makedirs(cdir, exist_ok=True)
+    rel = os.path.relpath(data_dir, root)
+    payload = json.dumps({"version": version, "data_dir": rel,
+                          "meta": meta or {}})
+    path = os.path.join(cdir, f"v{version:010d}.json")
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise CommitConflict(
+            f"version {version} of {root!r} was committed by another "
+            f"writer") from None
+    try:
+        os.write(fd, payload.encode())
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    try:  # fsync the directory entry too (commit must survive power loss)
+        dfd = os.open(cdir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass  # platform without directory fsync: best-effort
+
+
+def read_table(spark: SparkSession, root: str) -> DataFrame:
+    """Read the newest committed snapshot.  Raises on an empty table."""
+    from .readers import read_parquet
+
+    cur = latest_commit(root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version under {root!r}")
+    return read_parquet(spark, cur[1])
+
+
+def _link_tree(src_root: str, dst_root: str, skip_prefixes: list[str],
+               ) -> None:
+    """Hardlink every file of ``src_root`` into ``dst_root`` except those
+    under a skipped partition prefix and metadata files (_SUCCESS etc.) —
+    the copy-free way to carry untouched data into a new version."""
+    for dirpath, _dirs, files in os.walk(src_root):
+        rel_dir = os.path.relpath(dirpath, src_root)
+        rel_dir = "" if rel_dir == "." else rel_dir
+        if any(rel_dir == p or rel_dir.startswith(p + "/")
+               for p in skip_prefixes):
+            continue
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            rel = os.path.join(rel_dir, f) if rel_dir else f
+            dst = os.path.join(dst_root, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if not os.path.exists(dst):
+                os.link(os.path.join(dirpath, f), dst)
+
+
+def manifest_upsert(spark: SparkSession, root: str, updates: DataFrame,
+                    key_cols: list[str],
+                    partition_by: list[str] | None = None,
+                    max_retries: int = 5, keep_versions: int = 2) -> int:
+    """Keyed upsert through the manifest protocol; returns the committed
+    version.  Same merge semantics as ``merge_upsert``: update rows
+    replace same-key rows, new keys append.
+
+    Concurrency: optimistic — the merge plans against version N and
+    commits N+1 with an atomic claim; losing a race re-merges against the
+    winner's table (bounded by ``max_retries``).  Readers are never
+    blocked and never see a torn table.  Partition-granular when
+    ``partition_by`` is given: the base scan prunes to touched partitions
+    (literal filters → Catalyst partition pruning), only touched
+    partitions are rewritten, and untouched partition files HARDLINK into
+    the new version — O(touched) write volume and disk, byte-identical
+    untouched data, exactly like the swap path but snapshot-safe."""
+    from pyspark.sql import functions as F
+
+    from .readers import _hive_part_path, read_parquet
+
+    for _attempt in range(max_retries):
+        cur = latest_commit(root)
+        if cur is None:
+            version = 1
+            data_dir = new_version_dir(root, version)
+            w = updates.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(data_dir)
+            try:
+                commit_version(root, version, data_dir)
+                return version
+            except CommitConflict:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                continue
+        base_version, base_dir = cur
+        version = base_version + 1
+        base = read_parquet(spark, base_dir)
+        keys = updates.select(*key_cols).distinct()
+
+        if partition_by:
+            touched = updates.select(*partition_by).distinct().collect()
+            if not touched:
+                return base_version
+            rel_paths = [_hive_part_path(partition_by, r) for r in touched]
+            cond = None
+            for r in touched:
+                c = None
+                for col in partition_by:
+                    t = (F.col(col).isNull() if r[col] is None
+                         else (F.col(col) == F.lit(r[col])))
+                    c = t if c is None else (c & t)
+                cond = c if cond is None else (cond | c)
+            merged = (base.filter(cond)
+                      .join(F.broadcast(keys), key_cols, "left_anti")
+                      .unionByName(updates))
+            data_dir = new_version_dir(root, version)
+            merged.write.mode("overwrite").partitionBy(*partition_by) \
+                .parquet(data_dir)
+            _link_tree(base_dir, data_dir, skip_prefixes=rel_paths)
+        else:
+            merged = base.join(F.broadcast(keys), key_cols, "left_anti") \
+                         .unionByName(updates)
+            data_dir = new_version_dir(root, version)
+            merged.write.mode("overwrite").parquet(data_dir)
+
+        try:
+            commit_version(root, version, data_dir)
+        except CommitConflict:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            continue  # re-merge on the winner's table
+        vacuum(root, keep=keep_versions)
+        return version
+    raise RuntimeError(
+        f"manifest_upsert lost {max_retries} commit races on {root!r} — "
+        f"writer contention this high needs a coordinating service")
+
+
+def vacuum(root: str, keep: int = 2) -> int:
+    """Delete data dirs of versions older than the newest ``keep``, plus
+    orphan data dirs no commit file references (crashed/conflicted
+    writers).  Keeps every commit FILE (the log is tiny and is the audit
+    trail); returns the number of data dirs removed.  ``keep`` is the
+    retention window for in-flight readers — a reader holding a vacuumed
+    version fails like any expired snapshot."""
+    cdir = _commits_dir(root)
+    vdir = os.path.join(root, _VERSIONS)
+    if not os.path.isdir(vdir):
+        return 0
+    live: dict[str, int] = {}
+    if os.path.isdir(cdir):
+        for f in os.listdir(cdir):
+            if f.startswith("v") and f.endswith(".json"):
+                try:
+                    with open(os.path.join(cdir, f)) as fh:
+                        meta = json.load(fh)
+                    live[os.path.basename(meta["data_dir"])] = \
+                        meta["version"]
+                except (ValueError, KeyError, OSError):
+                    continue
+    keep_names = {n for n, _v in sorted(live.items(), key=lambda kv: kv[1])
+                  [-max(keep, 1):]}
+    removed = 0
+    for name in os.listdir(vdir):
+        if name in keep_names:
+            continue
+        shutil.rmtree(os.path.join(vdir, name), ignore_errors=True)
+        removed += 1
+    return removed

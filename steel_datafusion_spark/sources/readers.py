@@ -132,10 +132,19 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     Spark has no nanosecond timestamp type; ns-timestamp columns (read as
     long via ``spark.sql.legacy.parquet.nanosAsLong``) are converted to µs
     timestamps here — integer ``div`` so the conversion is exact, matching
-    DuckDB's ns→µs truncation."""
+    DuckDB's ns→µs truncation.
+
+    Manifest roots resolve transparently: a directory carrying a
+    ``_commits/`` log (sources/manifest.py) reads as its newest committed
+    snapshot, so readers racing a ``merge_upsert`` never see a torn
+    table — they get whole version N or whole version N+1."""
     from pyspark.sql import functions as F
 
+    from .manifest import is_manifest_root, latest_commit
+
     ensure_session_confs(spark)
+    if os.path.isdir(path) and is_manifest_root(path):
+        path = latest_commit(path)[1]
     df = spark.read.parquet(path)
     for c in _nanos_ts_columns(path):
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
@@ -188,10 +197,27 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
 
 def merge_upsert(spark: SparkSession, table_dir: str, updates: DataFrame,
                  key_cols: list[str],
-                 partition_by: list[str] | None = None) -> None:
+                 partition_by: list[str] | None = None,
+                 protocol: str = "manifest") -> None:
     """Keyed upsert into a parquet table directory (CDC-style incremental
-    corpus maintenance without a lakehouse format): rows in ``updates``
-    replace same-key rows in the table; new keys append.
+    corpus maintenance): rows in ``updates`` replace same-key rows in the
+    table; new keys append.
+
+    **Manifest protocol (default)**: versions commit through the atomic
+    commit-log in sources/manifest.py — write the new version's data
+    first, then claim the version number with an O_EXCL commit file.
+    Readers (``read_parquet`` resolves manifest roots) always see a whole
+    committed snapshot, never a torn table; concurrent writers serialize
+    optimistically (losers re-merge and retry).  Partition-granular when
+    ``partition_by`` is given: only touched partitions are rewritten and
+    untouched partition files hardlink into the new version (O(touched)
+    write volume, byte-identical untouched data).  Crash before commit
+    leaves the table untouched (the orphan data dir is vacuumed later);
+    there is no crash window after commit — the rename IS the commit.
+
+    **protocol="swap"** keeps the legacy single-writer dir-swap layout
+    (a plain parquet dir mutated in place), for tables that must remain
+    readable by engines that don't resolve the manifest:
 
     **Partition-granular path** (``partition_by`` given): the table lives
     in a Hive-partitioned layout (``col=value`` subdirectories) and only
@@ -230,6 +256,23 @@ def merge_upsert(spark: SparkSession, table_dir: str, updates: DataFrame,
 
     from pyspark.sql import functions as F
 
+    from .manifest import is_manifest_root, manifest_upsert
+
+    if protocol == "manifest":
+        if os.path.isdir(table_dir) and not is_manifest_root(table_dir) \
+                and any(not f.startswith(("_", "."))
+                        for f in os.listdir(table_dir)):
+            raise ValueError(
+                f"{table_dir!r} is an existing plain parquet table; "
+                f"manifest-protocol upserts need a manifest root (seed a "
+                f"fresh dir, or pass protocol='swap' to keep mutating the "
+                f"legacy layout in place)")
+        manifest_upsert(spark, table_dir, updates, key_cols,
+                        partition_by=partition_by)
+        return
+    if protocol != "swap":
+        raise ValueError(f"protocol must be 'manifest' or 'swap', "
+                         f"got {protocol!r}")
     if partition_by:
         _merge_upsert_partitioned(spark, table_dir, updates, key_cols,
                                   partition_by)

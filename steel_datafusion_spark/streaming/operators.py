@@ -229,8 +229,11 @@ def streaming_view_maintenance(
     micro-batch reduces to mergeable per-key state (``cdc.agg_state`` —
     count/sum/min/max with exact decimal sums) and merges into the
     standing state table (``cdc.merge_agg_state``), which lands as a new
-    parquet version per batch (versioned directories — the poor man's
-    table format; swap for Delta/Iceberg commits in production).
+    COMMITTED version per batch through the manifest protocol
+    (sources/manifest.py — write data first, atomic O_EXCL commit file
+    last), so a concurrent reader of the view root always sees a whole
+    micro-batch's state, never a torn or half-written one; swap for
+    Delta/Iceberg commits in production.
 
     This is the streaming half of incremental view maintenance: refresh
     cost per batch is O(|batch| + touched keys), history is NEVER
@@ -244,20 +247,36 @@ def streaming_view_maintenance(
     import os as _os2
 
     from ..pipeline.cdc import agg_state, merge_agg_state
+    from ..sources.manifest import (
+        commit_version, latest_commit, latest_commit_info, new_version_dir,
+        read_table, vacuum,
+    )
 
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files_per_trigger)
               .parquet(src_path))
-    state = {"path": None, "n_batches": 0}
+    view_root = _os2.path.join(work_dir, "view")
+    state = {"n_batches": 0}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        cur = latest_commit_info(view_root)
+        done = (cur or {}).get("meta", {}).get("batch_id")
+        if done is not None and batch_id <= done:
+            # replayed batch (crash after commit, before the streaming
+            # checkpoint advanced): its merge is already in the view —
+            # skipping is what makes the commit chain exactly-once
+            state["n_batches"] += 1
+            return
         part = agg_state(batch_df, list(key_cols), value_col)
-        if state["path"] is not None:
-            cur = spark.read.parquet(state["path"])
-            part = merge_agg_state(cur, part, list(key_cols))
-        new_path = _os2.path.join(work_dir, f"state_v{batch_id}")
-        part.write.mode("overwrite").parquet(new_path)
-        state["path"] = new_path
+        if cur is not None:
+            part = merge_agg_state(spark.read.parquet(cur["data_dir"]),
+                                   part, list(key_cols))
+        version = 1 if cur is None else cur["version"] + 1
+        data_dir = new_version_dir(view_root, version)
+        part.write.mode("overwrite").parquet(data_dir)
+        commit_version(view_root, version, data_dir,
+                       meta={"batch_id": batch_id})
+        vacuum(view_root, keep=2)
         state["n_batches"] += 1
 
     q = (stream.writeStream.foreachBatch(_apply)
@@ -265,7 +284,6 @@ def streaming_view_maintenance(
          .trigger(availableNow=True)
          .start())
     q.awaitTermination(timeout_s)
-    if state["path"] is None:
+    if state["n_batches"] == 0 or latest_commit(view_root) is None:
         raise RuntimeError("stream produced no batches")
-    out = spark.read.parquet(state["path"])
-    return out
+    return read_table(spark, view_root)

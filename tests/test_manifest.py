@@ -1,0 +1,220 @@
+"""Manifest-commit protocol (sources/manifest.py): atomic versioned
+tables under merge_upsert and streaming view maintenance — snapshot
+reads, optimistic writer concurrency, hardlinked untouched partitions,
+orphan/retention vacuum."""
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k long, s string, v long")
+
+
+def test_manifest_upsert_roundtrip_and_idempotence(spark, tmp_path):
+    from steel_datafusion_spark.sources.readers import (
+        merge_upsert, read_parquet,
+    )
+
+    out = str(tmp_path / "tbl")
+    merge_upsert(spark, out, _mk(spark, [(1, "a", 10), (2, "b", 20),
+                                         (3, "c", 30)]), ["k"])
+    upd = _mk(spark, [(2, "b2", 99), (4, "d", 40)])
+    merge_upsert(spark, out, upd, ["k"])
+    got = {r.k: (r.s, r.v) for r in read_parquet(spark, out).collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 99), 3: ("c", 30), 4: ("d", 40)}
+    merge_upsert(spark, out, upd, ["k"])  # idempotent re-apply
+    again = {r.k: (r.s, r.v) for r in read_parquet(spark, out).collect()}
+    assert again == got
+    # layout: a commit log + immutable version dirs, nothing mutated at root
+    assert os.path.isdir(os.path.join(out, "_commits"))
+    assert os.path.isdir(os.path.join(out, "_versions"))
+    assert not any(f.endswith(".parquet") for f in os.listdir(out))
+
+
+def test_manifest_refuses_plain_parquet_root(spark, tmp_path):
+    from steel_datafusion_spark.sources.readers import merge_upsert
+
+    out = str(tmp_path / "plain")
+    _mk(spark, [(1, "a", 10)]).write.parquet(out)
+    with pytest.raises(ValueError, match="swap"):
+        merge_upsert(spark, out, _mk(spark, [(1, "a2", 11)]), ["k"])
+    # the documented escape hatch still works on that layout
+    merge_upsert(spark, out, _mk(spark, [(1, "a2", 11)]), ["k"],
+                 protocol="swap")
+
+
+def test_manifest_partitioned_hardlinks_untouched_partitions(
+        spark, tmp_path):
+    from steel_datafusion_spark.sources.manifest import latest_commit
+    from steel_datafusion_spark.sources.readers import (
+        merge_upsert, read_parquet,
+    )
+
+    out = str(tmp_path / "ptbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10, "p1"), (2, "b", 20, "p1"),
+         (3, "c", 30, "p2"), (4, "d", 40, "p3")],
+        "k long, s string, v long, p string")
+    merge_upsert(spark, out, base, ["k"], partition_by=["p"])
+    _v1, d1 = latest_commit(out)
+
+    def inodes(d, rel):
+        got = {}
+        for dirpath, _, files in os.walk(os.path.join(d, rel)):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    p = os.path.join(dirpath, f)
+                    st = os.stat(p)
+                    got[os.path.relpath(p, d)] = (st.st_ino, st.st_mtime_ns)
+        return got
+
+    before_p2, before_p3 = inodes(d1, "p=p2"), inodes(d1, "p=p3")
+    assert before_p2 and before_p3
+
+    upd = spark.createDataFrame(
+        [(2, "b2", 99, "p1"), (5, "e", 50, "p4")],
+        "k long, s string, v long, p string")
+    merge_upsert(spark, out, upd, ["k"], partition_by=["p"])
+    _v2, d2 = latest_commit(out)
+    assert d2 != d1
+    # untouched partitions carried by HARDLINK: same inode, same mtime —
+    # byte identity for free and O(touched) write volume
+    assert inodes(d2, "p=p2") == before_p2
+    assert inodes(d2, "p=p3") == before_p3
+    got = {r.k: (r.s, r.v, r.p) for r in read_parquet(spark, out).collect()}
+    assert got == {1: ("a", 10, "p1"), 2: ("b2", 99, "p1"),
+                   3: ("c", 30, "p2"), 4: ("d", 40, "p3"),
+                   5: ("e", 50, "p4")}
+
+
+def test_crash_before_commit_leaves_table_untouched(spark, tmp_path):
+    from steel_datafusion_spark.sources.manifest import (
+        latest_commit, new_version_dir, vacuum,
+    )
+    from steel_datafusion_spark.sources.readers import (
+        merge_upsert, read_parquet,
+    )
+
+    out = str(tmp_path / "crash")
+    merge_upsert(spark, out, _mk(spark, [(1, "a", 10)]), ["k"])
+    v, d = latest_commit(out)
+    # simulate a writer that wrote its data dir, then died before commit
+    orphan = new_version_dir(out, v + 1)
+    _mk(spark, [(1, "TORN", -1)]).write.mode("overwrite").parquet(orphan)
+    # readers are oblivious: still the committed snapshot
+    assert latest_commit(out) == (v, d)
+    got = {r.k: (r.s, r.v) for r in read_parquet(spark, out).collect()}
+    assert got == {1: ("a", 10)}
+    # vacuum reclaims the orphan (not referenced by any commit)
+    removed = vacuum(out, keep=2)
+    assert removed >= 1
+    assert not os.path.exists(orphan)
+
+
+def test_commit_conflict_retries_on_winners_table(spark, tmp_path):
+    from steel_datafusion_spark.sources.manifest import (
+        CommitConflict, commit_version, latest_commit, new_version_dir,
+    )
+    from steel_datafusion_spark.sources.readers import (
+        merge_upsert, read_parquet,
+    )
+
+    out = str(tmp_path / "race")
+    merge_upsert(spark, out, _mk(spark, [(1, "a", 10), (2, "b", 20)]),
+                 ["k"])
+    v, _ = latest_commit(out)
+    # a rival writer claims version v+1 first
+    rival_dir = new_version_dir(out, v + 1)
+    _mk(spark, [(1, "rival", 77), (2, "b", 20)]).write \
+        .mode("overwrite").parquet(rival_dir)
+    commit_version(out, v + 1, rival_dir)
+    # direct double-claim raises
+    with pytest.raises(CommitConflict):
+        commit_version(out, v + 1, rival_dir)
+    # our upsert loses the first claim, re-merges on the rival's table,
+    # and lands at v+2 including BOTH writers' effects
+    merge_upsert(spark, out, _mk(spark, [(2, "mine", 99)]), ["k"])
+    v2, _ = latest_commit(out)
+    assert v2 == v + 2
+    got = {r.k: (r.s, r.v) for r in read_parquet(spark, out).collect()}
+    assert got == {1: ("rival", 77), 2: ("mine", 99)}
+
+
+def test_concurrent_reader_never_sees_torn_table(spark, tmp_path):
+    """The headline guarantee: a reader looping during a stream of
+    upserts sees, on every single read, exactly one complete committed
+    snapshot — all 4 keys present once, and the version counter embedded
+    in the values consistent across the whole table (a torn read would
+    mix versions or lose keys)."""
+    from steel_datafusion_spark.sources.manifest import manifest_upsert
+    from steel_datafusion_spark.sources.readers import read_parquet
+
+    out = str(tmp_path / "cc")
+    keys = [1, 2, 3, 4]
+
+    def table_at(ver):
+        return _mk(spark, [(k, f"s{ver}", ver) for k in keys])
+
+    manifest_upsert(spark, out, table_at(0), ["k"], keep_versions=1000)
+
+    stop = threading.Event()
+    bad: list[str] = []
+    reads = [0]
+
+    def reader():
+        while not stop.is_set():
+            rows = read_parquet(spark, out).collect()
+            reads[0] += 1
+            ks = sorted(r.k for r in rows)
+            vs = {r.v for r in rows}
+            ss = {r.s for r in rows}
+            if ks != keys or len(vs) != 1 or ss != {f"s{vs.pop()}"}:
+                bad.append(f"torn snapshot: {rows}")
+                return
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        for ver in range(1, 6):
+            manifest_upsert(spark, out, table_at(ver), ["k"],
+                            keep_versions=1000)
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert not bad, bad
+    assert reads[0] >= 2  # the reader really raced the writers
+
+
+def test_vacuum_retention_and_commit_meta(spark, tmp_path):
+    from steel_datafusion_spark.sources.manifest import (
+        commit_version, latest_commit_info, manifest_upsert, vacuum,
+    )
+
+    out = str(tmp_path / "vac")
+    for ver in range(4):
+        manifest_upsert(
+            spark, out, _mk(spark, [(1, f"s{ver}", ver)]), ["k"],
+            keep_versions=1000)
+    versions_dir = os.path.join(out, "_versions")
+    assert len(os.listdir(versions_dir)) == 4
+    removed = vacuum(out, keep=2)
+    assert removed == 2
+    left = sorted(os.listdir(versions_dir))
+    assert len(left) == 2
+    info = latest_commit_info(out)
+    assert info["version"] == 4
+    assert os.path.basename(info["data_dir"]) in left
+    # commit files all survive (audit trail)
+    assert len(os.listdir(os.path.join(out, "_commits"))) == 4
+    # meta payload roundtrip
+    d = os.path.join(out, "_versions", "manual")
+    os.makedirs(d)
+    with open(os.path.join(d, "x.parquet"), "wb") as fh:
+        fh.write(b"")
+    commit_version(out, 5, d, meta={"batch_id": 17})
+    assert latest_commit_info(out)["meta"] == {"batch_id": 17}

@@ -78,14 +78,14 @@ def test_merge_upsert_replace_and_insert(spark, tmp_path_factory):
     base = spark.createDataFrame(
         [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
         "k long, s string, v long")
-    merge_upsert(spark, out, base, ["k"])          # seed (no existing table)
+    merge_upsert(spark, out, base, ["k"], protocol="swap")  # seed
     upd = spark.createDataFrame(
         [(2, "b2", 99), (4, "d", 40)], "k long, s string, v long")
-    merge_upsert(spark, out, upd, ["k"])
+    merge_upsert(spark, out, upd, ["k"], protocol="swap")
     got = {r.k: (r.s, r.v) for r in read_parquet(spark, out).collect()}
     assert got == {1: ("a", 10), 2: ("b2", 99), 3: ("c", 30), 4: ("d", 40)}
     # idempotent: re-applying the same batch changes nothing
-    merge_upsert(spark, out, upd, ["k"])
+    merge_upsert(spark, out, upd, ["k"], protocol="swap")
     again = {r.k: (r.s, r.v) for r in read_parquet(spark, out).collect()}
     assert again == got
 
@@ -99,19 +99,19 @@ def test_merge_upsert_recovers_from_crashed_swap(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("upsert_crash")) + "/tbl"
     base = spark.createDataFrame(
         [(1, "a", 10), (2, "b", 20)], "k long, s string, v long")
-    merge_upsert(spark, out, base, ["k"])
+    merge_upsert(spark, out, base, ["k"], protocol="swap")
     # simulate a crash between the two swap renames: table gone, backup
     # sits at the deterministic .old name
     os.rename(out, out + ".old")
     upd = spark.createDataFrame([(2, "b2", 99)], "k long, s string, v long")
-    merge_upsert(spark, out, upd, ["k"])   # must heal the backup, then merge
+    merge_upsert(spark, out, upd, ["k"], protocol="swap")  # heal then merge
     got = {r.k: (r.s, r.v) for r in read_parquet(spark, out).collect()}
     assert got == {1: ("a", 10), 2: ("b2", 99)}
     assert not os.path.exists(out + ".old")
 
     # crash after the second rename but before backup cleanup: stale .old
     os.makedirs(out + ".old")
-    merge_upsert(spark, out, upd, ["k"])
+    merge_upsert(spark, out, upd, ["k"], protocol="swap")
     got = {r.k: (r.s, r.v) for r in read_parquet(spark, out).collect()}
     assert got == {1: ("a", 10), 2: ("b2", 99)}
     assert not os.path.exists(out + ".old")
@@ -143,7 +143,8 @@ def test_merge_upsert_partitioned_touches_only_updated_partitions(
         [(1, "a", 10, "p1"), (2, "b", 20, "p1"),
          (3, "c", 30, "p2"), (4, "d", 40, "p3")],
         "k long, s string, v long, p string")
-    merge_upsert(spark, out, base, ["k"], partition_by=["p"])
+    merge_upsert(spark, out, base, ["k"], partition_by=["p"],
+                 protocol="swap")
     before_p2 = _part_files(out, "p=p2")
     before_p3 = _part_files(out, "p=p3")
     assert before_p2 and before_p3
@@ -151,7 +152,8 @@ def test_merge_upsert_partitioned_touches_only_updated_partitions(
     upd = spark.createDataFrame(
         [(2, "b2", 99, "p1"), (5, "e", 50, "p4")],
         "k long, s string, v long, p string")
-    merge_upsert(spark, out, upd, ["k"], partition_by=["p"])
+    merge_upsert(spark, out, upd, ["k"], partition_by=["p"],
+                 protocol="swap")
 
     # untouched partitions byte-identical (content hash AND mtime)
     assert _part_files(out, "p=p2") == before_p2
@@ -161,7 +163,8 @@ def test_merge_upsert_partitioned_touches_only_updated_partitions(
                    3: ("c", 30, "p2"), 4: ("d", 40, "p3"),
                    5: ("e", 50, "p4")}
     # idempotent re-apply
-    merge_upsert(spark, out, upd, ["k"], partition_by=["p"])
+    merge_upsert(spark, out, upd, ["k"], partition_by=["p"],
+                 protocol="swap")
     again = {r.k: (r.s, r.v, r.p) for r in read_parquet(spark, out).collect()}
     assert again == got
 
@@ -177,12 +180,14 @@ def test_merge_upsert_partitioned_heals_crashed_partition_swap(
     base = spark.createDataFrame(
         [(1, "a", 10, "p1"), (3, "c", 30, "p2")],
         "k long, s string, v long, p string")
-    merge_upsert(spark, out, base, ["k"], partition_by=["p"])
+    merge_upsert(spark, out, base, ["k"], partition_by=["p"],
+                 protocol="swap")
     # crash between the per-partition renames: p=p1 gone, backup present
     os.rename(os.path.join(out, "p=p1"), os.path.join(out, "p=p1.old"))
     upd = spark.createDataFrame([(1, "a2", 11, "p1")],
                                 "k long, s string, v long, p string")
-    merge_upsert(spark, out, upd, ["k"], partition_by=["p"])
+    merge_upsert(spark, out, upd, ["k"], partition_by=["p"],
+                 protocol="swap")
     got = {r.k: (r.s, r.v, r.p) for r in read_parquet(spark, out).collect()}
     assert got == {1: ("a2", 11, "p1"), 3: ("c", 30, "p2")}
     assert not os.path.exists(os.path.join(out, "p=p1.old"))

@@ -384,6 +384,13 @@ def test_streaming_view_maintenance_matches_batch_agg(spark, tmp_path):
     want = {r["k"]: r.asDict() for r in agg_state(df, ["k"], "v").collect()}
     got_d = {r["k"]: r.asDict() for r in got.collect()}
     assert got_d == want
-    # versioned state dirs prove the chain really ran multiple merges
-    versions = glob.glob(str(tmp_path / "work" / "state_v*"))
-    assert len(versions) >= 4
+    # the manifest commit log proves the chain really ran multiple merges
+    # (one commit file per micro-batch; old DATA dirs are vacuumed but
+    # commit files are the audit trail and stay)
+    commits = glob.glob(str(tmp_path / "work" / "view" / "_commits" /
+                            "v*.json"))
+    assert len(commits) >= 4
+    # and vacuum kept the data footprint bounded: at most 2 version dirs
+    versions = glob.glob(str(tmp_path / "work" / "view" / "_versions" /
+                             "v*"))
+    assert 1 <= len(versions) <= 2
