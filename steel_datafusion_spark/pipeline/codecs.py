@@ -40,7 +40,8 @@ from .jpeg import JPEG_MAGIC, decode_jpeg, encode_jpeg
 __all__ = ["DecodedImage", "decode_image_bytes", "sniff_format",
            "encode_png", "encode_bmp", "encode_ppm", "encode_jpeg",
            "DecodedAudio", "decode_wav", "encode_wav",
-           "DecodedVideo", "decode_avi", "encode_avi"]
+           "DecodedVideo", "decode_avi", "encode_avi",
+           "Mp4Track", "Mp4Meta", "probe_mp4", "encode_mp4"]
 
 
 class DecodedImage(NamedTuple):
@@ -70,6 +71,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "wav"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return "avi"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
     return None
 
 
@@ -628,3 +631,213 @@ def encode_avi(frames: list, rate: int = 10, scale: int = 1,
         off += len(item)
     idx1 = chunk(b"idx1", b"".join(idx))
     return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF (container metadata walk — no codec payload decode)
+# ---------------------------------------------------------------------------
+# Real crawls are mostly MP4; decoding H.264/AAC payloads needs codec
+# libraries this container doesn't ship, but the CONTAINER metadata —
+# duration, track layout, codec fourccs, video dimensions — lives in the
+# moov box tree (ISO/IEC 14496-12) and walks in pure Python at
+# footer-read cost.  That covers the curation decisions a 100 TB video
+# pipeline actually makes per asset (keep/drop by duration, resolution,
+# codec, track shape) without touching a single coded sample.
+
+class Mp4Track(NamedTuple):
+    kind: str          # "video" | "audio" | other hdlr fourcc, stripped
+    codec: str         # stsd entry fourcc, e.g. "avc1", "mp4a"
+    width: int         # tkhd 16.16 fixed -> int (0 for non-video)
+    height: int
+    duration_ms: int   # mdhd duration / mdhd timescale
+
+
+class Mp4Meta(NamedTuple):
+    brand: str         # ftyp major brand
+    duration_ms: int   # mvhd duration / mvhd timescale
+    tracks: list       # list[Mp4Track]
+
+    @property
+    def n_tracks(self) -> int:
+        return len(self.tracks)
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, box_end) for each box in [start, end) —
+    the one traversal primitive the whole ISO BMFF tree needs.  Handles
+    32-bit, 64-bit (size==1) and to-end-of-file (size==0) box sizes."""
+    off = start
+    while off + 8 <= end:
+        size = int.from_bytes(buf[off:off + 4], "big")
+        btype = buf[off + 4:off + 8]
+        hdr = 8
+        if size == 1:
+            if off + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            size = int.from_bytes(buf[off + 8:off + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
+            raise ValueError("malformed MP4 box size")
+        yield btype, off + hdr, off + size
+        off += size
+
+
+def _mp4_find(buf: bytes, start: int, end: int, btype: bytes):
+    for t, b, e in _mp4_boxes(buf, start, end):
+        if t == btype:
+            return b, e
+    return None
+
+
+def _mp4_fullbox_fields(buf: bytes, body: int, v0_fields: int,
+                        v1_fields: int) -> tuple[int, list[int]]:
+    """Parse a full box's version byte and the leading
+    creation/modification(+timescale/duration) block, which is 32-bit in
+    version 0 and (mostly) 64-bit in version 1.  Returns (next_offset,
+    [field values])."""
+    version = buf[body]
+    off = body + 4
+    widths = ([4] * v0_fields) if version == 0 else None
+    if version == 1:
+        # v1 widens times and durations to 64-bit but keeps timescale 32
+        widths = []
+        for i in range(v1_fields):
+            widths.append(4 if i == 2 else 8)
+    vals = []
+    for w_ in widths:
+        vals.append(int.from_bytes(buf[off:off + w_], "big"))
+        off += w_
+    return off, vals
+
+
+def probe_mp4(payload: bytes) -> Mp4Meta:
+    """Walk an MP4/ISO-BMFF container's moov tree: ftyp brand, mvhd
+    duration, and per-trak handler kind (hdlr), sample-entry codec
+    fourcc (stsd) and video dimensions (tkhd 16.16 fixed point).  Pure
+    metadata — coded samples (mdat) are never touched, so cost is
+    O(moov bytes), the same envelope as a parquet footer read.  Raises
+    ValueError on anything that is not a well-formed MP4."""
+    if sniff_format(payload) != "mp4":
+        raise ValueError("not an MP4 (ftyp) payload")
+    end = len(payload)
+    brand = payload[8:12].decode("ascii", "replace").strip()
+    moov = _mp4_find(payload, 0, end, b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    ms, me = moov
+    mvhd = _mp4_find(payload, ms, me, b"mvhd")
+    if mvhd is None:
+        raise ValueError("MP4 moov missing mvhd")
+    _, vals = _mp4_fullbox_fields(payload, mvhd[0], 4, 4)
+    timescale, duration = vals[2], vals[3]
+    duration_ms = (duration * 1000) // timescale if timescale else 0
+
+    tracks = []
+    for t, b, e in _mp4_boxes(payload, ms, me):
+        if t != b"trak":
+            continue
+        width = height = 0
+        kind = codec = ""
+        tk_ms = 0
+        tkhd = _mp4_find(payload, b, e, b"tkhd")
+        if tkhd is not None:
+            tb = tkhd[0]
+            version = payload[tb]
+            # v0: cre4 mod4 id4 res4 dur4 ; v1: cre8 mod8 id4 res4 dur8
+            fixed = tb + 4 + (20 if version == 0 else 32)
+            # reserved8 layer2 alt2 volume2 reserved2 matrix36 -> w/h
+            wh = fixed + 8 + 2 + 2 + 2 + 2 + 36
+            width = int.from_bytes(payload[wh:wh + 4], "big") >> 16
+            height = int.from_bytes(payload[wh + 4:wh + 8], "big") >> 16
+        mdia = _mp4_find(payload, b, e, b"mdia")
+        if mdia is not None:
+            mb, me2 = mdia
+            mdhd = _mp4_find(payload, mb, me2, b"mdhd")
+            if mdhd is not None:
+                _, mv = _mp4_fullbox_fields(payload, mdhd[0], 4, 4)
+                tk_ms = (mv[3] * 1000) // mv[2] if mv[2] else 0
+            hdlr = _mp4_find(payload, mb, me2, b"hdlr")
+            if hdlr is not None:
+                handler = payload[hdlr[0] + 8:hdlr[0] + 12]
+                kind = {b"vide": "video", b"soun": "audio"}.get(
+                    handler, handler.decode("ascii", "replace").strip())
+            minf = _mp4_find(payload, mb, me2, b"minf")
+            if minf is not None:
+                stbl = _mp4_find(payload, minf[0], minf[1], b"stbl")
+                if stbl is not None:
+                    stsd = _mp4_find(payload, stbl[0], stbl[1], b"stsd")
+                    if stsd is not None:
+                        sb = stsd[0]
+                        n_entries = int.from_bytes(payload[sb + 4:sb + 8],
+                                                   "big")
+                        if n_entries >= 1:
+                            codec = payload[sb + 12:sb + 16].decode(
+                                "ascii", "replace").strip()
+        tracks.append(Mp4Track(kind, codec, width, height, tk_ms))
+    return Mp4Meta(brand, duration_ms, tracks)
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+_MP4_UNITY_MATRIX = struct.pack(">9i", 0x00010000, 0, 0,
+                                0, 0x00010000, 0,
+                                0, 0, 0x40000000)
+
+
+def encode_mp4(duration_ms: int, tracks: list, timescale: int = 1000,
+               brand: str = "isom") -> bytes:
+    """Minimal valid MP4 writer: ftyp + moov (mvhd + one trak per entry
+    with tkhd/mdia/mdhd/hdlr/minf/stbl/stsd) + an empty mdat.  ``tracks``
+    entries are dicts with kind ("video"|"audio"), codec (fourcc str),
+    width, height, duration_ms.  Metadata-only by design (no coded
+    samples — the honest envelope probe_mp4 reads); fixture builder for
+    the container-walk tests and gate."""
+    duration = (duration_ms * timescale) // 1000
+    mvhd = _mp4_box(b"mvhd", struct.pack(
+        ">B3xIIII", 0, 0, 0, timescale, duration)
+        + struct.pack(">i", 0x00010000)      # rate 1.0
+        + struct.pack(">h", 0x0100)          # volume 1.0
+        + b"\x00" * 10                        # reserved
+        + _MP4_UNITY_MATRIX
+        + b"\x00" * 24                        # pre_defined
+        + struct.pack(">I", len(tracks) + 1))
+    traks = b""
+    for i, t in enumerate(tracks):
+        tk_dur = (int(t["duration_ms"]) * timescale) // 1000
+        handler = {"video": b"vide", "audio": b"soun"}.get(
+            t["kind"], t["kind"].encode("ascii")[:4].ljust(4))
+        fourcc = t["codec"].encode("ascii")[:4].ljust(4)
+        tkhd = _mp4_box(
+            b"tkhd",
+            struct.pack(">B", 0) + b"\x00\x00\x07"   # v0, flags=enabled
+            + struct.pack(">IIIII", 0, 0, i + 1, 0, tk_dur)
+            + b"\x00" * 8                             # reserved
+            + struct.pack(">hhhh", 0, 0, 0, 0)        # layer/alt/vol/res
+            + _MP4_UNITY_MATRIX
+            + struct.pack(">II", int(t["width"]) << 16,
+                          int(t["height"]) << 16))
+        # mdhd track timescale mirrors the movie's for simplicity
+        mdhd = _mp4_box(b"mdhd", struct.pack(
+            ">B3xIIIIHH", 0, 0, 0, timescale,
+            (int(t["duration_ms"]) * timescale) // 1000, 0x55C4, 0))
+        hdlr = _mp4_box(b"hdlr", struct.pack(">B3xI", 0, 0) + handler
+                        + b"\x00" * 12 + b"steel\x00")
+        entry = struct.pack(">I", 16) + fourcc + b"\x00" * 6 \
+            + struct.pack(">H", 1)
+        stsd = _mp4_box(b"stsd", struct.pack(">B3xI", 0, 1) + entry)
+        stbl = _mp4_box(b"stbl", stsd)
+        minf = _mp4_box(b"minf", stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        traks += _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + traks)
+    ftyp = _mp4_box(b"ftyp", brand.encode("ascii")[:4].ljust(4)
+                    + struct.pack(">I", 0)
+                    + brand.encode("ascii")[:4].ljust(4) + b"mp42")
+    return ftyp + moov + _mp4_box(b"mdat", b"")

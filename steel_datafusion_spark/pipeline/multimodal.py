@@ -36,8 +36,9 @@ from pyspark.sql import types as T
 
 __all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "FRAME_SCHEMA",
            "AUDIO_FEATURE_SCHEMA", "VIDEO_FEATURE_SCHEMA",
+           "CONTAINER_META_SCHEMA",
            "make_media_table", "extract_features", "extract_audio_features",
-           "extract_video_features",
+           "extract_video_features", "extract_container_metadata",
            "decode_image", "resize_media", "frame_sample"]
 
 MEDIA_SCHEMA = T.StructType([
@@ -254,6 +255,85 @@ def extract_video_features(media: DataFrame, frame_step: int = 1) -> DataFrame:
     parts = media.sparkSession.sparkContext.defaultParallelism
     return media.repartition(parts).mapInPandas(
         _extract, schema=VIDEO_FEATURE_SCHEMA)
+
+
+CONTAINER_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("container", T.StringType()),   # mp4 | avi | wav | unknown
+    T.StructField("probed", T.BooleanType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("n_tracks", T.IntegerType()),
+    T.StructField("video_codec", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("audio_codec", T.StringType()),
+])
+
+
+def extract_container_metadata(media: DataFrame) -> DataFrame:
+    """Container-level metadata probe across modal formats — the
+    keep/drop fields a crawl-curation pass filters on (duration,
+    resolution, codec, track shape) WITHOUT decoding a single coded
+    sample:
+
+    - **MP4/ISO-BMFF** (the format real crawls are mostly made of):
+      ``codecs.probe_mp4`` walks the moov box tree — ftyp brand, mvhd
+      duration, per-trak hdlr kind / stsd codec fourcc / tkhd dimensions.
+      Coded H.264/AAC payloads stay untouched (honest envelope: this
+      container ships no codec libs; sample decode would be Pillow-less
+      fiction).  Cost is O(moov bytes) ≈ a parquet footer read.
+    - **AVI**: the existing chunk walker in header-only mode
+      (``max_frames=0`` — no pixel work).
+    - **WAV**: fmt-chunk fields via ``decode_wav`` header parse.
+    - anything else: ``probed=false`` with the metadata struct passed
+      through — the same honest-fallback contract as the extractors.
+
+    Scale: pure map stage (Arrow-batched mapInPandas, no shuffle);
+    payloads never leave their executor."""
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import decode_avi, decode_wav, probe_mp4, sniff_format
+
+        cols = ("media_id", "container", "probed", "duration_ms",
+                "n_tracks", "video_codec", "width", "height", "audio_codec")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, p, m in zip(pdf["media_id"], pdf["payload"],
+                                 pdf["meta"]):
+                p = bytes(p)
+                fmt = sniff_format(p) or "unknown"
+                try:
+                    if fmt == "mp4":
+                        mp = probe_mp4(p)
+                        vids = [t for t in mp.tracks if t.kind == "video"]
+                        auds = [t for t in mp.tracks if t.kind == "audio"]
+                        v0 = vids[0] if vids else None
+                        vals = (True, mp.duration_ms, mp.n_tracks,
+                                v0.codec if v0 else "",
+                                v0.width if v0 else 0,
+                                v0.height if v0 else 0,
+                                auds[0].codec if auds else "")
+                    elif fmt == "avi":
+                        v = decode_avi(p, max_frames=0)
+                        vals = (True, v.duration_ms, 1, v.codec.strip(),
+                                v.width, v.height, "")
+                    elif fmt == "wav":
+                        a = decode_wav(p)
+                        vals = (True, a.duration_ms, 1, "", 0, 0, "pcm")
+                    else:
+                        raise ValueError("unknown container")
+                except (ValueError, IndexError, struct_error):
+                    vals = (False, int(m["duration_ms"] or 0), 0, "",
+                            int(m["width"] or 0), int(m["height"] or 0), "")
+                rows["media_id"].append(mid)
+                rows["container"].append(fmt)
+                for k, vv in zip(cols[2:], vals):
+                    rows[k].append(vv)
+            yield pd.DataFrame(rows)
+
+    parts = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(parts).mapInPandas(
+        _probe, schema=CONTAINER_META_SCHEMA)
 
 
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:

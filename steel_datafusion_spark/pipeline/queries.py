@@ -1475,6 +1475,70 @@ FROM params p JOIN lumas l USING (doc_id)
 """
 
 
+def q_mp4_metadata(spark, sf_dir):
+    """MP4/ISO-BMFF container metadata walk as a hashed gate
+    (pipeline/codecs.py probe_mp4 + multimodal.extract_container_metadata):
+    per-document MP4 containers (codecs.encode_mp4 — ftyp + a full moov
+    box tree: mvhd, per-trak tkhd/mdhd/hdlr/stsd) are synthesized
+    executor-side with doc_id-derived parameters, then probed back
+    through the Arrow-batched container walker.  Every parameter
+    (duration, track layout, codec fourccs, 16.16 fixed-point
+    dimensions) is a closed-form function of doc_id, so the DuckDB
+    oracle recomputes the exact probe output — a wrong box-size walk,
+    fixed-point shift, or fullbox version offset shows up as a hash
+    mismatch.  Coded samples are never touched (the honest envelope:
+    container metadata IS what a crawl-curation keep/drop pass needs)."""
+    import pandas as pd_local
+
+    from .codecs import encode_mp4
+    from .multimodal import MEDIA_SCHEMA, extract_container_metadata
+
+    d = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("doc_id") < 150).select("doc_id")
+
+    def _gen(batches):
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                dur = 30000 + (did % 97) * 250
+                vcodec = ("avc1", "hev1", "vp09")[did % 3]
+                w = 640 + (did % 4) * 320
+                h = 360 + (did % 3) * 180
+                tracks = [{"kind": "video", "codec": vcodec,
+                           "width": w, "height": h, "duration_ms": dur}]
+                if did % 5 != 0:
+                    tracks.append({"kind": "audio", "codec": "mp4a",
+                                   "width": 0, "height": 0,
+                                   "duration_ms": dur - 40})
+                payloads.append(encode_mp4(dur, tracks))
+                metas.append({"width": 0, "height": 0, "duration_ms": 0})
+            yield pd_local.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "kind": ["video"] * len(pdf),
+                "payload": payloads,
+                "meta": metas,
+            })
+
+    media = d.mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return extract_container_metadata(media).select(
+        "media_id", "container", "probed", "duration_ms", "n_tracks",
+        "video_codec", "width", "height", "audio_codec")
+
+
+_SQL_MP4_METADATA = """
+SELECT doc_id AS media_id, 'mp4' AS container, TRUE AS probed,
+  (30000 + (doc_id % 97) * 250)::BIGINT AS duration_ms,
+  (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END)::INT AS n_tracks,
+  CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
+       ELSE 'vp09' END AS video_codec,
+  (640 + (doc_id % 4) * 320)::INT AS width,
+  (360 + (doc_id % 3) * 180)::INT AS height,
+  CASE WHEN doc_id % 5 = 0 THEN '' ELSE 'mp4a' END AS audio_codec
+FROM documents WHERE doc_id < 150
+"""
+
+
 def q_resize_media_stats(spark, sf_dir):
     """Resize plumbing (pipeline/multimodal.py resize_media) as a hashed
     gate: resize every payload toward 640x480, roll up per kind.  The
@@ -3493,6 +3557,41 @@ def _sql_robust_stats() -> str:
     return sql_grouped_median_mad("events", ["event_type"], "value")
 
 
+def _append_watermark_sentinels(spark, src, max_ts) -> None:
+    """Append TWO sentinel parquet files (one view + one purchase row
+    each, user_id = -1) timestamped 10 h and 12 h past the last real
+    event.  With ``maxFilesPerTrigger=1`` the first sentinel batch
+    advances the watermark beyond every real row's join horizon and the
+    second's batch evicts-and-emits the unmatched state — the finite-drive
+    recipe that makes outer stream-stream joins flush.
+
+    FileStreamSource orders files by MODIFICATION TIME, so the sentinels
+    must sort after every real data file; on a coarse-mtime filesystem a
+    same-second write could sort first (watermark races ahead, real joins
+    drop).  Explicit strictly-increasing mtimes on each sentinel's part
+    files remove that race."""
+    from datetime import timedelta
+
+    def _parts(d):
+        return {_os.path.join(d, f) for f in _os.listdir(d)
+                if f.startswith("part-")}
+
+    seen = _parts(src)
+    base_mtime = max(_os.path.getmtime(p) for p in seen)
+    for i, hours in enumerate((10, 12)):
+        sent = spark.createDataFrame(
+            [(-1 - i, max_ts + timedelta(hours=hours), -1, t, 0.0)
+             for t in ("view", "purchase")],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double")
+        sent.coalesce(1).write.mode("append").parquet(src)
+        cur = _parts(src)
+        t_sent = base_mtime + 10.0 * (i + 1)
+        for p in cur - seen:
+            _os.utime(p, (t_sent, t_sent))
+        seen = cur
+
+
 def q_streaming_join_outer(spark, sf_dir):
     """Stream↔stream LEFT OUTER interval join (streaming/operators.py
     stream_stream_join(how='left_outer')): view→purchase attribution
@@ -3526,31 +3625,7 @@ def q_streaming_join_outer(spark, sf_dir):
               .select("event_id", "ts", "user_id", "event_type", "value"))
         ev.coalesce(3).write.mode("overwrite").parquet(src)
         max_ts = ev.agg(F.max("ts")).first()[0]
-
-        # FileStreamSource orders files by MODIFICATION TIME — the two
-        # watermark-advancing sentinels must be processed after every real
-        # data file, and on a coarse-mtime filesystem a same-second write
-        # could sort first (watermark races ahead, real joins drop).  Set
-        # explicit strictly-increasing mtimes on each sentinel's part
-        # files instead of trusting write-order.
-        def _parts(d):
-            return {_os.path.join(d, f) for f in _os.listdir(d)
-                    if f.startswith("part-")}
-
-        seen = _parts(src)
-        base_mtime = max(_os.path.getmtime(p) for p in seen)
-        for i, hours in enumerate((10, 12)):
-            sent = spark.createDataFrame(
-                [(-1 - i, max_ts + timedelta(hours=hours), -1, t, 0.0)
-                 for t in ("view", "purchase")],
-                "event_id long, ts timestamp, user_id long, "
-                "event_type string, value double")
-            sent.coalesce(1).write.mode("append").parquet(src)
-            cur = _parts(src)
-            t_sent = base_mtime + 10.0 * (i + 1)
-            for p in cur - seen:
-                _os.utime(p, (t_sent, t_sent))
-            seen = cur
+        _append_watermark_sentinels(spark, src, max_ts)
         _STREAM_SRC_BUILT.add(key)
     run_id = uuid.uuid4().hex[:8]
     out = _os.path.join(base, f"oout-{run_id}")
@@ -3582,6 +3657,81 @@ b AS (SELECT user_id, ts, event_id FROM src WHERE event_type = 'purchase')
 SELECT v.user_id, v.event_id AS view_id, b.event_id AS purchase_id,
   b.event_id IS NOT NULL AS converted
 FROM v LEFT JOIN b
+  ON v.user_id = b.user_id
+ AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 30 MINUTE
+"""
+
+
+def q_streaming_join_full_outer(spark, sf_dir):
+    """Stream↔stream FULL OUTER interval join (streaming/operators.py
+    stream_stream_join(how='full_outer')): the last cell of the outer
+    matrix — unconverted views AND orphan purchases (no view in the
+    preceding 30 minutes) both emit with nulls on the other side.  Both
+    sides' unmatched state needs watermark-driven finalization, so the
+    same two-sentinel recipe as the left-outer gate drives BOTH flushes
+    (the sentinel files carry a view and a purchase row each).  Oracle:
+    the equivalent batch FULL range-join; matching hashes prove every
+    unmatched row on either side flushed exactly once."""
+    import shutil
+    import uuid
+
+    from ..streaming.operators import (
+        run_stream_to_parquet, stream_stream_join,
+    )
+
+    from ..queries import scratch_dir
+    base = scratch_dir(spark, sf_dir, "stream_fullouter_gate")
+    src = _os.path.join(base, "src")
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir),
+           "fullouter")
+    if key not in _STREAM_SRC_BUILT or not _os.path.exists(src):
+        shutil.rmtree(base, ignore_errors=True)
+        ev = (load_tables(spark, sf_dir)["events"]
+              .filter(F.col("event_type").isin("view", "purchase"))
+              .filter(F.col("user_id") % 7 == 0)
+              .select("event_id", "ts", "user_id", "event_type", "value"))
+        ev.coalesce(3).write.mode("overwrite").parquet(src)
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        _append_watermark_sentinels(spark, src, max_ts)
+        _STREAM_SRC_BUILT.add(key)
+    run_id = uuid.uuid4().hex[:8]
+    out = _os.path.join(base, f"foout-{run_id}")
+    ckpt = _os.path.join(base, f"fockpt-{run_id}")
+    batch = spark.read.parquet(src)
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    views = stream.filter(F.col("event_type") == "view") \
+        .select("user_id", "ts", "event_id")
+    buys = stream.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "event_id", "value")
+    joined = stream_stream_join(views, buys, key_col="user_id",
+                                ts_col="ts", within="30 minutes",
+                                how="full_outer")
+    got = run_stream_to_parquet(joined, out, ckpt)
+    uid = F.coalesce(F.col("user_id"), F.col("r_user_id"))
+    return (got.filter(uid >= 0)
+            .select(uid.alias("user_id"),
+                    F.col("event_id").alias("view_id"),
+                    F.col("r_event_id").alias("purchase_id"),
+                    F.when(F.col("event_id").isNull(),
+                           F.lit("purchase_only"))
+                    .when(F.col("r_event_id").isNull(),
+                          F.lit("view_only"))
+                    .otherwise(F.lit("matched")).alias("side")))
+
+
+_SQL_STREAMING_JOIN_FULL_OUTER = """
+WITH src AS (
+  SELECT * FROM events
+  WHERE event_type IN ('view', 'purchase') AND user_id % 7 = 0),
+v AS (SELECT user_id, ts, event_id FROM src WHERE event_type = 'view'),
+b AS (SELECT user_id, ts, event_id FROM src WHERE event_type = 'purchase')
+SELECT COALESCE(v.user_id, b.user_id) AS user_id,
+  v.event_id AS view_id, b.event_id AS purchase_id,
+  CASE WHEN v.event_id IS NULL THEN 'purchase_only'
+       WHEN b.event_id IS NULL THEN 'view_only'
+       ELSE 'matched' END AS side
+FROM v FULL JOIN b
   ON v.user_id = b.user_id
  AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 30 MINUTE
 """
@@ -4226,6 +4376,7 @@ PIPELINE_QUERIES = {
     "multimodal_features": (q_multimodal_features, _SQL_MULTIMODAL),
     "audio_features": (q_audio_features, _SQL_AUDIO_FEATURES),
     "video_features": (q_video_features, _SQL_VIDEO_FEATURES),
+    "mp4_metadata": (q_mp4_metadata, _SQL_MP4_METADATA),
     "winnow_fingerprints": (q_winnow_fingerprints, _SQL_WINNOW),
     "kmeans_clusters": (q_kmeans_clusters, _sql_kmeans()),
     "semdedup_prune": (q_semdedup_prune, _sql_semdedup()),
@@ -4293,6 +4444,8 @@ PIPELINE_QUERIES = {
                                    _SQL_STREAMING_IVM),
     "streaming_join_outer": (q_streaming_join_outer,
                              _SQL_STREAMING_JOIN_OUTER),
+    "streaming_join_full_outer": (q_streaming_join_full_outer,
+                                  _SQL_STREAMING_JOIN_FULL_OUTER),
     "streaming_join": (q_streaming_join, _SQL_STREAMING_JOIN),
     "streaming_hopping": (q_streaming_hopping, _SQL_STREAMING_HOPPING),
     "streaming_enrich": (q_streaming_enrich, _SQL_STREAMING_ENRICH),

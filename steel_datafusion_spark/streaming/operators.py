@@ -158,13 +158,16 @@ def stream_stream_join(
     Works identically on batch DataFrames (no watermark applied) — the
     parity tests exploit that.
 
-    ``how='left_outer'`` emits null-matched left rows — but ONLY once the
-    watermark passes a row's join horizon (Spark cannot finalize a
+    ``how='left_outer'`` emits null-matched left rows, and
+    ``how='full_outer'`` null-matched rows on BOTH sides — but ONLY once
+    the watermark passes a row's join horizon (Spark cannot finalize a
     non-match earlier; an unmatched row near the stream's end stays in
-    state forever on a finite drive).  Finite drives that need the full
-    outer result must advance the watermark past the last real event —
-    e.g. append sentinel rows in a later file and trigger per-file
-    (the streaming_join_outer gate shows the recipe)."""
+    state forever on a finite drive).  Finite drives that need the outer
+    result must advance the watermark past the last real event — e.g.
+    append sentinel rows in a later file and trigger per-file (the
+    streaming_join_outer / streaming_join_full_outer gates show the
+    recipe; for full outer the sentinels must carry BOTH event types so
+    both sides' watermarks advance)."""
     l = _ensure_event_time(left, ts_col)
     r = _ensure_event_time(right, ts_col)
     if l.isStreaming:

@@ -210,3 +210,108 @@ def test_plan_compaction_integer_bins_past_double_precision(spark):
         cum += s
         want[p] = (cum - s) // target
     assert plan == want
+
+
+# ---------------------------------------------------------------------------
+# MP4 container metadata walk
+# ---------------------------------------------------------------------------
+
+def test_probe_mp4_roundtrip_and_fixed_point():
+    from steel_datafusion_spark.pipeline.codecs import (
+        encode_mp4, probe_mp4, sniff_format,
+    )
+
+    p = encode_mp4(125000, [
+        {"kind": "video", "codec": "avc1", "width": 1920, "height": 1080,
+         "duration_ms": 125000},
+        {"kind": "audio", "codec": "mp4a", "width": 0, "height": 0,
+         "duration_ms": 124800},
+    ], brand="mp42")
+    assert sniff_format(p) == "mp4"
+    m = probe_mp4(p)
+    assert m.brand == "mp42"
+    assert m.duration_ms == 125000
+    assert m.n_tracks == 2
+    v, a = m.tracks
+    assert (v.kind, v.codec, v.width, v.height) == ("video", "avc1",
+                                                    1920, 1080)
+    assert (a.kind, a.codec, a.duration_ms) == ("audio", "mp4a", 124800)
+
+
+def test_probe_mp4_largesize_and_to_eof_boxes():
+    """64-bit (size==1) and to-end-of-file (size==0) box sizes are part
+    of ISO BMFF; real muxers emit both."""
+    import struct
+
+    from steel_datafusion_spark.pipeline.codecs import encode_mp4, probe_mp4
+
+    p = encode_mp4(5000, [{"kind": "video", "codec": "hev1", "width": 64,
+                           "height": 48, "duration_ms": 5000}])
+    # rewrap the trailing mdat as a largesize box, then append a
+    # size==0 free box running to EOF
+    assert p[-8:-4] == struct.pack(">I", 8) and p[-4:] == b"mdat"
+    body = p[:-8]
+    large_mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16)
+    eof_free = struct.pack(">I", 0) + b"free" + b"\x00" * 4
+    m = probe_mp4(body + large_mdat + eof_free)
+    assert m.duration_ms == 5000 and m.n_tracks == 1
+    assert m.tracks[0].codec == "hev1"
+
+
+def test_probe_mp4_rejects_malformed():
+    import struct
+
+    from steel_datafusion_spark.pipeline.codecs import encode_mp4, probe_mp4
+
+    with pytest.raises(ValueError):
+        probe_mp4(b"not an mp4 at all, clearly")
+    # ftyp but no moov
+    with pytest.raises(ValueError, match="moov"):
+        probe_mp4(struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4)
+    # box size larger than the buffer
+    p = bytearray(encode_mp4(1000, [{"kind": "video", "codec": "avc1",
+                                     "width": 8, "height": 8,
+                                     "duration_ms": 1000}]))
+    off = len(p[:p.find(b"moov") - 4])
+    p[off:off + 4] = struct.pack(">I", len(p) * 10)
+    with pytest.raises(ValueError, match="malformed"):
+        probe_mp4(bytes(p))
+
+
+def test_extract_container_metadata_mixed_formats(spark):
+    from steel_datafusion_spark.pipeline.codecs import (
+        DecodedImage, encode_avi, encode_mp4, encode_wav,
+    )
+    from steel_datafusion_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA, extract_container_metadata,
+    )
+
+    mp4 = encode_mp4(9000, [{"kind": "video", "codec": "vp09", "width": 320,
+                             "height": 200, "duration_ms": 9000}])
+    frames = [DecodedImage(8, 6, "RGB", bytes((10, 20, 30)) * 48)
+              for _ in range(4)]
+    avi = encode_avi(frames, rate=2, scale=1)
+    wav = encode_wav([0.0] * 8000, sample_rate=8000)
+    rows = [(1, "video", bytearray(mp4), {"width": 0, "height": 0,
+                                          "duration_ms": 0}),
+            (2, "video", bytearray(avi), {"width": 0, "height": 0,
+                                          "duration_ms": 0}),
+            (3, "audio", bytearray(wav), {"width": 0, "height": 0,
+                                          "duration_ms": 0}),
+            (4, "video", bytearray(b"mystery bytes"),
+             {"width": 77, "height": 55, "duration_ms": 1234})]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r.asDict()
+           for r in extract_container_metadata(media).collect()}
+    assert got[1]["container"] == "mp4" and got[1]["probed"]
+    assert (got[1]["video_codec"], got[1]["width"], got[1]["height"],
+            got[1]["duration_ms"]) == ("vp09", 320, 200, 9000)
+    assert got[2]["container"] == "avi" and got[2]["probed"]
+    assert (got[2]["width"], got[2]["height"],
+            got[2]["duration_ms"]) == (8, 6, 2000)
+    assert got[3]["container"] == "wav" and got[3]["probed"]
+    assert (got[3]["duration_ms"], got[3]["audio_codec"]) == (1000, "pcm")
+    # honest fallback: unknown container, metadata passthrough
+    assert got[4]["container"] == "unknown" and not got[4]["probed"]
+    assert (got[4]["width"], got[4]["height"],
+            got[4]["duration_ms"]) == (77, 55, 1234)
