@@ -91,6 +91,14 @@ def main() -> None:
         (warm["nation"].join(warm["region"],
                              warm["nation"]["n_regionkey"] == warm["region"]["r_regionkey"])
          .groupBy("r_name").count().collect())
+    # ...and the Python worker pool (pandas/pyarrow import in every worker
+    # costs ~3.7 s cold — measured r10; without this the first pandas_udf
+    # query in the sweep pays it instead of the engine being measured)
+    from pyspark.sql import functions as _F
+    from pyspark.sql.functions import pandas_udf as _pudf
+    _warm_udf = _pudf(lambda s: s + 1, "long")
+    spark.range(32 * 4).repartition(32).select(
+        _warm_udf(_F.col("id"))).collect()
 
     samples: dict[str, list[float | None]] = {n: [] for n in registry}
     rows_seen: dict[str, int] = {}

@@ -26,6 +26,17 @@ KNOWN = {
         "mapInPandas Python-worker startup variance: per-run samples span "
         "0.6-5.4 s with min 0.62 s = r3's 0.46 s x the machine factor — "
         "no plan change this round; median is startup-luck."),
+    "udf_vectorized": (
+        "ROOT CAUSE (r10, measured): Python-worker pool lifecycle, not the "
+        "operator. Cold pool (first pandas_udf of a session, 32 workers "
+        "importing pandas/pyarrow) = 3.7 s; back-to-back warm = 0.32-0.42 s; "
+        "after a 70 s idle gap = 0.63 s (workers idle-reaped, partial "
+        "respawn). The r3->r9 drift (0.20->0.35->0.72 s) tracks CATALOG "
+        "GROWTH (57->174 queries): the sweep gap between Python-worker "
+        "queries grew past the reap horizon, so every sample pays respawn. "
+        "bench.py now warms the worker pool beside the JVM warm-up; "
+        "remaining inter-sweep idle cost is a harness artifact, bounded "
+        "~0.3 s, shared by all pandas_udf/mapInPandas queries."),
 }
 
 
