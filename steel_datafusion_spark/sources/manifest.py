@@ -51,7 +51,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["CommitConflict", "latest_commit", "latest_commit_info",
            "commit_version", "new_version_dir", "read_table",
-           "is_manifest_root", "manifest_upsert", "vacuum"]
+           "is_manifest_root", "manifest_upsert", "manifest_delete",
+           "vacuum"]
 
 _COMMITS = "_commits"
 _VERSIONS = "_versions"
@@ -147,14 +148,32 @@ def commit_version(root: str, version: int, data_dir: str,
         pass  # platform without directory fsync: best-effort
 
 
-def read_table(spark: SparkSession, root: str) -> DataFrame:
-    """Read the newest committed snapshot.  Raises on an empty table."""
+def read_table(spark: SparkSession, root: str,
+               version: int | None = None) -> DataFrame:
+    """Read a committed snapshot — the newest by default, or a specific
+    ``version`` (time travel: every commit file is immutable, so any
+    version whose data dir survives the vacuum retention window reads
+    exactly as it was committed).  Raises FileNotFoundError for an empty
+    table, an unknown version, or a version whose data was vacuumed."""
     from .readers import read_parquet
 
-    cur = latest_commit(root)
-    if cur is None:
-        raise FileNotFoundError(f"no committed version under {root!r}")
-    return read_parquet(spark, cur[1])
+    if version is None:
+        cur = latest_commit(root)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version under {root!r}")
+        return read_parquet(spark, cur[1])
+    path = os.path.join(_commits_dir(root), f"v{version:010d}.json")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"version {version} was never committed under {root!r}")
+    with open(path) as fh:
+        payload = json.load(fh)
+    data_dir = os.path.join(root, payload["data_dir"])
+    if not os.path.isdir(data_dir):
+        raise FileNotFoundError(
+            f"version {version} of {root!r} is outside the vacuum "
+            f"retention window (its data dir was reclaimed)")
+    return read_parquet(spark, data_dir)
 
 
 def _link_tree(src_root: str, dst_root: str, skip_prefixes: list[str],
@@ -255,6 +274,72 @@ def manifest_upsert(spark: SparkSession, root: str, updates: DataFrame,
     raise RuntimeError(
         f"manifest_upsert lost {max_retries} commit races on {root!r} — "
         f"writer contention this high needs a coordinating service")
+
+
+def manifest_delete(spark: SparkSession, root: str, keys: DataFrame,
+                    key_cols: list[str],
+                    partition_by: list[str] | None = None,
+                    max_retries: int = 5, keep_versions: int = 2) -> int:
+    """Keyed delete through the manifest protocol (the tombstone half of
+    CDC apply): rows matching ``keys`` disappear from the next committed
+    version; returns that version.  Same optimistic concurrency and
+    snapshot guarantees as ``manifest_upsert``.
+
+    Partition-granular when ``partition_by`` is given — ``keys`` must
+    then CARRY the partition columns (a delete without them would have to
+    rewrite every partition); only partitions containing deleted keys are
+    rewritten, untouched partition files hardlink into the new version."""
+    from pyspark.sql import functions as F
+
+    from .readers import _hive_part_path, read_parquet
+
+    if partition_by:
+        missing = [c for c in partition_by if c not in keys.columns]
+        if missing:
+            raise ValueError(
+                f"partition-granular delete needs the partition columns "
+                f"{missing} on the keys frame (otherwise every partition "
+                f"would be rewritten — pass partition_by=None for that)")
+    for _attempt in range(max_retries):
+        cur = latest_commit(root)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version under {root!r}")
+        base_version, base_dir = cur
+        version = base_version + 1
+        base = read_parquet(spark, base_dir)
+        k = keys.select(*key_cols).distinct()
+        data_dir = new_version_dir(root, version)
+        if partition_by:
+            touched = keys.select(*partition_by).distinct().collect()
+            if not touched:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                return base_version
+            rel_paths = [_hive_part_path(partition_by, r) for r in touched]
+            cond = None
+            for r in touched:
+                c = None
+                for col in partition_by:
+                    t = (F.col(col).isNull() if r[col] is None
+                         else (F.col(col) == F.lit(r[col])))
+                    c = t if c is None else (c & t)
+                cond = c if cond is None else (cond | c)
+            kept = base.filter(cond).join(F.broadcast(k), key_cols,
+                                          "left_anti")
+            kept.write.mode("overwrite").partitionBy(*partition_by) \
+                .parquet(data_dir)
+            _link_tree(base_dir, data_dir, skip_prefixes=rel_paths)
+        else:
+            kept = base.join(F.broadcast(k), key_cols, "left_anti")
+            kept.write.mode("overwrite").parquet(data_dir)
+        try:
+            commit_version(root, version, data_dir)
+        except CommitConflict:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            continue
+        vacuum(root, keep=keep_versions)
+        return version
+    raise RuntimeError(
+        f"manifest_delete lost {max_retries} commit races on {root!r}")
 
 
 def vacuum(root: str, keep: int = 2) -> int:

@@ -218,3 +218,57 @@ def test_vacuum_retention_and_commit_meta(spark, tmp_path):
         fh.write(b"")
     commit_version(out, 5, d, meta={"batch_id": 17})
     assert latest_commit_info(out)["meta"] == {"batch_id": 17}
+
+
+def test_time_travel_reads_any_retained_version(spark, tmp_path):
+    from steel_datafusion_spark.sources.manifest import (
+        manifest_upsert, read_table, vacuum,
+    )
+
+    out = str(tmp_path / "tt")
+    for ver in range(3):
+        manifest_upsert(spark, out, _mk(spark, [(1, f"s{ver}", ver)]),
+                        ["k"], keep_versions=1000)
+    for ver in (1, 2, 3):
+        got = read_table(spark, out, version=ver).collect()
+        assert got[0].s == f"s{ver - 1}"
+    assert read_table(spark, out).collect()[0].s == "s2"
+    with pytest.raises(FileNotFoundError, match="never committed"):
+        read_table(spark, out, version=99)
+    vacuum(out, keep=1)
+    with pytest.raises(FileNotFoundError, match="retention"):
+        read_table(spark, out, version=1)
+    # newest still reads after vacuum
+    assert read_table(spark, out, version=3).collect()[0].s == "s2"
+
+
+def test_manifest_delete_table_and_partitioned(spark, tmp_path):
+    from steel_datafusion_spark.sources.manifest import (
+        manifest_delete, manifest_upsert,
+    )
+    from steel_datafusion_spark.sources.readers import read_parquet
+
+    out = str(tmp_path / "del")
+    manifest_upsert(spark, out, _mk(spark, [(1, "a", 10), (2, "b", 20),
+                                            (3, "c", 30)]), ["k"])
+    v = manifest_delete(spark, out,
+                        spark.createDataFrame([(2,)], "k long"), ["k"])
+    assert v == 2
+    got = {r.k for r in read_parquet(spark, out).collect()}
+    assert got == {1, 3}
+
+    pout = str(tmp_path / "pdel")
+    base = spark.createDataFrame(
+        [(1, 10, "p1"), (2, 20, "p1"), (3, 30, "p2"), (4, 40, "p3")],
+        "k long, v long, p string")
+    manifest_upsert(spark, pout, base, ["k"], partition_by=["p"])
+    # partition-granular delete requires partition cols on the keys frame
+    with pytest.raises(ValueError, match="partition columns"):
+        manifest_delete(spark, pout,
+                        spark.createDataFrame([(2,)], "k long"),
+                        ["k"], partition_by=["p"])
+    manifest_delete(spark, pout,
+                    spark.createDataFrame([(2, "p1")], "k long, p string"),
+                    ["k"], partition_by=["p"])
+    got = {r.k for r in read_parquet(spark, pout).collect()}
+    assert got == {1, 3, 4}

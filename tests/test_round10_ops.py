@@ -315,3 +315,43 @@ def test_extract_container_metadata_mixed_formats(spark):
     assert got[4]["container"] == "unknown" and not got[4]["probed"]
     assert (got[4]["width"], got[4]["height"],
             got[4]["duration_ms"]) == (77, 55, 1234)
+
+
+# ---------------------------------------------------------------------------
+# stream-stream outer-join matrix: right/full batch parity
+# ---------------------------------------------------------------------------
+
+def test_stream_stream_join_right_and_full_outer_batch_parity(spark):
+    """stream_stream_join works identically on batch frames (no
+    watermarks applied) — use that to pin the right_outer and full_outer
+    SEMANTICS against hand-computed expectations; the streaming
+    finalization machinery itself is covered by the hash gates."""
+    from datetime import datetime
+
+    from steel_datafusion_spark.streaming.operators import stream_stream_join
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return datetime(2026, 1, 1, 12, minutes, 0)
+
+    views = spark.createDataFrame(
+        [(1, ts(0), 100), (2, ts(0), 101), (3, ts(50), 102)],
+        "user_id long, ts timestamp, event_id long")
+    buys = spark.createDataFrame(
+        [(1, ts(10), 200), (2, ts(45), 201), (4, ts(5), 202)],
+        "user_id long, ts timestamp, event_id long")
+
+    full = stream_stream_join(views, buys, key_col="user_id", ts_col="ts",
+                              within="30 minutes", how="full_outer")
+    rows = {(r.event_id, r.r_event_id) for r in full.collect()}
+    # user 1 matches; user 2's purchase is 45min late (no match, both
+    # emit); user 3's view unmatched; user 4's purchase unmatched
+    assert rows == {(100, 200), (101, None), (None, 201),
+                    (102, None), (None, 202)}
+
+    right = stream_stream_join(views, buys, key_col="user_id", ts_col="ts",
+                               within="30 minutes", how="right_outer")
+    rrows = {(r.event_id, r.r_event_id) for r in right.collect()}
+    assert rrows == {(100, 200), (None, 201), (None, 202)}
+    assert t0  # silence linters: t0 anchors the timeline above

@@ -66,9 +66,17 @@ OPS = ["dedup_minhash_lsh", "dedup_index_probe", "dedup_clusters_twophase",
        # decades; label_propagation / association_rules ride
        # lineitem/orders (copied AS-IS) so they sweep the real range only.
        "tfidf_doc_topk", "perplexity_buckets", "dedup_keep_best",
-       "label_propagation", "association_rules"]
+       "label_propagation", "association_rules",
+       # round-10: the two heaviest streaming gates (VERDICT r9 item 8)
+       # ride the events table, so they sweep the real sf0.001-0.1 range
+       # (100x events) plus the synthetic ev10x decade (--ev10x: events
+       # copied 10x with disjoint id spaces, timestamps kept, so watermark
+       # horizons and per-key state both scale with volume).
+       "streaming_view_maintenance", "streaming_join_outer",
+       "streaming_join_full_outer"]
 SF1X_DIR = "/tmp/sdf_scale_sf1x"
 SF10X_DIR = "/tmp/sdf_scale_sf10x"
+EV10X_DIR = "/tmp/sdf_scale_ev10x"
 REPS = 2
 
 
@@ -147,6 +155,41 @@ def build_sf1x(spark, src_dir: str, out_dir: str, copies: int = 10) -> None:
                 src, dst)
 
 
+def build_ev10x(spark, src_dir: str, out_dir: str, copies: int = 10) -> None:
+    """Materialize a 10x EVENTS corpus: copy i shifts event_id/user_id into
+    a disjoint id space (+i x 10^9) and keeps timestamps, so the event-time
+    span is unchanged while per-trigger batch volume and the number of live
+    keys inside any watermark horizon both scale ~10x — exactly the axis
+    the streaming state machinery must stay bounded along.  Other tables
+    copy as-is so load_tables sees the full layout."""
+    from steel_datafusion_spark.sources.readers import load_tables
+
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    ev = load_tables(spark, src_dir)["events"]
+    parts = []
+    for i in range(copies):
+        p = ev
+        if i:
+            p = (p.withColumn("event_id",
+                              F.col("event_id") + i * 1_000_000_000)
+                 .withColumn("user_id",
+                             F.col("user_id") + i * 1_000_000_000))
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    for name in ("region nation customer supplier part orders lineitem "
+                 "documents embeddings").split():
+        src = os.path.join(src_dir, f"{name}.parquet")
+        if os.path.exists(src):
+            dst = os.path.join(out_dir, f"{name}.parquet")
+            (shutil.copytree if os.path.isdir(src) else shutil.copyfile)(
+                src, dst)
+
+
 def minhash_candidate_pairs(spark, sf_dir: str) -> int:
     """Band-bucket candidate pairs BEFORE verification — the quantity whose
     sub-quadratic growth the LSH design claims.  Sum over buckets of
@@ -202,6 +245,8 @@ def main() -> int:
         scales.append(("sf1x", SF1X_DIR))
     if with_sf10x:
         scales.append(("sf10x", SF10X_DIR))
+    if "--ev10x" in args:
+        scales.append(("ev10x", EV10X_DIR))
     if only_scales is not None:
         scales = [s for s in scales if s[0] in only_scales]
     for sc_name, sc_dir, copies in (("sf1x", SF1X_DIR, 10),
@@ -211,6 +256,10 @@ def main() -> int:
             print(f"building synthetic {sc_name} ({copies}x sf0.1) ...",
                   flush=True)
             build_sf1x(spark, "/root/testdata/sf0.1", sc_dir, copies=copies)
+    if any(n == "ev10x" for n, _ in scales) and \
+            not os.path.exists(os.path.join(EV10X_DIR, "events.parquet")):
+        print("building synthetic ev10x (10x sf0.1 events) ...", flush=True)
+        build_ev10x(spark, "/root/testdata/sf0.1", EV10X_DIR)
 
     results: dict[str, dict] = {}
     for sc_name, sc_dir in scales:
