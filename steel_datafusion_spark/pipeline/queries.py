@@ -2129,6 +2129,60 @@ SELECT anchor_id, neighbor_id, score, rank FROM (
 """
 
 
+def q_hard_negatives_ivf(spark, sf_dir):
+    """CORPUS-SCALE hard-negative mining (pipeline/similarity.py
+    hard_negatives_ivf — the path the exact scorer's anchor cap points
+    at): every vector is an anchor, candidates come from its nprobe=2
+    best IVF buckets (centroids = vec_id%100==0), label filter rides the
+    candidate join, top-5 per anchor.  No broadcast of anything
+    corpus-sized — one shuffle join on centroid_id with bucket-bounded
+    fan-out.  The oracle replays the deterministic quantizer, probing,
+    label filter and ranking in SQL, so the hash checks the bucketed
+    ALGORITHM (assignment tie-breaks included), not just plausible
+    neighbors."""
+    from .similarity import hard_negatives_ivf
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return hard_negatives_ivf(e, k=5, nprobe=2, centroid_mod=100)
+
+
+def _sql_hard_negatives_ivf() -> str:
+    from .similarity import SQL_COSINE
+
+    cos_ac = SQL_COSINE.format(a="e.v", b="c.centv")
+    cos_qc = SQL_COSINE.format(a="q.qv", b="c.centv")
+    cos_qa = SQL_COSINE.format(a="p.qv", b="a.v")
+    return f"""
+WITH hni_e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+hni_cent AS (
+  SELECT vec_id AS centroid_id, v AS centv
+  FROM hni_e WHERE vec_id % 100 = 0),
+hni_assign AS (
+  SELECT vid, v, label, centroid_id FROM (
+    SELECT e.vec_id AS vid, e.v, e.label, c.centroid_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round({cos_ac}, 6) DESC, c.centroid_id) AS r
+    FROM hni_e e, hni_cent c) t WHERE r = 1),
+hni_q AS (SELECT vec_id AS anchor_id, v AS qv, label AS a_label FROM hni_e),
+hni_probes AS (
+  SELECT anchor_id, qv, a_label, centroid_id FROM (
+    SELECT q.anchor_id, q.qv, q.a_label, c.centroid_id,
+      row_number() OVER (PARTITION BY q.anchor_id
+        ORDER BY round({cos_qc}, 6) DESC, c.centroid_id) AS r
+    FROM hni_q q, hni_cent c) t WHERE r <= 2),
+hni_scored AS (
+  SELECT p.anchor_id, a.vid AS neighbor_id,
+         round({cos_qa}, 6) AS score
+  FROM hni_probes p JOIN hni_assign a USING (centroid_id)
+  WHERE p.anchor_id <> a.vid AND p.a_label <> a.label)
+SELECT anchor_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+            ORDER BY score DESC, neighbor_id)::INT AS rank
+  FROM hni_scored) t WHERE rank <= 5
+"""
+
+
 def q_embedding_covariance(spark, sf_dir):
     """Distributed covariance of the leading 16 embedding dimensions
     (pipeline/similarity.py embedding_covariance) — the map-reduce half
@@ -4402,6 +4456,7 @@ PIPELINE_QUERIES = {
     "embedding_covariance": (q_embedding_covariance,
                              _sql_embedding_covariance()),
     "hard_negatives": (q_hard_negatives, _sql_hard_negatives()),
+    "hard_negatives_ivf": (q_hard_negatives_ivf, _sql_hard_negatives_ivf()),
     "iqr_outlier_filter": (q_iqr_outlier_filter, _SQL_IQR_OUTLIER),
     "doc_chunking": (q_doc_chunking, _sql_doc_chunking()),
     "dedup_substring_spans": (q_dedup_substring_spans,
