@@ -41,7 +41,8 @@ __all__ = ["DecodedImage", "decode_image_bytes", "sniff_format",
            "encode_png", "encode_bmp", "encode_ppm", "encode_jpeg",
            "DecodedAudio", "decode_wav", "encode_wav",
            "DecodedVideo", "decode_avi", "encode_avi",
-           "Mp4Track", "Mp4Meta", "probe_mp4", "encode_mp4"]
+           "Mp4Track", "Mp4Meta", "probe_mp4", "encode_mp4",
+           "Mp3Meta", "probe_mp3", "encode_mp3"]
 
 
 class DecodedImage(NamedTuple):
@@ -73,6 +74,10 @@ def sniff_format(payload: bytes) -> str | None:
         return "avi"
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "mp4"
+    if payload[:3] == b"ID3" or (
+            len(payload) >= 4 and payload[0] == 0xFF
+            and (payload[1] & 0xE0) == 0xE0):
+        return "mp3"
     return None
 
 
@@ -841,3 +846,130 @@ def encode_mp4(duration_ms: int, tracks: list, timescale: int = 1000,
                     + struct.pack(">I", 0)
                     + brand.encode("ascii")[:4].ljust(4) + b"mp42")
     return ftyp + moov + _mp4_box(b"mdat", b"")
+
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG audio frame-header walk — no sample decode)
+# ---------------------------------------------------------------------------
+# The other big crawl format.  Like MP4, the curation fields (duration,
+# bitrate, sample rate, channel mode, CBR/VBR) live in headers: an
+# optional ID3v2 tag, then MPEG audio frames whose 4-byte headers carry
+# the codec parameters, with VBR files declaring their exact frame count
+# in a Xing/Info tag inside the first frame.  Sample (audio) decode needs
+# codec libs this container doesn't ship — header walk only, same honest
+# envelope as probe_mp4.
+
+class Mp3Meta(NamedTuple):
+    version: str        # "1" | "2" | "2.5"
+    layer: int          # 1..3
+    bitrate_kbps: int   # first frame's (CBR: the file's)
+    sample_rate: int
+    channels: int       # 1 (mono) or 2
+    vbr: bool           # Xing/Info frame-count tag present
+    n_frames: int       # exact for VBR (Xing), estimated for CBR
+    duration_ms: int
+
+
+_MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                      224, 256, 320, 0]
+_MP3_BITRATES_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                      144, 160, 0]
+_MP3_RATES = {"1": [44100, 48000, 32000, 0],
+              "2": [22050, 24000, 16000, 0],
+              "2.5": [11025, 12000, 8000, 0]}
+
+
+def _id3v2_size(payload: bytes) -> int:
+    """Bytes to skip for a leading ID3v2 tag (0 if none): 'ID3' + ver(2)
+    + flags(1) + 4-byte SYNCSAFE size (7 bits per byte) + that many
+    bytes of tag body."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return 0
+    size = ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14) \
+        | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
+    return 10 + size
+
+
+def probe_mp3(payload: bytes) -> Mp3Meta:
+    """Walk an MPEG-audio stream's headers: skip ID3v2, sync on the first
+    frame (11 set bits), decode version/layer/bitrate/samplerate/channel
+    mode from its 4-byte header, and read the Xing/Info VBR tag if
+    present (exact frame count → exact duration); CBR duration estimates
+    from audio bytes x 8 / bitrate.  Never touches coded samples.
+    Raises ValueError for anything that is not MPEG audio."""
+    start = _id3v2_size(payload)
+    n = len(payload)
+    off = start
+    # scan (bounded) for the frame sync — real files can carry junk
+    # between the tag and the first frame
+    limit = min(n - 4, start + 4096)
+    while off <= limit:
+        if payload[off] == 0xFF and (payload[off + 1] & 0xE0) == 0xE0:
+            break
+        off += 1
+    else:
+        raise ValueError("no MPEG audio frame sync found")
+    h = payload[off:off + 4]
+    ver_bits = (h[1] >> 3) & 0x3
+    version = {0: "2.5", 2: "2", 3: "1"}.get(ver_bits)
+    if version is None:
+        raise ValueError("reserved MPEG version")
+    layer = {1: 3, 2: 2, 3: 1}.get((h[1] >> 1) & 0x3)
+    if layer is None:
+        raise ValueError("reserved MPEG layer")
+    br_idx = (h[2] >> 4) & 0xF
+    sr_idx = (h[2] >> 2) & 0x3
+    table = _MP3_BITRATES_V1L3 if version == "1" else _MP3_BITRATES_V2L3
+    bitrate = table[br_idx]
+    sample_rate = _MP3_RATES[version][sr_idx]
+    if not bitrate or not sample_rate:
+        raise ValueError("free/reserved bitrate or sample rate")
+    mode = (h[3] >> 6) & 0x3
+    channels = 1 if mode == 3 else 2
+    spf = 1152 if version == "1" else 576  # samples/frame, layer III
+    frame_len = (spf // 8) * bitrate * 1000 // sample_rate
+
+    # Xing/Info VBR tag sits after the side info inside the first frame
+    side = (17 if channels == 1 else 32) if version == "1" \
+        else (9 if channels == 1 else 17)
+    tag_off = off + 4 + side
+    vbr = payload[tag_off:tag_off + 4] in (b"Xing", b"Info")
+    if vbr and (payload[tag_off + 7] & 0x1):  # frames field present
+        n_frames = int.from_bytes(payload[tag_off + 8:tag_off + 12], "big")
+    else:
+        vbr = False
+        n_frames = max(0, (n - off)) // max(frame_len, 1)
+    duration_ms = n_frames * spf * 1000 // sample_rate
+    return Mp3Meta(version, layer, bitrate, sample_rate, channels, vbr,
+                   n_frames, duration_ms)
+
+
+def encode_mp3(n_frames: int, bitrate_kbps: int = 128,
+               sample_rate: int = 44100, channels: int = 2,
+               id3_bytes: int = 0) -> bytes:
+    """Minimal valid MPEG-1 layer III CBR stream: optional ID3v2 shell +
+    ``n_frames`` frames with correct headers and zero-filled payloads —
+    the headers are what probe_mp3 reads; coded samples are zeros by
+    design (metadata-only fixture builder, same honesty as encode_mp4)."""
+    table = _MP3_BITRATES_V1L3
+    if bitrate_kbps not in table:
+        raise ValueError(f"unsupported CBR bitrate {bitrate_kbps}")
+    rates = _MP3_RATES["1"]
+    if sample_rate not in rates:
+        raise ValueError(f"unsupported MPEG-1 sample rate {sample_rate}")
+    br_idx = table.index(bitrate_kbps)
+    sr_idx = rates.index(sample_rate)
+    mode = 3 if channels == 1 else 0
+    hdr = bytes([0xFF,
+                 0xE0 | (3 << 3) | (1 << 1) | 1,   # v1, layer III, no CRC
+                 (br_idx << 4) | (sr_idx << 2),
+                 mode << 6])
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    frame = hdr + b"\x00" * (frame_len - 4)
+    id3 = b""
+    if id3_bytes:
+        body = id3_bytes
+        size = bytes([(body >> 21) & 0x7F, (body >> 14) & 0x7F,
+                      (body >> 7) & 0x7F, body & 0x7F])
+        id3 = b"ID3\x04\x00\x00" + size + b"\x00" * body
+    return id3 + frame * n_frames

@@ -285,6 +285,9 @@ def extract_container_metadata(media: DataFrame) -> DataFrame:
     - **AVI**: the existing chunk walker in header-only mode
       (``max_frames=0`` — no pixel work).
     - **WAV**: fmt-chunk fields via ``decode_wav`` header parse.
+    - **MP3**: ``codecs.probe_mp3`` — ID3v2 skip, first-frame header
+      (bitrate/sample rate/channel mode), Xing/Info VBR frame count for
+      exact duration, CBR estimate otherwise.
     - anything else: ``probed=false`` with the metadata struct passed
       through — the same honest-fallback contract as the extractors.
 
@@ -292,7 +295,9 @@ def extract_container_metadata(media: DataFrame) -> DataFrame:
     payloads never leave their executor."""
 
     def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .codecs import decode_avi, decode_wav, probe_mp4, sniff_format
+        from .codecs import (
+            decode_avi, decode_wav, probe_mp3, probe_mp4, sniff_format,
+        )
 
         cols = ("media_id", "container", "probed", "duration_ms",
                 "n_tracks", "video_codec", "width", "height", "audio_codec")
@@ -320,6 +325,10 @@ def extract_container_metadata(media: DataFrame) -> DataFrame:
                     elif fmt == "wav":
                         a = decode_wav(p)
                         vals = (True, a.duration_ms, 1, "", 0, 0, "pcm")
+                    elif fmt == "mp3":
+                        s = probe_mp3(p)
+                        vals = (True, s.duration_ms, 1, "", 0, 0,
+                                f"mp{s.layer}")
                     else:
                         raise ValueError("unknown container")
                 except (ValueError, IndexError, struct_error):

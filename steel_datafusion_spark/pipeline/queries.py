@@ -1526,6 +1526,60 @@ def q_mp4_metadata(spark, sf_dir):
         "video_codec", "width", "height", "audio_codec")
 
 
+def q_mp3_metadata(spark, sf_dir):
+    """MPEG-audio header walk as a hashed gate (pipeline/codecs.py
+    probe_mp3 + multimodal.extract_container_metadata): per-document CBR
+    MP3 streams (codecs.encode_mp3 — optional ID3v2 shell + n correct
+    frame headers over zero-filled payloads) are synthesized
+    executor-side with doc_id-derived parameters and probed back.  The
+    oracle recomputes the closed-form duration (frames x 1152 samples /
+    rate) — a wrong ID3 syncsafe skip, frame-sync scan, bitrate/rate
+    table lookup, or frame-length formula shifts the frame count or
+    duration and hash-mismatches."""
+    import pandas as pd_local
+
+    from .codecs import encode_mp3
+    from .multimodal import MEDIA_SCHEMA, extract_container_metadata
+
+    d = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("doc_id") < 150).select("doc_id")
+
+    def _gen(batches):
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 100 + did % 50
+                br = (64, 128, 192)[did % 3]
+                sr = (44100, 32000)[did % 2]
+                ch = 1 + (did % 2)
+                payloads.append(encode_mp3(
+                    n, bitrate_kbps=br, sample_rate=sr, channels=ch,
+                    id3_bytes=(did % 7) * 16))
+                metas.append({"width": 0, "height": 0, "duration_ms": 0})
+            yield pd_local.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "kind": ["audio"] * len(pdf),
+                "payload": payloads,
+                "meta": metas,
+            })
+
+    media = d.mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return extract_container_metadata(media).select(
+        "media_id", "container", "probed", "duration_ms", "n_tracks",
+        "audio_codec")
+
+
+_SQL_MP3_METADATA = """
+SELECT doc_id AS media_id, 'mp3' AS container, TRUE AS probed,
+  ((100 + doc_id % 50) * 1152 * 1000
+   // (CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 32000 END))::BIGINT
+    AS duration_ms,
+  1::INT AS n_tracks, 'mp3' AS audio_codec
+FROM documents WHERE doc_id < 150
+"""
+
+
 _SQL_MP4_METADATA = """
 SELECT doc_id AS media_id, 'mp4' AS container, TRUE AS probed,
   (30000 + (doc_id % 97) * 250)::BIGINT AS duration_ms,
@@ -4431,6 +4485,7 @@ PIPELINE_QUERIES = {
     "audio_features": (q_audio_features, _SQL_AUDIO_FEATURES),
     "video_features": (q_video_features, _SQL_VIDEO_FEATURES),
     "mp4_metadata": (q_mp4_metadata, _SQL_MP4_METADATA),
+    "mp3_metadata": (q_mp3_metadata, _SQL_MP3_METADATA),
     "winnow_fingerprints": (q_winnow_fingerprints, _SQL_WINNOW),
     "kmeans_clusters": (q_kmeans_clusters, _sql_kmeans()),
     "semdedup_prune": (q_semdedup_prune, _sql_semdedup()),

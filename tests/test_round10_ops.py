@@ -355,3 +355,61 @@ def test_stream_stream_join_right_and_full_outer_batch_parity(spark):
     rrows = {(r.event_id, r.r_event_id) for r in right.collect()}
     assert rrows == {(100, 200), (None, 201), (None, 202)}
     assert t0  # silence linters: t0 anchors the timeline above
+
+
+# ---------------------------------------------------------------------------
+# MP3 header walk
+# ---------------------------------------------------------------------------
+
+def test_probe_mp3_cbr_and_id3_skip():
+    from steel_datafusion_spark.pipeline.codecs import (
+        encode_mp3, probe_mp3, sniff_format,
+    )
+
+    p = encode_mp3(200, bitrate_kbps=128, sample_rate=44100, channels=2,
+                   id3_bytes=64)
+    assert sniff_format(p) == "mp3"
+    m = probe_mp3(p)
+    assert (m.version, m.layer, m.bitrate_kbps, m.sample_rate,
+            m.channels, m.vbr) == ("1", 3, 128, 44100, 2, False)
+    assert m.n_frames == 200
+    assert m.duration_ms == 200 * 1152 * 1000 // 44100
+    mono = probe_mp3(encode_mp3(50, bitrate_kbps=64, sample_rate=32000,
+                                channels=1))
+    assert (mono.channels, mono.duration_ms) == (1, 1800)
+    with pytest.raises(ValueError, match="frame sync"):
+        probe_mp3(b"\x00" * 64)
+
+
+def test_probe_mp3_xing_vbr_frame_count_wins():
+    """A Xing tag declares the EXACT frame count — it must override the
+    CBR byte-length estimate (here the stream is truncated to 3 physical
+    frames but Xing says 1000)."""
+    from steel_datafusion_spark.pipeline.codecs import encode_mp3, probe_mp3
+
+    p = bytearray(encode_mp3(3, bitrate_kbps=128, sample_rate=44100,
+                             channels=2))
+    side = 32  # MPEG-1 stereo side-info bytes
+    tag = 4 + side
+    p[tag:tag + 4] = b"Xing"
+    p[tag + 4:tag + 8] = (1).to_bytes(4, "big")       # flags: frames
+    p[tag + 8:tag + 12] = (1000).to_bytes(4, "big")   # frame count
+    m = probe_mp3(bytes(p))
+    assert m.vbr and m.n_frames == 1000
+    assert m.duration_ms == 1000 * 1152 * 1000 // 44100
+
+
+def test_extract_container_metadata_mp3(spark):
+    from steel_datafusion_spark.pipeline.codecs import encode_mp3
+    from steel_datafusion_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA, extract_container_metadata,
+    )
+
+    p = encode_mp3(100, bitrate_kbps=192, sample_rate=44100, channels=2)
+    media = spark.createDataFrame(
+        [(7, "audio", bytearray(p), {"width": 0, "height": 0,
+                                     "duration_ms": 0})], MEDIA_SCHEMA)
+    got = extract_container_metadata(media).collect()[0]
+    assert (got.container, got.probed, got.audio_codec) == ("mp3", True,
+                                                            "mp3")
+    assert got.duration_ms == 100 * 1152 * 1000 // 44100
