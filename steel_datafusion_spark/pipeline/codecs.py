@@ -42,7 +42,8 @@ __all__ = ["DecodedImage", "decode_image_bytes", "sniff_format",
            "DecodedAudio", "decode_wav", "encode_wav",
            "DecodedVideo", "decode_avi", "encode_avi",
            "Mp4Track", "Mp4Meta", "probe_mp4", "encode_mp4",
-           "Mp3Meta", "probe_mp3", "encode_mp3"]
+           "Mp3Meta", "probe_mp3", "encode_mp3",
+           "WebmTrack", "WebmMeta", "probe_webm", "encode_webm"]
 
 
 class DecodedImage(NamedTuple):
@@ -74,6 +75,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "avi"
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "mp4"
+    if payload[:4] == b"\x1a\x45\xdf\xa3":
+        return "webm"
     if payload[:3] == b"ID3" or (
             len(payload) >= 4 and payload[0] == 0xFF
             and (payload[1] & 0xE0) == 0xE0):
@@ -973,3 +976,196 @@ def encode_mp3(n_frames: int, bitrate_kbps: int = 128,
                       (body >> 7) & 0x7F, body & 0x7F])
         id3 = b"ID3\x04\x00\x00" + size + b"\x00" * body
     return id3 + frame * n_frames
+
+
+# ---------------------------------------------------------------------------
+# WebM / Matroska (EBML element walk — no codec decode)
+# ---------------------------------------------------------------------------
+# The third big crawl container.  EBML is a TLV tree: variable-length
+# element IDs (leading-zeros-coded, marker bit KEPT) and sizes (marker
+# bit STRIPPED); the curation fields live under Segment > Info
+# (TimestampScale, Duration) and Segment > Tracks > TrackEntry
+# (TrackType, CodecID, Video > PixelWidth/PixelHeight).  Clusters (the
+# coded media) are skipped by size — the same footer-read envelope as
+# probe_mp4/probe_mp3.
+
+class WebmTrack(NamedTuple):
+    kind: str          # "video" | "audio" | other TrackType
+    codec: str         # CodecID, e.g. "V_VP9", "A_OPUS"
+    width: int
+    height: int
+
+
+class WebmMeta(NamedTuple):
+    doctype: str       # "webm" | "matroska"
+    duration_ms: int
+    tracks: list       # list[WebmTrack]
+
+    @property
+    def n_tracks(self) -> int:
+        return len(self.tracks)
+
+
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+
+
+def _ebml_vint(buf: bytes, off: int, keep_marker: bool) -> tuple[int, int]:
+    """(value, next_offset) for one EBML variable-length integer."""
+    if off >= len(buf):
+        raise ValueError("truncated EBML vint")
+    first = buf[off]
+    if first == 0:
+        raise ValueError("invalid EBML vint (zero lead byte)")
+    length = 8 - first.bit_length() + 1
+    if off + length > len(buf):
+        raise ValueError("truncated EBML vint body")
+    val = first if keep_marker else first & ((1 << (8 - length)) - 1)
+    for i in range(1, length):
+        val = (val << 8) | buf[off + i]
+    return val, off + length
+
+
+def _ebml_children(buf: bytes, start: int, end: int):
+    """Yield (element_id, body_start, body_end) for each child element."""
+    off = start
+    while off < end:
+        eid, off = _ebml_vint(buf, off, keep_marker=True)
+        size, off = _ebml_vint(buf, off, keep_marker=False)
+        if off + size > end:
+            raise ValueError("EBML element overruns its parent")
+        yield eid, off, off + size
+        off += size
+
+
+def _ebml_find(buf: bytes, start: int, end: int, eid: int):
+    for i, b, e in _ebml_children(buf, start, end):
+        if i == eid:
+            return b, e
+    return None
+
+
+_ID_SEGMENT = 0x18538067
+_ID_INFO = 0x1549A966
+_ID_TS_SCALE = 0x2AD7B1
+_ID_DURATION = 0x4489
+_ID_TRACKS = 0x1654AE6B
+_ID_TRACK_ENTRY = 0xAE
+_ID_TRACK_TYPE = 0x83
+_ID_CODEC_ID = 0x86
+_ID_VIDEO = 0xE0
+_ID_PIXEL_W = 0xB0
+_ID_PIXEL_H = 0xBA
+_ID_DOCTYPE = 0x4282
+
+
+def _ebml_uint(buf: bytes, b: int, e: int) -> int:
+    return int.from_bytes(buf[b:e], "big")
+
+
+def probe_webm(payload: bytes) -> WebmMeta:
+    """Walk a WebM/Matroska file's EBML tree: DocType from the EBML
+    header, Duration x TimestampScale from Segment>Info, and per-track
+    type / CodecID / video dimensions from Segment>Tracks.  Cluster
+    payloads are skipped wholesale.  Raises ValueError for non-EBML or
+    malformed input."""
+    if payload[:4] != _EBML_MAGIC:
+        raise ValueError("not an EBML (WebM/Matroska) payload")
+    end = len(payload)
+    doctype = "matroska"
+    it = _ebml_children(payload, 0, end)
+    header = next(it, None)
+    if header is None:
+        raise ValueError("empty EBML stream")
+    _hid, hb, he = header
+    dt = _ebml_find(payload, hb, he, _ID_DOCTYPE)
+    if dt is not None:
+        doctype = payload[dt[0]:dt[1]].decode("ascii", "replace")
+    seg = None
+    for eid, b, e in it:
+        if eid == _ID_SEGMENT:
+            seg = (b, e)
+            break
+    if seg is None:
+        raise ValueError("EBML missing Segment")
+    sb, se = seg
+    ts_scale, dur = 1_000_000, 0.0
+    info = _ebml_find(payload, sb, se, _ID_INFO)
+    if info is not None:
+        t = _ebml_find(payload, info[0], info[1], _ID_TS_SCALE)
+        if t is not None:
+            ts_scale = _ebml_uint(payload, *t)
+        d = _ebml_find(payload, info[0], info[1], _ID_DURATION)
+        if d is not None:
+            raw = payload[d[0]:d[1]]
+            dur = struct.unpack(">f" if len(raw) == 4 else ">d", raw)[0]
+    duration_ms = int(dur * ts_scale / 1e6)
+    tracks = []
+    tr = _ebml_find(payload, sb, se, _ID_TRACKS)
+    if tr is not None:
+        for eid, b, e in _ebml_children(payload, tr[0], tr[1]):
+            if eid != _ID_TRACK_ENTRY:
+                continue
+            kind, codec, w, h = "", "", 0, 0
+            tt = _ebml_find(payload, b, e, _ID_TRACK_TYPE)
+            if tt is not None:
+                kind = {1: "video", 2: "audio"}.get(
+                    _ebml_uint(payload, *tt),
+                    str(_ebml_uint(payload, *tt)))
+            c = _ebml_find(payload, b, e, _ID_CODEC_ID)
+            if c is not None:
+                codec = payload[c[0]:c[1]].decode("ascii", "replace")
+            v = _ebml_find(payload, b, e, _ID_VIDEO)
+            if v is not None:
+                pw = _ebml_find(payload, v[0], v[1], _ID_PIXEL_W)
+                ph = _ebml_find(payload, v[0], v[1], _ID_PIXEL_H)
+                w = _ebml_uint(payload, *pw) if pw else 0
+                h = _ebml_uint(payload, *ph) if ph else 0
+            tracks.append(WebmTrack(kind, codec, w, h))
+    return WebmMeta(doctype, duration_ms, tracks)
+
+
+def _ebml_encode_vint(val: int, keep_marker: bool) -> bytes:
+    """Encode an EBML id (already marker-carrying) or size."""
+    if keep_marker:
+        length = (val.bit_length() + 7) // 8
+        return val.to_bytes(length, "big")
+    for length in range(1, 9):
+        if val < (1 << (7 * length)) - 1:
+            return ((1 << (7 * length)) | val).to_bytes(length, "big")
+    raise ValueError("EBML size too large")
+
+
+def _ebml_el(eid: int, body: bytes) -> bytes:
+    return _ebml_encode_vint(eid, True) + \
+        _ebml_encode_vint(len(body), False) + body
+
+
+def encode_webm(duration_ms: int, tracks: list,
+                doctype: str = "webm",
+                timestamp_scale: int = 1_000_000) -> bytes:
+    """Minimal valid WebM/Matroska writer: EBML header (DocType) +
+    Segment(Info(TimestampScale, Duration) + Tracks(TrackEntry...)).
+    ``tracks`` entries are dicts with kind ("video"|"audio"), codec,
+    width, height.  Metadata-only fixture builder (no Clusters), the
+    probe_webm counterpart."""
+    header = _ebml_el(0x1A45DFA3,
+                      _ebml_el(_ID_DOCTYPE, doctype.encode("ascii")))
+    dur = duration_ms * 1e6 / timestamp_scale
+    info = _ebml_el(_ID_INFO,
+                    _ebml_el(_ID_TS_SCALE,
+                             timestamp_scale.to_bytes(4, "big"))
+                    + _ebml_el(_ID_DURATION, struct.pack(">d", dur)))
+    entries = b""
+    for t in tracks:
+        body = _ebml_el(_ID_TRACK_TYPE,
+                        bytes([{"video": 1, "audio": 2}.get(t["kind"], 3)]))
+        body += _ebml_el(_ID_CODEC_ID, t["codec"].encode("ascii"))
+        if t["kind"] == "video":
+            body += _ebml_el(_ID_VIDEO,
+                             _ebml_el(_ID_PIXEL_W,
+                                      int(t["width"]).to_bytes(2, "big"))
+                             + _ebml_el(_ID_PIXEL_H,
+                                        int(t["height"]).to_bytes(2, "big")))
+        entries += _ebml_el(_ID_TRACK_ENTRY, body)
+    seg = _ebml_el(_ID_SEGMENT, info + _ebml_el(_ID_TRACKS, entries))
+    return header + seg

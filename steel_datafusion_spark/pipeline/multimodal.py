@@ -288,6 +288,10 @@ def extract_container_metadata(media: DataFrame) -> DataFrame:
     - **MP3**: ``codecs.probe_mp3`` — ID3v2 skip, first-frame header
       (bitrate/sample rate/channel mode), Xing/Info VBR frame count for
       exact duration, CBR estimate otherwise.
+    - **WebM/Matroska**: ``codecs.probe_webm`` — EBML element walk
+      (Duration x TimestampScale from Segment>Info, per-track CodecID
+      and video dimensions from Segment>Tracks; Clusters skipped by
+      size).
     - anything else: ``probed=false`` with the metadata struct passed
       through — the same honest-fallback contract as the extractors.
 
@@ -296,7 +300,8 @@ def extract_container_metadata(media: DataFrame) -> DataFrame:
 
     def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .codecs import (
-            decode_avi, decode_wav, probe_mp3, probe_mp4, sniff_format,
+            decode_avi, decode_wav, probe_mp3, probe_mp4, probe_webm,
+            sniff_format,
         )
 
         cols = ("media_id", "container", "probed", "duration_ms",
@@ -329,6 +334,16 @@ def extract_container_metadata(media: DataFrame) -> DataFrame:
                         s = probe_mp3(p)
                         vals = (True, s.duration_ms, 1, "", 0, 0,
                                 f"mp{s.layer}")
+                    elif fmt == "webm":
+                        wm = probe_webm(p)
+                        vids = [t for t in wm.tracks if t.kind == "video"]
+                        auds = [t for t in wm.tracks if t.kind == "audio"]
+                        v0 = vids[0] if vids else None
+                        vals = (True, wm.duration_ms, wm.n_tracks,
+                                v0.codec if v0 else "",
+                                v0.width if v0 else 0,
+                                v0.height if v0 else 0,
+                                auds[0].codec if auds else "")
                     else:
                         raise ValueError("unknown container")
                 except (ValueError, IndexError, struct_error):

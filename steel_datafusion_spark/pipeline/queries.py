@@ -1526,6 +1526,65 @@ def q_mp4_metadata(spark, sf_dir):
         "video_codec", "width", "height", "audio_codec")
 
 
+def q_webm_metadata(spark, sf_dir):
+    """WebM/Matroska EBML walk as a hashed gate (pipeline/codecs.py
+    probe_webm + multimodal.extract_container_metadata): per-document
+    EBML trees (codecs.encode_webm — header DocType + Segment > Info
+    TimestampScale/Duration + Tracks > TrackEntry TrackType/CodecID/
+    Video PixelWidth/PixelHeight) synthesized executor-side with
+    doc_id-derived parameters and walked back.  A wrong vint length
+    decode (marker kept for ids, stripped for sizes), child-bounds
+    check, or float-duration scale shows up as a hash mismatch."""
+    import pandas as pd_local
+
+    from .codecs import encode_webm
+    from .multimodal import MEDIA_SCHEMA, extract_container_metadata
+
+    d = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("doc_id") < 150).select("doc_id")
+
+    def _gen(batches):
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                dur = 15000 + (did % 89) * 125
+                vcodec = ("V_VP8", "V_VP9", "V_AV1")[did % 3]
+                w = 426 + (did % 5) * 213
+                h = 240 + (did % 4) * 120
+                tracks = [{"kind": "video", "codec": vcodec,
+                           "width": w, "height": h}]
+                if did % 4 != 0:
+                    tracks.append({"kind": "audio", "codec": "A_OPUS",
+                                   "width": 0, "height": 0})
+                payloads.append(encode_webm(dur, tracks))
+                metas.append({"width": 0, "height": 0, "duration_ms": 0})
+            yield pd_local.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "kind": ["video"] * len(pdf),
+                "payload": payloads,
+                "meta": metas,
+            })
+
+    media = d.mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return extract_container_metadata(media).select(
+        "media_id", "container", "probed", "duration_ms", "n_tracks",
+        "video_codec", "width", "height", "audio_codec")
+
+
+_SQL_WEBM_METADATA = """
+SELECT doc_id AS media_id, 'webm' AS container, TRUE AS probed,
+  (15000 + (doc_id % 89) * 125)::BIGINT AS duration_ms,
+  (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 2 END)::INT AS n_tracks,
+  CASE doc_id % 3 WHEN 0 THEN 'V_VP8' WHEN 1 THEN 'V_VP9'
+       ELSE 'V_AV1' END AS video_codec,
+  (426 + (doc_id % 5) * 213)::INT AS width,
+  (240 + (doc_id % 4) * 120)::INT AS height,
+  CASE WHEN doc_id % 4 = 0 THEN '' ELSE 'A_OPUS' END AS audio_codec
+FROM documents WHERE doc_id < 150
+"""
+
+
 def q_mp3_metadata(spark, sf_dir):
     """MPEG-audio header walk as a hashed gate (pipeline/codecs.py
     probe_mp3 + multimodal.extract_container_metadata): per-document CBR
@@ -4486,6 +4545,7 @@ PIPELINE_QUERIES = {
     "video_features": (q_video_features, _SQL_VIDEO_FEATURES),
     "mp4_metadata": (q_mp4_metadata, _SQL_MP4_METADATA),
     "mp3_metadata": (q_mp3_metadata, _SQL_MP3_METADATA),
+    "webm_metadata": (q_webm_metadata, _SQL_WEBM_METADATA),
     "winnow_fingerprints": (q_winnow_fingerprints, _SQL_WINNOW),
     "kmeans_clusters": (q_kmeans_clusters, _sql_kmeans()),
     "semdedup_prune": (q_semdedup_prune, _sql_semdedup()),

@@ -413,3 +413,66 @@ def test_extract_container_metadata_mp3(spark):
     assert (got.container, got.probed, got.audio_codec) == ("mp3", True,
                                                             "mp3")
     assert got.duration_ms == 100 * 1152 * 1000 // 44100
+
+
+# ---------------------------------------------------------------------------
+# WebM / EBML walk
+# ---------------------------------------------------------------------------
+
+def test_probe_webm_roundtrip_and_vints():
+    from steel_datafusion_spark.pipeline.codecs import (
+        encode_webm, probe_webm, sniff_format,
+    )
+
+    p = encode_webm(93500, [
+        {"kind": "video", "codec": "V_VP9", "width": 1280, "height": 720},
+        {"kind": "audio", "codec": "A_OPUS", "width": 0, "height": 0},
+    ])
+    assert sniff_format(p) == "webm"
+    m = probe_webm(p)
+    assert (m.doctype, m.duration_ms, m.n_tracks) == ("webm", 93500, 2)
+    v, a = m.tracks
+    assert (v.kind, v.codec, v.width, v.height) == ("video", "V_VP9",
+                                                    1280, 720)
+    assert (a.kind, a.codec) == ("audio", "A_OPUS")
+    # non-default timestamp scale exercises the duration math
+    p2 = encode_webm(4000, [{"kind": "audio", "codec": "A_VORBIS",
+                             "width": 0, "height": 0}],
+                     doctype="matroska", timestamp_scale=500_000)
+    m2 = probe_webm(p2)
+    assert (m2.doctype, m2.duration_ms) == ("matroska", 4000)
+
+
+def test_probe_webm_rejects_malformed():
+    from steel_datafusion_spark.pipeline.codecs import encode_webm, probe_webm
+
+    with pytest.raises(ValueError, match="EBML"):
+        probe_webm(b"not ebml")
+    # child element overrunning its parent
+    p = bytearray(encode_webm(1000, [{"kind": "video", "codec": "V_VP8",
+                                      "width": 8, "height": 8}]))
+    # corrupt the Segment size down so children overrun it
+    seg_at = bytes(p).find(b"\x18\x53\x80\x67")
+    p[seg_at + 4] = 0x81  # 1-byte size = 1: far too small
+    with pytest.raises(ValueError, match="overruns"):
+        probe_webm(bytes(p))
+
+
+def test_extract_container_metadata_webm(spark):
+    from steel_datafusion_spark.pipeline.codecs import encode_webm
+    from steel_datafusion_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA, extract_container_metadata,
+    )
+
+    p = encode_webm(9000, [
+        {"kind": "video", "codec": "V_AV1", "width": 640, "height": 360},
+        {"kind": "audio", "codec": "A_OPUS", "width": 0, "height": 0},
+    ])
+    media = spark.createDataFrame(
+        [(9, "video", bytearray(p), {"width": 0, "height": 0,
+                                     "duration_ms": 0})], MEDIA_SCHEMA)
+    got = extract_container_metadata(media).collect()[0]
+    assert (got.container, got.probed, got.n_tracks) == ("webm", True, 2)
+    assert (got.video_codec, got.width, got.height,
+            got.audio_codec, got.duration_ms) == ("V_AV1", 640, 360,
+                                                  "A_OPUS", 9000)
