@@ -1526,6 +1526,114 @@ def q_mp4_metadata(spark, sf_dir):
         "video_codec", "width", "height", "audio_codec")
 
 
+def q_media_curation(spark, sf_dir):
+    """End-to-end multimodal keep/drop pass — what the container probes
+    exist FOR: a mixed corpus (each doc becomes an MP4, WebM, or MP3 by
+    doc_id mod 3, parameters doc_id-derived) flows through
+    extract_container_metadata once, then a pure-JVM filter applies the
+    curation policy (video: duration 20-240 s AND height >= 480 AND
+    codec allowlisted; audio: duration 60-600 s) and the gate returns
+    per-container keep/drop counts with average kept duration.  One
+    Arrow map stage + one 3-group aggregate; the oracle recomputes the
+    whole policy closed-form."""
+    import pandas as pd_local
+
+    from .codecs import encode_mp3, encode_mp4, encode_webm
+    from .multimodal import MEDIA_SCHEMA, extract_container_metadata
+
+    d = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("doc_id") < 300).select("doc_id")
+
+    def _gen(batches):
+        for pdf in batches:
+            payloads, kinds, metas = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                m = did % 3
+                if m == 0:
+                    dur = 5000 + (did % 71) * 4000
+                    h = 240 + (did % 5) * 120
+                    codec = ("avc1", "mpg2")[did % 2]
+                    payloads.append(encode_mp4(dur, [
+                        {"kind": "video", "codec": codec, "width": h * 16 // 9,
+                         "height": h, "duration_ms": dur}]))
+                    kinds.append("video")
+                elif m == 1:
+                    dur = 5000 + (did % 67) * 4500
+                    h = 240 + (did % 4) * 240
+                    codec = ("V_VP9", "V_MS/VFW")[did % 2]
+                    payloads.append(encode_webm(dur, [
+                        {"kind": "video", "codec": codec,
+                         "width": h * 16 // 9, "height": h}]))
+                    kinds.append("video")
+                else:
+                    n = 500 + (did % 97) * 250
+                    payloads.append(encode_mp3(
+                        n, bitrate_kbps=128, sample_rate=44100))
+                    kinds.append("audio")
+                metas.append({"width": 0, "height": 0, "duration_ms": 0})
+            yield pd_local.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "kind": kinds,
+                "payload": payloads,
+                "meta": metas,
+            })
+
+    media = d.mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    probed = extract_container_metadata(media)
+    video_ok = ((F.col("duration_ms").between(20_000, 240_000))
+                & (F.col("height") >= 480)
+                & (F.col("video_codec").isin("avc1", "V_VP8", "V_VP9",
+                                             "V_AV1")))
+    audio_ok = F.col("duration_ms").between(60_000, 600_000)
+    keep = F.when(F.col("container").isin("mp4", "webm"), video_ok) \
+        .otherwise(audio_ok)
+    return (probed.withColumn("keep", keep)
+            .groupBy("container")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_assets"),
+                 F.sum(F.col("keep").cast("long")).cast("long")
+                 .alias("n_kept"),
+                 F.round(F.avg(F.when(F.col("keep"),
+                                      F.col("duration_ms") / 1000.0)), 6)
+                 .alias("avg_kept_s")))
+
+
+_SQL_MEDIA_CURATION = """
+WITH assets AS (
+  SELECT doc_id,
+    CASE doc_id % 3 WHEN 0 THEN 'mp4' WHEN 1 THEN 'webm'
+         ELSE 'mp3' END AS container,
+    CASE doc_id % 3
+      WHEN 0 THEN (5000 + (doc_id % 71) * 4000)::BIGINT
+      WHEN 1 THEN (5000 + (doc_id % 67) * 4500)::BIGINT
+      ELSE ((500 + (doc_id % 97) * 250) * 1152 * 1000 // 44100)::BIGINT
+    END AS duration_ms,
+    CASE doc_id % 3
+      WHEN 0 THEN 240 + (doc_id % 5) * 120
+      WHEN 1 THEN 240 + (doc_id % 4) * 240
+      ELSE 0 END AS height,
+    CASE doc_id % 3
+      WHEN 0 THEN (CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'mpg2' END)
+      WHEN 1 THEN (CASE WHEN doc_id % 2 = 0 THEN 'V_VP9'
+                        ELSE 'V_MS/VFW' END)
+      ELSE '' END AS video_codec
+  FROM documents WHERE doc_id < 300),
+flagged AS (
+  SELECT container, duration_ms,
+    CASE WHEN container IN ('mp4', 'webm')
+         THEN duration_ms BETWEEN 20000 AND 240000
+              AND height >= 480
+              AND video_codec IN ('avc1', 'V_VP8', 'V_VP9', 'V_AV1')
+         ELSE duration_ms BETWEEN 60000 AND 600000 END AS keep
+  FROM assets)
+SELECT container, COUNT(*)::BIGINT AS n_assets,
+  SUM(keep::INT)::BIGINT AS n_kept,
+  round(AVG(CASE WHEN keep THEN duration_ms / 1000.0 END), 6)
+    AS avg_kept_s
+FROM flagged GROUP BY container
+"""
+
+
 def q_webm_metadata(spark, sf_dir):
     """WebM/Matroska EBML walk as a hashed gate (pipeline/codecs.py
     probe_webm + multimodal.extract_container_metadata): per-document
@@ -4546,6 +4654,7 @@ PIPELINE_QUERIES = {
     "mp4_metadata": (q_mp4_metadata, _SQL_MP4_METADATA),
     "mp3_metadata": (q_mp3_metadata, _SQL_MP3_METADATA),
     "webm_metadata": (q_webm_metadata, _SQL_WEBM_METADATA),
+    "media_curation": (q_media_curation, _SQL_MEDIA_CURATION),
     "winnow_fingerprints": (q_winnow_fingerprints, _SQL_WINNOW),
     "kmeans_clusters": (q_kmeans_clusters, _sql_kmeans()),
     "semdedup_prune": (q_semdedup_prune, _sql_semdedup()),
