@@ -213,7 +213,10 @@ def manifest_upsert(spark: SparkSession, root: str, updates: DataFrame,
     (literal filters → Catalyst partition pruning), only touched
     partitions are rewritten, and untouched partition files HARDLINK into
     the new version — O(touched) write volume and disk, byte-identical
-    untouched data, exactly like the swap path but snapshot-safe."""
+    untouched data, exactly like the swap path but snapshot-safe.
+    CONTRACT (same as the swap path): a key's partition-column values
+    must be stable across updates — a key that "moves" partitions would
+    leave its old row behind in an untouched partition."""
     from pyspark.sql import functions as F
 
     from .readers import _hive_part_path, read_parquet
@@ -342,13 +345,21 @@ def manifest_delete(spark: SparkSession, root: str, keys: DataFrame,
         f"manifest_delete lost {max_retries} commit races on {root!r}")
 
 
-def vacuum(root: str, keep: int = 2) -> int:
+def vacuum(root: str, keep: int = 2, keep_log: int | None = None) -> int:
     """Delete data dirs of versions older than the newest ``keep``, plus
     orphan data dirs no commit file references (crashed/conflicted
-    writers).  Keeps every commit FILE (the log is tiny and is the audit
-    trail); returns the number of data dirs removed.  ``keep`` is the
+    writers).  Returns the number of data dirs removed.  ``keep`` is the
     retention window for in-flight readers — a reader holding a vacuumed
-    version fails like any expired snapshot."""
+    version fails like any expired snapshot.
+
+    Commit FILES are kept by default (tiny, and they are the audit
+    trail) — but a streaming view committing every micro-batch writes
+    millions of them over months, and an O(|log|) directory listing per
+    read is the kind of creeping cost a 100 TB table can't carry, so
+    ``keep_log`` bounds the log: commit files older than the newest
+    ``keep_log`` are deleted (never newer than the data retention —
+    the current version's commit file is always kept).  Time-travel
+    reach shrinks accordingly, exactly like checkpointing a WAL."""
     cdir = _commits_dir(root)
     vdir = os.path.join(root, _VERSIONS)
     if not os.path.isdir(vdir):
@@ -372,4 +383,17 @@ def vacuum(root: str, keep: int = 2) -> int:
             continue
         shutil.rmtree(os.path.join(vdir, name), ignore_errors=True)
         removed += 1
+    if keep_log is not None and live:
+        cut = sorted(live.values())[-max(keep_log, max(keep, 1)):][0]
+        for f in os.listdir(cdir):
+            if f.startswith("v") and f.endswith(".json"):
+                try:
+                    v = int(f[1:-5])
+                except ValueError:
+                    continue
+                if v < cut:
+                    try:
+                        os.unlink(os.path.join(cdir, f))
+                    except OSError:
+                        pass
     return removed

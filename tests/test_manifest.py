@@ -272,3 +272,26 @@ def test_manifest_delete_table_and_partitioned(spark, tmp_path):
                     ["k"], partition_by=["p"])
     got = {r.k for r in read_parquet(spark, pout).collect()}
     assert got == {1, 3, 4}
+
+
+def test_vacuum_keep_log_bounds_the_commit_log(spark, tmp_path):
+    from steel_datafusion_spark.sources.manifest import (
+        latest_commit, manifest_upsert, read_table, vacuum,
+    )
+
+    out = str(tmp_path / "log")
+    for ver in range(6):
+        manifest_upsert(spark, out, _mk(spark, [(1, f"s{ver}", ver)]),
+                        ["k"], keep_versions=1000)
+    cdir = os.path.join(out, "_commits")
+    assert len(os.listdir(cdir)) == 6
+    vacuum(out, keep=2, keep_log=3)
+    left = sorted(os.listdir(cdir))
+    assert len(left) == 3
+    # newest commit always survives and still resolves
+    assert latest_commit(out)[0] == 6
+    assert read_table(spark, out).collect()[0].s == "s5"
+    # keep_log can never prune below the data retention window
+    vacuum(out, keep=2, keep_log=1)
+    assert latest_commit(out)[0] == 6
+    assert len(os.listdir(cdir)) >= 2
