@@ -66,14 +66,18 @@ def cosine_topk(
     scoring is a map-side projection; only the per-query top-k (a window on
     query_id over k rows per partition after AQE) shuffles."""
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("qv"))
+                       F.col(vec_col).alias("qv"),
+                       norm2(F.col(vec_col)).alias("_n2q"))
     parts = corpus.sparkSession.sparkContext.defaultParallelism * 2
     c = corpus.repartition(parts, F.col(id_col)).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm2(F.col(vec_col)).alias("_n2c"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
-                F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"))
+                F.round(dot(F.col("qv"), F.col("cv"))
+                        / F.sqrt(F.col("_n2q") * F.col("_n2c")), 6)
+                .alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                F.col("neighbor_id").asc())
@@ -158,6 +162,7 @@ def cosine_neardup_pairs(
     parts = df.sparkSession.sparkContext.defaultParallelism * 2
     base = track(
         df.repartition(parts, F.col(id_col)).select(*cols)
+        .withColumn("_n2", norm2(F.col("v")))   # once per vector, cached
         .withColumn("bucket", lsh_bucket(F.col("v"), planes)).persist())
     if bands is not None:
         if n_planes % bands:
@@ -180,24 +185,28 @@ def cosine_neardup_pairs(
         if block_col:
             bcond.append(F.col("blk") == F.col("blk_b"))
         cand = banded.join(bb, on=bcond).select("vid", "vid_b").distinct()
-        va = base.select("vid", "v")
-        vb = base.select(F.col("vid").alias("vid_b"), F.col("v").alias("v_b"))
+        va = base.select("vid", "v", "_n2")
+        vb = base.select(F.col("vid").alias("vid_b"),
+                         F.col("v").alias("v_b"),
+                         F.col("_n2").alias("_n2_b"))
         return (cand.join(va, "vid").join(vb, "vid_b")
                 .select(F.col("vid").alias("vec_a"),
                         F.col("vid_b").alias("vec_b"),
-                        F.round(cosine(F.col("v"), F.col("v_b")), 6)
+                        F.round(dot(F.col("v"), F.col("v_b"))
+                                / F.sqrt(F.col("_n2") * F.col("_n2_b")), 6)
                         .alias("cos_sim"))
                 .filter(F.col("cos_sim") >= threshold))
 
     shifts = [0] + ([1 << i for i in range(n_planes)] if multiprobe else [])
-    a_cols = ["vid", "v"] + (["blk"] if block_col else [])
+    a_cols = ["vid", "v"] + (["blk"] if block_col else []) + ["_n2"]
     probes = base.select(
         *a_cols,
         F.explode(F.array(*[
             F.col("bucket").bitwiseXOR(F.lit(s)) for s in shifts
         ])).alias("probe"))
     b = base.toDF(*(["vid_b", "v_b"]
-                    + (["blk_b"] if block_col else []) + ["bucket_b"]))
+                    + (["blk_b"] if block_col else [])
+                    + ["_n2_b", "bucket_b"]))
     cond = [F.col("probe") == F.col("bucket_b"),
             F.col("vid") < F.col("vid_b")]
     if block_col:
@@ -205,7 +214,9 @@ def cosine_neardup_pairs(
     return (
         probes.join(b, on=cond)
         .select(F.col("vid").alias("vec_a"), F.col("vid_b").alias("vec_b"),
-                F.round(cosine(F.col("v"), F.col("v_b")), 6).alias("cos_sim"))
+                F.round(dot(F.col("v"), F.col("v_b"))
+                        / F.sqrt(F.col("_n2") * F.col("_n2_b")), 6)
+                .alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -222,23 +233,30 @@ def ivf_assign(
     (e.g. a label for hard-negative mining) without a second corpus join.
 
     Scale: centroids are tiny (N/centroid_mod) ⇒ broadcast; assignment is one
-    map-side join + window, partitioned by vec_id."""
+    map-side join + window, partitioned by vec_id.  Norms are precomputed
+    ONCE PER SIDE before the join (``_n2``/``_n2c`` columns) instead of
+    per pair — cosine's dot/sqrt(n2a*n2b) is unchanged bit-for-bit (the
+    same two folds multiply), but the fold work drops from 3x|pairs| to
+    |pairs| + |rows| (measured 7.8 s → see hard_negatives_ivf)."""
     cent = corpus.filter((F.col(id_col) % centroid_mod) == 0) \
                  .select(F.col(id_col).alias("centroid_id"),
-                         F.col(vec_col).alias("centv"))
+                         F.col(vec_col).alias("centv"),
+                         norm2(F.col(vec_col)).alias("_n2c"))
     parts = corpus.sparkSession.sparkContext.defaultParallelism * 2
     extra = [F.col(c) for c in carry]
     c = corpus.repartition(parts, F.col(id_col)).select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), *extra)
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), *extra,
+        norm2(F.col(vec_col)).alias("_n2"))
     scored = c.join(F.broadcast(cent)).select(
-        "vid", "v", *carry, "centroid_id",
-        F.round(cosine(F.col("v"), F.col("centv")), 6).alias("cscore"),
+        "vid", "v", *carry, "_n2", "centroid_id",
+        F.round(dot(F.col("v"), F.col("centv"))
+                / F.sqrt(F.col("_n2") * F.col("_n2c")), 6).alias("cscore"),
     )
     w = Window.partitionBy("vid").orderBy(F.col("cscore").desc(),
                                           F.col("centroid_id").asc())
     assign = (scored.withColumn("r", F.row_number().over(w))
               .filter(F.col("r") == 1)
-              .select("vid", "v", *carry, "centroid_id"))
+              .select("vid", "v", *carry, "_n2", "centroid_id"))
     return cent, assign
 
 
@@ -250,20 +268,25 @@ def ivf_topk(
     within the probed subset.  Deterministic ⇒ oracle-checkable; recall vs
     brute force depends on the quantizer (documented trade)."""
     cent, assign = ivf_assign(corpus, centroid_mod, id_col, vec_col)
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"),
+                       norm2(F.col(vec_col)).alias("_n2q"))
     qs = q.join(F.broadcast(cent)).select(
-        "query_id", "qv", "centroid_id",
-        F.round(cosine(F.col("qv"), F.col("centv")), 6).alias("cscore"),
+        "query_id", "qv", "_n2q", "centroid_id",
+        F.round(dot(F.col("qv"), F.col("centv"))
+                / F.sqrt(F.col("_n2q") * F.col("_n2c")), 6).alias("cscore"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("cscore").desc(),
                                                 F.col("centroid_id").asc())
     probes = (qs.withColumn("r", F.row_number().over(wq))
-              .filter(F.col("r") <= nprobe).select("query_id", "qv", "centroid_id"))
+              .filter(F.col("r") <= nprobe)
+              .select("query_id", "qv", "_n2q", "centroid_id"))
     cand = probes.join(assign, "centroid_id").filter(
         F.col("query_id") != F.col("vid"))
     scored = cand.select(
         "query_id", F.col("vid").alias("neighbor_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("score"))
+        F.round(dot(F.col("qv"), F.col("v"))
+                / F.sqrt(F.col("_n2q") * F.col("_n2")), 6).alias("score"))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -316,13 +339,16 @@ def lsh_topk(
     parts = corpus.sparkSession.sparkContext.defaultParallelism * 2
     c = corpus.repartition(parts, F.col(id_col)).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    c = track(c.withColumn("bucket", lsh_bucket(F.col("cv"), planes)).persist())
+    c = track(c.withColumn("_n2c", norm2(F.col("cv")))
+              .withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+              .persist())
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("qv"))
+                       F.col(vec_col).alias("qv"),
+                       norm2(F.col(vec_col)).alias("_n2q"))
     q = q.withColumn("qbucket", lsh_bucket(F.col("qv"), planes))
     shifts = [0] + ([1 << i for i in range(n_planes)] if multiprobe else [])
     probes = q.select(
-        "query_id", "qv",
+        "query_id", "qv", "_n2q",
         F.explode(F.array(*[
             F.col("qbucket").bitwiseXOR(F.lit(sh)).alias("b") for sh in shifts
         ])).alias("bucket"),
@@ -330,7 +356,9 @@ def lsh_topk(
     scored = (c.join(F.broadcast(probes), "bucket")
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
-                      F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"))
+                      F.round(dot(F.col("qv"), F.col("cv"))
+                              / F.sqrt(F.col("_n2q") * F.col("_n2c")), 6)
+                      .alias("score"))
               .distinct())
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                F.col("neighbor_id").asc())
@@ -453,12 +481,14 @@ def semdedup(
     v = corpus.select(F.col(id_col).alias("vid"),
                       F.col(vec_col).alias("v")).join(assign, "vid")
     a = v.select("cluster", F.col("vid").alias("a_id"),
-                 F.col("v").alias("a_v"))
+                 F.col("v").alias("a_v"), norm2(F.col("v")).alias("_n2a"))
     b = v.select(F.col("cluster").alias("b_cluster"),
-                 F.col("vid").alias("b_id"), F.col("v").alias("b_v"))
+                 F.col("vid").alias("b_id"), F.col("v").alias("b_v"),
+                 norm2(F.col("v")).alias("_n2b"))
     pairs = (a.join(b, (F.col("cluster") == F.col("b_cluster"))
                     & (F.col("a_id") < F.col("b_id")))
-             .filter(F.round(cosine(F.col("a_v"), F.col("b_v")), 6)
+             .filter(F.round(dot(F.col("a_v"), F.col("b_v"))
+                             / F.sqrt(F.col("_n2a") * F.col("_n2b")), 6)
                      >= threshold))
     removed = pairs.select(F.col("b_id").alias("vid")).distinct() \
         .withColumn("_rm", F.lit(True))
@@ -631,10 +661,14 @@ def pq_topk(
     short = short.join(F.broadcast(q_ids), "query_id")
 
     rerank = (corpus_r.select(F.col(id_col).alias("neighbor_id"),
-                              F.col(vec_col).alias("cv"))
-              .join(F.broadcast(short), "neighbor_id")
+                              F.col(vec_col).alias("cv"),
+                              norm2(F.col(vec_col)).alias("_n2c"))
+              .join(F.broadcast(
+                        short.withColumn("_n2q", norm2(F.col("qv")))),
+                    "neighbor_id")
               .select("query_id", "neighbor_id",
-                      F.round(cosine(F.col("qv"), F.col("cv")), 6)
+                      F.round(dot(F.col("qv"), F.col("cv"))
+                              / F.sqrt(F.col("_n2q") * F.col("_n2c")), 6)
                       .alias("score")))
     w2 = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                 F.col("neighbor_id").asc())
@@ -975,7 +1009,8 @@ def hard_negatives(
     the single anchor-key exchange."""
     a = (anchors if anchors is not None else df).select(
         F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("av"),
-        F.col(label_col).alias("a_label"))
+        F.col(label_col).alias("a_label"),
+        norm2(F.col(vec_col)).alias("_n2a"))
     a = track(a.persist())
     n = a.limit(max_anchors + 1).count()
     if n > max_anchors:
@@ -989,10 +1024,12 @@ def hard_negatives(
     parts = df.sparkSession.sparkContext.defaultParallelism * 2
     c = df.repartition(parts, F.col(id_col)).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        F.col(label_col).alias("n_label"))
+        F.col(label_col).alias("n_label"),
+        norm2(F.col(vec_col)).alias("_n2c"))
     scored = (c.join(F.broadcast(a), F.col("a_label") != F.col("n_label"))
               .select("anchor_id", "neighbor_id",
-                      F.round(cosine(F.col("av"), F.col("cv")), 6)
+                      F.round(dot(F.col("av"), F.col("cv"))
+                              / F.sqrt(F.col("_n2a") * F.col("_n2c")), 6)
                       .alias("score")))
     w = Window.partitionBy("anchor_id").orderBy(F.col("score").desc(),
                                                 F.col("neighbor_id").asc())
@@ -1023,21 +1060,24 @@ def hard_negatives_ivf(
                               carry=(label_col,))
     q = df.select(F.col(id_col).alias("anchor_id"),
                   F.col(vec_col).alias("qv"),
-                  F.col(label_col).alias("a_label"))
+                  F.col(label_col).alias("a_label"),
+                  norm2(F.col(vec_col)).alias("_n2q"))
     qs = q.join(F.broadcast(cent)).select(
-        "anchor_id", "qv", "a_label", "centroid_id",
-        F.round(cosine(F.col("qv"), F.col("centv")), 6).alias("cscore"))
+        "anchor_id", "qv", "a_label", "_n2q", "centroid_id",
+        F.round(dot(F.col("qv"), F.col("centv"))
+                / F.sqrt(F.col("_n2q") * F.col("_n2c")), 6).alias("cscore"))
     wq = Window.partitionBy("anchor_id").orderBy(F.col("cscore").desc(),
                                                  F.col("centroid_id").asc())
     probes = (qs.withColumn("r", F.row_number().over(wq))
               .filter(F.col("r") <= nprobe)
-              .select("anchor_id", "qv", "a_label", "centroid_id"))
+              .select("anchor_id", "qv", "a_label", "_n2q", "centroid_id"))
     cand = (probes.join(assign, "centroid_id")
             .filter((F.col("anchor_id") != F.col("vid"))
                     & (F.col("a_label") != F.col(label_col))))
     scored = cand.select(
         "anchor_id", F.col("vid").alias("neighbor_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("score"))
+        F.round(dot(F.col("qv"), F.col("v"))
+                / F.sqrt(F.col("_n2q") * F.col("_n2")), 6).alias("score"))
     w = Window.partitionBy("anchor_id").orderBy(F.col("score").desc(),
                                                 F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
