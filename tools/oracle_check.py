@@ -152,9 +152,18 @@ def main() -> int:
     print(f"\n{len(names) - failures}/{len(names)} passed")
     if json_path:
         import json
+        import subprocess
 
+        try:  # provenance: prove the artifact postdates the code it checks
+            head = subprocess.run(
+                ["git", "rev-parse", "HEAD"], capture_output=True,
+                text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=10).stdout.strip()
+        except Exception:
+            head = None
         with open(json_path, "w") as f:
-            json.dump({"sf_dir": sf_dir, "n_checked": len(names),
+            json.dump({"sf_dir": sf_dir, "head_commit": head,
+                       "n_checked": len(names),
                        "n_failed": failures, "results": results}, f, indent=1)
         print(f"wrote {json_path}")
     return failures
