@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = ["CommitConflict", "latest_commit", "latest_commit_info",
            "commit_version", "new_version_dir", "read_table",
            "is_manifest_root", "manifest_upsert", "manifest_delete",
-           "vacuum"]
+           "table_history", "vacuum"]
 
 _COMMITS = "_commits"
 _VERSIONS = "_versions"
@@ -200,7 +200,8 @@ def _link_tree(src_root: str, dst_root: str, skip_prefixes: list[str],
 def manifest_upsert(spark: SparkSession, root: str, updates: DataFrame,
                     key_cols: list[str],
                     partition_by: list[str] | None = None,
-                    max_retries: int = 5, keep_versions: int = 2) -> int:
+                    max_retries: int = 5, keep_versions: int = 2,
+                    schema_evolution: bool = False) -> int:
     """Keyed upsert through the manifest protocol; returns the committed
     version.  Same merge semantics as ``merge_upsert``: update rows
     replace same-key rows, new keys append.
@@ -216,11 +217,26 @@ def manifest_upsert(spark: SparkSession, root: str, updates: DataFrame,
     untouched data, exactly like the swap path but snapshot-safe.
     CONTRACT (same as the swap path): a key's partition-column values
     must be stable across updates — a key that "moves" partitions would
-    leave its old row behind in an untouched partition."""
+    leave its old row behind in an untouched partition.
+
+    ``schema_evolution=True`` lets the update batch ADD columns: the
+    merge unions by name with missing columns nulled, and because the
+    table-granular path rewrites the whole table per version, every
+    committed version has ONE uniform (evolved) schema — no mergeSchema
+    reads, no mixed-footer versions.  Unsupported with ``partition_by``
+    (hardlinked untouched partitions would keep the old schema inside
+    the same version — a mixed-schema snapshot readers would need
+    mergeSchema for; evolve partitioned tables with a full rewrite)."""
     from pyspark.sql import functions as F
 
     from .readers import _hive_part_path, read_parquet
 
+    if schema_evolution and partition_by:
+        raise ValueError(
+            "schema_evolution needs a full-table rewrite per version; "
+            "hardlinked untouched partitions would produce a mixed-schema "
+            "snapshot — evolve partitioned tables without partition_by or "
+            "rewrite them wholesale")
     for _attempt in range(max_retries):
         cur = latest_commit(root)
         if cur is None:
@@ -263,7 +279,8 @@ def manifest_upsert(spark: SparkSession, root: str, updates: DataFrame,
             _link_tree(base_dir, data_dir, skip_prefixes=rel_paths)
         else:
             merged = base.join(F.broadcast(keys), key_cols, "left_anti") \
-                         .unionByName(updates)
+                         .unionByName(updates,
+                                      allowMissingColumns=schema_evolution)
             data_dir = new_version_dir(root, version)
             merged.write.mode("overwrite").parquet(data_dir)
 
@@ -277,6 +294,32 @@ def manifest_upsert(spark: SparkSession, root: str, updates: DataFrame,
     raise RuntimeError(
         f"manifest_upsert lost {max_retries} commit races on {root!r} — "
         f"writer contention this high needs a coordinating service")
+
+
+def table_history(spark: SparkSession, root: str) -> DataFrame:
+    """The commit log as a DataFrame (version, data_dir, available, meta
+    JSON) — newest first.  ``available=false`` marks versions whose data
+    was vacuumed (the commit file remains as audit trail).  Driver-side
+    directory listing: the log is metadata, never row data."""
+    cdir = _commits_dir(root)
+    rows = []
+    if os.path.isdir(cdir):
+        for f in sorted(os.listdir(cdir), reverse=True):
+            if not (f.startswith("v") and f.endswith(".json")):
+                continue
+            try:
+                with open(os.path.join(cdir, f)) as fh:
+                    payload = json.load(fh)
+            except (ValueError, OSError):
+                continue
+            data_dir = os.path.join(root, payload["data_dir"])
+            rows.append((payload["version"], payload["data_dir"],
+                         os.path.isdir(data_dir),
+                         json.dumps(payload.get("meta", {}),
+                                    sort_keys=True)))
+    return spark.createDataFrame(
+        rows, "version long, data_dir string, available boolean, "
+              "meta string")
 
 
 def manifest_delete(spark: SparkSession, root: str, keys: DataFrame,

@@ -295,3 +295,33 @@ def test_vacuum_keep_log_bounds_the_commit_log(spark, tmp_path):
     vacuum(out, keep=2, keep_log=1)
     assert latest_commit(out)[0] == 6
     assert len(os.listdir(cdir)) >= 2
+
+
+def test_table_history_and_schema_evolution(spark, tmp_path):
+    from steel_datafusion_spark.sources.manifest import (
+        manifest_upsert, read_table, table_history, vacuum,
+    )
+
+    out = str(tmp_path / "hist")
+    manifest_upsert(spark, out, _mk(spark, [(1, "a", 10)]), ["k"],
+                    keep_versions=1000)
+    # evolve: the update batch adds a column; old rows null-backfill
+    evolved = spark.createDataFrame([(2, "b", 20, "en")],
+                                    "k long, s string, v long, lang string")
+    manifest_upsert(spark, out, evolved, ["k"], keep_versions=1000,
+                    schema_evolution=True)
+    got = {r.k: (r.s, r.lang) for r in read_table(spark, out).collect()}
+    assert got == {1: ("a", None), 2: ("b", "en")}
+    # without the flag, a schema mismatch is a hard error, not silence
+    with pytest.raises(Exception):
+        manifest_upsert(spark, out, _mk(spark, [(3, "c", 30)]), ["k"],
+                        keep_versions=1000)
+    # evolution is table-granular only
+    with pytest.raises(ValueError, match="partition"):
+        manifest_upsert(spark, out, evolved, ["k"], partition_by=["lang"],
+                        schema_evolution=True)
+    # history reflects versions and availability after a vacuum
+    vacuum(out, keep=1)
+    hist = {r.version: r.available
+            for r in table_history(spark, out).collect()}
+    assert hist == {1: False, 2: True}

@@ -476,3 +476,94 @@ def test_extract_container_metadata_webm(spark):
     assert (got.video_codec, got.width, got.height,
             got.audio_codec, got.duration_ms) == ("V_AV1", 640, 360,
                                                   "A_OPUS", 9000)
+
+
+# ---------------------------------------------------------------------------
+# property-based container roundtrips (hypothesis)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _kinds = st.sampled_from(["video", "audio"])
+    _codecs = st.text(alphabet="abcdefghij0123456789", min_size=1,
+                      max_size=4)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        dur=st.integers(min_value=0, max_value=10**7),
+        tracks=st.lists(st.fixed_dictionaries({
+            "kind": _kinds, "codec": _codecs,
+            "width": st.integers(min_value=0, max_value=8192),
+            "height": st.integers(min_value=0, max_value=8192),
+            "duration_ms": st.integers(min_value=0, max_value=10**7),
+        }), min_size=0, max_size=4),
+    )
+    def test_mp4_roundtrip_property(dur, tracks):
+        from steel_datafusion_spark.pipeline.codecs import (
+            encode_mp4, probe_mp4,
+        )
+
+        m = probe_mp4(encode_mp4(dur, tracks))
+        assert m.duration_ms == dur
+        assert m.n_tracks == len(tracks)
+        for got, want in zip(m.tracks, tracks):
+            assert got.kind == want["kind"]
+            assert got.codec == want["codec"].ljust(4)[:4].strip()
+            if want["kind"] == "video":
+                assert (got.width, got.height) == (want["width"],
+                                                   want["height"])
+            assert got.duration_ms == want["duration_ms"]
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        dur=st.integers(min_value=0, max_value=10**7),
+        ts_scale=st.sampled_from([100_000, 500_000, 1_000_000, 2_000_000]),
+        tracks=st.lists(st.fixed_dictionaries({
+            "kind": _kinds,
+            "codec": st.sampled_from(["V_VP8", "V_VP9", "V_AV1",
+                                      "A_OPUS", "A_VORBIS"]),
+            "width": st.integers(min_value=0, max_value=8192),
+            "height": st.integers(min_value=0, max_value=8192),
+        }), min_size=0, max_size=4),
+    )
+    def test_webm_roundtrip_property(dur, ts_scale, tracks):
+        from steel_datafusion_spark.pipeline.codecs import (
+            encode_webm, probe_webm,
+        )
+
+        m = probe_webm(encode_webm(dur, tracks, timestamp_scale=ts_scale))
+        # duration roundtrips through a float64 in TimestampScale units:
+        # exact while dur*1e6/scale has <= 53 significant bits (always
+        # true for these ranges)
+        assert m.duration_ms == dur
+        assert m.n_tracks == len(tracks)
+        for got, want in zip(m.tracks, tracks):
+            assert (got.kind, got.codec) == (want["kind"], want["codec"])
+            if want["kind"] == "video":
+                assert (got.width, got.height) == (want["width"],
+                                                   want["height"])
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=400),
+        br=st.sampled_from([32, 64, 96, 128, 192, 256, 320]),
+        sr=st.sampled_from([32000, 44100, 48000]),
+        ch=st.sampled_from([1, 2]),
+        id3=st.integers(min_value=0, max_value=512),
+    )
+    def test_mp3_roundtrip_property(n, br, sr, ch, id3):
+        from steel_datafusion_spark.pipeline.codecs import (
+            encode_mp3, probe_mp3,
+        )
+
+        m = probe_mp3(encode_mp3(n, bitrate_kbps=br, sample_rate=sr,
+                                 channels=ch, id3_bytes=id3))
+        assert (m.bitrate_kbps, m.sample_rate, m.channels) == (br, sr, ch)
+        assert m.n_frames == n
+        assert m.duration_ms == n * 1152 * 1000 // sr
