@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = ["CommitConflict", "latest_commit", "latest_commit_info",
            "commit_version", "new_version_dir", "read_table",
            "is_manifest_root", "manifest_upsert", "manifest_delete",
-           "table_history", "vacuum"]
+           "table_history", "compact_table", "vacuum"]
 
 _COMMITS = "_commits"
 _VERSIONS = "_versions"
@@ -440,3 +440,80 @@ def vacuum(root: str, keep: int = 2, keep_log: int | None = None) -> int:
                     except OSError:
                         pass
     return removed
+
+
+def compact_table(spark: SparkSession, root: str, target_bytes: int,
+                  min_file_bytes: int | None = None,
+                  max_retries: int = 5, keep_versions: int = 2) -> int:
+    """Small-file compaction as a committed version — the OPTIMIZE verb:
+    files under ``min_file_bytes`` (default ``target_bytes // 2``) are
+    rewritten into ~``target_bytes`` outputs, files already big enough
+    HARDLINK into the new version untouched, and the swap is one atomic
+    commit — readers see either the fragmented snapshot or the compacted
+    one, never a mix.  Row data is byte-stable (same rows, fewer files);
+    returns the committed version, or the current one if nothing needs
+    compacting.
+
+    Partition-aware without needing the partition spec: small files are
+    grouped by their directory inside the version (the Hive ``col=value``
+    path IS the partition identity), each group rewrites independently —
+    embarrassingly parallel across partitions, and partition columns
+    never need decoding because they live in the directory name that is
+    preserved verbatim."""
+    if min_file_bytes is None:
+        min_file_bytes = target_bytes // 2
+    for _attempt in range(max_retries):
+        cur = latest_commit(root)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version under {root!r}")
+        base_version, base_dir = cur
+        groups: dict[str, list[tuple[str, int]]] = {}
+        for dirpath, _dirs, files in os.walk(base_dir):
+            rel_dir = os.path.relpath(dirpath, base_dir)
+            rel_dir = "" if rel_dir == "." else rel_dir
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                p = os.path.join(dirpath, f)
+                size = os.path.getsize(p)
+                if size < min_file_bytes:
+                    groups.setdefault(rel_dir, []).append((p, size))
+        groups = {d: fs for d, fs in groups.items() if len(fs) >= 2}
+        if not groups:
+            return base_version
+        version = base_version + 1
+        data_dir = new_version_dir(root, version)
+        for rel_dir, fs in groups.items():
+            paths = [p for p, _s in fs]
+            n_out = max(1, (sum(s for _p, s in fs)
+                            + target_bytes - 1) // target_bytes)
+            out = os.path.join(data_dir, rel_dir) if rel_dir else data_dir
+            (spark.read.parquet(*paths).coalesce(n_out)
+             .write.mode("append").parquet(out))
+        compacted = {p for fs in groups.values() for p, _s in fs}
+        # link everything not rewritten (big files + small singletons)
+        for dirpath, _dirs, files in os.walk(base_dir):
+            rel_dir = os.path.relpath(dirpath, base_dir)
+            rel_dir = "" if rel_dir == "." else rel_dir
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                src = os.path.join(dirpath, f)
+                if src in compacted:
+                    continue
+                dst = os.path.join(data_dir, rel_dir, f) if rel_dir \
+                    else os.path.join(data_dir, f)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                if not os.path.exists(dst):
+                    os.link(src, dst)
+        try:
+            commit_version(root, version, data_dir,
+                           meta={"compacted_files": len(compacted),
+                                 "compacted_dirs": len(groups)})
+        except CommitConflict:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            continue
+        vacuum(root, keep=keep_versions)
+        return version
+    raise RuntimeError(
+        f"compact_table lost {max_retries} commit races on {root!r}")

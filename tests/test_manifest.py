@@ -325,3 +325,44 @@ def test_table_history_and_schema_evolution(spark, tmp_path):
     hist = {r.version: r.available
             for r in table_history(spark, out).collect()}
     assert hist == {1: False, 2: True}
+
+
+def test_compact_table_reduces_files_keeps_rows_links_big(spark, tmp_path):
+    from steel_datafusion_spark.sources.manifest import (
+        compact_table, latest_commit, latest_commit_info, manifest_upsert,
+    )
+    from steel_datafusion_spark.sources.readers import read_parquet
+
+    out = str(tmp_path / "opt")
+    rows = [(i, f"s{i}", i * 10, ("p1", "p2")[i % 2]) for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, s string, v long, p string")
+    # fragment: 8 files per partition
+    manifest_upsert(spark, out,
+                    df.repartition(8), ["k"], partition_by=["p"])
+    _v1, d1 = latest_commit(out)
+
+    def parts(d):
+        got = {}
+        for dirpath, _, files in os.walk(d):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    rel = os.path.relpath(os.path.join(dirpath, f), d)
+                    got[rel] = os.stat(os.path.join(dirpath, f)).st_ino
+        return got
+
+    before = parts(d1)
+    assert len(before) > 4
+    v = compact_table(spark, out, target_bytes=64 * 1024 * 1024)
+    assert v == 2
+    _v2, d2 = latest_commit(out)
+    after = parts(d2)
+    # one output file per partition dir now
+    dirs = {os.path.dirname(r) for r in after}
+    assert len(after) == len(dirs)
+    assert len(after) < len(before)
+    # rows byte-stable through the rewrite, partition identity preserved
+    got = {(r.k, r.s, r.v, r.p) for r in read_parquet(spark, out).collect()}
+    assert got == set(rows)
+    assert latest_commit_info(out)["meta"]["compacted_files"] == len(before)
+    # idempotent: nothing left to compact
+    assert compact_table(spark, out, target_bytes=64 * 1024 * 1024) == 2
