@@ -52,7 +52,8 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = ["CommitConflict", "latest_commit", "latest_commit_info",
            "commit_version", "new_version_dir", "read_table",
            "is_manifest_root", "manifest_upsert", "manifest_delete",
-           "table_history", "compact_table", "vacuum"]
+           "table_history", "table_changes", "compact_table",
+           "vacuum"]
 
 _COMMITS = "_commits"
 _VERSIONS = "_versions"
@@ -517,3 +518,23 @@ def compact_table(spark: SparkSession, root: str, target_bytes: int,
         return version
     raise RuntimeError(
         f"compact_table lost {max_retries} commit races on {root!r}")
+
+
+def table_changes(spark: SparkSession, root: str, key_cols: list[str],
+                  from_version: int, to_version: int | None = None,
+                  compare_cols: list[str] | None = None) -> DataFrame:
+    """Row-level changelog between two committed versions — the CDC feed
+    a downstream consumer tails instead of re-diffing full snapshots by
+    hand: one row per key in either version with change_type in
+    {'insert','delete','update','unchanged'} (``pipeline.cdc.
+    snapshot_diff`` over ``read_table`` time travel; ``to_version``
+    defaults to the newest commit).  Both versions must be inside the
+    vacuum retention window.
+
+    Plan: two column-pruned fingerprint scans + ONE full-outer equi-join
+    on the key — no other shuffle, nothing driver-side."""
+    from ..pipeline.cdc import snapshot_diff
+
+    old = read_table(spark, root, version=from_version)
+    new = read_table(spark, root, version=to_version)
+    return snapshot_diff(old, new, key_cols, compare_cols)

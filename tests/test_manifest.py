@@ -366,3 +366,25 @@ def test_compact_table_reduces_files_keeps_rows_links_big(spark, tmp_path):
     assert latest_commit_info(out)["meta"]["compacted_files"] == len(before)
     # idempotent: nothing left to compact
     assert compact_table(spark, out, target_bytes=64 * 1024 * 1024) == 2
+
+
+def test_table_changes_between_versions(spark, tmp_path):
+    from steel_datafusion_spark.sources.manifest import (
+        manifest_delete, manifest_upsert, table_changes,
+    )
+
+    out = str(tmp_path / "chg")
+    manifest_upsert(spark, out, _mk(spark, [(1, "a", 10), (2, "b", 20),
+                                            (3, "c", 30)]), ["k"],
+                    keep_versions=1000)
+    manifest_upsert(spark, out, _mk(spark, [(2, "b2", 99), (4, "d", 40)]),
+                    ["k"], keep_versions=1000)
+    manifest_delete(spark, out, spark.createDataFrame([(1,)], "k long"),
+                    ["k"], keep_versions=1000)
+    got = {r.k: r.change_type
+           for r in table_changes(spark, out, ["k"], 1).collect()}
+    assert got == {1: "delete", 2: "update", 3: "unchanged", 4: "insert"}
+    mid = {r.k: r.change_type
+           for r in table_changes(spark, out, ["k"], 1, 2).collect()}
+    assert mid == {1: "unchanged", 2: "update", 3: "unchanged",
+                   4: "insert"}
