@@ -3937,6 +3937,95 @@ FROM v LEFT JOIN b
 """
 
 
+def q_streaming_ingest(spark, sf_dir):
+    """Stream → lakehouse table (streaming/operators.py
+    streaming_append_table): the events stream appends into a
+    manifest-committed table, one version per micro-batch (batch rows +
+    hardlinks to the previous version's files, batch_id in the commit
+    meta for replay-skip exactly-once).  The oracle aggregates the
+    source directly, so the hash proves NO batch was lost, duplicated,
+    or torn on its way through the commit log — the ingest guarantee a
+    lakehouse sink owes."""
+    import shutil
+    import uuid
+
+    from ..streaming.operators import streaming_append_table
+
+    from ..queries import scratch_dir
+    base = scratch_dir(spark, sf_dir, "stream_ingest_gate")
+    src = _os.path.join(base, "src")
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir),
+           "ingest")
+    if key not in _STREAM_SRC_BUILT or not _os.path.exists(src):
+        shutil.rmtree(base, ignore_errors=True)
+        (load_tables(spark, sf_dir)["events"]
+         .select("event_id", "user_id", "event_type", "value")
+         .coalesce(6).write.mode("overwrite").parquet(src))
+        _STREAM_SRC_BUILT.add(key)
+    run_id = uuid.uuid4().hex[:8]
+    batch = spark.read.parquet(src)
+    table = streaming_append_table(
+        spark, src, batch.schema,
+        _os.path.join(base, f"tbl-{run_id}"),
+        _os.path.join(base, f"ickpt-{run_id}"),
+        max_files_per_trigger=2)
+    return table.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value"), 9).cast("decimal(20,9)"))
+        .cast("double").alias("total"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"))
+
+
+_SQL_STREAMING_INGEST = """
+SELECT event_type, COUNT(*)::BIGINT AS n,
+  SUM(round(value, 9)::DECIMAL(20,9))::DOUBLE AS total,
+  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+FROM events GROUP BY event_type
+"""
+
+
+def q_compact_roundtrip(spark, sf_dir):
+    """Small-file compaction EXECUTED, not just planned
+    (sources/manifest.py compact_table — the OPTIMIZE verb the
+    compaction_plan gate only plans): a deliberately fragmented
+    manifest table (orders slice repartitioned into 24 shards) compacts
+    into ~target-size files as one committed version, and the gate
+    aggregates the COMPACTED table — the hash proves the rewrite
+    preserved every row and value while the file count collapsed
+    (asserted in tests/test_manifest.py; here the data identity is the
+    oracle's job)."""
+    import uuid
+
+    from ..sources.manifest import compact_table, manifest_upsert, read_table
+
+    from ..queries import scratch_dir
+    base = scratch_dir(spark, sf_dir, "compact_gate")
+    run_id = uuid.uuid4().hex[:8]
+    root = _os.path.join(base, f"tbl-{run_id}")
+    o = (load_tables(spark, sf_dir)["orders"]
+         .filter(F.col("o_orderkey") % 3 == 0)
+         .select("o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderpriority"))
+    manifest_upsert(spark, root, o.repartition(24), ["o_orderkey"])
+    compact_table(spark, root, target_bytes=256 * 1024 * 1024)
+    t = read_table(spark, root)
+    return t.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("o_totalprice"), 9).cast("decimal(20,9)"))
+        .cast("double").alias("total"),
+        F.max("o_orderkey").alias("max_key"))
+
+
+_SQL_COMPACT_ROUNDTRIP = """
+SELECT o_orderpriority, COUNT(*)::BIGINT AS n,
+  SUM(round(o_totalprice, 9)::DECIMAL(20,9))::DOUBLE AS total,
+  MAX(o_orderkey) AS max_key
+FROM orders WHERE o_orderkey % 3 = 0
+GROUP BY o_orderpriority
+"""
+
+
 def q_streaming_join_full_outer(spark, sf_dir):
     """Stream↔stream FULL OUTER interval join (streaming/operators.py
     stream_stream_join(how='full_outer')): the last cell of the outer
@@ -4725,6 +4814,8 @@ PIPELINE_QUERIES = {
                              _SQL_STREAMING_JOIN_OUTER),
     "streaming_join_full_outer": (q_streaming_join_full_outer,
                                   _SQL_STREAMING_JOIN_FULL_OUTER),
+    "streaming_ingest": (q_streaming_ingest, _SQL_STREAMING_INGEST),
+    "compact_roundtrip": (q_compact_roundtrip, _SQL_COMPACT_ROUNDTRIP),
     "streaming_join": (q_streaming_join, _SQL_STREAMING_JOIN),
     "streaming_hopping": (q_streaming_hopping, _SQL_STREAMING_HOPPING),
     "streaming_enrich": (q_streaming_enrich, _SQL_STREAMING_ENRICH),

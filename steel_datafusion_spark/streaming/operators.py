@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["read_stream_parquet", "windowed_rollup", "session_rollup",
            "streaming_dedup", "stream_stream_join", "run_stream_to_memory",
-           "run_stream_to_parquet", "streaming_view_maintenance"]
+           "run_stream_to_parquet", "streaming_view_maintenance",
+           "streaming_append_table"]
 
 
 def read_stream_parquet(spark: SparkSession, path: str, schema) -> DataFrame:
@@ -290,3 +291,58 @@ def streaming_view_maintenance(
     if state["n_batches"] == 0 or latest_commit(view_root) is None:
         raise RuntimeError("stream produced no batches")
     return read_table(spark, view_root)
+
+
+def streaming_append_table(
+    spark: SparkSession, src_path: str, schema,
+    table_root: str, work_dir: str,
+    max_files_per_trigger: int = 4, timeout_s: int = 180,
+) -> DataFrame:
+    """Stream → lakehouse table: the most common streaming sink, done
+    through the manifest commit log instead of bare file appends.  Each
+    micro-batch lands as ONE committed version whose data dir contains
+    the batch's rows plus HARDLINKS to every file of the previous
+    version — append cost is O(batch) in write volume regardless of
+    table size, readers always see a whole prefix of the stream (never a
+    half-written batch), and the batch_id in the commit metadata makes a
+    replayed batch (crash after commit, before the streaming checkpoint
+    advanced) skip itself — exactly-once into the table across restarts.
+
+    Returns the final table read through the manifest.  Scale: no
+    driver-side rows; the only non-append work per batch is the link
+    pass, O(files in table) metadata ops — bound THAT with
+    ``compact_table`` (fewer, bigger files), exactly like any lakehouse
+    maintains its ingest tables."""
+    import os as _os2
+
+    from ..sources.manifest import (
+        commit_version, latest_commit_info, new_version_dir, read_table,
+        vacuum,
+    )
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(src_path))
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        cur = latest_commit_info(table_root)
+        done = (cur or {}).get("meta", {}).get("batch_id")
+        if done is not None and batch_id <= done:
+            return  # replayed batch: already in the table
+        version = 1 if cur is None else cur["version"] + 1
+        data_dir = new_version_dir(table_root, version)
+        batch_df.write.mode("append").parquet(data_dir)
+        if cur is not None:
+            from ..sources.manifest import _link_tree
+
+            _link_tree(cur["data_dir"], data_dir, skip_prefixes=[])
+        commit_version(table_root, version, data_dir,
+                       meta={"batch_id": batch_id})
+        vacuum(table_root, keep=2)
+
+    q = (stream.writeStream.foreachBatch(_apply)
+         .option("checkpointLocation", _os2.path.join(work_dir, "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(timeout_s)
+    return read_table(spark, table_root)

@@ -394,3 +394,41 @@ def test_streaming_view_maintenance_matches_batch_agg(spark, tmp_path):
     versions = glob.glob(str(tmp_path / "work" / "view" / "_versions" /
                              "v*"))
     assert 1 <= len(versions) <= 2
+
+
+def test_streaming_append_table_versions_and_replay_skip(spark, tmp_path):
+    import glob
+    import os
+
+    from steel_datafusion_spark.sources.manifest import (
+        commit_version, latest_commit_info, new_version_dir,
+    )
+    from steel_datafusion_spark.streaming.operators import (
+        streaming_append_table,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [(i, i % 4, float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "event_id long, k int, v double")
+    df.repartition(5).write.parquet(src)
+
+    root = str(tmp_path / "tbl")
+    got = streaming_append_table(spark, src, df.schema, root,
+                                 str(tmp_path / "work"),
+                                 max_files_per_trigger=1)
+    assert sorted((r.event_id, r.k, r.v) for r in got.collect()) == \
+        sorted(rows)
+    commits = glob.glob(os.path.join(root, "_commits", "v*.json"))
+    assert len(commits) >= 5  # one committed version per micro-batch
+    info = latest_commit_info(root)
+    last_batch = info["meta"]["batch_id"]
+    # a replayed batch (same or older batch_id) must skip itself:
+    # simulate by asserting the guard path — write a rival version
+    # with a NEWER batch_id, then confirm an older-id apply is a no-op
+    # (drive through the public machinery: re-running the whole finite
+    # stream with the SAME checkpoint reprocesses nothing)
+    got2 = streaming_append_table(spark, src, df.schema, root,
+                                  str(tmp_path / "work"),
+                                  max_files_per_trigger=1)
+    assert got2.count() == len(rows)          # no duplicates
+    assert latest_commit_info(root)["meta"]["batch_id"] == last_batch
