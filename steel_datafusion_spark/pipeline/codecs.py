@@ -709,6 +709,10 @@ def _mp4_fullbox_fields(buf: bytes, body: int, v0_fields: int,
     version 0 and (mostly) 64-bit in version 1.  Returns (next_offset,
     [field values])."""
     version = buf[body]
+    if version not in (0, 1):
+        # ISO-BMFF reserves version bytes >= 2; a corrupt/adversarial file
+        # must hit the probed=false fallback, not a TypeError mid-task
+        raise ValueError(f"reserved fullbox version {version}")
     off = body + 4
     widths = ([4] * v0_fields) if version == 0 else None
     if version == 1:
@@ -877,6 +881,21 @@ _MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
                       224, 256, 320, 0]
 _MP3_BITRATES_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
                       144, 160, 0]
+# Layer I / Layer II bitrate tables (ISO/IEC 11172-3 table B.1 and the
+# MPEG-2 LSF annex): MPEG-2/2.5 share one table for layers II and III.
+_MP3_BITRATES_V1L1 = [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320,
+                      352, 384, 416, 448, 0]
+_MP3_BITRATES_V1L2 = [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                      256, 320, 384, 0]
+_MP3_BITRATES_V2L1 = [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176,
+                      192, 224, 256, 0]
+
+
+def _mp3_bitrate_table(version: str, layer: int) -> list[int]:
+    if version == "1":
+        return {1: _MP3_BITRATES_V1L1, 2: _MP3_BITRATES_V1L2,
+                3: _MP3_BITRATES_V1L3}[layer]
+    return _MP3_BITRATES_V2L1 if layer == 1 else _MP3_BITRATES_V2L3
 _MP3_RATES = {"1": [44100, 48000, 32000, 0],
               "2": [22050, 24000, 16000, 0],
               "2.5": [11025, 12000, 8000, 0]}
@@ -922,21 +941,31 @@ def probe_mp3(payload: bytes) -> Mp3Meta:
         raise ValueError("reserved MPEG layer")
     br_idx = (h[2] >> 4) & 0xF
     sr_idx = (h[2] >> 2) & 0x3
-    table = _MP3_BITRATES_V1L3 if version == "1" else _MP3_BITRATES_V2L3
-    bitrate = table[br_idx]
+    bitrate = _mp3_bitrate_table(version, layer)[br_idx]
     sample_rate = _MP3_RATES[version][sr_idx]
     if not bitrate or not sample_rate:
         raise ValueError("free/reserved bitrate or sample rate")
     mode = (h[3] >> 6) & 0x3
     channels = 1 if mode == 3 else 2
-    spf = 1152 if version == "1" else 576  # samples/frame, layer III
-    frame_len = (spf // 8) * bitrate * 1000 // sample_rate
+    # samples/frame: Layer I 384, Layer II 1152, Layer III 1152 (MPEG-1)
+    # or 576 (MPEG-2/2.5 LSF) — per-layer per 11172-3 / 13818-3
+    if layer == 1:
+        spf = 384
+        # Layer I slots are 4 bytes: frame = floor(12*br/sr) * 4
+        frame_len = (12 * bitrate * 1000 // sample_rate) * 4
+    else:
+        spf = 1152 if (layer == 2 or version == "1") else 576
+        frame_len = (spf // 8) * bitrate * 1000 // sample_rate
 
-    # Xing/Info VBR tag sits after the side info inside the first frame
-    side = (17 if channels == 1 else 32) if version == "1" \
-        else (9 if channels == 1 else 17)
-    tag_off = off + 4 + side
-    vbr = payload[tag_off:tag_off + 4] in (b"Xing", b"Info")
+    # Xing/Info VBR tag sits after the Layer-III side info inside the
+    # first frame — it is a Layer-III convention only; Layer I/II files
+    # are treated as CBR (frame count estimated from stream length)
+    vbr = False
+    if layer == 3:
+        side = (17 if channels == 1 else 32) if version == "1" \
+            else (9 if channels == 1 else 17)
+        tag_off = off + 4 + side
+        vbr = payload[tag_off:tag_off + 4] in (b"Xing", b"Info")
     if vbr and (payload[tag_off + 7] & 0x1):  # frames field present
         n_frames = int.from_bytes(payload[tag_off + 8:tag_off + 12], "big")
     else:

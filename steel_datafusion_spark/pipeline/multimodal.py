@@ -176,7 +176,7 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                     a = decode_wav(p)
                     vals = (True, a.n_channels, a.sample_rate, a.bits,
                             a.n_frames, a.duration_ms, round(a.rms(), 6))
-                except (ValueError, IndexError, struct_error):
+                except (ValueError, IndexError, TypeError, OverflowError, struct_error):
                     vals = (False, 0, 0, 0, 0, int(m["duration_ms"] or 0), 0.0)
                 rows["media_id"].append(mid)
                 for k, v in zip(("decoded", "n_channels", "sample_rate",
@@ -243,7 +243,7 @@ def extract_video_features(media: DataFrame, frame_step: int = 1) -> DataFrame:
                     luma = round(sum(lumas) / len(lumas), 6) if lumas else 0.0
                     vals = (True, v.width, v.height,
                             round(v.fps, 6), v.n_frames, v.duration_ms, luma)
-                except (ValueError, IndexError, struct_error):
+                except (ValueError, IndexError, TypeError, OverflowError, struct_error):
                     vals = (False, int(m["width"] or 0),
                             int(m["height"] or 0), 0.0, 0,
                             int(m["duration_ms"] or 0), 0.0)
@@ -346,7 +346,7 @@ def extract_container_metadata(media: DataFrame) -> DataFrame:
                                 auds[0].codec if auds else "")
                     else:
                         raise ValueError("unknown container")
-                except (ValueError, IndexError, struct_error):
+                except (ValueError, IndexError, TypeError, OverflowError, struct_error):
                     vals = (False, int(m["duration_ms"] or 0), 0, "",
                             int(m["width"] or 0), int(m["height"] or 0), "")
                 rows["media_id"].append(mid)
@@ -427,7 +427,7 @@ def frame_sample(media: DataFrame, every_ms: int = 1000,
                                 int(idx * 1000 * v.scale // v.rate))
                             rows["frame_payload"].append(encode_png(img))
                         continue
-                    except (ValueError, IndexError, struct_error):
+                    except (ValueError, IndexError, TypeError, OverflowError, struct_error):
                         pass
                 dur = m["duration_ms"] or 0
                 n = min(max_frames, max(1, dur // every_ms))

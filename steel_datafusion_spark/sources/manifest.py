@@ -45,6 +45,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -389,12 +390,25 @@ def manifest_delete(spark: SparkSession, root: str, keys: DataFrame,
         f"manifest_delete lost {max_retries} commit races on {root!r}")
 
 
-def vacuum(root: str, keep: int = 2, keep_log: int | None = None) -> int:
+def vacuum(root: str, keep: int = 2, keep_log: int | None = None,
+           orphan_retention_s: float = 3600.0) -> int:
     """Delete data dirs of versions older than the newest ``keep``, plus
     orphan data dirs no commit file references (crashed/conflicted
     writers).  Returns the number of data dirs removed.  ``keep`` is the
     retention window for in-flight readers — a reader holding a vacuumed
     version fails like any expired snapshot.
+
+    Orphan reclamation is CONSERVATIVE, because every upsert/delete/
+    compact/streaming commit vacuums automatically and a concurrent
+    writer is mid-flight between ``new_version_dir`` and
+    ``commit_version`` exactly then: an uncommitted dir is removed only
+    if its encoded version number is <= the current committed version
+    (a lost race — its number was claimed by someone else, it can never
+    commit) or it is older than ``orphan_retention_s`` (a crashed
+    writer; mtime-based, the Delta VACUUM retention shape).  A dir for
+    a FUTURE version that is still fresh is left alone — deleting it
+    would fail an in-progress writer outside its CommitConflict retry
+    path, or worse, tear a commit that lands a moment later.
 
     Commit FILES are kept by default (tiny, and they are the audit
     trail) — but a streaming view committing every micro-batch writes
@@ -421,11 +435,29 @@ def vacuum(root: str, keep: int = 2, keep_log: int | None = None) -> int:
                     continue
     keep_names = {n for n, _v in sorted(live.items(), key=lambda kv: kv[1])
                   [-max(keep, 1):]}
+    cur_version = max(live.values(), default=0)
+    now = time.time()
     removed = 0
     for name in os.listdir(vdir):
         if name in keep_names:
             continue
-        shutil.rmtree(os.path.join(vdir, name), ignore_errors=True)
+        path = os.path.join(vdir, name)
+        if name not in live:
+            # uncommitted dir: only reclaim a PROVABLY dead one — its
+            # version number already committed by another writer, or
+            # past the crash-retention age (see docstring)
+            try:
+                dir_version = int(name.split("-", 1)[0].lstrip("v"))
+            except ValueError:
+                dir_version = None
+            if dir_version is not None and dir_version > cur_version:
+                try:
+                    age = now - os.path.getmtime(path)
+                except OSError:
+                    continue  # racing writer just removed/renamed it
+                if age < orphan_retention_s:
+                    continue  # possibly an in-progress writer: keep
+        shutil.rmtree(path, ignore_errors=True)
         removed += 1
     if keep_log is not None and live:
         cut = sorted(live.values())[-max(keep_log, max(keep, 1)):][0]

@@ -260,12 +260,14 @@ def streaming_view_maintenance(
               .option("maxFilesPerTrigger", max_files_per_trigger)
               .parquet(src_path))
     view_root = _os2.path.join(work_dir, "view")
+    ckpt = _os2.path.join(work_dir, "ckpt")
+    txn_app = _os2.path.abspath(ckpt)
     state = {"n_batches": 0}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         cur = latest_commit_info(view_root)
-        done = (cur or {}).get("meta", {}).get("batch_id")
-        if done is not None and batch_id <= done:
+        done = _replayed_batch(cur, txn_app, batch_id)
+        if done:
             # replayed batch (crash after commit, before the streaming
             # checkpoint advanced): its merge is already in the view —
             # skipping is what makes the commit chain exactly-once
@@ -279,18 +281,42 @@ def streaming_view_maintenance(
         data_dir = new_version_dir(view_root, version)
         part.write.mode("overwrite").parquet(data_dir)
         commit_version(view_root, version, data_dir,
-                       meta={"batch_id": batch_id})
+                       meta={"batch_id": batch_id, "txn_app": txn_app})
         vacuum(view_root, keep=2)
         state["n_batches"] += 1
 
     q = (stream.writeStream.foreachBatch(_apply)
-         .option("checkpointLocation", _os2.path.join(work_dir, "ckpt"))
+         .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
          .start())
     q.awaitTermination(timeout_s)
     if state["n_batches"] == 0 or latest_commit(view_root) is None:
         raise RuntimeError("stream produced no batches")
     return read_table(spark, view_root)
+
+
+def _replayed_batch(cur: dict | None, txn_app: str, batch_id: int) -> bool:
+    """The Delta txnAppId+txnVersion idempotence check: a micro-batch is a
+    REPLAY (skip it) only when the table's last commit came from the SAME
+    streaming query identity (its checkpoint path) and already covers this
+    batch_id.  A batch_id at-or-below the watermark from a DIFFERENT
+    identity is not a replay — it is a restart against an existing table
+    with a FRESH checkpoint (batch ids restart at 0), where skipping would
+    silently drop data; raise so the caller reuses the original checkpoint
+    or targets a new table root."""
+    meta = (cur or {}).get("meta", {})
+    done = meta.get("batch_id")
+    if done is None or batch_id > done:
+        return False
+    committed_app = meta.get("txn_app")
+    if committed_app is not None and committed_app != txn_app:
+        raise ValueError(
+            f"batch {batch_id} <= committed {done}, but the table's last "
+            f"commit belongs to streaming query {committed_app!r}, not "
+            f"{txn_app!r} — a fresh checkpoint restarts batch ids at 0, "
+            f"so skipping would silently lose data; reuse the original "
+            f"checkpoint directory or write to a new table root")
+    return True
 
 
 def streaming_append_table(
@@ -323,11 +349,12 @@ def streaming_append_table(
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files_per_trigger)
               .parquet(src_path))
+    ckpt = _os2.path.join(work_dir, "ckpt")
+    txn_app = _os2.path.abspath(ckpt)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         cur = latest_commit_info(table_root)
-        done = (cur or {}).get("meta", {}).get("batch_id")
-        if done is not None and batch_id <= done:
+        if _replayed_batch(cur, txn_app, batch_id):
             return  # replayed batch: already in the table
         version = 1 if cur is None else cur["version"] + 1
         data_dir = new_version_dir(table_root, version)
@@ -337,11 +364,11 @@ def streaming_append_table(
 
             _link_tree(cur["data_dir"], data_dir, skip_prefixes=[])
         commit_version(table_root, version, data_dir,
-                       meta={"batch_id": batch_id})
+                       meta={"batch_id": batch_id, "txn_app": txn_app})
         vacuum(table_root, keep=2)
 
     q = (stream.writeStream.foreachBatch(_apply)
-         .option("checkpointLocation", _os2.path.join(work_dir, "ckpt"))
+         .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
          .start())
     q.awaitTermination(timeout_s)

@@ -110,10 +110,33 @@ def test_crash_before_commit_leaves_table_untouched(spark, tmp_path):
     assert latest_commit(out) == (v, d)
     got = {r.k: (r.s, r.v) for r in read_parquet(spark, out).collect()}
     assert got == {1: ("a", 10)}
-    # vacuum reclaims the orphan (not referenced by any commit)
+    # a FRESH future-version dir may be an in-progress writer between
+    # new_version_dir and commit_version: default vacuum must keep it
     removed = vacuum(out, keep=2)
+    assert removed == 0
+    assert os.path.exists(orphan)
+    # past the crash-retention age it is reclaimed
+    removed = vacuum(out, keep=2, orphan_retention_s=0.0)
     assert removed >= 1
     assert not os.path.exists(orphan)
+
+
+def test_vacuum_reclaims_lost_race_orphans_immediately(spark, tmp_path):
+    """An uncommitted dir whose version number was committed by ANOTHER
+    writer can never commit — vacuum removes it with no age wait."""
+    from steel_datafusion_spark.sources.manifest import (
+        latest_commit, new_version_dir, vacuum,
+    )
+    from steel_datafusion_spark.sources.readers import merge_upsert
+
+    out = str(tmp_path / "lostrace")
+    merge_upsert(spark, out, _mk(spark, [(1, "a", 10)]), ["k"])
+    merge_upsert(spark, out, _mk(spark, [(2, "b", 20)]), ["k"])
+    v, _d = latest_commit(out)
+    loser = new_version_dir(out, v)  # same number as the committed winner
+    _mk(spark, [(9, "LOSER", -1)]).write.mode("overwrite").parquet(loser)
+    assert vacuum(out, keep=2) >= 1
+    assert not os.path.exists(loser)
 
 
 def test_commit_conflict_retries_on_winners_table(spark, tmp_path):
