@@ -726,10 +726,12 @@ SELECT query_id, neighbor_id, score, rank FROM (
 
 
 def q_similarity_ivf(spark, sf_dir):
-    """IVF-bucketed ANN top-10 (centroids = vec_id%50==0, nprobe=2)."""
+    """IVF-bucketed ANN top-10 (nlist=10 centroids — a FIXED count
+    independent of corpus size, stride ceil(N/10) from one cheap count;
+    nprobe=2).  The oracle derives the same stride from count(*)."""
     e = load_tables(spark, sf_dir)["embeddings"]
     q = e.filter(F.col("vec_id") < 5)
-    return ivf_topk(q, e, k=10, nprobe=2, centroid_mod=50)
+    return ivf_topk(q, e, k=10, nprobe=2, nlist=10)
 
 
 def q_ann_recall(spark, sf_dir):
@@ -744,7 +746,7 @@ def q_ann_recall(spark, sf_dir):
     e = load_tables(spark, sf_dir)["embeddings"]
     q = e.filter(F.col("vec_id") < 5)
     bf = cosine_topk(q, e, k=10).select("query_id", "neighbor_id")
-    approx = ivf_topk(q, e, k=10, nprobe=2, centroid_mod=50) \
+    approx = ivf_topk(q, e, k=10, nprobe=2, nlist=10) \
         .select("query_id", "neighbor_id")
     n_exact = bf.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_exact"))
@@ -762,7 +764,8 @@ def q_ann_recall(spark, sf_dir):
 
 _SQL_SIM_IVF = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id % 50 = 0),
+cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e
+         WHERE vec_id % (SELECT (count(*) + 9) // 10 FROM e) = 0),
 assign AS (
   SELECT vid, v, centroid_id FROM (
     SELECT e.vec_id AS vid, e.v, c.centroid_id,
@@ -786,6 +789,26 @@ SELECT query_id, neighbor_id, score, rank FROM (
             ORDER BY score DESC, neighbor_id) AS rank
   FROM scored) t WHERE rank <= 10
 """
+
+
+def q_ann_index_probe(spark, sf_dir):
+    """PERSISTED dense-vector index probe (pipeline/similarity.py
+    build_ann_index + ivf_topk_index): the index — nlist=10 centroids +
+    the corpus assignment stored BUCKETED on centroid_id — is built once
+    as managed tables, then the query batch probes it WITHOUT
+    re-assigning or re-scanning the corpus source (the build-once /
+    probe-many path build_dedup_index gives MinHash, now for the dense
+    family).  The probe plan shuffles only the query side: the bucketed
+    assignment scan has no Exchange above it (plan-asserted in
+    tests/test_round11_ops.py).  Same nlist/nprobe as similarity_ivf, so
+    the stored-index path must reproduce the inline path bit-for-bit —
+    that is exactly what this gate hashes."""
+    from .similarity import build_ann_index, ivf_topk_index
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    build_ann_index(e, "ann_gate_idx", nlist=10)
+    q = e.filter(F.col("vec_id") < 5)
+    return ivf_topk_index(q, "ann_gate_idx", k=10, nprobe=2)
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -2354,17 +2377,18 @@ def q_hard_negatives_ivf(spark, sf_dir):
     """CORPUS-SCALE hard-negative mining (pipeline/similarity.py
     hard_negatives_ivf — the path the exact scorer's anchor cap points
     at): every vector is an anchor, candidates come from its nprobe=2
-    best IVF buckets (centroids = vec_id%100==0), label filter rides the
-    candidate join, top-5 per anchor.  No broadcast of anything
-    corpus-sized — one shuffle join on centroid_id with bucket-bounded
-    fan-out.  The oracle replays the deterministic quantizer, probing,
-    label filter and ranking in SQL, so the hash checks the bucketed
-    ALGORITHM (assignment tie-breaks included), not just plausible
-    neighbors."""
+    best IVF buckets (nlist=5 centroids — a FIXED count independent of
+    corpus size, stride ceil(N/5) from one cheap count), label filter
+    rides the candidate join, top-5 per anchor.  No broadcast of
+    anything corpus-sized — one shuffle join on centroid_id with
+    bucket-bounded fan-out.  The oracle replays the deterministic
+    quantizer (same count-derived stride), probing, label filter and
+    ranking in SQL, so the hash checks the bucketed ALGORITHM
+    (assignment tie-breaks included), not just plausible neighbors."""
     from .similarity import hard_negatives_ivf
 
     e = load_tables(spark, sf_dir)["embeddings"]
-    return hard_negatives_ivf(e, k=5, nprobe=2, centroid_mod=100)
+    return hard_negatives_ivf(e, k=5, nprobe=2, nlist=5)
 
 
 def _sql_hard_negatives_ivf() -> str:
@@ -2378,7 +2402,7 @@ WITH hni_e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
 hni_cent AS (
   SELECT vec_id AS centroid_id, v AS centv
-  FROM hni_e WHERE vec_id % 100 = 0),
+  FROM hni_e WHERE vec_id % (SELECT (count(*) + 4) // 5 FROM hni_e) = 0),
 hni_assign AS (
   SELECT vid, v, label, centroid_id FROM (
     SELECT e.vec_id AS vid, e.v, e.label, c.centroid_id,
@@ -4733,6 +4757,7 @@ PIPELINE_QUERIES = {
     "similarity_topk": (q_similarity_topk, _SQL_SIM_TOPK),
     "similarity_ivf": (q_similarity_ivf, _SQL_SIM_IVF),
     "ann_recall": (q_ann_recall, _sql_ann_recall()),
+    "ann_index_probe": (q_ann_index_probe, _SQL_SIM_IVF),
     "embedding_neardup": (q_embedding_neardup, _sql_emb_neardup()),
     "embedding_dedup": (q_embedding_dedup, _sql_embedding_dedup()),
     "embedding_neardup_banded": (q_embedding_neardup_banded,

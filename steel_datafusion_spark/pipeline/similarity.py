@@ -29,7 +29,8 @@ from ..cache import iteration_barrier, release_local_checkpoint, track
 
 __all__ = ["sq8_stats", "sq8_error_stats", "sql_sq8_error_stats",
            "dot", "norm2", "cosine", "cosine_topk", "cosine_neardup_pairs",
-           "ivf_assign", "ivf_topk", "kmeans", "lsh_bucket", "lsh_topk",
+           "ivf_assign", "ivf_topk", "ivf_nlist_mod", "build_ann_index",
+           "ivf_topk_index", "kmeans", "lsh_bucket", "lsh_topk",
            "semdedup",
            "hyperplanes", "normalize_l2", "pq_codebooks", "pq_encode",
            "pq_topk", "SQL_COSINE",
@@ -221,27 +222,59 @@ def cosine_neardup_pairs(
     )
 
 
+def ivf_nlist_mod(corpus: DataFrame, nlist: int,
+                  id_col: str = "vec_id") -> int:
+    """The id stride that yields ~``nlist`` centroids on this corpus:
+    ceil(N / nlist), from one cheap count.  Real IVF fixes the CENTROID
+    COUNT (nlist ≈ √N or a constant), not the stride — a stride fixed
+    across corpus sizes makes the centroid set grow O(N), which at 1B+
+    vectors is a tens-of-GB broadcast and an N×(N/stride) assignment
+    loop.  Deriving the stride from nlist keeps the broadcast and the
+    per-vector assignment work flat across decades (asserted by
+    test_round11_ops + the scale sweep)."""
+    n = corpus.select(id_col).count()
+    return max(1, -(-n // nlist))  # ceil(n / nlist), integer-exact
+
+
 def ivf_assign(
-    corpus: DataFrame, centroid_mod: int = 100,
+    corpus: DataFrame, nlist: int = 32,
     id_col: str = "vec_id", vec_col: str = "embedding",
     carry: tuple[str, ...] = (),
+    centroid_mod: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Deterministic IVF coarse quantizer: centroids = vectors whose id ≡ 0
-    (mod centroid_mod); every corpus vector is assigned to its max-cosine
-    centroid (tie → smallest centroid id).  Returns (centroids, assignment).
-    ``carry`` names extra corpus columns to keep on the assignment rows
-    (e.g. a label for hard-negative mining) without a second corpus join.
+    """Deterministic IVF coarse quantizer with a FIXED centroid count:
+    ``nlist`` centroids = vectors whose id ≡ 0 (mod ceil(N/nlist), from
+    one cheap count — see :func:`ivf_nlist_mod`); every corpus vector is
+    assigned to its max-cosine centroid (tie → smallest centroid id).
+    Returns (centroids, assignment).  ``carry`` names extra corpus columns
+    to keep on the assignment rows (e.g. a label for hard-negative mining)
+    without a second corpus join.  ``centroid_mod`` is the deprecated
+    fixed-stride spelling (centroid count then grows O(N) — kept for
+    callers that pin the stride deliberately, e.g. tests probing every
+    bucket); ``centroids`` accepts a pre-trained/persisted centroid table
+    (centroid_id, centv) — the :func:`kmeans` output reshaped, or a stored
+    ANN index — skipping selection entirely.
 
-    Scale: centroids are tiny (N/centroid_mod) ⇒ broadcast; assignment is one
-    map-side join + window, partitioned by vec_id.  Norms are precomputed
-    ONCE PER SIDE before the join (``_n2``/``_n2c`` columns) instead of
-    per pair — cosine's dot/sqrt(n2a*n2b) is unchanged bit-for-bit (the
-    same two folds multiply), but the fold work drops from 3x|pairs| to
-    |pairs| + |rows| (measured 7.8 s → see hard_negatives_ivf)."""
-    cent = corpus.filter((F.col(id_col) % centroid_mod) == 0) \
-                 .select(F.col(id_col).alias("centroid_id"),
-                         F.col(vec_col).alias("centv"),
-                         norm2(F.col(vec_col)).alias("_n2c"))
+    Scale: centroids are nlist rows REGARDLESS of corpus size ⇒ broadcast
+    stays bounded; assignment is one map-side join + window, partitioned
+    by vec_id, N×nlist work.  Norms are precomputed ONCE PER SIDE before
+    the join (``_n2``/``_n2c`` columns) instead of per pair — cosine's
+    dot/sqrt(n2a*n2b) is unchanged bit-for-bit (the same two folds
+    multiply), but the fold work drops from 3x|pairs| to |pairs| + |rows|
+    (measured 7.8 s → see hard_negatives_ivf)."""
+    if centroids is not None:
+        cent = centroids
+        if "_n2c" not in cent.columns:
+            cent = cent.select("centroid_id", "centv",
+                               norm2(F.col("centv")).alias("_n2c"))
+    else:
+        if centroid_mod is None:
+            centroid_mod = ivf_nlist_mod(corpus, nlist, id_col)
+        cent = corpus.filter((F.col(id_col) % centroid_mod) == 0) \
+                     .select(F.col(id_col).alias("centroid_id"),
+                             F.col(vec_col).alias("centv"),
+                             norm2(F.col(vec_col)).alias("_n2c"))
     parts = corpus.sparkSession.sparkContext.defaultParallelism * 2
     extra = [F.col(c) for c in carry]
     c = corpus.repartition(parts, F.col(id_col)).select(
@@ -262,12 +295,32 @@ def ivf_assign(
 
 def ivf_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 10, nprobe: int = 2,
-    centroid_mod: int = 100, id_col: str = "vec_id", vec_col: str = "embedding",
+    nlist: int = 32, id_col: str = "vec_id", vec_col: str = "embedding",
+    centroid_mod: int | None = None,
 ) -> DataFrame:
     """IVF ANN: probe the ``nprobe`` best buckets per query, exact top-k
     within the probed subset.  Deterministic ⇒ oracle-checkable; recall vs
-    brute force depends on the quantizer (documented trade)."""
-    cent, assign = ivf_assign(corpus, centroid_mod, id_col, vec_col)
+    brute force depends on the quantizer (documented trade).  ``nlist``
+    fixes the centroid count independent of corpus size (``centroid_mod``
+    is the deprecated fixed-stride spelling).  For repeated query batches
+    against a stable corpus, build the index ONCE with ``build_ann_index``
+    and probe via ``ivf_topk_index`` — this entry point re-assigns the
+    corpus every call."""
+    cent, assign = ivf_assign(corpus, nlist, id_col, vec_col,
+                              centroid_mod=centroid_mod)
+    return _ivf_probe_topk(queries, cent, assign, k, nprobe,
+                           id_col, vec_col)
+
+
+def _ivf_probe_topk(queries: DataFrame, cent: DataFrame, assign: DataFrame,
+                    k: int, nprobe: int, id_col: str, vec_col: str,
+                    ) -> DataFrame:
+    """Shared IVF probe: pick each query's ``nprobe`` best centroids
+    (broadcast join against the nlist-row centroid table), pull
+    candidates from exactly those buckets, exact top-k within them.
+    Used by both the re-assign path (``ivf_topk``) and the stored-index
+    path (``ivf_topk_index``, where ``assign`` is a bucketed table and
+    the probe join shuffles only the query side)."""
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"),
                        norm2(F.col(vec_col)).alias("_n2q"))
@@ -292,6 +345,70 @@ def ivf_topk(
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "score", "rank"))
+
+
+def build_ann_index(
+    corpus: DataFrame, name: str, nlist: int = 32, n_buckets: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> None:
+    """Materialize the dense-vector IVF index ONCE, as managed tables —
+    the build-once / probe-many path ``build_dedup_index`` (dedup.py)
+    gives MinHash, for the embedding family:
+
+    - ``{name}_centroids`` (centroid_id, centv, _n2c): nlist rows, the
+      coarse quantizer — every probe broadcasts it;
+    - ``{name}_assign`` (vid, v, _n2, centroid_id): the corpus with its
+      bucket assignment and precomputed norms, stored BUCKETED on
+      centroid_id (sources/bucketing.py) so a probe's candidate join
+      reads only matched buckets and never shuffles a byte of corpus;
+    - ``{name}_meta`` (nlist, n_buckets): one row, validated on probe.
+
+    At 100 TB this is the difference between re-scoring N×nlist cosine
+    assignments on EVERY query batch (what ``ivf_topk`` does inline) and
+    a pure probe: index once, then each ``ivf_topk_index`` call costs
+    O(|queries| × nlist) centroid scores + the matched buckets only.
+    Size ``n_buckets`` to cluster parallelism (thousands at 100 TB; 8
+    suits local tests)."""
+    spark = corpus.sparkSession
+    for t in (f"{name}_centroids", f"{name}_assign", f"{name}_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS `{t}`")
+        try:
+            jvm = spark._jvm
+            path = jvm.org.apache.hadoop.fs.Path(
+                spark.conf.get("spark.sql.warehouse.dir"), t.lower())
+            fs = path.getFileSystem(
+                spark.sparkContext._jsc.hadoopConfiguration())
+            if fs.exists(path):
+                fs.delete(path, True)
+        except Exception:
+            pass  # best-effort; saveAsTable raises a clear error if stuck
+    from ..sources.bucketing import write_bucketed
+
+    cent, assign = ivf_assign(corpus, nlist, id_col, vec_col)
+    cent.write.saveAsTable(f"{name}_centroids")
+    write_bucketed(assign, f"{name}_assign", ["centroid_id"], n_buckets,
+                   sort_cols=["centroid_id"])
+    corpus.sparkSession.createDataFrame(
+        [(int(nlist), int(n_buckets))], "nlist int, n_buckets int",
+    ).write.saveAsTable(f"{name}_meta")
+
+
+def ivf_topk_index(
+    queries: DataFrame, name: str, k: int = 10, nprobe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN against a ``build_ann_index`` corpus: scores queries
+    against the stored nlist-row centroid table (broadcast), then joins
+    the probed buckets out of the stored bucketed assignment table — the
+    corpus is never re-scanned from source, never re-assigned, and the
+    candidate join shuffles ONLY the query side (assert via .explain():
+    no Exchange above the assignment-table scan).  Same output contract
+    and same results as ``ivf_topk`` with the same nlist."""
+    spark = queries.sparkSession
+    cent = spark.table(f"{name}_centroids")
+    assign = spark.table(f"{name}_assign")
+    return _ivf_probe_topk(queries, cent, assign, k, nprobe,
+                           id_col, vec_col)
 
 
 def hyperplanes(n_planes: int = 12, dim: int = 64) -> list[list[float]]:
@@ -1039,9 +1156,10 @@ def hard_negatives(
 
 
 def hard_negatives_ivf(
-    df: DataFrame, k: int = 5, nprobe: int = 2, centroid_mod: int = 100,
+    df: DataFrame, k: int = 5, nprobe: int = 2, nlist: int = 32,
     id_col: str = "vec_id", vec_col: str = "embedding",
     label_col: str = "label",
+    centroid_mod: int | None = None,
 ) -> DataFrame:
     """Corpus-scale hard-negative mining: every vector is an anchor, and
     candidates come from the anchor's ``nprobe`` best IVF buckets instead
@@ -1050,14 +1168,17 @@ def hard_negatives_ivf(
     score, rank); recall vs the exact scorer depends on the quantizer,
     exactly as ``ivf_topk`` vs ``brute_topk``.
 
-    Scale: no broadcast of anything corpus-sized — centroids (N /
-    centroid_mod rows) broadcast, probing is a map-side join + per-anchor
-    window, and candidate generation is ONE shuffle join on centroid_id
-    whose per-key fan-out is bounded by bucket occupancy × nprobe.  The
-    label filter rides the candidate join; the final top-k is one
-    anchor-key window with WindowGroupLimit."""
-    cent, assign = ivf_assign(df, centroid_mod, id_col, vec_col,
-                              carry=(label_col,))
+    Scale: no broadcast of anything corpus-sized — centroids are ``nlist``
+    rows REGARDLESS of corpus size (the fixed growth law of
+    :func:`ivf_nlist_mod`; ``centroid_mod`` is the deprecated fixed-stride
+    spelling whose centroid count grew O(N)), probing is a map-side join +
+    per-anchor window, and candidate generation is ONE shuffle join on
+    centroid_id whose per-key fan-out is bounded by bucket occupancy ×
+    nprobe.  The label filter rides the candidate join; the final top-k is
+    one anchor-key window with WindowGroupLimit."""
+    cent, assign = ivf_assign(df, nlist, id_col, vec_col,
+                              carry=(label_col,),
+                              centroid_mod=centroid_mod)
     q = df.select(F.col(id_col).alias("anchor_id"),
                   F.col(vec_col).alias("qv"),
                   F.col(label_col).alias("a_label"),

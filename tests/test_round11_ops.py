@@ -113,6 +113,85 @@ def test_replayed_batch_same_identity_skips():
     assert _replayed_batch(None, "/ckpt/a", 0) is False
 
 
+# ---------------------------------------------------------------------------
+# IVF growth law: centroid count fixed by nlist, independent of corpus rows
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def no_auto_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _vec_corpus(spark, n, dim=4):
+    rows = [(i, [float((i * 7 + d * 3) % 11) + 1.0 for d in range(dim)])
+            for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_centroid_count_independent_of_corpus_size(spark):
+    """VERDICT r10 #1: nlist fixes the centroid count — the broadcast and
+    the per-vector assignment work must NOT grow with N."""
+    from steel_datafusion_spark.pipeline.similarity import ivf_assign
+
+    for n in (60, 600):
+        cent, assign = ivf_assign(_vec_corpus(spark, n), nlist=6)
+        assert cent.count() == 6, f"N={n}"
+        assert assign.count() == n
+
+
+def test_ivf_nlist_mod_exact_ceil(spark):
+    from steel_datafusion_spark.pipeline.similarity import ivf_nlist_mod
+
+    assert ivf_nlist_mod(_vec_corpus(spark, 500), 10) == 50
+    assert ivf_nlist_mod(_vec_corpus(spark, 501), 10) == 51
+    assert ivf_nlist_mod(_vec_corpus(spark, 3), 10) == 1
+
+
+def test_ivf_deprecated_stride_still_selects_by_mod(spark):
+    from steel_datafusion_spark.pipeline.similarity import ivf_assign
+
+    cent, _ = ivf_assign(_vec_corpus(spark, 60), centroid_mod=20)
+    assert sorted(r.centroid_id for r in cent.collect()) == [0, 20, 40]
+
+
+# ---------------------------------------------------------------------------
+# Persisted dense-vector index: build once, probe without corpus re-scan
+# ---------------------------------------------------------------------------
+
+def test_ann_index_probe_matches_inline_and_skips_corpus(
+        spark, no_auto_broadcast):
+    from steel_datafusion_spark.pipeline.similarity import (
+        build_ann_index, ivf_topk, ivf_topk_index,
+    )
+
+    corpus = _vec_corpus(spark, 120, dim=6)
+    build_ann_index(corpus, "t_ann_idx", nlist=8, n_buckets=4)
+    try:
+        queries = spark.createDataFrame(
+            corpus.filter("vec_id < 4").collect(), schema=corpus.schema)
+        got = ivf_topk_index(queries, "t_ann_idx", k=5, nprobe=2)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        # the stored-index probe shuffles ONLY the query side: exactly one
+        # centroid_id exchange (probes); the bucketed assignment scan has
+        # none above it
+        assert plan.count("hashpartitioning(centroid_id") == 1, plan[:3000]
+        assert "t_ann_idx_assign" in plan and "t_ann_idx_centroids" in plan
+        want = ivf_topk(queries, corpus, k=5, nprobe=2, nlist=8)
+        assert sorted(map(tuple, got.collect())) == \
+               sorted(map(tuple, want.collect()))
+        # one index serves a second batch with no rebuild
+        q2 = spark.createDataFrame(
+            corpus.filter("vec_id >= 100").collect(), schema=corpus.schema)
+        got2 = ivf_topk_index(q2, "t_ann_idx", k=3, nprobe=1)
+        assert got2.count() > 0
+    finally:
+        for t in ("t_ann_idx_centroids", "t_ann_idx_assign", "t_ann_idx_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_replayed_batch_fresh_checkpoint_raises_not_skips():
     """batch_id 0 from a NEW checkpoint against an existing table is a
     restart, not a replay — silent skip would lose data (ADVICE r10)."""
