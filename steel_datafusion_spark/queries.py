@@ -372,7 +372,7 @@ def q_theta_join(spark, sf_dir):
     t = _t(spark, sf_dir)
     li, p = t["lineitem"], t["part"]
     return df_join_on(
-        li, F.broadcast(p), "inner",
+        li, p, "inner",
         [li["l_partkey"] == p["p_partkey"],
          li["l_extendedprice"] < p["p_retailprice"] * F.lit(10)],
     ).groupBy("p_brand").agg(
@@ -1613,8 +1613,9 @@ GROUP BY o_orderpriority
 def q_promo_revenue(spark, sf_dir):
     """TPC-H Q14 shape: conditional-aggregate ratio over a fact↔dim join.
 
-    Scale: part is the small side → broadcast-hash join, zero shuffle on
-    lineitem; the one-month shipdate filter pushes to the scan.  Both sums
+    Scale: part is the small side → AQE picks the broadcast-hash join at
+    bench SF (no forced hint: part scales with SF, and a forced broadcast
+    would bypass the size threshold at 100×), zero shuffle on lineitem; the one-month shipdate filter pushes to the scan.  Both sums
     route through exact decimals so the single output row is identical at
     any partition count; the division happens once, in double, at the end."""
     t = _t(spark, sf_dir)
@@ -1622,7 +1623,7 @@ def q_promo_revenue(spark, sf_dir):
         t["lineitem"],
         (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp")))
-    j = df_join(li, F.broadcast(t["part"]), "inner",
+    j = df_join(li, t["part"], "inner",
                 ["l_partkey"], ["p_partkey"])
     rev = (F.col("l_extendedprice").cast(_DEC2)
            * (F.lit(1).cast(_DEC2) - F.col("l_discount").cast(_DEC2)))
@@ -1667,7 +1668,7 @@ def q_disjunctive_pushdown(spark, sf_dir):
            & (F.col("l_quantity").between(10, 20)))
         | ((F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 35))
            & (F.col("l_quantity").between(20, 30))))
-    j = df_join(li, F.broadcast(p), "inner", ["l_partkey"], ["p_partkey"],
+    j = df_join(li, p, "inner", ["l_partkey"], ["p_partkey"],
                 filter=branch)
     rev = (F.col("l_extendedprice").cast(_DEC2)
            * (F.lit(1).cast(_DEC2) - F.col("l_discount").cast(_DEC2)))
@@ -1697,21 +1698,22 @@ def q_min_cost_supplier(spark, sf_dir):
 
     Scale: per-(part, supplier) MIN first (one shuffle on the pair key,
     map-side combine collapses the fact table), then the window MIN reuses
-    a partkey shuffle of the already-tiny pair relation; part/supplier/
-    nation are broadcast dims.  Ties keep every minimal supplier — same as
+    a partkey shuffle of the already-tiny pair relation; nation is a forced
+    broadcast (25 rows); part/supplier are SF-proportional, so their
+    broadcasts are AQE-chosen, never forced.  Ties keep every minimal supplier — same as
     the SQL form."""
     t = _t(spark, sf_dir)
     pairs = df_aggregate(
         t["lineitem"], [col("l_partkey"), col("l_suppkey")],
         [agg_min("l_extendedprice").alias("pair_min")])
-    pf = df_filter(F.broadcast(t["part"]),
+    pf = df_filter(t["part"],
                    F.col("p_size").isin(15, 25, 35)
                    & F.col("p_type").isin("LARGE", "STANDARD"))
     j = df_join(pairs, pf, "inner", ["l_partkey"], ["p_partkey"])
     w = window_spec(partition_by=["p_partkey"])
     j = j.withColumn("part_min", F.min("pair_min").over(w)) \
          .filter(F.col("pair_min") == F.col("part_min"))
-    j = df_join(j, F.broadcast(t["supplier"]), "inner",
+    j = df_join(j, t["supplier"], "inner",
                 ["l_suppkey"], ["s_suppkey"])
     j = df_join(j, F.broadcast(t["nation"]), "inner",
                 ["s_nationkey"], ["n_nationkey"])
@@ -1741,18 +1743,20 @@ def q_supplier_relation_counts(spark, sf_dir):
 
     Scale: the part-supplier relation is DISTINCT pairs of the fact table
     (one shuffle with map-side combine); the NOT-IN side is a tiny filtered
-    dim → broadcast anti join (s_suppkey is non-null, so anti == NOT IN
-    here — the null-aware case is exercised in tests); part is broadcast.
+    dim → AQE broadcasts the anti join side when it fits (s_suppkey is
+    non-null, so anti == NOT IN here — the null-aware case is exercised
+    in tests); part's broadcast is likewise AQE-chosen, not forced (both
+    scale with SF).
     The count-distinct agg shuffles once on the 3-part class key."""
     t = _t(spark, sf_dir)
     supply = df_distinct(t["lineitem"].select(
         F.col("l_partkey"), F.col("l_suppkey")))
     bad = df_filter(t["supplier"], F.col("s_acctbal") < 0) \
         .select("s_suppkey")
-    supply = df_join(supply, F.broadcast(bad), "left_anti",
+    supply = df_join(supply, bad, "left_anti",
                      ["l_suppkey"], ["s_suppkey"])
     pf = df_filter(
-        F.broadcast(t["part"]),
+        t["part"],
         (F.col("p_brand") != "Brand#45") & (F.col("p_type") != "PROMO")
         & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)))
     j = df_join(supply, pf, "inner", ["l_partkey"], ["p_partkey"])
@@ -1777,13 +1781,14 @@ def q_small_qty_revenue(spark, sf_dir):
     """TPC-H Q17 shape: rows under a correlated per-part average, decorrelated
     to a window AVG over the correlation key.
 
-    Scale: only the one brand's parts survive the broadcast join, but the
+    Scale: only the one brand's parts survive the (AQE-chosen) broadcast
+    join, but the
     per-part average must see ALL of a part's lineitems, so the window runs
     before the brand filter would prune rows — one shuffle on l_partkey.
     The average routes through an exact decimal sum (identical on the
     oracle side) so the `<` threshold compares bit-identical doubles."""
     t = _t(spark, sf_dir)
-    pf = df_filter(F.broadcast(t["part"]), F.col("p_brand") == "Brand#23") \
+    pf = df_filter(t["part"], F.col("p_brand") == "Brand#23") \
         .select("p_partkey")
     li = df_join(t["lineitem"], pf, "left_semi", ["l_partkey"], ["p_partkey"])
     w = window_spec(partition_by=["l_partkey"])
@@ -1817,7 +1822,8 @@ def q_waiting_supplier(spark, sf_dir):
     Scale: all three join legs shuffle on l_orderkey (Spark reuses the
     exchange across same-key joins); per-order fan-out is bounded by the
     lines-per-order cap, so no leg is quadratic.  supplier/orders'F' are
-    broadcast.  LIMIT sits under a total order (count desc, name asc —
+    broadcast when AQE sizes them under the threshold (supplier scales
+    with SF — no forced hint).  LIMIT sits under a total order (count desc, name asc —
     names are unique)."""
     t = _t(spark, sf_dir)
     li = t["lineitem"]
@@ -1840,7 +1846,7 @@ def q_waiting_supplier(spark, sf_dir):
         base, others_r, "left_anti",
         [F.col("l_orderkey") == F.col("r_orderkey"),
          F.col("l_suppkey") != F.col("r_suppkey")])
-    j = df_join(base, F.broadcast(t["supplier"]), "inner",
+    j = df_join(base, t["supplier"], "inner",
                 ["l_suppkey"], ["s_suppkey"])
     agg = df_aggregate(j, [col("s_name")],
                        [agg_count_star().alias("numwait")])
@@ -1926,8 +1932,7 @@ def q_important_stock(spark, sf_dir):
     no second pass over the fact table."""
     t = _t(spark, sf_dir)
     li = df_join(t["lineitem"],
-                 F.broadcast(df_filter(t["supplier"],
-                                       F.col("s_nationkey") < 5)),
+                 df_filter(t["supplier"], F.col("s_nationkey") < 5),
                  "left_semi", ["l_suppkey"], ["s_suppkey"])
     per_part = df_aggregate(
         li, [col("l_partkey")],
@@ -1976,7 +1981,7 @@ def q_top_supplier(spark, sf_dir):
     mx = per_supp.agg(F.max("_r").alias("_mx"))
     out = (per_supp.crossJoin(F.broadcast(mx))
            .filter(F.col("_r") == F.col("_mx")))
-    out = df_join(out, F.broadcast(t["supplier"]), "inner",
+    out = df_join(out, t["supplier"], "inner",
                   ["l_suppkey"], ["s_suppkey"])
     return out.select("s_suppkey", "s_name",
                       F.col("_r").cast("double").alias("total_revenue")) \
@@ -2009,10 +2014,10 @@ def q_dominant_promo_supplier(spark, sf_dir):
 
     Scale: one shuffle builds (part, supplier) volumes with map-side
     combine; the window total reuses the partkey distribution; the final
-    semi join probes the tiny qualifying-supplier set against the
-    broadcast dim."""
+    semi join probes the tiny qualifying-supplier set against the part
+    dim (AQE-chosen broadcast — part scales with SF, never forced)."""
     t = _t(spark, sf_dir)
-    promo = df_filter(F.broadcast(t["part"]), F.col("p_type") == "PROMO") \
+    promo = df_filter(t["part"], F.col("p_type") == "PROMO") \
         .select("p_partkey")
     li = df_join(t["lineitem"], promo, "left_semi",
                  ["l_partkey"], ["p_partkey"])
@@ -2050,7 +2055,9 @@ def q_nation_trade_flow(spark, sf_dir):
     table joins dims by broadcast and the two nation legs stay distinct.
 
     Scale: lineitem⋈orders is the only big⋈big leg (orderkey shuffle);
-    customer/supplier/nation broadcast; the 2-year shipdate filter pushes
+    nation is a forced broadcast (25 rows); customer/supplier broadcasts
+    are AQE-chosen (both scale with SF — a forced hint would bypass the
+    size guard at 100×); the 2-year shipdate filter pushes
     to the fact scan.  Output key (n1, n2, year) is tiny → map-side
     partials collapse the aggregation."""
     t = _t(spark, sf_dir)
@@ -2059,9 +2066,9 @@ def q_nation_trade_flow(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
     j = df_join(li, t["orders"], "inner", ["l_orderkey"], ["o_orderkey"])
-    j = df_join(j, F.broadcast(t["customer"]), "inner",
+    j = df_join(j, t["customer"], "inner",
                 ["o_custkey"], ["c_custkey"])
-    j = df_join(j, F.broadcast(t["supplier"]), "inner",
+    j = df_join(j, t["supplier"], "inner",
                 ["l_suppkey"], ["s_suppkey"])
     n1 = t["nation"].select(F.col("n_nationkey").alias("n1_key"),
                             F.col("n_name").alias("supp_nation"))
@@ -2107,16 +2114,17 @@ def q_product_profit(spark, sf_dir):
     part filter must reach the fact table first (broadcast semi-reduction)
     before the wider orders join.
 
-    Scale: part(filtered) broadcasts and prunes lineitem early; orders
-    joins on orderkey (the one fact-sized shuffle); supplier/nation
-    broadcast.  Profit = rev − cost proxy (retailprice·qty), exact
+    Scale: part(filtered) prunes lineitem early via an AQE-chosen broadcast
+    (part scales with SF — not forced); orders joins on orderkey (the one
+    fact-sized shuffle); nation is forced-broadcast (25 rows), supplier's
+    is AQE-chosen.  Profit = rev − cost proxy (retailprice·qty), exact
     decimals end-to-end."""
     t = _t(spark, sf_dir)
-    pf = df_filter(F.broadcast(t["part"]),
+    pf = df_filter(t["part"],
                    F.col("p_name").like("%a%") & (F.col("p_size") <= 25))
     j = df_join(t["lineitem"], pf, "inner", ["l_partkey"], ["p_partkey"])
     j = df_join(j, t["orders"], "inner", ["l_orderkey"], ["o_orderkey"])
-    j = df_join(j, F.broadcast(t["supplier"]), "inner",
+    j = df_join(j, t["supplier"], "inner",
                 ["l_suppkey"], ["s_suppkey"])
     j = df_join(j, F.broadcast(t["nation"]), "inner",
                 ["s_nationkey"], ["n_nationkey"])
@@ -2157,7 +2165,7 @@ def q_window_distribution(spark, sf_dir):
     same sort."""
     o = _t(spark, sf_dir)["orders"]
     c = _t(spark, sf_dir)["customer"]
-    j = df_join(o, F.broadcast(c), "inner", ["o_custkey"], ["c_custkey"])
+    j = df_join(o, c, "inner", ["o_custkey"], ["c_custkey"])
     from pyspark.sql.window import Window
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
@@ -2228,8 +2236,9 @@ def q_local_supplier_volume(spark, sf_dir):
     constraint (c_nationkey = s_nationkey) is a residual between two
     different dimension legs, not an equi-key either leg owns alone.
 
-    Scale: region→nation prunes to one region's nations and broadcasts;
-    customer and supplier broadcast; orders is date-pruned at the scan
+    Scale: region→nation prunes to one region's nations and force-
+    broadcasts (bounded); customer and supplier broadcast only via AQE
+    (SF-proportional — never forced); orders is date-pruned at the scan
     before its orderkey shuffle against lineitem — the tree's only
     fact-sized exchange.  The same-nation residual applies after both dim
     joins as a cheap int equality on already-joined rows (completes Q1-22:
@@ -2243,9 +2252,9 @@ def q_local_supplier_volume(spark, sf_dir):
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
     j = df_join(t["lineitem"], o, "inner", ["l_orderkey"], ["o_orderkey"])
-    j = df_join(j, F.broadcast(t["customer"]), "inner",
+    j = df_join(j, t["customer"], "inner",
                 ["o_custkey"], ["c_custkey"])
-    j = df_join(j, F.broadcast(t["supplier"]), "inner",
+    j = df_join(j, t["supplier"], "inner",
                 ["l_suppkey"], ["s_suppkey"])
     j = df_filter(j, F.col("c_nationkey") == F.col("s_nationkey"))
     j = df_join(j, F.broadcast(asia), "inner",
@@ -2326,22 +2335,23 @@ def q_market_share(spark, sf_dir):
     nation roles: the customer's nation selects the market (region
     filter), the supplier's nation labels the volume for the numerator.
 
-    Scale: part(filtered) broadcasts and semi-reduces lineitem before the
-    orderkey shuffle (the one fact-sized exchange); customer/supplier/
-    nation×2/region broadcast; the share divides two decimal-exact sums
+    Scale: part(filtered) semi-reduces lineitem before the orderkey shuffle
+    (the one fact-sized exchange) via an AQE-chosen broadcast;
+    customer/supplier likewise AQE-only (SF-proportional), nation×2/region
+    forced (bounded); the share divides two decimal-exact sums
     per year AFTER the final agg — a 2-row result, so the division cost is
     nil and the ratio is reproducible at any partition count."""
     t = _t(spark, sf_dir)
-    pf = df_filter(F.broadcast(t["part"]), F.col("p_type") == "ECONOMY")
+    pf = df_filter(t["part"], F.col("p_type") == "ECONOMY")
     j = df_join(t["lineitem"], pf, "inner", ["l_partkey"], ["p_partkey"])
     o = df_filter(
         t["orders"],
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
     j = df_join(j, o, "inner", ["l_orderkey"], ["o_orderkey"])
-    j = df_join(j, F.broadcast(t["customer"]), "inner",
+    j = df_join(j, t["customer"], "inner",
                 ["o_custkey"], ["c_custkey"])
-    j = df_join(j, F.broadcast(t["supplier"]), "inner",
+    j = df_join(j, t["supplier"], "inner",
                 ["l_suppkey"], ["s_suppkey"])
     # customer leg picks the market region; supplier leg labels the volume
     n_cust = df_join(t["nation"],

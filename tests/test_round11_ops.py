@@ -100,6 +100,33 @@ def test_mp3_layer3_still_exact():
 
 
 # ---------------------------------------------------------------------------
+# No forced broadcasts on SF-proportional base tables (VERDICT r10 #2)
+# ---------------------------------------------------------------------------
+
+def test_no_forced_broadcast_on_sf_proportional_tables():
+    """F.broadcast is a FORCED hint — it bypasses
+    autoBroadcastJoinThreshold and AQE demotion, so forcing it on a table
+    that scales with SF (part/supplier/customer/orders/lineitem) is an
+    executor OOM at 100×.  Forced hints are allowed only on fixed-size
+    frames (nation/region, bounded group stats, 1-row aggregates); the
+    SF-proportional ones must be left to AQE or routed through
+    hints.broadcast_if_small."""
+    import os
+    import re
+
+    import steel_datafusion_spark.queries as qmod
+
+    src = open(os.path.abspath(qmod.__file__)).read()
+    banned = re.compile(
+        r'F\.broadcast\(\s*(?:df_filter\(\s*)?t\["'
+        r'(part|supplier|customer|orders|lineitem)"\]')
+    hits = [src[:m.start()].count("\n") + 1 for m in banned.finditer(src)]
+    assert not hits, (
+        f"forced F.broadcast on SF-proportional base tables at "
+        f"queries.py lines {hits}")
+
+
+# ---------------------------------------------------------------------------
 # Streaming replay identity (Delta txnAppId+txnVersion pattern)
 # ---------------------------------------------------------------------------
 
