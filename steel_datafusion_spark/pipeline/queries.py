@@ -4050,6 +4050,65 @@ GROUP BY o_orderpriority
 """
 
 
+def q_manifest_merge_apply(spark, sf_dir):
+    """Conditional MERGE applying a CDC changelog end-to-end
+    (sources/manifest.py manifest_merge — WHEN MATCHED [AND cond] THEN
+    UPDATE/DELETE, WHEN NOT MATCHED THEN INSERT — fed by pipeline/cdc.py
+    snapshot_diff, the exact consumer shape the replace-by-key upsert and
+    delete-by-key verbs can't express): the customer slice <=800 is
+    committed as a manifest table, a new snapshot (keys <=1000, every 7th
+    dropped, every 3rd rebalanced +100) is diffed against it, and the
+    changelog routes through the merge's three conditional clauses.  The
+    oracle recomputes the NEW snapshot closed-form, so the hash proves
+    delete/update/insert each landed exactly — and the merge is
+    idempotent (re-applying the same changelog is a no-op, asserted in
+    tests/test_manifest.py).
+
+    Plan: ONE full-outer equi-join on the key per merge (each side
+    shuffles once), map-only clause CASE, atomic O_EXCL commit."""
+    import uuid
+
+    from ..sources.manifest import (
+        manifest_merge, manifest_upsert, read_table,
+    )
+
+    from ..queries import scratch_dir
+    from .cdc import snapshot_diff
+
+    c = load_tables(spark, sf_dir)["customer"] \
+        .select("c_custkey", "c_name", "c_acctbal")
+    old = c.filter(F.col("c_custkey") <= 800)
+    new = (c.filter((F.col("c_custkey") <= 1000)
+                    & (F.col("c_custkey") % 7 != 0))
+           .withColumn("c_acctbal",
+                       F.when(F.col("c_custkey") % 3 == 0,
+                              F.col("c_acctbal") + 100)
+                       .otherwise(F.col("c_acctbal"))))
+    changes = snapshot_diff(old, new, ["c_custkey"]) \
+        .filter(F.col("change_type") != "unchanged")
+    source = (changes.select("c_custkey", "change_type")
+              .join(new, "c_custkey", "left")
+              .select("c_custkey", "c_name", "c_acctbal", "change_type"))
+    base = scratch_dir(spark, sf_dir, "merge_gate")
+    root = _os.path.join(base, f"tbl-{uuid.uuid4().hex[:8]}")
+    manifest_upsert(spark, root, old, ["c_custkey"])
+    manifest_merge(spark, root, source, ["c_custkey"],
+                   when_matched_update="src.change_type = 'update'",
+                   when_matched_delete="src.change_type = 'delete'",
+                   when_not_matched_insert="src.change_type = 'insert'")
+    return read_table(spark, root).select(
+        "c_custkey", "c_name",
+        F.round(F.col("c_acctbal"), 2).alias("c_acctbal"))
+
+
+_SQL_MANIFEST_MERGE_APPLY = """
+SELECT c_custkey, c_name,
+  round(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100
+        ELSE c_acctbal END, 2) AS c_acctbal
+FROM customer WHERE c_custkey <= 1000 AND c_custkey % 7 <> 0
+"""
+
+
 def q_streaming_join_full_outer(spark, sf_dir):
     """Stream↔stream FULL OUTER interval join (streaming/operators.py
     stream_stream_join(how='full_outer')): the last cell of the outer
@@ -4841,6 +4900,8 @@ PIPELINE_QUERIES = {
                                   _SQL_STREAMING_JOIN_FULL_OUTER),
     "streaming_ingest": (q_streaming_ingest, _SQL_STREAMING_INGEST),
     "compact_roundtrip": (q_compact_roundtrip, _SQL_COMPACT_ROUNDTRIP),
+    "manifest_merge_apply": (q_manifest_merge_apply,
+                             _SQL_MANIFEST_MERGE_APPLY),
     "streaming_join": (q_streaming_join, _SQL_STREAMING_JOIN),
     "streaming_hopping": (q_streaming_hopping, _SQL_STREAMING_HOPPING),
     "streaming_enrich": (q_streaming_enrich, _SQL_STREAMING_ENRICH),

@@ -9,6 +9,8 @@ Layout::
 
     root/
       _commits/v0000000001.json       <- one immutable file per version
+      _commits/checkpoint-v0000000010.json  <- every Nth commit's payload
+      _commits/_last_checkpoint       <- pointer: O(1)-ish log resolution
       _versions/v0000000001-3f2a.../  <- immutable data dir per version
 
 Protocol:
@@ -54,10 +56,17 @@ __all__ = ["CommitConflict", "latest_commit", "latest_commit_info",
            "commit_version", "new_version_dir", "read_table",
            "is_manifest_root", "manifest_upsert", "manifest_delete",
            "table_history", "table_changes", "compact_table",
-           "vacuum"]
+           "manifest_merge", "vacuum", "CHECKPOINT_INTERVAL"]
 
 _COMMITS = "_commits"
 _VERSIONS = "_versions"
+_LAST_CHECKPOINT = "_last_checkpoint"
+# every Nth commit also writes _commits/checkpoint-vNNN.json and repoints
+# _last_checkpoint — the Delta _last_checkpoint pattern, so resolving the
+# newest commit is O(commits since last checkpoint) ≈ O(interval) instead
+# of an O(|log|) directory listing, with FULL history retained (unlike
+# vacuum(keep_log), which bounds the listing only by discarding history)
+CHECKPOINT_INTERVAL = 10
 
 
 class CommitConflict(Exception):
@@ -76,21 +85,41 @@ def is_manifest_root(root: str) -> bool:
 
 def latest_commit_info(root: str) -> dict | None:
     """Full payload of the newest commit ({"version", "data_dir" (abs),
-    "meta"}), or None for an empty/absent table.  Pure directory listing —
-    no locks, no reads of mutable state."""
+    "meta"}), or None for an empty/absent table.  No locks, no reads of
+    mutable state: commit files are immutable, and the ``_last_checkpoint``
+    pointer (when present) makes resolution O(commits since the last
+    checkpoint) — version numbers are contiguous by construction (every
+    commit claims base+1 with O_EXCL), so the newest commit is found by
+    probing forward from the checkpointed version instead of listing the
+    whole log.  Falls back to the full O(|log|) listing when no checkpoint
+    exists yet, or when the pointed-at commit file was pruned by
+    ``vacuum(keep_log)``."""
     d = _commits_dir(root)
     if not os.path.isdir(d):
         return None
     best = None
-    for f in os.listdir(d):
-        if not (f.startswith("v") and f.endswith(".json")):
-            continue
+    lc = os.path.join(d, _LAST_CHECKPOINT)
+    if os.path.exists(lc):
         try:
-            v = int(f[1:-5])
-        except ValueError:
-            continue
-        if best is None or v > best:
-            best = v
+            with open(lc) as fh:
+                ck = int(json.load(fh)["version"])
+        except (ValueError, KeyError, TypeError, OSError):
+            ck = None
+        if ck is not None and \
+                os.path.exists(os.path.join(d, f"v{ck:010d}.json")):
+            best = ck
+            while os.path.exists(os.path.join(d, f"v{best + 1:010d}.json")):
+                best += 1
+    if best is None:
+        for f in os.listdir(d):
+            if not (f.startswith("v") and f.endswith(".json")):
+                continue
+            try:
+                v = int(f[1:-5])
+            except ValueError:
+                continue
+            if best is None or v > best:
+                best = v
     if best is None:
         return None
     with open(os.path.join(d, f"v{best:010d}.json")) as fh:
@@ -148,6 +177,27 @@ def commit_version(root: str, version: int, data_dir: str,
             os.close(dfd)
     except OSError:
         pass  # platform without directory fsync: best-effort
+    if version % CHECKPOINT_INTERVAL == 0:
+        _write_checkpoint(cdir, version, payload)
+
+
+def _write_checkpoint(cdir: str, version: int, payload: str) -> None:
+    """Write ``checkpoint-vNNN.json`` (the commit payload — each commit
+    names a complete snapshot dir, so one commit IS the full table state)
+    and atomically repoint ``_last_checkpoint`` via temp + rename.  Purely
+    an acceleration structure: a crash between the two writes, a stale
+    pointer, or a missing checkpoint all fall back to the listing path in
+    ``latest_commit_info`` — correctness never depends on it."""
+    try:
+        with open(os.path.join(cdir, f"checkpoint-v{version:010d}.json"),
+                  "w") as fh:
+            fh.write(payload)
+        tmp = os.path.join(cdir, f".{_LAST_CHECKPOINT}.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps({"version": version}))
+        os.replace(tmp, os.path.join(cdir, _LAST_CHECKPOINT))
+    except OSError:
+        pass  # best-effort; resolution falls back to the full listing
 
 
 def read_table(spark: SparkSession, root: str,
@@ -550,6 +600,107 @@ def compact_table(spark: SparkSession, root: str, target_bytes: int,
         return version
     raise RuntimeError(
         f"compact_table lost {max_retries} commit races on {root!r}")
+
+
+def manifest_merge(spark: SparkSession, root: str, source: DataFrame,
+                   key_cols: list[str],
+                   when_matched_update: str | None = "true",
+                   when_matched_delete: str | None = None,
+                   when_not_matched_insert: str | None = "true",
+                   max_retries: int = 5, keep_versions: int = 2) -> int:
+    """Conditional MERGE through the manifest protocol — the Delta/Iceberg
+    ``MERGE INTO`` verb the plain replace-by-key ``manifest_upsert`` and
+    delete-by-key ``manifest_delete`` can't express, and the shape a CDC
+    consumer wants for applying ``pipeline.cdc.snapshot_diff`` /
+    ``table_changes`` output:
+
+    - WHEN MATCHED AND ``when_matched_delete`` THEN DELETE
+    - WHEN MATCHED AND ``when_matched_update`` THEN UPDATE (take source row)
+    - WHEN MATCHED (neither condition) → keep the target row
+    - WHEN NOT MATCHED AND ``when_not_matched_insert`` THEN INSERT
+    - target-only keys are always kept.
+
+    Conditions are SQL boolean expressions over two struct columns:
+    ``tgt.<col>`` (the target row) and ``src.<col>`` (the source row) —
+    e.g. ``"src.change_type = 'delete'"`` or ``"src.v > tgt.v"``; ``None``
+    disables a clause (delete checks FIRST, like Delta's clause order).
+    ``source`` must carry ``key_cols``; non-key source columns become the
+    written row on update/insert, so the source schema (minus any
+    condition-only columns the caller drops via the conditions themselves)
+    must match the table's.
+
+    Plan: ONE full-outer equi-join on the key (each side shuffles once,
+    fingerprint-free — the conditions need real columns), a map-only CASE
+    over the two structs, and the standard write-data-first + O_EXCL
+    commit.  Same optimistic concurrency and snapshot guarantees as
+    ``manifest_upsert``; returns the committed version.
+
+    Idempotent by construction for changelog application: re-applying the
+    same ``snapshot_diff`` output yields bit-identical rows (deletes hit
+    absent keys = no match = kept-nothing; updates rewrite the same
+    values; inserts match and update to the same values)."""
+    from pyspark.sql import functions as F
+
+    from .readers import read_parquet
+
+    missing = [k for k in key_cols if k not in source.columns]
+    if missing:
+        raise ValueError(f"merge source is missing key columns {missing}")
+    for _attempt in range(max_retries):
+        cur = latest_commit(root)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version under {root!r}")
+        base_version, base_dir = cur
+        version = base_version + 1
+        base = read_parquet(spark, base_dir)
+        out_cols = base.columns
+        data_cols = [c for c in source.columns if c not in key_cols]
+        t = base.select(
+            *key_cols,
+            F.struct(*[F.col(c) for c in base.columns]).alias("tgt"))
+        s = source.select(
+            *key_cols,
+            F.struct(*[F.col(c) for c in source.columns]).alias("src"))
+        j = t.join(s, key_cols, "full_outer")
+        upd = F.expr(when_matched_update) if when_matched_update else F.lit(False)
+        del_ = F.expr(when_matched_delete) if when_matched_delete else F.lit(False)
+        ins = F.expr(when_not_matched_insert) if when_not_matched_insert \
+            else F.lit(False)
+        missing_src = [c for c in out_cols
+                       if c not in data_cols and c not in key_cols]
+        writes_source_rows = bool(when_matched_update
+                                  or when_not_matched_insert)
+        if missing_src and writes_source_rows:
+            raise ValueError(
+                f"merge source lacks table columns {missing_src} needed to "
+                f"build updated/inserted rows")
+        # a delete-only merge may carry a keys+condition-only source: the
+        # source row is never written, so don't even build the struct
+        src_row = F.struct(*[
+            F.col(k) if k in key_cols else F.col(f"src.{k}")
+            for k in out_cols]) if writes_source_rows else F.lit(None)
+        matched = F.col("tgt").isNotNull() & F.col("src").isNotNull()
+        result = (
+            F.when(matched & del_, F.lit(None))
+            .when(matched & upd, src_row)
+            .when(F.col("tgt").isNotNull(), F.col("tgt"))
+            .when(F.col("src").isNotNull() & ins, src_row)
+            .otherwise(F.lit(None)))
+        merged = (j.select(result.alias("_r"))
+                  .filter(F.col("_r").isNotNull())
+                  .select("_r.*"))
+        data_dir = new_version_dir(root, version)
+        merged.write.mode("overwrite").parquet(data_dir)
+        try:
+            commit_version(root, version, data_dir,
+                           meta={"merge_on": list(key_cols)})
+        except CommitConflict:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            continue
+        vacuum(root, keep=keep_versions)
+        return version
+    raise RuntimeError(
+        f"manifest_merge lost {max_retries} commit races on {root!r}")
 
 
 def table_changes(spark: SparkSession, root: str, key_cols: list[str],

