@@ -43,7 +43,9 @@ __all__ = ["DecodedImage", "decode_image_bytes", "sniff_format",
            "DecodedVideo", "decode_avi", "encode_avi",
            "Mp4Track", "Mp4Meta", "probe_mp4", "encode_mp4",
            "Mp3Meta", "probe_mp3", "encode_mp3",
-           "WebmTrack", "WebmMeta", "probe_webm", "encode_webm"]
+           "WebmTrack", "WebmMeta", "probe_webm", "encode_webm",
+           "FlacMeta", "probe_flac", "encode_flac",
+           "OggMeta", "probe_ogg", "encode_ogg"]
 
 
 class DecodedImage(NamedTuple):
@@ -77,6 +79,10 @@ def sniff_format(payload: bytes) -> str | None:
         return "mp4"
     if payload[:4] == b"\x1a\x45\xdf\xa3":
         return "webm"
+    if payload[:4] == b"fLaC":
+        return "flac"
+    if payload[:4] == b"OggS":
+        return "ogg"
     if payload[:3] == b"ID3" or (
             len(payload) >= 4 and payload[0] == 0xFF
             and (payload[1] & 0xE0) == 0xE0):
@@ -1198,3 +1204,138 @@ def encode_webm(duration_ms: int, tracks: list,
         entries += _ebml_el(_ID_TRACK_ENTRY, body)
     seg = _ebml_el(_ID_SEGMENT, info + _ebml_el(_ID_TRACKS, entries))
     return header + seg
+
+
+# ---------------------------------------------------------------------------
+# FLAC (STREAMINFO metadata-block walk — no frame decode)
+# ---------------------------------------------------------------------------
+# Free audio crawls carry FLAC alongside MP3/Ogg.  The curation fields all
+# live in the mandatory first metadata block (STREAMINFO, 34 bytes after a
+# 4-byte block header): sample rate (20 bits), channels (3+1), bits per
+# sample (5+1), total samples (36 bits) — duration is a division, no coded
+# frame is touched.  Public spec: RFC 9639 / xiph.org FLAC format.
+
+class FlacMeta(NamedTuple):
+    sample_rate: int
+    channels: int
+    bits_per_sample: int
+    total_samples: int      # 0 = unknown per spec
+    duration_ms: int
+
+
+def probe_flac(payload: bytes) -> FlacMeta:
+    """Parse the fLaC marker + STREAMINFO block.  Raises ValueError for
+    anything that is not a well-formed FLAC stream head."""
+    if payload[:4] != b"fLaC" or len(payload) < 4 + 4 + 34:
+        raise ValueError("not a FLAC (fLaC) payload")
+    btype = payload[4] & 0x7F
+    blen = int.from_bytes(payload[5:8], "big")
+    if btype != 0 or blen < 34:
+        raise ValueError("FLAC missing mandatory STREAMINFO first block")
+    si = payload[8:8 + 34]
+    # bits 80..: sample_rate(20) channels(3)+1 bps(5)+1 total_samples(36)
+    packed = int.from_bytes(si[10:18], "big")
+    sample_rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bps = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if sample_rate == 0:
+        raise ValueError("FLAC reserved sample rate 0")
+    return FlacMeta(sample_rate, channels, bps, total,
+                    total * 1000 // sample_rate)
+
+
+def encode_flac(total_samples: int, sample_rate: int = 44100,
+                channels: int = 2, bits_per_sample: int = 16,
+                padding: int = 0) -> bytes:
+    """Minimal valid FLAC stream head: fLaC + STREAMINFO (+ optional
+    PADDING block) — the headers probe_flac reads; coded frames are
+    omitted by design (metadata-only fixture builder, the same honesty
+    as encode_mp4/encode_mp3)."""
+    if not 1 <= channels <= 8 or not 4 <= bits_per_sample <= 32:
+        raise ValueError("channels 1-8, bits 4-32")
+    packed = (sample_rate << 44) | ((channels - 1) << 41) \
+        | ((bits_per_sample - 1) << 36) | (total_samples & ((1 << 36) - 1))
+    si = (b"\x10\x00\x10\x00"      # min/max blocksize 4096
+          + b"\x00\x00\x00" * 2    # min/max framesize unknown
+          + packed.to_bytes(8, "big")
+          + b"\x00" * 16)          # md5 of unencoded audio: zeros
+    last = 0x00 if padding else 0x80
+    out = b"fLaC" + bytes([last]) + len(si).to_bytes(3, "big") + si
+    if padding:
+        out += bytes([0x81]) + int(padding).to_bytes(3, "big") \
+            + b"\x00" * padding
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Ogg Vorbis (page walk — no packet decode)
+# ---------------------------------------------------------------------------
+# The identification header (first packet of the first page) carries
+# channels + sample rate; the LAST page's granule position is the total
+# PCM sample count, so duration = granule / rate — both at footer-read
+# cost (one seek to each end).  Public spec: RFC 3533 (Ogg) + the Vorbis I
+# specification (xiph.org).
+
+class OggMeta(NamedTuple):
+    codec: str              # "vorbis" (other codecs probe as unsupported)
+    channels: int
+    sample_rate: int
+    granule_end: int        # last page's granule position (PCM samples)
+    duration_ms: int
+
+
+def probe_ogg(payload: bytes) -> OggMeta:
+    """Walk the first Ogg page for the Vorbis identification header and
+    the last page for the ending granule position.  Raises ValueError for
+    non-Ogg payloads or non-Vorbis streams (honest fallback upstream)."""
+    if payload[:4] != b"OggS" or len(payload) < 28:
+        raise ValueError("not an Ogg (OggS) payload")
+    if payload[4] != 0:
+        raise ValueError("reserved Ogg version")
+    n_seg = payload[26]
+    body = 27 + n_seg
+    first = payload[body:body + 7 + 23]
+    if first[:7] != b"\x01vorbis":
+        raise ValueError("first Ogg packet is not a Vorbis id header")
+    channels = first[11]
+    sample_rate = int.from_bytes(first[12:16], "little")
+    if not channels or not sample_rate:
+        raise ValueError("Vorbis id header with zero channels/rate")
+    last = payload.rfind(b"OggS")
+    if last + 14 > len(payload):
+        raise ValueError("truncated final Ogg page header")
+    granule = int.from_bytes(payload[last + 6:last + 14], "little")
+    if granule == 0xFFFFFFFFFFFFFFFF:  # -1 = no packet ends on this page
+        granule = 0
+    return OggMeta("vorbis", channels, sample_rate, granule,
+                   granule * 1000 // sample_rate)
+
+
+def encode_ogg(total_samples: int, sample_rate: int = 44100,
+               channels: int = 2, serial: int = 1) -> bytes:
+    """Minimal valid Ogg Vorbis shell: a BOS page carrying the Vorbis
+    identification header and an EOS page whose granule position is
+    ``total_samples`` — exactly the two structures probe_ogg reads; audio
+    packets are omitted by design (metadata-only fixture builder).  Page
+    CRCs are zero: the probe (like many tail-seek duration scanners)
+    does not checksum pages."""
+    ident = (b"\x01vorbis" + (0).to_bytes(4, "little")
+             + bytes([channels]) + sample_rate.to_bytes(4, "little")
+             + (0).to_bytes(12, "little")     # max/nominal/min bitrate
+             + b"\xb8"                         # blocksizes 2^8 / 2^11
+             + b"\x01")                        # framing bit
+    def page(header_type: int, granule: int, seq: int, body: bytes) -> bytes:
+        segs = []
+        n = len(body)
+        while n >= 255:
+            segs.append(255)
+            n -= 255
+        segs.append(n)
+        return (b"OggS\x00" + bytes([header_type])
+                + granule.to_bytes(8, "little", signed=False)
+                + serial.to_bytes(4, "little")
+                + seq.to_bytes(4, "little")
+                + (0).to_bytes(4, "little")    # CRC zero (see docstring)
+                + bytes([len(segs)]) + bytes(segs) + body)
+    return page(0x02, 0, 0, ident) + page(0x04, total_samples, 1, b"")

@@ -292,6 +292,10 @@ def extract_container_metadata(media: DataFrame) -> DataFrame:
       (Duration x TimestampScale from Segment>Info, per-track CodecID
       and video dimensions from Segment>Tracks; Clusters skipped by
       size).
+    - **FLAC**: ``codecs.probe_flac`` — the mandatory STREAMINFO block
+      (rate/channels/bits/total samples → exact duration).
+    - **Ogg Vorbis**: ``codecs.probe_ogg`` — Vorbis id header from the
+      BOS page + ending granule position from the last page.
     - anything else: ``probed=false`` with the metadata struct passed
       through — the same honest-fallback contract as the extractors.
 
@@ -300,8 +304,8 @@ def extract_container_metadata(media: DataFrame) -> DataFrame:
 
     def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .codecs import (
-            decode_avi, decode_wav, probe_mp3, probe_mp4, probe_webm,
-            sniff_format,
+            decode_avi, decode_wav, probe_flac, probe_mp3, probe_mp4,
+            probe_ogg, probe_webm, sniff_format,
         )
 
         cols = ("media_id", "container", "probed", "duration_ms",
@@ -334,6 +338,13 @@ def extract_container_metadata(media: DataFrame) -> DataFrame:
                         s = probe_mp3(p)
                         vals = (True, s.duration_ms, 1, "", 0, 0,
                                 f"mp{s.layer}")
+                    elif fmt == "flac":
+                        fl = probe_flac(p)
+                        vals = (True, fl.duration_ms, 1, "", 0, 0, "flac")
+                    elif fmt == "ogg":
+                        og = probe_ogg(p)
+                        vals = (True, og.duration_ms, 1, "", 0, 0,
+                                og.codec)
                     elif fmt == "webm":
                         wm = probe_webm(p)
                         vids = [t for t in wm.tracks if t.kind == "video"]

@@ -1770,6 +1770,111 @@ FROM documents WHERE doc_id < 150
 """
 
 
+def q_flac_metadata(spark, sf_dir):
+    """FLAC STREAMINFO walk as a hashed gate (pipeline/codecs.py
+    probe_flac + multimodal.extract_container_metadata): per-document
+    FLAC stream heads (codecs.encode_flac — fLaC marker + STREAMINFO,
+    some with a PADDING block) are synthesized executor-side with
+    doc_id-derived rate/channels/bits/total-samples and probed back.
+    The oracle recomputes the closed-form duration (total samples /
+    rate) — a wrong bit offset in the packed 20/3/5/36-bit STREAMINFO
+    layout shifts every field and hash-mismatches.  Same one-map-stage
+    footer-read envelope as the MP4/MP3/WebM gates."""
+    import pandas as pd_local
+
+    from .codecs import encode_flac
+    from .multimodal import MEDIA_SCHEMA, extract_container_metadata
+
+    d = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("doc_id") < 150).select("doc_id")
+
+    def _gen(batches):
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                total = (did % 97 + 10) * 4410
+                sr = (44100, 22050, 48000)[did % 3]
+                payloads.append(encode_flac(
+                    total, sample_rate=sr, channels=1 + did % 2,
+                    bits_per_sample=(16, 24)[did % 2],
+                    padding=(did % 5) * 8))
+                metas.append({"width": 0, "height": 0, "duration_ms": 0})
+            yield pd_local.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "kind": ["audio"] * len(pdf),
+                "payload": payloads,
+                "meta": metas,
+            })
+
+    media = d.mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return extract_container_metadata(media).select(
+        "media_id", "container", "probed", "duration_ms", "n_tracks",
+        "audio_codec")
+
+
+_SQL_FLAC_METADATA = """
+SELECT doc_id AS media_id, 'flac' AS container, TRUE AS probed,
+  ((doc_id % 97 + 10) * 4410 * 1000
+   // (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 22050
+       ELSE 48000 END))::BIGINT AS duration_ms,
+  1::INT AS n_tracks, 'flac' AS audio_codec
+FROM documents WHERE doc_id < 150
+"""
+
+
+def q_ogg_metadata(spark, sf_dir):
+    """Ogg Vorbis page walk as a hashed gate (pipeline/codecs.py
+    probe_ogg + multimodal.extract_container_metadata): per-document Ogg
+    shells (codecs.encode_ogg — BOS page carrying the Vorbis id header,
+    EOS page carrying the ending granule position) are synthesized
+    executor-side and probed back.  The oracle recomputes the
+    closed-form duration (ending granule / rate) — a wrong lacing walk,
+    granule endianness, or id-header offset hash-mismatches.  Cost is a
+    seek to each end of the payload, the same envelope as a parquet
+    footer read."""
+    import pandas as pd_local
+
+    from .codecs import encode_ogg
+    from .multimodal import MEDIA_SCHEMA, extract_container_metadata
+
+    d = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("doc_id") < 150).select("doc_id")
+
+    def _gen(batches):
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                total = (did % 89 + 5) * 8820
+                sr = (44100, 16000)[did % 2]
+                payloads.append(encode_ogg(
+                    total, sample_rate=sr, channels=1 + did % 2,
+                    serial=did + 1))
+                metas.append({"width": 0, "height": 0, "duration_ms": 0})
+            yield pd_local.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "kind": ["audio"] * len(pdf),
+                "payload": payloads,
+                "meta": metas,
+            })
+
+    media = d.mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return extract_container_metadata(media).select(
+        "media_id", "container", "probed", "duration_ms", "n_tracks",
+        "audio_codec")
+
+
+_SQL_OGG_METADATA = """
+SELECT doc_id AS media_id, 'ogg' AS container, TRUE AS probed,
+  ((doc_id % 89 + 5) * 8820 * 1000
+   // (CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 16000 END))::BIGINT
+    AS duration_ms,
+  1::INT AS n_tracks, 'vorbis' AS audio_codec
+FROM documents WHERE doc_id < 150
+"""
+
+
 _SQL_MP4_METADATA = """
 SELECT doc_id AS media_id, 'mp4' AS container, TRUE AS probed,
   (30000 + (doc_id % 97) * 250)::BIGINT AS duration_ms,
@@ -4826,6 +4931,8 @@ PIPELINE_QUERIES = {
     "video_features": (q_video_features, _SQL_VIDEO_FEATURES),
     "mp4_metadata": (q_mp4_metadata, _SQL_MP4_METADATA),
     "mp3_metadata": (q_mp3_metadata, _SQL_MP3_METADATA),
+    "flac_metadata": (q_flac_metadata, _SQL_FLAC_METADATA),
+    "ogg_metadata": (q_ogg_metadata, _SQL_OGG_METADATA),
     "webm_metadata": (q_webm_metadata, _SQL_WEBM_METADATA),
     "media_curation": (q_media_curation, _SQL_MEDIA_CURATION),
     "winnow_fingerprints": (q_winnow_fingerprints, _SQL_WINNOW),

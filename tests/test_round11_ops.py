@@ -100,6 +100,105 @@ def test_mp3_layer3_still_exact():
 
 
 # ---------------------------------------------------------------------------
+# FLAC / Ogg container probes (round-11 crawl-envelope widening)
+# ---------------------------------------------------------------------------
+
+def test_flac_probe_malformed_inputs():
+    from steel_datafusion_spark.pipeline.codecs import (
+        encode_flac, probe_flac,
+    )
+
+    with pytest.raises(ValueError, match="fLaC"):
+        probe_flac(b"not flac at all")
+    with pytest.raises(ValueError, match="STREAMINFO"):
+        # a PADDING block first violates the mandatory-first-block rule
+        good = encode_flac(1000)
+        probe_flac(b"fLaC" + bytes([0x81]) + (4).to_bytes(3, "big")
+                   + b"\x00" * 4 + good[4:])
+    with pytest.raises(ValueError, match="sample rate"):
+        probe_flac(encode_flac(1000, sample_rate=0))
+
+
+def test_ogg_probe_malformed_inputs():
+    from steel_datafusion_spark.pipeline.codecs import (
+        encode_ogg, probe_ogg,
+    )
+
+    with pytest.raises(ValueError, match="OggS"):
+        probe_ogg(b"RIFFxxxxWAVE")
+    # an Ogg page whose first packet is not a Vorbis id header (e.g. Opus)
+    opus = bytearray(encode_ogg(1000))
+    body = 27 + opus[26]
+    opus[body:body + 8] = b"OpusHead"
+    with pytest.raises(ValueError, match="Vorbis"):
+        probe_ogg(bytes(opus))
+
+
+def test_flac_ogg_probe_in_spark_metadata_pass(spark):
+    from steel_datafusion_spark.pipeline.codecs import (
+        encode_flac, encode_ogg,
+    )
+    from steel_datafusion_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA, extract_container_metadata,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(encode_flac(441000, 44100, 2, 16)),
+          (0, 0, 0)),
+         (2, "audio", bytearray(encode_ogg(88200, 44100, 1)), (0, 0, 0)),
+         (3, "audio", bytearray(b"fLaCgarbage"), (0, 0, 7))],
+        MEDIA_SCHEMA)
+    got = {r.media_id: (r.container, r.probed, r.duration_ms, r.audio_codec)
+           for r in extract_container_metadata(df).collect()}
+    assert got[1] == ("flac", True, 10000, "flac")
+    assert got[2] == ("ogg", True, 2000, "vorbis")
+    assert got[3] == ("flac", False, 7, "")
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    @settings(max_examples=40, deadline=None)
+    @given(
+        total=st.integers(min_value=0, max_value=(1 << 36) - 1),
+        sr=st.integers(min_value=1, max_value=655350),
+        ch=st.integers(min_value=1, max_value=8),
+        bits=st.integers(min_value=4, max_value=32),
+        pad=st.integers(min_value=0, max_value=64),
+    )
+    def test_flac_roundtrip_property(total, sr, ch, bits, pad):
+        from steel_datafusion_spark.pipeline.codecs import (
+            encode_flac, probe_flac,
+        )
+
+        m = probe_flac(encode_flac(total, sr, ch, bits, padding=pad))
+        assert (m.total_samples, m.sample_rate, m.channels,
+                m.bits_per_sample) == (total, sr, ch, bits)
+        assert m.duration_ms == total * 1000 // sr
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        total=st.integers(min_value=0, max_value=(1 << 62)),
+        sr=st.integers(min_value=1, max_value=200_000),
+        ch=st.integers(min_value=1, max_value=255),
+        serial=st.integers(min_value=0, max_value=(1 << 32) - 1),
+    )
+    def test_ogg_roundtrip_property(total, sr, ch, serial):
+        from steel_datafusion_spark.pipeline.codecs import (
+            encode_ogg, probe_ogg,
+        )
+
+        m = probe_ogg(encode_ogg(total, sr, ch, serial=serial))
+        assert (m.granule_end, m.sample_rate, m.channels) == (total, sr, ch)
+        assert m.duration_ms == total * 1000 // sr
+
+
+# ---------------------------------------------------------------------------
 # No forced broadcasts on SF-proportional base tables (VERDICT r10 #2)
 # ---------------------------------------------------------------------------
 
