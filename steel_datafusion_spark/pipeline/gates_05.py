@@ -1,0 +1,405 @@
+"""Pipeline gate registry, part 5/5 (see pipeline/queries.py for the catalog contract)."""
+
+from .gates_common import *  # noqa: F401,F403
+from .gates_01 import *  # noqa: F401,F403
+from .gates_02 import *  # noqa: F401,F403
+from .gates_03 import *  # noqa: F401,F403
+from .gates_04 import *  # noqa: F401,F403
+
+
+
+def q_streaming_enrich(spark, sf_dir):
+    """Stream-static enrichment join: the events STREAM joins the static
+    nation dimension (broadcast — stream-static joins are stateless, the
+    static side is just a lookup each micro-batch) and rolls up 1-hour
+    windows per nation with the usual 2 h watermark.  The third streaming
+    join mode next to stream↔stream (streaming_join) and the batch gates.
+
+    Scale: no join state at all — the dim broadcast is re-resolved per
+    batch (picking up dim updates between batches, the documented
+    stream-static semantic); state is only the windowed aggregate, bounded
+    by the watermark."""
+    import shutil
+    import uuid
+
+    from ..queries import scratch_dir
+    from ..streaming.operators import (
+        read_stream_parquet, run_stream_to_parquet,
+    )
+
+    base = scratch_dir(spark, sf_dir, "stream_gate")
+    src = _os.path.join(base, "src")
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    if key not in _STREAM_SRC_BUILT or not _os.path.exists(src):
+        shutil.rmtree(base, ignore_errors=True)
+        load_tables(spark, sf_dir)["events"].write.mode(
+            "overwrite").parquet(src)
+        _STREAM_SRC_BUILT.add(key)
+    run_id = uuid.uuid4().hex[:8]
+    out = _os.path.join(base, f"eout-{run_id}")
+    ckpt = _os.path.join(base, f"eckpt-{run_id}")
+    batch = spark.read.parquet(src)
+    stream = read_stream_parquet(spark, src, batch.schema) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    dim = load_tables(spark, sf_dir)["nation"].select(
+        F.col("n_nationkey").alias("seg_key"),
+        F.col("n_name").alias("segment"))
+    enriched = stream.withColumn(
+        "seg_key", (F.col("user_id") % 25).cast("int")) \
+        .join(F.broadcast(dim), "seg_key")
+    agg = (enriched.withWatermark("ts", "2 hours")
+           .groupBy(F.window("ts", "1 hour").alias("w"), F.col("segment"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+                .alias("sum_value"))
+           .select(F.col("w.start").alias("window_start"), "segment",
+                   "n", "sum_value"))
+    got = run_stream_to_parquet(agg, out, ckpt)
+    return got.select("window_start", "segment", "n",
+                      F.round("sum_value", 6).alias("sum_value"))
+
+
+_SQL_STREAMING_ENRICH = """
+WITH e AS (
+  SELECT date_trunc('hour', ts) AS window_start, n_name AS segment, value
+  FROM events JOIN nation ON n_nationkey = CAST(user_id % 25 AS INT)),
+w AS (
+  SELECT window_start, segment, COUNT(*) AS n,
+         round(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6)
+           AS sum_value
+  FROM e GROUP BY 1, 2)
+SELECT window_start, segment, n, sum_value
+FROM w
+WHERE window_start + INTERVAL 1 HOUR
+      <= (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events)
+"""
+
+
+def q_streaming_join(spark, sf_dir):
+    """Stream↔stream interval join (streaming/operators.py
+    stream_stream_join): view→purchase attribution — every (view,
+    purchase) pair of the same user within 30 min, both sides real
+    streams with 2 h watermarks, driven availableNow through foreachBatch
+    into parquet.
+
+    The time-range join condition is what bounds each side's state to the
+    watermark+30 min horizon (without it, inner-join state grows without
+    bound and outer variants are rejected), so this runs forever on
+    unbounded streams; an inner interval join emits each pair exactly
+    once, making the finite-source drive hash-comparable to the
+    batch/DuckDB range join."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.operators import (
+        read_stream_parquet, run_stream_to_parquet, stream_stream_join,
+    )
+
+    from ..queries import scratch_dir
+    base = scratch_dir(spark, sf_dir, "stream_gate")
+    src = _os.path.join(base, "src")
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    if key not in _STREAM_SRC_BUILT or not _os.path.exists(src):
+        shutil.rmtree(base, ignore_errors=True)
+        load_tables(spark, sf_dir)["events"].write.mode(
+            "overwrite").parquet(src)
+        _STREAM_SRC_BUILT.add(key)
+    run_id = uuid.uuid4().hex[:8]
+    out = _os.path.join(base, f"jout-{run_id}")
+    ckpt = _os.path.join(base, f"jckpt-{run_id}")
+    batch = spark.read.parquet(src)
+    stream = read_stream_parquet(spark, src, batch.schema)
+    views = stream.filter(F.col("event_type") == "view") \
+        .select("user_id", "ts", "event_id")
+    buys = stream.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "event_id", "value")
+    joined = stream_stream_join(views, buys, key_col="user_id",
+                                ts_col="ts", within="30 minutes")
+    got = run_stream_to_parquet(joined, out, ckpt)
+    return got.select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        ((F.col("r_ts").cast("long") - F.col("ts").cast("long")))
+        .alias("gap_sec"),
+        F.round("r_value", 6).alias("purchase_value"))
+
+
+_SQL_STREAMING_JOIN = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       date_diff('second', v.ts, p.ts) AS gap_sec,
+       round(p.value, 6) AS purchase_value
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+"""
+
+
+_HTML_HEAD = ('<html><head><title>Doc</title><style>p {margin:0}</style>'
+              '</head><body><nav>Home &amp;&nbsp;About</nav><p>')
+_HTML_TAIL = ('</p><script type="text/javascript">var x = 1 < 2;</script>'
+              '<footer>Footer Corp</footer></body></html>')
+
+
+def q_html_strip(spark, sf_dir):
+    """HTML extraction front door (pipeline/text.py strip_html): every
+    document wraps in a deterministic page template (nav boilerplate,
+    entities, an inline script whose body contains a bare '<', a styled
+    head, a footer), then strips back to text through the JVM regexp
+    chain.  The oracle applies the identical wrap + strip in DuckDB —
+    block-drop order, single-level entity decode (&amp; last), and
+    whitespace collapse all hash-checked.  Map-side only; no shuffle at
+    all until the driver's own collect."""
+    from .text import strip_html, token_count
+
+    d = load_tables(spark, sf_dir)["documents"]
+    page = F.concat(F.lit(_HTML_HEAD), F.col("text"), F.lit(_HTML_TAIL))
+    clean = strip_html(page)
+    return d.select(
+        "doc_id",
+        F.length(clean).alias("clean_len"),
+        token_count(clean).alias("n_tokens"),
+        F.substring(clean, 1, 16).alias("head"))
+
+
+def _sql_html_strip() -> str:
+    from .text import sql_strip_html, sql_token_count
+
+    head = _HTML_HEAD.replace("'", "''")
+    tail = _HTML_TAIL.replace("'", "''")
+    page = f"('{head}' || text || '{tail}')"
+    clean = sql_strip_html(page)
+    return f"""
+WITH hs AS (SELECT doc_id, {clean} AS clean FROM documents)
+SELECT doc_id, length(clean)::INT AS clean_len,
+  {sql_token_count('clean')}::INT AS n_tokens,
+  substring(clean, 1, 16) AS head
+FROM hs
+"""
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization + registrable-domain extraction
+    (pipeline/urls.py): four deterministic URL spellings per doc_id —
+    messy uppercase host with default port, tracking params and fragment;
+    https with :443; bare host; non-URL passthrough — canonicalized
+    per-row.  The oracle rebuilds the same raw URLs and applies the
+    mirrored SQL expressions, so scheme/host/port/path/query/fragment
+    handling is value-checked string-for-string."""
+    from .urls import canonicalize_url, registrable_domain
+
+    d = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("doc_id") < 400).select("doc_id")
+    k7 = (F.col("doc_id") % 7).cast("string")
+    k10 = (F.col("doc_id") % 10).cast("string")
+    m = F.col("doc_id") % 4
+    url = (F.when(m == 0, F.concat(
+        F.lit("HTTP://WWW.Site"), k7, F.lit(".CO.UK:80/Path"), k10,
+        F.lit("/?utm_source=x&b=2&a=1#frag")))
+        .when(m == 1, F.concat(
+            F.lit("https://Sub.site"), k7, F.lit(".com:443/a/b?z=1&y=2")))
+        .when(m == 2, F.concat(F.lit("http://site"), k7, F.lit(".org")))
+        .otherwise(F.concat(F.lit("Not A Url "), k7)))
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id", "url",
+        canonicalize_url(F.col("url")).alias("canonical_url"),
+        registrable_domain(F.col("url")).alias("domain"))
+
+
+def _sql_url_canonicalize() -> str:
+    from .urls import sql_canonicalize_url, sql_registrable_domain
+
+    return f"""
+WITH u_raw AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'HTTP://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.CO.UK:80/Path' || CAST(doc_id % 10 AS VARCHAR)
+                  || '/?utm_source=x&b=2&a=1#frag'
+      WHEN 1 THEN 'https://Sub.site' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.com:443/a/b?z=1&y=2'
+      WHEN 2 THEN 'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+      ELSE 'Not A Url ' || CAST(doc_id % 7 AS VARCHAR)
+    END AS url
+  FROM documents WHERE doc_id < 400
+)
+SELECT doc_id, url,
+  {sql_canonicalize_url('url')} AS canonical_url,
+  {sql_registrable_domain('url')} AS domain
+FROM u_raw
+"""
+
+
+_LD_B1 = "this site uses cookies accept our terms to continue"
+_LD_B2 = "all rights reserved contact the webmaster for details"
+
+
+def q_line_dedup(spark, sf_dir):
+    """Cross-document line dedup (pipeline/lines.py — the C4/RefinedWeb
+    boilerplate-stripping step): documents are reshaped into '#'-joined
+    lines (leading planted cookie-banner line on every 3rd doc, first-8
+    -tokens line, remainder line, trailing rights-reserved line on every
+    5th doc) and line_dedup(max_df=1) must drop exactly the recurring
+    lines — the planted boilerplate plus any organically colliding
+    prefix — while reassembling the survivors in original order.  The
+    hash covers the rebuilt text, so ordering and trim/empty semantics
+    are value-checked end-to-end."""
+    from .lines import line_dedup
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    first = F.array_join(F.slice(toks, 1, 8), " ")
+    rest = F.array_join(
+        F.slice(toks, 9, 1_000_000), " ")
+    lined = d.select(
+        "doc_id",
+        F.concat_ws(
+            "#",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_LD_B1)),
+            first,
+            rest,
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_LD_B2)),
+        ).alias("text"))
+    return line_dedup(lined, delim="#", max_df=1)
+
+
+def _sql_line_dedup() -> str:
+    from .lines import sql_line_dedup
+
+    body = sql_line_dedup("ld_docs", delim="#", max_df=1)
+    # splice the fixture CTE ahead of the operator's own WITH chain
+    return body.replace(
+        "WITH ld_split AS (",
+        f"""WITH ld_docs AS (
+  SELECT doc_id,
+    concat_ws('#',
+      CASE WHEN doc_id % 3 = 0 THEN '{_LD_B1}' END,
+      array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '),
+      array_to_string(list_slice(string_split(text, ' '), 9, 1000000), ' '),
+      CASE WHEN doc_id % 5 = 0 THEN '{_LD_B2}' END) AS text
+  FROM documents
+),
+ld_split AS (""", 1)
+
+
+def q_pagerank_bucketed_bipartite(spark, sf_dir):
+    """PageRank through the BUCKETED path (pipeline/graph.py
+    pagerank_bucketed): transitions/nodes/has-out persisted as
+    bucket-sorted managed tables so the rank-onto-edges join plans with no
+    Exchange above the edge scan (plan-asserted in tests/test_graph.py;
+    this gate hash-checks the VALUES).  Graph: bipartite user↔event-type
+    (rank flows both ways), a few thousand nodes at sf0.01 — large enough
+    that the bucketed layout is exercised across many buckets, small
+    enough that the oracle's 6-iteration materialized-CTE unroll stays
+    cheap.  Identical arithmetic to plain pagerank (shared
+    _pr_iteration), so the same sql_pagerank oracle applies."""
+    from .graph import pagerank_bucketed
+
+    ev = load_tables(spark, sf_dir)["events"]
+    pairs = (ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("u"),
+        F.col("event_type").alias("t"))
+        .groupBy("u", "t").agg(F.count(F.lit(1)).alias("n")))
+    edges = (pairs.select(F.col("u").alias("src"), F.col("t").alias("dst"),
+                          "n")
+             .unionByName(pairs.select(F.col("t").alias("src"),
+                                       F.col("u").alias("dst"), "n")))
+    return pagerank_bucketed(edges, "gate_pr_buck", weight="n",
+                             damping=0.85, iterations=6)
+
+
+def _sql_pagerank_bucketed_bipartite() -> str:
+    from .graph import sql_pagerank
+
+    body = sql_pagerank("prb_edges", weight="n", damping=0.85,
+                        iterations=6, prefix="prb")
+    return f"""
+WITH prb_pairs AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS u, event_type AS t,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+prb_edges AS (
+  SELECT u AS src, t AS dst, n FROM prb_pairs
+  UNION ALL
+  SELECT t AS src, u AS dst, n FROM prb_pairs
+),{body}
+SELECT node, rank FROM prb_out
+"""
+
+
+def q_triangle_count(spark, sf_dir):
+    """Per-node triangle counts (pipeline/graph.py triangle_count) on the
+    part co-purchase graph: parts are adjacent iff some order contains both.
+
+    Scale: the co-purchase edge build self-joins lineitem on l_orderkey —
+    per-order fan-out is C(lines_per_order, 2), a small constant in any
+    order-lines schema, so edge count is linear in the fact table.  The
+    2-year shipdate window is pushed to both parquet scans (the gate's cost
+    knob — the operator itself has no input cap).  The
+    triangle operator then bounds wedge generation by degree-ordered
+    orientation (O(|E|^1.5) worst case, hub-proof — see graph.py).  Output
+    is clamped to the top 100 by (triangles desc, node asc) under a total
+    order."""
+    from .graph import triangle_count
+
+    li = load_tables(spark, sf_dir)["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_partkey")
+    b = li.select(F.col("l_orderkey").alias("o2"),
+                  F.col("l_partkey").alias("p2"))
+    edges = (li.join(b, (F.col("l_orderkey") == F.col("o2"))
+                     & (F.col("l_partkey") < F.col("p2")))
+             .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+             .distinct())
+    out = triangle_count(edges).withColumnRenamed("node", "part")
+    return out.orderBy(F.col("triangles").desc(), F.col("part").asc()) \
+        .limit(100)
+
+
+def _sql_triangle_count_gate() -> str:
+    from .graph import sql_triangle_count
+
+    body = sql_triangle_count("tcg_edges", prefix="tcg")
+    return f"""
+WITH tcg_li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+),
+tcg_edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM tcg_li a JOIN tcg_li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),{body}
+SELECT node AS part, triangles FROM tcg_out
+ORDER BY triangles DESC, part ASC LIMIT 100
+"""
+
+
+__all__ = [
+    'q_streaming_enrich',
+    '_SQL_STREAMING_ENRICH',
+    'q_streaming_join',
+    '_SQL_STREAMING_JOIN',
+    '_HTML_HEAD',
+    '_HTML_TAIL',
+    'q_html_strip',
+    '_sql_html_strip',
+    'q_url_canonicalize',
+    '_sql_url_canonicalize',
+    '_LD_B1',
+    '_LD_B2',
+    'q_line_dedup',
+    '_sql_line_dedup',
+    'q_pagerank_bucketed_bipartite',
+    '_sql_pagerank_bucketed_bipartite',
+    'q_triangle_count',
+    '_sql_triangle_count_gate',
+]

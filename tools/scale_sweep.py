@@ -317,6 +317,68 @@ def main() -> int:
             print(f"   semdedup_scaled (k={k}): {times} s, "
                   f"{n_removed} removed", flush=True)
 
+        # the IVF sizing rule applied (similarity.ivf_nlist_mod docstring):
+        # nlist ≈ √N keeps bucket occupancy ≈ √N, so per-anchor candidate
+        # work is √N-bounded and total work ~N^1.5 — the production knob;
+        # the fixed-nlist GATE deliberately pins the r10 bench plan instead.
+        # n_centroids is recorded to show the count follows nlist, never N.
+        if "hard_negatives_ivf_scaled" in ops:
+            import math as _math
+
+            from steel_datafusion_spark.pipeline.similarity import (
+                hard_negatives_ivf, ivf_assign,
+            )
+
+            e = load_tables(spark, sc_dir)["embeddings"]
+            nlist = max(8, _math.isqrt(n_vecs))
+            n_cent = ivf_assign(e, nlist)[0].count()
+            times, n_out = [], None
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                n_out = hard_negatives_ivf(
+                    e, k=5, nprobe=2, nlist=nlist).toArrow().num_rows
+                times.append(round(time.perf_counter() - t0, 3))
+                release_all(spark)
+                spark.catalog.clearCache()
+            row["ops"]["hard_negatives_ivf_scaled"] = {
+                "times_s": times, "best_s": min(times), "n_out": n_out,
+                "nlist": nlist, "n_centroids": n_cent}
+            print(f"   hard_negatives_ivf_scaled (nlist={nlist}, "
+                  f"centroids={n_cent}): {times} s, {n_out} rows",
+                  flush=True)
+
+        # persisted ANN index: build once (timed separately), probe many —
+        # the probe must stay ~flat across corpus decades (queries fixed,
+        # buckets √N-sized, corpus never re-assigned)
+        if "ann_index_scaled" in ops:
+            import math as _math
+
+            from steel_datafusion_spark.pipeline.similarity import (
+                build_ann_index, ivf_topk_index,
+            )
+
+            e = load_tables(spark, sc_dir)["embeddings"]
+            nlist = max(8, _math.isqrt(n_vecs))
+            t0 = time.perf_counter()
+            build_ann_index(e, "sweep_ann_idx", nlist=nlist)
+            build_s = round(time.perf_counter() - t0, 3)
+            q = e.filter(F.col("vec_id") < 16)
+            times, n_out = [], None
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                n_out = ivf_topk_index(
+                    q, "sweep_ann_idx", k=10, nprobe=2).toArrow().num_rows
+                times.append(round(time.perf_counter() - t0, 3))
+                spark.catalog.clearCache()
+            row["ops"]["ann_index_scaled"] = {
+                "build_s": build_s, "probe_times_s": times,
+                "best_probe_s": min(times), "n_out": n_out, "nlist": nlist}
+            print(f"   ann_index_scaled (nlist={nlist}): build {build_s} s, "
+                  f"probe {times} s", flush=True)
+            for t in ("sweep_ann_idx_centroids", "sweep_ann_idx_assign",
+                      "sweep_ann_idx_meta"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
         if "embedding_neardup_banded" not in ops:
             results[sc_name] = row
             continue
