@@ -272,6 +272,8 @@ def main() -> int:
         row["minhash_candidate_pairs"] = cand
         print(f"   minhash band-bucket candidate pairs: {cand}", flush=True)
         for op in ops:
+            if op not in qs:
+                continue  # custom sized-op names (handled in blocks below)
             times, n_out, shuffle_mb = [], None, []
             for _ in range(REPS):
                 sh0 = total_shuffle_write_bytes(spark)
