@@ -511,8 +511,33 @@ def vacuum(root: str, keep: int = 2, keep_log: int | None = None,
         removed += 1
     if keep_log is not None and live:
         cut = sorted(live.values())[-max(keep_log, max(keep, 1)):][0]
+        ckpts = []
         for f in os.listdir(cdir):
-            if f.startswith("v") and f.endswith(".json"):
+            if f.startswith("checkpoint-v") and f.endswith(".json"):
+                try:
+                    ckpts.append(int(f[len("checkpoint-v"):-5]))
+                except ValueError:
+                    pass
+        newest_ckpt = max(ckpts, default=None)
+        for f in os.listdir(cdir):
+            if not f.endswith(".json"):
+                continue
+            if f.startswith("checkpoint-v"):
+                # checkpoints accumulate one per CHECKPOINT_INTERVAL
+                # commits; bound them with the log but ALWAYS keep the
+                # newest — _last_checkpoint points at it, and without it
+                # resolution degrades to the full listing
+                try:
+                    v = int(f[len("checkpoint-v"):-5])
+                except ValueError:
+                    continue
+                if v < cut and v != newest_ckpt:
+                    try:
+                        os.unlink(os.path.join(cdir, f))
+                    except OSError:
+                        pass
+                continue
+            if f.startswith("v"):
                 try:
                     v = int(f[1:-5])
                 except ValueError:

@@ -194,6 +194,12 @@ def test_checkpoint_survives_keep_log_pruning(spark, tmp_path):
     vacuum(out, keep=2, keep_log=2, orphan_retention_s=0.0)
     # pointer targets v20 whose commit file survived (cut keeps newest 2)
     assert latest_commit(out)[0] == n
+    # keep_log also bounds checkpoint files, but NEVER the newest one
+    # (the pointer's target)
+    cdir = os.path.join(out, "_commits")
+    ckpts = sorted(f for f in os.listdir(cdir)
+                   if f.startswith("checkpoint-v"))
+    assert ckpts == [f"checkpoint-v{CHECKPOINT_INTERVAL * 2:010d}.json"]
 
 
 def test_manifest_merge_clauses_and_idempotence(spark, tmp_path):
