@@ -59,8 +59,11 @@ def main() -> int:
                             ["query_id", "neighbor_id"])
                 .groupBy("query_id").count())
         print("\nrecall@10 per query (stored index vs exact):")
-        hits.withColumn("recall", F.round(F.col("count") / 10, 2)) \
-            .orderBy("query_id").show()
+        (exact.select("query_id").distinct()
+         .join(hits, "query_id", "left")
+         .withColumn("recall",
+                     F.round(F.coalesce(F.col("count"), F.lit(0)) / 10, 2))
+         .orderBy("query_id").show())
     finally:
         for t in ("demo_ann_idx_centroids", "demo_ann_idx_assign",
                   "demo_ann_idx_meta"):
