@@ -946,6 +946,71 @@ FROM events GROUP BY event_type
 """
 
 
+def q_streaming_stateful_stats(spark, sf_dir):
+    """CUSTOM stateful streaming operator as a HASH gate
+    (streaming/stateful.py running_user_stats — applyInPandasWithState,
+    the arbitrary-Python-state path the built-in streaming aggregates
+    can't express): the events stream drives per-user (count, sum,
+    last-seen) state; update-mode emissions land in parquet per trigger,
+    and the FINAL state per user (the max-n_events row — the running
+    count strictly increases) must equal the batch aggregate exactly.
+
+    Exactness across trigger chopping: value is pre-quantized JVM-side to
+    integer nanos (round(value,9) through decimal — the engine-agreed
+    9dp convention), so the Python state's float accumulation is
+    exact-integer arithmetic (sums stay far under 2^53 at these SFs) and
+    the hash is trigger- and partition-order independent; last_ts is a
+    running max carried in state, immune to out-of-time-order files.
+
+    Scale: state is hash-partitioned by user across executors
+    (RocksDB-backed on a real cluster); each trigger touches only the
+    keys present in that batch, and timeouts would GC idle keys."""
+    import shutil
+    import uuid
+
+    from pyspark.sql.window import Window as _W
+
+    from ..streaming.operators import (
+        read_stream_parquet, run_stream_to_parquet,
+    )
+    from ..streaming.stateful import running_user_stats
+
+    from ..queries import scratch_dir
+    base = scratch_dir(spark, sf_dir, "stream_gate")
+    src = _os.path.join(base, "src")
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    if key not in _STREAM_SRC_BUILT or not _os.path.exists(src):
+        shutil.rmtree(base, ignore_errors=True)
+        load_tables(spark, sf_dir)["events"].write.mode(
+            "overwrite").parquet(src)
+        _STREAM_SRC_BUILT.add(key)
+    run_id = uuid.uuid4().hex[:8]
+    out = _os.path.join(base, f"state-{run_id}")
+    ckpt = _os.path.join(base, f"stateck-{run_id}")
+    batch = spark.read.parquet(src)
+    stream = read_stream_parquet(spark, src, batch.schema)
+    nanos = (F.round("value", 9).cast("decimal(20,9)")
+             * F.lit(1000000000).cast("decimal(10,0)")).cast("long")
+    st = stream.select("user_id", "ts",
+                       nanos.cast("double").alias("value"))
+    emitted = run_stream_to_parquet(running_user_stats(st), out, ckpt,
+                                    output_mode="update")
+    w = _W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (emitted.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("user_id", "n_events",
+                    F.round(F.col("sum_value") / 1e9, 9).alias("sum_value"),
+                    "last_ts"))
+
+
+_SQL_STREAMING_STATEFUL = """
+SELECT user_id, COUNT(*)::BIGINT AS n_events,
+  round(SUM(round(value, 9)::DECIMAL(20,9))::DOUBLE, 9) AS sum_value,
+  MAX(ts) AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
 def q_streaming_windowed(spark, sf_dir):
     """Tumbling-window streaming rollup as a HASH gate (companion to
     streaming_sessions — covers the windowed-aggregate operator): 1-hour
@@ -1175,6 +1240,8 @@ __all__ = [
     '_SQL_STREAMING_JOIN_FULL_OUTER',
     'q_streaming_view_maintenance',
     '_SQL_STREAMING_IVM',
+    'q_streaming_stateful_stats',
+    '_SQL_STREAMING_STATEFUL',
     'q_streaming_windowed',
     '_SQL_STREAMING_WINDOWED',
     'q_streaming_dedup',

@@ -149,6 +149,8 @@ PIPELINE_QUERIES = {
     "streaming_join_full_outer": (q_streaming_join_full_outer,
                                   _SQL_STREAMING_JOIN_FULL_OUTER),
     "streaming_ingest": (q_streaming_ingest, _SQL_STREAMING_INGEST),
+    "streaming_stateful_stats": (q_streaming_stateful_stats,
+                                 _SQL_STREAMING_STATEFUL),
     "compact_roundtrip": (q_compact_roundtrip, _SQL_COMPACT_ROUNDTRIP),
     "manifest_merge_apply": (q_manifest_merge_apply,
                              _SQL_MANIFEST_MERGE_APPLY),

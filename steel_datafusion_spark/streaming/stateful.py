@@ -32,12 +32,18 @@ USER_STATS_SCHEMA = T.StructType([
 _STATE_SCHEMA = T.StructType([
     T.StructField("n", T.LongType()),
     T.StructField("s", T.DoubleType()),
+    T.StructField("t", T.LongType()),   # running max event time, micros
 ])
 
 
 def running_user_stats(events: DataFrame) -> DataFrame:
     """Per-user running (count, sum, last-seen) maintained in custom state.
     Input: a streaming DataFrame with (user_id, ts, value).
+
+    ``last_ts`` is the RUNNING maximum event time, carried in state as
+    epoch micros — files arrive in directory order, not time order, so a
+    batch-local max would regress whenever a later batch holds earlier
+    events; the emitted row is always the global max seen so far.
 
     The update function is a nested closure on purpose: a module-level
     function would be cloudpickled by reference, requiring this package to be
@@ -46,17 +52,16 @@ def running_user_stats(events: DataFrame) -> DataFrame:
 
     def _update(key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
                 state: GroupState):
-        n, s = state.get if state.exists else (0, 0.0)
-        last_ts = None
+        n, s, t = state.get if state.exists else (0, 0.0, None)
         for pdf in pdfs:
             n += len(pdf)
             s += float(pdf["value"].sum())
-            ts = pdf["ts"].max()
-            last_ts = ts if last_ts is None else max(last_ts, ts)
-        state.update((n, s))
+            bt = int(pd.Timestamp(pdf["ts"].max()).value // 1000)
+            t = bt if t is None else max(t, bt)
+        state.update((n, s, t))
         yield pd.DataFrame({
             "user_id": [key[0]], "n_events": [n], "sum_value": [s],
-            "last_ts": [last_ts],
+            "last_ts": [pd.Timestamp(t * 1000)],
         })
 
     return (events.groupBy("user_id").applyInPandasWithState(
