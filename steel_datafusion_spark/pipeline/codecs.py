@@ -45,7 +45,8 @@ __all__ = ["DecodedImage", "decode_image_bytes", "sniff_format",
            "Mp3Meta", "probe_mp3", "encode_mp3",
            "WebmTrack", "WebmMeta", "probe_webm", "encode_webm",
            "FlacMeta", "probe_flac", "encode_flac",
-           "OggMeta", "probe_ogg", "encode_ogg"]
+           "OggMeta", "probe_ogg", "encode_ogg",
+           "TsTrack", "TsMeta", "probe_mpegts", "encode_mpegts"]
 
 
 class DecodedImage(NamedTuple):
@@ -83,6 +84,9 @@ def sniff_format(payload: bytes) -> str | None:
         return "flac"
     if payload[:4] == b"OggS":
         return "ogg"
+    if len(payload) >= 376 and len(payload) % 188 == 0 \
+            and payload[0] == 0x47 and payload[188] == 0x47:
+        return "mpegts"
     if payload[:3] == b"ID3" or (
             len(payload) >= 4 and payload[0] == 0xFF
             and (payload[1] & 0xE0) == 0xE0):
@@ -1339,3 +1343,181 @@ def encode_ogg(total_samples: int, sample_rate: int = 44100,
                 + (0).to_bytes(4, "little")    # CRC zero (see docstring)
                 + bytes([len(segs)]) + bytes(segs) + body)
     return page(0x02, 0, 0, ident) + page(0x04, total_samples, 1, b"")
+
+
+# ---------------------------------------------------------------------------
+# MPEG-TS (transport-stream packet walk — no PES/codec decode)
+# ---------------------------------------------------------------------------
+# The broadcast/HLS container.  Curation fields come from three structures,
+# all at header cost: the PAT (PID 0) names the program map PID, the PMT
+# lists per-elementary-stream types (codec ids), and PCR timestamps in
+# adaptation fields bound the duration ((last-first)/27 MHz).  Coded PES
+# payloads are never touched.  Public spec: ISO/IEC 13818-1.
+
+_TS_PACKET = 188
+_TS_STREAM_KINDS = {
+    0x01: ("video", "mpeg1"), 0x02: ("video", "mpeg2"),
+    0x10: ("video", "mpeg4"), 0x1B: ("video", "h264"),
+    0x24: ("video", "hevc"),
+    0x03: ("audio", "mp3"), 0x04: ("audio", "mp3"),
+    0x0F: ("audio", "aac"), 0x11: ("audio", "aac_latm"),
+    0x81: ("audio", "ac3"),
+}
+
+
+class TsTrack(NamedTuple):
+    kind: str           # "video" | "audio" | "other"
+    codec: str          # decoded stream-type name or hex id
+    pid: int
+
+
+class TsMeta(NamedTuple):
+    n_packets: int
+    program_number: int
+    duration_ms: int    # (last PCR - first PCR) / 27 MHz; 0 if < 2 PCRs
+    tracks: list        # list[TsTrack]
+
+    @property
+    def n_tracks(self) -> int:
+        return len(self.tracks)
+
+
+def _ts_payload(pkt: bytes) -> bytes:
+    afc = (pkt[3] >> 4) & 0x3
+    off = 4
+    if afc & 0x2:                      # adaptation field present
+        off += 1 + pkt[4]
+    return pkt[off:] if afc & 0x1 else b""
+
+
+def _ts_pcr(pkt: bytes) -> int | None:
+    """27 MHz PCR from the adaptation field, or None."""
+    afc = (pkt[3] >> 4) & 0x3
+    if not (afc & 0x2) or pkt[4] < 7 or not (pkt[5] & 0x10):
+        return None
+    b = pkt[6:12]
+    base = (int.from_bytes(b[:5], "big") >> 7)          # 33 bits
+    ext = ((b[4] & 0x1) << 8) | b[5]                    # 9 bits
+    return base * 300 + ext
+
+
+def probe_mpegts(payload: bytes) -> TsMeta:
+    """Walk TS packets: PAT → PMT → per-stream types, PCR span → duration.
+    Raises ValueError for anything that is not sync-aligned MPEG-TS or
+    lacks the PAT/PMT tables (honest fallback upstream)."""
+    n = len(payload)
+    if n < 2 * _TS_PACKET or n % _TS_PACKET:
+        raise ValueError("not packet-aligned MPEG-TS")
+    pkts = [payload[i:i + _TS_PACKET] for i in range(0, n, _TS_PACKET)]
+    if any(p[0] != 0x47 for p in pkts):
+        raise ValueError("lost MPEG-TS sync byte")
+    pmt_pid = prog = None
+    for p in pkts:                                       # PAT on PID 0
+        pid = ((p[1] & 0x1F) << 8) | p[2]
+        if pid == 0 and (p[1] & 0x40):                   # PUSI set
+            sec = _ts_payload(p)
+            sec = sec[1 + sec[0]:]                       # pointer_field skip
+            if not sec or sec[0] != 0x00:
+                continue
+            slen = ((sec[1] & 0x0F) << 8) | sec[2]
+            loop = sec[8:3 + slen - 4]                   # minus CRC32
+            for i in range(0, len(loop) - 3, 4):
+                pn = int.from_bytes(loop[i:i + 2], "big")
+                if pn != 0:                              # 0 = network PID
+                    prog = pn
+                    pmt_pid = ((loop[i + 2] & 0x1F) << 8) | loop[i + 3]
+                    break
+            break
+    if pmt_pid is None:
+        raise ValueError("MPEG-TS without a PAT program entry")
+    tracks: list[TsTrack] = []
+    pcr_first = pcr_last = None
+    for p in pkts:
+        pid = ((p[1] & 0x1F) << 8) | p[2]
+        pcr = _ts_pcr(p)
+        if pcr is not None:
+            pcr_first = pcr if pcr_first is None else pcr_first
+            pcr_last = pcr
+        if pid == pmt_pid and (p[1] & 0x40) and not tracks:
+            sec = _ts_payload(p)
+            sec = sec[1 + sec[0]:]
+            if not sec or sec[0] != 0x02:
+                continue
+            slen = ((sec[1] & 0x0F) << 8) | sec[2]
+            pil = ((sec[10] & 0x0F) << 8) | sec[11]
+            loop = sec[12 + pil:3 + slen - 4]
+            i = 0
+            while i + 5 <= len(loop):
+                stype = loop[i]
+                epid = ((loop[i + 1] & 0x1F) << 8) | loop[i + 2]
+                esl = ((loop[i + 3] & 0x0F) << 8) | loop[i + 4]
+                kind, codec = _TS_STREAM_KINDS.get(
+                    stype, ("other", f"0x{stype:02x}"))
+                tracks.append(TsTrack(kind, codec, epid))
+                i += 5 + esl
+    if not tracks:
+        raise ValueError("MPEG-TS without a parsable PMT")
+    dur = 0
+    if pcr_first is not None and pcr_last is not None \
+            and pcr_last >= pcr_first:
+        dur = (pcr_last - pcr_first) * 1000 // 27_000_000
+    return TsMeta(len(pkts), prog or 0, dur, tracks)
+
+
+def _ts_packet(pid: int, payload: bytes = b"", pusi: bool = False,
+               cc: int = 0, pcr: int | None = None) -> bytes:
+    hdr = bytes([0x47, (0x40 if pusi else 0) | (pid >> 8), pid & 0xFF, 0])
+    af = b""
+    if pcr is not None:
+        base, ext = divmod(pcr, 300)
+        six = (base << 15) | (0x3F << 9) | ext
+        af_body = bytes([0x10]) + six.to_bytes(6, "big")
+    else:
+        af_body = b""
+    room = _TS_PACKET - 4 - len(payload)
+    if af_body or room > 0:
+        if not af_body and room > 1:
+            af_body = b"\x00"   # flags byte: stuffing must NOT look like PCR
+        stuff = room - 1 - len(af_body)
+        af = bytes([len(af_body) + max(stuff, 0)]) + af_body \
+            + b"\xff" * max(stuff, 0)
+    afc = (0x2 if af else 0) | (0x1 if payload else 0)
+    out = bytearray(hdr + af + payload)
+    out[3] = (afc << 4) | (cc & 0xF)
+    return bytes(out.ljust(_TS_PACKET, b"\xff"))
+
+
+def _ts_section(table_id: int, body: bytes) -> bytes:
+    """pointer_field + section header + body + placeholder CRC32 (the
+    probe never checksums sections — same leniency as encode_ogg)."""
+    slen = len(body) + 5 + 4   # after section_length: 5 fixed + body + crc
+    sec = bytes([table_id, 0xB0 | (slen >> 8), slen & 0xFF]) \
+        + (1).to_bytes(2, "big") + bytes([0xC1, 0, 0]) + body \
+        + b"\x00\x00\x00\x00"
+    return b"\x00" + sec
+
+
+def encode_mpegts(duration_ms: int, streams: list,
+                  program_number: int = 1) -> bytes:
+    """Minimal valid MPEG-TS shell: PAT + PMT + two PCR-bearing packets
+    spanning ``duration_ms`` — exactly the structures probe_mpegts reads;
+    PES payloads are omitted by design (metadata-only fixture builder).
+    ``streams`` entries are (kind, codec) pairs from _TS_STREAM_KINDS
+    values, e.g. [("video", "h264"), ("audio", "aac")]."""
+    by_name = {v: k for k, v in _TS_STREAM_KINDS.items()}
+    pmt_pid, pcr_pid = 0x100, 0x101
+    pat_body = program_number.to_bytes(2, "big") \
+        + bytes([0xE0 | (pmt_pid >> 8), pmt_pid & 0xFF])
+    es = b""
+    for i, (kind, codec) in enumerate(streams):
+        stype = by_name.get((kind, codec))
+        if stype is None:
+            raise ValueError(f"unsupported TS stream {(kind, codec)!r}")
+        epid = 0x101 + i
+        es += bytes([stype, 0xE0 | (epid >> 8), epid & 0xFF, 0xF0, 0x00])
+    pmt_body = bytes([0xE0 | (pcr_pid >> 8), pcr_pid & 0xFF, 0xF0, 0x00]) + es
+    pcr_end = duration_ms * 27_000
+    return (_ts_packet(0, _ts_section(0x00, pat_body), pusi=True)
+            + _ts_packet(pmt_pid, _ts_section(0x02, pmt_body), pusi=True)
+            + _ts_packet(pcr_pid, pcr=0)
+            + _ts_packet(pcr_pid, pcr=pcr_end, cc=1))

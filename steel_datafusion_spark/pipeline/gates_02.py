@@ -594,6 +594,62 @@ FROM documents WHERE doc_id < 150
 """
 
 
+def q_mpegts_metadata(spark, sf_dir):
+    """MPEG-TS packet walk as a hashed gate (pipeline/codecs.py
+    probe_mpegts + multimodal.extract_container_metadata): per-document
+    transport streams (codecs.encode_mpegts — PAT + PMT + two
+    PCR-bearing packets) are synthesized executor-side with
+    doc_id-derived stream layouts and probed back.  The oracle
+    recomputes the closed-form duration (PCR span / 27 MHz) and the
+    PMT-declared codecs — a wrong PID mask, adaptation-field offset,
+    PCR bit split (33+6+9), or stream-type table hash-mismatches.  Cost
+    is O(packets scanned), header-only; PES payloads never touched."""
+    import pandas as pd_local
+
+    from .codecs import encode_mpegts
+    from .multimodal import MEDIA_SCHEMA, extract_container_metadata
+
+    d = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("doc_id") < 150).select("doc_id")
+
+    def _gen(batches):
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                vid = ("h264", "hevc", "mpeg2")[did % 3]
+                streams = [("video", vid)]
+                if did % 4 != 0:
+                    streams.append(("audio", ("aac", "mp3")[did % 2]))
+                payloads.append(encode_mpegts(
+                    20000 + (did % 83) * 250, streams,
+                    program_number=1 + did % 9))
+                metas.append({"width": 0, "height": 0, "duration_ms": 0})
+            yield pd_local.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "kind": ["video"] * len(pdf),
+                "payload": payloads,
+                "meta": metas,
+            })
+
+    media = d.mapInPandas(_gen, schema=MEDIA_SCHEMA)
+    return extract_container_metadata(media).select(
+        "media_id", "container", "probed", "duration_ms", "n_tracks",
+        "video_codec", "audio_codec")
+
+
+_SQL_MPEGTS_METADATA = """
+SELECT doc_id AS media_id, 'mpegts' AS container, TRUE AS probed,
+  (20000 + (doc_id % 83) * 250)::BIGINT AS duration_ms,
+  (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 2 END)::INT AS n_tracks,
+  CASE doc_id % 3 WHEN 0 THEN 'h264' WHEN 1 THEN 'hevc'
+       ELSE 'mpeg2' END AS video_codec,
+  CASE WHEN doc_id % 4 = 0 THEN ''
+       WHEN doc_id % 2 = 0 THEN 'aac' ELSE 'mp3' END AS audio_codec
+FROM documents WHERE doc_id < 150
+"""
+
+
 def q_flac_metadata(spark, sf_dir):
     """FLAC STREAMINFO walk as a hashed gate (pipeline/codecs.py
     probe_flac + multimodal.extract_container_metadata): per-document
@@ -1132,6 +1188,8 @@ __all__ = [
     '_SQL_WEBM_METADATA',
     'q_mp3_metadata',
     '_SQL_MP3_METADATA',
+    'q_mpegts_metadata',
+    '_SQL_MPEGTS_METADATA',
     'q_flac_metadata',
     '_SQL_FLAC_METADATA',
     'q_ogg_metadata',

@@ -296,6 +296,8 @@ def extract_container_metadata(media: DataFrame) -> DataFrame:
       (rate/channels/bits/total samples → exact duration).
     - **Ogg Vorbis**: ``codecs.probe_ogg`` — Vorbis id header from the
       BOS page + ending granule position from the last page.
+    - **MPEG-TS**: ``codecs.probe_mpegts`` — PAT→PMT stream types, PCR
+      span → duration; PES payloads untouched.
     - anything else: ``probed=false`` with the metadata struct passed
       through — the same honest-fallback contract as the extractors.
 
@@ -305,7 +307,7 @@ def extract_container_metadata(media: DataFrame) -> DataFrame:
     def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .codecs import (
             decode_avi, decode_wav, probe_flac, probe_mp3, probe_mp4,
-            probe_ogg, probe_webm, sniff_format,
+            probe_mpegts, probe_ogg, probe_webm, sniff_format,
         )
 
         cols = ("media_id", "container", "probed", "duration_ms",
@@ -338,6 +340,13 @@ def extract_container_metadata(media: DataFrame) -> DataFrame:
                         s = probe_mp3(p)
                         vals = (True, s.duration_ms, 1, "", 0, 0,
                                 f"mp{s.layer}")
+                    elif fmt == "mpegts":
+                        ts = probe_mpegts(p)
+                        vids = [t for t in ts.tracks if t.kind == "video"]
+                        auds = [t for t in ts.tracks if t.kind == "audio"]
+                        vals = (True, ts.duration_ms, ts.n_tracks,
+                                vids[0].codec if vids else "", 0, 0,
+                                auds[0].codec if auds else "")
                     elif fmt == "flac":
                         fl = probe_flac(p)
                         vals = (True, fl.duration_ms, 1, "", 0, 0, "flac")

@@ -76,6 +76,7 @@ PIPELINE_QUERIES = {
     "mp3_metadata": (q_mp3_metadata, _SQL_MP3_METADATA),
     "flac_metadata": (q_flac_metadata, _SQL_FLAC_METADATA),
     "ogg_metadata": (q_ogg_metadata, _SQL_OGG_METADATA),
+    "mpegts_metadata": (q_mpegts_metadata, _SQL_MPEGTS_METADATA),
     "webm_metadata": (q_webm_metadata, _SQL_WEBM_METADATA),
     "media_curation": (q_media_curation, _SQL_MEDIA_CURATION),
     "winnow_fingerprints": (q_winnow_fingerprints, _SQL_WINNOW),

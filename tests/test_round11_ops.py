@@ -155,6 +155,48 @@ def test_flac_ogg_probe_in_spark_metadata_pass(spark):
     assert got[3] == ("flac", False, 7, "")
 
 
+def test_mpegts_roundtrip_and_rejects():
+    from steel_datafusion_spark.pipeline.codecs import (
+        encode_mpegts, probe_mpegts, sniff_format,
+    )
+
+    p = encode_mpegts(90000, [("video", "h264"), ("audio", "aac")],
+                      program_number=3)
+    assert sniff_format(p) == "mpegts"
+    m = probe_mpegts(p)
+    assert m.duration_ms == 90000
+    assert m.program_number == 3
+    assert [(t.kind, t.codec) for t in m.tracks] == \
+        [("video", "h264"), ("audio", "aac")]
+    with pytest.raises(ValueError, match="packet-aligned"):
+        probe_mpegts(b"\x47" + b"x" * 100)
+    with pytest.raises(ValueError, match="sync"):
+        probe_mpegts(b"\x47" + b"x" * 187 + b"\x00" * 188)
+    with pytest.raises(ValueError, match="PAT"):
+        probe_mpegts((b"\x47" + b"\xff" * 187) * 2)
+    with pytest.raises(ValueError, match="unsupported TS stream"):
+        encode_mpegts(1000, [("video", "av1")])
+
+
+def test_mpegts_probe_in_spark_metadata_pass(spark):
+    from steel_datafusion_spark.pipeline.codecs import encode_mpegts
+    from steel_datafusion_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA, extract_container_metadata,
+    )
+
+    good = encode_mpegts(42000, [("video", "hevc")])
+    bad = (b"\x47" + b"\xff" * 187) * 2   # sync ok, no PAT
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(good), (0, 0, 0)),
+         (2, "video", bytearray(bad), (0, 0, 123))],
+        MEDIA_SCHEMA)
+    got = {r.media_id: (r.container, r.probed, r.duration_ms,
+                        r.video_codec)
+           for r in extract_container_metadata(df).collect()}
+    assert got[1] == ("mpegts", True, 42000, "hevc")
+    assert got[2] == ("mpegts", False, 123, "")
+
+
 try:
     from hypothesis import given, settings
     from hypothesis import strategies as st
