@@ -350,6 +350,7 @@ def _ivf_probe_topk(queries: DataFrame, cent: DataFrame, assign: DataFrame,
 def build_ann_index(
     corpus: DataFrame, name: str, nlist: int = 32, n_buckets: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    train: str = "subsample", train_iters: int = 3,
 ) -> None:
     """Materialize the dense-vector IVF index ONCE, as managed tables —
     the build-once / probe-many path ``build_dedup_index`` (dedup.py)
@@ -368,7 +369,15 @@ def build_ann_index(
     a pure probe: index once, then each ``ivf_topk_index`` call costs
     O(|queries| × nlist) centroid scores + the matched buckets only.
     Size ``n_buckets`` to cluster parallelism (thousands at 100 TB; 8
-    suits local tests)."""
+    suits local tests).
+
+    ``train`` picks the quantizer: ``"subsample"`` (default) takes the
+    deterministic id-stride centroids (``ivf_nlist_mod`` — cheap,
+    oracle-mirrorable); ``"kmeans"`` runs ``train_iters`` Lloyd rounds
+    (:func:`kmeans`) for data-adapted cells — better recall on clustered
+    corpora at the cost of train_iters assignment passes at BUILD time
+    (probe cost is identical).  Real IVF libraries train on a sample;
+    here the fixture corpora are small enough to train on in full."""
     spark = corpus.sparkSession
     for t in (f"{name}_centroids", f"{name}_assign", f"{name}_meta"):
         spark.sql(f"DROP TABLE IF EXISTS `{t}`")
@@ -384,12 +393,25 @@ def build_ann_index(
             pass  # best-effort; saveAsTable raises a clear error if stuck
     from ..sources.bucketing import write_bucketed
 
-    cent, assign = ivf_assign(corpus, nlist, id_col, vec_col)
+    if train == "kmeans":
+        _assign, km_cent = kmeans(corpus, k=nlist, iters=train_iters,
+                                  id_col=id_col, vec_col=vec_col)
+        trained = km_cent.select(
+            F.col("cluster").cast("long").alias("centroid_id"),
+            F.col("centroid").alias("centv"))
+        cent, assign = ivf_assign(corpus, nlist, id_col, vec_col,
+                                  centroids=trained)
+    elif train == "subsample":
+        cent, assign = ivf_assign(corpus, nlist, id_col, vec_col)
+    else:
+        raise ValueError(f"train must be 'subsample' or 'kmeans', "
+                         f"got {train!r}")
     cent.write.saveAsTable(f"{name}_centroids")
     write_bucketed(assign, f"{name}_assign", ["centroid_id"], n_buckets,
                    sort_cols=["centroid_id"])
     corpus.sparkSession.createDataFrame(
-        [(int(nlist), int(n_buckets))], "nlist int, n_buckets int",
+        [(int(nlist), int(n_buckets), str(train))],
+        "nlist int, n_buckets int, train string",
     ).write.saveAsTable(f"{name}_meta")
 
 

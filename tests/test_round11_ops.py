@@ -99,6 +99,36 @@ def test_mp3_layer3_still_exact():
     assert (m.layer, m.bitrate_kbps, m.n_frames) == (3, 128, 5)
 
 
+def test_ann_index_kmeans_trained_centroids(spark):
+    """build_ann_index(train='kmeans'): data-adapted cells through the
+    same stored-table probe path; centroid count = nlist regardless of
+    the corpus, meta records the trainer."""
+    from steel_datafusion_spark.pipeline.similarity import (
+        build_ann_index, ivf_topk_index,
+    )
+
+    corpus = _vec_corpus(spark, 90, dim=5)
+    build_ann_index(corpus, "t_ann_km", nlist=6, n_buckets=4,
+                    train="kmeans", train_iters=2)
+    try:
+        assert spark.table("t_ann_km_centroids").count() == 6
+        meta = spark.table("t_ann_km_meta").head()
+        assert (meta.nlist, meta.train) == (6, "kmeans")
+        q = spark.createDataFrame(
+            corpus.filter("vec_id < 3").collect(), schema=corpus.schema)
+        got = ivf_topk_index(q, "t_ann_km", k=4, nprobe=2)
+        rows = got.collect()
+        assert {r.query_id for r in rows} == {0, 1, 2}
+        assert all(1 <= r.rank <= 4 for r in rows)
+        # every corpus vector is assigned exactly once
+        assert spark.table("t_ann_km_assign").count() == 90
+    finally:
+        for t in ("t_ann_km_centroids", "t_ann_km_assign", "t_ann_km_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    with pytest.raises(ValueError, match="train must be"):
+        build_ann_index(corpus, "t_ann_bad", train="random")
+
+
 # ---------------------------------------------------------------------------
 # FLAC / Ogg container probes (round-11 crawl-envelope widening)
 # ---------------------------------------------------------------------------
