@@ -36,7 +36,7 @@ __all__ = ["sq8_stats", "sq8_error_stats", "sql_sq8_error_stats",
            "pq_topk", "SQL_COSINE",
            "embedding_covariance", "sql_embedding_covariance",
            "pca_components", "pca_project", "hard_negatives",
-           "hard_negatives_ivf"]
+           "hard_negatives_ivf", "hard_negatives_index"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -351,6 +351,7 @@ def build_ann_index(
     corpus: DataFrame, name: str, nlist: int = 32, n_buckets: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
     train: str = "subsample", train_iters: int = 3,
+    carry: tuple[str, ...] = (),
 ) -> None:
     """Materialize the dense-vector IVF index ONCE, as managed tables —
     the build-once / probe-many path ``build_dedup_index`` (dedup.py)
@@ -371,7 +372,10 @@ def build_ann_index(
     Size ``n_buckets`` to cluster parallelism (thousands at 100 TB; 8
     suits local tests).
 
-    ``train`` picks the quantizer: ``"subsample"`` (default) takes the
+    ``carry`` names extra corpus columns stored on the assignment rows
+    (e.g. a label, so ``hard_negatives_index`` can filter candidates
+    without a corpus join at probe time).  ``train`` picks the
+    quantizer: ``"subsample"`` (default) takes the
     deterministic id-stride centroids (``ivf_nlist_mod`` — cheap,
     oracle-mirrorable); ``"kmeans"`` runs ``train_iters`` Lloyd rounds
     (:func:`kmeans`) for data-adapted cells — better recall on clustered
@@ -400,9 +404,10 @@ def build_ann_index(
             F.col("cluster").cast("long").alias("centroid_id"),
             F.col("centroid").alias("centv"))
         cent, assign = ivf_assign(corpus, nlist, id_col, vec_col,
-                                  centroids=trained)
+                                  carry=carry, centroids=trained)
     elif train == "subsample":
-        cent, assign = ivf_assign(corpus, nlist, id_col, vec_col)
+        cent, assign = ivf_assign(corpus, nlist, id_col, vec_col,
+                                  carry=carry)
     else:
         raise ValueError(f"train must be 'subsample' or 'kmeans', "
                          f"got {train!r}")
@@ -431,6 +436,57 @@ def ivf_topk_index(
     assign = spark.table(f"{name}_assign")
     return _ivf_probe_topk(queries, cent, assign, k, nprobe,
                            id_col, vec_col)
+
+
+def hard_negatives_index(
+    anchors: DataFrame, name: str, k: int = 5, nprobe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining against a ``build_ann_index`` corpus built
+    with ``carry=(label_col,)``: each anchor batch probes its ``nprobe``
+    best stored buckets and keeps the top-k highest-cosine candidates
+    with a DIFFERENT label — the probe-many half of corpus-scale mining
+    (``hard_negatives_ivf`` re-assigns the corpus on every call; this
+    re-uses the stored assignment, so successive anchor batches cost
+    only their own probes).  Same output contract (anchor_id,
+    neighbor_id, score, rank).
+
+    Raises ValueError if the index was built without the label column —
+    mining without it would silently return same-label "negatives"."""
+    spark = anchors.sparkSession
+    cent = spark.table(f"{name}_centroids")
+    assign = spark.table(f"{name}_assign")
+    if label_col not in assign.columns:
+        raise ValueError(
+            f"index {name!r} does not carry {label_col!r}; rebuild with "
+            f"build_ann_index(..., carry=({label_col!r},)) so candidates "
+            f"can be label-filtered at probe time")
+    q = anchors.select(F.col(id_col).alias("anchor_id"),
+                       F.col(vec_col).alias("qv"),
+                       F.col(label_col).alias("a_label"),
+                       norm2(F.col(vec_col)).alias("_n2q"))
+    qs = q.join(F.broadcast(cent)).select(
+        "anchor_id", "qv", "a_label", "_n2q", "centroid_id",
+        F.round(dot(F.col("qv"), F.col("centv"))
+                / F.sqrt(F.col("_n2q") * F.col("_n2c")), 6).alias("cscore"))
+    wq = Window.partitionBy("anchor_id").orderBy(F.col("cscore").desc(),
+                                                 F.col("centroid_id").asc())
+    probes = (qs.withColumn("r", F.row_number().over(wq))
+              .filter(F.col("r") <= nprobe)
+              .select("anchor_id", "qv", "a_label", "_n2q", "centroid_id"))
+    cand = (probes.join(assign, "centroid_id")
+            .filter((F.col("anchor_id") != F.col("vid"))
+                    & (F.col("a_label") != F.col(label_col))))
+    scored = cand.select(
+        "anchor_id", F.col("vid").alias("neighbor_id"),
+        F.round(dot(F.col("qv"), F.col("v"))
+                / F.sqrt(F.col("_n2q") * F.col("_n2")), 6).alias("score"))
+    w = Window.partitionBy("anchor_id").orderBy(F.col("score").desc(),
+                                                F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("anchor_id", "neighbor_id", "score", "rank"))
 
 
 def hyperplanes(n_planes: int = 12, dim: int = 64) -> list[list[float]]:

@@ -99,6 +99,43 @@ def test_mp3_layer3_still_exact():
     assert (m.layer, m.bitrate_kbps, m.n_frames) == (3, 128, 5)
 
 
+def test_hard_negatives_index_matches_inline_and_guards_label(spark):
+    """Mining against the stored index must reproduce the re-assigning
+    path exactly (same nlist), and an index built WITHOUT the label must
+    refuse to mine rather than return same-label 'negatives'."""
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.pipeline.similarity import (
+        build_ann_index, hard_negatives_index, hard_negatives_ivf,
+    )
+
+    corpus = _vec_corpus(spark, 80, dim=5).withColumn(
+        "label", (F.col("vec_id") % 3).cast("long"))
+    build_ann_index(corpus, "t_hn_idx", nlist=6, n_buckets=4,
+                    carry=("label",))
+    build_ann_index(corpus.drop("label").withColumn(
+        "label_missing", F.lit(1)), "t_hn_plain", nlist=6, n_buckets=4)
+    try:
+        got = hard_negatives_index(corpus, "t_hn_idx", k=3, nprobe=2)
+        want = hard_negatives_ivf(corpus, k=3, nprobe=2, nlist=6)
+        assert sorted(map(tuple, got.collect())) == \
+               sorted(map(tuple, want.collect()))
+        # every returned negative crosses the label boundary
+        lab = corpus.select(F.col("vec_id").alias("neighbor_id"),
+                            F.col("label").alias("n_label"))
+        a = corpus.select(F.col("vec_id").alias("anchor_id"),
+                          F.col("label").alias("a_label"))
+        crossed = (got.join(lab, "neighbor_id").join(a, "anchor_id")
+                   .filter(F.col("a_label") == F.col("n_label")).count())
+        assert crossed == 0
+        with pytest.raises(ValueError, match="does not carry"):
+            hard_negatives_index(corpus, "t_hn_plain", k=3)
+    finally:
+        for n in ("t_hn_idx", "t_hn_plain"):
+            for t in (f"{n}_centroids", f"{n}_assign", f"{n}_meta"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_ann_index_kmeans_trained_centroids(spark):
     """build_ann_index(train='kmeans'): data-adapted cells through the
     same stored-table probe path; centroid count = nlist regardless of
