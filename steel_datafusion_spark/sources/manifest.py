@@ -552,7 +552,8 @@ def vacuum(root: str, keep: int = 2, keep_log: int | None = None,
 
 def compact_table(spark: SparkSession, root: str, target_bytes: int,
                   min_file_bytes: int | None = None,
-                  max_retries: int = 5, keep_versions: int = 2) -> int:
+                  max_retries: int = 5, keep_versions: int = 2,
+                  zorder_by: list[str] | None = None) -> int:
     """Small-file compaction as a committed version — the OPTIMIZE verb:
     files under ``min_file_bytes`` (default ``target_bytes // 2``) are
     rewritten into ~``target_bytes`` outputs, files already big enough
@@ -567,7 +568,16 @@ def compact_table(spark: SparkSession, root: str, target_bytes: int,
     path IS the partition identity), each group rewrites independently —
     embarrassingly parallel across partitions, and partition columns
     never need decoding because they live in the directory name that is
-    preserved verbatim."""
+    preserved verbatim.
+
+    ``zorder_by`` turns the rewrite into Delta's OPTIMIZE ZORDER BY: the
+    rewritten rows range-cluster on their Morton key
+    (sources/layout.py ``zorder_key``) so the compacted files carry
+    tight per-file min/max on every clustered column — the data-skipping
+    payoff measured by ``zorder_skipping_stats`` — while HARDLINKED big
+    files keep their existing layout (re-cluster them by lowering
+    ``min_file_bytes``).  Same rows either way; only the file layout of
+    the rewritten groups changes."""
     if min_file_bytes is None:
         min_file_bytes = target_bytes // 2
     for _attempt in range(max_retries):
@@ -596,8 +606,17 @@ def compact_table(spark: SparkSession, root: str, target_bytes: int,
             n_out = max(1, (sum(s for _p, s in fs)
                             + target_bytes - 1) // target_bytes)
             out = os.path.join(data_dir, rel_dir) if rel_dir else data_dir
-            (spark.read.parquet(*paths).coalesce(n_out)
-             .write.mode("append").parquet(out))
+            df = spark.read.parquet(*paths)
+            if zorder_by:
+                from .layout import zorder_key
+
+                zk = zorder_key(df, list(zorder_by))
+                df = (zk.repartitionByRange(n_out, "zkey")
+                      .sortWithinPartitions("zkey")
+                      .drop("zkey", *[f"_b_{c}" for c in zorder_by]))
+            else:
+                df = df.coalesce(n_out)
+            df.write.mode("append").parquet(out)
         compacted = {p for fs in groups.values() for p, _s in fs}
         # link everything not rewritten (big files + small singletons)
         for dirpath, _dirs, files in os.walk(base_dir):
@@ -617,7 +636,8 @@ def compact_table(spark: SparkSession, root: str, target_bytes: int,
         try:
             commit_version(root, version, data_dir,
                            meta={"compacted_files": len(compacted),
-                                 "compacted_dirs": len(groups)})
+                                 "compacted_dirs": len(groups),
+                                 "zorder_by": list(zorder_by or [])})
         except CommitConflict:
             shutil.rmtree(data_dir, ignore_errors=True)
             continue

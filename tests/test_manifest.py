@@ -267,6 +267,38 @@ def test_manifest_merge_value_conditions_and_guards(spark, tmp_path):
     assert got == {2: ("b21", 21), 3: ("c", 30)}
 
 
+def test_compact_table_zorder_clusters_rewritten_files(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: the compacted rewrite range-clusters on the
+    Morton key, so (for a single clustered column) the output files carry
+    NON-OVERLAPPING min/max on that column — the data-skipping layout —
+    while row content is identical to the fragmented table."""
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.sources.manifest import (
+        compact_table, latest_commit_info, manifest_upsert, read_table,
+    )
+
+    out = str(tmp_path / "zopt")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 37 % 1000).cast("double").alias("v"))
+    # fragment: 16 hash-scattered files, each spanning ~the full v range
+    manifest_upsert(spark, out, df.repartition(16), ["k"])
+    v = compact_table(spark, out, target_bytes=16 * 1024,
+                      zorder_by=["v"])
+    info = latest_commit_info(out)
+    assert info["version"] == v and info["meta"]["zorder_by"] == ["v"]
+    t = read_table(spark, out)
+    assert t.count() == 2000
+    assert t.agg(F.sum("k")).head()[0] == sum(range(2000))
+    spans = (t.withColumn("f", F.input_file_name())
+             .groupBy("f").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+             .orderBy("lo").collect())
+    assert len(spans) >= 2, "compaction should still leave several files"
+    for a, b in zip(spans, spans[1:]):
+        assert a.hi <= b.lo, f"overlapping v-ranges: {a} vs {b}"
+
+
 def test_commit_conflict_retries_on_winners_table(spark, tmp_path):
     from steel_datafusion_spark.sources.manifest import (
         CommitConflict, commit_version, latest_commit, new_version_dir,
