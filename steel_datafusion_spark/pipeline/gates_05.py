@@ -383,7 +383,96 @@ ORDER BY triangles DESC, part ASC LIMIT 100
 """
 
 
+def q_data_skipping_read(spark, sf_dir):
+    """File-level data skipping EXECUTED through a manifest table
+    (sources/manifest.py ``read_table(where=…)`` — the consumer half of
+    the per-file min/max stats the writers collect from parquet footers,
+    and the payoff ``zorder_skipping_stats`` only *estimates*): an
+    orders slice is committed range-clustered on o_totalprice with
+    ``stats_cols``, then a price-window read prunes every file whose
+    [min,max] can't intersect the window BEFORE Spark opens it, and the
+    residual filter re-applies the full predicate on the survivors.  The
+    hash proves pruning is invisible to results (the strictly-fewer-
+    files assertion lives in tests/test_manifest.py); at 100 TB this is
+    a point/range query touching O(matching files), not the table."""
+    import uuid
+
+    from ..sources.manifest import manifest_upsert, read_table
+
+    from ..queries import scratch_dir
+    base = scratch_dir(spark, sf_dir, "dataskip_gate")
+    root = _os.path.join(base, f"tbl-{uuid.uuid4().hex[:8]}")
+    o = (load_tables(spark, sf_dir)["orders"]
+         .select("o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderpriority"))
+    manifest_upsert(spark, root, o.repartitionByRange(16, "o_totalprice"),
+                    ["o_orderkey"],
+                    stats_cols=["o_totalprice", "o_orderkey"])
+    t = read_table(spark, root, where=[("o_totalprice", ">=", 100000.0),
+                                       ("o_totalprice", "<", 150000.0)])
+    return t.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("o_totalprice"), 9).cast("decimal(20,9)"))
+        .cast("double").alias("total"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"))
+
+
+_SQL_DATA_SKIPPING_READ = """
+SELECT o_orderpriority, COUNT(*)::BIGINT AS n,
+  SUM(round(o_totalprice, 9)::DECIMAL(20,9))::DOUBLE AS total,
+  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders
+WHERE o_totalprice >= 100000.0 AND o_totalprice < 150000.0
+GROUP BY o_orderpriority
+"""
+
+
+def q_data_skipping_bloom(spark, sf_dir):
+    """Bloom-filter file skipping EXECUTED (sources/manifest.py
+    ``write_table_bloom`` + ``read_table(where=[(col,"=",lit)])`` — the
+    Delta bloom-filter-index shape): orders commit hash-scattered on
+    o_custkey, so every file's [min,max] spans the whole key domain and
+    range stats are useless for a point lookup; the per-file Bloom
+    sidecar (built by ONE column scan whose shuffle is bounded by
+    files × filter bits, never rows) then drops every file whose filter
+    provably lacks the key.  False positives only read extra files —
+    the residual filter keeps results exact, which is what the hash
+    proves; build/probe hash the same canonical cast, so false negatives
+    (lost rows) are impossible, asserted in tests/test_manifest.py."""
+    import uuid
+
+    from ..sources.manifest import (
+        manifest_upsert, read_table, write_table_bloom,
+    )
+
+    from ..queries import scratch_dir
+    base = scratch_dir(spark, sf_dir, "bloomskip_gate")
+    root = _os.path.join(base, f"tbl-{uuid.uuid4().hex[:8]}")
+    o = (load_tables(spark, sf_dir)["orders"]
+         .select("o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderpriority"))
+    manifest_upsert(spark, root, o.repartition(16, "o_custkey"),
+                    ["o_orderkey"])
+    write_table_bloom(spark, root, ["o_custkey"], bits=1 << 16)
+    t = read_table(spark, root, where=[("o_custkey", "=", 97)])
+    return t.select("o_orderkey", "o_custkey",
+                    F.round(F.col("o_totalprice"), 2).alias("price"),
+                    "o_orderpriority")
+
+
+_SQL_DATA_SKIPPING_BLOOM = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
+       o_orderpriority
+FROM orders WHERE o_custkey = 97
+"""
+
+
 __all__ = [
+    'q_data_skipping_read',
+    '_SQL_DATA_SKIPPING_READ',
+    'q_data_skipping_bloom',
+    '_SQL_DATA_SKIPPING_BLOOM',
     'q_streaming_enrich',
     '_SQL_STREAMING_ENRICH',
     'q_streaming_join',

@@ -31,6 +31,8 @@ from .gates_05 import *  # noqa: F401,F403
 
 PIPELINE_QUERIES = {
     "triangle_count": (q_triangle_count, _sql_triangle_count_gate()),
+    "data_skipping_read": (q_data_skipping_read, _SQL_DATA_SKIPPING_READ),
+    "data_skipping_bloom": (q_data_skipping_bloom, _SQL_DATA_SKIPPING_BLOOM),
     "text_stats": (q_text_stats, _SQL_TEXT_STATS),
     "text_quality_by_source": (q_text_quality_by_source, _SQL_TEXT_QUALITY),
     "pii_redact": (q_pii_redact, _sql_pii_redact()),

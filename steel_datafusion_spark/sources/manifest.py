@@ -44,10 +44,13 @@ reader/writer API here is shaped so that swap is a one-liner.
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 import os
 import shutil
 import time
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,7 +59,8 @@ __all__ = ["CommitConflict", "latest_commit", "latest_commit_info",
            "commit_version", "new_version_dir", "read_table",
            "is_manifest_root", "manifest_upsert", "manifest_delete",
            "table_history", "table_changes", "compact_table",
-           "manifest_merge", "vacuum", "CHECKPOINT_INTERVAL"]
+           "manifest_merge", "vacuum", "write_table_stats",
+           "write_table_bloom", "CHECKPOINT_INTERVAL"]
 
 _COMMITS = "_commits"
 _VERSIONS = "_versions"
@@ -201,31 +205,515 @@ def _write_checkpoint(cdir: str, version: int, payload: str) -> None:
 
 
 def read_table(spark: SparkSession, root: str,
-               version: int | None = None) -> DataFrame:
+               version: int | None = None,
+               where: list[tuple] | None = None) -> DataFrame:
     """Read a committed snapshot — the newest by default, or a specific
     ``version`` (time travel: every commit file is immutable, so any
     version whose data dir survives the vacuum retention window reads
     exactly as it was committed).  Raises FileNotFoundError for an empty
-    table, an unknown version, or a version whose data was vacuumed."""
+    table, an unknown version, or a version whose data was vacuumed.
+
+    ``where`` — a list of ``(column, op, literal)`` triples (implicitly
+    ANDed, op in ``= != < <= > >=``) — turns the read into a
+    DATA-SKIPPING scan, the consumer half of the Delta stats story that
+    ``compact_table(zorder_by=…)`` produces files for: per-file min/max
+    stats (the ``_stats.json`` sidecar written at commit time, plus Hive
+    ``col=value`` partition path segments) prune files whose range
+    cannot satisfy the predicates, and Spark never opens them.  The full
+    predicate is ALWAYS re-applied as a residual filter on the surviving
+    files, so skipping is purely an accelerator — a missing sidecar, an
+    unstatted column, or an incomparable literal degrade to reading more
+    files, never to a wrong answer (the same correctness contract as the
+    commit-log checkpoint).  At 100 TB this is the difference between a
+    full-table scan and opening only the files a point/range query can
+    touch — driver-side pruning is O(files) dict lookups, no Spark job."""
     from .readers import read_parquet
 
     if version is None:
         cur = latest_commit(root)
         if cur is None:
             raise FileNotFoundError(f"no committed version under {root!r}")
-        return read_parquet(spark, cur[1])
-    path = os.path.join(_commits_dir(root), f"v{version:010d}.json")
-    if not os.path.exists(path):
-        raise FileNotFoundError(
-            f"version {version} was never committed under {root!r}")
-    with open(path) as fh:
-        payload = json.load(fh)
-    data_dir = os.path.join(root, payload["data_dir"])
-    if not os.path.isdir(data_dir):
-        raise FileNotFoundError(
-            f"version {version} of {root!r} is outside the vacuum "
-            f"retention window (its data dir was reclaimed)")
-    return read_parquet(spark, data_dir)
+        data_dir = cur[1]
+    else:
+        path = os.path.join(_commits_dir(root), f"v{version:010d}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"version {version} was never committed under {root!r}")
+        with open(path) as fh:
+            payload = json.load(fh)
+        data_dir = os.path.join(root, payload["data_dir"])
+        if not os.path.isdir(data_dir):
+            raise FileNotFoundError(
+                f"version {version} of {root!r} is outside the vacuum "
+                f"retention window (its data dir was reclaimed)")
+    if not where:
+        return read_parquet(spark, data_dir)
+    return _read_pruned(spark, data_dir, where)
+
+
+# ---------------------------------------------------------------------------
+# File-level data skipping (Delta per-file stats, local-sidecar edition).
+#
+# ``_stats.json`` lives INSIDE the (immutable-after-commit) version data
+# dir, written after the parquet files and before the commit file, so a
+# committed snapshot's stats are as immutable as its data.  ``_link_tree``
+# skips ``_``-prefixed files, so stats never leak across versions via
+# hardlinks — each writer recomputes them from parquet FOOTERS only
+# (O(files) footer reads, no row data).  On an object store the
+# production shape is Delta's: stats ride in the commit log itself and
+# carry forward per unchanged file; the sidecar keeps this repo's commit
+# payload O(1) while exercising the same pruning semantics.
+# ---------------------------------------------------------------------------
+
+_STATS_FILE = "_stats.json"
+_WHERE_OPS = ("=", "!=", "<", "<=", ">", ">=")
+
+
+def _stat_encode(v):
+    """JSON-encode a parquet footer min/max value, or None when the type
+    carries no usable ordering for pruning (bytes, bool, unknown)."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        return {"$ts": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"$date": v.isoformat()}
+    if isinstance(v, decimal.Decimal):
+        return {"$num": str(v)}
+    return None
+
+
+def _stat_decode(v):
+    if isinstance(v, dict):
+        if "$ts" in v:
+            return datetime.datetime.fromisoformat(v["$ts"])
+        if "$date" in v:
+            return datetime.date.fromisoformat(v["$date"])
+        if "$num" in v:
+            return decimal.Decimal(v["$num"])
+    return v
+
+
+def _to_datetime(v):
+    if isinstance(v, datetime.datetime):
+        return v
+    if isinstance(v, datetime.date):
+        return datetime.datetime(v.year, v.month, v.day)
+    if isinstance(v, str):
+        return datetime.datetime.fromisoformat(v)
+    raise TypeError(f"not a datetime-comparable value: {v!r}")
+
+
+def _comparable(bound, val):
+    """Coerce a decoded stats bound and a predicate literal into one
+    comparable domain; TypeError when they can't be compared (the caller
+    then keeps the file — pruning must never guess)."""
+    num = (int, float, decimal.Decimal)
+    if isinstance(bound, bool) or isinstance(val, bool):
+        raise TypeError("boolean stats are not pruned")
+    if isinstance(bound, num) and isinstance(val, num):
+        return float(bound), float(val)
+    if isinstance(bound, (datetime.date, datetime.datetime)) \
+            or isinstance(val, (datetime.date, datetime.datetime)):
+        return _to_datetime(bound), _to_datetime(val)
+    if isinstance(bound, str) and isinstance(val, str):
+        return bound, val
+    raise TypeError(f"incomparable: {bound!r} vs {val!r}")
+
+
+def _range_may_match(lo, hi, op: str, val) -> bool:
+    """May any value in [lo, hi] satisfy ``x op val``?  Conservative:
+    incomparable / NaN bounds answer True (keep the file)."""
+    try:
+        lo2, v = _comparable(lo, val)
+        hi2, _ = _comparable(hi, val)
+    except (TypeError, ValueError):
+        return True
+    if isinstance(lo2, float) and (lo2 != lo2 or hi2 != hi2):
+        return True  # NaN bounds: parquet stats unusable for pruning
+    if op == "=":
+        return lo2 <= v <= hi2
+    if op == "!=":
+        return not (lo2 == v == hi2)
+    if op == "<":
+        return lo2 < v
+    if op == "<=":
+        return lo2 <= v
+    if op == ">":
+        return hi2 > v
+    if op == ">=":
+        return hi2 >= v
+    return True
+
+
+def _file_may_match(finfo: dict, col: str, op: str, val) -> bool:
+    """Per-file verdict from the stats sidecar.  All supported ops are
+    null-rejecting (SQL 3VL: ``NULL op v`` is never true), so a file
+    provably all-null in ``col`` prunes, and min/max (which exclude
+    nulls, per the parquet spec) prune safely even when nulls exist."""
+    cols = finfo.get("cols") or {}
+    if col not in cols:
+        return True  # column wasn't statted in this sidecar
+    e = cols[col]
+    if e is None:
+        return True  # footer had no usable statistics
+    if "lo" not in e:
+        rows, nulls = finfo.get("rows"), e.get("nulls")
+        return not (rows is not None and nulls is not None
+                    and nulls >= rows)
+    return _range_may_match(_stat_decode(e["lo"]), _stat_decode(e["hi"]),
+                            op, val)
+
+
+def _path_part_values(rel: str) -> dict:
+    """Hive ``col=value`` segments of a file's relative path —
+    partition-column pruning needs no sidecar at all.  The Hive null
+    sentinel decodes to None (prunable: every supported op rejects
+    null)."""
+    out = {}
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" not in seg:
+            continue
+        k, _, v = seg.partition("=")
+        v = urllib.parse.unquote(v)
+        out[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+    return out
+
+
+def _part_may_match(pv, op: str, val) -> bool:
+    if pv is None:
+        return False  # null partition value: null-rejecting ops can't hit
+    if not isinstance(val, str):
+        try:  # path values are strings; match the literal's domain
+            pv = float(pv)
+        except (TypeError, ValueError):
+            return True
+    return _range_may_match(pv, pv, op, val)
+
+
+def _collect_file_stats(data_dir: str, cols: list[str]) -> dict:
+    """Per-file min/max/null-count for ``cols`` from parquet FOOTERS
+    (row-group statistics aggregated per file) — the write-side half of
+    data skipping, at metadata-read cost: row data is never touched."""
+    import pyarrow.parquet as pq
+
+    files: dict[str, dict] = {}
+    for dirpath, _dirs, names in os.walk(data_dir):
+        rel_dir = os.path.relpath(dirpath, data_dir)
+        rel_dir = "" if rel_dir == "." else rel_dir
+        for f in names:
+            if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                continue
+            rel = os.path.join(rel_dir, f) if rel_dir else f
+            md = pq.ParquetFile(os.path.join(dirpath, f)).metadata
+            agg: dict[str, dict] = {
+                c: {"lo": None, "hi": None, "nulls": 0, "ok": True}
+                for c in cols}
+            for rgi in range(md.num_row_groups):
+                rg = md.row_group(rgi)
+                for ci in range(md.num_columns):
+                    cm = rg.column(ci)
+                    name = cm.path_in_schema
+                    if name not in agg:
+                        continue
+                    a = agg[name]
+                    st = cm.statistics
+                    nc = None if st is None else st.null_count
+                    if nc is None:
+                        a["nulls"] = None
+                    elif a["nulls"] is not None:
+                        a["nulls"] += nc
+                    if st is not None and st.has_min_max:
+                        mn, mx = st.min, st.max
+                        if _stat_encode(mn) is None or \
+                                _stat_encode(mx) is None:
+                            a["ok"] = False
+                            continue
+                        if a["lo"] is None or _lt(mn, a["lo"]):
+                            a["lo"] = mn
+                        if a["hi"] is None or _lt(a["hi"], mx):
+                            a["hi"] = mx
+                    elif not (nc is not None and nc == rg.num_rows):
+                        # missing min/max on a group with non-null values:
+                        # the file's range is unknowable — don't prune it
+                        a["ok"] = False
+            entry: dict[str, dict | None] = {}
+            for c, a in agg.items():
+                if not a["ok"] or (a["lo"] is None and a["nulls"] is None):
+                    entry[c] = None
+                elif a["lo"] is None:
+                    entry[c] = {"nulls": a["nulls"]}  # all-null column
+                else:
+                    entry[c] = {"lo": _stat_encode(a["lo"]),
+                                "hi": _stat_encode(a["hi"]),
+                                "nulls": a["nulls"]}
+            files[rel] = {"rows": md.num_rows, "cols": entry}
+    return {"stats_cols": list(cols), "files": files}
+
+
+def _lt(a, b) -> bool:
+    try:
+        return a < b
+    except TypeError:
+        return False
+
+
+def _write_stats_file(data_dir: str, cols: list[str]) -> int:
+    """Write the ``_stats.json`` sidecar into a (not-yet-committed or
+    backfilled) version dir; returns the number of files covered."""
+    stats = _collect_file_stats(data_dir, cols)
+    with open(os.path.join(data_dir, _STATS_FILE), "w") as fh:
+        json.dump(stats, fh)
+    return len(stats["files"])
+
+
+def _sidecar_stats_cols(data_dir: str) -> list[str]:
+    """stats columns recorded in a version dir's sidecar, else [] — lets
+    writers inherit the skipping contract from the base version even
+    when it was backfilled post-commit via ``write_table_stats``."""
+    p = os.path.join(data_dir, _STATS_FILE)
+    if not os.path.exists(p):
+        return []
+    try:
+        with open(p) as fh:
+            return list(json.load(fh).get("stats_cols", []))
+    except (ValueError, OSError):
+        return []
+
+
+def write_table_stats(root: str, cols: list[str],
+                      version: int | None = None) -> int:
+    """Backfill the data-skipping sidecar for an already-committed
+    version (the newest by default) — e.g. a streaming-ingested table,
+    whose per-batch commits skip stats collection.  Purely an additive
+    acceleration structure (data files are never touched; a reader
+    mid-backfill simply prunes nothing), and subsequent
+    ``manifest_upsert``/``compact_table`` commits inherit the column
+    set.  Returns the number of files covered."""
+    if version is None:
+        cur = latest_commit(root)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version under {root!r}")
+        data_dir = cur[1]
+    else:
+        with open(os.path.join(_commits_dir(root),
+                               f"v{version:010d}.json")) as fh:
+            data_dir = os.path.join(root, json.load(fh)["data_dir"])
+    return _write_stats_file(data_dir, cols)
+
+
+_BLOOM_FILE = "_bloom.json"
+
+
+def write_table_bloom(spark: SparkSession, root: str, cols: list[str],
+                      bits: int = 1 << 16, k_hashes: int = 5,
+                      version: int | None = None) -> int:
+    """Per-file Bloom filters for POINT-LOOKUP skipping — the Delta
+    bloom-filter-index shape for the case min/max stats can't prune: a
+    high-cardinality key hash-scattered across files, where every file's
+    [min,max] spans the whole domain but each file holds only its own
+    keys.  One column scan builds the filters (distinct (file, bit)
+    pairs aggregate JVM-side — the shuffle is bounded by files × bits,
+    never rows), the ``_bloom.json`` sidecar stores ~bits/8 bytes per
+    file per column, and ``read_table(where=[(col, "=", v)])`` drops
+    every file whose filter provably lacks ``v``.  False positives only
+    ever read extra files; false negatives are impossible because build
+    and probe hash THE SAME canonical representation (the column's value
+    cast to its own type, then to string — Spark's ``xxhash64`` is
+    type-sensitive, so probing an int literal against a bigint column
+    must not hash the 32-bit encoding).  Size ``bits`` at ~10× the
+    expected distinct values per file for ~1% FPP.  Backfill-only by
+    design: filters index a committed version's files; on a real table
+    format they'd ride per-file in the commit log at write time."""
+    from pyspark.sql import functions as F
+
+    from .readers import read_parquet
+
+    if version is None:
+        cur = latest_commit(root)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version under {root!r}")
+        data_dir = cur[1]
+    else:
+        with open(os.path.join(_commits_dir(root),
+                               f"v{version:010d}.json")) as fh:
+            data_dir = os.path.join(root, json.load(fh)["data_dir"])
+    df = read_parquet(spark, data_dir)
+    payload: dict = {"bits": bits, "k": k_hashes, "cols": {}}
+    prefix = "file:" + os.path.abspath(data_dir)
+    for c in cols:
+        pos = (df.filter(F.col(c).isNotNull())
+               .select(F.input_file_name().alias("_f"),
+                       F.explode(F.array(*[
+                           F.pmod(F.xxhash64(
+                               F.col(c).cast("string"), F.lit(i)),
+                               F.lit(bits)).cast("int")
+                           for i in range(k_hashes)])).alias("_b"))
+               .distinct()
+               .groupBy("_f").agg(F.collect_list("_b").alias("_bs"))
+               .collect())
+        files = {}
+        for r in pos:
+            f = urllib.parse.unquote(urllib.parse.urlparse(r._f).path)
+            rel = os.path.relpath(f, os.path.abspath(data_dir))
+            buf = bytearray(bits // 8 + (1 if bits % 8 else 0))
+            for b in r._bs:
+                buf[b >> 3] |= 1 << (b & 7)
+            import base64
+            files[rel] = base64.b64encode(bytes(buf)).decode()
+        payload["cols"][c] = files
+    with open(os.path.join(data_dir, _BLOOM_FILE), "w") as fh:
+        json.dump(payload, fh)
+    return sum(len(v) for v in payload["cols"].values())
+
+
+def _bloom_probe_bits(spark: SparkSession, schema, col: str, val,
+                      bits: int, k_hashes: int) -> list[int] | None:
+    """The literal's bit positions under the SAME canonicalization the
+    build used, or None when the literal can't be cast to the column's
+    type (then bloom pruning abstains)."""
+    from pyspark.sql import functions as F
+
+    try:
+        dt = schema[col].dataType
+    except KeyError:
+        return None
+    row = spark.range(1).select(*[
+        F.pmod(F.xxhash64(F.lit(val).cast(dt).cast("string"), F.lit(i)),
+               F.lit(bits)).cast("int").alias(f"b{i}")
+        for i in range(k_hashes)]).head()
+    if row is None or any(v is None for v in row):
+        return None  # literal cast to the column type is NULL: abstain
+    return list(row)
+
+
+def _inherited_stats_cols(info: dict | None,
+                          stats_cols: list[str] | None) -> list[str]:
+    """The column set a new version should stat: an explicit request
+    wins (``[]`` disables), else whatever the base version statted —
+    commit meta first, sidecar header as the backfill fallback."""
+    if stats_cols is not None:
+        return list(stats_cols)
+    if info is None:
+        return []
+    meta_cols = list(info.get("meta", {}).get("stats_cols", []) or [])
+    return meta_cols or _sidecar_stats_cols(info["data_dir"])
+
+
+def _finalize_stats(data_dir: str, scols: list[str],
+                    columns: list[str]) -> dict:
+    """Write the sidecar for a fully-written (pre-commit) version dir and
+    return the commit-meta fragment; columns dropped by the write are
+    dropped from the stat set rather than erroring."""
+    present = [c for c in scols if c in columns]
+    if not present:
+        return {}
+    _write_stats_file(data_dir, present)
+    return {"stats_cols": present}
+
+
+def _read_pruned(spark: SparkSession, data_dir: str,
+                 where: list[tuple]) -> DataFrame:
+    """The pruned scan behind ``read_table(where=…)``: driver-side file
+    elimination from sidecar stats + partition path segments, then a
+    Spark read of ONLY the survivors (``basePath`` keeps partition
+    columns), with the full predicate re-applied as the residual filter."""
+    from pyspark.sql import functions as F
+
+    from .readers import _nanos_ts_columns, ensure_session_confs, read_parquet
+
+    for p in where:
+        if len(p) != 3 or p[1] not in _WHERE_OPS:
+            raise ValueError(
+                f"where predicates are (column, op, literal) with op in "
+                f"{_WHERE_OPS}; got {p!r}")
+    stats_files: dict = {}
+    sidecar = os.path.join(data_dir, _STATS_FILE)
+    if os.path.exists(sidecar):
+        try:
+            with open(sidecar) as fh:
+                stats_files = json.load(fh).get("files", {})
+        except (ValueError, OSError):
+            stats_files = {}
+    bloom: dict = {}
+    bpath = os.path.join(data_dir, _BLOOM_FILE)
+    if os.path.exists(bpath) and any(op == "=" for _c, op, _v in where):
+        try:
+            with open(bpath) as fh:
+                bloom = json.load(fh)
+        except (ValueError, OSError):
+            bloom = {}
+    probe_bits: dict = {}
+    if bloom.get("cols"):
+        import base64
+
+        schema = read_parquet(spark, data_dir).schema
+        for col, op, val in where:
+            if op == "=" and col in bloom["cols"]:
+                probe_bits[col] = _bloom_probe_bits(
+                    spark, schema, col, val,
+                    int(bloom["bits"]), int(bloom["k"]))
+
+        def _bloom_admits(rel: str, col: str) -> bool:
+            pb = probe_bits.get(col)
+            enc = bloom["cols"][col].get(rel)
+            if pb is None or enc is None:
+                return True  # abstain: no filter for this file/literal
+            buf = base64.b64decode(enc)
+            return all(buf[b >> 3] & (1 << (b & 7)) for b in pb)
+    else:
+        def _bloom_admits(rel: str, col: str) -> bool:
+            return True
+    survivors, total = [], 0
+    for dirpath, _dirs, names in os.walk(data_dir):
+        rel_dir = os.path.relpath(dirpath, data_dir)
+        rel_dir = "" if rel_dir == "." else rel_dir
+        for f in names:
+            if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                continue
+            rel = os.path.join(rel_dir, f) if rel_dir else f
+            total += 1
+            pvals = _path_part_values(rel)
+            finfo = stats_files.get(rel)
+            keep = True
+            for col, op, val in where:
+                if col in pvals:
+                    if not _part_may_match(pvals[col], op, val):
+                        keep = False
+                        break
+                elif finfo is not None and \
+                        not _file_may_match(finfo, col, op, val):
+                    keep = False
+                    break
+                elif op == "=" and col in probe_bits and \
+                        not _bloom_admits(rel, col):
+                    keep = False
+                    break
+            if keep:
+                survivors.append(os.path.join(dirpath, f))
+
+    def _pred(col, op, val):
+        c = F.col(col)
+        return {"=": c == F.lit(val), "!=": c != F.lit(val),
+                "<": c < F.lit(val), "<=": c <= F.lit(val),
+                ">": c > F.lit(val), ">=": c >= F.lit(val)}[op]
+
+    resid = None
+    for col, op, val in where:
+        p = _pred(col, op, val)
+        resid = p if resid is None else (resid & p)
+    if not survivors:
+        # nothing can match: an empty frame with the table's full schema
+        return read_parquet(spark, data_dir).filter(resid).limit(0)
+    if len(survivors) == total:
+        return read_parquet(spark, data_dir).filter(resid)
+    ensure_session_confs(spark)
+    df = spark.read.option("basePath", data_dir).parquet(*survivors)
+    for c in _nanos_ts_columns(data_dir):
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df.filter(resid)
 
 
 def _link_tree(src_root: str, dst_root: str, skip_prefixes: list[str],
@@ -253,10 +741,16 @@ def manifest_upsert(spark: SparkSession, root: str, updates: DataFrame,
                     key_cols: list[str],
                     partition_by: list[str] | None = None,
                     max_retries: int = 5, keep_versions: int = 2,
-                    schema_evolution: bool = False) -> int:
+                    schema_evolution: bool = False,
+                    stats_cols: list[str] | None = None) -> int:
     """Keyed upsert through the manifest protocol; returns the committed
     version.  Same merge semantics as ``merge_upsert``: update rows
     replace same-key rows, new keys append.
+
+    ``stats_cols`` opts the table into data skipping: the new version
+    gets a per-file min/max sidecar over those columns (footer reads
+    only), ``read_table(where=…)`` prunes with it, and later commits
+    inherit the column set from the base version (pass ``[]`` to stop).
 
     Concurrency: optimistic — the merge plans against version N and
     commits N+1 with an atomic claim; losing a race re-merges against the
@@ -290,21 +784,23 @@ def manifest_upsert(spark: SparkSession, root: str, updates: DataFrame,
             "snapshot — evolve partitioned tables without partition_by or "
             "rewrite them wholesale")
     for _attempt in range(max_retries):
-        cur = latest_commit(root)
-        if cur is None:
+        info = latest_commit_info(root)
+        scols = _inherited_stats_cols(info, stats_cols)
+        if info is None:
             version = 1
             data_dir = new_version_dir(root, version)
             w = updates.write.mode("overwrite")
             if partition_by:
                 w = w.partitionBy(*partition_by)
             w.parquet(data_dir)
+            meta = _finalize_stats(data_dir, scols, updates.columns)
             try:
-                commit_version(root, version, data_dir)
+                commit_version(root, version, data_dir, meta=meta or None)
                 return version
             except CommitConflict:
                 shutil.rmtree(data_dir, ignore_errors=True)
                 continue
-        base_version, base_dir = cur
+        base_version, base_dir = info["version"], info["data_dir"]
         version = base_version + 1
         base = read_parquet(spark, base_dir)
         keys = updates.select(*key_cols).distinct()
@@ -336,8 +832,9 @@ def manifest_upsert(spark: SparkSession, root: str, updates: DataFrame,
             data_dir = new_version_dir(root, version)
             merged.write.mode("overwrite").parquet(data_dir)
 
+        meta = _finalize_stats(data_dir, scols, merged.columns)
         try:
-            commit_version(root, version, data_dir)
+            commit_version(root, version, data_dir, meta=meta or None)
         except CommitConflict:
             shutil.rmtree(data_dir, ignore_errors=True)
             continue  # re-merge on the winner's table
@@ -399,10 +896,11 @@ def manifest_delete(spark: SparkSession, root: str, keys: DataFrame,
                 f"{missing} on the keys frame (otherwise every partition "
                 f"would be rewritten — pass partition_by=None for that)")
     for _attempt in range(max_retries):
-        cur = latest_commit(root)
-        if cur is None:
+        info = latest_commit_info(root)
+        if info is None:
             raise FileNotFoundError(f"no committed version under {root!r}")
-        base_version, base_dir = cur
+        base_version, base_dir = info["version"], info["data_dir"]
+        scols = _inherited_stats_cols(info, None)
         version = base_version + 1
         base = read_parquet(spark, base_dir)
         k = keys.select(*key_cols).distinct()
@@ -429,8 +927,9 @@ def manifest_delete(spark: SparkSession, root: str, keys: DataFrame,
         else:
             kept = base.join(F.broadcast(k), key_cols, "left_anti")
             kept.write.mode("overwrite").parquet(data_dir)
+        meta = _finalize_stats(data_dir, scols, base.columns)
         try:
-            commit_version(root, version, data_dir)
+            commit_version(root, version, data_dir, meta=meta or None)
         except CommitConflict:
             shutil.rmtree(data_dir, ignore_errors=True)
             continue
@@ -581,10 +1080,11 @@ def compact_table(spark: SparkSession, root: str, target_bytes: int,
     if min_file_bytes is None:
         min_file_bytes = target_bytes // 2
     for _attempt in range(max_retries):
-        cur = latest_commit(root)
-        if cur is None:
+        info = latest_commit_info(root)
+        if info is None:
             raise FileNotFoundError(f"no committed version under {root!r}")
-        base_version, base_dir = cur
+        base_version, base_dir = info["version"], info["data_dir"]
+        scols = _inherited_stats_cols(info, None)
         groups: dict[str, list[tuple[str, int]]] = {}
         for dirpath, _dirs, files in os.walk(base_dir):
             rel_dir = os.path.relpath(dirpath, base_dir)
@@ -633,11 +1133,12 @@ def compact_table(spark: SparkSession, root: str, target_bytes: int,
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 if not os.path.exists(dst):
                     os.link(src, dst)
+        meta = {"compacted_files": len(compacted),
+                "compacted_dirs": len(groups),
+                "zorder_by": list(zorder_by or [])}
+        meta.update(_finalize_stats(data_dir, scols, scols))
         try:
-            commit_version(root, version, data_dir,
-                           meta={"compacted_files": len(compacted),
-                                 "compacted_dirs": len(groups),
-                                 "zorder_by": list(zorder_by or [])})
+            commit_version(root, version, data_dir, meta=meta)
         except CommitConflict:
             shutil.rmtree(data_dir, ignore_errors=True)
             continue
@@ -692,10 +1193,11 @@ def manifest_merge(spark: SparkSession, root: str, source: DataFrame,
     if missing:
         raise ValueError(f"merge source is missing key columns {missing}")
     for _attempt in range(max_retries):
-        cur = latest_commit(root)
-        if cur is None:
+        info = latest_commit_info(root)
+        if info is None:
             raise FileNotFoundError(f"no committed version under {root!r}")
-        base_version, base_dir = cur
+        base_version, base_dir = info["version"], info["data_dir"]
+        scols = _inherited_stats_cols(info, None)
         version = base_version + 1
         base = read_parquet(spark, base_dir)
         out_cols = base.columns
@@ -736,9 +1238,10 @@ def manifest_merge(spark: SparkSession, root: str, source: DataFrame,
                   .select("_r.*"))
         data_dir = new_version_dir(root, version)
         merged.write.mode("overwrite").parquet(data_dir)
+        meta = {"merge_on": list(key_cols)}
+        meta.update(_finalize_stats(data_dir, scols, out_cols))
         try:
-            commit_version(root, version, data_dir,
-                           meta={"merge_on": list(key_cols)})
+            commit_version(root, version, data_dir, meta=meta)
         except CommitConflict:
             shutil.rmtree(data_dir, ignore_errors=True)
             continue

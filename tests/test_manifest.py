@@ -571,3 +571,210 @@ def test_table_changes_between_versions(spark, tmp_path):
            for r in table_changes(spark, out, ["k"], 1, 2).collect()}
     assert mid == {1: "unchanged", 2: "update", 3: "unchanged",
                    4: "insert"}
+
+
+def _skip_df(spark, n=8000):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("grp"),
+        (F.col("id").cast("double") * 1.5).alias("v"),
+        F.concat(F.lit("s"), F.format_string("%05d", F.col("id")))
+        .alias("s"))
+
+
+def test_data_skipping_prunes_files_and_matches_full_scan(spark, tmp_path):
+    """read_table(where=…) must open strictly fewer files on a
+    range-clustered statted table AND return exactly the rows a full
+    scan + filter returns — pruning is an accelerator, never a
+    semantics change."""
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.sources.manifest import (
+        latest_commit_info, manifest_upsert, read_table,
+    )
+
+    out = str(tmp_path / "skip")
+    df = _skip_df(spark)
+    manifest_upsert(spark, out, df.repartitionByRange(8, "k"), ["k"],
+                    stats_cols=["k", "v", "s"])
+    info = latest_commit_info(out)
+    assert info["meta"]["stats_cols"] == ["k", "v", "s"]
+    assert os.path.exists(os.path.join(info["data_dir"], "_stats.json"))
+    pruned = read_table(spark, out, where=[("k", ">=", 2000),
+                                           ("k", "<", 3000)])
+    full = read_table(spark, out)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    exp = sorted(r.k for r in full.filter(
+        (F.col("k") >= 2000) & (F.col("k") < 3000)).collect())
+    got = sorted(r.k for r in pruned.collect())
+    assert got == exp
+    # string point lookup prunes to one file and one row
+    one = read_table(spark, out, where=[("s", "=", "s00042")])
+    assert len(one.inputFiles()) == 1
+    assert [r.k for r in one.collect()] == [42]
+    # != prunes nothing here (every file has >1 distinct value) but stays
+    # correct; > on the top of the range prunes everything
+    ne = read_table(spark, out, where=[("k", "!=", 5)])
+    assert ne.count() == df.count() - 1
+    empty = read_table(spark, out, where=[("k", ">", 10 ** 9)])
+    assert empty.count() == 0 and empty.columns == full.columns
+
+
+def test_data_skipping_inherits_through_writers(spark, tmp_path):
+    """stats_cols set once on the first upsert carries through plain
+    upserts, deletes, merges and compaction — every later version keeps
+    a fresh sidecar without re-passing the option."""
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.sources.manifest import (
+        compact_table, latest_commit_info, manifest_delete,
+        manifest_merge, manifest_upsert, read_table,
+    )
+
+    out = str(tmp_path / "inherit")
+    df = _skip_df(spark, 4000)
+    manifest_upsert(spark, out, df.repartitionByRange(6, "k"), ["k"],
+                    stats_cols=["k"])
+    upd = _skip_df(spark, 4100).filter(F.col("k") >= 4000)
+    manifest_upsert(spark, out, upd, ["k"])
+    assert latest_commit_info(out)["meta"]["stats_cols"] == ["k"]
+    manifest_delete(spark, out,
+                    spark.createDataFrame([(0,)], "k long"), ["k"])
+    assert latest_commit_info(out)["meta"]["stats_cols"] == ["k"]
+    src = (_skip_df(spark, 10).withColumn("v", F.col("v") + 1)
+           .withColumn("change_type", F.lit("update")))
+    manifest_merge(spark, out, src, ["k"],
+                   when_matched_update="src.change_type = 'update'")
+    assert latest_commit_info(out)["meta"]["stats_cols"] == ["k"]
+    manifest_upsert(spark, out, upd.repartition(12), ["k"])
+    v = compact_table(spark, out, target_bytes=256 * 1024 * 1024)
+    meta = latest_commit_info(out)
+    assert meta["version"] == v and meta["meta"]["stats_cols"] == ["k"]
+    # the compacted version still prunes a point lookup
+    full = read_table(spark, out)
+    one = read_table(spark, out, where=[("k", "=", 4050)])
+    if len(full.inputFiles()) > 1:
+        assert len(one.inputFiles()) < len(full.inputFiles())
+    assert one.count() == 1
+
+
+def test_data_skipping_partition_paths_need_no_sidecar(spark, tmp_path):
+    """Hive col=value path segments prune partition dirs even with no
+    stats sidecar at all, and combine with the residual filter."""
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.sources.manifest import (
+        manifest_upsert, read_table,
+    )
+
+    out = str(tmp_path / "parts")
+    df = _skip_df(spark, 5000)
+    manifest_upsert(spark, out, df, ["k"], partition_by=["grp"])
+    t = read_table(spark, out, where=[("grp", "=", 3)])
+    full = read_table(spark, out)
+    assert 0 < len(t.inputFiles()) < len(full.inputFiles())
+    assert t.count() == df.filter(F.col("grp") == 3).count()
+    assert set(r.grp for r in t.select("grp").distinct().collect()) == {3}
+    # range op over the (string-in-path, numeric-literal) domain
+    lo = read_table(spark, out, where=[("grp", "<", 2)])
+    assert lo.count() == df.filter(F.col("grp") < 2).count()
+
+
+def test_data_skipping_nulls_and_degradation(spark, tmp_path):
+    """All-null files prune under null-rejecting ops; files with SOME
+    nulls never prune wrongly; an unstatted column, a corrupt sidecar
+    and an unknown op all degrade safely."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.sources.manifest import (
+        latest_commit_info, manifest_upsert, read_table,
+    )
+
+    out = str(tmp_path / "nulls")
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 100, None)
+        .otherwise(F.col("id").cast("double")).alias("v"))
+    # range-cluster on k so file 1 is all-null in v, file 2 has none
+    manifest_upsert(spark, out, df.repartitionByRange(2, "k"), ["k"],
+                    stats_cols=["k", "v"])
+    t = read_table(spark, out, where=[("v", ">=", 0.0)])
+    assert len(t.inputFiles()) == 1          # the all-null file pruned
+    assert t.count() == 100
+    # unstatted column: all files read, answer still right
+    u = read_table(spark, out, where=[("k", ">=", 0), ("v", ">=", 150.0)])
+    assert u.count() == 50
+    # corrupt sidecar: pruning disabled, results unchanged
+    info = latest_commit_info(out)
+    with open(os.path.join(info["data_dir"], "_stats.json"), "w") as fh:
+        fh.write("{not json")
+    c = read_table(spark, out, where=[("v", ">=", 0.0)])
+    assert c.count() == 100 and len(c.inputFiles()) == 2
+    with pytest.raises(ValueError):
+        read_table(spark, out, where=[("v", "LIKE", "x")])
+
+
+def test_write_table_stats_backfills_committed_versions(spark, tmp_path):
+    """A table committed without stats (e.g. streaming ingest) backfills
+    via write_table_stats — pruning turns on for the current version and
+    the column set inherits into the NEXT commit's meta."""
+    from steel_datafusion_spark.sources.manifest import (
+        latest_commit_info, manifest_upsert, read_table, write_table_stats,
+    )
+
+    out = str(tmp_path / "backfill")
+    df = _skip_df(spark, 3000)
+    manifest_upsert(spark, out, df.repartitionByRange(6, "k"), ["k"])
+    assert "stats_cols" not in latest_commit_info(out)["meta"]
+    n = write_table_stats(out, ["k"])
+    assert n == 6
+    t = read_table(spark, out, where=[("k", "<", 500)])
+    assert len(t.inputFiles()) < 6 and t.count() == 500
+    manifest_upsert(spark, out, _skip_df(spark, 3100), ["k"])
+    assert latest_commit_info(out)["meta"]["stats_cols"] == ["k"]
+
+
+def test_bloom_skipping_point_lookups(spark, tmp_path):
+    """Per-file Bloom filters prune point lookups on a hash-scattered
+    high-cardinality key where min/max stats cannot (every file spans
+    the whole range); no false negatives by construction — build and
+    probe hash the same canonical cast, so an int literal against a
+    bigint column still finds its row."""
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.sources.manifest import (
+        manifest_upsert, read_table, write_table_bloom,
+    )
+
+    out = str(tmp_path / "bloom")
+    df = spark.range(8000).select(
+        F.concat(F.lit("u-"), F.md5(F.col("id").cast("string")))
+        .alias("uid"),
+        F.col("id").alias("k"))
+    manifest_upsert(spark, out, df.repartition(8, "uid"), ["uid"],
+                    stats_cols=["uid"])
+    target = df.filter(F.col("k") == 777).head().uid
+    before = read_table(spark, out, where=[("uid", "=", target)])
+    assert len(before.inputFiles()) == 8  # min/max stats can't prune
+    assert write_table_bloom(spark, out, ["uid"], bits=1 << 15) == 8
+    after = read_table(spark, out, where=[("uid", "=", target)])
+    assert len(after.inputFiles()) < 8
+    assert [r.k for r in after.collect()] == [777]
+    # absent key: typically zero files opened, always zero rows
+    absent = read_table(spark, out, where=[("uid", "=", "u-nope")])
+    assert absent.count() == 0
+    # type canonicalization: int and string literals against bigint both hit
+    out2 = str(tmp_path / "bloom2")
+    manifest_upsert(spark, out2, df.repartition(8, "k"), ["uid"])
+    write_table_bloom(spark, out2, ["k"], bits=1 << 15)
+    assert read_table(spark, out2, where=[("k", "=", 4321)]).count() == 1
+    assert read_table(spark, out2, where=[("k", "=", "4321")]).count() == 1
+    # no false negatives across a key sample
+    for k in range(0, 8000, 1000):
+        assert read_table(spark, out2, where=[("k", "=", k)]).count() == 1
+    # non-equality ops never consult the bloom; results stay right
+    assert read_table(spark, out2,
+                      where=[("k", ">=", 7990)]).count() == 10
