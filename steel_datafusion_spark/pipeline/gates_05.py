@@ -468,7 +468,65 @@ FROM orders WHERE o_custkey = 97
 """
 
 
+def q_streaming_cdc_feed(spark, sf_dir):
+    """Streaming change-data-feed over a manifest table
+    (streaming/operators.py ``streaming_table_changes`` — the Delta
+    ``readChangeFeed`` shape): the commit log itself is the stream
+    source (each ``_commits/v*.json`` is immutable and appears
+    atomically, so Spark's file source tracks versions exactly-once),
+    each micro-batch diffs its new versions into row-level change rows
+    (version 1 = all inserts), and the changes land in a downstream
+    manifest table through the replay-skip commit pattern —
+    exactly-once end to end.  Fixture: a customer slice lives through
+    insert (v1), conditional update + late inserts (v2), and keyed
+    deletes (v3); the oracle recomputes all four change sets closed-form
+    so the hash proves no change row is lost, duplicated or
+    misattributed to the wrong commit."""
+    import uuid
+
+    from ..sources.manifest import manifest_delete, manifest_upsert
+    from ..streaming.operators import streaming_table_changes
+
+    from ..queries import scratch_dir
+    base = scratch_dir(spark, sf_dir, "cdcfeed_gate")
+    run = uuid.uuid4().hex[:8]
+    root = _os.path.join(base, f"src-{run}")
+    out = _os.path.join(base, f"out-{run}")
+    work = _os.path.join(base, f"work-{run}")
+    c = load_tables(spark, sf_dir)["customer"].select(
+        "c_custkey", "c_name", "c_acctbal")
+    v1 = c.filter(F.col("c_custkey") <= 600)
+    manifest_upsert(spark, root, v1, ["c_custkey"], keep_versions=100)
+    upd = (v1.filter(F.col("c_custkey") % 5 == 0)
+           .withColumn("c_acctbal", F.col("c_acctbal") + 10)
+           .unionByName(c.filter((F.col("c_custkey") > 600)
+                                 & (F.col("c_custkey") <= 650))))
+    manifest_upsert(spark, root, upd, ["c_custkey"], keep_versions=100)
+    dels = c.filter((F.col("c_custkey") <= 650)
+                    & (F.col("c_custkey") % 9 == 0)).select("c_custkey")
+    manifest_delete(spark, root, dels, ["c_custkey"], keep_versions=100)
+    feed = streaming_table_changes(spark, root, ["c_custkey"], out, work)
+    return feed.select("c_custkey", "change_type", "commit_version")
+
+
+_SQL_STREAMING_CDC_FEED = """
+SELECT c_custkey, 'insert' AS change_type, 1::BIGINT AS commit_version
+FROM customer WHERE c_custkey <= 600
+UNION ALL
+SELECT c_custkey, 'update', 2::BIGINT FROM customer
+WHERE c_custkey <= 600 AND c_custkey % 5 = 0
+UNION ALL
+SELECT c_custkey, 'insert', 2::BIGINT FROM customer
+WHERE c_custkey > 600 AND c_custkey <= 650
+UNION ALL
+SELECT c_custkey, 'delete', 3::BIGINT FROM customer
+WHERE c_custkey <= 650 AND c_custkey % 9 = 0
+"""
+
+
 __all__ = [
+    'q_streaming_cdc_feed',
+    '_SQL_STREAMING_CDC_FEED',
     'q_data_skipping_read',
     '_SQL_DATA_SKIPPING_READ',
     'q_data_skipping_bloom',

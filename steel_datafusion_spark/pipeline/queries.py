@@ -33,6 +33,7 @@ PIPELINE_QUERIES = {
     "triangle_count": (q_triangle_count, _sql_triangle_count_gate()),
     "data_skipping_read": (q_data_skipping_read, _SQL_DATA_SKIPPING_READ),
     "data_skipping_bloom": (q_data_skipping_bloom, _SQL_DATA_SKIPPING_BLOOM),
+    "streaming_cdc_feed": (q_streaming_cdc_feed, _SQL_STREAMING_CDC_FEED),
     "text_stats": (q_text_stats, _SQL_TEXT_STATS),
     "text_quality_by_source": (q_text_quality_by_source, _SQL_TEXT_QUALITY),
     "pii_redact": (q_pii_redact, _sql_pii_redact()),

@@ -160,7 +160,7 @@ def commit_version(root: str, version: int, data_dir: str,
     os.makedirs(cdir, exist_ok=True)
     rel = os.path.relpath(data_dir, root)
     payload = json.dumps({"version": version, "data_dir": rel,
-                          "meta": meta or {}})
+                          "ts": time.time(), "meta": meta or {}})
     path = os.path.join(cdir, f"v{version:010d}.json")
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -204,14 +204,79 @@ def _write_checkpoint(cdir: str, version: int, payload: str) -> None:
         pass  # best-effort; resolution falls back to the full listing
 
 
+def _commit_ts(cdir: str, fname: str, payload: dict) -> float:
+    """A commit's wall-clock instant: the ``ts`` the writer stamped into
+    the payload, or (tables written before ts existed) the commit file's
+    mtime — the exact fallback Delta's TIMESTAMP AS OF uses, since the
+    commit file is created once and never rewritten."""
+    ts = payload.get("ts")
+    if isinstance(ts, (int, float)):
+        return float(ts)
+    try:
+        return os.path.getmtime(os.path.join(cdir, fname))
+    except OSError:
+        return float("inf")
+
+
+def _as_of_epoch(as_of) -> float:
+    if isinstance(as_of, bool) or as_of is None:
+        raise TypeError(f"as_of must be an epoch number, datetime or ISO "
+                        f"string; got {as_of!r}")
+    if isinstance(as_of, (int, float)):
+        return float(as_of)
+    if isinstance(as_of, str):
+        as_of = datetime.datetime.fromisoformat(as_of)
+    if isinstance(as_of, datetime.datetime):
+        return as_of.timestamp()
+    if isinstance(as_of, datetime.date):
+        return datetime.datetime(as_of.year, as_of.month,
+                                 as_of.day).timestamp()
+    raise TypeError(f"as_of must be an epoch number, datetime or ISO "
+                    f"string; got {as_of!r}")
+
+
+def _version_as_of(root: str, as_of) -> int:
+    """Newest committed version at wall-clock instant ``as_of`` — the
+    TIMESTAMP AS OF half of time travel.  O(|log|) listing by design:
+    this is an audit/debug path, not the hot read path."""
+    target = _as_of_epoch(as_of)
+    cdir = _commits_dir(root)
+    best, best_ts = None, None
+    earliest = None
+    if os.path.isdir(cdir):
+        for f in os.listdir(cdir):
+            if not (f.startswith("v") and f.endswith(".json")):
+                continue
+            try:
+                v = int(f[1:-5])
+                with open(os.path.join(cdir, f)) as fh:
+                    ts = _commit_ts(cdir, f, json.load(fh))
+            except (ValueError, OSError):
+                continue
+            earliest = ts if earliest is None else min(earliest, ts)
+            if ts <= target and (best is None or v > best):
+                best, best_ts = v, ts
+    if best is None:
+        raise FileNotFoundError(
+            f"no version of {root!r} existed at {as_of!r}"
+            + (f" (earliest commit is {earliest})" if earliest else ""))
+    return best
+
+
 def read_table(spark: SparkSession, root: str,
                version: int | None = None,
-               where: list[tuple] | None = None) -> DataFrame:
+               where: list[tuple] | None = None,
+               as_of=None) -> DataFrame:
     """Read a committed snapshot — the newest by default, or a specific
     ``version`` (time travel: every commit file is immutable, so any
     version whose data dir survives the vacuum retention window reads
-    exactly as it was committed).  Raises FileNotFoundError for an empty
-    table, an unknown version, or a version whose data was vacuumed.
+    exactly as it was committed).  ``as_of`` is the TIMESTAMP AS OF
+    spelling of the same thing (epoch seconds, datetime, or ISO string;
+    resolved against each commit's stamped wall-clock, file mtime for
+    pre-ts tables) — mutually exclusive with ``version``.  Raises
+    FileNotFoundError for an empty table, an unknown version, an
+    ``as_of`` before the first commit, or a version whose data was
+    vacuumed.
 
     ``where`` — a list of ``(column, op, literal)`` triples (implicitly
     ANDed, op in ``= != < <= > >=``) — turns the read into a
@@ -229,6 +294,10 @@ def read_table(spark: SparkSession, root: str,
     touch — driver-side pruning is O(files) dict lookups, no Spark job."""
     from .readers import read_parquet
 
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of, not both")
+        version = _version_as_of(root, as_of)
     if version is None:
         cur = latest_commit(root)
         if cur is None:
@@ -864,11 +933,12 @@ def table_history(spark: SparkSession, root: str) -> DataFrame:
             data_dir = os.path.join(root, payload["data_dir"])
             rows.append((payload["version"], payload["data_dir"],
                          os.path.isdir(data_dir),
+                         float(_commit_ts(cdir, f, payload)),
                          json.dumps(payload.get("meta", {}),
                                     sort_keys=True)))
     return spark.createDataFrame(
         rows, "version long, data_dir string, available boolean, "
-              "meta string")
+              "ts double, meta string")
 
 
 def manifest_delete(spark: SparkSession, root: str, keys: DataFrame,

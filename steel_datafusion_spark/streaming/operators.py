@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 __all__ = ["read_stream_parquet", "windowed_rollup", "session_rollup",
            "streaming_dedup", "stream_stream_join", "run_stream_to_memory",
            "run_stream_to_parquet", "streaming_view_maintenance",
-           "streaming_append_table"]
+           "streaming_append_table", "streaming_table_changes"]
 
 
 def read_stream_parquet(spark: SparkSession, path: str, schema) -> DataFrame:
@@ -373,3 +373,82 @@ def streaming_append_table(
          .start())
     q.awaitTermination(timeout_s)
     return read_table(spark, table_root)
+
+
+def streaming_table_changes(
+    spark: SparkSession, table_root: str, key_cols: list[str],
+    out_root: str, work_dir: str, timeout_s: int = 180,
+) -> DataFrame:
+    """Tail a manifest table's commit log as a stream — the Delta
+    ``readChangeFeed`` shape: every commit file under ``_commits/`` is
+    immutable, tiny, and appears atomically (O_EXCL create), so Spark's
+    file source tracks them with its own exactly-once offset log; each
+    micro-batch turns its new versions into row-level change rows
+    (``table_changes`` per consecutive version pair; version 1 is all
+    inserts) and lands them in a DOWNSTREAM manifest table through the
+    same replay-skip commit pattern as ``streaming_append_table`` —
+    exactly-once end to end: a crash after the downstream commit but
+    before the checkpoint advanced replays the batch, which recognizes
+    itself and skips.
+
+    Returns the downstream changelog table (``*key_cols, change_type,
+    commit_version``) read through the manifest.
+
+    Scale: per batch the work is O(changed versions) fingerprint diffs —
+    two column-pruned scans + one key shuffle per version pair, nothing
+    driver-side but the (bytes-sized) commit payloads.  The SOURCE
+    table's vacuum retention must cover the consumer's lag (a diff of
+    v-1→v needs v-1's data dir), exactly like Delta CDF; a partially
+    read commit file fails the batch and retries complete — the offset
+    log re-reads content, so nothing is skipped."""
+    import json as _json
+    import os as _os2
+
+    from ..sources.manifest import (
+        _link_tree, commit_version, latest_commit_info, new_version_dir,
+        read_table, table_changes, vacuum,
+    )
+
+    cdir = _os2.path.join(table_root, "_commits")
+    stream = (spark.readStream
+              .option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "v*.json")
+              .text(cdir))
+    ckpt = _os2.path.join(work_dir, "ckpt")
+    txn_app = _os2.path.abspath(ckpt)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        payloads = [r.value for r in batch_df.collect() if r.value.strip()]
+        versions = sorted(_json.loads(p)["version"] for p in payloads)
+        if not versions:
+            return
+        cur = latest_commit_info(out_root)
+        if _replayed_batch(cur, txn_app, batch_id):
+            return
+        changes = None
+        for v in versions:
+            if v == 1:
+                ch = (read_table(spark, table_root, version=1)
+                      .select(*key_cols)
+                      .withColumn("change_type", F.lit("insert")))
+            else:
+                ch = (table_changes(spark, table_root, key_cols, v - 1, v)
+                      .filter(F.col("change_type") != "unchanged")
+                      .select(*key_cols, "change_type"))
+            ch = ch.withColumn("commit_version", F.lit(v).cast("long"))
+            changes = ch if changes is None else changes.unionByName(ch)
+        version = 1 if cur is None else cur["version"] + 1
+        data_dir = new_version_dir(out_root, version)
+        changes.write.mode("append").parquet(data_dir)
+        if cur is not None:
+            _link_tree(cur["data_dir"], data_dir, skip_prefixes=[])
+        commit_version(out_root, version, data_dir,
+                       meta={"batch_id": batch_id, "txn_app": txn_app})
+        vacuum(out_root, keep=2)
+
+    q = (stream.writeStream.foreachBatch(_apply)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(timeout_s)
+    return read_table(spark, out_root)

@@ -778,3 +778,38 @@ def test_bloom_skipping_point_lookups(spark, tmp_path):
     # non-equality ops never consult the bloom; results stay right
     assert read_table(spark, out2,
                       where=[("k", ">=", 7990)]).count() == 10
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: read_table(as_of=…) resolves the newest version
+    committed at that wall-clock instant (commit-stamped ts, file-mtime
+    fallback), table_history exposes the instants, and the guards fire
+    (before-first-commit, version+as_of together)."""
+    import time as _time
+
+    from steel_datafusion_spark.sources.manifest import (
+        manifest_upsert, read_table, table_history,
+    )
+
+    out = str(tmp_path / "asof")
+    t0 = _time.time()
+    manifest_upsert(spark, out, _mk(spark, [(1, "a", 10)]), ["k"],
+                    keep_versions=100)
+    t1 = _time.time()
+    _time.sleep(0.05)
+    manifest_upsert(spark, out, _mk(spark, [(2, "b", 20)]), ["k"],
+                    keep_versions=100)
+    t2 = _time.time()
+    assert {r.k for r in read_table(spark, out, as_of=t1).collect()} == {1}
+    assert {r.k for r in read_table(spark, out, as_of=t2).collect()} == {1, 2}
+    # datetime / ISO spellings of the same instant
+    import datetime as _dt
+
+    iso = _dt.datetime.fromtimestamp(t1).isoformat()
+    assert {r.k for r in read_table(spark, out, as_of=iso).collect()} == {1}
+    hist = {r.version: r.ts for r in table_history(spark, out).collect()}
+    assert hist[1] <= hist[2] and t0 <= hist[1] <= t2
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, out, as_of=t0 - 10)
+    with pytest.raises(ValueError):
+        read_table(spark, out, version=1, as_of=t1)

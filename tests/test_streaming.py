@@ -432,3 +432,50 @@ def test_streaming_append_table_versions_and_replay_skip(spark, tmp_path):
                                   max_files_per_trigger=1)
     assert got2.count() == len(rows)          # no duplicates
     assert latest_commit_info(root)["meta"]["batch_id"] == last_batch
+
+
+def test_streaming_table_changes_feed(spark, tmp_path):
+    """Commit-log CDF: the feed emits exactly the insert/update/delete
+    rows of each committed version, consumes NEW versions incrementally
+    on the same checkpoint, and a fresh checkpoint against the existing
+    downstream table raises instead of silently dropping batches."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.sources.manifest import (
+        manifest_delete, manifest_upsert,
+    )
+    from steel_datafusion_spark.streaming.operators import (
+        streaming_table_changes,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k long, s string, v long")
+
+    root = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    work = str(tmp_path / "work")
+    manifest_upsert(spark, root, mk([(1, "a", 10), (2, "b", 20),
+                                     (3, "c", 30)]), ["k"],
+                    keep_versions=100)
+    manifest_upsert(spark, root, mk([(2, "b2", 99), (4, "d", 40)]), ["k"],
+                    keep_versions=100)
+    manifest_delete(spark, root, spark.createDataFrame([(1,)], "k long"),
+                    ["k"], keep_versions=100)
+    feed = streaming_table_changes(spark, root, ["k"], out, work)
+    got = sorted((r.k, r.change_type, r.commit_version)
+                 for r in feed.collect())
+    assert got == sorted([(1, "insert", 1), (2, "insert", 1),
+                          (3, "insert", 1), (2, "update", 2),
+                          (4, "insert", 2), (1, "delete", 3)])
+    # fresh checkpoint + existing downstream table: identity guard fires
+    with pytest.raises(Exception, match="checkpoint|batch"):
+        streaming_table_changes(spark, root, ["k"], out,
+                                str(tmp_path / "work2"))
+    # incremental consumption on the SAME checkpoint: only the new version
+    manifest_upsert(spark, root, mk([(5, "e", 50)]), ["k"],
+                    keep_versions=100)
+    feed2 = streaming_table_changes(spark, root, ["k"], out, work)
+    got2 = sorted((r.k, r.change_type, r.commit_version)
+                  for r in feed2.collect())
+    assert (5, "insert", 4) in got2 and len(got2) == len(got) + 1
