@@ -60,7 +60,8 @@ __all__ = ["CommitConflict", "latest_commit", "latest_commit_info",
            "is_manifest_root", "manifest_upsert", "manifest_delete",
            "table_history", "table_changes", "compact_table",
            "manifest_merge", "vacuum", "write_table_stats",
-           "write_table_bloom", "CHECKPOINT_INTERVAL"]
+           "write_table_bloom", "alter_table_constraints",
+           "CHECKPOINT_INTERVAL"]
 
 _COMMITS = "_commits"
 _VERSIONS = "_versions"
@@ -335,7 +336,7 @@ def read_table(spark: SparkSession, root: str,
 # ---------------------------------------------------------------------------
 
 _STATS_FILE = "_stats.json"
-_WHERE_OPS = ("=", "!=", "<", "<=", ">", ">=")
+_WHERE_OPS = ("=", "!=", "<", "<=", ">", ">=", "in")
 
 
 def _stat_encode(v):
@@ -395,6 +396,8 @@ def _comparable(bound, val):
 def _range_may_match(lo, hi, op: str, val) -> bool:
     """May any value in [lo, hi] satisfy ``x op val``?  Conservative:
     incomparable / NaN bounds answer True (keep the file)."""
+    if op == "in":
+        return any(_range_may_match(lo, hi, "=", v) for v in val)
     try:
         lo2, v = _comparable(lo, val)
         hi2, _ = _comparable(hi, val)
@@ -454,6 +457,8 @@ def _path_part_values(rel: str) -> dict:
 def _part_may_match(pv, op: str, val) -> bool:
     if pv is None:
         return False  # null partition value: null-rejecting ops can't hit
+    if op == "in":
+        return any(_part_may_match(pv, "=", v) for v in val)
     if not isinstance(val, str):
         try:  # path values are strings; match the literal's domain
             pv = float(pv)
@@ -658,6 +663,76 @@ def _bloom_probe_bits(spark: SparkSession, schema, col: str, val,
     return list(row)
 
 
+def _inherited_constraints(info: dict | None) -> dict:
+    """The table's registered CHECK constraints ({name: sql_expr}) from
+    the base version's commit meta — every writer carries them forward
+    and enforces them on the rows it introduces."""
+    if info is None:
+        return {}
+    return dict(info.get("meta", {}).get("constraints", {}) or {})
+
+
+def _enforce_constraints(df: DataFrame, constraints: dict) -> None:
+    """Reject a write batch that violates a registered CHECK constraint.
+    SQL-standard semantics: a row violates only when the expression is
+    FALSE — NULL passes (add an explicit ``col IS NOT NULL`` constraint
+    for NOT NULL).  Cost: one column-pruned pass over the BATCH being
+    written (never the whole table — base rows passed when they were
+    written, the inductive invariant Delta uses), short-circuited by
+    LIMIT 1."""
+    if not constraints:
+        return
+    from pyspark.sql import functions as F
+
+    for name, expr in constraints.items():
+        bad = df.filter(~F.expr(expr)).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"CHECK constraint {name!r} ({expr}) violated by the "
+                f"write batch, e.g. {bad[0].asDict()}")
+
+
+def alter_table_constraints(spark: SparkSession, root: str,
+                            add: dict | None = None,
+                            drop: list[str] | None = None,
+                            keep_versions: int = 2) -> int:
+    """Register/unregister CHECK constraints on a manifest table — the
+    Delta ``ALTER TABLE ADD CONSTRAINT`` verb.  Constraints are SQL
+    boolean expressions over the table's columns, stored in commit meta,
+    inherited by every subsequent upsert/delete/merge/compaction/stream
+    commit, and enforced on each writer's batch (violation = the write
+    raises before any commit).  Adding a constraint first verifies the
+    CURRENT snapshot satisfies it (one scan, LIMIT 1 short-circuit) —
+    an invalid table can't be "blessed".  The change commits as a
+    metadata-only version: every data file HARDLINKS into the new
+    version, so the commit costs O(files) metadata ops and zero data
+    bytes.  Returns the committed version."""
+    info = latest_commit_info(root)
+    if info is None:
+        raise FileNotFoundError(f"no committed version under {root!r}")
+    cons = _inherited_constraints(info)
+    for name in (drop or []):
+        cons.pop(name, None)
+    if add:
+        cur = read_table(spark, root)
+        _enforce_constraints(cur, dict(add))
+        cons.update(add)
+    version = info["version"] + 1
+    data_dir = new_version_dir(root, version)
+    _link_tree(info["data_dir"], data_dir, skip_prefixes=[])
+    scols = _inherited_stats_cols(info, None)
+    meta = _finalize_stats(data_dir, scols, scols)
+    if cons:
+        meta["constraints"] = cons
+    try:
+        commit_version(root, version, data_dir, meta=meta or None)
+    except CommitConflict:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
+    vacuum(root, keep=keep_versions)
+    return version
+
+
 def _inherited_stats_cols(info: dict | None,
                           stats_cols: list[str] | None) -> list[str]:
     """The column set a new version should stat: an explicit request
@@ -698,6 +773,11 @@ def _read_pruned(spark: SparkSession, data_dir: str,
             raise ValueError(
                 f"where predicates are (column, op, literal) with op in "
                 f"{_WHERE_OPS}; got {p!r}")
+        if p[1] == "in" and not isinstance(p[2], (list, tuple, set)):
+            raise ValueError(
+                f"'in' takes a list/tuple/set of literals; got {p[2]!r}")
+    where = [(c, op, list(v) if op == "in" else v)
+             for c, op, v in where]
     stats_files: dict = {}
     sidecar = os.path.join(data_dir, _STATS_FILE)
     if os.path.exists(sidecar):
@@ -708,7 +788,8 @@ def _read_pruned(spark: SparkSession, data_dir: str,
             stats_files = {}
     bloom: dict = {}
     bpath = os.path.join(data_dir, _BLOOM_FILE)
-    if os.path.exists(bpath) and any(op == "=" for _c, op, _v in where):
+    if os.path.exists(bpath) and \
+            any(op in ("=", "in") for _c, op, _v in where):
         try:
             with open(bpath) as fh:
                 bloom = json.load(fh)
@@ -720,18 +801,25 @@ def _read_pruned(spark: SparkSession, data_dir: str,
 
         schema = read_parquet(spark, data_dir).schema
         for col, op, val in where:
-            if op == "=" and col in bloom["cols"]:
-                probe_bits[col] = _bloom_probe_bits(
-                    spark, schema, col, val,
-                    int(bloom["bits"]), int(bloom["k"]))
+            if op in ("=", "in") and col in bloom["cols"]:
+                vals = val if op == "in" else [val]
+                per_val = [_bloom_probe_bits(spark, schema, col, v,
+                                             int(bloom["bits"]),
+                                             int(bloom["k"]))
+                           for v in vals]
+                # one uncastable literal means the bloom can't decide the
+                # whole predicate — abstain rather than guess
+                probe_bits[col] = None if any(b is None for b in per_val) \
+                    else per_val
 
         def _bloom_admits(rel: str, col: str) -> bool:
-            pb = probe_bits.get(col)
+            pbs = probe_bits.get(col)
             enc = bloom["cols"][col].get(rel)
-            if pb is None or enc is None:
+            if pbs is None or enc is None:
                 return True  # abstain: no filter for this file/literal
             buf = base64.b64decode(enc)
-            return all(buf[b >> 3] & (1 << (b & 7)) for b in pb)
+            return any(all(buf[b >> 3] & (1 << (b & 7)) for b in pb)
+                       for pb in pbs)
     else:
         def _bloom_admits(rel: str, col: str) -> bool:
             return True
@@ -756,7 +844,7 @@ def _read_pruned(spark: SparkSession, data_dir: str,
                         not _file_may_match(finfo, col, op, val):
                     keep = False
                     break
-                elif op == "=" and col in probe_bits and \
+                elif op in ("=", "in") and col in probe_bits and \
                         not _bloom_admits(rel, col):
                     keep = False
                     break
@@ -765,6 +853,8 @@ def _read_pruned(spark: SparkSession, data_dir: str,
 
     def _pred(col, op, val):
         c = F.col(col)
+        if op == "in":
+            return c.isin(val)
         return {"=": c == F.lit(val), "!=": c != F.lit(val),
                 "<": c < F.lit(val), "<=": c <= F.lit(val),
                 ">": c > F.lit(val), ">=": c >= F.lit(val)}[op]
@@ -901,7 +991,16 @@ def manifest_upsert(spark: SparkSession, root: str, updates: DataFrame,
             data_dir = new_version_dir(root, version)
             merged.write.mode("overwrite").parquet(data_dir)
 
+        cons = _inherited_constraints(info)
+        if cons:
+            try:  # check what will actually land, before it can commit
+                _enforce_constraints(spark.read.parquet(data_dir), cons)
+            except ValueError:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise
         meta = _finalize_stats(data_dir, scols, merged.columns)
+        if cons:
+            meta["constraints"] = cons
         try:
             commit_version(root, version, data_dir, meta=meta or None)
         except CommitConflict:
@@ -998,6 +1097,9 @@ def manifest_delete(spark: SparkSession, root: str, keys: DataFrame,
             kept = base.join(F.broadcast(k), key_cols, "left_anti")
             kept.write.mode("overwrite").parquet(data_dir)
         meta = _finalize_stats(data_dir, scols, base.columns)
+        cons = _inherited_constraints(info)
+        if cons:  # deletes can't violate, but the registration carries
+            meta["constraints"] = cons
         try:
             commit_version(root, version, data_dir, meta=meta or None)
         except CommitConflict:
@@ -1207,6 +1309,9 @@ def compact_table(spark: SparkSession, root: str, target_bytes: int,
                 "compacted_dirs": len(groups),
                 "zorder_by": list(zorder_by or [])}
         meta.update(_finalize_stats(data_dir, scols, scols))
+        cons = _inherited_constraints(info)
+        if cons:  # a rewrite can't violate, but the registration carries
+            meta["constraints"] = cons
         try:
             commit_version(root, version, data_dir, meta=meta)
         except CommitConflict:
@@ -1308,8 +1413,17 @@ def manifest_merge(spark: SparkSession, root: str, source: DataFrame,
                   .select("_r.*"))
         data_dir = new_version_dir(root, version)
         merged.write.mode("overwrite").parquet(data_dir)
+        cons = _inherited_constraints(info)
+        if cons:
+            try:
+                _enforce_constraints(spark.read.parquet(data_dir), cons)
+            except ValueError:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise
         meta = {"merge_on": list(key_cols)}
         meta.update(_finalize_stats(data_dir, scols, out_cols))
+        if cons:
+            meta["constraints"] = cons
         try:
             commit_version(root, version, data_dir, meta=meta)
         except CommitConflict:

@@ -353,9 +353,15 @@ def streaming_append_table(
     txn_app = _os2.path.abspath(ckpt)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from ..sources.manifest import (
+            _enforce_constraints, _inherited_constraints,
+        )
+
         cur = latest_commit_info(table_root)
         if _replayed_batch(cur, txn_app, batch_id):
             return  # replayed batch: already in the table
+        cons = _inherited_constraints(cur)
+        _enforce_constraints(batch_df, cons)  # CHECKs guard streams too
         version = 1 if cur is None else cur["version"] + 1
         data_dir = new_version_dir(table_root, version)
         batch_df.write.mode("append").parquet(data_dir)
@@ -363,8 +369,14 @@ def streaming_append_table(
             from ..sources.manifest import _link_tree
 
             _link_tree(cur["data_dir"], data_dir, skip_prefixes=[])
-        commit_version(table_root, version, data_dir,
-                       meta={"batch_id": batch_id, "txn_app": txn_app})
+        meta = {"batch_id": batch_id, "txn_app": txn_app}
+        # streaming commits skip stats recollection (O(batch) write cost)
+        # but must not break the skipping/constraint registrations
+        if cur is not None and cur.get("meta", {}).get("stats_cols"):
+            meta["stats_cols"] = cur["meta"]["stats_cols"]
+        if cons:
+            meta["constraints"] = cons
+        commit_version(table_root, version, data_dir, meta=meta)
         vacuum(table_root, keep=2)
 
     q = (stream.writeStream.foreachBatch(_apply)
@@ -442,8 +454,12 @@ def streaming_table_changes(
         changes.write.mode("append").parquet(data_dir)
         if cur is not None:
             _link_tree(cur["data_dir"], data_dir, skip_prefixes=[])
-        commit_version(out_root, version, data_dir,
-                       meta={"batch_id": batch_id, "txn_app": txn_app})
+        meta = {"batch_id": batch_id, "txn_app": txn_app}
+        if cur is not None:  # carry registrations across feed commits
+            for key in ("stats_cols", "constraints"):
+                if cur.get("meta", {}).get(key):
+                    meta[key] = cur["meta"][key]
+        commit_version(out_root, version, data_dir, meta=meta)
         vacuum(out_root, keep=2)
 
     q = (stream.writeStream.foreachBatch(_apply)

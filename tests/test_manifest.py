@@ -813,3 +813,120 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
         read_table(spark, out, as_of=t0 - 10)
     with pytest.raises(ValueError):
         read_table(spark, out, version=1, as_of=t1)
+
+
+def test_check_constraints_enforced_and_inherited(spark, tmp_path):
+    """Delta-style CHECK constraints: registered once as a metadata-only
+    hardlink commit, verified against the current snapshot at ADD time,
+    carried by every writer, enforced on what each write would commit
+    (violating writes raise BEFORE any commit; the table is unchanged),
+    SQL-standard NULL-passes semantics, droppable."""
+    from steel_datafusion_spark.sources.manifest import (
+        alter_table_constraints, latest_commit_info, manifest_merge,
+        manifest_upsert, read_table,
+    )
+
+    out = str(tmp_path / "cons")
+    manifest_upsert(spark, out, _mk(spark, [(1, "a", 10), (2, "b", 20)]),
+                    ["k"])
+    v = alter_table_constraints(spark, out, add={"v_pos": "v > 0"})
+    info = latest_commit_info(out)
+    assert info["version"] == v
+    assert info["meta"]["constraints"] == {"v_pos": "v > 0"}
+    # blessing an invalid table is refused
+    with pytest.raises(ValueError, match="v_small"):
+        alter_table_constraints(spark, out, add={"v_small": "v < 15"})
+    # violating upsert raises and commits nothing
+    with pytest.raises(ValueError, match="v_pos"):
+        manifest_upsert(spark, out, _mk(spark, [(3, "c", -1)]), ["k"])
+    assert latest_commit_info(out)["version"] == v
+    assert {r.k for r in read_table(spark, out).collect()} == {1, 2}
+    # valid upsert passes and RE-carries the registration
+    manifest_upsert(spark, out, _mk(spark, [(3, "c", 30)]), ["k"])
+    assert latest_commit_info(out)["meta"]["constraints"] == \
+        {"v_pos": "v > 0"}
+    # merge enforcement: an update that would write v<=0 raises pre-commit
+    bad_src = spark.createDataFrame([(1, "a", -5, "update")],
+                                    "k long, s string, v long, "
+                                    "change_type string")
+    vb = latest_commit_info(out)["version"]
+    with pytest.raises(ValueError, match="v_pos"):
+        manifest_merge(spark, out, bad_src, ["k"],
+                       when_matched_update="src.change_type = 'update'")
+    assert latest_commit_info(out)["version"] == vb
+    # NULL passes (SQL standard) — add explicit IS NOT NULL to forbid
+    manifest_upsert(spark, out, _mk(spark, [(4, "d", None)]), ["k"])
+    # drop: violating writes pass again
+    alter_table_constraints(spark, out, drop=["v_pos"])
+    manifest_upsert(spark, out, _mk(spark, [(5, "e", -9)]), ["k"])
+    got = {r.k: r.v for r in read_table(spark, out).collect()}
+    assert got == {1: 10, 2: 20, 3: 30, 4: None, 5: -9}
+
+
+def test_check_constraints_guard_streaming_appends(spark, tmp_path):
+    """A constraint registered on a streaming-ingested table rejects a
+    violating micro-batch (the stream errors; the table keeps only clean
+    prefixes) and rides along in every batch commit's meta."""
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.sources.manifest import (
+        alter_table_constraints, latest_commit_info,
+    )
+    from steel_datafusion_spark.streaming.operators import (
+        streaming_append_table,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "tbl")
+    work = str(tmp_path / "work")
+    good = spark.range(10).select(F.col("id").alias("k"),
+                                  (F.col("id") + 1).alias("v"))
+    good.coalesce(1).write.mode("overwrite").parquet(src)
+    streaming_append_table(spark, src, good.schema, table, work,
+                           max_files_per_trigger=1)
+    alter_table_constraints(spark, table, add={"v_pos": "v > 0"})
+    assert latest_commit_info(table)["meta"]["constraints"]
+    # second source file violates → the stream fails, no commit lands
+    bad = spark.range(5).select(F.col("id").alias("k"),
+                                (F.col("id") - 99).alias("v"))
+    bad.coalesce(1).write.mode("append").parquet(src)
+    v_before = latest_commit_info(table)["version"]
+    with pytest.raises(Exception, match="v_pos|CHECK"):
+        streaming_append_table(spark, src, good.schema, table, work,
+                               max_files_per_trigger=1)
+    assert latest_commit_info(table)["version"] == v_before
+
+
+def test_where_in_prunes_and_matches(spark, tmp_path):
+    """The 'in' operator prunes through range stats, partition paths and
+    blooms (a file survives if ANY listed value may be present) and the
+    residual isin keeps results exact."""
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.sources.manifest import (
+        manifest_upsert, read_table, write_table_bloom,
+    )
+
+    out = str(tmp_path / "inop")
+    df = _skip_df(spark, 6000)
+    manifest_upsert(spark, out, df.repartitionByRange(6, "k"), ["k"],
+                    stats_cols=["k"])
+    t = read_table(spark, out, where=[("k", "in", [10, 5500])])
+    assert len(t.inputFiles()) == 2  # one file per range bucket hit
+    assert sorted(r.k for r in t.collect()) == [10, 5500]
+    # bloom + in on a hash-scattered key
+    out2 = str(tmp_path / "inop2")
+    manifest_upsert(spark, out2, df.repartition(8, "s"), ["k"])
+    write_table_bloom(spark, out2, ["s"], bits=1 << 15)
+    uids = [r.s for r in df.filter(F.col("k").isin(7, 4242)).collect()]
+    t2 = read_table(spark, out2, where=[("s", "in", uids)])
+    assert len(t2.inputFiles()) <= 2
+    assert sorted(r.k for r in t2.collect()) == [7, 4242]
+    # partition-path in
+    out3 = str(tmp_path / "inop3")
+    manifest_upsert(spark, out3, df, ["k"], partition_by=["grp"])
+    t3 = read_table(spark, out3, where=[("grp", "in", [1, 4])])
+    assert set(r.grp for r in t3.select("grp").distinct().collect()) == \
+        {1, 4}
+    with pytest.raises(ValueError, match="'in' takes"):
+        read_table(spark, out, where=[("k", "in", 10)])

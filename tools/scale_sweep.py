@@ -381,6 +381,56 @@ def main() -> int:
                       "sweep_ann_idx_meta"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
 
+        # data skipping: files OPENED must follow selectivity, not table
+        # size — a fixed-fraction range window opens ~that fraction of a
+        # range-clustered table's files at every decade, and a bloom point
+        # lookup opens O(1) files while total files grow 10x per decade
+        if "data_skipping_scaled" in ops:
+            import uuid as _uuid
+
+            from steel_datafusion_spark.sources.manifest import (
+                manifest_upsert, read_table, write_table_bloom,
+            )
+
+            n_rows = n_docs * 200
+            df = spark.range(n_rows).select(
+                F.col("id").alias("k"),
+                (F.col("id").cast("double") * 1.7).alias("v"),
+                F.md5(F.col("id").cast("string")).alias("uid"))
+            n_files = max(8, n_rows // 20_000)
+            base = f"/tmp/sweep_dataskip/{sc_name}-{_uuid.uuid4().hex[:6]}"
+            root = os.path.join(base, "tbl")
+            t0 = time.perf_counter()
+            manifest_upsert(spark, root,
+                            df.repartitionByRange(n_files, "v"), ["k"],
+                            stats_cols=["v"])
+            write_table_bloom(spark, root, ["k"], bits=1 << 18)
+            build_s = round(time.perf_counter() - t0, 3)
+            total_files = len(read_table(spark, root).inputFiles())
+            lo, hi = 0.10 * 1.7 * n_rows, 0.11 * 1.7 * n_rows  # 1% slice
+            t0 = time.perf_counter()
+            w = read_table(spark, root, where=[("v", ">=", lo),
+                                               ("v", "<", hi)])
+            range_rows = w.toArrow().num_rows
+            range_s = round(time.perf_counter() - t0, 3)
+            range_files = len(w.inputFiles())
+            t0 = time.perf_counter()
+            p = read_table(spark, root, where=[("k", "=", n_rows // 2)])
+            point_rows = p.toArrow().num_rows
+            point_s = round(time.perf_counter() - t0, 3)
+            point_files = len(p.inputFiles())
+            row["ops"]["data_skipping_scaled"] = {
+                "n_rows": n_rows, "total_files": total_files,
+                "build_s": build_s,
+                "range_files": range_files, "range_rows": range_rows,
+                "range_s": range_s, "point_files": point_files,
+                "point_rows": point_rows, "point_s": point_s}
+            print(f"   data_skipping_scaled: {n_rows} rows / {total_files} "
+                  f"files (build {build_s} s); 1% range opens "
+                  f"{range_files} ({range_s} s, {range_rows} rows), point "
+                  f"opens {point_files} ({point_s} s)", flush=True)
+            shutil.rmtree(base, ignore_errors=True)
+
         if "embedding_neardup_banded" not in ops:
             results[sc_name] = row
             continue
