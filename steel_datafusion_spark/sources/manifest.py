@@ -60,7 +60,7 @@ __all__ = ["CommitConflict", "latest_commit", "latest_commit_info",
            "is_manifest_root", "manifest_upsert", "manifest_delete",
            "table_history", "table_changes", "compact_table",
            "manifest_merge", "vacuum", "write_table_stats",
-           "write_table_bloom", "alter_table_constraints",
+           "write_table_bloom", "alter_table_constraints", "table_detail",
            "CHECKPOINT_INTERVAL"]
 
 _COMMITS = "_commits"
@@ -1011,6 +1011,55 @@ def manifest_upsert(spark: SparkSession, root: str, updates: DataFrame,
     raise RuntimeError(
         f"manifest_upsert lost {max_retries} commit races on {root!r} — "
         f"writer contention this high needs a coordinating service")
+
+
+def table_detail(spark: SparkSession, root: str) -> DataFrame:
+    """One-row summary of the CURRENT snapshot — the DESCRIBE DETAIL
+    verb: version + commit instant, file/byte/row counts (parquet
+    FOOTER metadata only, row data never read), and the table's
+    registered accelerations (stats columns, bloom columns, CHECK
+    constraints, last OPTIMIZE's zorder columns).  Driver-side metadata
+    walk, O(files); the row counts come from footer ``num_rows`` so the
+    summary costs the same as a stats backfill, not a scan."""
+    import pyarrow.parquet as pq
+
+    info = latest_commit_info(root)
+    if info is None:
+        raise FileNotFoundError(f"no committed version under {root!r}")
+    data_dir = info["data_dir"]
+    n_files = total_bytes = n_rows = 0
+    for dirpath, _dirs, names in os.walk(data_dir):
+        for f in names:
+            if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                continue
+            p = os.path.join(dirpath, f)
+            n_files += 1
+            total_bytes += os.path.getsize(p)
+            n_rows += pq.ParquetFile(p).metadata.num_rows
+    meta = info.get("meta", {})
+    bloom_cols: list[str] = []
+    bpath = os.path.join(data_dir, _BLOOM_FILE)
+    if os.path.exists(bpath):
+        try:
+            with open(bpath) as fh:
+                bloom_cols = sorted(json.load(fh).get("cols", {}))
+        except (ValueError, OSError):
+            pass
+    cdir = _commits_dir(root)
+    fname = f"v{info['version']:010d}.json"
+    row = (int(info["version"]),
+           float(_commit_ts(cdir, fname, info)),
+           int(n_files), int(total_bytes), int(n_rows),
+           list(meta.get("stats_cols", []) or []),
+           bloom_cols,
+           json.dumps(meta.get("constraints", {}) or {}, sort_keys=True),
+           list(meta.get("zorder_by", []) or []))
+    return spark.createDataFrame(
+        [row],
+        "version long, ts double, num_files long, size_bytes long, "
+        "num_rows long, stats_cols array<string>, "
+        "bloom_cols array<string>, constraints string, "
+        "zorder_by array<string>")
 
 
 def table_history(spark: SparkSession, root: str) -> DataFrame:

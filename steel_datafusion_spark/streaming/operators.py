@@ -390,6 +390,7 @@ def streaming_append_table(
 def streaming_table_changes(
     spark: SparkSession, table_root: str, key_cols: list[str],
     out_root: str, work_dir: str, timeout_s: int = 180,
+    starting_version: int | None = None,
 ) -> DataFrame:
     """Tail a manifest table's commit log as a stream — the Delta
     ``readChangeFeed`` shape: every commit file under ``_commits/`` is
@@ -412,7 +413,14 @@ def streaming_table_changes(
     table's vacuum retention must cover the consumer's lag (a diff of
     v-1→v needs v-1's data dir), exactly like Delta CDF; a partially
     read commit file fails the batch and retries complete — the offset
-    log re-reads content, so nothing is skipped."""
+    log re-reads content, so nothing is skipped.
+
+    ``starting_version`` skips history: versions below it stream
+    through but emit no change rows (the Delta ``startingVersion``
+    semantics — the feed carries CHANGES from that version on; read the
+    base snapshot separately with ``read_table(version=…)``).  A feed
+    attached late to a vacuumed table raises pointing here instead of a
+    bare missing-dir error."""
     import json as _json
     import os as _os2
 
@@ -439,16 +447,30 @@ def streaming_table_changes(
             return
         changes = None
         for v in versions:
-            if v == 1:
-                ch = (read_table(spark, table_root, version=1)
-                      .select(*key_cols)
-                      .withColumn("change_type", F.lit("insert")))
-            else:
-                ch = (table_changes(spark, table_root, key_cols, v - 1, v)
-                      .filter(F.col("change_type") != "unchanged")
-                      .select(*key_cols, "change_type"))
+            if starting_version is not None and v < starting_version:
+                continue  # history the consumer opted out of
+            try:
+                if v == 1:
+                    ch = (read_table(spark, table_root, version=1)
+                          .select(*key_cols)
+                          .withColumn("change_type", F.lit("insert")))
+                else:
+                    ch = (table_changes(spark, table_root, key_cols,
+                                        v - 1, v)
+                          .filter(F.col("change_type") != "unchanged")
+                          .select(*key_cols, "change_type"))
+            except FileNotFoundError as e:
+                raise FileNotFoundError(
+                    f"change feed needs versions {max(1, v - 1)}..{v} of "
+                    f"{table_root!r} but the vacuum retention already "
+                    f"reclaimed one — raise the source's keep_versions to "
+                    f"cover consumer lag, or start the feed with "
+                    f"starting_version pointing at a retained version "
+                    f"({e})") from None
             ch = ch.withColumn("commit_version", F.lit(v).cast("long"))
             changes = ch if changes is None else changes.unionByName(ch)
+        if changes is None:
+            return  # every version in this batch was before the start
         version = 1 if cur is None else cur["version"] + 1
         data_dir = new_version_dir(out_root, version)
         changes.write.mode("append").parquet(data_dir)

@@ -930,3 +930,31 @@ def test_where_in_prunes_and_matches(spark, tmp_path):
         {1, 4}
     with pytest.raises(ValueError, match="'in' takes"):
         read_table(spark, out, where=[("k", "in", 10)])
+
+
+def test_table_detail_summarizes_current_snapshot(spark, tmp_path):
+    """DESCRIBE DETAIL: version/instant, footer-derived file/byte/row
+    counts, and every registration (stats, bloom, constraints, zorder)
+    in one row — metadata walk only."""
+    import json as _json
+
+    from steel_datafusion_spark.sources.manifest import (
+        alter_table_constraints, compact_table, manifest_upsert,
+        read_table, table_detail, write_table_bloom,
+    )
+
+    out = str(tmp_path / "detail")
+    df = _skip_df(spark, 3000)
+    manifest_upsert(spark, out, df.repartition(12), ["k"],
+                    stats_cols=["k"])
+    alter_table_constraints(spark, out, add={"k_nonneg": "k >= 0"})
+    compact_table(spark, out, target_bytes=64 * 1024 * 1024,
+                  zorder_by=["v"])
+    write_table_bloom(spark, out, ["s"])
+    d = table_detail(spark, out).head()
+    assert d.num_rows == 3000
+    assert d.num_files == len(read_table(spark, out).inputFiles())
+    assert d.size_bytes > 0 and d.ts > 0
+    assert d.stats_cols == ["k"] and d.bloom_cols == ["s"]
+    assert _json.loads(d.constraints) == {"k_nonneg": "k >= 0"}
+    assert d.zorder_by == ["v"]

@@ -479,3 +479,43 @@ def test_streaming_table_changes_feed(spark, tmp_path):
     got2 = sorted((r.k, r.change_type, r.commit_version)
                   for r in feed2.collect())
     assert (5, "insert", 4) in got2 and len(got2) == len(got) + 1
+
+
+def test_streaming_table_changes_starting_version_and_retention(
+        spark, tmp_path):
+    """starting_version skips history (Delta startingVersion semantics);
+    a feed attached past the vacuum retention raises a pointed error,
+    not a bare missing-dir."""
+    import pytest
+
+    from steel_datafusion_spark.sources.manifest import (
+        manifest_upsert,
+    )
+    from steel_datafusion_spark.streaming.operators import (
+        streaming_table_changes,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k long, v long")
+
+    root = str(tmp_path / "src")
+    manifest_upsert(spark, root, mk([(1, 10), (2, 20)]), ["k"],
+                    keep_versions=100)
+    manifest_upsert(spark, root, mk([(2, 99), (3, 30)]), ["k"],
+                    keep_versions=100)
+    manifest_upsert(spark, root, mk([(4, 40)]), ["k"], keep_versions=100)
+    feed = streaming_table_changes(
+        spark, root, ["k"], str(tmp_path / "out"),
+        str(tmp_path / "work"), starting_version=3)
+    got = sorted((r.k, r.change_type, r.commit_version)
+                 for r in feed.collect())
+    assert got == [(4, "insert", 3)]
+    # retention miss: vacuum the early versions, then attach a NEW feed
+    root2 = str(tmp_path / "src2")
+    manifest_upsert(spark, root2, mk([(1, 10)]), ["k"], keep_versions=1)
+    manifest_upsert(spark, root2, mk([(2, 20)]), ["k"], keep_versions=1)
+    manifest_upsert(spark, root2, mk([(3, 30)]), ["k"], keep_versions=1)
+    with pytest.raises(Exception, match="keep_versions|retention"):
+        streaming_table_changes(spark, root2, ["k"],
+                                str(tmp_path / "out2"),
+                                str(tmp_path / "work2"))
