@@ -24,16 +24,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from steel_datafusion_spark import session_context
 from steel_datafusion_spark.sources.manifest import (
-    latest_commit_info, manifest_delete, manifest_upsert, read_table, vacuum,
+    alter_table_constraints, latest_commit_info, manifest_delete,
+    manifest_upsert, read_table, table_detail, vacuum, write_table_bloom,
 )
 from steel_datafusion_spark.sources.readers import read_parquet
+from steel_datafusion_spark.streaming.operators import (
+    streaming_table_changes,
+)
 
 
 def main() -> None:
     spark = session_context(app_name="lakehouse-demo")
     spark.sparkContext.setLogLevel("ERROR")
     root = os.path.join(tempfile.gettempdir(), "sdf_lakehouse_demo")
-    shutil.rmtree(root, ignore_errors=True)
+    for d in (root, root + "_changes", root + "_feedwork"):
+        shutil.rmtree(d, ignore_errors=True)
 
     def show(tag):
         info = latest_commit_info(root)
@@ -65,6 +70,39 @@ def main() -> None:
         rows = sorted((r.k, r.s) for r in
                       read_table(spark, root, version=ver).collect())
         print(f"  as of v{ver}: {rows}")
+
+    # CHECK constraints: registered once, enforced on every later write
+    alter_table_constraints(spark, root, add={"v_pos": "v > 0"})  # v4
+    try:
+        manifest_upsert(spark, root, spark.createDataFrame(
+            [(9, "bad", -1)], "k long, s string, v long"), ["k"],
+            keep_versions=10)
+    except ValueError as e:
+        print(f"constraint: rejected bad write -> {str(e)[:70]}…")
+
+    # data skipping: stats sidecar + bloom, then a pruned point lookup
+    big = spark.range(5000).selectExpr(
+        "id + 100 AS k", "concat('row-', id) AS s", "id + 1 AS v")
+    manifest_upsert(spark, root, big, ["k"], keep_versions=10,
+                    stats_cols=["k", "v"])                        # v5
+    write_table_bloom(spark, root, ["s"])
+    hit = read_table(spark, root, where=[("s", "=", "row-4242")])
+    print(f"skipping: point lookup opened {len(hit.inputFiles())} of "
+          f"{len(read_table(spark, root).inputFiles())} files, "
+          f"rows={hit.count()}")
+
+    # change-data-feed: tail the commit log as a stream into a changelog
+    feed = streaming_table_changes(
+        spark, root, ["k"], root + "_changes", root + "_feedwork",
+        starting_version=5)
+    print(f"cdf    : {feed.count()} change rows from v5 on "
+          f"(schema {feed.columns})")
+
+    # DESCRIBE DETAIL: one metadata-only summary row
+    d = table_detail(spark, root).head()
+    print(f"detail : v{d.version}, {d.num_files} files, {d.num_rows} rows, "
+          f"stats={d.stats_cols}, bloom={d.bloom_cols}, "
+          f"constraints={d.constraints}")
 
     # retention: keep the newest 2 data dirs, bound the audit log to 3
     removed = vacuum(root, keep=2, keep_log=3)
