@@ -467,12 +467,21 @@ def _part_may_match(pv, op: str, val) -> bool:
     return _range_may_match(pv, pv, op, val)
 
 
-def _collect_file_stats(data_dir: str, cols: list[str]) -> dict:
+def _collect_file_stats(data_dir: str, cols: list[str],
+                        reuse: dict | None = None) -> dict:
     """Per-file min/max/null-count for ``cols`` from parquet FOOTERS
     (row-group statistics aggregated per file) — the write-side half of
-    data skipping, at metadata-read cost: row data is never touched."""
+    data skipping, at metadata-read cost: row data is never touched.
+
+    ``reuse`` is a previous version's per-file entry map: a relpath that
+    still exists carries its entry forward WITHOUT re-reading the footer
+    (safe because versions share files only by hardlink — same relpath
+    ⇒ same inode ⇒ same footer), so a partition-granular upsert, a
+    compaction or a streaming append stats only its NEW files — the
+    Delta carry-forward shape, O(touched) instead of O(table)."""
     import pyarrow.parquet as pq
 
+    reuse = reuse or {}
     files: dict[str, dict] = {}
     for dirpath, _dirs, names in os.walk(data_dir):
         rel_dir = os.path.relpath(dirpath, data_dir)
@@ -481,6 +490,9 @@ def _collect_file_stats(data_dir: str, cols: list[str]) -> dict:
             if f.startswith(("_", ".")) or not f.endswith(".parquet"):
                 continue
             rel = os.path.join(rel_dir, f) if rel_dir else f
+            if rel in reuse:
+                files[rel] = reuse[rel]
+                continue
             md = pq.ParquetFile(os.path.join(dirpath, f)).metadata
             agg: dict[str, dict] = {
                 c: {"lo": None, "hi": None, "nulls": 0, "ok": True}
@@ -534,10 +546,25 @@ def _lt(a, b) -> bool:
         return False
 
 
-def _write_stats_file(data_dir: str, cols: list[str]) -> int:
+def _write_stats_file(data_dir: str, cols: list[str],
+                      base_dir: str | None = None) -> int:
     """Write the ``_stats.json`` sidecar into a (not-yet-committed or
-    backfilled) version dir; returns the number of files covered."""
-    stats = _collect_file_stats(data_dir, cols)
+    backfilled) version dir; returns the number of files covered.
+    ``base_dir`` enables carry-forward: the base version's sidecar
+    entries are reused for hardlinked files (matched by relpath) when
+    it statted the same column set."""
+    reuse = None
+    if base_dir is not None:
+        p = os.path.join(base_dir, _STATS_FILE)
+        if os.path.exists(p):
+            try:
+                with open(p) as fh:
+                    prev = json.load(fh)
+                if set(prev.get("stats_cols", [])) == set(cols):
+                    reuse = prev.get("files", {})
+            except (ValueError, OSError):
+                reuse = None
+    stats = _collect_file_stats(data_dir, cols, reuse=reuse)
     with open(os.path.join(data_dir, _STATS_FILE), "w") as fh:
         json.dump(stats, fh)
     return len(stats["files"])
@@ -721,7 +748,8 @@ def alter_table_constraints(spark: SparkSession, root: str,
     data_dir = new_version_dir(root, version)
     _link_tree(info["data_dir"], data_dir, skip_prefixes=[])
     scols = _inherited_stats_cols(info, None)
-    meta = _finalize_stats(data_dir, scols, scols)
+    meta = _finalize_stats(data_dir, scols, scols,
+                           base_dir=info["data_dir"])
     if cons:
         meta["constraints"] = cons
     try:
@@ -747,14 +775,16 @@ def _inherited_stats_cols(info: dict | None,
 
 
 def _finalize_stats(data_dir: str, scols: list[str],
-                    columns: list[str]) -> dict:
+                    columns: list[str],
+                    base_dir: str | None = None) -> dict:
     """Write the sidecar for a fully-written (pre-commit) version dir and
     return the commit-meta fragment; columns dropped by the write are
-    dropped from the stat set rather than erroring."""
+    dropped from the stat set rather than erroring.  ``base_dir`` turns
+    on hardlink carry-forward (see ``_collect_file_stats``)."""
     present = [c for c in scols if c in columns]
     if not present:
         return {}
-    _write_stats_file(data_dir, present)
+    _write_stats_file(data_dir, present, base_dir=base_dir)
     return {"stats_cols": present}
 
 
@@ -998,7 +1028,8 @@ def manifest_upsert(spark: SparkSession, root: str, updates: DataFrame,
             except ValueError:
                 shutil.rmtree(data_dir, ignore_errors=True)
                 raise
-        meta = _finalize_stats(data_dir, scols, merged.columns)
+        meta = _finalize_stats(data_dir, scols, merged.columns,
+                               base_dir=base_dir)
         if cons:
             meta["constraints"] = cons
         try:
@@ -1145,7 +1176,8 @@ def manifest_delete(spark: SparkSession, root: str, keys: DataFrame,
         else:
             kept = base.join(F.broadcast(k), key_cols, "left_anti")
             kept.write.mode("overwrite").parquet(data_dir)
-        meta = _finalize_stats(data_dir, scols, base.columns)
+        meta = _finalize_stats(data_dir, scols, base.columns,
+                               base_dir=base_dir)
         cons = _inherited_constraints(info)
         if cons:  # deletes can't violate, but the registration carries
             meta["constraints"] = cons
@@ -1357,7 +1389,8 @@ def compact_table(spark: SparkSession, root: str, target_bytes: int,
         meta = {"compacted_files": len(compacted),
                 "compacted_dirs": len(groups),
                 "zorder_by": list(zorder_by or [])}
-        meta.update(_finalize_stats(data_dir, scols, scols))
+        meta.update(_finalize_stats(data_dir, scols, scols,
+                                    base_dir=base_dir))
         cons = _inherited_constraints(info)
         if cons:  # a rewrite can't violate, but the registration carries
             meta["constraints"] = cons
@@ -1470,7 +1503,8 @@ def manifest_merge(spark: SparkSession, root: str, source: DataFrame,
                 shutil.rmtree(data_dir, ignore_errors=True)
                 raise
         meta = {"merge_on": list(key_cols)}
-        meta.update(_finalize_stats(data_dir, scols, out_cols))
+        meta.update(_finalize_stats(data_dir, scols, out_cols,
+                                    base_dir=base_dir))
         if cons:
             meta["constraints"] = cons
         try:

@@ -370,10 +370,17 @@ def streaming_append_table(
 
             _link_tree(cur["data_dir"], data_dir, skip_prefixes=[])
         meta = {"batch_id": batch_id, "txn_app": txn_app}
-        # streaming commits skip stats recollection (O(batch) write cost)
-        # but must not break the skipping/constraint registrations
-        if cur is not None and cur.get("meta", {}).get("stats_cols"):
-            meta["stats_cols"] = cur["meta"]["stats_cols"]
+        # a statted table stays statted under streaming ingest at
+        # O(batch) cost: hardlinked files carry their sidecar entries by
+        # relpath, only the batch's new files read footers
+        scols = list((cur or {}).get("meta", {}).get("stats_cols", [])
+                     or [])
+        if scols:
+            from ..sources.manifest import _finalize_stats
+
+            meta.update(_finalize_stats(
+                data_dir, scols, batch_df.columns,
+                base_dir=cur["data_dir"] if cur else None))
         if cons:
             meta["constraints"] = cons
         commit_version(table_root, version, data_dir, meta=meta)

@@ -958,3 +958,60 @@ def test_table_detail_summarizes_current_snapshot(spark, tmp_path):
     assert d.stats_cols == ["k"] and d.bloom_cols == ["s"]
     assert _json.loads(d.constraints) == {"k_nonneg": "k >= 0"}
     assert d.zorder_by == ["v"]
+
+
+def test_stats_carry_forward_and_streaming_maintenance(spark, tmp_path):
+    """Hardlinked files carry their sidecar entries by relpath (proved
+    by poisoning the base entry and watching it propagate — recomputation
+    would heal it), and a statted table stays statted under streaming
+    ingest with a per-batch incremental sidecar."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.sources.manifest import (
+        latest_commit, latest_commit_info, manifest_upsert, read_table,
+    )
+    from steel_datafusion_spark.streaming.operators import (
+        streaming_append_table,
+    )
+
+    out = str(tmp_path / "carry")
+    df = spark.range(400).select(F.col("id").alias("k"),
+                                 (F.col("id") % 4).alias("p"),
+                                 (F.col("id") + 1.0).alias("v"))
+    manifest_upsert(spark, out, df, ["k"], partition_by=["p"],
+                    stats_cols=["v"], keep_versions=10)
+    _v1, d1 = latest_commit(out)
+    sp = os.path.join(d1, "_stats.json")
+    with open(sp) as fh:
+        s1 = _json.load(fh)
+    victim = next(r for r in s1["files"] if r.startswith("p=3"))
+    s1["files"][victim]["rows"] = 999999  # poison an untouched entry
+    with open(sp, "w") as fh:
+        _json.dump(s1, fh)
+    upd = df.filter(F.col("p") == 1).withColumn("v", F.col("v") + 100)
+    manifest_upsert(spark, out, upd, ["k"], partition_by=["p"],
+                    keep_versions=10)
+    _v2, d2 = latest_commit(out)
+    with open(os.path.join(d2, "_stats.json")) as fh:
+        s2 = _json.load(fh)
+    assert s2["files"][victim]["rows"] == 999999  # carried, not recomputed
+    assert any(r.startswith("p=1") and s2["files"][r]["rows"] != 999999
+               for r in s2["files"])  # the touched partition re-statted
+    # streaming ingest maintains the sidecar per batch
+    src = str(tmp_path / "ssrc")
+    tbl = str(tmp_path / "stbl")
+    batch = spark.range(1000).select(F.col("id").alias("k"),
+                                     (F.col("id") * 2.0).alias("v"))
+    batch.coalesce(2).write.mode("overwrite").parquet(src)
+    manifest_upsert(spark, tbl, batch.limit(0), ["k"], stats_cols=["k"])
+    streaming_append_table(spark, src, batch.schema, tbl,
+                           str(tmp_path / "swork"),
+                           max_files_per_trigger=1)
+    info = latest_commit_info(tbl)
+    assert info["meta"]["stats_cols"] == ["k"]
+    assert os.path.exists(os.path.join(info["data_dir"], "_stats.json"))
+    t = read_table(spark, tbl, where=[("k", "<", 100)])
+    assert t.count() == 100
+    assert len(t.inputFiles()) < len(read_table(spark, tbl).inputFiles())
