@@ -336,7 +336,7 @@ def read_table(spark: SparkSession, root: str,
 # ---------------------------------------------------------------------------
 
 _STATS_FILE = "_stats.json"
-_WHERE_OPS = ("=", "!=", "<", "<=", ">", ">=", "in")
+_WHERE_OPS = ("=", "!=", "<", "<=", ">", ">=", "in", "isnull", "isnotnull")
 
 
 def _stat_encode(v):
@@ -431,6 +431,12 @@ def _file_may_match(finfo: dict, col: str, op: str, val) -> bool:
     e = cols[col]
     if e is None:
         return True  # footer had no usable statistics
+    if op == "isnull":  # prune only when provably null-free
+        return e.get("nulls") != 0
+    if op == "isnotnull":  # prune only when provably all-null
+        rows, nulls = finfo.get("rows"), e.get("nulls")
+        return not (rows is not None and nulls is not None
+                    and nulls >= rows)
     if "lo" not in e:
         rows, nulls = finfo.get("rows"), e.get("nulls")
         return not (rows is not None and nulls is not None
@@ -455,6 +461,10 @@ def _path_part_values(rel: str) -> dict:
 
 
 def _part_may_match(pv, op: str, val) -> bool:
+    if op == "isnull":
+        return pv is None
+    if op == "isnotnull":
+        return pv is not None
     if pv is None:
         return False  # null partition value: null-rejecting ops can't hit
     if op == "in":
@@ -883,6 +893,10 @@ def _read_pruned(spark: SparkSession, data_dir: str,
 
     def _pred(col, op, val):
         c = F.col(col)
+        if op == "isnull":
+            return c.isNull()
+        if op == "isnotnull":
+            return c.isNotNull()
         if op == "in":
             return c.isin(val)
         return {"=": c == F.lit(val), "!=": c != F.lit(val),

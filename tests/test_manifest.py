@@ -1015,3 +1015,40 @@ def test_stats_carry_forward_and_streaming_maintenance(spark, tmp_path):
     t = read_table(spark, tbl, where=[("k", "<", 100)])
     assert t.count() == 100
     assert len(t.inputFiles()) < len(read_table(spark, tbl).inputFiles())
+
+
+def test_where_null_ops_prune_by_null_counts(spark, tmp_path):
+    """isnull prunes provably-null-free files; isnotnull prunes provably
+    all-null files; both stay exact through the residual filter and
+    match Hive null partitions."""
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.sources.manifest import (
+        manifest_upsert, read_table,
+    )
+
+    out = str(tmp_path / "nullops")
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 100, None)
+        .otherwise(F.col("id").cast("double")).alias("v"))
+    manifest_upsert(spark, out, df.repartitionByRange(2, "k"), ["k"],
+                    stats_cols=["k", "v"])
+    nn = read_table(spark, out, where=[("v", "isnotnull", None)])
+    assert len(nn.inputFiles()) == 1 and nn.count() == 100
+    nu = read_table(spark, out, where=[("v", "isnull", None)])
+    assert len(nu.inputFiles()) == 1 and nu.count() == 100
+    # Hive null partitions prune by path
+    out2 = str(tmp_path / "nullparts")
+    p = spark.range(60).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise((F.col("id") % 3).cast("string")).alias("g"))
+    manifest_upsert(spark, out2, p, ["k"], partition_by=["g"])
+    pn = read_table(spark, out2, where=[("g", "isnull", None)])
+    assert pn.count() == 20
+    assert all("__HIVE_DEFAULT_PARTITION__" in f for f in pn.inputFiles())
+    pv = read_table(spark, out2, where=[("g", "isnotnull", None)])
+    assert pv.count() == 40
+    assert all("__HIVE_DEFAULT_PARTITION__" not in f
+               for f in pv.inputFiles())
