@@ -654,7 +654,13 @@ def write_table_bloom(spark: SparkSession, root: str, cols: list[str],
     df = read_parquet(spark, data_dir)
     payload: dict = {"bits": bits, "k": k_hashes, "cols": {}}
     prefix = "file:" + os.path.abspath(data_dir)
+    import base64
+
     for c in cols:
+        # distinct (file, bit) pairs aggregate JVM-side, then land on the
+        # driver as ONE Arrow batch (packed columnar ints, not row
+        # objects) — transient driver cost O(files x set bits) ints,
+        # persisted cost bits/8 bytes per file
         pos = (df.filter(F.col(c).isNotNull())
                .select(F.input_file_name().alias("_f"),
                        F.explode(F.array(*[
@@ -664,15 +670,15 @@ def write_table_bloom(spark: SparkSession, root: str, cols: list[str],
                            for i in range(k_hashes)])).alias("_b"))
                .distinct()
                .groupBy("_f").agg(F.collect_list("_b").alias("_bs"))
-               .collect())
+               .toArrow())
         files = {}
-        for r in pos:
-            f = urllib.parse.unquote(urllib.parse.urlparse(r._f).path)
+        for f_uri, bs in zip(pos.column("_f").to_pylist(),
+                             pos.column("_bs").to_pylist()):
+            f = urllib.parse.unquote(urllib.parse.urlparse(f_uri).path)
             rel = os.path.relpath(f, os.path.abspath(data_dir))
             buf = bytearray(bits // 8 + (1 if bits % 8 else 0))
-            for b in r._bs:
+            for b in bs:
                 buf[b >> 3] |= 1 << (b & 7)
-            import base64
             files[rel] = base64.b64encode(bytes(buf)).decode()
         payload["cols"][c] = files
     with open(os.path.join(data_dir, _BLOOM_FILE), "w") as fh:
@@ -680,24 +686,31 @@ def write_table_bloom(spark: SparkSession, root: str, cols: list[str],
     return sum(len(v) for v in payload["cols"].values())
 
 
-def _bloom_probe_bits(spark: SparkSession, schema, col: str, val,
-                      bits: int, k_hashes: int) -> list[int] | None:
-    """The literal's bit positions under the SAME canonicalization the
-    build used, or None when the literal can't be cast to the column's
-    type (then bloom pruning abstains)."""
+def _bloom_probe_bits(spark: SparkSession, schema, col: str, vals: list,
+                      bits: int, k_hashes: int) -> list[list[int]] | None:
+    """Each literal's bit positions under the SAME canonicalization the
+    build used — ONE 1-row Spark job for the whole value list (chunked
+    at 256 values to bound plan width), or None when any literal can't
+    be cast to the column's type (then bloom pruning abstains for the
+    whole predicate)."""
     from pyspark.sql import functions as F
 
     try:
         dt = schema[col].dataType
     except KeyError:
         return None
-    row = spark.range(1).select(*[
-        F.pmod(F.xxhash64(F.lit(val).cast(dt).cast("string"), F.lit(i)),
-               F.lit(bits)).cast("int").alias(f"b{i}")
-        for i in range(k_hashes)]).head()
-    if row is None or any(v is None for v in row):
-        return None  # literal cast to the column type is NULL: abstain
-    return list(row)
+    out: list[list[int]] = []
+    for start in range(0, len(vals), 256):
+        chunk = vals[start:start + 256]
+        row = spark.range(1).select(*[
+            F.pmod(F.xxhash64(F.lit(v).cast(dt).cast("string"), F.lit(i)),
+                   F.lit(bits)).cast("int").alias(f"b_{j}_{i}")
+            for j, v in enumerate(chunk) for i in range(k_hashes)]).head()
+        if row is None or any(x is None for x in row):
+            return None  # a literal cast to the column type is NULL
+        out.extend([row[j * k_hashes + i] for i in range(k_hashes)]
+                   for j in range(len(chunk)))
+    return out
 
 
 def _inherited_constraints(info: dict | None) -> dict:
@@ -843,14 +856,11 @@ def _read_pruned(spark: SparkSession, data_dir: str,
         for col, op, val in where:
             if op in ("=", "in") and col in bloom["cols"]:
                 vals = val if op == "in" else [val]
-                per_val = [_bloom_probe_bits(spark, schema, col, v,
-                                             int(bloom["bits"]),
-                                             int(bloom["k"]))
-                           for v in vals]
-                # one uncastable literal means the bloom can't decide the
-                # whole predicate — abstain rather than guess
-                probe_bits[col] = None if any(b is None for b in per_val) \
-                    else per_val
+                # None = some literal was uncastable: the bloom can't
+                # decide the whole predicate — abstain rather than guess
+                probe_bits[col] = _bloom_probe_bits(
+                    spark, schema, col, vals,
+                    int(bloom["bits"]), int(bloom["k"]))
 
         def _bloom_admits(rel: str, col: str) -> bool:
             pbs = probe_bits.get(col)
