@@ -151,29 +151,42 @@ def new_version_dir(root: str, version: int) -> str:
 
 def commit_version(root: str, version: int, data_dir: str,
                    meta: dict | None = None) -> None:
-    """Atomically claim ``version`` for ``data_dir``.  O_EXCL create =
-    first writer wins; raises :class:`CommitConflict` for the loser, whose
-    (orphan) data dir the next vacuum removes.  The commit file and its
-    directory are fsynced so the commit survives a crash.  ``meta`` rides
-    along in the payload (e.g. a streaming batch_id, so a replayed batch
-    can recognize itself and skip — exactly-once across restarts)."""
+    """Atomically claim ``version`` for ``data_dir``.  The payload is
+    fully written (and fsynced) to a hidden temp file FIRST, then
+    hard-linked to the commit name — ``link(2)`` fails if the name
+    exists, so the first writer still wins (the loser gets
+    :class:`CommitConflict`; its orphan data dir the next vacuum
+    removes), and a concurrent reader can never observe a commit file
+    whose content isn't complete — the empty-file window an O_EXCL
+    create + write would leave, which would make a tailing change feed
+    skip the version forever.  The directory is fsynced so the commit
+    survives a crash.  ``meta`` rides along in the payload (e.g. a
+    streaming batch_id, so a replayed batch can recognize itself and
+    skip — exactly-once across restarts)."""
     cdir = _commits_dir(root)
     os.makedirs(cdir, exist_ok=True)
     rel = os.path.relpath(data_dir, root)
     payload = json.dumps({"version": version, "data_dir": rel,
                           "ts": time.time(), "meta": meta or {}})
     path = os.path.join(cdir, f"v{version:010d}.json")
-    try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        raise CommitConflict(
-            f"version {version} of {root!r} was committed by another "
-            f"writer") from None
+    tmp = os.path.join(cdir, f".v{version:010d}.{uuid.uuid4().hex[:8]}")
+    fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     try:
         os.write(fd, payload.encode())
         os.fsync(fd)
     finally:
         os.close(fd)
+    try:
+        os.link(tmp, path)  # atomic claim WITH complete content
+    except FileExistsError:
+        raise CommitConflict(
+            f"version {version} of {root!r} was committed by another "
+            f"writer") from None
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
     try:  # fsync the directory entry too (commit must survive power loss)
         dfd = os.open(cdir, os.O_RDONLY)
         try:
@@ -203,6 +216,44 @@ def _write_checkpoint(cdir: str, version: int, payload: str) -> None:
         os.replace(tmp, os.path.join(cdir, _LAST_CHECKPOINT))
     except OSError:
         pass  # best-effort; resolution falls back to the full listing
+
+
+
+def _version_data_dir(root: str, version: int | None = None) -> str:
+    """Absolute data dir of a committed version (the newest when None),
+    with the explanatory errors every caller wants: unknown version vs
+    a version whose data the vacuum retention already reclaimed."""
+    if version is None:
+        cur = latest_commit(root)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version under {root!r}")
+        return cur[1]
+    path = os.path.join(_commits_dir(root), f"v{version:010d}.json")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"version {version} was never committed under {root!r}")
+    with open(path) as fh:
+        payload = json.load(fh)
+    data_dir = os.path.join(root, payload["data_dir"])
+    if not os.path.isdir(data_dir):
+        raise FileNotFoundError(
+            f"version {version} of {root!r} is outside the vacuum "
+            f"retention window (its data dir was reclaimed)")
+    return data_dir
+
+
+def _iter_data_files(data_dir: str):
+    """(relpath, abspath) of every parquet data file under a version dir
+    — one definition of "data file" (skip metadata/hidden) for stats,
+    blooms, pruning and DESCRIBE DETAIL alike."""
+    for dirpath, _dirs, names in os.walk(data_dir):
+        rel_dir = os.path.relpath(dirpath, data_dir)
+        rel_dir = "" if rel_dir == "." else rel_dir
+        for f in names:
+            if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                continue
+            yield (os.path.join(rel_dir, f) if rel_dir else f,
+                   os.path.join(dirpath, f))
 
 
 def _commit_ts(cdir: str, fname: str, payload: dict) -> float:
@@ -242,7 +293,7 @@ def _version_as_of(root: str, as_of) -> int:
     this is an audit/debug path, not the hot read path."""
     target = _as_of_epoch(as_of)
     cdir = _commits_dir(root)
-    best, best_ts = None, None
+    best = None
     earliest = None
     if os.path.isdir(cdir):
         for f in os.listdir(cdir):
@@ -256,7 +307,7 @@ def _version_as_of(root: str, as_of) -> int:
                 continue
             earliest = ts if earliest is None else min(earliest, ts)
             if ts <= target and (best is None or v > best):
-                best, best_ts = v, ts
+                best = v
     if best is None:
         raise FileNotFoundError(
             f"no version of {root!r} existed at {as_of!r}"
@@ -299,23 +350,7 @@ def read_table(spark: SparkSession, root: str,
         if version is not None:
             raise ValueError("pass either version or as_of, not both")
         version = _version_as_of(root, as_of)
-    if version is None:
-        cur = latest_commit(root)
-        if cur is None:
-            raise FileNotFoundError(f"no committed version under {root!r}")
-        data_dir = cur[1]
-    else:
-        path = os.path.join(_commits_dir(root), f"v{version:010d}.json")
-        if not os.path.exists(path):
-            raise FileNotFoundError(
-                f"version {version} was never committed under {root!r}")
-        with open(path) as fh:
-            payload = json.load(fh)
-        data_dir = os.path.join(root, payload["data_dir"])
-        if not os.path.isdir(data_dir):
-            raise FileNotFoundError(
-                f"version {version} of {root!r} is outside the vacuum "
-                f"retention window (its data dir was reclaimed)")
+    data_dir = _version_data_dir(root, version)
     if not where:
         return read_parquet(spark, data_dir)
     return _read_pruned(spark, data_dir, where)
@@ -379,12 +414,24 @@ def _to_datetime(v):
 def _comparable(bound, val):
     """Coerce a decoded stats bound and a predicate literal into one
     comparable domain; TypeError when they can't be compared (the caller
-    then keeps the file — pruning must never guess)."""
+    then keeps the file — pruning must never guess).  Numerics compare
+    EXACTLY (int↔int stays integral; mixed int/float/Decimal goes
+    through Decimal, whose float conversion is the exact binary value) —
+    a float() coercion here would round int64 values at 2^53 and
+    silently prune files whose rows survive the residual filter."""
     num = (int, float, decimal.Decimal)
     if isinstance(bound, bool) or isinstance(val, bool):
         raise TypeError("boolean stats are not pruned")
     if isinstance(bound, num) and isinstance(val, num):
-        return float(bound), float(val)
+        if (isinstance(bound, float) and bound != bound) or \
+                (isinstance(val, float) and val != val):
+            raise TypeError("NaN bounds/literals are not pruned")
+        if isinstance(bound, int) and isinstance(val, int):
+            return bound, val
+        return (bound if isinstance(bound, decimal.Decimal)
+                else decimal.Decimal(bound)), \
+               (val if isinstance(val, decimal.Decimal)
+                else decimal.Decimal(val))
     if isinstance(bound, (datetime.date, datetime.datetime)) \
             or isinstance(val, (datetime.date, datetime.datetime)):
         return _to_datetime(bound), _to_datetime(val)
@@ -401,10 +448,8 @@ def _range_may_match(lo, hi, op: str, val) -> bool:
     try:
         lo2, v = _comparable(lo, val)
         hi2, _ = _comparable(hi, val)
-    except (TypeError, ValueError):
+    except (TypeError, ValueError, decimal.InvalidOperation):
         return True
-    if isinstance(lo2, float) and (lo2 != lo2 or hi2 != hi2):
-        return True  # NaN bounds: parquet stats unusable for pruning
     if op == "=":
         return lo2 <= v <= hi2
     if op == "!=":
@@ -461,6 +506,14 @@ def _path_part_values(rel: str) -> dict:
 
 
 def _part_may_match(pv, op: str, val) -> bool:
+    """Partition-path pruning from a Hive ``col=value`` segment.  The
+    path value is a string whose COLUMN type Spark infers elsewhere, so
+    comparisons only prune when both the lexical and the numeric
+    interpretation agree the file can't match — e.g. ``("bucket", "=",
+    "09")`` keeps dir ``bucket=9`` (numeric cast would match) and range
+    ops with string literals abstain entirely (an int column would
+    compare numerically, a string column lexically — unknowable from
+    the path alone)."""
     if op == "isnull":
         return pv is None
     if op == "isnotnull":
@@ -469,12 +522,25 @@ def _part_may_match(pv, op: str, val) -> bool:
         return False  # null partition value: null-rejecting ops can't hit
     if op == "in":
         return any(_part_may_match(pv, "=", v) for v in val)
-    if not isinstance(val, str):
-        try:  # path values are strings; match the literal's domain
-            pv = float(pv)
+    if isinstance(val, str):
+        if op == "=":
+            if pv == val:
+                return True
+            try:  # unequal lexically — could a numeric cast still match?
+                return float(pv) == float(val)
+            except (TypeError, ValueError):
+                return False
+        if op == "!=":  # single-valued dir: prune only on lexical equality
+            return pv != val
+        return True  # range op on an ambiguous domain: abstain
+    try:
+        pvn = int(pv)
+    except (TypeError, ValueError):
+        try:
+            pvn = float(pv)
         except (TypeError, ValueError):
-            return True
-    return _range_may_match(pv, pv, op, val)
+            return True  # non-numeric path value vs numeric literal
+    return _range_may_match(pvn, pvn, op, val)
 
 
 def _collect_file_stats(data_dir: str, cols: list[str],
@@ -493,59 +559,59 @@ def _collect_file_stats(data_dir: str, cols: list[str],
 
     reuse = reuse or {}
     files: dict[str, dict] = {}
-    for dirpath, _dirs, names in os.walk(data_dir):
-        rel_dir = os.path.relpath(dirpath, data_dir)
-        rel_dir = "" if rel_dir == "." else rel_dir
-        for f in names:
-            if f.startswith(("_", ".")) or not f.endswith(".parquet"):
-                continue
-            rel = os.path.join(rel_dir, f) if rel_dir else f
-            if rel in reuse:
-                files[rel] = reuse[rel]
-                continue
-            md = pq.ParquetFile(os.path.join(dirpath, f)).metadata
-            agg: dict[str, dict] = {
-                c: {"lo": None, "hi": None, "nulls": 0, "ok": True}
-                for c in cols}
-            for rgi in range(md.num_row_groups):
-                rg = md.row_group(rgi)
-                for ci in range(md.num_columns):
-                    cm = rg.column(ci)
-                    name = cm.path_in_schema
-                    if name not in agg:
-                        continue
-                    a = agg[name]
-                    st = cm.statistics
-                    nc = None if st is None else st.null_count
-                    if nc is None:
-                        a["nulls"] = None
-                    elif a["nulls"] is not None:
-                        a["nulls"] += nc
-                    if st is not None and st.has_min_max:
-                        mn, mx = st.min, st.max
-                        if _stat_encode(mn) is None or \
-                                _stat_encode(mx) is None:
-                            a["ok"] = False
-                            continue
-                        if a["lo"] is None or _lt(mn, a["lo"]):
-                            a["lo"] = mn
-                        if a["hi"] is None or _lt(a["hi"], mx):
-                            a["hi"] = mx
-                    elif not (nc is not None and nc == rg.num_rows):
-                        # missing min/max on a group with non-null values:
-                        # the file's range is unknowable — don't prune it
+    for rel, path in _iter_data_files(data_dir):
+        if rel in reuse:
+            files[rel] = reuse[rel]
+            continue
+        md = pq.ParquetFile(path).metadata
+        agg: dict[str, dict] = {
+            c: {"lo": None, "hi": None, "nulls": 0, "ok": True,
+                "seen": False}
+            for c in cols}
+        for rgi in range(md.num_row_groups):
+            rg = md.row_group(rgi)
+            for ci in range(md.num_columns):
+                cm = rg.column(ci)
+                name = cm.path_in_schema
+                if name not in agg:
+                    continue
+                a = agg[name]
+                a["seen"] = True
+                st = cm.statistics
+                nc = None if st is None else st.null_count
+                if nc is None:
+                    a["nulls"] = None
+                elif a["nulls"] is not None:
+                    a["nulls"] += nc
+                if st is not None and st.has_min_max:
+                    mn, mx = st.min, st.max
+                    if _stat_encode(mn) is None or \
+                            _stat_encode(mx) is None:
                         a["ok"] = False
-            entry: dict[str, dict | None] = {}
-            for c, a in agg.items():
-                if not a["ok"] or (a["lo"] is None and a["nulls"] is None):
-                    entry[c] = None
-                elif a["lo"] is None:
-                    entry[c] = {"nulls": a["nulls"]}  # all-null column
-                else:
-                    entry[c] = {"lo": _stat_encode(a["lo"]),
-                                "hi": _stat_encode(a["hi"]),
-                                "nulls": a["nulls"]}
-            files[rel] = {"rows": md.num_rows, "cols": entry}
+                        continue
+                    if a["lo"] is None or _lt(mn, a["lo"]):
+                        a["lo"] = mn
+                    if a["hi"] is None or _lt(a["hi"], mx):
+                        a["hi"] = mx
+                elif not (nc is not None and nc == rg.num_rows):
+                    # missing min/max on a group with non-null values:
+                    # the file's range is unknowable — don't prune it
+                    a["ok"] = False
+        entry: dict[str, dict | None] = {}
+        for c, a in agg.items():
+            if not a["seen"] or not a["ok"] or \
+                    (a["lo"] is None and a["nulls"] is None):
+                # absent-from-file columns are UNKNOWN, not null-free:
+                # a mixed-schema read surfaces their rows as NULL, so
+                # a {"nulls": 0} entry would let isnull prune them
+                entry[c] = None
+            elif a["lo"] is None:
+                entry[c] = {"nulls": a["nulls"]}  # all-null column
+            else:
+                entry[c] = {"lo": _stat_encode(a["lo"]),
+                            "hi": _stat_encode(a["hi"]),
+                            "nulls": a["nulls"]}
+        files[rel] = {"rows": md.num_rows, "cols": entry}
     return {"stats_cols": list(cols), "files": files}
 
 
@@ -603,15 +669,7 @@ def write_table_stats(root: str, cols: list[str],
     mid-backfill simply prunes nothing), and subsequent
     ``manifest_upsert``/``compact_table`` commits inherit the column
     set.  Returns the number of files covered."""
-    if version is None:
-        cur = latest_commit(root)
-        if cur is None:
-            raise FileNotFoundError(f"no committed version under {root!r}")
-        data_dir = cur[1]
-    else:
-        with open(os.path.join(_commits_dir(root),
-                               f"v{version:010d}.json")) as fh:
-            data_dir = os.path.join(root, json.load(fh)["data_dir"])
+    data_dir = _version_data_dir(root, version)
     return _write_stats_file(data_dir, cols)
 
 
@@ -642,18 +700,9 @@ def write_table_bloom(spark: SparkSession, root: str, cols: list[str],
 
     from .readers import read_parquet
 
-    if version is None:
-        cur = latest_commit(root)
-        if cur is None:
-            raise FileNotFoundError(f"no committed version under {root!r}")
-        data_dir = cur[1]
-    else:
-        with open(os.path.join(_commits_dir(root),
-                               f"v{version:010d}.json")) as fh:
-            data_dir = os.path.join(root, json.load(fh)["data_dir"])
+    data_dir = _version_data_dir(root, version)
     df = read_parquet(spark, data_dir)
     payload: dict = {"bits": bits, "k": k_hashes, "cols": {}}
-    prefix = "file:" + os.path.abspath(data_dir)
     import base64
 
     for c in cols:
@@ -742,10 +791,36 @@ def _enforce_constraints(df: DataFrame, constraints: dict) -> None:
                 f"write batch, e.g. {bad[0].asDict()}")
 
 
+def _read_written(spark: SparkSession, data_dir: str,
+                  rel_paths: list[str] | None = None) -> DataFrame:
+    """The rows a writer just wrote: the whole (rewritten) version dir,
+    or only the rewritten partition subtrees when given — hardlinked
+    base rows passed their own write's check (the inductive invariant),
+    so constraint enforcement stays O(written), never O(table).
+    ``basePath`` keeps partition columns resolvable and the ns-timestamp
+    conversion matches ``read_parquet`` so a timestamp constraint
+    evaluates identically at ADD time and at write time."""
+    from pyspark.sql import functions as F
+
+    from .readers import _nanos_ts_columns, ensure_session_confs
+
+    ensure_session_confs(spark)
+    if rel_paths:
+        paths = [os.path.join(data_dir, rp) for rp in rel_paths]
+        paths = [p for p in paths if os.path.isdir(p)]
+        df = spark.read.option("basePath", data_dir).parquet(
+            *(paths or [data_dir]))
+    else:
+        df = spark.read.parquet(data_dir)
+    for c in _nanos_ts_columns(data_dir):
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
 def alter_table_constraints(spark: SparkSession, root: str,
                             add: dict | None = None,
                             drop: list[str] | None = None,
-                            keep_versions: int = 2) -> int:
+                            keep_versions: int | None = None) -> int:
     """Register/unregister CHECK constraints on a manifest table — the
     Delta ``ALTER TABLE ADD CONSTRAINT`` verb.  Constraints are SQL
     boolean expressions over the table's columns, stored in commit meta,
@@ -780,7 +855,8 @@ def alter_table_constraints(spark: SparkSession, root: str,
     except CommitConflict:
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
-    vacuum(root, keep=keep_versions)
+    if keep_versions is not None:  # a metadata-only verb must not shrink
+        vacuum(root, keep=keep_versions)  # retention unless asked to
     return version
 
 
@@ -874,32 +950,26 @@ def _read_pruned(spark: SparkSession, data_dir: str,
         def _bloom_admits(rel: str, col: str) -> bool:
             return True
     survivors, total = [], 0
-    for dirpath, _dirs, names in os.walk(data_dir):
-        rel_dir = os.path.relpath(dirpath, data_dir)
-        rel_dir = "" if rel_dir == "." else rel_dir
-        for f in names:
-            if f.startswith(("_", ".")) or not f.endswith(".parquet"):
-                continue
-            rel = os.path.join(rel_dir, f) if rel_dir else f
-            total += 1
-            pvals = _path_part_values(rel)
-            finfo = stats_files.get(rel)
-            keep = True
-            for col, op, val in where:
-                if col in pvals:
-                    if not _part_may_match(pvals[col], op, val):
-                        keep = False
-                        break
-                elif finfo is not None and \
-                        not _file_may_match(finfo, col, op, val):
+    for rel, path in _iter_data_files(data_dir):
+        total += 1
+        pvals = _path_part_values(rel)
+        finfo = stats_files.get(rel)
+        keep = True
+        for col, op, val in where:
+            if col in pvals:
+                if not _part_may_match(pvals[col], op, val):
                     keep = False
                     break
-                elif op in ("=", "in") and col in probe_bits and \
-                        not _bloom_admits(rel, col):
-                    keep = False
-                    break
-            if keep:
-                survivors.append(os.path.join(dirpath, f))
+            elif finfo is not None and \
+                    not _file_may_match(finfo, col, op, val):
+                keep = False
+                break
+            elif op in ("=", "in") and col in probe_bits and \
+                    not _bloom_admits(rel, col):
+                keep = False
+                break
+        if keep:
+            survivors.append(path)
 
     def _pred(col, op, val):
         c = F.col(col)
@@ -1038,17 +1108,20 @@ def manifest_upsert(spark: SparkSession, root: str, updates: DataFrame,
             merged.write.mode("overwrite").partitionBy(*partition_by) \
                 .parquet(data_dir)
             _link_tree(base_dir, data_dir, skip_prefixes=rel_paths)
+            written_rel = rel_paths
         else:
             merged = base.join(F.broadcast(keys), key_cols, "left_anti") \
                          .unionByName(updates,
                                       allowMissingColumns=schema_evolution)
             data_dir = new_version_dir(root, version)
             merged.write.mode("overwrite").parquet(data_dir)
+            written_rel = None
 
         cons = _inherited_constraints(info)
         if cons:
-            try:  # check what will actually land, before it can commit
-                _enforce_constraints(spark.read.parquet(data_dir), cons)
+            try:  # check what will actually land — rewritten rows only
+                _enforce_constraints(
+                    _read_written(spark, data_dir, written_rel), cons)
             except ValueError:
                 shutil.rmtree(data_dir, ignore_errors=True)
                 raise
@@ -1083,14 +1156,10 @@ def table_detail(spark: SparkSession, root: str) -> DataFrame:
         raise FileNotFoundError(f"no committed version under {root!r}")
     data_dir = info["data_dir"]
     n_files = total_bytes = n_rows = 0
-    for dirpath, _dirs, names in os.walk(data_dir):
-        for f in names:
-            if f.startswith(("_", ".")) or not f.endswith(".parquet"):
-                continue
-            p = os.path.join(dirpath, f)
-            n_files += 1
-            total_bytes += os.path.getsize(p)
-            n_rows += pq.ParquetFile(p).metadata.num_rows
+    for _rel, p in _iter_data_files(data_dir):
+        n_files += 1
+        total_bytes += os.path.getsize(p)
+        n_rows += pq.ParquetFile(p).metadata.num_rows
     meta = info.get("meta", {})
     bloom_cols: list[str] = []
     bpath = os.path.join(data_dir, _BLOOM_FILE)
@@ -1522,7 +1591,7 @@ def manifest_merge(spark: SparkSession, root: str, source: DataFrame,
         cons = _inherited_constraints(info)
         if cons:
             try:
-                _enforce_constraints(spark.read.parquet(data_dir), cons)
+                _enforce_constraints(_read_written(spark, data_dir), cons)
             except ValueError:
                 shutil.rmtree(data_dir, ignore_errors=True)
                 raise

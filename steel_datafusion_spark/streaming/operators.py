@@ -372,12 +372,15 @@ def streaming_append_table(
         meta = {"batch_id": batch_id, "txn_app": txn_app}
         # a statted table stays statted under streaming ingest at
         # O(batch) cost: hardlinked files carry their sidecar entries by
-        # relpath, only the batch's new files read footers
-        scols = list((cur or {}).get("meta", {}).get("stats_cols", [])
-                     or [])
-        if scols:
-            from ..sources.manifest import _finalize_stats
+        # relpath, only the batch's new files read footers; inheritance
+        # goes through _inherited_stats_cols so a write_table_stats
+        # BACKFILL (sidecar only, commit meta untouched) survives too
+        from ..sources.manifest import (
+            _finalize_stats, _inherited_stats_cols,
+        )
 
+        scols = _inherited_stats_cols(cur, None)
+        if scols:
             meta.update(_finalize_stats(
                 data_dir, scols, batch_df.columns,
                 base_dir=cur["data_dir"] if cur else None))
@@ -445,7 +448,14 @@ def streaming_table_changes(
     txn_app = _os2.path.abspath(ckpt)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        payloads = [r.value for r in batch_df.collect() if r.value.strip()]
+        payloads = [r.value for r in batch_df.collect()]
+        if any(not p.strip() for p in payloads):
+            # a partially-visible commit file (pre-atomic-link writers):
+            # fail the batch so the retry re-reads completed content —
+            # skipping would lose the version forever
+            raise RuntimeError(
+                f"batch {batch_id} read a blank commit payload from "
+                f"{table_root!r}; retrying against completed content")
         versions = sorted(_json.loads(p)["version"] for p in payloads)
         if not versions:
             return
@@ -478,16 +488,26 @@ def streaming_table_changes(
             changes = ch if changes is None else changes.unionByName(ch)
         if changes is None:
             return  # every version in this batch was before the start
+        from ..sources.manifest import (
+            _enforce_constraints, _finalize_stats, _inherited_constraints,
+            _inherited_stats_cols,
+        )
+
+        cons = _inherited_constraints(cur)
+        _enforce_constraints(changes, cons)  # CHECKs guard the feed too
         version = 1 if cur is None else cur["version"] + 1
         data_dir = new_version_dir(out_root, version)
         changes.write.mode("append").parquet(data_dir)
         if cur is not None:
             _link_tree(cur["data_dir"], data_dir, skip_prefixes=[])
         meta = {"batch_id": batch_id, "txn_app": txn_app}
-        if cur is not None:  # carry registrations across feed commits
-            for key in ("stats_cols", "constraints"):
-                if cur.get("meta", {}).get(key):
-                    meta[key] = cur["meta"][key]
+        scols = _inherited_stats_cols(cur, None)
+        if scols:  # a statted changelog table stays statted, O(batch)
+            meta.update(_finalize_stats(
+                data_dir, scols, changes.columns,
+                base_dir=cur["data_dir"] if cur else None))
+        if cons:
+            meta["constraints"] = cons
         commit_version(out_root, version, data_dir, meta=meta)
         vacuum(out_root, keep=2)
 

@@ -1052,3 +1052,60 @@ def test_where_null_ops_prune_by_null_counts(spark, tmp_path):
     assert pv.count() == 40
     assert all("__HIVE_DEFAULT_PARTITION__" not in f
                for f in pv.inputFiles())
+
+
+def test_pruning_exactness_guards(spark, tmp_path):
+    """Regressions for pruning-must-never-guess: int64 comparisons stay
+    exact past 2^53 (no float coercion), string literals against numeric
+    partition paths match Spark's cast semantics or abstain, absent
+    columns stat as UNKNOWN (not null-free), and registering a
+    constraint never vacuums retention away."""
+    import json as _json
+
+    from steel_datafusion_spark.sources.manifest import (
+        _collect_file_stats, alter_table_constraints, manifest_upsert,
+        read_table,
+    )
+
+    big = 2 ** 53
+    out = str(tmp_path / "exact")
+    df = spark.createDataFrame([(big,), (big + 2,)], "k long")
+    manifest_upsert(spark, out, df.repartitionByRange(2, "k"), ["k"],
+                    stats_cols=["k"])
+    # float(2^53) == float(2^53+1): a float-coerced bound would prune
+    # the file holding k=2^53 out of `k < 2^53+1`
+    t = read_table(spark, out, where=[("k", "<", big + 1)])
+    assert [r.k for r in t.collect()] == [big]
+    t2 = read_table(spark, out, where=[("k", "!=", big + 1)])
+    assert sorted(r.k for r in t2.collect()) == [big, big + 2]
+
+    # numeric partition dirs probed with string literals: Spark casts,
+    # so "09" must reach dir b=9 and range ops must abstain
+    pout = str(tmp_path / "pexact")
+    p = spark.range(16).select((F.col("id") % 16).alias("b"),
+                               F.col("id").alias("k"))
+    manifest_upsert(spark, pout, p, ["k"], partition_by=["b"])
+    t3 = read_table(spark, pout, where=[("b", "=", "09")])
+    assert t3.count() == 1 and t3.head().b == 9
+    full = read_table(spark, pout)
+    exp = full.filter(F.col("b") < F.lit("10")).count()
+    t4 = read_table(spark, pout, where=[("b", "<", "10")])
+    assert t4.count() == exp
+
+    # a requested column entirely absent from a file must stat as None
+    # (unknown), never {"nulls": 0} — isnull pruning would lose rows
+    d1 = str(tmp_path / "absent")
+    spark.createDataFrame([(1,)], "k long").write.parquet(d1)
+    stats = _collect_file_stats(d1, ["nope"])
+    assert all(e["cols"]["nope"] is None for e in stats["files"].values())
+
+    # metadata-only constraint registration keeps the writers' retention
+    r2 = str(tmp_path / "keep")
+    manifest_upsert(spark, r2, _mk(spark, [(1, "a", 1)]), ["k"],
+                    keep_versions=10)
+    manifest_upsert(spark, r2, _mk(spark, [(2, "b", 2)]), ["k"],
+                    keep_versions=10)
+    manifest_upsert(spark, r2, _mk(spark, [(3, "c", 3)]), ["k"],
+                    keep_versions=10)
+    alter_table_constraints(spark, r2, add={"v_pos": "v > 0"})
+    assert read_table(spark, r2, version=1).count() == 1  # still retained
