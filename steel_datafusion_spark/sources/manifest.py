@@ -172,7 +172,10 @@ def commit_version(root: str, version: int, data_dir: str,
     tmp = os.path.join(cdir, f".v{version:010d}.{uuid.uuid4().hex[:8]}")
     fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     try:
-        os.write(fd, payload.encode())
+        data = payload.encode()
+        off = 0
+        while off < len(data):  # os.write may be short (e.g. ENOSPC
+            off += os.write(fd, data[off:])  # edge); never link a prefix
         os.fsync(fd)
     finally:
         os.close(fd)
@@ -230,8 +233,16 @@ def _version_data_dir(root: str, version: int | None = None) -> str:
         return cur[1]
     path = os.path.join(_commits_dir(root), f"v{version:010d}.json")
     if not os.path.exists(path):
-        raise FileNotFoundError(
-            f"version {version} was never committed under {root!r}")
+        # vacuum(keep_log) prunes old commit files but retains checkpoint
+        # payloads (identical content) — time travel reaches a
+        # checkpointed version even after its commit file is gone
+        path = os.path.join(_commits_dir(root),
+                            f"checkpoint-v{version:010d}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"version {version} was never committed under {root!r} "
+                f"(or its commit file was pruned by vacuum(keep_log) "
+                f"with no surviving checkpoint)")
     with open(path) as fh:
         payload = json.load(fh)
     data_dir = os.path.join(root, payload["data_dir"])
@@ -762,6 +773,24 @@ def _bloom_probe_bits(spark: SparkSession, schema, col: str, vals: list,
     return out
 
 
+def _inherited_txns(info: dict | None) -> dict:
+    """Per-streaming-query transaction watermarks ({txn_app: batch_id})
+    from the base version's commit meta — the Delta SetTransaction shape.
+    EVERY writer carries this map forward (not just streaming ones):
+    replay detection inspects only the newest commit, so a compaction or
+    upsert interleaved between a stream's commit and its checkpoint
+    advance must not erase the stream's watermark — that would let a
+    replayed micro-batch append its rows twice."""
+    if info is None:
+        return {}
+    meta = info.get("meta", {})
+    txns = dict(meta.get("txns", {}) or {})
+    # fold in legacy single-slot keys from pre-txns tables
+    if meta.get("txn_app") is not None and meta.get("batch_id") is not None:
+        txns.setdefault(meta["txn_app"], meta["batch_id"])
+    return txns
+
+
 def _inherited_constraints(info: dict | None) -> dict:
     """The table's registered CHECK constraints ({name: sql_expr}) from
     the base version's commit meta — every writer carries them forward
@@ -850,6 +879,9 @@ def alter_table_constraints(spark: SparkSession, root: str,
                            base_dir=info["data_dir"])
     if cons:
         meta["constraints"] = cons
+    txns = _inherited_txns(info)
+    if txns:
+        meta["txns"] = txns
     try:
         commit_version(root, version, data_dir, meta=meta or None)
     except CommitConflict:
@@ -1129,6 +1161,9 @@ def manifest_upsert(spark: SparkSession, root: str, updates: DataFrame,
                                base_dir=base_dir)
         if cons:
             meta["constraints"] = cons
+        txns = _inherited_txns(info)
+        if txns:
+            meta["txns"] = txns
         try:
             commit_version(root, version, data_dir, meta=meta or None)
         except CommitConflict:
@@ -1274,6 +1309,9 @@ def manifest_delete(spark: SparkSession, root: str, keys: DataFrame,
         cons = _inherited_constraints(info)
         if cons:  # deletes can't violate, but the registration carries
             meta["constraints"] = cons
+        txns = _inherited_txns(info)
+        if txns:
+            meta["txns"] = txns
         try:
             commit_version(root, version, data_dir, meta=meta or None)
         except CommitConflict:
@@ -1283,6 +1321,21 @@ def manifest_delete(spark: SparkSession, root: str, keys: DataFrame,
         return version
     raise RuntimeError(
         f"manifest_delete lost {max_retries} commit races on {root!r}")
+
+
+def _tree_mtime(path: str) -> float:
+    """Newest mtime anywhere under ``path`` (the dir itself included) —
+    the liveness signal for orphan reclamation: a writer's tasks keep
+    touching files deep in the tree long after the top dir's mtime."""
+    newest = os.path.getmtime(path)
+    for dirpath, _dirs, names in os.walk(path):
+        for f in names:
+            try:
+                newest = max(newest,
+                             os.path.getmtime(os.path.join(dirpath, f)))
+            except OSError:
+                continue
+    return newest
 
 
 def vacuum(root: str, keep: int = 2, keep_log: int | None = None,
@@ -1297,22 +1350,26 @@ def vacuum(root: str, keep: int = 2, keep_log: int | None = None,
     compact/streaming commit vacuums automatically and a concurrent
     writer is mid-flight between ``new_version_dir`` and
     ``commit_version`` exactly then: an uncommitted dir is removed only
-    if its encoded version number is <= the current committed version
-    (a lost race — its number was claimed by someone else, it can never
-    commit) or it is older than ``orphan_retention_s`` (a crashed
-    writer; mtime-based, the Delta VACUUM retention shape).  A dir for
-    a FUTURE version that is still fresh is left alone — deleting it
-    would fail an in-progress writer outside its CommitConflict retry
-    path, or worse, tear a commit that lands a moment later.
+    once the NEWEST mtime anywhere in its tree is older than
+    ``orphan_retention_s`` (a crashed writer; the Delta VACUUM retention
+    shape).  That covers lost-race dirs too — their writer cleans up
+    after itself on ``CommitConflict``, so reclaiming them early would
+    only turn a clean retry into a mid-write IO failure — and the
+    tree-deep mtime means a long-running write (hours at real scale)
+    never ages into reclamation while its tasks are still landing
+    files.
 
     Commit FILES are kept by default (tiny, and they are the audit
     trail) — but a streaming view committing every micro-batch writes
     millions of them over months, and an O(|log|) directory listing per
     read is the kind of creeping cost a 100 TB table can't carry, so
-    ``keep_log`` bounds the log: commit files older than the newest
-    ``keep_log`` are deleted (never newer than the data retention —
-    the current version's commit file is always kept).  Time-travel
-    reach shrinks accordingly, exactly like checkpointing a WAL."""
+    ``keep_log`` bounds the log: a commit file older than the newest
+    ``keep_log`` is deleted only when the version is unreadable anyway
+    (its data dir left the retention window) or a checkpoint payload
+    still covers it (time travel then reads the checkpoint) — the
+    resolvability invariant: every readable version stays resolvable.
+    Time-travel reach shrinks accordingly, exactly like checkpointing
+    a WAL."""
     cdir = _commits_dir(root)
     vdir = os.path.join(root, _VERSIONS)
     if not os.path.isdir(vdir):
@@ -1330,7 +1387,6 @@ def vacuum(root: str, keep: int = 2, keep_log: int | None = None,
                     continue
     keep_names = {n for n, _v in sorted(live.items(), key=lambda kv: kv[1])
                   [-max(keep, 1):]}
-    cur_version = max(live.values(), default=0)
     now = time.time()
     removed = 0
     for name in os.listdir(vdir):
@@ -1338,24 +1394,29 @@ def vacuum(root: str, keep: int = 2, keep_log: int | None = None,
             continue
         path = os.path.join(vdir, name)
         if name not in live:
-            # uncommitted dir: only reclaim a PROVABLY dead one — its
-            # version number already committed by another writer, or
-            # past the crash-retention age (see docstring)
+            # uncommitted dir: only reclaim a PROVABLY dead one — past
+            # the crash-retention age (see docstring).  A lost-race dir
+            # (version number already committed by another writer) can
+            # never commit, but its WRITE may still be running: the
+            # loser cleans up after itself on CommitConflict, so
+            # deleting it early would only turn its clean retry into an
+            # opaque mid-write IO failure.  Age is the NEWEST mtime in
+            # the tree, not the top dir's — Spark stamps the top dir at
+            # job start, and a long write (hours at real scale) must not
+            # age into reclamation while its tasks are still landing
+            # files in _temporary/ subdirs.
             try:
-                dir_version = int(name.split("-", 1)[0].lstrip("v"))
-            except ValueError:
-                dir_version = None
-            if dir_version is not None and dir_version > cur_version:
-                try:
-                    age = now - os.path.getmtime(path)
-                except OSError:
-                    continue  # racing writer just removed/renamed it
-                if age < orphan_retention_s:
-                    continue  # possibly an in-progress writer: keep
+                age = now - _tree_mtime(path)
+            except OSError:
+                continue  # racing writer just removed/renamed it
+            if age < orphan_retention_s:
+                continue  # possibly an in-progress writer: keep
         shutil.rmtree(path, ignore_errors=True)
         removed += 1
     if keep_log is not None and live:
-        cut = sorted(live.values())[-max(keep_log, max(keep, 1)):][0]
+        cut = sorted(live.values())[-max(keep_log, 1):][0]
+        data_exists = {v: os.path.isdir(os.path.join(vdir, n))
+                       for n, v in live.items()}
         ckpts = []
         for f in os.listdir(cdir):
             if f.startswith("checkpoint-v") and f.endswith(".json"):
@@ -1364,19 +1425,20 @@ def vacuum(root: str, keep: int = 2, keep_log: int | None = None,
                 except ValueError:
                     pass
         newest_ckpt = max(ckpts, default=None)
+        covered = set(ckpts)
         for f in os.listdir(cdir):
             if not f.endswith(".json"):
                 continue
             if f.startswith("checkpoint-v"):
-                # checkpoints accumulate one per CHECKPOINT_INTERVAL
-                # commits; bound them with the log but ALWAYS keep the
-                # newest — _last_checkpoint points at it, and without it
-                # resolution degrades to the full listing
+                # bound checkpoints with the log but ALWAYS keep the
+                # newest (_last_checkpoint points at it) and any one
+                # still serving a live data version whose commit file
+                # this same pass prunes
                 try:
                     v = int(f[len("checkpoint-v"):-5])
                 except ValueError:
                     continue
-                if v < cut and v != newest_ckpt:
+                if v < cut and v != newest_ckpt and                         not data_exists.get(v, False):
                     try:
                         os.unlink(os.path.join(cdir, f))
                     except OSError:
@@ -1387,7 +1449,12 @@ def vacuum(root: str, keep: int = 2, keep_log: int | None = None,
                     v = int(f[1:-5])
                 except ValueError:
                     continue
-                if v < cut:
+                # resolvability invariant: a commit file may go only if
+                # its data is already outside the retention window (the
+                # version is unreadable anyway) or a checkpoint payload
+                # still covers it (time travel reads the checkpoint)
+                if v < cut and (not data_exists.get(v, False)
+                                or v in covered):
                     try:
                         os.unlink(os.path.join(cdir, f))
                     except OSError:
@@ -1436,11 +1503,11 @@ def compact_table(spark: SparkSession, root: str, target_bytes: int,
             rel_dir = os.path.relpath(dirpath, base_dir)
             rel_dir = "" if rel_dir == "." else rel_dir
             for f in files:
-                if f.startswith(("_", ".")):
-                    continue
-                p = os.path.join(dirpath, f)
-                size = os.path.getsize(p)
-                if size < min_file_bytes:
+                if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                    continue  # same "data file" definition as
+                p = os.path.join(dirpath, f)  # _iter_data_files: a stray
+                size = os.path.getsize(p)  # non-parquet file must never
+                if size < min_file_bytes:  # reach spark.read.parquet
                     groups.setdefault(rel_dir, []).append((p, size))
         groups = {d: fs for d, fs in groups.items() if len(fs) >= 2}
         if not groups:
@@ -1487,6 +1554,9 @@ def compact_table(spark: SparkSession, root: str, target_bytes: int,
         cons = _inherited_constraints(info)
         if cons:  # a rewrite can't violate, but the registration carries
             meta["constraints"] = cons
+        txns = _inherited_txns(info)
+        if txns:
+            meta["txns"] = txns
         try:
             commit_version(root, version, data_dir, meta=meta)
         except CommitConflict:
@@ -1600,6 +1670,9 @@ def manifest_merge(spark: SparkSession, root: str, source: DataFrame,
                                     base_dir=base_dir))
         if cons:
             meta["constraints"] = cons
+        txns = _inherited_txns(info)
+        if txns:
+            meta["txns"] = txns
         try:
             commit_version(root, version, data_dir, meta=meta)
         except CommitConflict:

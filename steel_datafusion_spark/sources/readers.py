@@ -300,19 +300,32 @@ def merge_upsert(spark: SparkSession, table_dir: str, updates: DataFrame,
     shutil.rmtree(backup)
 
 
+# Hive's escapePathName charset, verbatim (Spark ExternalCatalogUtils /
+# Hive FileUtils): ONLY these characters are %XX-escaped in partition dir
+# names.  Space, comma, plus, parens, '}' and non-ASCII are written
+# LITERALLY — a urllib.parse.quote here would produce paths that never
+# match what Spark's committer wrote, so a partition-granular upsert
+# would hardlink the OLD partition alongside the rewritten one
+# (duplicate/resurrected rows).  Verified against Spark 4 output.
+_HIVE_ESCAPE = set('"#%\'*/:=?\\\u007f{[]^') | {chr(i) for i in range(32)}
+
+
+def _hive_escape(value: str) -> str:
+    return "".join(f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE else ch
+                   for ch in value)
+
+
 def _hive_part_path(cols: list[str], row) -> str:
     """Relative ``col=value/...`` path for one touched partition.  Values
-    are Hive-escaped the way Spark's file committer writes them (special
-    chars %-encoded; NULL → __HIVE_DEFAULT_PARTITION__)."""
-    import urllib.parse
-
+    are Hive-escaped EXACTLY the way Spark's file committer writes them
+    (the Hive charset above; NULL → __HIVE_DEFAULT_PARTITION__)."""
     segs = []
     for c in cols:
         v = row[c]
         if v is None:
             segs.append(f"{c}=__HIVE_DEFAULT_PARTITION__")
         else:
-            segs.append(f"{c}=" + urllib.parse.quote(str(v), safe=""))
+            segs.append(f"{c}=" + _hive_escape(str(v)))
     return os.path.join(*segs)
 
 

@@ -194,7 +194,11 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
          .outputMode(output_mode)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()  # a partial sink must never masquerade as final
+        raise TimeoutError(
+            f"streaming drive still running after {timeout_s}s — "
+            f"stopped; raise timeout_s or shrink the input")
     return stream_df.sparkSession.table(query_name)
 
 
@@ -209,19 +213,29 @@ def run_stream_to_parquet(stream_df: DataFrame, out_dir: str,
 
     ``foreachBatch`` rather than the built-in parquet sink so non-append
     output modes (update/complete re-emissions) can also be materialized by
-    swapping the writer body; exactly-once here comes from the checkpoint +
-    append-only batches of ``availableNow`` on a finite source."""
+    swapping the writer body.  Each batch OVERWRITES its own
+    ``batch-<id>`` subdirectory, so a batch replayed after a crash
+    (written to the sink, not yet recorded in the checkpoint) lands
+    idempotently instead of appending its rows twice — exactly-once
+    without a commit log, at the cost of one subdir per batch."""
+    import os as _os2
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
+        batch_df.write.mode("overwrite").parquet(
+            _os2.path.join(out_dir, f"batch-{batch_id}"))
 
     q = (stream_df.writeStream.foreachBatch(_write)
          .outputMode(output_mode)
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(timeout_s)
-    return stream_df.sparkSession.read.parquet(out_dir)
+    if not q.awaitTermination(timeout_s):
+        q.stop()  # a partial sink must never masquerade as final
+        raise TimeoutError(
+            f"streaming drive still running after {timeout_s}s — "
+            f"stopped; raise timeout_s or shrink the input")
+    return stream_df.sparkSession.read.parquet(
+        _os2.path.join(out_dir, "batch-*"))
 
 
 def streaming_view_maintenance(
@@ -280,8 +294,13 @@ def streaming_view_maintenance(
         version = 1 if cur is None else cur["version"] + 1
         data_dir = new_version_dir(view_root, version)
         part.write.mode("overwrite").parquet(data_dir)
+        from ..sources.manifest import _inherited_txns
+
+        txns = _inherited_txns(cur)
+        txns[txn_app] = batch_id
         commit_version(view_root, version, data_dir,
-                       meta={"batch_id": batch_id, "txn_app": txn_app})
+                       meta={"batch_id": batch_id, "txn_app": txn_app,
+                             "txns": txns})
         vacuum(view_root, keep=2)
         state["n_batches"] += 1
 
@@ -289,7 +308,11 @@ def streaming_view_maintenance(
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()  # a partial sink must never masquerade as final
+        raise TimeoutError(
+            f"streaming drive still running after {timeout_s}s — "
+            f"stopped; raise timeout_s or shrink the input")
     if state["n_batches"] == 0 or latest_commit(view_root) is None:
         raise RuntimeError("stream produced no batches")
     return read_table(spark, view_root)
@@ -304,19 +327,27 @@ def _replayed_batch(cur: dict | None, txn_app: str, batch_id: int) -> bool:
     with a FRESH checkpoint (batch ids restart at 0), where skipping would
     silently drop data; raise so the caller reuses the original checkpoint
     or targets a new table root."""
+    from ..sources.manifest import _inherited_txns
+
+    txns = _inherited_txns(cur)
+    done = txns.get(txn_app)
+    if done is not None:
+        return batch_id <= done
+    # no watermark for THIS identity; legacy tables recorded batch_id
+    # without an identity — keep their old skip behavior
     meta = (cur or {}).get("meta", {})
-    done = meta.get("batch_id")
-    if done is None or batch_id > done:
-        return False
-    committed_app = meta.get("txn_app")
-    if committed_app is not None and committed_app != txn_app:
+    if meta.get("txn_app") is None and meta.get("batch_id") is not None:
+        return batch_id <= meta["batch_id"]
+    other = max(txns.values(), default=None)
+    if other is not None and batch_id <= other:
         raise ValueError(
-            f"batch {batch_id} <= committed {done}, but the table's last "
-            f"commit belongs to streaming query {committed_app!r}, not "
-            f"{txn_app!r} — a fresh checkpoint restarts batch ids at 0, "
-            f"so skipping would silently lose data; reuse the original "
-            f"checkpoint directory or write to a new table root")
-    return True
+            f"batch {batch_id} <= committed watermark {other}, but the "
+            f"table's commits belong to streaming queries "
+            f"{sorted(txns)!r}, not {txn_app!r} — a fresh checkpoint "
+            f"restarts batch ids at 0, so skipping would silently lose "
+            f"data; reuse the original checkpoint directory or write to "
+            f"a new table root")
+    return False
 
 
 def streaming_append_table(
@@ -376,8 +407,12 @@ def streaming_append_table(
         # goes through _inherited_stats_cols so a write_table_stats
         # BACKFILL (sidecar only, commit meta untouched) survives too
         from ..sources.manifest import (
-            _finalize_stats, _inherited_stats_cols,
+            _finalize_stats, _inherited_stats_cols, _inherited_txns,
         )
+
+        txns = _inherited_txns(cur)
+        txns[txn_app] = batch_id
+        meta["txns"] = txns
 
         scols = _inherited_stats_cols(cur, None)
         if scols:
@@ -393,7 +428,11 @@ def streaming_append_table(
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()  # a partial sink must never masquerade as final
+        raise TimeoutError(
+            f"streaming drive still running after {timeout_s}s — "
+            f"stopped; raise timeout_s or shrink the input")
     return read_table(spark, table_root)
 
 
@@ -490,7 +529,7 @@ def streaming_table_changes(
             return  # every version in this batch was before the start
         from ..sources.manifest import (
             _enforce_constraints, _finalize_stats, _inherited_constraints,
-            _inherited_stats_cols,
+            _inherited_stats_cols, _inherited_txns,
         )
 
         cons = _inherited_constraints(cur)
@@ -501,6 +540,9 @@ def streaming_table_changes(
         if cur is not None:
             _link_tree(cur["data_dir"], data_dir, skip_prefixes=[])
         meta = {"batch_id": batch_id, "txn_app": txn_app}
+        txns = _inherited_txns(cur)
+        txns[txn_app] = batch_id
+        meta["txns"] = txns
         scols = _inherited_stats_cols(cur, None)
         if scols:  # a statted changelog table stays statted, O(batch)
             meta.update(_finalize_stats(
@@ -515,5 +557,9 @@ def streaming_table_changes(
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()  # a partial sink must never masquerade as final
+        raise TimeoutError(
+            f"streaming drive still running after {timeout_s}s — "
+            f"stopped; raise timeout_s or shrink the input")
     return read_table(spark, out_root)

@@ -121,9 +121,13 @@ def test_crash_before_commit_leaves_table_untouched(spark, tmp_path):
     assert not os.path.exists(orphan)
 
 
-def test_vacuum_reclaims_lost_race_orphans_immediately(spark, tmp_path):
+def test_vacuum_ages_lost_race_orphans(spark, tmp_path):
     """An uncommitted dir whose version number was committed by ANOTHER
-    writer can never commit — vacuum removes it with no age wait."""
+    writer can never commit — but its WRITE may still be in flight (the
+    loser cleans up after itself on CommitConflict), so vacuum reclaims
+    it only past the retention age, measured by the NEWEST mtime in the
+    tree (a long write keeps touching files long after the top dir's
+    mtime)."""
     from steel_datafusion_spark.sources.manifest import (
         latest_commit, new_version_dir, vacuum,
     )
@@ -135,7 +139,13 @@ def test_vacuum_reclaims_lost_race_orphans_immediately(spark, tmp_path):
     v, _d = latest_commit(out)
     loser = new_version_dir(out, v)  # same number as the committed winner
     _mk(spark, [(9, "LOSER", -1)]).write.mode("overwrite").parquet(loser)
-    assert vacuum(out, keep=2) >= 1
+    assert vacuum(out, keep=2) == 0          # fresh: possibly mid-write
+    assert os.path.exists(loser)
+    # a stale TOP mtime alone must not age it while leaf files are fresh
+    os.utime(loser, (0, 0))
+    assert vacuum(out, keep=2) == 0
+    assert os.path.exists(loser)
+    assert vacuum(out, keep=2, orphan_retention_s=0.0) >= 1
     assert not os.path.exists(loser)
 
 
@@ -1109,3 +1119,99 @@ def test_pruning_exactness_guards(spark, tmp_path):
                     keep_versions=10)
     alter_table_constraints(spark, r2, add={"v_pos": "v > 0"})
     assert read_table(spark, r2, version=1).count() == 1  # still retained
+
+
+def test_partition_values_with_special_chars_roundtrip(spark, tmp_path):
+    """_hive_part_path must escape EXACTLY like Spark's committer (Hive
+    charset: space/comma/plus/parens/non-ASCII literal, ':'/'%'/... hex)
+    — a mismatch would hardlink the OLD partition next to the rewritten
+    one, duplicating every updated row."""
+    from steel_datafusion_spark.sources.manifest import (
+        manifest_delete, manifest_upsert, read_table,
+    )
+
+    out = str(tmp_path / "cities")
+    rows = [(1, "New York"), (2, "a,b"), (3, "ü-city"), (4, "co:lon"),
+            (5, "p%v"), (6, "sp ace"), (7, "plain")]
+    df = spark.createDataFrame(rows, "k long, city string")
+    manifest_upsert(spark, out, df, ["k"], partition_by=["city"])
+    upd = spark.createDataFrame([(1, "New York"), (4, "co:lon")],
+                                "k long, city string")
+    manifest_upsert(spark, out, upd, ["k"], partition_by=["city"])
+    got = read_table(spark, out)
+    assert got.count() == 7  # no duplicated/resurrected rows
+    assert got.filter(got.city == "New York").count() == 1
+    assert got.filter(got.city == "co:lon").count() == 1
+    manifest_delete(spark, out,
+                    spark.createDataFrame([(3, "ü-city")],
+                                          "k long, city string"),
+                    ["k"], partition_by=["city"])
+    left = read_table(spark, out)
+    assert left.count() == 6
+    assert left.filter(left.city == "ü-city").count() == 0
+
+
+def test_replay_skip_survives_interleaved_maintenance(spark, tmp_path):
+    """The per-app transaction watermark must survive commits from OTHER
+    writers (compaction, upserts, constraint registration) — replay
+    detection reads only the newest commit, so without the carried txns
+    map a replayed micro-batch would append its rows twice."""
+    from steel_datafusion_spark.sources.manifest import (
+        alter_table_constraints, compact_table, latest_commit_info,
+        manifest_upsert, read_table,
+    )
+    from steel_datafusion_spark.streaming.operators import _replayed_batch
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    from pyspark.sql import functions as F
+
+    batch = spark.range(50).select(F.col("id").alias("k"),
+                                   (F.col("id") + 1).alias("v"))
+    batch.coalesce(1).write.mode("overwrite").parquet(src)
+    from steel_datafusion_spark.streaming.operators import (
+        streaming_append_table,
+    )
+
+    streaming_append_table(spark, src, batch.schema, tbl,
+                           str(tmp_path / "work"), max_files_per_trigger=1)
+    info = latest_commit_info(tbl)
+    txn_app = info["meta"]["txn_app"]
+    last_batch = info["meta"]["batch_id"]
+    # interleave maintenance commits that carry no batch_id of their own
+    manifest_upsert(spark, tbl, batch.limit(1), ["k"])
+    compact_table(spark, tbl, target_bytes=64 * 1024 * 1024)
+    alter_table_constraints(spark, tbl, add={"v_pos": "v > 0"})
+    cur = latest_commit_info(tbl)
+    assert "batch_id" not in cur["meta"]
+    assert cur["meta"]["txns"][txn_app] == last_batch  # carried through
+    assert _replayed_batch(cur, txn_app, last_batch) is True
+    assert _replayed_batch(cur, txn_app, last_batch + 1) is False
+    n_before = read_table(spark, tbl).count()
+    # driving the stream again with the same checkpoint is a no-op
+    streaming_append_table(spark, src, batch.schema, tbl,
+                           str(tmp_path / "work"), max_files_per_trigger=1)
+    assert read_table(spark, tbl).count() == n_before
+
+
+def test_time_travel_via_checkpoint_after_keep_log(spark, tmp_path):
+    """vacuum(keep_log) prunes old commit files but retained checkpoint
+    payloads still serve read_table(version=...) for checkpointed
+    versions."""
+    from steel_datafusion_spark.sources.manifest import (
+        CHECKPOINT_INTERVAL, manifest_upsert, read_table, vacuum,
+    )
+
+    out = str(tmp_path / "ckpttravel")
+    n = CHECKPOINT_INTERVAL + 3
+    for i in range(1, n + 1):
+        manifest_upsert(spark, out, _mk(spark, [(i, f"s{i}", i)]), ["k"],
+                        keep_versions=1000)
+    vacuum(out, keep=1000, keep_log=2)
+    cdir = os.path.join(out, "_commits")
+    ck = CHECKPOINT_INTERVAL
+    assert not os.path.exists(os.path.join(cdir, f"v{ck:010d}.json"))
+    assert os.path.exists(os.path.join(cdir,
+                                       f"checkpoint-v{ck:010d}.json"))
+    t = read_table(spark, out, version=ck)
+    assert t.count() == ck  # the checkpointed snapshot still reads

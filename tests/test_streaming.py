@@ -182,7 +182,8 @@ def test_session_rollup_foreachbatch_parquet_vs_duckdb_oracle(
     assert got == want
     # the durable artifact is real parquet on disk
     import glob as _glob
-    assert _glob.glob(f"{out}/*.parquet")
+    # one overwrite-idempotent subdir per micro-batch (replay-safe sink)
+    assert _glob.glob(f"{out}/batch-*/*.parquet")
 
 
 def test_streaming_chunking_and_classifier_match_batch(spark, docs_dir):
