@@ -1,0 +1,110 @@
+"""Property: file/partition pruning NEVER excludes a file that holds a
+matching row — the data-skipping layer's core contract, attacked from
+random tables and predicates (the 2^53 float bug and the lexical
+partition compare would both fail these in seconds)."""
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+from steel_datafusion_spark.sources.manifest import (
+    _file_may_match, _part_may_match, _stat_encode,
+)
+
+_INTS = st.integers(-2 ** 63 + 1, 2 ** 63 - 1)
+_FLOATS = st.floats(allow_nan=False, allow_infinity=False, width=64)
+_STRS = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+    max_size=6)
+_BASE = {"int": _INTS, "float": _FLOATS, "str": _STRS}
+_OPS = ["=", "!=", "<", "<=", ">", ">=", "in", "isnull", "isnotnull"]
+
+
+def _truth(v, op, lit):
+    """SQL 3VL row-level semantics the residual filter implements."""
+    if op == "isnull":
+        return v is None
+    if op == "isnotnull":
+        return v is not None
+    if v is None:
+        return False
+    if op == "in":
+        return v in lit
+    return {"=": v == lit, "!=": v != lit, "<": v < lit,
+            "<=": v <= lit, ">": v > lit, ">=": v >= lit}[op]
+
+
+def _entry(vals):
+    nonnull = [v for v in vals if v is not None]
+    nulls = len(vals) - len(nonnull)
+    if not nonnull:
+        return {"nulls": nulls}
+    return {"lo": _stat_encode(min(nonnull)),
+            "hi": _stat_encode(max(nonnull)), "nulls": nulls}
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.data())
+def test_file_pruning_never_excludes_matching_rows(data):
+    typ = data.draw(st.sampled_from(["int", "float", "str"]))
+    base = _BASE[typ]
+    vals = data.draw(st.lists(st.one_of(st.none(), base),
+                              min_size=1, max_size=8))
+    finfo = {"rows": len(vals), "cols": {"c": _entry(vals)}}
+    op = data.draw(st.sampled_from(_OPS))
+    if op == "in":
+        lit = data.draw(st.lists(base, min_size=1, max_size=4))
+    elif op in ("isnull", "isnotnull"):
+        lit = None
+    else:
+        lit = data.draw(base)
+    if any(_truth(v, op, lit) for v in vals):
+        assert _file_may_match(finfo, "c", op, lit) is True
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.data())
+def test_partition_pruning_never_excludes_matching_dirs(data):
+    """A Hive path value's COLUMN type is unknowable, so pruning must
+    keep the dir whenever EITHER the string interpretation or the
+    numeric interpretation could satisfy the predicate."""
+    typ = data.draw(st.sampled_from(["int", "str"]))
+    raw = data.draw(_BASE[typ])
+    pv = str(raw)
+    op = data.draw(st.sampled_from(_OPS))
+    if op == "in":
+        lit = data.draw(st.lists(st.one_of(_INTS, _STRS),
+                                 min_size=1, max_size=4))
+        lits = lit
+    elif op in ("isnull", "isnotnull"):
+        lit, lits = None, []
+    else:
+        lit = data.draw(st.one_of(_INTS, _FLOATS, _STRS))
+        lits = [lit]
+
+    def interp_truth():
+        if op == "isnull":
+            return False  # pv is a real (non-null) partition value
+        if op == "isnotnull":
+            return True
+        outcomes = []
+        # string interpretation (column typed string): only meaningful
+        # when every literal is a string
+        if all(isinstance(x, str) for x in lits):
+            if op == "in":
+                outcomes.append(pv in lits)
+            else:
+                outcomes.append(_truth(pv, op, lit))
+        # numeric interpretation (column typed numeric)
+        try:
+            pn = float(pv)
+            nlits = [float(x) for x in lits]
+            if op == "in":
+                outcomes.append(pn in nlits)
+            else:
+                outcomes.append(_truth(pn, op, nlits[0]))
+        except (TypeError, ValueError, OverflowError):
+            pass
+        return any(outcomes)
+
+    if interp_truth():
+        assert _part_may_match(pv, op, lit) is True
