@@ -1215,3 +1215,29 @@ def test_time_travel_via_checkpoint_after_keep_log(spark, tmp_path):
                                        f"checkpoint-v{ck:010d}.json"))
     t = read_table(spark, out, version=ck)
     assert t.count() == ck  # the checkpointed snapshot still reads
+
+
+def test_data_skipping_plan_pushes_residual_into_pruned_scan(
+        spark, tmp_path):
+    """The pruned read's physical plan must show BOTH halves of skipping:
+    the FileScan's index holds only surviving files, and the residual
+    predicates are pushed into that scan (PushedFilters), so parquet
+    row-group skipping still happens INSIDE admitted files."""
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.sources.manifest import (
+        manifest_upsert, read_table,
+    )
+
+    out = str(tmp_path / "plan")
+    df = spark.range(10000).select(F.col("id").alias("k"),
+                                   (F.col("id") * 1.5).alias("v"))
+    manifest_upsert(spark, out, df.repartitionByRange(8, "k"), ["k"],
+                    stats_cols=["k"])
+    t = read_table(spark, out, where=[("k", ">=", 2000), ("k", "<", 3000)])
+    assert len(t.inputFiles()) < 8
+    plan = t._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "GreaterThanOrEqual(k,2000)" in plan  # residual reached the
+    assert "LessThan(k,3000)" in plan            # parquet reader
