@@ -108,3 +108,43 @@ def test_partition_pruning_never_excludes_matching_dirs(data):
 
     if interp_truth():
         assert _part_may_match(pv, op, lit) is True
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.data())
+def test_stat_codec_roundtrips(data):
+    """Every encodable stats bound must decode back equal — a lossy
+    codec would corrupt [lo, hi] and prune wrongly."""
+    import datetime
+    import decimal
+
+    from steel_datafusion_spark.sources.manifest import _stat_decode
+
+    v = data.draw(st.one_of(
+        _INTS, _FLOATS, _STRS,
+        st.datetimes(), st.dates(),
+        st.decimals(allow_nan=False, allow_infinity=False)))
+    e = _stat_encode(v)
+    if e is None:
+        return  # type carries no pruning order — nothing to roundtrip
+    got = _stat_decode(e)
+    if isinstance(v, (datetime.datetime, datetime.date, decimal.Decimal)):
+        assert got == v and type(got) is type(v)
+    else:
+        assert got == v
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.data())
+def test_datetime_pruning_never_excludes_matching_rows(data):
+    """Timestamp columns prune correctly against datetime literals AND
+    their ISO-string spellings (the read path accepts both)."""
+    vals = data.draw(st.lists(
+        st.one_of(st.none(), st.datetimes()), min_size=1, max_size=6))
+    finfo = {"rows": len(vals), "cols": {"c": _entry(vals)}}
+    op = data.draw(st.sampled_from(["=", "!=", "<", "<=", ">", ">="]))
+    lit = data.draw(st.datetimes())
+    as_str = data.draw(st.booleans())
+    probe = lit.isoformat() if as_str else lit
+    if any(_truth(v, op, lit) for v in vals):
+        assert _file_may_match(finfo, "c", op, probe) is True
