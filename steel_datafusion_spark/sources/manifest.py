@@ -301,20 +301,26 @@ def _as_of_epoch(as_of) -> float:
 def _version_as_of(root: str, as_of) -> int:
     """Newest committed version at wall-clock instant ``as_of`` — the
     TIMESTAMP AS OF half of time travel.  O(|log|) listing by design:
-    this is an audit/debug path, not the hot read path."""
+    this is an audit/debug path, not the hot read path.  Checkpoint
+    payloads count too (they carry the same version/ts fields), so a
+    version whose commit file was pruned by ``vacuum(keep_log)`` but
+    remains readable via its checkpoint stays reachable by timestamp —
+    consistent with ``read_table(version=…)``'s checkpoint fallback."""
     target = _as_of_epoch(as_of)
     cdir = _commits_dir(root)
     best = None
     earliest = None
     if os.path.isdir(cdir):
         for f in os.listdir(cdir):
-            if not (f.startswith("v") and f.endswith(".json")):
+            if not f.endswith(".json") or not (
+                    f.startswith("v") or f.startswith("checkpoint-v")):
                 continue
             try:
-                v = int(f[1:-5])
                 with open(os.path.join(cdir, f)) as fh:
-                    ts = _commit_ts(cdir, f, json.load(fh))
-            except (ValueError, OSError):
+                    payload = json.load(fh)
+                v = int(payload["version"])
+                ts = _commit_ts(cdir, f, payload)
+            except (ValueError, KeyError, TypeError, OSError):
                 continue
             earliest = ts if earliest is None else min(earliest, ts)
             if ts <= target and (best is None or v > best):
@@ -1206,10 +1212,16 @@ def table_detail(spark: SparkSession, root: str) -> DataFrame:
             pass
     cdir = _commits_dir(root)
     fname = f"v{info['version']:010d}.json"
+    # meta first, sidecar header as the backfill fallback — a table whose
+    # stats arrived via write_table_stats (sidecar only, commit meta
+    # untouched) IS actively skipping, and DESCRIBE DETAIL must say so;
+    # same resolution order the writers use (_inherited_stats_cols)
+    stats_cols = list(meta.get("stats_cols", []) or []) \
+        or _sidecar_stats_cols(data_dir)
     row = (int(info["version"]),
            float(_commit_ts(cdir, fname, info)),
            int(n_files), int(total_bytes), int(n_rows),
-           list(meta.get("stats_cols", []) or []),
+           stats_cols,
            bloom_cols,
            json.dumps(meta.get("constraints", {}) or {}, sort_keys=True),
            list(meta.get("zorder_by", []) or []))
@@ -1374,17 +1386,26 @@ def vacuum(root: str, keep: int = 2, keep_log: int | None = None,
     vdir = os.path.join(root, _VERSIONS)
     if not os.path.isdir(vdir):
         return 0
+    # "committed" means referenced by a v*.json commit file OR a
+    # checkpoint-v*.json payload: vacuum(keep_log) may prune a
+    # checkpoint-covered version's commit file while the version stays
+    # readable through the checkpoint (the resolvability invariant), so
+    # its data dir must keep counting as committed here — otherwise the
+    # NEXT vacuum would age it out as an orphan and silently reclaim a
+    # version inside the retention window
     live: dict[str, int] = {}
     if os.path.isdir(cdir):
         for f in os.listdir(cdir):
-            if f.startswith("v") and f.endswith(".json"):
-                try:
-                    with open(os.path.join(cdir, f)) as fh:
-                        meta = json.load(fh)
-                    live[os.path.basename(meta["data_dir"])] = \
-                        meta["version"]
-                except (ValueError, KeyError, OSError):
-                    continue
+            if not f.endswith(".json") or not (
+                    f.startswith("v") or f.startswith("checkpoint-v")):
+                continue
+            try:
+                with open(os.path.join(cdir, f)) as fh:
+                    meta = json.load(fh)
+                live[os.path.basename(meta["data_dir"])] = \
+                    meta["version"]
+            except (ValueError, KeyError, OSError):
+                continue
     keep_names = {n for n, _v in sorted(live.items(), key=lambda kv: kv[1])
                   [-max(keep, 1):]}
     now = time.time()

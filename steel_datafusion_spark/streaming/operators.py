@@ -217,7 +217,15 @@ def run_stream_to_parquet(stream_df: DataFrame, out_dir: str,
     ``batch-<id>`` subdirectory, so a batch replayed after a crash
     (written to the sink, not yet recorded in the checkpoint) lands
     idempotently instead of appending its rows twice — exactly-once
-    without a commit log, at the cost of one subdir per batch."""
+    without a commit log, at the cost of one subdir per batch.
+
+    NOTE for external readers of ``out_dir``: the layout is
+    ``out_dir/batch-<id>/*.parquet`` (one subdir per micro-batch), not a
+    flat parquet directory — read it with the ``batch-*`` glob this
+    function uses.  A drive that produces ZERO batches (empty source)
+    returns an empty frame with the stream's schema rather than raising
+    from a non-matching glob."""
+    import glob as _glob2
     import os as _os2
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
@@ -234,8 +242,10 @@ def run_stream_to_parquet(stream_df: DataFrame, out_dir: str,
         raise TimeoutError(
             f"streaming drive still running after {timeout_s}s — "
             f"stopped; raise timeout_s or shrink the input")
-    return stream_df.sparkSession.read.parquet(
-        _os2.path.join(out_dir, "batch-*"))
+    spark = stream_df.sparkSession
+    if not _glob2.glob(_os2.path.join(out_dir, "batch-*")):
+        return spark.createDataFrame([], stream_df.schema)
+    return spark.read.parquet(_os2.path.join(out_dir, "batch-*"))
 
 
 def streaming_view_maintenance(

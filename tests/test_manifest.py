@@ -1241,3 +1241,66 @@ def test_data_skipping_plan_pushes_residual_into_pruned_scan(
         .fromString("formatted"))
     assert "GreaterThanOrEqual(k,2000)" in plan  # residual reached the
     assert "LessThan(k,3000)" in plan            # parquet reader
+
+
+def test_vacuum_never_orphans_checkpoint_covered_versions(spark, tmp_path):
+    """After vacuum(keep_log) prunes a checkpoint-covered version's commit
+    file, the version's data dir must still count as COMMITTED: a second
+    vacuum may not treat it as an aged orphan and reclaim it inside the
+    retention window (the ADVICE r11 silent-data-loss repro — 12 commits,
+    vacuum(keep=1000, keep_log=2), vacuum again, version 10 must read)."""
+    from steel_datafusion_spark.sources.manifest import (
+        CHECKPOINT_INTERVAL, manifest_upsert, read_table, vacuum,
+    )
+
+    out = str(tmp_path / "ckptorphan")
+    ck = CHECKPOINT_INTERVAL
+    for i in range(1, ck + 3):
+        manifest_upsert(spark, out, _mk(spark, [(i, f"s{i}", i)]), ["k"],
+                        keep_versions=1000)
+    vacuum(out, keep=1000, keep_log=2)
+    cdir = os.path.join(out, "_commits")
+    assert not os.path.exists(os.path.join(cdir, f"v{ck:010d}.json"))
+    # the second pass: orphan_retention_s=0 makes any dir vacuum deems
+    # uncommitted reclaim IMMEDIATELY — exactly the bug's trigger
+    removed = vacuum(out, keep=1000, orphan_retention_s=0.0)
+    assert removed == 0
+    t = read_table(spark, out, version=ck)
+    assert t.count() == ck
+
+
+def test_timestamp_as_of_reaches_checkpoint_only_versions(spark, tmp_path):
+    """TIMESTAMP AS OF resolution must see versions whose commit file was
+    pruned by keep_log but remain readable via their checkpoint payload —
+    consistent with read_table(version=...)'s checkpoint fallback."""
+    from steel_datafusion_spark.sources.manifest import (
+        CHECKPOINT_INTERVAL, manifest_upsert, read_table, vacuum,
+    )
+
+    out = str(tmp_path / "ckptasof")
+    ck = CHECKPOINT_INTERVAL
+    for i in range(1, ck + 3):
+        manifest_upsert(spark, out, _mk(spark, [(i, f"s{i}", i)]), ["k"],
+                        keep_versions=1000)
+    vacuum(out, keep=1000, keep_log=2)
+    cdir = os.path.join(out, "_commits")
+    with open(os.path.join(cdir, f"checkpoint-v{ck:010d}.json")) as fh:
+        ck_ts = json.load(fh)["ts"]
+    t = read_table(spark, out, as_of=ck_ts)
+    assert t.count() == ck  # resolved to the checkpoint-only version
+
+
+def test_table_detail_reports_backfilled_stats_cols(spark, tmp_path):
+    """DESCRIBE DETAIL must show stats_cols for a table whose sidecar was
+    backfilled via write_table_stats (commit meta untouched) — data
+    skipping IS active on it, and writers already inherit the set."""
+    from steel_datafusion_spark.sources.manifest import (
+        manifest_upsert, table_detail, write_table_stats,
+    )
+
+    out = str(tmp_path / "detailbf")
+    manifest_upsert(spark, out, _mk(spark, [(1, "a", 10), (2, "b", 20)]),
+                    ["k"])  # no stats_cols at write time
+    assert table_detail(spark, out).head().stats_cols == []
+    write_table_stats(out, ["k", "v"])
+    assert table_detail(spark, out).head().stats_cols == ["k", "v"]

@@ -520,3 +520,22 @@ def test_streaming_table_changes_starting_version_and_retention(
         streaming_table_changes(spark, root2, ["k"],
                                 str(tmp_path / "out2"),
                                 str(tmp_path / "work2"))
+
+
+def test_run_stream_to_parquet_zero_batches_returns_empty(spark, tmp_path):
+    """A drive whose source yields ZERO batches must return an empty frame
+    with the stream's schema, not raise PATH_NOT_FOUND from the batch-*
+    glob (ADVICE r11)."""
+    from steel_datafusion_spark.streaming.operators import (
+        run_stream_to_parquet,
+    )
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    stream = (spark.readStream
+              .schema("k long, v string")
+              .parquet(str(src)))
+    got = run_stream_to_parquet(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["k", "v"]
