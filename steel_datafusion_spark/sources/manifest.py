@@ -690,7 +690,200 @@ def write_table_stats(root: str, cols: list[str],
     return _write_stats_file(data_dir, cols)
 
 
-_BLOOM_FILE = "_bloom.json"
+_BLOOM_FILE = "_bloom.json"  # legacy combined sidecar (read-only compat)
+_BLOOM_PREFIX = "_bloom-"    # per-column sidecars: _bloom-<quoted col>.json
+
+
+def _bloom_col_path(data_dir: str, col: str) -> str:
+    """Per-column sidecar path.  The column name is percent-encoded so
+    any column (slashes, spaces, unicode) maps to one flat, reversible
+    filename; the ``_`` prefix keeps it out of data scans and out of
+    ``_link_tree`` (sidecars never leak across versions by hardlink)."""
+    return os.path.join(
+        data_dir, _BLOOM_PREFIX + urllib.parse.quote(col, safe="") + ".json")
+
+
+def _load_bloom_col(data_dir: str, col: str) -> dict | None:
+    """One column's filters ({"bits", "k", "files": {rel: b64}}), or None.
+    Per-COLUMN sidecar files mean a point-lookup read parses only the
+    probed column's bytes — at 10⁶ files the whole-table bloom payload is
+    gigabytes, but one column's is what the predicate actually needs
+    (the load-granularity half of the Delta per-file-stats shape).
+    Legacy combined ``_bloom.json`` sidecars still load (whole-file
+    parse, as before) so pre-split tables keep skipping."""
+    p = _bloom_col_path(data_dir, col)
+    if os.path.exists(p):
+        try:
+            with open(p) as fh:
+                d = json.load(fh)
+            return {"bits": int(d["bits"]), "k": int(d["k"]),
+                    "files": d.get("files", {})}
+        except (ValueError, KeyError, TypeError, OSError):
+            return None
+    lp = os.path.join(data_dir, _BLOOM_FILE)
+    if os.path.exists(lp):
+        try:
+            with open(lp) as fh:
+                d = json.load(fh)
+            files = d.get("cols", {}).get(col)
+            if files is None:
+                return None
+            return {"bits": int(d["bits"]), "k": int(d["k"]),
+                    "files": files}
+        except (ValueError, KeyError, TypeError, OSError):
+            return None
+    return None
+
+
+def _bloom_sidecar_specs(data_dir: str) -> dict[str, dict]:
+    """{col: {"bits", "k"}} for every bloom-indexed column of a version
+    dir (per-column sidecar headers, legacy combined file as fallback) —
+    how writers inherit the bloom contract from a base version that was
+    backfilled post-commit (the ``_sidecar_stats_cols`` analogue)."""
+    out: dict[str, dict] = {}
+    try:
+        names = os.listdir(data_dir)
+    except OSError:
+        return out
+    for f in names:
+        if not (f.startswith(_BLOOM_PREFIX) and f.endswith(".json")):
+            continue
+        col = urllib.parse.unquote(f[len(_BLOOM_PREFIX):-len(".json")])
+        try:
+            with open(os.path.join(data_dir, f)) as fh:
+                d = json.load(fh)
+            out[col] = {"bits": int(d["bits"]), "k": int(d["k"])}
+        except (ValueError, KeyError, TypeError, OSError):
+            continue
+    lp = os.path.join(data_dir, _BLOOM_FILE)
+    if os.path.exists(lp):
+        try:
+            with open(lp) as fh:
+                d = json.load(fh)
+            for col in d.get("cols", {}):
+                out.setdefault(col, {"bits": int(d["bits"]),
+                                     "k": int(d["k"])})
+        except (ValueError, KeyError, TypeError, OSError):
+            pass
+    return out
+
+
+def _inherited_bloom_spec(info: dict | None) -> dict[str, dict]:
+    """The bloom columns (+ sizing) a new version should carry: commit
+    meta first (writers registered it), base-dir sidecar headers as the
+    backfill fallback — mirrors ``_inherited_stats_cols``."""
+    if info is None:
+        return {}
+    meta_spec = dict(info.get("meta", {}).get("bloom", {}) or {})
+    if meta_spec:
+        try:
+            return {c: {"bits": int(s["bits"]), "k": int(s["k"])}
+                    for c, s in meta_spec.items()}
+        except (ValueError, KeyError, TypeError):
+            pass
+    return _bloom_sidecar_specs(info["data_dir"])
+
+
+def _write_bloom_cols(spark: SparkSession, data_dir: str,
+                      spec: dict[str, dict],
+                      base_dir: str | None = None) -> int:
+    """Build/carry the per-column Bloom sidecars for a version dir.
+    ``base_dir`` enables the Delta carry-forward shape: a relpath that
+    exists in the base version's sidecar (matching bits/k) reuses its
+    filter bytes WITHOUT rescanning (versions share files only by
+    hardlink — same relpath ⇒ same inode ⇒ same keys), so a commit
+    scans only its NEW files: O(touched), never O(table).  A scanned
+    file with no non-null values gets an explicit all-zero filter
+    (every supported op is null-rejecting, so pruning it is exact).
+    Returns the number of (col, file) entries written."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    from .readers import _nanos_ts_columns, ensure_session_confs
+    cur = dict(_iter_data_files(data_dir))  # rel -> abs path
+    reuse: dict[str, dict] = {}
+    for col, s in spec.items():
+        b = _load_bloom_col(base_dir, col) if base_dir else None
+        reuse[col] = b["files"] if (
+            b and b["bits"] == int(s["bits"])
+            and b["k"] == int(s["k"])) else {}
+    need = sorted({rel for rel in cur for col in spec
+                   if rel not in reuse[col]})
+    built: dict[str, dict[str, str]] = {col: {} for col in spec}
+    if need and spec:
+        ensure_session_confs(spark)
+        df = spark.read.option("basePath", data_dir).parquet(
+            *[cur[rel] for rel in need])
+        for c in _nanos_ts_columns(data_dir):
+            df = df.withColumn(
+                c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+        for col, s in spec.items():
+            missing = [rel for rel in need if rel not in reuse[col]]
+            if not missing or col not in df.columns:
+                continue
+            bits, k_hashes = int(s["bits"]), int(s["k"])
+            # distinct (file, bit) pairs aggregate JVM-side, then land
+            # on the driver as ONE Arrow batch (packed columnar ints,
+            # not row objects) — transient driver cost O(files × set
+            # bits) ints, persisted cost bits/8 bytes per file
+            pos = (df.filter(F.col(col).isNotNull())
+                   .select(F.input_file_name().alias("_f"),
+                           F.explode(F.array(*[
+                               F.pmod(F.xxhash64(
+                                   F.col(col).cast("string"), F.lit(i)),
+                                   F.lit(bits)).cast("int")
+                               for i in range(k_hashes)])).alias("_b"))
+                   .distinct()
+                   .groupBy("_f").agg(F.collect_list("_b").alias("_bs"))
+                   .toArrow())
+            nbytes = bits // 8 + (1 if bits % 8 else 0)
+            got: dict[str, str] = {}
+            for f_uri, bs in zip(pos.column("_f").to_pylist(),
+                                 pos.column("_bs").to_pylist()):
+                f = urllib.parse.unquote(urllib.parse.urlparse(f_uri).path)
+                rel = os.path.relpath(f, os.path.abspath(data_dir))
+                buf = bytearray(nbytes)
+                for b in bs:
+                    buf[b >> 3] |= 1 << (b & 7)
+                got[rel] = base64.b64encode(bytes(buf)).decode()
+            zero = base64.b64encode(bytes(nbytes)).decode()
+            for rel in missing:
+                built[col][rel] = got.get(rel, zero)
+    total = 0
+    for col, s in spec.items():
+        files = {}
+        for rel in cur:  # base entries for files the new version dropped
+            e = reuse[col].get(rel)  # fall away here — never carried
+            if e is None:
+                e = built[col].get(rel)
+            if e is not None:
+                files[rel] = e
+        with open(_bloom_col_path(data_dir, col), "w") as fh:
+            json.dump({"col": col, "bits": int(s["bits"]),
+                       "k": int(s["k"]), "files": files}, fh)
+        total += len(files)
+    return total
+
+
+def _finalize_bloom(spark: SparkSession, data_dir: str,
+                    info: dict | None,
+                    columns: list[str] | None = None) -> dict:
+    """Carry the base version's bloom registration into a fully-written
+    (pre-commit) version dir and return the commit-meta fragment — the
+    bloom analogue of ``_finalize_stats``: hardlinked files reuse their
+    filter bytes, only new files scan, and EVERY writer (upsert, delete,
+    merge, compaction, streaming append/CDF) calls this so point-lookup
+    skipping survives normal writes instead of degrading to stats-only
+    after the first commit."""
+    spec = _inherited_bloom_spec(info)
+    if columns is not None:
+        spec = {c: s for c, s in spec.items() if c in columns}
+    if not spec:
+        return {}
+    _write_bloom_cols(spark, data_dir, spec,
+                      base_dir=info["data_dir"] if info else None)
+    return {"bloom": spec}
 
 
 def write_table_bloom(spark: SparkSession, root: str, cols: list[str],
@@ -702,54 +895,25 @@ def write_table_bloom(spark: SparkSession, root: str, cols: list[str],
     [min,max] spans the whole domain but each file holds only its own
     keys.  One column scan builds the filters (distinct (file, bit)
     pairs aggregate JVM-side — the shuffle is bounded by files × bits,
-    never rows), the ``_bloom.json`` sidecar stores ~bits/8 bytes per
-    file per column, and ``read_table(where=[(col, "=", v)])`` drops
-    every file whose filter provably lacks ``v``.  False positives only
-    ever read extra files; false negatives are impossible because build
-    and probe hash THE SAME canonical representation (the column's value
-    cast to its own type, then to string — Spark's ``xxhash64`` is
+    never rows), the per-column ``_bloom-<col>.json`` sidecar stores
+    ~bits/8 bytes per file, and ``read_table(where=[(col, "=", v)])``
+    drops every file whose filter provably lacks ``v``.  False positives
+    only ever read extra files; false negatives are impossible because
+    build and probe hash THE SAME canonical representation (the column's
+    value cast to its own type, then to string — Spark's ``xxhash64`` is
     type-sensitive, so probing an int literal against a bigint column
     must not hash the 32-bit encoding).  Size ``bits`` at ~10× the
-    expected distinct values per file for ~1% FPP.  Backfill-only by
-    design: filters index a committed version's files; on a real table
-    format they'd ride per-file in the commit log at write time."""
-    from pyspark.sql import functions as F
+    expected distinct values per file for ~1% FPP.
 
-    from .readers import read_parquet
-
+    Backfills a committed version (the newest by default); from then on
+    EVERY writer carries the filters forward — hardlinked files reuse
+    their filter bytes by relpath, only new/rewritten files are scanned
+    (O(touched) per commit), and the registration rides in commit meta
+    like ``stats_cols``, so a continuously-written table keeps its
+    point-lookup skipping without ever re-scanning the whole column."""
     data_dir = _version_data_dir(root, version)
-    df = read_parquet(spark, data_dir)
-    payload: dict = {"bits": bits, "k": k_hashes, "cols": {}}
-    import base64
-
-    for c in cols:
-        # distinct (file, bit) pairs aggregate JVM-side, then land on the
-        # driver as ONE Arrow batch (packed columnar ints, not row
-        # objects) — transient driver cost O(files x set bits) ints,
-        # persisted cost bits/8 bytes per file
-        pos = (df.filter(F.col(c).isNotNull())
-               .select(F.input_file_name().alias("_f"),
-                       F.explode(F.array(*[
-                           F.pmod(F.xxhash64(
-                               F.col(c).cast("string"), F.lit(i)),
-                               F.lit(bits)).cast("int")
-                           for i in range(k_hashes)])).alias("_b"))
-               .distinct()
-               .groupBy("_f").agg(F.collect_list("_b").alias("_bs"))
-               .toArrow())
-        files = {}
-        for f_uri, bs in zip(pos.column("_f").to_pylist(),
-                             pos.column("_bs").to_pylist()):
-            f = urllib.parse.unquote(urllib.parse.urlparse(f_uri).path)
-            rel = os.path.relpath(f, os.path.abspath(data_dir))
-            buf = bytearray(bits // 8 + (1 if bits % 8 else 0))
-            for b in bs:
-                buf[b >> 3] |= 1 << (b & 7)
-            files[rel] = base64.b64encode(bytes(buf)).decode()
-        payload["cols"][c] = files
-    with open(os.path.join(data_dir, _BLOOM_FILE), "w") as fh:
-        json.dump(payload, fh)
-    return sum(len(v) for v in payload["cols"].values())
+    spec = {c: {"bits": int(bits), "k": int(k_hashes)} for c in cols}
+    return _write_bloom_cols(spark, data_dir, spec)
 
 
 def _bloom_probe_bits(spark: SparkSession, schema, col: str, vals: list,
@@ -883,6 +1047,7 @@ def alter_table_constraints(spark: SparkSession, root: str,
     scols = _inherited_stats_cols(info, None)
     meta = _finalize_stats(data_dir, scols, scols,
                            base_dir=info["data_dir"])
+    meta.update(_finalize_bloom(spark, data_dir, info))
     if cons:
         meta["constraints"] = cons
     txns = _inherited_txns(info)
@@ -953,32 +1118,34 @@ def _read_pruned(spark: SparkSession, data_dir: str,
                 stats_files = json.load(fh).get("files", {})
         except (ValueError, OSError):
             stats_files = {}
-    bloom: dict = {}
-    bpath = os.path.join(data_dir, _BLOOM_FILE)
-    if os.path.exists(bpath) and \
-            any(op in ("=", "in") for _c, op, _v in where):
-        try:
-            with open(bpath) as fh:
-                bloom = json.load(fh)
-        except (ValueError, OSError):
-            bloom = {}
-    probe_bits: dict = {}
-    if bloom.get("cols"):
+    # bloom probing loads ONLY the probed columns' sidecars — per-column
+    # files keep the parse O(probed columns' filter bytes), not O(every
+    # bloom byte the table carries); _load_bloom_col handles the legacy
+    # combined-file layout transparently
+    probe: dict = {}  # col -> (files map, probe bit rows | None)
+    if any(op in ("=", "in") for _c, op, _v in where):
         import base64
 
-        schema = read_parquet(spark, data_dir).schema
+        schema = None
         for col, op, val in where:
-            if op in ("=", "in") and col in bloom["cols"]:
-                vals = val if op == "in" else [val]
-                # None = some literal was uncastable: the bloom can't
-                # decide the whole predicate — abstain rather than guess
-                probe_bits[col] = _bloom_probe_bits(
-                    spark, schema, col, vals,
-                    int(bloom["bits"]), int(bloom["k"]))
+            if op not in ("=", "in") or col in probe:
+                continue
+            bspec = _load_bloom_col(data_dir, col)
+            if bspec is None:
+                continue
+            if schema is None:
+                schema = read_parquet(spark, data_dir).schema
+            vals = val if op == "in" else [val]
+            # None = some literal was uncastable: the bloom can't
+            # decide the whole predicate — abstain rather than guess
+            probe[col] = (bspec["files"], _bloom_probe_bits(
+                spark, schema, col, vals,
+                int(bspec["bits"]), int(bspec["k"])))
 
+    if probe:
         def _bloom_admits(rel: str, col: str) -> bool:
-            pbs = probe_bits.get(col)
-            enc = bloom["cols"][col].get(rel)
+            files, pbs = probe[col]
+            enc = files.get(rel)
             if pbs is None or enc is None:
                 return True  # abstain: no filter for this file/literal
             buf = base64.b64decode(enc)
@@ -1002,7 +1169,7 @@ def _read_pruned(spark: SparkSession, data_dir: str,
                     not _file_may_match(finfo, col, op, val):
                 keep = False
                 break
-            elif op in ("=", "in") and col in probe_bits and \
+            elif op in ("=", "in") and col in probe and \
                     not _bloom_admits(rel, col):
                 keep = False
                 break
@@ -1165,6 +1332,8 @@ def manifest_upsert(spark: SparkSession, root: str, updates: DataFrame,
                 raise
         meta = _finalize_stats(data_dir, scols, merged.columns,
                                base_dir=base_dir)
+        meta.update(_finalize_bloom(spark, data_dir, info,
+                                    columns=merged.columns))
         if cons:
             meta["constraints"] = cons
         txns = _inherited_txns(info)
@@ -1202,14 +1371,10 @@ def table_detail(spark: SparkSession, root: str) -> DataFrame:
         total_bytes += os.path.getsize(p)
         n_rows += pq.ParquetFile(p).metadata.num_rows
     meta = info.get("meta", {})
-    bloom_cols: list[str] = []
-    bpath = os.path.join(data_dir, _BLOOM_FILE)
-    if os.path.exists(bpath):
-        try:
-            with open(bpath) as fh:
-                bloom_cols = sorted(json.load(fh).get("cols", {}))
-        except (ValueError, OSError):
-            pass
+    # per-column sidecars + legacy combined file + commit-meta
+    # registration — any of the three means the column is bloom-indexed
+    bloom_cols = sorted(set(_bloom_sidecar_specs(data_dir))
+                        | set(meta.get("bloom", {}) or {}))
     cdir = _commits_dir(root)
     fname = f"v{info['version']:010d}.json"
     # meta first, sidecar header as the backfill fallback — a table whose
@@ -1318,6 +1483,8 @@ def manifest_delete(spark: SparkSession, root: str, keys: DataFrame,
             kept.write.mode("overwrite").parquet(data_dir)
         meta = _finalize_stats(data_dir, scols, base.columns,
                                base_dir=base_dir)
+        meta.update(_finalize_bloom(spark, data_dir, info,
+                                    columns=base.columns))
         cons = _inherited_constraints(info)
         if cons:  # deletes can't violate, but the registration carries
             meta["constraints"] = cons
@@ -1572,6 +1739,7 @@ def compact_table(spark: SparkSession, root: str, target_bytes: int,
                 "zorder_by": list(zorder_by or [])}
         meta.update(_finalize_stats(data_dir, scols, scols,
                                     base_dir=base_dir))
+        meta.update(_finalize_bloom(spark, data_dir, info))
         cons = _inherited_constraints(info)
         if cons:  # a rewrite can't violate, but the registration carries
             meta["constraints"] = cons
@@ -1689,6 +1857,8 @@ def manifest_merge(spark: SparkSession, root: str, source: DataFrame,
         meta = {"merge_on": list(key_cols)}
         meta.update(_finalize_stats(data_dir, scols, out_cols,
                                     base_dir=base_dir))
+        meta.update(_finalize_bloom(spark, data_dir, info,
+                                    columns=out_cols))
         if cons:
             meta["constraints"] = cons
         txns = _inherited_txns(info)

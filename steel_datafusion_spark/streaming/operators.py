@@ -429,6 +429,13 @@ def streaming_append_table(
             meta.update(_finalize_stats(
                 data_dir, scols, batch_df.columns,
                 base_dir=cur["data_dir"] if cur else None))
+        # a bloom-indexed table stays indexed under streaming ingest at
+        # O(batch) cost: hardlinked files reuse their filter bytes by
+        # relpath, only the batch's new files scan
+        from ..sources.manifest import _finalize_bloom
+
+        meta.update(_finalize_bloom(spark, data_dir, cur,
+                                    columns=batch_df.columns))
         if cons:
             meta["constraints"] = cons
         commit_version(table_root, version, data_dir, meta=meta)
@@ -558,6 +565,10 @@ def streaming_table_changes(
             meta.update(_finalize_stats(
                 data_dir, scols, changes.columns,
                 base_dir=cur["data_dir"] if cur else None))
+        from ..sources.manifest import _finalize_bloom
+
+        meta.update(_finalize_bloom(spark, data_dir, cur,
+                                    columns=changes.columns))
         if cons:
             meta["constraints"] = cons
         commit_version(out_root, version, data_dir, meta=meta)

@@ -1304,3 +1304,87 @@ def test_table_detail_reports_backfilled_stats_cols(spark, tmp_path):
     assert table_detail(spark, out).head().stats_cols == []
     write_table_stats(out, ["k", "v"])
     assert table_detail(spark, out).head().stats_cols == ["k", "v"]
+
+
+def test_bloom_carries_forward_across_writers(spark, tmp_path):
+    """Bloom filters survive normal writes like the stats sidecar:
+    hardlinked files REUSE their filter bytes by relpath (proved by
+    poisoning a base entry and watching it propagate — a rescan would
+    heal it), only rewritten files scan, the registration rides in
+    commit meta, and point lookups keep pruning after the upsert."""
+    import base64 as _b64
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.sources.manifest import (
+        _bloom_col_path, latest_commit, latest_commit_info,
+        manifest_upsert, read_table, write_table_bloom,
+    )
+
+    out = str(tmp_path / "bloomcarry")
+    df = spark.range(4000).select(
+        F.concat(F.lit("u-"), F.md5(F.col("id").cast("string")))
+        .alias("uid"),
+        (F.col("id") % 4).alias("p"),
+        F.col("id").alias("k"))
+    manifest_upsert(spark, out, df, ["uid"], partition_by=["p"],
+                    keep_versions=10)
+    write_table_bloom(spark, out, ["uid"], bits=1 << 14)
+    _v1, d1 = latest_commit(out)
+    bp1 = _bloom_col_path(d1, "uid")
+    with open(bp1) as fh:
+        b1 = _json.load(fh)
+    victim = next(r for r in b1["files"] if r.startswith("p=3"))
+    poison = _b64.b64encode(b"\xa5" * (len(_b64.b64decode(
+        b1["files"][victim])))).decode()
+    b1["files"][victim] = poison
+    with open(bp1, "w") as fh:
+        _json.dump(b1, fh)
+    upd = (df.filter(F.col("p") == 1)
+           .withColumn("k", F.col("k") + 100000))
+    manifest_upsert(spark, out, upd, ["uid"], partition_by=["p"],
+                    keep_versions=10)
+    info = latest_commit_info(out)
+    assert info["meta"]["bloom"] == {"uid": {"bits": 1 << 14, "k": 5}}
+    with open(_bloom_col_path(info["data_dir"], "uid")) as fh:
+        b2 = _json.load(fh)
+    assert b2["files"][victim] == poison  # carried, not rescanned
+    assert any(r.startswith("p=1") for r in b2["files"])  # rewritten
+    # point lookups still prune and stay exact on the NEW version
+    tgt = df.filter((F.col("k") == 2) & (F.col("p") == 2)).head().uid
+    hit = read_table(spark, out, where=[("uid", "=", tgt)])
+    assert len(hit.inputFiles()) < len(read_table(spark, out).inputFiles())
+    assert hit.count() == 1
+    absent = read_table(spark, out, where=[("uid", "=", "u-missing")])
+    assert absent.count() == 0
+
+
+def test_bloom_per_column_sidecars_load_independently(spark, tmp_path):
+    """Per-COLUMN bloom sidecars: probing one column never needs another
+    column's filter bytes — deleting col B's sidecar leaves col A's
+    pruning fully intact (at 10⁶ files this is the difference between
+    parsing one column's filters and the whole table's)."""
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.sources.manifest import (
+        _bloom_col_path, latest_commit, manifest_upsert, read_table,
+        table_detail, write_table_bloom,
+    )
+
+    out = str(tmp_path / "bloomcols")
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("s"))
+    manifest_upsert(spark, out, df.repartition(8, "k"), ["k"])
+    write_table_bloom(spark, out, ["k", "s"], bits=1 << 14)
+    assert table_detail(spark, out).head().bloom_cols == ["k", "s"]
+    _v, d = latest_commit(out)
+    assert os.path.exists(_bloom_col_path(d, "k"))
+    os.unlink(_bloom_col_path(d, "s"))  # col s's bytes are GONE
+    hit = read_table(spark, out, where=[("k", "=", 1234)])
+    assert len(hit.inputFiles()) < 8  # k pruning never touched s's file
+    assert hit.count() == 1
+    # s probes abstain (filter deleted) but stay exact via the residual
+    sval = df.filter(F.col("k") == 7).head().s
+    assert read_table(spark, out, where=[("s", "=", sval)]).count() == 1

@@ -539,3 +539,49 @@ def test_run_stream_to_parquet_zero_batches_returns_empty(spark, tmp_path):
         stream, str(tmp_path / "out"), str(tmp_path / "ckpt"))
     assert got.count() == 0
     assert [f.name for f in got.schema.fields] == ["k", "v"]
+
+
+def test_streaming_append_maintains_bloom_index(spark, tmp_path):
+    """A bloom-indexed table stays indexed under streaming ingest: each
+    micro-batch commit carries hardlinked files' filters by relpath and
+    scans only the batch's new files, so point-lookup skipping never
+    degrades to stats-only after the first appended batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.sources.manifest import (
+        _bloom_col_path, latest_commit_info, manifest_upsert, read_table,
+        write_table_bloom,
+    )
+    from steel_datafusion_spark.streaming.operators import (
+        streaming_append_table,
+    )
+
+    tbl = str(tmp_path / "btbl")
+    seed = spark.range(2000).select(
+        F.md5(F.col("id").cast("string")).alias("uid"),
+        F.col("id").alias("k"))
+    manifest_upsert(spark, tbl, seed.repartition(4, "uid"), ["uid"])
+    write_table_bloom(spark, tbl, ["uid"], bits=1 << 14)
+    src = str(tmp_path / "bsrc")
+    batch = spark.range(2000, 3000).select(
+        F.md5(F.col("id").cast("string")).alias("uid"),
+        F.col("id").alias("k"))
+    batch.coalesce(2).write.mode("overwrite").parquet(src)
+    streaming_append_table(spark, src, batch.schema, tbl,
+                           str(tmp_path / "bwork"),
+                           max_files_per_trigger=1)
+    info = latest_commit_info(tbl)
+    assert info["meta"]["bloom"] == {"uid": {"bits": 1 << 14, "k": 5}}
+    assert os.path.exists(_bloom_col_path(info["data_dir"], "uid"))
+    total = len(read_table(spark, tbl).inputFiles())
+    # a streamed-in key and a seed key both prune and both hit
+    for probe_k in (42, 2500):
+        uid = (read_table(spark, tbl).filter(F.col("k") == probe_k)
+               .head().uid)
+        got = read_table(spark, tbl, where=[("uid", "=", uid)])
+        assert len(got.inputFiles()) < total
+        assert got.count() == 1
+    assert read_table(spark, tbl,
+                      where=[("uid", "=", "nope")]).count() == 0
