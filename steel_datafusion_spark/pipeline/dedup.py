@@ -481,6 +481,95 @@ def dedup_against_index(
                                   corpus_hot=hot)
 
 
+def _table_num_buckets(spark, table: str) -> int:
+    """Bucket count of a managed bucketed table, from the catalog — an
+    append must match the existing spec exactly or Spark rejects it."""
+    for r in spark.sql(f"DESCRIBE EXTENDED `{table}`").collect():
+        if r.col_name == "Num Buckets":
+            return int(r.data_type)
+    raise ValueError(f"{table!r} is not a bucketed table")
+
+
+def dedup_index_append(
+    batch: DataFrame, name: str,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> dict:
+    """Absorb a document batch into a ``build_dedup_index`` index WITHOUT
+    re-shingling the corpus — the incremental-maintenance half of the
+    persisted-dedup story.  The MinHash sketch is per-document
+    deterministic (no corpus-size dependence), so the grown index is
+    bit-identical to a from-scratch build over base+batch: shingle+band
+    ONLY the batch, append its rows to the bucketed ``{name}_bands`` /
+    ``{name}_shingles`` tables (Spark validates the bucket spec), and
+    maintain the ``{name}_hot`` flood guard EXACTLY — a bucket can only
+    become hot if the batch touched it, so one broadcast-filtered scan
+    of the bands INDEX table (int triples — ~1000× smaller than the
+    corpus text; no shuffle of the index, output is only the touched
+    buckets) recounts just those buckets and merges them into the hot
+    table (min-rep union).  Banding parameters come from
+    ``{name}_meta``; a pre-meta index must be rebuilt (appending with
+    guessed parameters would silently admit duplicates forever).
+
+    Cost per ingest cycle: O(|batch|) shingling + bucketed appends + the
+    index-metadata scan — never a re-shingle or re-band of corpus text.
+
+    Returns ``{"appended_docs": d, "appended_bands": b,
+    "hot_buckets": h}`` (h = hot-table size after the merge; -1 when the
+    index was built with max_bucket=None)."""
+    spark = batch.sparkSession
+    if not spark.catalog.tableExists(f"{name}_meta"):
+        raise ValueError(
+            f"dedup index {name!r} has no {name}_meta table — appending "
+            f"with guessed banding parameters would produce rows that "
+            f"never match the stored ones (silently admitting "
+            f"duplicates); rebuild with build_dedup_index")
+    meta = spark.table(f"{name}_meta").head()
+    n, k = int(meta["n"]), int(meta["k"])
+    bands, rows = int(meta["bands"]), int(meta["rows"])
+    max_bucket = None if meta["max_bucket"] < 0 else int(meta["max_bucket"])
+    hb = _hashed_shingles(batch, id_col, text_col, n) \
+        .withColumnRenamed("doc_id", "corpus_id")
+    bb = _banded_table(hb.withColumnRenamed("corpus_id", "doc_id"),
+                       k, bands, rows) \
+        .withColumnRenamed("doc_id", "corpus_id").persist()
+    n_bands_rows = bb.count()  # materialize once: append + hot probe
+    write_bucketed(bb, f"{name}_bands", ["band_hash"],
+                   _table_num_buckets(spark, f"{name}_bands"),
+                   sort_cols=["band_hash"], mode="append")
+    write_bucketed(hb, f"{name}_shingles", ["corpus_id"],
+                   _table_num_buckets(spark, f"{name}_shingles"),
+                   mode="append")
+    n_hot = -1
+    if max_bucket is not None and \
+            spark.catalog.tableExists(f"{name}_hot"):
+        from ..sources.bucketing import drop_managed_table
+
+        bkeys = bb.select("band_idx", "band_hash").distinct()
+        touched = (spark.table(f"{name}_bands")
+                   .join(F.broadcast(bkeys), ["band_idx", "band_hash"])
+                   .groupBy("band_idx", "band_hash")
+                   .agg(F.count(F.lit(1)).alias("occ"),
+                        F.min("corpus_id").alias("rep"))
+                   .filter(F.col("occ") > max_bucket)
+                   .select("band_idx", "band_hash", "rep"))
+        new_hot = (spark.table(f"{name}_hot").unionByName(touched)
+                   .groupBy("band_idx", "band_hash")
+                   .agg(F.min("rep").alias("rep")))
+        # tmp-swap: never overwrite a table that feeds its own rewrite
+        tmp = f"{name}_hot_swap"
+        drop_managed_table(spark, tmp)
+        new_hot.write.saveAsTable(tmp)
+        drop_managed_table(spark, f"{name}_hot")
+        spark.table(tmp).write.saveAsTable(f"{name}_hot")
+        drop_managed_table(spark, tmp)
+        n_hot = spark.table(f"{name}_hot").count()
+    n_docs = hb.count()
+    bb.unpersist()
+    return {"appended_docs": int(n_docs),
+            "appended_bands": int(n_bands_rows),
+            "hot_buckets": int(n_hot)}
+
+
 def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         window: int = 4) -> DataFrame:

@@ -742,6 +742,118 @@ def q_ann_index_probe(spark, sf_dir):
     return ivf_topk_index(q, "ann_gate_idx", k=10, nprobe=2)
 
 
+# One build+append SEQUENCE per (app, sf_dir): the grown index is
+# deterministic, so re-running the sequence would only duplicate rows —
+# gate reps must probe the SAME grown state (mirrors _DEDUP_INDEX_BUILT).
+_APPEND_INDEX_BUILT: set = set()
+
+
+def _ensure_ann_append_index(spark, sf_dir, name="gate_ann_apx"):
+    app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    scoped = f"{name}_{app[-12:]}"
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), scoped)
+    if key not in _APPEND_INDEX_BUILT:
+        from .similarity import ann_index_append, build_ann_index
+
+        e = load_tables(spark, sf_dir)["embeddings"]
+        cut = e.count() * 3 // 5
+        build_ann_index(e.filter(F.col("vec_id") < cut), scoped, nlist=10)
+        tail = e.filter(F.col("vec_id") >= cut)
+        ann_index_append(tail.filter(F.col("vec_id") % 2 == 0), scoped)
+        ann_index_append(tail.filter(F.col("vec_id") % 2 == 1), scoped)
+        _APPEND_INDEX_BUILT.add(key)
+    return scoped
+
+
+def q_ann_index_append(spark, sf_dir):
+    """INCREMENTAL maintenance of the persisted dense-vector index
+    (pipeline/similarity.py ann_index_append): the index is built over
+    the first 60% of the corpus, then the remaining 40% is absorbed in
+    TWO appends — each assigns only its batch against the STORED
+    centroids (frozen quantizer ⇒ bit-identical to a one-shot build
+    with the same centroid table; O(|batch|×nlist) per ingest cycle,
+    never O(|corpus|)) and appends to the bucketed assignment table.
+    The probe then runs against the grown index; the oracle computes
+    the same IVF with base-derived centroids over the FULL corpus, so
+    the hash proves append-grown ≡ full rebuild (the r11 VERDICT item-2
+    contract).  Equality + plan shape also in
+    tests/test_index_append.py."""
+    from .similarity import ivf_topk_index
+
+    scoped = _ensure_ann_append_index(spark, sf_dir)
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    return ivf_topk_index(q, scoped, k=10, nprobe=2)
+
+
+_SQL_ANN_INDEX_APPEND = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+base AS (SELECT * FROM e
+         WHERE vec_id < (SELECT 3 * count(*) // 5 FROM e)),
+cent AS (SELECT vec_id AS centroid_id, v AS centv FROM base
+         WHERE vec_id % (SELECT (count(*) + 9) // 10 FROM base) = 0),
+assign AS (
+  SELECT vid, v, centroid_id FROM (
+    SELECT e.vec_id AS vid, e.v, c.centroid_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round({_COS.format(a='e.v', b='c.centv')}, 6) DESC, c.centroid_id) AS r
+    FROM e, cent c) t WHERE r = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, c.centroid_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY round({_COS.format(a='q.qv', b='c.centv')}, 6) DESC, c.centroid_id) AS r
+    FROM q, cent c) t WHERE r <= 2),
+scored AS (
+  SELECT p.query_id, a.vid AS neighbor_id,
+         round({_COS.format(a='p.qv', b='a.v')}, 6) AS score
+  FROM probes p JOIN assign a USING (centroid_id)
+  WHERE p.query_id <> a.vid)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored) t WHERE rank <= 10
+"""
+
+
+def _ensure_dedup_append_index(spark, sf_dir, name="gate_dd_apx"):
+    app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    scoped = f"{name}_{app[-12:]}"
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), scoped)
+    if key not in _APPEND_INDEX_BUILT:
+        from .dedup import build_dedup_index, dedup_index_append
+
+        d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+        build_dedup_index(d.filter(F.col("doc_id") % 2 == 0), scoped)
+        odd = d.filter(F.col("doc_id") % 2 == 1)
+        dedup_index_append(odd.filter(F.col("doc_id") % 4 == 1), scoped)
+        dedup_index_append(odd.filter(F.col("doc_id") % 4 == 3), scoped)
+        _APPEND_INDEX_BUILT.add(key)
+    return scoped
+
+
+def q_dedup_index_append(spark, sf_dir):
+    """INCREMENTAL maintenance of the persisted MinHash dedup index
+    (pipeline/dedup.py dedup_index_append): the index is built over the
+    even-id half of the corpus, the odd half is absorbed in TWO appends
+    (shingle+band only the batch — the sketch is per-doc deterministic,
+    so the grown index is bit-identical to a from-scratch build; the
+    hot-bucket flood guard is maintained exactly via a broadcast-
+    filtered recount of only the touched buckets), then the planted
+    near-copy batch probes the grown index.  The oracle is the SAME
+    full-corpus SQL as dedup_incremental/dedup_index_probe — the hash
+    IS the append-grown ≡ full-rebuild proof."""
+    from .dedup import dedup_against_index
+
+    scoped = _ensure_dedup_append_index(spark, sf_dir)
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" steel spark dedup")).alias("text"))
+    return dedup_against_index(batch, scoped, threshold=0.5)
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (≥0.99) on the duplicate-augmented
     corpus: LSH-bucketed candidates (8 planes + hamming-1 multiprobe,
@@ -1159,6 +1271,11 @@ __all__ = [
     'q_ann_recall',
     '_SQL_SIM_IVF',
     'q_ann_index_probe',
+    '_ensure_ann_append_index',
+    'q_ann_index_append',
+    '_SQL_ANN_INDEX_APPEND',
+    '_ensure_dedup_append_index',
+    'q_dedup_index_append',
     'q_embedding_neardup',
     '_sql_emb_neardup',
     'q_embedding_dedup',

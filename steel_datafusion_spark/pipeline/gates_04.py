@@ -273,6 +273,113 @@ ORDER BY query_id
 """
 
 
+# one kmeans-trained index build per (app, sf_dir) — gate reps time the
+# probe+recall, not the training (the amortized real-world shape)
+_ANN_KM_INDEX_BUILT: set = set()
+
+
+def _ensure_ann_kmeans_index(spark, sf_dir, name="gate_ann_kmx"):
+    app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    scoped = f"{name}_{app[-12:]}"
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), scoped)
+    if key not in _ANN_KM_INDEX_BUILT:
+        from .similarity import build_ann_index
+
+        e = load_tables(spark, sf_dir)["embeddings"]
+        build_ann_index(e, scoped, nlist=10, train="kmeans",
+                        train_iters=3)
+        _ANN_KM_INDEX_BUILT.add(key)
+    return scoped
+
+
+def q_ann_index_recall(spark, sf_dir):
+    """Recall@10 of the KMEANS-TRAINED persisted index against exact
+    brute force (VERDICT r11 item 8): ``build_ann_index(train="kmeans")``
+    stores Lloyd-trained centroids + the bucketed cosine assignment, the
+    query batch probes it via ``ivf_topk_index``, and the per-query
+    hit-count against ``cosine_topk`` makes the TRAINED index's quality
+    a driver-hashed number (the inline-quantizer ``ann_recall`` gate
+    covers the subsample path; this one covers the stored, data-adapted
+    quantizer a production deployment actually ships).  The oracle
+    unrolls the same 3 Lloyd rounds (6dp-rounded means) and the same
+    cosine assignment in SQL."""
+    from .similarity import cosine_topk, ivf_topk_index
+
+    scoped = _ensure_ann_kmeans_index(spark, sf_dir)
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    bf = cosine_topk(q, e, k=10).select("query_id", "neighbor_id")
+    approx = ivf_topk_index(q, scoped, k=10, nprobe=2) \
+        .select("query_id", "neighbor_id")
+    n_exact = bf.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"))
+    n_hit = (approx.join(bf, ["query_id", "neighbor_id"])
+             .groupBy("query_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_hit")))
+    return (n_exact.join(n_hit, "query_id", "left")
+            .select("query_id", "n_exact",
+                    F.coalesce("n_hit", F.lit(0)).cast("long")
+                    .alias("n_hit"))
+            .withColumn("recall",
+                        F.round(F.col("n_hit") / F.col("n_exact"), 6))
+            .orderBy("query_id"))
+
+
+def _sql_ann_index_recall() -> str:
+    """Kmeans-trained IVF in SQL: the committed Lloyd unroll
+    (``_sql_kmeans`` body, k=10, iters=3) plus a FINAL centroid update
+    over the last assignment (build_ann_index stores the means of the
+    final assignment — similarity.kmeans updates centroids after the
+    last iteration too), then the same cosine argmax assignment, probe
+    and recall report as ``_sql_ann_recall``."""
+    dim = 64
+    avg_list = "[" + ", ".join(
+        f"round(avg(v[{i}]), 6)" for i in range(1, dim + 1)) + "]"
+    body = _sql_kmeans(k=10, iters=3, body_only=True)
+    trained = f"""WITH {body},
+centf AS (SELECT cluster AS centroid_id, {avg_list} AS centv
+          FROM a3 GROUP BY cluster),
+assign AS (
+  SELECT vid, v, centroid_id FROM (
+    SELECT e.vid, e.v, c.centroid_id,
+      row_number() OVER (PARTITION BY e.vid
+        ORDER BY round({_COS.format(a='e.v', b='c.centv')}, 6) DESC,
+                 c.centroid_id) AS r
+    FROM vecs e, centf c) t WHERE r = 1),
+qq AS (SELECT vid AS query_id, v AS qv FROM vecs WHERE vid < 5),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, c.centroid_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY round({_COS.format(a='q.qv', b='c.centv')}, 6) DESC,
+                 c.centroid_id) AS r
+    FROM qq q, centf c) t WHERE r <= 2),
+scored AS (
+  SELECT p.query_id, a.vid AS neighbor_id,
+         round({_COS.format(a='p.qv', b='a.v')}, 6) AS score
+  FROM probes p JOIN assign a USING (centroid_id)
+  WHERE p.query_id <> a.vid)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored) t WHERE rank <= 10"""
+    return f"""
+SELECT b.query_id, b.n_exact,
+  coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+  round(coalesce(h.n_hit, 0)::DOUBLE / b.n_exact, 6) AS recall
+FROM (SELECT query_id, COUNT(*)::BIGINT AS n_exact
+      FROM ({_SQL_SIM_TOPK}) bf GROUP BY 1) b
+LEFT JOIN (
+  SELECT query_id, COUNT(*) AS n_hit
+  FROM ({trained}) i
+  JOIN (SELECT query_id AS bq, neighbor_id AS bn
+        FROM ({_SQL_SIM_TOPK}) bf2) b2
+    ON i.query_id = b2.bq AND i.neighbor_id = b2.bn
+  GROUP BY 1) h USING (query_id)
+ORDER BY query_id
+"""
+
+
 def q_gapfill_resample(spark, sf_dir):
     """Time-bucket gap filling (pipeline/rollup.py gapfill — the
     TimescaleDB time_bucket_gapfill shape): regularize each event type's
@@ -1207,6 +1314,9 @@ __all__ = [
     'q_skew_diagnose',
     '_sql_skew_diagnose',
     '_sql_ann_recall',
+    '_ensure_ann_kmeans_index',
+    'q_ann_index_recall',
+    '_sql_ann_index_recall',
     'q_gapfill_resample',
     '_sql_gapfill_resample',
     '_EXPECT_RULES',

@@ -509,6 +509,62 @@ def q_streaming_cdc_feed(spark, sf_dir):
     return feed.select("c_custkey", "change_type", "commit_version")
 
 
+# one BASE index build per (app, sf_dir); each gate call then drives a
+# fresh stream (uuid delta) over the corpus tail — the drive IS the op
+_ANN_STREAM_BASE_BUILT: set = set()
+
+
+def _ensure_ann_stream_base(spark, sf_dir, name="gate_ann_smx"):
+    app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    scoped = f"{name}_{app[-12:]}"
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), scoped)
+    if key not in _ANN_STREAM_BASE_BUILT:
+        from .similarity import build_ann_index
+
+        e = load_tables(spark, sf_dir)["embeddings"]
+        cut = e.count() * 3 // 5
+        build_ann_index(e.filter(F.col("vec_id") < cut), scoped, nlist=10)
+        _ANN_STREAM_BASE_BUILT.add(key)
+    return scoped
+
+
+def q_streaming_index_maintenance(spark, sf_dir):
+    """EXACTLY-ONCE streaming maintenance of the persisted ANN index
+    (streaming/operators.py ``streaming_ann_index_maintenance`` —
+    VERDICT r11 item 3, composing item 2 with the manifest txn-watermark
+    machinery): the corpus tail lands as a file stream, each micro-batch
+    is assigned against the STORED centroids only (O(|batch| × nlist))
+    and committed into a manifest-backed delta table through the
+    replay-skip guard, then the probe unions base + delta
+    (``ivf_topk_index_delta``).  Assignment is per-vector deterministic,
+    so batch-chopped maintenance ≡ a one-shot index over the full
+    corpus with the same quantizer — the oracle computes exactly that
+    (the same SQL as ann_index_append), so the hash proves the
+    equivalence end to end.  Replay safety is asserted in
+    tests/test_streaming.py (re-driving the same checkpoint commits
+    nothing new)."""
+    import uuid
+
+    from ..queries import scratch_dir
+    from ..streaming.operators import streaming_ann_index_maintenance
+    from .similarity import ivf_topk_index_delta
+
+    scoped = _ensure_ann_stream_base(spark, sf_dir)
+    e = load_tables(spark, sf_dir)["embeddings"]
+    cut = e.count() * 3 // 5
+    base = scratch_dir(spark, sf_dir, "annstream_gate")
+    run = uuid.uuid4().hex[:8]
+    src = _os.path.join(base, f"src-{run}")
+    delta = _os.path.join(base, f"delta-{run}")
+    work = _os.path.join(base, f"work-{run}")
+    tail = e.filter(F.col("vec_id") >= cut)
+    tail.repartition(2).write.mode("overwrite").parquet(src)
+    streaming_ann_index_maintenance(spark, src, tail.schema, scoped,
+                                    delta, work, max_files_per_trigger=1)
+    q = e.filter(F.col("vec_id") < 5)
+    return ivf_topk_index_delta(q, scoped, delta, k=10, nprobe=2)
+
+
 _SQL_STREAMING_CDC_FEED = """
 SELECT c_custkey, 'insert' AS change_type, 1::BIGINT AS commit_version
 FROM customer WHERE c_custkey <= 600
@@ -526,6 +582,8 @@ WHERE c_custkey <= 650 AND c_custkey % 9 = 0
 
 __all__ = [
     'q_streaming_cdc_feed',
+    '_ensure_ann_stream_base',
+    'q_streaming_index_maintenance',
     '_SQL_STREAMING_CDC_FEED',
     'q_data_skipping_read',
     '_SQL_DATA_SKIPPING_READ',

@@ -68,6 +68,11 @@ PIPELINE_QUERIES = {
     "similarity_ivf": (q_similarity_ivf, _SQL_SIM_IVF),
     "ann_recall": (q_ann_recall, _sql_ann_recall()),
     "ann_index_probe": (q_ann_index_probe, _SQL_SIM_IVF),
+    "ann_index_append": (q_ann_index_append, _SQL_ANN_INDEX_APPEND),
+    "dedup_index_append": (q_dedup_index_append, _sql_dedup_incremental()),
+    "ann_index_recall": (q_ann_index_recall, _sql_ann_index_recall()),
+    "streaming_index_maintenance": (q_streaming_index_maintenance,
+                                    _SQL_ANN_INDEX_APPEND),
     "embedding_neardup": (q_embedding_neardup, _sql_emb_neardup()),
     "embedding_dedup": (q_embedding_dedup, _sql_embedding_dedup()),
     "embedding_neardup_banded": (q_embedding_neardup_banded,

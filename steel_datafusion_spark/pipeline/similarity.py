@@ -242,6 +242,7 @@ def ivf_assign(
     carry: tuple[str, ...] = (),
     centroid_mod: int | None = None,
     centroids: DataFrame | None = None,
+    keep_score: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic IVF coarse quantizer with a FIXED centroid count:
     ``nlist`` centroids = vectors whose id ≡ 0 (mod ceil(N/nlist), from
@@ -287,9 +288,10 @@ def ivf_assign(
     )
     w = Window.partitionBy("vid").orderBy(F.col("cscore").desc(),
                                           F.col("centroid_id").asc())
+    score = ["cscore"] if keep_score else []  # drift/telemetry callers
     assign = (scored.withColumn("r", F.row_number().over(w))
               .filter(F.col("r") == 1)
-              .select("vid", "v", *carry, "_n2", "centroid_id"))
+              .select("vid", "v", *carry, "_n2", "centroid_id", *score))
     return cent, assign
 
 
@@ -352,6 +354,7 @@ def build_ann_index(
     id_col: str = "vec_id", vec_col: str = "embedding",
     train: str = "subsample", train_iters: int = 3,
     carry: tuple[str, ...] = (),
+    centroids: DataFrame | None = None,
 ) -> None:
     """Materialize the dense-vector IVF index ONCE, as managed tables —
     the build-once / probe-many path ``build_dedup_index`` (dedup.py)
@@ -381,7 +384,14 @@ def build_ann_index(
     (:func:`kmeans`) for data-adapted cells — better recall on clustered
     corpora at the cost of train_iters assignment passes at BUILD time
     (probe cost is identical).  Real IVF libraries train on a sample;
-    here the fixture corpora are small enough to train on in full."""
+    here the fixture corpora are small enough to train on in full.
+
+    ``centroids`` supplies a pre-existing quantizer table (centroid_id,
+    centv[, _n2c]) verbatim — e.g. another index's stored centroids, so
+    a from-scratch rebuild can be made bit-comparable to an
+    append-grown index (``ann_index_append`` freezes the quantizer by
+    design; a rebuild with the same frozen quantizer must produce the
+    identical assignment)."""
     spark = corpus.sparkSession
     for t in (f"{name}_centroids", f"{name}_assign", f"{name}_meta"):
         spark.sql(f"DROP TABLE IF EXISTS `{t}`")
@@ -397,7 +407,11 @@ def build_ann_index(
             pass  # best-effort; saveAsTable raises a clear error if stuck
     from ..sources.bucketing import write_bucketed
 
-    if train == "kmeans":
+    if centroids is not None:
+        train = "given"
+        cent, assign = ivf_assign(corpus, nlist, id_col, vec_col,
+                                  carry=carry, centroids=centroids)
+    elif train == "kmeans":
         _assign, km_cent = kmeans(corpus, k=nlist, iters=train_iters,
                                   id_col=id_col, vec_col=vec_col)
         trained = km_cent.select(
@@ -420,6 +434,66 @@ def build_ann_index(
     ).write.saveAsTable(f"{name}_meta")
 
 
+def ann_index_append(
+    new_vectors: DataFrame, name: str,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    drift_threshold: float | None = None,
+) -> dict:
+    """Absorb a corpus batch into a ``build_ann_index`` index WITHOUT a
+    full rebuild — the incremental-maintenance half of the persisted-ANN
+    story: assign ONLY the batch against the STORED centroid table (the
+    coarse quantizer is frozen, so the grown index is bit-identical to a
+    one-shot build over base+batch with the same quantizer —
+    ``build_ann_index(..., centroids=stored)``), and APPEND the
+    assignment rows to the bucketed ``{name}_assign`` table (Spark
+    validates the bucket spec, so probe plans keep their Exchange-free
+    candidate join).  Centroids and meta are untouched.
+
+    Cost per ingest cycle: O(|batch| × nlist) assignment work + one
+    bucketed append — never O(|corpus|).  At 100 TB this is the
+    difference between absorbing a crawl increment in minutes and
+    re-indexing the corpus for every increment.
+
+    Returns ``{"appended": n, "mean_centroid_cosine": c,
+    "retrain_recommended": bool}``.  The mean assignment cosine is the
+    DRIFT signal: a frozen quantizer never affects correctness (probes
+    stay exact within probed buckets) but loses recall as the data
+    distribution walks away from the centroids; when the mean drops
+    under ``drift_threshold``, schedule a re-train
+    (``build_ann_index(train="kmeans")``) during a maintenance window.
+    """
+    spark = new_vectors.sparkSession
+    from ..sources.bucketing import write_bucketed
+
+    cent = spark.table(f"{name}_centroids")
+    meta = spark.table(f"{name}_meta").head()
+    assign_cols = spark.table(f"{name}_assign").columns
+    carry = tuple(c for c in assign_cols
+                  if c not in ("vid", "v", "_n2", "centroid_id"))
+    missing = [c for c in carry if c not in new_vectors.columns]
+    if missing:
+        raise ValueError(
+            f"index {name!r} carries columns {missing} that the batch "
+            f"lacks — appended rows would break probe-time filters "
+            f"(e.g. hard_negatives_index label filtering)")
+    _c, a = ivf_assign(new_vectors, nlist=int(meta["nlist"]),
+                       id_col=id_col, vec_col=vec_col, carry=carry,
+                       centroids=cent, keep_score=True)
+    a = a.persist()  # one lineage, two consumers: stats + append
+    row = a.agg(F.count(F.lit(1)).alias("n"),
+                F.avg("cscore").alias("mc")).head()
+    write_bucketed(a.select(*assign_cols), f"{name}_assign",
+                   ["centroid_id"], int(meta["n_buckets"]),
+                   sort_cols=["centroid_id"], mode="append")
+    a.unpersist()
+    mean_cos = None if row["mc"] is None else float(row["mc"])
+    return {"appended": int(row["n"]),
+            "mean_centroid_cosine": mean_cos,
+            "retrain_recommended": bool(
+                drift_threshold is not None and mean_cos is not None
+                and mean_cos < drift_threshold)}
+
+
 def ivf_topk_index(
     queries: DataFrame, name: str, k: int = 10, nprobe: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -434,6 +508,33 @@ def ivf_topk_index(
     spark = queries.sparkSession
     cent = spark.table(f"{name}_centroids")
     assign = spark.table(f"{name}_assign")
+    return _ivf_probe_topk(queries, cent, assign, k, nprobe,
+                           id_col, vec_col)
+
+
+def ivf_topk_index_delta(
+    queries: DataFrame, name: str, delta_root: str | None = None,
+    k: int = 10, nprobe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """``ivf_topk_index`` over the stored index PLUS a manifest-backed
+    DELTA assignment table (the snapshot a
+    ``streaming_ann_index_maintenance`` stream keeps current): the
+    candidate set is the bucketed base assignment unioned with the
+    delta's committed rows — base stays Exchange-free, the delta adds
+    one scan of O(|delta|) rows, and because both carry the SAME frozen
+    quantizer's assignments the result is bit-identical to a one-shot
+    index over base+delta.  Compact the delta into the base with
+    ``ann_index_append(read_table(delta_root)...)`` + a delta reset
+    when it outgrows its share of probe time."""
+    from ..sources.manifest import is_manifest_root, read_table
+
+    spark = queries.sparkSession
+    cent = spark.table(f"{name}_centroids")
+    assign = spark.table(f"{name}_assign")
+    if delta_root is not None and is_manifest_root(delta_root):
+        delta = read_table(spark, delta_root).select(*assign.columns)
+        assign = assign.unionByName(delta)
     return _ivf_probe_topk(queries, cent, assign, k, nprobe,
                            id_col, vec_col)
 

@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 __all__ = ["read_stream_parquet", "windowed_rollup", "session_rollup",
            "streaming_dedup", "stream_stream_join", "run_stream_to_memory",
            "run_stream_to_parquet", "streaming_view_maintenance",
-           "streaming_append_table", "streaming_table_changes"]
+           "streaming_append_table", "streaming_table_changes",
+           "streaming_ann_index_maintenance"]
 
 
 def read_stream_parquet(spark: SparkSession, path: str, schema) -> DataFrame:
@@ -451,6 +452,82 @@ def streaming_append_table(
             f"streaming drive still running after {timeout_s}s — "
             f"stopped; raise timeout_s or shrink the input")
     return read_table(spark, table_root)
+
+
+def streaming_ann_index_maintenance(
+    spark: SparkSession, src_path: str, schema, name: str,
+    delta_root: str, work_dir: str,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    max_files_per_trigger: int = 1, timeout_s: int = 180,
+) -> DataFrame:
+    """Keep a ``build_ann_index`` index CURRENT as vector batches land —
+    "dedup/search the crawl as it arrives": each micro-batch is assigned
+    against the STORED centroid table only (frozen quantizer,
+    O(|batch| × nlist) — the ``ann_index_append`` cost shape) and its
+    assignment rows are committed into a manifest-backed DELTA table
+    (``sources/manifest.py``) through the txn-watermark replay guard, so
+    a batch replayed after a crash recognizes itself and skips —
+    EXACTLY-ONCE maintenance across restarts, and a concurrent probe
+    (``ivf_topk_index_delta``) always sees whole micro-batches, never a
+    torn append.  Because assignment is per-vector deterministic, the
+    delta's final content is IDENTICAL no matter how the stream was
+    chopped into batches — base ∪ delta ≡ a one-shot index over the
+    full corpus with the same quantizer (the gate hashes exactly that).
+
+    Per batch: O(|batch|) write volume (previous delta files hardlink),
+    one nlist-row broadcast, no driver-side rows.  Returns the delta
+    table read through the manifest (empty frame with the assignment
+    schema when the stream produced no batches)."""
+    import os as _os2
+
+    from ..pipeline.similarity import ivf_assign
+    from ..sources.manifest import (
+        _inherited_txns, _link_tree, commit_version, latest_commit_info,
+        new_version_dir, read_table, vacuum,
+    )
+
+    cent = spark.table(f"{name}_centroids")
+    nlist = int(spark.table(f"{name}_meta").head()["nlist"])
+    assign_cols = spark.table(f"{name}_assign").columns
+    carry = tuple(c for c in assign_cols
+                  if c not in ("vid", "v", "_n2", "centroid_id"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(src_path))
+    ckpt = _os2.path.join(work_dir, "ckpt")
+    txn_app = _os2.path.abspath(ckpt)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        cur = latest_commit_info(delta_root)
+        if _replayed_batch(cur, txn_app, batch_id):
+            return  # replayed batch: its assignments are already in
+        _c, a = ivf_assign(batch_df, nlist=nlist, id_col=id_col,
+                           vec_col=vec_col, carry=carry, centroids=cent)
+        version = 1 if cur is None else cur["version"] + 1
+        data_dir = new_version_dir(delta_root, version)
+        a.select(*assign_cols).write.mode("append").parquet(data_dir)
+        if cur is not None:
+            _link_tree(cur["data_dir"], data_dir, skip_prefixes=[])
+        txns = _inherited_txns(cur)
+        txns[txn_app] = batch_id
+        commit_version(delta_root, version, data_dir,
+                       meta={"batch_id": batch_id, "txn_app": txn_app,
+                             "txns": txns})
+        vacuum(delta_root, keep=2)
+
+    q = (stream.writeStream.foreachBatch(_apply)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    if not q.awaitTermination(timeout_s):
+        q.stop()  # a partial sink must never masquerade as final
+        raise TimeoutError(
+            f"streaming drive still running after {timeout_s}s — "
+            f"stopped; raise timeout_s or shrink the input")
+    if latest_commit_info(delta_root) is None:
+        return spark.createDataFrame([], spark.table(f"{name}_assign")
+                                     .schema)
+    return read_table(spark, delta_root)
 
 
 def streaming_table_changes(

@@ -585,3 +585,58 @@ def test_streaming_append_maintains_bloom_index(spark, tmp_path):
         assert got.count() == 1
     assert read_table(spark, tbl,
                       where=[("uid", "=", "nope")]).count() == 0
+
+
+def test_streaming_ann_index_maintenance_exactly_once(spark, tmp_path):
+    """Streaming ANN-index maintenance: batches land in the manifest
+    delta exactly-once (re-driving the same checkpoint commits nothing
+    new), base ∪ delta equals a one-shot index over the full corpus
+    with the same frozen quantizer, and the delta carries the
+    assignment schema."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from steel_datafusion_spark.pipeline.similarity import (
+        build_ann_index, ivf_topk_index, ivf_topk_index_delta,
+    )
+    from steel_datafusion_spark.sources.bucketing import drop_managed_table
+    from steel_datafusion_spark.sources.manifest import latest_commit_info
+    from steel_datafusion_spark.streaming.operators import (
+        streaming_ann_index_maintenance,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cut = e.count() * 3 // 5
+    for t in ("sann_b", "sann_f"):
+        for s in ("centroids", "assign", "meta"):
+            drop_managed_table(spark, f"{t}_{s}")
+    try:
+        build_ann_index(e.filter(F.col("vec_id") < cut), "sann_b",
+                        nlist=8, n_buckets=4)
+        src = str(tmp_path / "src")
+        delta = str(tmp_path / "delta")
+        work = str(tmp_path / "work")
+        tail = e.filter(F.col("vec_id") >= cut)
+        tail.repartition(3).write.mode("overwrite").parquet(src)
+        got = streaming_ann_index_maintenance(
+            spark, src, tail.schema, "sann_b", delta, work,
+            max_files_per_trigger=1)
+        assert got.count() == tail.count()
+        v1 = latest_commit_info(delta)["version"]
+        assert v1 >= 3  # one commit per micro-batch
+        # replay safety: same checkpoint, no new files -> no new commits
+        streaming_ann_index_maintenance(
+            spark, src, tail.schema, "sann_b", delta, work,
+            max_files_per_trigger=1)
+        assert latest_commit_info(delta)["version"] == v1
+        q = e.filter(F.col("vec_id") < 5)
+        grown = ivf_topk_index_delta(q, "sann_b", delta, k=10, nprobe=2)
+        build_ann_index(e, "sann_f", nlist=8, n_buckets=4,
+                        centroids=spark.table("sann_b_centroids"))
+        full = ivf_topk_index(q, "sann_f", k=10, nprobe=2)
+        assert sorted(map(tuple, grown.collect())) == \
+            sorted(map(tuple, full.collect()))
+    finally:
+        for t in ("sann_b", "sann_f"):
+            for s in ("centroids", "assign", "meta"):
+                drop_managed_table(spark, f"{t}_{s}")

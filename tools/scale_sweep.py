@@ -73,7 +73,10 @@ OPS = ["dedup_minhash_lsh", "dedup_index_probe", "dedup_clusters_twophase",
        # copied 10x with disjoint id spaces, timestamps kept, so watermark
        # horizons and per-key state both scale with volume).
        "streaming_view_maintenance", "streaming_join_outer",
-       "streaming_join_full_outer"]
+       "streaming_join_full_outer",
+       # round-12: incremental index maintenance — append a FIXED batch
+       # across corpus decades; wall must stay ~flat (O(batch) per cycle)
+       "ann_index_append_scaled", "dedup_index_append_scaled"]
 SF1X_DIR = "/tmp/sdf_scale_sf1x"
 SF10X_DIR = "/tmp/sdf_scale_sf10x"
 EV10X_DIR = "/tmp/sdf_scale_ev10x"
@@ -406,6 +409,15 @@ def main() -> int:
                             stats_cols=["v"])
             write_table_bloom(spark, root, ["k"], bits=1 << 18)
             build_s = round(time.perf_counter() - t0, 3)
+            # bloom CARRY-FORWARD commit cost: a small upsert must pay
+            # O(touched files) for its stats+bloom finalize (hardlinked
+            # files reuse their entries; only rewritten files rescan) —
+            # wall must track the batch, not the table, across decades
+            t0 = time.perf_counter()
+            upd = df.filter(F.col("k") < 50).withColumn(
+                "uid", F.md5((F.col("k") + 1).cast("string")))
+            manifest_upsert(spark, root, upd, ["k"])
+            carry_commit_s = round(time.perf_counter() - t0, 3)
             total_files = len(read_table(spark, root).inputFiles())
             lo, hi = 0.10 * 1.7 * n_rows, 0.11 * 1.7 * n_rows  # 1% slice
             t0 = time.perf_counter()
@@ -421,15 +433,83 @@ def main() -> int:
             point_files = len(p.inputFiles())
             row["ops"]["data_skipping_scaled"] = {
                 "n_rows": n_rows, "total_files": total_files,
-                "build_s": build_s,
+                "build_s": build_s, "carry_commit_s": carry_commit_s,
                 "range_files": range_files, "range_rows": range_rows,
                 "range_s": range_s, "point_files": point_files,
                 "point_rows": point_rows, "point_s": point_s}
             print(f"   data_skipping_scaled: {n_rows} rows / {total_files} "
-                  f"files (build {build_s} s); 1% range opens "
+                  f"files (build {build_s} s, carry-commit "
+                  f"{carry_commit_s} s); 1% range opens "
                   f"{range_files} ({range_s} s, {range_rows} rows), point "
                   f"opens {point_files} ({point_s} s)", flush=True)
             shutil.rmtree(base, ignore_errors=True)
+
+        # incremental index maintenance: appending a FIXED-SIZE batch to
+        # the persisted ANN / dedup indexes must cost O(batch) work per
+        # cycle — wall ~flat across corpus decades (ann pays batch×nlist
+        # with nlist=√N; dedup pays batch shingling + a broadcast-
+        # filtered recount of only the touched band buckets)
+        if "ann_index_append_scaled" in ops:
+            import math as _math
+
+            from steel_datafusion_spark.pipeline.similarity import (
+                ann_index_append, build_ann_index, ivf_topk_index,
+            )
+
+            e = load_tables(spark, sc_dir)["embeddings"]
+            nlist = max(8, _math.isqrt(n_vecs))
+            batch_n = 200
+            base_corpus = e.filter(F.col("vec_id") >= batch_n)
+            batch = e.filter(F.col("vec_id") < batch_n)
+            build_ann_index(base_corpus, "sweep_annap_idx", nlist=nlist)
+            t0 = time.perf_counter()
+            st = ann_index_append(batch, "sweep_annap_idx")
+            append_s = round(time.perf_counter() - t0, 3)
+            q = e.filter(F.col("vec_id") < 16)
+            t0 = time.perf_counter()
+            n_out = ivf_topk_index(q, "sweep_annap_idx", k=10,
+                                   nprobe=2).toArrow().num_rows
+            probe_s = round(time.perf_counter() - t0, 3)
+            row["ops"]["ann_index_append_scaled"] = {
+                "append_s": append_s, "probe_s": probe_s,
+                "batch_n": st["appended"], "nlist": nlist, "n_out": n_out}
+            print(f"   ann_index_append_scaled (nlist={nlist}): append "
+                  f"{append_s} s for {st['appended']} vecs, probe "
+                  f"{probe_s} s", flush=True)
+            for t in ("sweep_annap_idx_centroids", "sweep_annap_idx_assign",
+                      "sweep_annap_idx_meta"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+        if "dedup_index_append_scaled" in ops:
+            from steel_datafusion_spark.pipeline.dedup import (
+                build_dedup_index, dedup_against_index, dedup_index_append,
+            )
+
+            d = load_tables(spark, sc_dir)["documents"] \
+                .select("doc_id", "text")
+            batch_n = 100
+            build_dedup_index(d.filter(F.col("doc_id") >= batch_n),
+                              "sweep_ddap_idx")
+            t0 = time.perf_counter()
+            st = dedup_index_append(
+                d.filter(F.col("doc_id") < batch_n), "sweep_ddap_idx")
+            append_s = round(time.perf_counter() - t0, 3)
+            probe = d.filter(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 9000000).alias("doc_id"), "text")
+            t0 = time.perf_counter()
+            n_out = dedup_against_index(
+                probe, "sweep_ddap_idx", threshold=0.5).toArrow().num_rows
+            probe_s = round(time.perf_counter() - t0, 3)
+            row["ops"]["dedup_index_append_scaled"] = {
+                "append_s": append_s, "probe_s": probe_s,
+                "batch_docs": st["appended_docs"],
+                "hot_buckets": st["hot_buckets"], "n_out": n_out}
+            print(f"   dedup_index_append_scaled: append {append_s} s for "
+                  f"{st['appended_docs']} docs, probe {probe_s} s",
+                  flush=True)
+            for t in ("sweep_ddap_idx_bands", "sweep_ddap_idx_shingles",
+                      "sweep_ddap_idx_meta", "sweep_ddap_idx_hot"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
 
         if "embedding_neardup_banded" not in ops:
             results[sc_name] = row
