@@ -388,7 +388,50 @@ def read_table(spark: SparkSession, root: str,
 # ---------------------------------------------------------------------------
 
 _STATS_FILE = "_stats.json"
+_STATS_COL_PREFIX = "_statscol-"  # per-column read-side split
 _WHERE_OPS = ("=", "!=", "<", "<=", ">", ">=", "in", "isnull", "isnotnull")
+
+
+def _stats_col_path(data_dir: str, col: str) -> str:
+    """Per-column stats sidecar path (same reversible percent-encoding
+    as the bloom split)."""
+    return os.path.join(
+        data_dir,
+        _STATS_COL_PREFIX + urllib.parse.quote(col, safe="") + ".json")
+
+
+def _load_stats_col(data_dir: str, col: str) -> dict | None:
+    """One column's per-file stats as {rel: finfo} (finfo in the
+    ``_file_may_match`` shape), or None when this column has no split
+    sidecar.  Per-COLUMN files mean the pruned read parses only the
+    PROBED columns' bytes — at 10⁶ files × several statted columns the
+    combined sidecar is hundreds of MB of JSON per read, but one
+    column's slice is what the predicate actually needs (the same
+    load-granularity story as ``_load_bloom_col``; on a real table
+    format this is the columnar stats struct in the checkpoint
+    parquet).  The combined ``_stats.json`` remains the write/carry
+    format and the fallback for pre-split tables."""
+    p = _stats_col_path(data_dir, col)
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as fh:
+            d = json.load(fh)
+        return {rel: {"rows": e.get("rows"), "cols": {col: e.get("c")}}
+                for rel, e in d.get("files", {}).items()}
+    except (ValueError, KeyError, TypeError, AttributeError, OSError):
+        return None
+
+
+def _has_split_stats(data_dir: str) -> bool:
+    """Whether this version dir carries per-column stats splits — then a
+    missing split for a predicate column means the column is simply not
+    statted, and the combined sidecar need not be parsed at all."""
+    try:
+        return any(f.startswith(_STATS_COL_PREFIX)
+                   for f in os.listdir(data_dir))
+    except OSError:
+        return False
 
 
 def _stat_encode(v):
@@ -660,6 +703,16 @@ def _write_stats_file(data_dir: str, cols: list[str],
     stats = _collect_file_stats(data_dir, cols, reuse=reuse)
     with open(os.path.join(data_dir, _STATS_FILE), "w") as fh:
         json.dump(stats, fh)
+    # per-column read-side splits, derived from the SAME dict (one code
+    # path, no consistency risk): a pruned read then parses only the
+    # probed columns' bytes (_load_stats_col); the combined file stays
+    # the carry-forward source and the pre-split-reader fallback
+    for c in cols:
+        split = {rel: {"rows": fi.get("rows"),
+                       "c": (fi.get("cols") or {}).get(c)}
+                 for rel, fi in stats["files"].items()}
+        with open(_stats_col_path(data_dir, c), "w") as fh:
+            json.dump({"col": c, "files": split}, fh)
     return len(stats["files"])
 
 
@@ -1110,14 +1163,24 @@ def _read_pruned(spark: SparkSession, data_dir: str,
                 f"'in' takes a list/tuple/set of literals; got {p[2]!r}")
     where = [(c, op, list(v) if op == "in" else v)
              for c, op, v in where]
-    stats_files: dict = {}
-    sidecar = os.path.join(data_dir, _STATS_FILE)
-    if os.path.exists(sidecar):
-        try:
-            with open(sidecar) as fh:
-                stats_files = json.load(fh).get("files", {})
-        except (ValueError, OSError):
-            stats_files = {}
+    # stats load only the PREDICATE columns' split sidecars; the
+    # combined _stats.json is parsed only for pre-split tables (then a
+    # single whole-file load, the old behavior)
+    pred_cols = list(dict.fromkeys(c for c, _op, _v in where))
+    stats_by_col: dict[str, dict] = {}
+    for col in pred_cols:
+        m = _load_stats_col(data_dir, col)
+        if m is not None:
+            stats_by_col[col] = m
+    if not stats_by_col and not _has_split_stats(data_dir):
+        sidecar = os.path.join(data_dir, _STATS_FILE)
+        if os.path.exists(sidecar):
+            try:
+                with open(sidecar) as fh:
+                    legacy = json.load(fh).get("files", {})
+                stats_by_col = {col: legacy for col in pred_cols}
+            except (ValueError, OSError):
+                pass
     # bloom probing loads ONLY the probed columns' sidecars — per-column
     # files keep the parse O(probed columns' filter bytes), not O(every
     # bloom byte the table carries); _load_bloom_col handles the legacy
@@ -1158,9 +1221,9 @@ def _read_pruned(spark: SparkSession, data_dir: str,
     for rel, path in _iter_data_files(data_dir):
         total += 1
         pvals = _path_part_values(rel)
-        finfo = stats_files.get(rel)
         keep = True
         for col, op, val in where:
+            finfo = stats_by_col.get(col, {}).get(rel)
             if col in pvals:
                 if not _part_may_match(pvals[col], op, val):
                     keep = False

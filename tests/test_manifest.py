@@ -717,12 +717,20 @@ def test_data_skipping_nulls_and_degradation(spark, tmp_path):
     # unstatted column: all files read, answer still right
     u = read_table(spark, out, where=[("k", ">=", 0), ("v", ">=", 150.0)])
     assert u.count() == 50
-    # corrupt sidecar: pruning disabled, results unchanged
+    # corrupt the combined sidecar: the per-column splits still prune
+    # (they are the read source; the combined file is carry/fallback)
     info = latest_commit_info(out)
     with open(os.path.join(info["data_dir"], "_stats.json"), "w") as fh:
         fh.write("{not json")
     c = read_table(spark, out, where=[("v", ">=", 0.0)])
-    assert c.count() == 100 and len(c.inputFiles()) == 2
+    assert c.count() == 100 and len(c.inputFiles()) == 1
+    # corrupt the splits too: pruning fully disabled, results unchanged
+    from steel_datafusion_spark.sources.manifest import _stats_col_path
+    for col in ("k", "v"):
+        with open(_stats_col_path(info["data_dir"], col), "w") as fh:
+            fh.write("{not json")
+    c2 = read_table(spark, out, where=[("v", ">=", 0.0)])
+    assert c2.count() == 100 and len(c2.inputFiles()) == 2
     with pytest.raises(ValueError):
         read_table(spark, out, where=[("v", "LIKE", "x")])
 
@@ -1444,3 +1452,54 @@ def test_multiprocess_writer_race_serializes(spark, tmp_path):
     keys = {r.k for r in got}
     assert keys == set(range(0, 300)) | set(range(1000, 1300))
     assert all(r["count"] == 1 for r in got)  # no torn/duplicated rows
+
+
+def test_stats_per_column_sidecars_load_independently(spark, tmp_path):
+    """Per-COLUMN stats splits: a pruned read parses only the PROBED
+    columns' bytes — deleting the combined _stats.json AND every other
+    column's split leaves pruning on the probed column fully intact
+    (the bloom-split granularity story extended to min/max stats)."""
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.sources.manifest import (
+        _stats_col_path, latest_commit, manifest_upsert, read_table,
+    )
+
+    out = str(tmp_path / "statcols")
+    df = spark.range(10000).select(F.col("id").alias("k"),
+                                   (F.col("id") * 1.5).alias("v"))
+    manifest_upsert(spark, out, df.repartitionByRange(8, "k"), ["k"],
+                    stats_cols=["k", "v"])
+    _ver, d = latest_commit(out)
+    assert os.path.exists(_stats_col_path(d, "k"))
+    os.unlink(os.path.join(d, "_stats.json"))
+    os.unlink(_stats_col_path(d, "v"))  # v's bytes are GONE
+    t = read_table(spark, out, where=[("k", ">=", 2000), ("k", "<", 3000)])
+    assert len(t.inputFiles()) < 8  # k pruning never needed v or combined
+    assert t.count() == 1000
+    # v probes abstain (split deleted, no combined) but stay exact
+    assert read_table(spark, out,
+                      where=[("v", "<", 150.0)]).count() == 100
+
+
+def test_stats_legacy_combined_sidecar_still_prunes(spark, tmp_path):
+    """A pre-split table (combined _stats.json only, the r11 on-disk
+    format) keeps pruning through the legacy fallback."""
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.sources.manifest import (
+        _STATS_COL_PREFIX, latest_commit, manifest_upsert, read_table,
+    )
+
+    out = str(tmp_path / "statlegacy")
+    df = spark.range(10000).select(F.col("id").alias("k"),
+                                   (F.col("id") * 1.5).alias("v"))
+    manifest_upsert(spark, out, df.repartitionByRange(8, "k"), ["k"],
+                    stats_cols=["k"])
+    _ver, d = latest_commit(out)
+    for f in os.listdir(d):  # simulate the pre-split layout
+        if f.startswith(_STATS_COL_PREFIX):
+            os.unlink(os.path.join(d, f))
+    t = read_table(spark, out, where=[("k", "=", 7777)])
+    assert len(t.inputFiles()) == 1
+    assert t.count() == 1
