@@ -461,6 +461,11 @@ def ann_index_append(
     distribution walks away from the centroids; when the mean drops
     under ``drift_threshold``, schedule a re-train
     (``build_ann_index(train="kmeans")``) during a maintenance window.
+
+    Single-writer per index: managed-table appends carry no commit
+    protocol, so concurrent appenders need external coordination — or
+    use ``streaming_ann_index_maintenance``, whose manifest-backed
+    delta gives each batch an atomic, replay-safe commit.
     """
     spark = new_vectors.sparkSession
     from ..sources.bucketing import write_bucketed
