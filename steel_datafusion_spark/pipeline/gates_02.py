@@ -5,6 +5,18 @@ from .gates_01 import *  # noqa: F401,F403
 
 
 
+
+def _media_ids(spark, sf_dir, n):
+    """doc_id slice for the synthetic-media gates, spread across the
+    worker pool: the slice arrives as ONE scan partition, and payload
+    synthesis is pure Python — a single hostage task serializes the
+    whole stage (media_curation measured 13-25 s single-partition vs
+    ~2 s spread), and at 100x assets it would be THE bottleneck."""
+    parts = spark.sparkContext.defaultParallelism
+    return (load_tables(spark, sf_dir)["documents"]
+            .filter(F.col("doc_id") < n).select("doc_id")
+            .repartition(parts, "doc_id"))
+
 def q_corpus_overlap(spark, sf_dir):
     """Corpus-level overlap (pipeline/dedup.py corpus_overlap): exact
     shingle Jaccard between two overlapping document slices plus the
@@ -206,8 +218,7 @@ def q_audio_features(spark, sf_dir):
     from .codecs import encode_wav
     from .multimodal import extract_audio_features
 
-    d = load_tables(spark, sf_dir)["documents"].filter(
-        F.col("doc_id") < 200).select("doc_id")
+    d = _media_ids(spark, sf_dir, 200)
 
     def _gen(batches):
         for pdf in batches:
@@ -264,8 +275,7 @@ def q_video_features(spark, sf_dir):
     from .codecs import DecodedImage, encode_avi
     from .multimodal import MEDIA_SCHEMA, extract_video_features
 
-    d = load_tables(spark, sf_dir)["documents"].filter(
-        F.col("doc_id") < 120).select("doc_id")
+    d = _media_ids(spark, sf_dir, 120)
 
     def _gen(batches):
         for pdf in batches:
@@ -340,8 +350,7 @@ def q_mp4_metadata(spark, sf_dir):
     from .codecs import encode_mp4
     from .multimodal import MEDIA_SCHEMA, extract_container_metadata
 
-    d = load_tables(spark, sf_dir)["documents"].filter(
-        F.col("doc_id") < 150).select("doc_id")
+    d = _media_ids(spark, sf_dir, 150)
 
     def _gen(batches):
         for pdf in batches:
@@ -388,8 +397,7 @@ def q_media_curation(spark, sf_dir):
     from .codecs import encode_mp3, encode_mp4, encode_webm
     from .multimodal import MEDIA_SCHEMA, extract_container_metadata
 
-    d = load_tables(spark, sf_dir)["documents"].filter(
-        F.col("doc_id") < 300).select("doc_id")
+    d = _media_ids(spark, sf_dir, 300)
 
     def _gen(batches):
         for pdf in batches:
@@ -495,8 +503,7 @@ def q_webm_metadata(spark, sf_dir):
     from .codecs import encode_webm
     from .multimodal import MEDIA_SCHEMA, extract_container_metadata
 
-    d = load_tables(spark, sf_dir)["documents"].filter(
-        F.col("doc_id") < 150).select("doc_id")
+    d = _media_ids(spark, sf_dir, 150)
 
     def _gen(batches):
         for pdf in batches:
@@ -555,8 +562,7 @@ def q_mp3_metadata(spark, sf_dir):
     from .codecs import encode_mp3
     from .multimodal import MEDIA_SCHEMA, extract_container_metadata
 
-    d = load_tables(spark, sf_dir)["documents"].filter(
-        F.col("doc_id") < 150).select("doc_id")
+    d = _media_ids(spark, sf_dir, 150)
 
     def _gen(batches):
         for pdf in batches:
@@ -609,8 +615,7 @@ def q_mpegts_metadata(spark, sf_dir):
     from .codecs import encode_mpegts
     from .multimodal import MEDIA_SCHEMA, extract_container_metadata
 
-    d = load_tables(spark, sf_dir)["documents"].filter(
-        F.col("doc_id") < 150).select("doc_id")
+    d = _media_ids(spark, sf_dir, 150)
 
     def _gen(batches):
         for pdf in batches:
@@ -665,8 +670,7 @@ def q_flac_metadata(spark, sf_dir):
     from .codecs import encode_flac
     from .multimodal import MEDIA_SCHEMA, extract_container_metadata
 
-    d = load_tables(spark, sf_dir)["documents"].filter(
-        F.col("doc_id") < 150).select("doc_id")
+    d = _media_ids(spark, sf_dir, 150)
 
     def _gen(batches):
         for pdf in batches:
@@ -718,8 +722,7 @@ def q_ogg_metadata(spark, sf_dir):
     from .codecs import encode_ogg
     from .multimodal import MEDIA_SCHEMA, extract_container_metadata
 
-    d = load_tables(spark, sf_dir)["documents"].filter(
-        F.col("doc_id") < 150).select("doc_id")
+    d = _media_ids(spark, sf_dir, 150)
 
     def _gen(batches):
         for pdf in batches:
