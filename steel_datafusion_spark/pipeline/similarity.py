@@ -316,13 +316,17 @@ def ivf_topk(
 
 def _ivf_probe_topk(queries: DataFrame, cent: DataFrame, assign: DataFrame,
                     k: int, nprobe: int, id_col: str, vec_col: str,
-                    ) -> DataFrame:
+                    dedup_candidates: bool = False) -> DataFrame:
     """Shared IVF probe: pick each query's ``nprobe`` best centroids
     (broadcast join against the nlist-row centroid table), pull
     candidates from exactly those buckets, exact top-k within them.
     Used by both the re-assign path (``ivf_topk``) and the stored-index
     path (``ivf_topk_index``, where ``assign`` is a bucketed table and
-    the probe join shuffles only the query side)."""
+    the probe join shuffles only the query side).
+    ``dedup_candidates`` collapses duplicate scored rows before ranking
+    (one distinct over the CANDIDATE set, never the corpus) — the
+    base∪delta path passes it so a vector momentarily present in both
+    (a compaction racing a probe) can't occupy two top-k slots."""
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"),
                        norm2(F.col(vec_col)).alias("_n2q"))
@@ -342,6 +346,8 @@ def _ivf_probe_topk(queries: DataFrame, cent: DataFrame, assign: DataFrame,
         "query_id", F.col("vid").alias("neighbor_id"),
         F.round(dot(F.col("qv"), F.col("v"))
                 / F.sqrt(F.col("_n2q") * F.col("_n2")), 6).alias("score"))
+    if dedup_candidates:  # identical rows (same vector twice) collapse
+        scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -541,7 +547,69 @@ def ivf_topk_index_delta(
         delta = read_table(spark, delta_root).select(*assign.columns)
         assign = assign.unionByName(delta)
     return _ivf_probe_topk(queries, cent, assign, k, nprobe,
-                           id_col, vec_col)
+                           id_col, vec_col, dedup_candidates=True)
+
+
+def ann_index_compact(spark, name: str, delta_root: str) -> dict:
+    """Absorb the streaming delta into the bucketed base assignment
+    table and reset the delta — the maintenance verb that completes the
+    index lifecycle (build → append/stream → compact): probes go back
+    to the pure bucketed plan, and the delta starts empty for the next
+    ingest window.
+
+    Crash-safe by idempotence, not atomicity: the merged table is
+    ``base ∪ delta`` DEDUPLICATED on vid, so re-running a compaction
+    that crashed between the base rewrite and the delta reset converges
+    to the same rows instead of doubling them; a probe racing the
+    window may see a vector in both base and delta, which
+    ``ivf_topk_index_delta`` already collapses (candidate-level
+    distinct) — results stay exact through the race.  The delta reset
+    commits an EMPTY version that CARRIES the txn watermarks, so a
+    replayed streaming micro-batch still recognizes itself after
+    compaction instead of re-appending.
+
+    Cost: one full rewrite of the assignment table (the price of
+    re-bucketing, same as any OPTIMIZE) + one empty commit.  Returns
+    {"base_rows": n, "delta_rows": d, "delta_reset_version": v}."""
+    from ..sources.bucketing import drop_managed_table, write_bucketed
+    from ..sources.manifest import (
+        _inherited_txns, commit_version, is_manifest_root,
+        latest_commit_info, new_version_dir, read_table, vacuum,
+    )
+
+    assign_tbl = f"{name}_assign"
+    cols = spark.table(assign_tbl).columns
+    n_buckets = int(spark.table(f"{name}_meta").head()["n_buckets"])
+    if not is_manifest_root(delta_root):
+        return {"base_rows": spark.table(assign_tbl).count(),
+                "delta_rows": 0, "delta_reset_version": None}
+    delta = read_table(spark, delta_root).select(*cols)
+    d_rows = delta.count()
+    merged = (spark.table(assign_tbl).unionByName(delta)
+              .dropDuplicates(["vid"]))
+    # tmp-swap: never overwrite a table that feeds its own rewrite
+    swap = f"{name}_assign_swap"
+    drop_managed_table(spark, swap)
+    write_bucketed(merged, swap, ["centroid_id"], n_buckets,
+                   sort_cols=["centroid_id"])
+    drop_managed_table(spark, assign_tbl)
+    write_bucketed(spark.table(swap), assign_tbl, ["centroid_id"],
+                   n_buckets, sort_cols=["centroid_id"])
+    drop_managed_table(spark, swap)
+    n_rows = spark.table(assign_tbl).count()
+    # delta reset: empty version, txn watermarks carried
+    cur = latest_commit_info(delta_root)
+    version = 1 if cur is None else cur["version"] + 1
+    data_dir = new_version_dir(delta_root, version)
+    delta.limit(0).write.mode("append").parquet(data_dir)
+    meta: dict = {"compacted_into": name}
+    txns = _inherited_txns(cur)
+    if txns:
+        meta["txns"] = txns
+    commit_version(delta_root, version, data_dir, meta=meta)
+    vacuum(delta_root, keep=2)
+    return {"base_rows": int(n_rows), "delta_rows": int(d_rows),
+            "delta_reset_version": version}
 
 
 def hard_negatives_index(

@@ -640,3 +640,70 @@ def test_streaming_ann_index_maintenance_exactly_once(spark, tmp_path):
         for t in ("sann_b", "sann_f"):
             for s in ("centroids", "assign", "meta"):
                 drop_managed_table(spark, f"{t}_{s}")
+
+
+def test_ann_index_compact_absorbs_delta_and_stays_replay_safe(
+        spark, tmp_path):
+    """Compaction completes the index lifecycle: delta rows land in the
+    bucketed base (deduplicated on vid, so a crashed-and-retried
+    compaction converges instead of doubling), the delta resets to an
+    EMPTY version that CARRIES the txn watermarks (replayed micro-batches
+    still skip), and probes return the same rows before and after."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from steel_datafusion_spark.pipeline.similarity import (
+        ann_index_compact, build_ann_index, ivf_topk_index,
+        ivf_topk_index_delta,
+    )
+    from steel_datafusion_spark.sources.bucketing import drop_managed_table
+    from steel_datafusion_spark.sources.manifest import latest_commit_info
+    from steel_datafusion_spark.streaming.operators import (
+        streaming_ann_index_maintenance,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cut = e.count() * 3 // 5
+    for s in ("centroids", "assign", "meta"):
+        drop_managed_table(spark, f"cann_b_{s}")
+    try:
+        build_ann_index(e.filter(F.col("vec_id") < cut), "cann_b",
+                        nlist=8, n_buckets=4)
+        src = str(tmp_path / "src")
+        delta = str(tmp_path / "delta")
+        tail = e.filter(F.col("vec_id") >= cut)
+        tail.repartition(2).write.mode("overwrite").parquet(src)
+        streaming_ann_index_maintenance(
+            spark, src, tail.schema, "cann_b", delta,
+            str(tmp_path / "work"), max_files_per_trigger=1)
+        q = e.filter(F.col("vec_id") < 5)
+        before = sorted(map(tuple, ivf_topk_index_delta(
+            q, "cann_b", delta, k=10, nprobe=2).collect()))
+        st = ann_index_compact(spark, "cann_b", delta)
+        assert st["delta_rows"] == tail.count()
+        assert st["base_rows"] == e.count()
+        # delta is now empty but its commit carries the txn watermarks
+        info = latest_commit_info(delta)
+        assert info["meta"].get("txns")
+        # pure-base probe == pre-compaction base∪delta probe
+        after = sorted(map(tuple, ivf_topk_index(
+            q, "cann_b", k=10, nprobe=2).collect()))
+        assert before == after
+        # idempotence: a retried compaction (delta already absorbed,
+        # or crash between rewrite and reset) converges, never doubles
+        st2 = ann_index_compact(spark, "cann_b", delta)
+        assert st2["base_rows"] == e.count()
+        # replay safety survived the reset: re-driving the same
+        # checkpoint with no new files commits nothing
+        v = latest_commit_info(delta)["version"]
+        streaming_ann_index_maintenance(
+            spark, src, tail.schema, "cann_b", delta,
+            str(tmp_path / "work"), max_files_per_trigger=1)
+        assert latest_commit_info(delta)["version"] == v
+        # and the delta path still answers identically on an empty delta
+        again = sorted(map(tuple, ivf_topk_index_delta(
+            q, "cann_b", delta, k=10, nprobe=2).collect()))
+        assert again == after
+    finally:
+        for s in ("centroids", "assign", "meta"):
+            drop_managed_table(spark, f"cann_b_{s}")
