@@ -565,6 +565,96 @@ def q_streaming_index_maintenance(spark, sf_dir):
     return ivf_topk_index_delta(q, scoped, delta, k=10, nprobe=2)
 
 
+def q_streaming_dedup_ingest(spark, sf_dir):
+    """DEDUP THE CRAWL AS IT LANDS (streaming/operators.py
+    streaming_dedup_ingest — the full composition of the incremental
+    dedup pieces under the exactly-once machinery): a document stream
+    is matched per micro-batch against a build_dedup_index corpus AND
+    against everything already streamed, while the index grows with
+    each batch through txn-guarded manifest delta tables; verified
+    pairs land in a keyed manifest matches table.  Order-independent by
+    construction (the later side of every pair finds the earlier one
+    in base∪delta; keyed upserts make re-discovery idempotent), so the
+    final matches table equals a ONE-SHOT pair computation over
+    base ∪ stream restricted to pairs touching the stream — exactly
+    what the oracle computes.  The fixture plants stream-vs-base
+    near-dups (ids+1000000, suffix appended) and CROSS-BATCH
+    stream-vs-stream exact dups (ids+2000000 in a second file, same
+    suffix).  Base bucket occupancy sits far under the flood cap at
+    gate scale, so the (inert) hot-guard routing needs no oracle
+    modelling."""
+    import uuid
+
+    from ..queries import scratch_dir
+    from ..streaming.operators import streaming_dedup_ingest
+
+    app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    scoped = f"gate_dd_smx_{app[-12:]}"
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), scoped)
+    if key not in _ANN_STREAM_BASE_BUILT:
+        from .dedup import build_dedup_index
+
+        d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+        build_dedup_index(d.filter(F.col("doc_id") % 2 == 0), scoped)
+        _ANN_STREAM_BASE_BUILT.add(key)
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    s1 = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" crawl dup marker")).alias("text"))
+    s2 = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" crawl dup marker")).alias("text"))
+    base = scratch_dir(spark, sf_dir, "dedupingest_gate")
+    run = uuid.uuid4().hex[:8]
+    src = _os.path.join(base, f"src-{run}")
+    work = _os.path.join(base, f"work-{run}")
+    s1.coalesce(1).write.mode("append").parquet(src)
+    s2.coalesce(1).write.mode("append").parquet(src)
+    return streaming_dedup_ingest(spark, src, s1.schema, scoped, work,
+                                  threshold=0.5)
+
+
+def _sql_streaming_dedup_ingest() -> str:
+    """One-shot mirror: every unordered pair over base ∪ stream sharing
+    a band, with at least one stream side, verified at jaccard ≥ 0.5 —
+    the set the order-independent streaming composition must converge
+    to.  Stream ids are ≥ 1000000 > every base id, so 'at least one in
+    stream' is just doc_b ≥ 1000000 under doc_a < doc_b."""
+    hs = DSQL.hashed_shingles("text")
+    sig_items = ",\n    ".join(DSQL.minhash_sig_items("hs", 32))
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+stream AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         text || ' crawl dup marker' AS text
+  FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' crawl dup marker'
+  FROM documents WHERE doc_id < 10),
+alld AS (SELECT * FROM corpus UNION ALL SELECT * FROM stream),
+sh AS (SELECT doc_id, {hs} AS hs FROM alld),
+sig AS (SELECT doc_id, [{sig_items}] AS sig FROM sh),
+bb AS (
+  SELECT doc_id, b.band_idx,
+         md5(array_to_string(list_slice(sig, b.band_idx*4+1, b.band_idx*4+4), ',')) AS band_hash
+  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band_idx) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bb a JOIN bb c
+    ON a.band_idx = c.band_idx AND a.band_hash = c.band_hash
+   AND a.doc_id < c.doc_id
+  WHERE c.doc_id >= 1000000),
+j AS (
+  SELECT p.doc_a, p.doc_b,
+    round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+          (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))), 6) AS jaccard
+  FROM cand p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+"""
+
+
 _SQL_STREAMING_CDC_FEED = """
 SELECT c_custkey, 'insert' AS change_type, 1::BIGINT AS commit_version
 FROM customer WHERE c_custkey <= 600
@@ -584,6 +674,8 @@ __all__ = [
     'q_streaming_cdc_feed',
     '_ensure_ann_stream_base',
     'q_streaming_index_maintenance',
+    'q_streaming_dedup_ingest',
+    '_sql_streaming_dedup_ingest',
     '_SQL_STREAMING_CDC_FEED',
     'q_data_skipping_read',
     '_SQL_DATA_SKIPPING_READ',

@@ -73,6 +73,8 @@ PIPELINE_QUERIES = {
     "ann_index_recall": (q_ann_index_recall, _sql_ann_index_recall()),
     "streaming_index_maintenance": (q_streaming_index_maintenance,
                                     _SQL_ANN_INDEX_APPEND),
+    "streaming_dedup_ingest": (q_streaming_dedup_ingest,
+                               _sql_streaming_dedup_ingest()),
     "embedding_neardup": (q_embedding_neardup, _sql_emb_neardup()),
     "embedding_dedup": (q_embedding_dedup, _sql_embedding_dedup()),
     "embedding_neardup_banded": (q_embedding_neardup_banded,

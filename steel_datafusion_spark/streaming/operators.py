@@ -29,7 +29,7 @@ __all__ = ["read_stream_parquet", "windowed_rollup", "session_rollup",
            "streaming_dedup", "stream_stream_join", "run_stream_to_memory",
            "run_stream_to_parquet", "streaming_view_maintenance",
            "streaming_append_table", "streaming_table_changes",
-           "streaming_ann_index_maintenance"]
+           "streaming_ann_index_maintenance", "streaming_dedup_ingest"]
 
 
 def read_stream_parquet(spark: SparkSession, path: str, schema) -> DataFrame:
@@ -528,6 +528,126 @@ def streaming_ann_index_maintenance(
         return spark.createDataFrame([], spark.table(f"{name}_assign")
                                      .schema)
     return read_table(spark, delta_root)
+
+
+def streaming_dedup_ingest(
+    spark: SparkSession, src_path: str, schema, name: str,
+    work_root: str, id_col: str = "doc_id", text_col: str = "text",
+    threshold: float = 0.5,
+    max_files_per_trigger: int = 1, timeout_s: int = 240,
+) -> DataFrame:
+    """DEDUP THE CRAWL AS IT LANDS: a document stream is continuously
+    matched against a ``build_dedup_index`` corpus AND against itself,
+    while the index grows with every batch — the full composition of
+    the incremental-dedup pieces under the exactly-once machinery.
+
+    Per micro-batch: (1) shingle+band ONLY the batch (O(batch) — the
+    ``dedup_index_append`` cost shape); (2) append its band/shingle
+    rows to manifest-backed DELTA tables through the txn-watermark
+    replay guard; (3) probe the batch against base ∪ delta (which now
+    includes the batch itself, so within-batch duplicates surface too)
+    with the batch side broadcast — the corpus is never re-shingled or
+    shuffled; (4) upsert the verified pairs into a manifest matches
+    table keyed on (doc_a, doc_b).
+
+    The result is ORDER-INDEPENDENT: a pair (x, y) sharing a band with
+    jaccard ≥ threshold and at least one side in the stream is found
+    exactly when the LATER side's batch probes (the earlier side is
+    already in base∪delta), and the keyed upsert makes re-discovery and
+    replay idempotent — so the final matches table is identical no
+    matter how the stream was chopped, which is what the gate hashes
+    against a one-shot SQL oracle over base ∪ stream.
+
+    Flood guard: the BASE index's hot-bucket table routes batch probes
+    as in ``dedup_against_index``; delta contributions to bucket
+    occupancy are not re-counted mid-stream (guard-only semantics —
+    run ``dedup_index_append``'s recount, or rebuild, at maintenance
+    windows).  Returns the matches table (doc_a, doc_b, jaccard)."""
+    import os as _os2
+
+    from ..pipeline.dedup import (
+        _banded_table, _hashed_shingles, _match_batch_to_corpus,
+    )
+    from ..sources.manifest import (
+        _inherited_txns, _link_tree, commit_version, latest_commit_info,
+        manifest_upsert, new_version_dir, read_table, vacuum,
+    )
+
+    if not spark.catalog.tableExists(f"{name}_meta"):
+        raise ValueError(
+            f"dedup index {name!r} has no {name}_meta table — the stream "
+            f"must band with the index's exact parameters")
+    meta = spark.table(f"{name}_meta").head()
+    n, k = int(meta["n"]), int(meta["k"])
+    bands_n, rows_n = int(meta["bands"]), int(meta["rows"])
+    hot = (spark.table(f"{name}_hot")
+           if spark.catalog.tableExists(f"{name}_hot") else None)
+    bands_root = _os2.path.join(work_root, "delta_bands")
+    sh_root = _os2.path.join(work_root, "delta_shingles")
+    matches_root = _os2.path.join(work_root, "matches")
+    ckpt = _os2.path.join(work_root, "ckpt")
+    txn_app = _os2.path.abspath(ckpt)
+
+    def _append_delta(root: str, df: DataFrame, batch_id: int) -> None:
+        cur = latest_commit_info(root)
+        if _replayed_batch(cur, txn_app, batch_id):
+            return  # this delta already has the batch's rows
+        version = 1 if cur is None else cur["version"] + 1
+        data_dir = new_version_dir(root, version)
+        df.write.mode("append").parquet(data_dir)
+        if cur is not None:
+            _link_tree(cur["data_dir"], data_dir, skip_prefixes=[])
+        txns = _inherited_txns(cur)
+        txns[txn_app] = batch_id
+        commit_version(root, version, data_dir,
+                       meta={"batch_id": batch_id, "txn_app": txn_app,
+                             "txns": txns})
+        vacuum(root, keep=2)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        hb = _hashed_shingles(batch_df, id_col, text_col, n)
+        bb = _banded_table(hb, k, bands_n, rows_n)
+        _append_delta(bands_root,
+                      bb.withColumnRenamed("doc_id", "corpus_id"),
+                      batch_id)
+        _append_delta(sh_root,
+                      hb.withColumnRenamed("doc_id", "corpus_id"),
+                      batch_id)
+        bc = spark.table(f"{name}_bands").unionByName(
+            read_table(spark, bands_root))
+        hc = spark.table(f"{name}_shingles").unionByName(
+            read_table(spark, sh_root))
+        m = _match_batch_to_corpus(
+            hb, bb.toDF("batch_id", "band_idx", "band_hash"), hc, bc,
+            threshold, broadcast_batch=True, corpus_hot=hot)
+        pairs = (m.filter(F.col("batch_id") != F.col("corpus_id"))
+                 .select(F.least("batch_id", "corpus_id").alias("doc_a"),
+                         F.greatest("batch_id", "corpus_id")
+                         .alias("doc_b"),
+                         "jaccard")
+                 .distinct())
+        if pairs.head(1):  # keyed upsert: replay/re-discovery idempotent
+            manifest_upsert(spark, matches_root, pairs,
+                            ["doc_a", "doc_b"], keep_versions=2)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(src_path))
+    q = (stream.writeStream.foreachBatch(_apply)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    if not q.awaitTermination(timeout_s):
+        q.stop()  # a partial sink must never masquerade as final
+        raise TimeoutError(
+            f"streaming drive still running after {timeout_s}s — "
+            f"stopped; raise timeout_s or shrink the input")
+    if latest_commit_info(matches_root) is None:
+        return spark.createDataFrame(
+            [], "doc_a long, doc_b long, jaccard double")
+    return read_table(spark, matches_root)
 
 
 def streaming_table_changes(

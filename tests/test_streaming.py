@@ -707,3 +707,61 @@ def test_ann_index_compact_absorbs_delta_and_stays_replay_safe(
     finally:
         for s in ("centroids", "assign", "meta"):
             drop_managed_table(spark, f"cann_b_{s}")
+
+
+def test_streaming_dedup_ingest_matches_one_shot(spark, tmp_path):
+    """Dedup-the-crawl-as-it-lands: the streamed matches table must
+    equal a one-shot minhash pair computation over base ∪ stream
+    restricted to pairs touching the stream — regardless of batch
+    chopping (stream-vs-base AND stream-vs-stream pairs across
+    different batches), and re-driving the same checkpoint changes
+    nothing."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from steel_datafusion_spark.pipeline.dedup import (
+        build_dedup_index, minhash_dedup_pairs,
+    )
+    from steel_datafusion_spark.sources.bucketing import drop_managed_table
+    from steel_datafusion_spark.sources.manifest import latest_commit_info
+    from steel_datafusion_spark.streaming.operators import (
+        streaming_dedup_ingest,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    base = docs.filter((F.col("doc_id") < 400) & (F.col("doc_id") % 2 == 0))
+    s1 = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" crawl dup marker")).alias("text"))
+    s2 = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" crawl dup marker")).alias("text"))
+    for s in ("bands", "shingles", "meta", "hot"):
+        drop_managed_table(spark, f"sdd_idx_{s}")
+    try:
+        build_dedup_index(base, "sdd_idx", n_buckets=4)
+        src = str(tmp_path / "src")
+        s1.coalesce(1).write.mode("append").parquet(src)
+        s2.coalesce(1).write.mode("append").parquet(src)
+        work = str(tmp_path / "work")
+        got = streaming_dedup_ingest(spark, src, s1.schema, "sdd_idx",
+                                     work, threshold=0.5)
+        want = (minhash_dedup_pairs(
+                    base.unionByName(s1).unionByName(s2), threshold=0.5)
+                .filter(F.col("doc_b") >= 1000000))
+        gs = sorted(map(tuple, got.collect()))
+        ws = sorted(map(tuple, want.collect()))
+        assert gs == ws
+        # the fixture exercises both pair kinds
+        assert any(a >= 1000000 for a, _b, _j in gs)  # stream-stream
+        assert any(a < 1000000 for a, _b, _j in gs)   # stream-base
+        # replay safety: same checkpoint, no new files -> no new commits
+        v = latest_commit_info(str(tmp_path / "work" / "matches"))["version"]
+        streaming_dedup_ingest(spark, src, s1.schema, "sdd_idx", work,
+                               threshold=0.5)
+        assert latest_commit_info(
+            str(tmp_path / "work" / "matches"))["version"] == v
+    finally:
+        for s in ("bands", "shingles", "meta", "hot"):
+            drop_managed_table(spark, f"sdd_idx_{s}")
