@@ -471,7 +471,10 @@ def dedup_against_index(
     bc = spark.table(f"{name}_bands")
     hc = spark.table(f"{name}_shingles")
     # hot-bucket guard table written by build_dedup_index (absent on
-    # pre-cap or max_bucket=None indexes → uncapped probe, old behavior)
+    # pre-cap or max_bucket=None indexes → uncapped probe, old
+    # behavior); a swap left by a crashed append is healed first so a
+    # capped index never probes unguarded
+    _recover_hot_swap(spark, name)
     hot = (spark.table(f"{name}_hot")
            if spark.catalog.tableExists(f"{name}_hot") else None)
     hb = _hashed_shingles(batch, id_col, text_col, n)
@@ -479,6 +482,18 @@ def dedup_against_index(
         "batch_id", "band_idx", "band_hash")
     return _match_batch_to_corpus(hb, bb, hc, bc, threshold, broadcast_batch,
                                   corpus_hot=hot)
+
+
+def _recover_hot_swap(spark, name: str) -> None:
+    """Finish a hot-table swap that crashed between the drop and the
+    rename: the ``{name}_hot_swap`` table holds the COMPLETE new hot
+    set, so the flood guard is restored by a metadata rename — without
+    this, a crashed ``dedup_index_append`` would leave a capped index
+    with no hot table and every later probe would run unguarded."""
+    if spark.catalog.tableExists(f"{name}_hot_swap") and \
+            not spark.catalog.tableExists(f"{name}_hot"):
+        spark.sql(
+            f"ALTER TABLE `{name}_hot_swap` RENAME TO `{name}_hot`")
 
 
 def _table_num_buckets(spark, table: str) -> int:
@@ -513,9 +528,21 @@ def dedup_index_append(
     Cost per ingest cycle: O(|batch|) shingling + bucketed appends + the
     index-metadata scan — never a re-shingle or re-band of corpus text.
 
+    Single-writer, not crash-atomic: the append mutates three managed
+    tables in sequence (bands, shingles, hot) with no commit protocol —
+    a crash mid-append can leave band rows without posting lists
+    (probes silently miss the batch) and a blind re-run would
+    double-insert the batch's rows, inflating bucket occupancy forever.
+    Repair a crashed append by rebuilding the index; for crash-safe
+    continuous ingest use ``streaming_dedup_ingest``, whose manifest-
+    backed deltas give each batch an atomic, replay-guarded commit.
+    (The hot-table swap itself IS self-healing — see
+    ``_recover_hot_swap``.)
+
     Returns ``{"appended_docs": d, "appended_bands": b,
-    "hot_buckets": h}`` (h = hot-table size after the merge; -1 when the
-    index was built with max_bucket=None)."""
+    "hot_buckets": h}`` (h = hot-table size after the merge; -1 when
+    the index carries no hot table — max_bucket=None or a pre-guard
+    build)."""
     spark = batch.sparkSession
     if not spark.catalog.tableExists(f"{name}_meta"):
         raise ValueError(
@@ -540,6 +567,7 @@ def dedup_index_append(
                    _table_num_buckets(spark, f"{name}_shingles"),
                    mode="append")
     n_hot = -1
+    _recover_hot_swap(spark, name)
     if max_bucket is not None and \
             spark.catalog.tableExists(f"{name}_hot"):
         from ..sources.bucketing import drop_managed_table
@@ -555,13 +583,16 @@ def dedup_index_append(
         new_hot = (spark.table(f"{name}_hot").unionByName(touched)
                    .groupBy("band_idx", "band_hash")
                    .agg(F.min("rep").alias("rep")))
-        # tmp-swap: never overwrite a table that feeds its own rewrite
+        # swap-by-rename: one write into the swap name, then a metadata
+        # move — never overwrite a table that feeds its own rewrite; a
+        # crash between the drop and the rename is self-healing (the
+        # swap table holds the complete new hot set — see
+        # _recover_hot_swap above, also called by the probe path)
         tmp = f"{name}_hot_swap"
         drop_managed_table(spark, tmp)
         new_hot.write.saveAsTable(tmp)
         drop_managed_table(spark, f"{name}_hot")
-        spark.table(tmp).write.saveAsTable(f"{name}_hot")
-        drop_managed_table(spark, tmp)
+        spark.sql(f"ALTER TABLE `{tmp}` RENAME TO `{name}_hot`")
         n_hot = spark.table(f"{name}_hot").count()
     n_docs = hb.count()
     bb.unpersist()

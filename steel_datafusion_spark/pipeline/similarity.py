@@ -399,6 +399,13 @@ def build_ann_index(
     design; a rebuild with the same frozen quantizer must produce the
     identical assignment)."""
     spark = corpus.sparkSession
+    if centroids is not None:
+        # materialize BEFORE the drops below: the natural in-place
+        # rebuild passes spark.table(f"{name}_centroids") itself, and a
+        # lazy plan over a just-dropped table would destroy the index
+        # it was meant to rebuild (nlist rows — a trivial collect)
+        centroids = spark.createDataFrame(centroids.collect(),
+                                          centroids.schema)
     for t in (f"{name}_centroids", f"{name}_assign", f"{name}_meta"):
         spark.sql(f"DROP TABLE IF EXISTS `{t}`")
         try:
@@ -557,20 +564,27 @@ def ann_index_compact(spark, name: str, delta_root: str) -> dict:
     to the pure bucketed plan, and the delta starts empty for the next
     ingest window.
 
-    Crash-safe by idempotence, not atomicity: the merged table is
-    ``base ∪ delta`` DEDUPLICATED on vid, so re-running a compaction
-    that crashed between the base rewrite and the delta reset converges
-    to the same rows instead of doubling them; a probe racing the
-    window may see a vector in both base and delta, which
-    ``ivf_topk_index_delta`` already collapses (candidate-level
-    distinct) — results stay exact through the race.  The delta reset
+    Crash-safe by idempotence + recovery, not atomicity: the merged
+    table is ``base ∪ delta`` DEDUPLICATED on vid, so re-running a
+    compaction that crashed between the base swap and the delta reset
+    converges to the same rows instead of doubling them, and a crash
+    inside the swap itself (base dropped, swap not yet renamed — a
+    metadata-only instant, but real) is self-healing: the next call
+    finds the swap table and finishes the rename before doing anything
+    else.  A probe racing the delta-reset window may see a vector in
+    both base and delta, which ``ivf_topk_index_delta`` already
+    collapses (candidate-level distinct) — results stay exact; a probe
+    landing exactly inside the metadata rename window fails fast with
+    TABLE_NOT_FOUND rather than answering wrong.  The delta reset
     commits an EMPTY version that CARRIES the txn watermarks, so a
     replayed streaming micro-batch still recognizes itself after
     compaction instead of re-appending.
 
-    Cost: one full rewrite of the assignment table (the price of
-    re-bucketing, same as any OPTIMIZE) + one empty commit.  Returns
-    {"base_rows": n, "delta_rows": d, "delta_reset_version": v}."""
+    Cost: ONE full rewrite of the assignment table into the swap name
+    (the price of re-bucketing, same as any OPTIMIZE), an
+    ALTER TABLE RENAME (metadata + directory move, no data copy), and
+    one empty commit.  Returns {"base_rows": n, "delta_rows": d,
+    "delta_reset_version": v}."""
     from ..sources.bucketing import drop_managed_table, write_bucketed
     from ..sources.manifest import (
         _inherited_txns, commit_version, is_manifest_root,
@@ -578,6 +592,12 @@ def ann_index_compact(spark, name: str, delta_root: str) -> dict:
     )
 
     assign_tbl = f"{name}_assign"
+    swap = f"{name}_assign_swap"
+    if not spark.catalog.tableExists(assign_tbl) and \
+            spark.catalog.tableExists(swap):
+        # recover a compaction that crashed mid-rename: the swap table
+        # holds the complete merged assignment — finish the swap
+        spark.sql(f"ALTER TABLE `{swap}` RENAME TO `{assign_tbl}`")
     cols = spark.table(assign_tbl).columns
     n_buckets = int(spark.table(f"{name}_meta").head()["n_buckets"])
     if not is_manifest_root(delta_root):
@@ -587,15 +607,13 @@ def ann_index_compact(spark, name: str, delta_root: str) -> dict:
     d_rows = delta.count()
     merged = (spark.table(assign_tbl).unionByName(delta)
               .dropDuplicates(["vid"]))
-    # tmp-swap: never overwrite a table that feeds its own rewrite
-    swap = f"{name}_assign_swap"
+    # swap-by-rename: one rewrite into the swap name, then a metadata
+    # move — never overwrite a table that feeds its own rewrite
     drop_managed_table(spark, swap)
     write_bucketed(merged, swap, ["centroid_id"], n_buckets,
                    sort_cols=["centroid_id"])
     drop_managed_table(spark, assign_tbl)
-    write_bucketed(spark.table(swap), assign_tbl, ["centroid_id"],
-                   n_buckets, sort_cols=["centroid_id"])
-    drop_managed_table(spark, swap)
+    spark.sql(f"ALTER TABLE `{swap}` RENAME TO `{assign_tbl}`")
     n_rows = spark.table(assign_tbl).count()
     # delta reset: empty version, txn watermarks carried
     cur = latest_commit_info(delta_root)

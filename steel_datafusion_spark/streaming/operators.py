@@ -622,15 +622,22 @@ def streaming_dedup_ingest(
         m = _match_batch_to_corpus(
             hb, bb.toDF("batch_id", "band_idx", "band_hash"), hc, bc,
             threshold, broadcast_batch=True, corpus_hot=hot)
+        # persist: the candidate join + Jaccard verify is the batch's
+        # dominant cost, and downstream needs it thrice (emptiness
+        # probe, the upsert's key scan, the merged write) — without the
+        # barrier each consumer would recompute the whole match
         pairs = (m.filter(F.col("batch_id") != F.col("corpus_id"))
                  .select(F.least("batch_id", "corpus_id").alias("doc_a"),
                          F.greatest("batch_id", "corpus_id")
                          .alias("doc_b"),
                          "jaccard")
-                 .distinct())
-        if pairs.head(1):  # keyed upsert: replay/re-discovery idempotent
-            manifest_upsert(spark, matches_root, pairs,
-                            ["doc_a", "doc_b"], keep_versions=2)
+                 .distinct()).persist()
+        try:
+            if pairs.head(1):  # keyed upsert: replay-idempotent
+                manifest_upsert(spark, matches_root, pairs,
+                                ["doc_a", "doc_b"], keep_versions=2)
+        finally:
+            pairs.unpersist()
 
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -170,3 +170,61 @@ def test_dedup_index_append_requires_meta(spark):
         dedup_index_append(
             spark.createDataFrame([(1, "x")], "doc_id long, text string"),
             "ddnometa")
+
+
+def test_build_ann_index_in_place_rebuild_with_own_centroids(spark):
+    """The documented maintenance call — rebuilding an index IN PLACE
+    with its OWN stored centroids — must not destroy the quantizer it
+    reads: the centroids argument is materialized before the drops."""
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.pipeline.similarity import (
+        build_ann_index, ivf_topk_index,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    _drop(spark, *_idx_tables("annap_ip"))
+    try:
+        build_ann_index(e.filter(F.col("vec_id") < 300), "annap_ip",
+                        nlist=8, n_buckets=2)
+        q = e.filter(F.col("vec_id") < 3)
+        before = _rows(ivf_topk_index(q, "annap_ip", k=5, nprobe=2))
+        # grow the corpus, rebuild THE SAME index with its own quantizer
+        build_ann_index(e, "annap_ip", nlist=8, n_buckets=2,
+                        centroids=spark.table("annap_ip_centroids"))
+        after = _rows(ivf_topk_index(q, "annap_ip", k=5, nprobe=2))
+        assert len(after) == len(before) == 3 * 5  # index alive, grown
+    finally:
+        _drop(spark, *_idx_tables("annap_ip"))
+
+
+def test_dedup_hot_swap_crash_recovers(spark):
+    """A hot-table swap that crashed between the drop and the rename
+    (swap table present, hot table gone) must self-heal on the next
+    append or probe — a capped index may never silently probe
+    unguarded."""
+    from steel_datafusion_spark.pipeline.dedup import (
+        build_dedup_index, dedup_against_index, dedup_index_append,
+    )
+
+    flood = "common boilerplate header repeated verbatim across pages"
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(i, flood) for i in range(lo, hi)], "doc_id long, text string")
+    _drop(spark, *_idx_tables("ddhot_r"))
+    try:
+        build_dedup_index(mk(0, 4), "ddhot_r", n_buckets=2, max_bucket=6)
+        dedup_index_append(mk(100, 108), "ddhot_r")
+        hot = sorted(map(tuple, spark.table("ddhot_r_hot").collect()))
+        assert hot
+        # simulate the crash window: hot dropped, swap holds the truth
+        spark.table("ddhot_r_hot").write.saveAsTable("ddhot_r_hot_swap")
+        _drop(spark, "ddhot_r_hot")
+        probe = spark.createDataFrame([(999999, flood)],
+                                      "doc_id long, text string")
+        got = dedup_against_index(probe, "ddhot_r", threshold=0.5)
+        got.collect()  # the probe healed the swap before running
+        assert sorted(map(tuple,
+                          spark.table("ddhot_r_hot").collect())) == hot
+        assert not spark.catalog.tableExists("ddhot_r_hot_swap")
+    finally:
+        _drop(spark, *_idx_tables("ddhot_r"), "ddhot_r_hot_swap")

@@ -409,16 +409,27 @@ def main() -> int:
                             stats_cols=["v"])
             write_table_bloom(spark, root, ["k"], bits=1 << 18)
             build_s = round(time.perf_counter() - t0, 3)
-            # bloom CARRY-FORWARD commit cost: a small upsert must pay
-            # O(touched files) for its stats+bloom finalize (hardlinked
-            # files reuse their entries; only rewritten files rescan) —
-            # wall must track the batch, not the table, across decades
-            t0 = time.perf_counter()
-            upd = df.filter(F.col("k") < 50).withColumn(
-                "uid", F.md5((F.col("k") + 1).cast("string")))
-            manifest_upsert(spark, root, upd, ["k"])
-            carry_commit_s = round(time.perf_counter() - t0, 3)
             total_files = len(read_table(spark, root).inputFiles())
+            # bloom/stats CARRY-FORWARD commit cost, measured on a
+            # PARTITIONED table with FIXED-SIZE partitions (20k rows
+            # each, so the count of partitions grows with the decade
+            # but the touched unit stays constant): a 50-row upsert
+            # rewrites exactly one partition — every other partition's
+            # files hardlink and REUSE their stats/bloom entries — so
+            # the wall must stay ~flat across decades iff the sidecar
+            # finalize is O(touched), which is the claim.  (An upsert
+            # on the non-partitioned table above rewrites the whole
+            # table and would measure the rewrite, not the carry.)
+            proot = os.path.join(base, "ptbl")
+            pdf = df.withColumn("p", (F.col("k") / 20000).cast("int"))
+            manifest_upsert(spark, proot, pdf, ["k"],
+                            partition_by=["p"], stats_cols=["v"])
+            write_table_bloom(spark, proot, ["uid"], bits=1 << 18)
+            upd = pdf.filter(F.col("k") < 50).withColumn(
+                "uid", F.md5((F.col("k") + 1).cast("string")))
+            t0 = time.perf_counter()
+            manifest_upsert(spark, proot, upd, ["k"], partition_by=["p"])
+            carry_commit_s = round(time.perf_counter() - t0, 3)
             lo, hi = 0.10 * 1.7 * n_rows, 0.11 * 1.7 * n_rows  # 1% slice
             t0 = time.perf_counter()
             w = read_table(spark, root, where=[("v", ">=", lo),
