@@ -1217,8 +1217,18 @@ def _read_pruned(spark: SparkSession, data_dir: str,
     else:
         def _bloom_admits(rel: str, col: str) -> bool:
             return True
+    # file census: a loaded stats split's key set IS the version's
+    # complete data-file list (the collector enumerates every file at
+    # sidecar-write time and the version dir is immutable after
+    # commit), so a statted read needs NO directory walk — at 10⁵+
+    # files the os.walk is the prune's dominant term, and on an object
+    # store it is a LIST call per read; the walk remains the fallback
+    # for unstatted/legacy tables
+    census = next((m for m in stats_by_col.values() if m), None)
+    files_iter = (((rel, os.path.join(data_dir, rel)) for rel in census)
+                  if census is not None else _iter_data_files(data_dir))
     survivors, total = [], 0
-    for rel, path in _iter_data_files(data_dir):
+    for rel, path in files_iter:
         total += 1
         pvals = _path_part_values(rel)
         keep = True
