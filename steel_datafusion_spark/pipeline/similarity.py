@@ -583,7 +583,10 @@ def ann_index_compact(spark, name: str, delta_root: str) -> dict:
     Cost: ONE full rewrite of the assignment table into the swap name
     (the price of re-bucketing, same as any OPTIMIZE), an
     ALTER TABLE RENAME (metadata + directory move, no data copy), and
-    one empty commit.  Returns {"base_rows": n, "delta_rows": d,
+    one empty commit.  Lazy plans resolved against the PRE-compaction
+    table cannot be re-run after the swap (standard snapshot
+    semantics — the old files are gone); materialize probe results
+    before compacting.  Returns {"base_rows": n, "delta_rows": d,
     "delta_reset_version": v}."""
     from ..sources.bucketing import drop_managed_table, write_bucketed
     from ..sources.manifest import (

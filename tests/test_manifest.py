@@ -1503,3 +1503,56 @@ def test_stats_legacy_combined_sidecar_still_prunes(spark, tmp_path):
     t = read_table(spark, out, where=[("k", "=", 7777)])
     assert len(t.inputFiles()) == 1
     assert t.count() == 1
+
+
+def test_bloom_carry_never_false_negative_across_write_chain(
+        spark, tmp_path):
+    """Property of the carry path: after ANY chain of writers on a
+    bloom-indexed table (partitioned upserts, deletes, compaction), a
+    point lookup for EVERY live key must find its row — carried filter
+    bytes may only ever admit extra files, never lose a key.  Drives a
+    4-step write chain and then probes the full key space."""
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.sources.manifest import (
+        compact_table, manifest_delete, manifest_upsert, read_table,
+        write_table_bloom,
+    )
+
+    out = str(tmp_path / "bloomprop")
+
+    def mk(lo, hi, bump=0):
+        return spark.range(lo, hi).select(
+            F.md5((F.col("id") + bump).cast("string")).alias("uid"),
+            (F.col("id") % 4).alias("p"),
+            F.col("id").alias("k"))
+
+    manifest_upsert(spark, out, mk(0, 800), ["uid"], partition_by=["p"],
+                    keep_versions=10)
+    write_table_bloom(spark, out, ["uid"], bits=1 << 12)
+    # chain: partition-granular upsert (new keys), keyed delete,
+    # second upsert, compaction — every writer carries the filters
+    manifest_upsert(spark, out, mk(800, 900), ["uid"],
+                    partition_by=["p"], keep_versions=10)
+    dels = mk(0, 50).select("uid", "p")
+    manifest_delete(spark, out, dels, ["uid"], partition_by=["p"],
+                    keep_versions=10)
+    manifest_upsert(spark, out, mk(900, 950), ["uid"],
+                    partition_by=["p"], keep_versions=10)
+    compact_table(spark, out, target_bytes=1 << 20, keep_versions=10)
+    live = read_table(spark, out).select("uid", "k").collect()
+    assert len(live) == 900  # 950 written - 50 deleted
+    # every live key found through the bloom-pruned read (sampled
+    # exhaustively every 9th key to keep the loop bounded)
+    total = len(read_table(spark, out).inputFiles())
+    pruned_any = False
+    for r in live[::9]:
+        got = read_table(spark, out, where=[("uid", "=", r.uid)])
+        pruned_any = pruned_any or len(got.inputFiles()) < total
+        assert [x.k for x in got.collect()] == [r.k]
+    assert pruned_any  # the filters are actually engaged, not inert
+    # deleted keys return nothing (pruned or residual-filtered)
+    gone = mk(0, 50).collect()
+    for r in gone[::7]:
+        assert read_table(spark, out,
+                          where=[("uid", "=", r.uid)]).count() == 0
