@@ -594,13 +594,24 @@ def _part_may_match(pv, op: str, val) -> bool:
             return pv != val
         return True  # range op on an ambiguous domain: abstain
     try:
-        pvn = int(pv)
+        pvn: object = int(pv)
     except (TypeError, ValueError):
         try:
             pvn = float(pv)
         except (TypeError, ValueError):
             return True  # non-numeric path value vs numeric literal
-    return _range_may_match(pvn, pvn, op, val)
+    if _range_may_match(pvn, pvn, op, val):
+        return True
+    # the column may equally be DOUBLE-typed, where BOTH the path value
+    # and the literal coerce to float64 — distinct int64s collide past
+    # 2^53 there (e.g. dir 14117575344953599 vs literal
+    # ...600 compare EQUAL as doubles), so evaluate the double-domain
+    # interpretation too and keep the dir if EITHER may match: the path
+    # alone can't reveal the column type, and pruning must never guess
+    try:
+        return _range_may_match(float(pv), float(pv), op, float(val))
+    except (TypeError, ValueError, OverflowError):
+        return True
 
 
 def _collect_file_stats(data_dir: str, cols: list[str],

@@ -48,3 +48,20 @@ def test_write_roundtrip_gate_prunes_lang_partitions(spark):
                  F.max("doc_id").alias("max_doc_id")))
     got = {tuple(r) for r in out.collect()}
     assert got == {tuple(r) for r in want.collect()} and got
+
+
+def test_part_pruning_keeps_double_domain_collisions():
+    """Pinned falsifying example from the hypothesis sweep (round 12):
+    an integral partition-dir value and a DIFFERENT int literal that
+    collide as float64 (past 2^53) must keep the dir — the column could
+    be double-typed, where Spark compares both sides as doubles and the
+    row matches.  Exact-int interpretation alone would falsely prune."""
+    from steel_datafusion_spark.sources.manifest import _part_may_match
+
+    assert _part_may_match("14117575344953599", "=",
+                           14117575344953600) is True
+    assert _part_may_match("14117575344953599.0", "=",
+                           14117575344953601) is True
+    # and the exact interpretation still prunes clean misses
+    assert _part_may_match("7", "=", 9) is False
+    assert _part_may_match("7", ">", 9.5) is False
