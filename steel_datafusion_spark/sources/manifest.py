@@ -833,19 +833,23 @@ def _bloom_sidecar_specs(data_dir: str) -> dict[str, dict]:
 
 
 def _inherited_bloom_spec(info: dict | None) -> dict[str, dict]:
-    """The bloom columns (+ sizing) a new version should carry: commit
-    meta first (writers registered it), base-dir sidecar headers as the
-    backfill fallback — mirrors ``_inherited_stats_cols``."""
+    """The bloom columns (+ sizing) a new version should carry: the
+    UNION of commit-meta registrations and base-dir sidecar headers,
+    meta winning per column — mirrors ``_inherited_stats_cols``.  The
+    union matters because the two sources drift legitimately: a column
+    backfilled post-commit via ``write_table_bloom`` exists only as a
+    sidecar header until the next commit re-registers it, and dropping
+    it here would silently degrade its point-lookup skipping to abstain
+    on every subsequent version."""
     if info is None:
         return {}
-    meta_spec = dict(info.get("meta", {}).get("bloom", {}) or {})
-    if meta_spec:
+    spec = _bloom_sidecar_specs(info["data_dir"])
+    for c, s in (info.get("meta", {}).get("bloom", {}) or {}).items():
         try:
-            return {c: {"bits": int(s["bits"]), "k": int(s["k"])}
-                    for c, s in meta_spec.items()}
+            spec[c] = {"bits": int(s["bits"]), "k": int(s["k"])}
         except (ValueError, KeyError, TypeError):
-            pass
-    return _bloom_sidecar_specs(info["data_dir"])
+            continue  # malformed meta entry: keep the sidecar header
+    return spec
 
 
 def _write_bloom_cols(spark: SparkSession, data_dir: str,
@@ -856,9 +860,14 @@ def _write_bloom_cols(spark: SparkSession, data_dir: str,
     exists in the base version's sidecar (matching bits/k) reuses its
     filter bytes WITHOUT rescanning (versions share files only by
     hardlink — same relpath ⇒ same inode ⇒ same keys), so a commit
-    scans only its NEW files: O(touched), never O(table).  A scanned
-    file with no non-null values gets an explicit all-zero filter
-    (every supported op is null-rejecting, so pruning it is exact).
+    scans only its NEW files: O(touched), never O(table).  A file the
+    scan PROVABLY saw (it appears in the scan's per-file grouping —
+    ``explode_outer`` keeps all-null files visible) but that holds no
+    non-null values gets an explicit all-zero filter (every supported
+    op is null-rejecting, so pruning it is exact); a file the scan did
+    NOT resolve (e.g. ``input_file_name()`` URIs that fail to map back
+    to ``_iter_data_files`` relpaths under symlinked mounts) gets NO
+    entry — the probe abstains and reads it, fail-safe over fast.
     Returns the number of (col, file) entries written."""
     import base64
 
@@ -890,14 +899,20 @@ def _write_bloom_cols(spark: SparkSession, data_dir: str,
             # distinct (file, bit) pairs aggregate JVM-side, then land
             # on the driver as ONE Arrow batch (packed columnar ints,
             # not row objects) — transient driver cost O(files × set
-            # bits) ints, persisted cost bits/8 bytes per file
-            pos = (df.filter(F.col(col).isNotNull())
-                   .select(F.input_file_name().alias("_f"),
-                           F.explode(F.array(*[
+            # bits) ints, persisted cost bits/8 bytes per file.  The
+            # explode_outer-over-NULL-array keeps files with zero
+            # non-null values in the grouping (one (file, NULL) row;
+            # collect_list drops the NULL) — their presence proves the
+            # scan saw them, so their all-zero filter is exact
+            pos = (df.select(
+                       F.input_file_name().alias("_f"),
+                       F.explode_outer(F.when(
+                           F.col(col).isNotNull(),
+                           F.array(*[
                                F.pmod(F.xxhash64(
                                    F.col(col).cast("string"), F.lit(i)),
                                    F.lit(bits)).cast("int")
-                               for i in range(k_hashes)])).alias("_b"))
+                               for i in range(k_hashes)]))).alias("_b"))
                    .distinct()
                    .groupBy("_f").agg(F.collect_list("_b").alias("_bs"))
                    .toArrow())
@@ -911,9 +926,12 @@ def _write_bloom_cols(spark: SparkSession, data_dir: str,
                 for b in bs:
                     buf[b >> 3] |= 1 << (b & 7)
                 got[rel] = base64.b64encode(bytes(buf)).decode()
-            zero = base64.b64encode(bytes(nbytes)).decode()
             for rel in missing:
-                built[col][rel] = got.get(rel, zero)
+                # no entry for files the scan did not resolve back to a
+                # known relpath: probe abstains (reads the file) rather
+                # than trusting a zero filter it cannot prove
+                if rel in got:
+                    built[col][rel] = got[rel]
     total = 0
     for col, s in spec.items():
         files = {}

@@ -1411,9 +1411,10 @@ def test_multiprocess_writer_race_serializes(spark, tmp_path):
     import textwrap
 
     root = str(tmp_path / "racetbl")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = textwrap.dedent("""
         import os, sys
-        sys.path.insert(0, "/root/repo")
+        sys.path.insert(0, __REPO_ROOT__)
         root, lo, hi = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
         from pyspark.sql import SparkSession
         from pyspark.sql import functions as F
@@ -1430,7 +1431,7 @@ def test_multiprocess_writer_race_serializes(spark, tmp_path):
             manifest_upsert(spark, root, b, ["k"], keep_versions=1000)
         spark.stop()
         print("WRITER_DONE")
-    """)
+    """).replace("__REPO_ROOT__", repr(repo_root))
     procs = []
     for lo, hi in ((0, 300), (1000, 1300)):
         procs.append(subprocess.Popen(
