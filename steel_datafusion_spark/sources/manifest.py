@@ -257,7 +257,9 @@ def _iter_data_files(data_dir: str):
     """(relpath, abspath) of every parquet data file under a version dir
     — one definition of "data file" (skip metadata/hidden) for stats,
     blooms, pruning and DESCRIBE DETAIL alike."""
-    for dirpath, _dirs, names in os.walk(data_dir):
+    for dirpath, dirs, names in os.walk(data_dir):
+        # hidden dirs (Spark metadata convention) are never data
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         rel_dir = os.path.relpath(dirpath, data_dir)
         rel_dir = "" if rel_dir == "." else rel_dir
         for f in names:
@@ -614,123 +616,53 @@ def _part_may_match(pv, op: str, val) -> bool:
         return True
 
 
-def _collect_file_stats(data_dir: str, cols: list[str],
-                        reuse: dict | None = None) -> dict:
-    """Per-file min/max/null-count for ``cols`` from parquet FOOTERS
-    (row-group statistics aggregated per file) — the write-side half of
-    data skipping, at metadata-read cost: row data is never touched.
-
-    ``reuse`` is a previous version's per-file entry map: a relpath that
-    still exists carries its entry forward WITHOUT re-reading the footer
-    (safe because versions share files only by hardlink — same relpath
-    ⇒ same inode ⇒ same footer), so a partition-granular upsert, a
-    compaction or a streaming append stats only its NEW files — the
-    Delta carry-forward shape, O(touched) instead of O(table)."""
-    import pyarrow.parquet as pq
-
-    reuse = reuse or {}
-    files: dict[str, dict] = {}
-    for rel, path in _iter_data_files(data_dir):
-        if rel in reuse:
-            files[rel] = reuse[rel]
-            continue
-        md = pq.ParquetFile(path).metadata
-        agg: dict[str, dict] = {
-            c: {"lo": None, "hi": None, "nulls": 0, "ok": True,
-                "seen": False}
-            for c in cols}
-        for rgi in range(md.num_row_groups):
-            rg = md.row_group(rgi)
-            for ci in range(md.num_columns):
-                cm = rg.column(ci)
-                name = cm.path_in_schema
-                if name not in agg:
-                    continue
-                a = agg[name]
-                a["seen"] = True
-                st = cm.statistics
-                nc = None if st is None else st.null_count
-                if nc is None:
-                    a["nulls"] = None
-                elif a["nulls"] is not None:
-                    a["nulls"] += nc
-                if st is not None and st.has_min_max:
-                    mn, mx = st.min, st.max
-                    if _stat_encode(mn) is None or \
-                            _stat_encode(mx) is None:
-                        a["ok"] = False
-                        continue
-                    if a["lo"] is None or _lt(mn, a["lo"]):
-                        a["lo"] = mn
-                    if a["hi"] is None or _lt(a["hi"], mx):
-                        a["hi"] = mx
-                elif not (nc is not None and nc == rg.num_rows):
-                    # missing min/max on a group with non-null values:
-                    # the file's range is unknowable — don't prune it
-                    a["ok"] = False
-        entry: dict[str, dict | None] = {}
-        for c, a in agg.items():
-            if not a["seen"] or not a["ok"] or \
-                    (a["lo"] is None and a["nulls"] is None):
-                # absent-from-file columns are UNKNOWN, not null-free:
-                # a mixed-schema read surfaces their rows as NULL, so
-                # a {"nulls": 0} entry would let isnull prune them
-                entry[c] = None
-            elif a["lo"] is None:
-                entry[c] = {"nulls": a["nulls"]}  # all-null column
-            else:
-                entry[c] = {"lo": _stat_encode(a["lo"]),
-                            "hi": _stat_encode(a["hi"]),
-                            "nulls": a["nulls"]}
-        files[rel] = {"rows": md.num_rows, "cols": entry}
-    return {"stats_cols": list(cols), "files": files}
-
-
-def _lt(a, b) -> bool:
-    try:
-        return a < b
-    except TypeError:
-        return False
-
-
 def _write_stats_file(data_dir: str, cols: list[str],
                       base_dir: str | None = None) -> int:
-    """Write the ``_stats.json`` sidecar into a (not-yet-committed or
-    backfilled) version dir; returns the number of files covered.
-    ``base_dir`` enables carry-forward: the base version's sidecar
-    entries are reused for hardlinked files (matched by relpath) when
-    it statted the same column set."""
-    reuse = None
-    if base_dir is not None:
+    """Write the ``_stats.parquet`` sidecar into a (not-yet-committed or
+    backfilled) version dir; returns the number of files covered.  The
+    format and the vectorized writer live in :mod:`.filestats` — one
+    ROW per data file, typed min/max/null-count/partition columns,
+    loaded columnar and pruned without per-file Python.  ``base_dir``
+    enables carry-forward: the base version's rows are reused for
+    hardlinked files (matched by relpath, vectorized) when it statted
+    the same column set; a base that predates the parquet format carries
+    through its decoded ``_stats.json`` entries instead."""
+    from . import filestats
+
+    legacy_reuse = None
+    if base_dir is not None and \
+            not os.path.exists(filestats.stats_parquet_path(base_dir)):
         p = os.path.join(base_dir, _STATS_FILE)
         if os.path.exists(p):
             try:
                 with open(p) as fh:
                     prev = json.load(fh)
                 if set(prev.get("stats_cols", [])) == set(cols):
-                    reuse = prev.get("files", {})
-            except (ValueError, OSError):
-                reuse = None
-    stats = _collect_file_stats(data_dir, cols, reuse=reuse)
-    with open(os.path.join(data_dir, _STATS_FILE), "w") as fh:
-        json.dump(stats, fh)
-    # per-column read-side splits, derived from the SAME dict (one code
-    # path, no consistency risk): a pruned read then parses only the
-    # probed columns' bytes (_load_stats_col); the combined file stays
-    # the carry-forward source and the pre-split-reader fallback
-    for c in cols:
-        split = {rel: {"rows": fi.get("rows"),
-                       "c": (fi.get("cols") or {}).get(c)}
-                 for rel, fi in stats["files"].items()}
-        with open(_stats_col_path(data_dir, c), "w") as fh:
-            json.dump({"col": c, "files": split}, fh)
-    return len(stats["files"])
+                    legacy_reuse = {
+                        rel: {"rows": fi.get("rows"),
+                              "cols": {c: (None if e is None else {
+                                  k: (_stat_decode(v)
+                                      if k in ("lo", "hi") else v)
+                                  for k, v in e.items()})
+                                  for c, e in
+                                  (fi.get("cols") or {}).items()}}
+                        for rel, fi in prev.get("files", {}).items()}
+            except (ValueError, OSError, AttributeError):
+                legacy_reuse = None
+    return filestats.write_stats_parquet(
+        data_dir, cols, base_dir=base_dir, legacy_reuse=legacy_reuse)
 
 
 def _sidecar_stats_cols(data_dir: str) -> list[str]:
-    """stats columns recorded in a version dir's sidecar, else [] — lets
+    """stats columns recorded in a version dir's sidecar (parquet
+    metadata first, legacy JSON header as fallback), else [] — lets
     writers inherit the skipping contract from the base version even
     when it was backfilled post-commit via ``write_table_stats``."""
+    from . import filestats
+
+    cols = filestats.stats_cols_of(data_dir)
+    if cols:
+        return cols
     p = os.path.join(data_dir, _STATS_FILE)
     if not os.path.exists(p):
         return []
@@ -768,13 +700,16 @@ def _bloom_col_path(data_dir: str, col: str) -> str:
 
 
 def _load_bloom_col(data_dir: str, col: str) -> dict | None:
-    """One column's filters ({"bits", "k", "files": {rel: b64}}), or None.
-    Per-COLUMN sidecar files mean a point-lookup read parses only the
-    probed column's bytes — at 10⁶ files the whole-table bloom payload is
-    gigabytes, but one column's is what the predicate actually needs
-    (the load-granularity half of the Delta per-file-stats shape).
-    Legacy combined ``_bloom.json`` sidecars still load (whole-file
-    parse, as before) so pre-split tables keep skipping."""
+    """One column's filters ({"bits", "k", "files": {rel: b64 | bytes}}),
+    or None.  Preference order: the parquet sidecar (the current write
+    format — raw bytes, loaded columnar), the per-column JSON split,
+    then the legacy combined ``_bloom.json`` — so tables from every
+    format generation keep skipping."""
+    from . import filestats
+
+    m = filestats.load_bloom_parquet_as_map(data_dir, col)
+    if m is not None:
+        return m
     p = _bloom_col_path(data_dir, col)
     if os.path.exists(p):
         try:
@@ -804,7 +739,9 @@ def _bloom_sidecar_specs(data_dir: str) -> dict[str, dict]:
     dir (per-column sidecar headers, legacy combined file as fallback) —
     how writers inherit the bloom contract from a base version that was
     backfilled post-commit (the ``_sidecar_stats_cols`` analogue)."""
-    out: dict[str, dict] = {}
+    from . import filestats
+
+    out: dict[str, dict] = filestats.bloom_parquet_specs(data_dir)
     try:
         names = os.listdir(data_dir)
     except OSError:
@@ -812,6 +749,9 @@ def _bloom_sidecar_specs(data_dir: str) -> dict[str, dict]:
     for f in names:
         if not (f.startswith(_BLOOM_PREFIX) and f.endswith(".json")):
             continue
+        if urllib.parse.unquote(
+                f[len(_BLOOM_PREFIX):-len(".json")]) in out:
+            continue  # parquet sidecar (current format) already spoke
         col = urllib.parse.unquote(f[len(_BLOOM_PREFIX):-len(".json")])
         try:
             with open(os.path.join(data_dir, f)) as fh:
@@ -855,35 +795,72 @@ def _inherited_bloom_spec(info: dict | None) -> dict[str, dict]:
 def _write_bloom_cols(spark: SparkSession, data_dir: str,
                       spec: dict[str, dict],
                       base_dir: str | None = None) -> int:
-    """Build/carry the per-column Bloom sidecars for a version dir.
-    ``base_dir`` enables the Delta carry-forward shape: a relpath that
-    exists in the base version's sidecar (matching bits/k) reuses its
-    filter bytes WITHOUT rescanning (versions share files only by
-    hardlink — same relpath ⇒ same inode ⇒ same keys), so a commit
-    scans only its NEW files: O(touched), never O(table).  A file the
-    scan PROVABLY saw (it appears in the scan's per-file grouping —
-    ``explode_outer`` keeps all-null files visible) but that holds no
-    non-null values gets an explicit all-zero filter (every supported
-    op is null-rejecting, so pruning it is exact); a file the scan did
-    NOT resolve (e.g. ``input_file_name()`` URIs that fail to map back
-    to ``_iter_data_files`` relpaths under symlinked mounts) gets NO
-    entry — the probe abstains and reads it, fail-safe over fast.
-    Returns the number of (col, file) entries written."""
+    """Build/carry the per-column Bloom PARQUET sidecars for a version
+    dir.  ``base_dir`` enables the Delta carry-forward shape: a relpath
+    in the base version's sidecar (matching bits/k) reuses its filter
+    bytes WITHOUT rescanning (versions share files only by hardlink —
+    same relpath ⇒ same inode ⇒ same keys), VECTORIZED (the base
+    parquet rows are filtered by relpath membership, no per-file
+    Python), so a commit scans only its NEW files: O(touched), never
+    O(table).  New files' filters are PACKED EXECUTOR-SIDE — the scan
+    aggregates distinct (file, bit) pairs JVM-side and a vectorized
+    pandas UDF turns each file's bit list into filter bytes, so the
+    driver handles one Arrow batch of (file, bytes), never per-bit
+    loops.  A file the scan PROVABLY saw (``explode_outer`` keeps
+    all-null files in the grouping) but that holds no non-null values
+    gets an exact all-zero filter; a file the scan did NOT resolve back
+    to a known relpath gets NO entry — the probe abstains and reads it,
+    fail-safe over fast.  Returns the number of (col, file) entries
+    written."""
     import base64
 
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
     from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
 
+    from . import filestats
     from .readers import _nanos_ts_columns, ensure_session_confs
+
     cur = dict(_iter_data_files(data_dir))  # rel -> abs path
-    reuse: dict[str, dict] = {}
+    rels_now = pa.array(sorted(cur), type=pa.string())
+    carried: dict[str, "pa.Table"] = {}
+    missing_by_col: dict[str, list[str]] = {}
     for col, s in spec.items():
-        b = _load_bloom_col(base_dir, col) if base_dir else None
-        reuse[col] = b["files"] if (
-            b and b["bits"] == int(s["bits"])
-            and b["k"] == int(s["k"])) else {}
-    need = sorted({rel for rel in cur for col in spec
-                   if rel not in reuse[col]})
-    built: dict[str, dict[str, str]] = {col: {} for col in spec}
+        bits, k_hashes = int(s["bits"]), int(s["k"])
+        nbytes = bits // 8 + (1 if bits % 8 else 0)
+        tblc = None
+        if base_dir is not None:
+            b = filestats.load_bloom_parquet(base_dir, col)
+            if b is not None:
+                if b["bits"] == bits and b["k"] == k_hashes:
+                    mask = pc.is_in(b["tbl"].column("rel"),
+                                    value_set=rels_now)
+                    tblc = b["tbl"].select(["rel", "f"]).filter(mask)
+            else:
+                lj = _load_bloom_col(base_dir, col)  # legacy JSON base
+                if lj is not None and int(lj["bits"]) == bits \
+                        and int(lj["k"]) == k_hashes:
+                    keep = {r: v for r, v in lj["files"].items()
+                            if r in cur}
+                    tblc = pa.table({
+                        "rel": pa.array(sorted(keep), type=pa.string()),
+                        "f": pa.array(
+                            [base64.b64decode(keep[r])
+                             if isinstance(keep[r], str)
+                             else bytes(keep[r])
+                             for r in sorted(keep)],
+                            type=pa.binary(nbytes))})
+        if tblc is not None:
+            carried[col] = tblc
+            have = pc.is_in(rels_now, value_set=tblc.column("rel"))
+            missing_by_col[col] = pc.filter(
+                rels_now, pc.invert(have)).to_pylist()
+        else:
+            missing_by_col[col] = list(rels_now.to_pylist())
+    need = sorted(set().union(*missing_by_col.values())) if spec else []
+    built: dict[str, "pa.Table"] = {}
     if need and spec:
         ensure_session_confs(spark)
         df = spark.read.option("basePath", data_dir).parquet(
@@ -892,18 +869,40 @@ def _write_bloom_cols(spark: SparkSession, data_dir: str,
             df = df.withColumn(
                 c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
         for col, s in spec.items():
-            missing = [rel for rel in need if rel not in reuse[col]]
+            missing = set(missing_by_col[col])
             if not missing or col not in df.columns:
                 continue
             bits, k_hashes = int(s["bits"]), int(s["k"])
-            # distinct (file, bit) pairs aggregate JVM-side, then land
-            # on the driver as ONE Arrow batch (packed columnar ints,
-            # not row objects) — transient driver cost O(files × set
-            # bits) ints, persisted cost bits/8 bytes per file.  The
+            nbytes = bits // 8 + (1 if bits % 8 else 0)
+
+            def _make_pack(nb: int):
+                def _pack(bs):
+                    import numpy as np
+
+                    out = []
+                    for lst in bs:
+                        buf = np.zeros(nb, dtype=np.uint8)
+                        if len(lst):
+                            a = np.asarray(lst, dtype=np.int64)
+                            np.bitwise_or.at(
+                                buf, a >> 3,
+                                (1 << (a & 7)).astype(np.uint8))
+                        out.append(buf.tobytes())
+                    return pd.Series(out)
+                # real annotation objects: PEP-563 string hints from
+                # `from __future__ import annotations` don't resolve in
+                # pandas_udf's type inference
+                _pack.__annotations__ = {"bs": pd.Series,
+                                         "return": pd.Series}
+                return pandas_udf(_pack, "binary")
+
+            _pack = _make_pack(nbytes)
+
+            # distinct (file, bit) pairs aggregate JVM-side; the
             # explode_outer-over-NULL-array keeps files with zero
             # non-null values in the grouping (one (file, NULL) row;
-            # collect_list drops the NULL) — their presence proves the
-            # scan saw them, so their all-zero filter is exact
+            # collect_list drops the NULL) — presence proves the scan
+            # saw them, so their all-zero filter is exact
             pos = (df.select(
                        F.input_file_name().alias("_f"),
                        F.explode_outer(F.when(
@@ -915,36 +914,39 @@ def _write_bloom_cols(spark: SparkSession, data_dir: str,
                                for i in range(k_hashes)]))).alias("_b"))
                    .distinct()
                    .groupBy("_f").agg(F.collect_list("_b").alias("_bs"))
+                   .select("_f", _pack("_bs").alias("_p"))
                    .toArrow())
-            nbytes = bits // 8 + (1 if bits % 8 else 0)
-            got: dict[str, str] = {}
-            for f_uri, bs in zip(pos.column("_f").to_pylist(),
-                                 pos.column("_bs").to_pylist()):
+            got_rels, got_bytes = [], []
+            for f_uri, pbytes in zip(pos.column("_f").to_pylist(),
+                                     pos.column("_p").to_pylist()):
                 f = urllib.parse.unquote(urllib.parse.urlparse(f_uri).path)
                 rel = os.path.relpath(f, os.path.abspath(data_dir))
-                buf = bytearray(nbytes)
-                for b in bs:
-                    buf[b >> 3] |= 1 << (b & 7)
-                got[rel] = base64.b64encode(bytes(buf)).decode()
-            for rel in missing:
-                # no entry for files the scan did not resolve back to a
-                # known relpath: probe abstains (reads the file) rather
-                # than trusting a zero filter it cannot prove
-                if rel in got:
-                    built[col][rel] = got[rel]
+                # only files resolving to a known missing relpath get an
+                # entry; unresolved files abstain (fail-safe)
+                if rel in missing:
+                    got_rels.append(rel)
+                    got_bytes.append(pbytes)
+            built[col] = pa.table({
+                "rel": pa.array(got_rels, type=pa.string()),
+                "f": pa.array(got_bytes, type=pa.binary(nbytes))})
     total = 0
     for col, s in spec.items():
-        files = {}
-        for rel in cur:  # base entries for files the new version dropped
-            e = reuse[col].get(rel)  # fall away here — never carried
-            if e is None:
-                e = built[col].get(rel)
-            if e is not None:
-                files[rel] = e
-        with open(_bloom_col_path(data_dir, col), "w") as fh:
-            json.dump({"col": col, "bits": int(s["bits"]),
-                       "k": int(s["k"]), "files": files}, fh)
-        total += len(files)
+        bits, k_hashes = int(s["bits"]), int(s["k"])
+        nbytes = bits // 8 + (1 if bits % 8 else 0)
+        pieces = []
+        if col in carried and carried[col].num_rows:
+            pieces.append(carried[col].set_column(
+                1, "f", carried[col].column("f").cast(pa.binary(nbytes))))
+        if col in built and built[col].num_rows:
+            pieces.append(built[col])
+        if pieces:
+            tbl = pa.concat_tables(pieces) if len(pieces) > 1 \
+                else pieces[0]
+        else:
+            tbl = pa.table({"rel": pa.array([], type=pa.string()),
+                            "f": pa.array([], type=pa.binary(nbytes))})
+        total += filestats.write_bloom_parquet_table(
+            data_dir, col, tbl, bits, k_hashes)
     return total
 
 
@@ -1192,9 +1194,55 @@ def _read_pruned(spark: SparkSession, data_dir: str,
                 f"'in' takes a list/tuple/set of literals; got {p[2]!r}")
     where = [(c, op, list(v) if op == "in" else v)
              for c, op, v in where]
-    # stats load only the PREDICATE columns' split sidecars; the
-    # combined _stats.json is parsed only for pre-split tables (then a
-    # single whole-file load, the old behavior)
+
+    def _pred(col, op, val):
+        c = F.col(col)
+        if op == "isnull":
+            return c.isNull()
+        if op == "isnotnull":
+            return c.isNotNull()
+        if op == "in":
+            return c.isin(val)
+        return {"=": c == F.lit(val), "!=": c != F.lit(val),
+                "<": c < F.lit(val), "<=": c <= F.lit(val),
+                ">": c > F.lit(val), ">=": c >= F.lit(val)}[op]
+
+    resid = None
+    for col, op, val in where:
+        p = _pred(col, op, val)
+        resid = p if resid is None else (resid & p)
+
+    # ---- current format: _stats.parquet, pruned columnar (pyarrow
+    # kernels driver-side; a Spark DataFrame filter over the stats table
+    # past the PRUNE_DRIVER_MAX_BYTES threshold) — no per-file Python
+    from . import filestats
+
+    schema_cache: list = []
+
+    def _bits_fn(col, vals, bits, k):
+        if not schema_cache:
+            schema_cache.append(read_parquet(spark, data_dir).schema)
+        return _bloom_probe_bits(spark, schema_cache[0], col, vals,
+                                 int(bits), int(k))
+
+    pq_res = filestats.prune_with_stats_parquet(
+        spark, data_dir, where, _bits_fn)
+    if pq_res is not None:
+        survivors_rel, total = pq_res
+        if not survivors_rel:
+            return read_parquet(spark, data_dir).filter(resid).limit(0)
+        if len(survivors_rel) == total:
+            return read_parquet(spark, data_dir).filter(resid)
+        ensure_session_confs(spark)
+        df = spark.read.option("basePath", data_dir).parquet(
+            *[os.path.join(data_dir, r) for r in survivors_rel])
+        for c in _nanos_ts_columns(data_dir):
+            df = df.withColumn(
+                c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+        return df.filter(resid)
+
+    # ---- legacy formats: per-column JSON splits / combined _stats.json,
+    # per-file verdict loop (bounded: pre-parquet tables only)
     pred_cols = list(dict.fromkeys(c for c, _op, _v in where))
     stats_by_col: dict[str, dict] = {}
     for col in pred_cols:
@@ -1240,7 +1288,8 @@ def _read_pruned(spark: SparkSession, data_dir: str,
             enc = files.get(rel)
             if pbs is None or enc is None:
                 return True  # abstain: no filter for this file/literal
-            buf = base64.b64decode(enc)
+            buf = base64.b64decode(enc) if isinstance(enc, str) \
+                else enc  # parquet sidecars carry raw bytes
             return any(all(buf[b >> 3] & (1 << (b & 7)) for b in pb)
                        for pb in pbs)
     else:
@@ -1278,22 +1327,6 @@ def _read_pruned(spark: SparkSession, data_dir: str,
         if keep:
             survivors.append(path)
 
-    def _pred(col, op, val):
-        c = F.col(col)
-        if op == "isnull":
-            return c.isNull()
-        if op == "isnotnull":
-            return c.isNotNull()
-        if op == "in":
-            return c.isin(val)
-        return {"=": c == F.lit(val), "!=": c != F.lit(val),
-                "<": c < F.lit(val), "<=": c <= F.lit(val),
-                ">": c > F.lit(val), ">=": c >= F.lit(val)}[op]
-
-    resid = None
-    for col, op, val in where:
-        p = _pred(col, op, val)
-        resid = p if resid is None else (resid & p)
     if not survivors:
         # nothing can match: an empty frame with the table's full schema
         return read_parquet(spark, data_dir).filter(resid).limit(0)

@@ -117,11 +117,18 @@ def _nanos_ts_columns(path: str) -> list[str]:
         return []
     first = path
     if os.path.isdir(path):
-        parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        # skip hidden/metadata siblings (the _stats.parquet / _bloom-*
+        # sidecars live beside the data files but are NOT data)
+        parts = [f for f in os.listdir(path)
+                 if f.endswith(".parquet")
+                 and not f.startswith(("_", "."))]
         if not parts:
             return []
         first = os.path.join(path, parts[0])
-    schema = pq.read_schema(first)
+    try:
+        schema = pq.read_schema(first)
+    except (OSError, ValueError):  # unreadable sample: no conversion
+        return []
     return [f.name for f in schema
             if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
 

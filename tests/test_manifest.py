@@ -15,6 +15,68 @@ def _mk(spark, rows):
     return spark.createDataFrame(rows, "k long, s string, v long")
 
 
+def _downgrade_stats_to_legacy_json(data_dir, splits=True,
+                                    combined=True):
+    """Convert a version dir's _stats.parquet into the PRE-r13 on-disk
+    formats (combined _stats.json and/or per-column _statscol-*.json),
+    deleting the parquet — lets the legacy-reader tests exercise the
+    old layouts that real pre-upgrade tables still carry."""
+    import pyarrow.parquet as pq
+
+    from steel_datafusion_spark.sources.filestats import (
+        stats_cols_of, stats_parquet_path,
+    )
+    from steel_datafusion_spark.sources.manifest import (
+        _stat_encode, _stats_col_path,
+    )
+
+    cols = stats_cols_of(data_dir)
+    tbl = pq.read_table(stats_parquet_path(data_dir)).to_pylist()
+    files = {}
+    for row in tbl:
+        entry = {}
+        for c in cols:
+            if not row.get(f"ok:{c}"):
+                entry[c] = None
+            elif row.get(f"lo:{c}") is None:
+                entry[c] = {"nulls": row.get(f"nulls:{c}")}
+            else:
+                entry[c] = {"lo": _stat_encode(row[f"lo:{c}"]),
+                            "hi": _stat_encode(row[f"hi:{c}"]),
+                            "nulls": row.get(f"nulls:{c}")}
+        files[row["rel"]] = {"rows": row.get("rows"), "cols": entry}
+    if combined:
+        with open(os.path.join(data_dir, "_stats.json"), "w") as fh:
+            json.dump({"stats_cols": cols, "files": files}, fh)
+    if splits:
+        for c in cols:
+            split = {rel: {"rows": fi.get("rows"),
+                           "c": (fi.get("cols") or {}).get(c)}
+                     for rel, fi in files.items()}
+            with open(_stats_col_path(data_dir, c), "w") as fh:
+                json.dump({"col": c, "files": split}, fh)
+    os.unlink(stats_parquet_path(data_dir))
+
+
+def _downgrade_bloom_to_legacy_json(data_dir, col):
+    """Convert one column's _bloom-<col>.parquet into the pre-r13
+    per-column JSON sidecar (b64 filter bytes), deleting the parquet."""
+    import base64
+
+    from steel_datafusion_spark.sources.filestats import (
+        bloom_parquet_path, load_bloom_parquet,
+    )
+    from steel_datafusion_spark.sources.manifest import _bloom_col_path
+
+    b = load_bloom_parquet(data_dir, col)
+    files = {rel: base64.b64encode(b["mat"][i].tobytes()).decode()
+             for i, rel in enumerate(b["rels"].to_pylist())}
+    with open(_bloom_col_path(data_dir, col), "w") as fh:
+        json.dump({"col": col, "bits": b["bits"], "k": b["k"],
+                   "files": files}, fh)
+    os.unlink(bloom_parquet_path(data_dir, col))
+
+
 def test_manifest_upsert_roundtrip_and_idempotence(spark, tmp_path):
     from steel_datafusion_spark.sources.readers import (
         merge_upsert, read_parquet,
@@ -611,7 +673,7 @@ def test_data_skipping_prunes_files_and_matches_full_scan(spark, tmp_path):
                     stats_cols=["k", "v", "s"])
     info = latest_commit_info(out)
     assert info["meta"]["stats_cols"] == ["k", "v", "s"]
-    assert os.path.exists(os.path.join(info["data_dir"], "_stats.json"))
+    assert os.path.exists(os.path.join(info["data_dir"], "_stats.parquet"))
     pruned = read_table(spark, out, where=[("k", ">=", 2000),
                                            ("k", "<", 3000)])
     full = read_table(spark, out)
@@ -717,9 +779,10 @@ def test_data_skipping_nulls_and_degradation(spark, tmp_path):
     # unstatted column: all files read, answer still right
     u = read_table(spark, out, where=[("k", ">=", 0), ("v", ">=", 150.0)])
     assert u.count() == 50
-    # corrupt the combined sidecar: the per-column splits still prune
-    # (they are the read source; the combined file is carry/fallback)
+    # downgrade to the legacy JSON layout, then corrupt the combined
+    # sidecar: the per-column splits still prune (legacy read order)
     info = latest_commit_info(out)
+    _downgrade_stats_to_legacy_json(info["data_dir"])
     with open(os.path.join(info["data_dir"], "_stats.json"), "w") as fh:
         fh.write("{not json")
     c = read_table(spark, out, where=[("v", ">=", 0.0)])
@@ -731,6 +794,16 @@ def test_data_skipping_nulls_and_degradation(spark, tmp_path):
             fh.write("{not json")
     c2 = read_table(spark, out, where=[("v", ">=", 0.0)])
     assert c2.count() == 100 and len(c2.inputFiles()) == 2
+    # same degradation for the current format: a corrupt _stats.parquet
+    # disables pruning, never breaks the read
+    out2 = str(tmp_path / "nulls2")
+    manifest_upsert(spark, out2, df.repartitionByRange(2, "k"), ["k"],
+                    stats_cols=["k", "v"])
+    d2 = latest_commit_info(out2)["data_dir"]
+    with open(os.path.join(d2, "_stats.parquet"), "w") as fh:
+        fh.write("not parquet")
+    c3 = read_table(spark, out2, where=[("v", ">=", 0.0)])
+    assert c3.count() == 100 and len(c3.inputFiles()) == 2
     with pytest.raises(ValueError):
         read_table(spark, out, where=[("v", "LIKE", "x")])
 
@@ -1000,23 +1073,34 @@ def test_stats_carry_forward_and_streaming_maintenance(spark, tmp_path):
                                  (F.col("id") + 1.0).alias("v"))
     manifest_upsert(spark, out, df, ["k"], partition_by=["p"],
                     stats_cols=["v"], keep_versions=10)
+    import pyarrow.parquet as _pq
+
+    from steel_datafusion_spark.sources.filestats import (
+        stats_parquet_path,
+    )
+
     _v1, d1 = latest_commit(out)
-    sp = os.path.join(d1, "_stats.json")
-    with open(sp) as fh:
-        s1 = _json.load(fh)
-    victim = next(r for r in s1["files"] if r.startswith("p=3"))
-    s1["files"][victim]["rows"] = 999999  # poison an untouched entry
-    with open(sp, "w") as fh:
-        _json.dump(s1, fh)
+    s1 = _pq.read_table(stats_parquet_path(d1))
+    meta1 = s1.schema.metadata
+    rows1 = s1.to_pylist()
+    victim = next(r["rel"] for r in rows1 if r["rel"].startswith("p=3"))
+    for r in rows1:
+        if r["rel"] == victim:
+            r["rows"] = 999999  # poison an untouched entry
+    import pyarrow as _pa
+
+    poisoned = _pa.Table.from_pylist(rows1, schema=s1.schema) \
+        .replace_schema_metadata(meta1)
+    _pq.write_table(poisoned, stats_parquet_path(d1))
     upd = df.filter(F.col("p") == 1).withColumn("v", F.col("v") + 100)
     manifest_upsert(spark, out, upd, ["k"], partition_by=["p"],
                     keep_versions=10)
     _v2, d2 = latest_commit(out)
-    with open(os.path.join(d2, "_stats.json")) as fh:
-        s2 = _json.load(fh)
-    assert s2["files"][victim]["rows"] == 999999  # carried, not recomputed
-    assert any(r.startswith("p=1") and s2["files"][r]["rows"] != 999999
-               for r in s2["files"])  # the touched partition re-statted
+    s2 = {r["rel"]: r for r in
+          _pq.read_table(stats_parquet_path(d2)).to_pylist()}
+    assert s2[victim]["rows"] == 999999  # carried, not recomputed
+    assert any(rel.startswith("p=1") and r["rows"] != 999999
+               for rel, r in s2.items())  # touched partition re-statted
     # streaming ingest maintains the sidecar per batch
     src = str(tmp_path / "ssrc")
     tbl = str(tmp_path / "stbl")
@@ -1029,7 +1113,8 @@ def test_stats_carry_forward_and_streaming_maintenance(spark, tmp_path):
                            max_files_per_trigger=1)
     info = latest_commit_info(tbl)
     assert info["meta"]["stats_cols"] == ["k"]
-    assert os.path.exists(os.path.join(info["data_dir"], "_stats.json"))
+    assert os.path.exists(os.path.join(info["data_dir"],
+                                       "_stats.parquet"))
     t = read_table(spark, tbl, where=[("k", "<", 100)])
     assert t.count() == 100
     assert len(t.inputFiles()) < len(read_table(spark, tbl).inputFiles())
@@ -1081,7 +1166,7 @@ def test_pruning_exactness_guards(spark, tmp_path):
     import json as _json
 
     from steel_datafusion_spark.sources.manifest import (
-        _collect_file_stats, alter_table_constraints, manifest_upsert,
+        _write_stats_file, alter_table_constraints, manifest_upsert,
         read_table,
     )
 
@@ -1110,12 +1195,21 @@ def test_pruning_exactness_guards(spark, tmp_path):
     t4 = read_table(spark, pout, where=[("b", "<", "10")])
     assert t4.count() == exp
 
-    # a requested column entirely absent from a file must stat as None
-    # (unknown), never {"nulls": 0} — isnull pruning would lose rows
+    # a requested column entirely absent from a file must stat as
+    # UNKNOWN (ok=False, never prunable) — a null-free entry would let
+    # isnull pruning lose the rows a mixed-schema read surfaces as NULL
+    import pyarrow.parquet as _pq
+
+    from steel_datafusion_spark.sources.filestats import (
+        stats_parquet_path,
+    )
+
     d1 = str(tmp_path / "absent")
     spark.createDataFrame([(1,)], "k long").write.parquet(d1)
-    stats = _collect_file_stats(d1, ["nope"])
-    assert all(e["cols"]["nope"] is None for e in stats["files"].values())
+    _write_stats_file(d1, ["nope"])
+    stbl = _pq.read_table(stats_parquet_path(d1))
+    assert not any(stbl.column("ok:nope").to_pylist())
+    assert all(v is None for v in stbl.column("lo:nope").to_pylist())
 
     # metadata-only constraint registration keeps the writers' retention
     r2 = str(tmp_path / "keep")
@@ -1320,14 +1414,16 @@ def test_bloom_carries_forward_across_writers(spark, tmp_path):
     poisoning a base entry and watching it propagate — a rescan would
     heal it), only rewritten files scan, the registration rides in
     commit meta, and point lookups keep pruning after the upsert."""
-    import base64 as _b64
-    import json as _json
-
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
     from pyspark.sql import functions as F
 
+    from steel_datafusion_spark.sources.filestats import (
+        bloom_parquet_path, load_bloom_parquet,
+    )
     from steel_datafusion_spark.sources.manifest import (
-        _bloom_col_path, latest_commit, latest_commit_info,
-        manifest_upsert, read_table, write_table_bloom,
+        latest_commit, latest_commit_info, manifest_upsert, read_table,
+        write_table_bloom,
     )
 
     out = str(tmp_path / "bloomcarry")
@@ -1340,25 +1436,29 @@ def test_bloom_carries_forward_across_writers(spark, tmp_path):
                     keep_versions=10)
     write_table_bloom(spark, out, ["uid"], bits=1 << 14)
     _v1, d1 = latest_commit(out)
-    bp1 = _bloom_col_path(d1, "uid")
-    with open(bp1) as fh:
-        b1 = _json.load(fh)
-    victim = next(r for r in b1["files"] if r.startswith("p=3"))
-    poison = _b64.b64encode(b"\xa5" * (len(_b64.b64decode(
-        b1["files"][victim])))).decode()
-    b1["files"][victim] = poison
-    with open(bp1, "w") as fh:
-        _json.dump(b1, fh)
+    b1 = _pq.read_table(bloom_parquet_path(d1, "uid"))
+    meta1 = b1.schema.metadata
+    rows1 = b1.to_pylist()
+    victim = next(r["rel"] for r in rows1 if r["rel"].startswith("p=3"))
+    nb = len(rows1[0]["f"])
+    poison = b"\xa5" * nb
+    for r in rows1:
+        if r["rel"] == victim:
+            r["f"] = poison
+    _pq.write_table(
+        _pa.Table.from_pylist(rows1, schema=b1.schema)
+        .replace_schema_metadata(meta1),
+        bloom_parquet_path(d1, "uid"))
     upd = (df.filter(F.col("p") == 1)
            .withColumn("k", F.col("k") + 100000))
     manifest_upsert(spark, out, upd, ["uid"], partition_by=["p"],
                     keep_versions=10)
     info = latest_commit_info(out)
     assert info["meta"]["bloom"] == {"uid": {"bits": 1 << 14, "k": 5}}
-    with open(_bloom_col_path(info["data_dir"], "uid")) as fh:
-        b2 = _json.load(fh)
-    assert b2["files"][victim] == poison  # carried, not rescanned
-    assert any(r.startswith("p=1") for r in b2["files"])  # rewritten
+    b2 = load_bloom_parquet(info["data_dir"], "uid")
+    rel2idx = {rel: i for i, rel in enumerate(b2["rels"].to_pylist())}
+    assert b2["mat"][rel2idx[victim]].tobytes() == poison  # carried
+    assert any(rel.startswith("p=1") for rel in rel2idx)  # rewritten
     # point lookups still prune and stay exact on the NEW version
     tgt = df.filter((F.col("k") == 2) & (F.col("p") == 2)).head().uid
     hit = read_table(spark, out, where=[("uid", "=", tgt)])
@@ -1375,9 +1475,12 @@ def test_bloom_per_column_sidecars_load_independently(spark, tmp_path):
     parsing one column's filters and the whole table's)."""
     from pyspark.sql import functions as F
 
+    from steel_datafusion_spark.sources.filestats import (
+        bloom_parquet_path,
+    )
     from steel_datafusion_spark.sources.manifest import (
-        _bloom_col_path, latest_commit, manifest_upsert, read_table,
-        table_detail, write_table_bloom,
+        latest_commit, manifest_upsert, read_table, table_detail,
+        write_table_bloom,
     )
 
     out = str(tmp_path / "bloomcols")
@@ -1388,8 +1491,8 @@ def test_bloom_per_column_sidecars_load_independently(spark, tmp_path):
     write_table_bloom(spark, out, ["k", "s"], bits=1 << 14)
     assert table_detail(spark, out).head().bloom_cols == ["k", "s"]
     _v, d = latest_commit(out)
-    assert os.path.exists(_bloom_col_path(d, "k"))
-    os.unlink(_bloom_col_path(d, "s"))  # col s's bytes are GONE
+    assert os.path.exists(bloom_parquet_path(d, "k"))
+    os.unlink(bloom_parquet_path(d, "s"))  # col s's bytes are GONE
     hit = read_table(spark, out, where=[("k", "=", 1234)])
     assert len(hit.inputFiles()) < 8  # k pruning never touched s's file
     assert hit.count() == 1
@@ -1456,10 +1559,10 @@ def test_multiprocess_writer_race_serializes(spark, tmp_path):
 
 
 def test_stats_per_column_sidecars_load_independently(spark, tmp_path):
-    """Per-COLUMN stats splits: a pruned read parses only the PROBED
-    columns' bytes — deleting the combined _stats.json AND every other
-    column's split leaves pruning on the probed column fully intact
-    (the bloom-split granularity story extended to min/max stats)."""
+    """LEGACY per-COLUMN stats splits (the pre-r13 on-disk format) keep
+    loading independently: deleting the combined _stats.json AND every
+    other column's split leaves pruning on the probed column fully
+    intact — pre-upgrade tables lose nothing."""
     from pyspark.sql import functions as F
 
     from steel_datafusion_spark.sources.manifest import (
@@ -1472,6 +1575,7 @@ def test_stats_per_column_sidecars_load_independently(spark, tmp_path):
     manifest_upsert(spark, out, df.repartitionByRange(8, "k"), ["k"],
                     stats_cols=["k", "v"])
     _ver, d = latest_commit(out)
+    _downgrade_stats_to_legacy_json(d)
     assert os.path.exists(_stats_col_path(d, "k"))
     os.unlink(os.path.join(d, "_stats.json"))
     os.unlink(_stats_col_path(d, "v"))  # v's bytes are GONE
@@ -1485,25 +1589,78 @@ def test_stats_per_column_sidecars_load_independently(spark, tmp_path):
 
 def test_stats_legacy_combined_sidecar_still_prunes(spark, tmp_path):
     """A pre-split table (combined _stats.json only, the r11 on-disk
-    format) keeps pruning through the legacy fallback."""
+    format) keeps pruning through the legacy fallback, and the NEXT
+    writer's carry-forward lifts the JSON entries into the parquet
+    format without rescanning untouched files."""
     from pyspark.sql import functions as F
 
+    from steel_datafusion_spark.sources.filestats import (
+        stats_parquet_path,
+    )
     from steel_datafusion_spark.sources.manifest import (
-        _STATS_COL_PREFIX, latest_commit, manifest_upsert, read_table,
+        latest_commit, manifest_upsert, read_table,
     )
 
     out = str(tmp_path / "statlegacy")
     df = spark.range(10000).select(F.col("id").alias("k"),
                                    (F.col("id") * 1.5).alias("v"))
     manifest_upsert(spark, out, df.repartitionByRange(8, "k"), ["k"],
-                    stats_cols=["k"])
+                    stats_cols=["k"], keep_versions=10)
     _ver, d = latest_commit(out)
-    for f in os.listdir(d):  # simulate the pre-split layout
-        if f.startswith(_STATS_COL_PREFIX):
-            os.unlink(os.path.join(d, f))
+    _downgrade_stats_to_legacy_json(d, splits=False)
     t = read_table(spark, out, where=[("k", "=", 7777)])
     assert len(t.inputFiles()) == 1
     assert t.count() == 1
+    # upgrade-on-write: the next upsert emits _stats.parquet, carrying
+    # the legacy JSON entries for hardlinked files
+    upd = df.filter(F.col("k") < 10).withColumn("v", F.col("v") + 1)
+    manifest_upsert(spark, out, upd, ["k"], keep_versions=10)
+    _v2, d2 = latest_commit(out)
+    assert os.path.exists(stats_parquet_path(d2))
+    t2 = read_table(spark, out, where=[("k", "=", 7777)])
+    assert len(t2.inputFiles()) == 1 and t2.count() == 1
+
+
+def test_bloom_legacy_json_sidecar_still_prunes(spark, tmp_path):
+    """A pre-r13 bloom sidecar (per-column JSON, b64 filter bytes)
+    keeps pruning through the legacy loader, and the next writer's
+    carry-forward lifts it into the parquet format."""
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.sources.filestats import (
+        bloom_parquet_path,
+    )
+    from steel_datafusion_spark.sources.manifest import (
+        latest_commit, manifest_upsert, read_table, write_table_bloom,
+    )
+
+    out = str(tmp_path / "bloomlegacy")
+    df = spark.range(4000).select(
+        F.md5(F.col("id").cast("string")).alias("uid"),
+        (F.col("id") % 4).alias("p"),
+        F.col("id").alias("k"))
+    manifest_upsert(spark, out, df, ["uid"], partition_by=["p"],
+                    keep_versions=10)
+    write_table_bloom(spark, out, ["uid"], bits=1 << 14)
+    _v, d = latest_commit(out)
+    _downgrade_bloom_to_legacy_json(d, "uid")
+    tgt = df.filter(F.col("k") == 42).head().uid
+    hit = read_table(spark, out, where=[("uid", "=", tgt)])
+    assert len(hit.inputFiles()) < len(
+        read_table(spark, out).inputFiles())
+    assert hit.count() == 1
+    # upgrade-on-write: untouched partitions' filters carry by DECODING
+    # the JSON bytes into the parquet sidecar, no rescan
+    upd = (df.filter(F.col("p") == 1).limit(5)
+           .withColumn("k", F.col("k") + 100000))
+    manifest_upsert(spark, out, upd, ["uid"], partition_by=["p"],
+                    keep_versions=10)
+    _v2, d2 = latest_commit(out)
+    assert os.path.exists(bloom_parquet_path(d2, "uid"))
+    hit2 = read_table(spark, out, where=[("uid", "=", tgt)])
+    assert hit2.count() == 1
+    assert len(hit2.inputFiles()) < len(
+        read_table(spark, out).inputFiles())
 
 
 def test_bloom_carry_never_false_negative_across_write_chain(
