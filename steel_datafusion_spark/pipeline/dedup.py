@@ -484,16 +484,41 @@ def dedup_against_index(
                                   corpus_hot=hot)
 
 
+def attach_dedup_index(spark, name: str) -> bool:
+    """Re-attach a persisted dedup index's tables in a FRESH session's
+    catalog (``sources/bucketing.attach_table``): the warehouse parquet
+    and the ``_sdf_table.json`` bucket descriptors survive the session
+    that built them, so any process — a restarted driver, a second
+    concurrent maintainer — can probe and append without rebuilding.
+    Returns True iff the core tables (bands, shingles, meta) are
+    reachable; the optional hot table attaches when present."""
+    from ..sources.bucketing import attach_table
+
+    ok = all(attach_table(spark, f"{name}_{s}")
+             for s in ("bands", "shingles", "meta"))
+    attach_table(spark, f"{name}_hot")
+    attach_table(spark, f"{name}_hot_swap")  # crashed-swap recovery input
+    return ok
+
+
 def _recover_hot_swap(spark, name: str) -> None:
     """Finish a hot-table swap that crashed between the drop and the
     rename: the ``{name}_hot_swap`` table holds the COMPLETE new hot
-    set, so the flood guard is restored by a metadata rename — without
-    this, a crashed ``dedup_index_append`` would leave a capped index
-    with no hot table and every later probe would run unguarded."""
+    set, so the flood guard is restored by materializing it as the hot
+    table — without this, a crashed ``dedup_index_append`` would leave
+    a capped index with no hot table and every later probe would run
+    unguarded.  Copy-then-drop rather than a metadata rename: the swap
+    may be reached through ``attach_dedup_index`` in a DIFFERENT
+    process, where it registers as an EXTERNAL table and a rename would
+    leave the new name pointing at the old directory that the next
+    append's swap-cleanup deletes.  The hot table is tiny (over-cap
+    buckets only), so the copy is metadata-scale."""
     if spark.catalog.tableExists(f"{name}_hot_swap") and \
             not spark.catalog.tableExists(f"{name}_hot"):
-        spark.sql(
-            f"ALTER TABLE `{name}_hot_swap` RENAME TO `{name}_hot`")
+        from ..sources.bucketing import drop_managed_table
+
+        spark.table(f"{name}_hot_swap").write.saveAsTable(f"{name}_hot")
+        drop_managed_table(spark, f"{name}_hot_swap")
 
 
 def _table_num_buckets(spark, table: str) -> int:
@@ -528,21 +553,25 @@ def dedup_index_append(
     Cost per ingest cycle: O(|batch|) shingling + bucketed appends + the
     index-metadata scan — never a re-shingle or re-band of corpus text.
 
-    Single-writer, not crash-atomic: the append mutates three managed
-    tables in sequence (bands, shingles, hot) with no commit protocol —
-    a crash mid-append can leave band rows without posting lists
-    (probes silently miss the batch) and a blind re-run would
-    double-insert the batch's rows, inflating bucket occupancy forever.
-    Repair a crashed append by rebuilding the index; for crash-safe
-    continuous ingest use ``streaming_dedup_ingest``, whose manifest-
-    backed deltas give each batch an atomic, replay-guarded commit.
-    (The hot-table swap itself IS self-healing — see
-    ``_recover_hot_swap``.)
+    CONCURRENT APPENDERS SERIALIZE: the whole cycle runs under the
+    per-index advisory lock (``sources/locking.IndexLock`` — O_EXCL
+    lock file, dead-owner steal), and each completed cycle appends an
+    O_EXCL transaction record (``log_index_txn``), so two processes
+    appending simultaneously produce the same index as any serial
+    order (appends are commutative row-additions) instead of
+    interleaving staging dirs or racing the hot-table swap.  Not
+    crash-ATOMIC within a cycle: a crash mid-append can still leave
+    band rows without posting lists (probes miss the batch; a blind
+    re-run would double-insert) — repair by rebuilding, or use
+    ``streaming_dedup_ingest`` for replay-guarded atomic batches.  (The
+    hot-table swap itself IS self-healing — see ``_recover_hot_swap``.)
 
     Returns ``{"appended_docs": d, "appended_bands": b,
-    "hot_buckets": h}`` (h = hot-table size after the merge; -1 when
-    the index carries no hot table — max_bucket=None or a pre-guard
-    build)."""
+    "hot_buckets": h, "txn": v}`` (h = hot-table size after the merge;
+    -1 when the index carries no hot table — max_bucket=None or a
+    pre-guard build)."""
+    from ..sources.locking import IndexLock, log_index_txn
+
     spark = batch.sparkSession
     if not spark.catalog.tableExists(f"{name}_meta"):
         raise ValueError(
@@ -550,6 +579,23 @@ def dedup_index_append(
             f"with guessed banding parameters would produce rows that "
             f"never match the stored ones (silently admitting "
             f"duplicates); rebuild with build_dedup_index")
+    with IndexLock(spark, name):
+        out = _dedup_index_append_locked(batch, name, id_col, text_col)
+        out["txn"] = log_index_txn(
+            spark, name, {"verb": "dedup_index_append", **{
+                k: v for k, v in out.items() if k != "txn"}})
+    return out
+
+
+def _dedup_index_append_locked(
+    batch: DataFrame, name: str, id_col: str, text_col: str,
+) -> dict:
+    spark = batch.sparkSession
+    for t in ("bands", "shingles", "hot"):
+        # the lock serializes writers but each session caches file
+        # listings per table: see the sibling's completed appends
+        if spark.catalog.tableExists(f"{name}_{t}"):
+            spark.catalog.refreshTable(f"{name}_{t}")
     meta = spark.table(f"{name}_meta").head()
     n, k = int(meta["n"]), int(meta["k"])
     bands, rows = int(meta["bands"]), int(meta["rows"])
@@ -599,6 +645,125 @@ def dedup_index_append(
     return {"appended_docs": int(n_docs),
             "appended_bands": int(n_bands_rows),
             "hot_buckets": int(n_hot)}
+
+
+def dedup_index_compact(spark, name: str, work_root: str) -> dict:
+    """Absorb a ``streaming_dedup_ingest`` delta into the bucketed base
+    index and reset the delta — the one-call maintenance verb that
+    completes the dedup-index lifecycle (build → append/stream →
+    compact), mirroring ``ann_index_compact`` (similarity.py):
+
+    - merged bands/shingles = base ∪ delta DEDUPLICATED on their keys
+      ((corpus_id, band_idx) / corpus_id), so re-running a compaction
+      that crashed mid-way CONVERGES instead of doubling rows;
+    - each table swaps by rename (rewrite into ``_cswap``, metadata
+      move); a crash between the drop and the rename is self-healing —
+      the next call finds the complete swap table and finishes it;
+    - the hot flood-guard table is REBUILT EXACTLY over the merged
+      bands (one scan of int triples) — this is where the delta's
+      guard-only mid-stream occupancy drift (streaming/operators.py
+      ``streaming_dedup_ingest``) gets healed;
+    - the delta roots reset to EMPTY versions that CARRY their txn
+      watermarks, so a replayed streaming micro-batch still recognizes
+      itself after compaction instead of re-appending;
+    - the whole cycle runs under the per-index ``IndexLock`` and logs
+      an O_EXCL transaction record.
+
+    A probe racing the delta-reset window may briefly see a document in
+    both base and delta; the probe paths already collapse duplicate
+    candidates, so results stay exact.  Cost: one full rewrite of each
+    index table (the price of re-bucketing, same as any OPTIMIZE) +
+    O(index-metadata) hot recount.  Returns {"base_bands": n,
+    "delta_bands": d, "hot_buckets": h, "delta_reset_versions": [...],
+    "txn": t} (h = -1 for uncapped indexes)."""
+    from ..sources.locking import IndexLock, log_index_txn
+
+    with IndexLock(spark, name):
+        out = _dedup_index_compact_locked(spark, name, work_root)
+        out["txn"] = log_index_txn(
+            spark, name, {"verb": "dedup_index_compact", **{
+                k: v for k, v in out.items() if k != "txn"}})
+    return out
+
+
+def _dedup_index_compact_locked(spark, name: str, work_root: str) -> dict:
+    import os as _os
+
+    from ..sources.bucketing import drop_managed_table, write_bucketed
+    from ..sources.manifest import (
+        _inherited_txns, commit_version, is_manifest_root,
+        latest_commit_info, new_version_dir, read_table, vacuum,
+    )
+
+    # finish any crashed swap first: the _cswap table holds the
+    # COMPLETE merged rows for its index table
+    for t in ("bands", "shingles"):
+        if not spark.catalog.tableExists(f"{name}_{t}") and \
+                spark.catalog.tableExists(f"{name}_{t}_cswap"):
+            spark.sql(f"ALTER TABLE `{name}_{t}_cswap` "
+                      f"RENAME TO `{name}_{t}`")
+        if spark.catalog.tableExists(f"{name}_{t}"):
+            spark.catalog.refreshTable(f"{name}_{t}")
+    _recover_hot_swap(spark, name)
+    meta = spark.table(f"{name}_meta").head()
+    max_bucket = None if meta["max_bucket"] < 0 else int(meta["max_bucket"])
+    roots = {"bands": _os.path.join(work_root, "delta_bands"),
+             "shingles": _os.path.join(work_root, "delta_shingles")}
+    keys = {"bands": ["corpus_id", "band_idx"],
+            "shingles": ["corpus_id"]}
+    bucket_col = {"bands": "band_hash", "shingles": "corpus_id"}
+    sort_cols = {"bands": ["band_hash"], "shingles": None}
+    d_rows = 0
+    reset_versions: list[int] = []
+    live_roots = {t: r for t, r in roots.items() if is_manifest_root(r)}
+    if live_roots:
+        for t in ("bands", "shingles"):
+            base = spark.table(f"{name}_{t}")
+            root = roots[t]
+            if t in live_roots:
+                delta = read_table(spark, root).select(*base.columns)
+                if t == "bands":
+                    d_rows = delta.count()
+                merged = (base.unionByName(delta)
+                          .dropDuplicates(keys[t]))
+            else:
+                merged = base.dropDuplicates(keys[t])
+            swap = f"{name}_{t}_cswap"
+            drop_managed_table(spark, swap)
+            write_bucketed(merged, swap, [bucket_col[t]],
+                           _table_num_buckets(spark, f"{name}_{t}"),
+                           sort_cols=sort_cols[t])
+            drop_managed_table(spark, f"{name}_{t}")
+            spark.sql(f"ALTER TABLE `{swap}` RENAME TO `{name}_{t}`")
+    n_hot = -1
+    if max_bucket is not None:
+        from ..sources.bucketing import drop_managed_table as _dmt
+
+        new_hot = _corpus_hot_buckets(
+            spark.table(f"{name}_bands"), max_bucket)
+        tmp = f"{name}_hot_swap"
+        _dmt(spark, tmp)
+        new_hot.write.saveAsTable(tmp)
+        _dmt(spark, f"{name}_hot")
+        spark.sql(f"ALTER TABLE `{tmp}` RENAME TO `{name}_hot`")
+        n_hot = spark.table(f"{name}_hot").count()
+    for t, root in live_roots.items():
+        cur = latest_commit_info(root)
+        version = 1 if cur is None else cur["version"] + 1
+        data_dir = new_version_dir(root, version)
+        read_table(spark, root).limit(0) \
+            .write.mode("append").parquet(data_dir)
+        meta_d: dict = {"compacted_into": name}
+        txns = _inherited_txns(cur)
+        if txns:
+            meta_d["txns"] = txns
+        commit_version(root, version, data_dir, meta=meta_d)
+        vacuum(root, keep=2)
+        reset_versions.append(version)
+    return {"base_bands": int(spark.table(f"{name}_bands").count()),
+            "delta_bands": int(d_rows),
+            "hot_buckets": int(n_hot),
+            "delta_reset_versions": reset_versions}
 
 
 def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",

@@ -447,6 +447,29 @@ def build_ann_index(
     ).write.saveAsTable(f"{name}_meta")
 
 
+def attach_ann_index(spark, name: str) -> bool:
+    """Re-attach a persisted ANN index's tables in a FRESH session's
+    catalog (``sources/bucketing.attach_table``): the warehouse parquet
+    and bucket descriptors outlive the building session, so a restarted
+    driver or a second concurrent maintainer can probe/append without
+    rebuilding.  A compaction that crashed mid-swap is finished FIRST at
+    directory level (the swap dir holds the complete merged assignment;
+    one os.rename restores it — no data copy).  Attach before starting
+    concurrent maintenance, not during it.  Returns True iff centroids,
+    assign and meta are reachable."""
+    import os as _os
+
+    from ..sources.bucketing import _warehouse_path, attach_table
+
+    a_path = _warehouse_path(spark, f"{name}_assign")
+    s_path = _warehouse_path(spark, f"{name}_assign_swap")
+    if not spark.catalog.tableExists(f"{name}_assign") and \
+            not _os.path.isdir(a_path) and _os.path.isdir(s_path):
+        _os.rename(s_path, a_path)
+    return all(attach_table(spark, f"{name}_{s}")
+               for s in ("centroids", "assign", "meta"))
+
+
 def ann_index_append(
     new_vectors: DataFrame, name: str,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -475,14 +498,36 @@ def ann_index_append(
     under ``drift_threshold``, schedule a re-train
     (``build_ann_index(train="kmeans")``) during a maintenance window.
 
-    Single-writer per index: managed-table appends carry no commit
-    protocol, so concurrent appenders need external coordination — or
-    use ``streaming_ann_index_maintenance``, whose manifest-backed
-    delta gives each batch an atomic, replay-safe commit.
+    CONCURRENT APPENDERS SERIALIZE: the cycle runs under the per-index
+    advisory lock (``sources/locking.IndexLock`` — O_EXCL lock file,
+    dead-owner steal) and logs an O_EXCL transaction record per cycle,
+    so simultaneous appenders yield the same index as any serial order
+    (appends are commutative row-additions) instead of interleaving
+    staging writes.  Not crash-atomic WITHIN a cycle — for atomic,
+    replay-safe batches use ``streaming_ann_index_maintenance``.
     """
+    from ..sources.locking import IndexLock, log_index_txn
+
+    spark = new_vectors.sparkSession
+    with IndexLock(spark, name):
+        out = _ann_index_append_locked(new_vectors, name, id_col,
+                                       vec_col, drift_threshold)
+        out["txn"] = log_index_txn(
+            spark, name, {"verb": "ann_index_append", **{
+                k: v for k, v in out.items() if k != "txn"}})
+    return out
+
+
+def _ann_index_append_locked(
+    new_vectors: DataFrame, name: str, id_col: str, vec_col: str,
+    drift_threshold: float | None,
+) -> dict:
     spark = new_vectors.sparkSession
     from ..sources.bucketing import write_bucketed
 
+    # the lock serializes writers but each session caches file listings
+    # per table: see the sibling's completed appends
+    spark.catalog.refreshTable(f"{name}_assign")
     cent = spark.table(f"{name}_centroids")
     meta = spark.table(f"{name}_meta").head()
     assign_cols = spark.table(f"{name}_assign").columns
@@ -586,8 +631,23 @@ def ann_index_compact(spark, name: str, delta_root: str) -> dict:
     one empty commit.  Lazy plans resolved against the PRE-compaction
     table cannot be re-run after the swap (standard snapshot
     semantics — the old files are gone); materialize probe results
-    before compacting.  Returns {"base_rows": n, "delta_rows": d,
-    "delta_reset_version": v}."""
+    before compacting.  Runs under the same per-index advisory lock as
+    ``ann_index_append`` (``sources/locking.IndexLock``), so a
+    compaction never races an append's bucketed write or another
+    compaction's swap, and logs an O_EXCL transaction record.
+    Returns {"base_rows": n, "delta_rows": d,
+    "delta_reset_version": v, "txn": t}."""
+    from ..sources.locking import IndexLock, log_index_txn
+
+    with IndexLock(spark, name):
+        out = _ann_index_compact_locked(spark, name, delta_root)
+        out["txn"] = log_index_txn(
+            spark, name, {"verb": "ann_index_compact", **{
+                k: v for k, v in out.items() if k != "txn"}})
+    return out
+
+
+def _ann_index_compact_locked(spark, name: str, delta_root: str) -> dict:
     from ..sources.bucketing import drop_managed_table, write_bucketed
     from ..sources.manifest import (
         _inherited_txns, commit_version, is_manifest_root,
