@@ -109,6 +109,42 @@ def main() -> int:
         n_ss = matches.filter(F.col("doc_a") >= 1000000).count()
         print(f"   streamed matches: {n_sb} vs-corpus, {n_ss} "
               f"vs-earlier-stream (cross-batch)")
+
+        # close the dedup lifecycle too: compact the streamed delta
+        # into the bucketed base, then show the RETENTION story — the
+        # delta roots' file counts are bounded (per-batch vacuum keeps
+        # 2 versions; the compact's reset empties the live snapshot)
+        from steel_datafusion_spark.pipeline.dedup import (
+            dedup_against_index, dedup_index_compact,
+            minhash_dedup_against,
+        )
+
+        def _tree_files(root):
+            return sum(len(fs) for _d, _s, fs in os.walk(root))
+
+        dd_work = os.path.join(work, "dd_work")
+        bands_delta = os.path.join(dd_work, "delta_bands")
+        probe = d.filter(F.col("doc_id") < 8).select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.concat("text", F.lit(" crawl dup")).alias("text"))
+        # ground truth: the probe against base ∪ appended ∪ streamed,
+        # computed directly (no index)
+        grown_corpus = (d.filter((F.col("doc_id") % 2 == 0)
+                                 | (F.col("doc_id") < 100))
+                        .unionByName(s1).unionByName(s2))
+        want = sorted(map(tuple, minhash_dedup_against(
+            probe, grown_corpus, threshold=0.5).collect()))
+        n_before = _tree_files(bands_delta)
+        st = dedup_index_compact(spark, "demo_dd", dd_work)
+        print(f"   compact: {st}")
+        post = sorted(map(tuple, dedup_against_index(
+            probe, "demo_dd", threshold=0.5).collect()))
+        assert post == want  # compacted index == direct computation
+        n_after = _tree_files(bands_delta)
+        print(f"   post-compact probe matches direct computation — "
+              f"lifecycle closed; delta files {n_before} -> {n_after} "
+              f"(bounded: reset snapshot is empty, retention keeps "
+              f"2 versions)")
         return 0
     finally:
         for t in ("demo_ann_centroids", "demo_ann_assign", "demo_ann_meta",

@@ -11,7 +11,10 @@ sf0.01 / sf0.1 / sf1x, recording wall + per-op shuffle-write bytes and
 the decade-over-decade exponents.
 
 Usage: python tools/tpch_scale.py [--out bench_runs/tpch_scale.json]
-                                  [--rebuild]
+                                  [--rebuild] [--deep]
+
+--deep adds an sf10x decade (100x sf0.1 = 60M lineitem rows, built as
+10 disjoint-key copies of the sf1x build).
 """
 
 from __future__ import annotations
@@ -28,12 +31,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 SF1X_DIR = "/tmp/sdf_scale_tpch_sf1x"
+SF10X_DIR = "/tmp/sdf_scale_tpch_sf10x"
 OPS = ["shipping_priority", "product_profit", "big_orders"]
 REPS = 2
 STRIDE = 10_000_000  # > max o_orderkey at sf0.1 (600k*4); keeps keys int64
 
 
-def build_sf1x(spark, src_dir: str, out_dir: str, copies: int = 10) -> None:
+def build_sf1x(spark, src_dir: str, out_dir: str, copies: int = 10,
+               stride: int = STRIDE) -> None:
     from steel_datafusion_spark.sources.readers import load_tables
 
     os.makedirs(out_dir, exist_ok=True)
@@ -47,7 +52,7 @@ def build_sf1x(spark, src_dir: str, out_dir: str, copies: int = 10) -> None:
         base = tabs[t]
         out = None
         for i in range(copies):
-            c = base.withColumn(key, F.col(key) + F.lit(i * STRIDE))
+            c = base.withColumn(key, F.col(key) + F.lit(i * stride))
             out = c if out is None else out.unionByName(c)
         out.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{t}.parquet"))
@@ -69,15 +74,27 @@ def main() -> int:
     spark = session_context(app_name="tpch-scale")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
+    deep = "--deep" in args
     if "--rebuild" in args:
         shutil.rmtree(SF1X_DIR, ignore_errors=True)
+        shutil.rmtree(SF10X_DIR, ignore_errors=True)
     if not os.path.exists(os.path.join(SF1X_DIR, "lineitem.parquet")):
         print("building synthetic sf1x (10x sf0.1 facts) ...", flush=True)
         build_sf1x(spark, "/root/testdata/sf0.1", SF1X_DIR)
+    if deep and not os.path.exists(
+            os.path.join(SF10X_DIR, "lineitem.parquet")):
+        # one more decade from the sf1x build (10x again, disjoint key
+        # spaces via a 10x stride): 60M lineitem rows — the decade that
+        # makes the linear-shuffle claim load-bearing (VERDICT r12
+        # item 6: at sf1 fixed overhead still dominated the exponents)
+        print("building synthetic sf10x (100x sf0.1 facts) ...", flush=True)
+        build_sf1x(spark, SF1X_DIR, SF10X_DIR, stride=STRIDE * 10)
 
     scales = [("sf0.01", "/root/testdata/sf0.01"),
               ("sf0.1", "/root/testdata/sf0.1"),
               ("sf1x", SF1X_DIR)]
+    if deep:
+        scales.append(("sf10x", SF10X_DIR))
     results: dict[str, dict] = {}
     for sc_name, sc_dir in scales:
         from steel_datafusion_spark.sources.readers import load_tables
