@@ -338,44 +338,73 @@ def build_stats_table(data_dir: str, cols: list[str],
             if p is not None:
                 carried_idx[rels[i]] = p
     legacy_reuse = legacy_reuse or {}
-    need = [r for r in rels
-            if r not in carried_idx and r not in legacy_reuse]
+    new_rels = [r for r in rels if r not in carried_idx]
+    need = [r for r in new_rels if r not in legacy_reuse]
 
-    entries: dict[str, dict] = {}
-    if need:
-        with concurrent.futures.ThreadPoolExecutor(
-                max_workers=min(max_workers, max(1, len(need)))) as ex:
-            for rel, entry in zip(need, ex.map(
-                    lambda r: _footer_entry(files[r], cols), need)):
-                entries[rel] = entry
-    for rel in rels:
-        if rel in legacy_reuse and rel not in carried_idx:
-            entries[rel] = legacy_reuse[rel]
+    # stream footer entries straight into per-column COLUMNAR
+    # accumulators — never a per-file dict map: at 10^6 files the
+    # entry-dict shape costs GBs of driver RSS; flat value lists cost
+    # ~100 MB per statted column and convert to arrow in one pass.
+    # ex.map yields results in submission order, so each transient
+    # entry dict is freed as soon as its values are appended.
+    rows_acc: list = []
+    acc = {c: {"lo": [], "hi": [], "nulls": [], "present": []}
+           for c in cols}
+
+    def _consume(entry: dict) -> None:
+        rows_acc.append(entry.get("rows"))
+        ecols = entry.get("cols") or {}
+        for c in cols:
+            e = ecols.get(c)
+            a = acc[c]
+            if e is None:
+                a["lo"].append(None)
+                a["hi"].append(None)
+                a["nulls"].append(None)
+                a["present"].append(False)
+            else:
+                a["lo"].append(e.get("lo"))
+                a["hi"].append(e.get("hi"))
+                a["nulls"].append(e.get("nulls"))
+                a["present"].append(True)
+
+    if new_rels:
+        footer_iter = None
+        if need:
+            ex = concurrent.futures.ThreadPoolExecutor(
+                max_workers=min(max_workers, max(1, len(need))))
+            footer_iter = ex.map(
+                lambda r: _footer_entry(files[r], cols), need)
+        try:
+            for rel in new_rels:
+                if rel in legacy_reuse:
+                    _consume(legacy_reuse[rel])
+                else:
+                    _consume(next(footer_iter))
+        finally:
+            if need:
+                ex.shutdown(wait=False, cancel_futures=True)
 
     part_cols = _part_cols_of_rels(rels)
-    new_rels = [r for r in rels if r in entries]
     arrays: dict[str, pa.Array] = {}
     if new_rels:
         arrays["rel"] = pa.array(new_rels, type=pa.string())
-        arrays["rows"] = pa.array(
-            [entries[r].get("rows") for r in new_rels], type=pa.int64())
+        arrays["rows"] = pa.array(rows_acc, type=pa.int64())
         for c in cols:
-            es = [(entries[r].get("cols") or {}).get(c) for r in new_rels]
-            lo_vals = [None if e is None else e.get("lo") for e in es]
-            hi_vals = [None if e is None else e.get("hi") for e in es]
-            lo_arr, hi_arr, _range_ok = _bound_arrays(lo_vals, hi_vals)
+            a = acc[c]
+            lo_arr, hi_arr, _range_ok = _bound_arrays(a["lo"], a["hi"])
             arrays[f"lo:{c}"] = lo_arr
             arrays[f"hi:{c}"] = hi_arr
-            arrays[f"nulls:{c}"] = pa.array(
-                [None if e is None else e.get("nulls") for e in es],
-                type=pa.int64())
+            arrays[f"nulls:{c}"] = pa.array(a["nulls"], type=pa.int64())
             # ok=True ⇔ the footer produced a USABLE entry (range or
             # all-null); a range that later failed domain unification
             # stays ok=True with null lo/hi ONLY when it was all-null,
             # so degrade those to ok=False via _range_ok
             arrays[f"ok:{c}"] = pa.array(
-                [e is not None and ("lo" not in e or rok)
-                 for e, rok in zip(es, _range_ok)], type=pa.bool_())
+                [p and (lo is None or rok)
+                 for p, lo, rok in zip(a["present"], a["lo"],
+                                       _range_ok)],
+                type=pa.bool_())
         for p in part_cols:
             vals = []
             for r in new_rels:

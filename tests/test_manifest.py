@@ -1714,3 +1714,61 @@ def test_bloom_carry_never_false_negative_across_write_chain(
     for r in gone[::7]:
         assert read_table(spark, out,
                           where=[("uid", "=", r.uid)]).count() == 0
+
+
+def test_spark_escalation_prune_matches_driver_path(spark, tmp_path,
+                                                    monkeypatch):
+    """Past PRUNE_DRIVER_MAX_BYTES the file verdict runs as a Spark
+    DataFrame filter over the stats table instead of driver-side
+    pyarrow kernels; both engines share the compiled keep-specs, so
+    forcing the threshold to 0 must reproduce the driver path's exact
+    files_opened AND results across range/point/bloom/partition/null/
+    2^53 predicates."""
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.sources import filestats
+    from steel_datafusion_spark.sources.manifest import (
+        manifest_upsert, read_table, write_table_bloom,
+    )
+
+    out = str(tmp_path / "esc")
+    df = spark.range(4000).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("p"),
+        (F.col("id") * 1.5).alias("v"),
+        F.when(F.col("id") % 2 == 0, F.col("id").cast("double"))
+        .alias("w"),
+        F.format_string("s%05d", F.col("id")).alias("s"))
+    manifest_upsert(spark, out,
+                    df.repartitionByRange(4, "k"), ["k"],
+                    partition_by=["p"], stats_cols=["k", "v", "w", "s"])
+    write_table_bloom(spark, out, ["s"], bits=1 << 12)
+    big = 2 ** 53
+    eout = str(tmp_path / "esc53")
+    edf = spark.createDataFrame([(big,), (big + 2,)], "k long")
+    manifest_upsert(spark, eout, edf.repartitionByRange(2, "k"), ["k"],
+                    stats_cols=["k"])
+
+    cases = [
+        (out, [("k", ">=", 1000), ("k", "<", 2000)]),
+        (out, [("s", "=", "s00777")]),
+        (out, [("p", "=", "2")]),
+        (out, [("p", "=", 1), ("k", "<", 100)]),
+        (out, [("w", "isnull", None)]),
+        (out, [("w", "isnotnull", None)]),
+        (out, [("v", ">", 5900.0)]),
+        (out, [("k", "in", [5, 3999, 12345])]),
+        (out, [("k", ">", 10 ** 9)]),
+        (eout, [("k", "<", big + 1)]),
+        (eout, [("k", "!=", big + 1)]),
+    ]
+    driver, spark_path = [], []
+    for root, where in cases:
+        d = read_table(spark, root, where=where)
+        driver.append((len(d.inputFiles()),
+                       sorted(map(tuple, d.collect()))))
+    monkeypatch.setattr(filestats, "PRUNE_DRIVER_MAX_BYTES", 0)
+    for root, where in cases:
+        s = read_table(spark, root, where=where)
+        spark_path.append((len(s.inputFiles()),
+                           sorted(map(tuple, s.collect()))))
+    assert spark_path == driver

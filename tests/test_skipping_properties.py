@@ -148,3 +148,73 @@ def test_datetime_pruning_never_excludes_matching_rows(data):
     probe = lit.isoformat() if as_str else lit
     if any(_truth(v, op, lit) for v in vals):
         assert _file_may_match(finfo, "c", op, probe) is True
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.data())
+def test_columnar_pruning_never_excludes_matching_rows(data):
+    """The r13 COLUMNAR pruning path end-to-end at property scale:
+    raw footer bounds -> _bound_arrays (typed/widened write side) ->
+    _stats_verdict_np (compiled keep-spec, vectorized read side) must
+    keep every file that holds a matching row — including Decimal
+    bounds (widened to float64), cross-domain literals (abstain), and
+    mixed-type bounds (ok=False, keep always)."""
+    import decimal
+
+    import pyarrow as pa
+
+    from steel_datafusion_spark.sources.filestats import (
+        _bound_arrays, _stats_verdict_np,
+    )
+
+    _DECS = st.decimals(allow_nan=False, allow_infinity=False,
+                        places=4, min_value=-10 ** 12, max_value=10 ** 12)
+    doms = {"int": _INTS, "float": _FLOATS, "str": _STRS, "dec": _DECS}
+    typ = data.draw(st.sampled_from(list(doms) + ["mixed"]))
+    if typ == "mixed":
+        elem = st.one_of(st.none(), _INTS, _STRS)
+    else:
+        elem = st.one_of(st.none(), doms[typ])
+    vals = data.draw(st.lists(elem, min_size=1, max_size=8))
+    op = data.draw(st.sampled_from(_OPS))
+    lit_base = st.one_of(_INTS, _FLOATS, _STRS, _DECS)
+    if op == "in":
+        lit = data.draw(st.lists(lit_base, min_size=1, max_size=4))
+    elif op in ("isnull", "isnotnull"):
+        lit = None
+    else:
+        lit = data.draw(lit_base)
+
+    nonnull = [v for v in vals if v is not None]
+    nulls = len(vals) - len(nonnull)
+    try:
+        lo = min(nonnull) if nonnull else None
+        hi = max(nonnull) if nonnull else None
+    except TypeError:
+        # mixed incomparable bounds: the writer marks the file unusable
+        lo = hi = None
+        if typ != "mixed":
+            raise
+    lo_arr, hi_arr, _rok = _bound_arrays([lo], [hi])
+    ok = [nonnull == [] or (lo is not None and _rok[0])
+          or (typ == "mixed" and False)]
+    if typ == "mixed" and nonnull and lo is None:
+        ok = [False]
+    tbl = pa.table({
+        "rel": pa.array(["f"], type=pa.string()),
+        "rows": pa.array([len(vals)], type=pa.int64()),
+        f"lo:c": lo_arr, f"hi:c": hi_arr,
+        "nulls:c": pa.array([nulls], type=pa.int64()),
+        "ok:c": pa.array(ok, type=pa.bool_()),
+    })
+    rows_np = tbl.column("rows").combine_chunks()
+
+    def truth(v):
+        try:
+            return _truth(v, op, lit)
+        except (TypeError, decimal.InvalidOperation):
+            return False  # incomparable row vs literal: never a match
+
+    if any(truth(v) for v in vals):
+        keep = _stats_verdict_np(tbl, "c", op, lit, rows_np)
+        assert bool(keep[0]) is True

@@ -96,21 +96,33 @@ def build_table(root: str, n_files: int, rows_per_file: int = 20,
 
 
 _SUB_SCRIPT = """
-import json, os, resource, sys, time
+import json, os, sys, time
 sys.path.insert(0, {repo!r})
+
+def _vm(key):
+    # /proc/self/status, NOT getrusage: ru_maxrss is INHERITED across
+    # fork/exec on Linux, so a child would report the census parent's
+    # high-water and the delta would read 0 vacuously; VmHWM/VmRSS are
+    # per-mm and reset at exec
+    with open("/proc/self/status") as fh:
+        for line in fh:
+            if line.startswith(key + ":"):
+                return int(line.split()[1]) / 1024.0
+    return float("nan")
+
 from steel_datafusion_spark import session_context
 from steel_datafusion_spark.sources.manifest import read_table
 spark = session_context(app_name="census-prune-sub")
 spark.sparkContext.setLogLevel("ERROR")
 spark.range(1).count()  # warm the session fully before the baseline
-rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+rss0 = _vm("VmHWM")
 t0 = time.perf_counter()
 df = read_table(spark, {root!r}, where=[("k", "=", {mid})])
 prune_s = time.perf_counter() - t0
 t0 = time.perf_counter()
 rows = df.collect()
 read_s = time.perf_counter() - t0
-rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+rss1 = _vm("VmHWM")
 print("CENSUS_SUB " + json.dumps({{
     "prune_sub_s": round(prune_s, 3), "read_sub_s": round(read_s, 3),
     "files_opened_sub": len(df.inputFiles()), "rows_sub": len(rows),
