@@ -715,6 +715,24 @@ def load_bloom_parquet(data_dir: str, col: str):
         return None
 
 
+def _bloom_header(data_dir: str, col: str) -> dict | None:
+    """bits/k of one column's parquet bloom sidecar from the footer
+    metadata alone — no filter bytes load (the Spark-escalation path
+    keeps the byte matrix executor-side)."""
+    import pyarrow.parquet as pq
+
+    p = bloom_parquet_path(data_dir, col)
+    if not os.path.exists(p):
+        return None
+    try:
+        meta = json.loads((pq.ParquetFile(p).schema_arrow.metadata
+                           or {})[b"bloom"])
+        return {"bits": int(meta["bits"]), "k": int(meta["k"]),
+                "nbytes": int(meta["nbytes"])}
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
 def bloom_parquet_specs(data_dir: str) -> dict[str, dict]:
     """{col: {"bits","k"}} from the parquet bloom sidecars' metadata
     headers (no row reads)."""
@@ -866,23 +884,28 @@ def prune_with_stats_parquet(spark, data_dir: str, where: list[tuple],
     except (OSError, ValueError):
         return None
 
+    try:
+        size = os.path.getsize(sp)
+    except OSError:
+        size = 0
+    spark_mode = size > PRUNE_DRIVER_MAX_BYTES
+
     # resolve bloom sidecars for =/in predicates up front (shared by
-    # both evaluation engines)
+    # both evaluation engines).  In Spark mode only the HEADER (bits/k)
+    # loads driver-side — the filter bytes stay executor-side; the
+    # driver path loads the full byte matrix for the numpy probe.
     blooms: dict[str, dict] = {}
     for col, op, val in where:
         if op in ("=", "in") and col not in blooms:
-            b = load_bloom_parquet(data_dir, col)
+            b = _bloom_header(data_dir, col) if spark_mode \
+                else load_bloom_parquet(data_dir, col)
             if b is not None:
                 vals = val if op == "in" else [val]
                 b["probe"] = bloom_bits_fn(col, list(vals),
                                            b["bits"], b["k"])
                 blooms[col] = b
 
-    try:
-        size = os.path.getsize(sp)
-    except OSError:
-        size = 0
-    if size > PRUNE_DRIVER_MAX_BYTES:
+    if spark_mode:
         return _prune_spark(spark, sp, data_dir, where, names, blooms)
 
     need = {"rel"}

@@ -1344,7 +1344,10 @@ def _link_tree(src_root: str, dst_root: str, skip_prefixes: list[str],
     """Hardlink every file of ``src_root`` into ``dst_root`` except those
     under a skipped partition prefix and metadata files (_SUCCESS etc.) —
     the copy-free way to carry untouched data into a new version."""
-    for dirpath, _dirs, files in os.walk(src_root):
+    for dirpath, dirs, files in os.walk(src_root):
+        # hidden dirs never carry: e.g. a crashed reader's .prune-*
+        # scratch must not propagate into later versions by hardlink
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         rel_dir = os.path.relpath(dirpath, src_root)
         rel_dir = "" if rel_dir == "." else rel_dir
         if any(rel_dir == p or rel_dir.startswith(p + "/")
