@@ -550,8 +550,11 @@ def test_streaming_append_maintains_bloom_index(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
+    from steel_datafusion_spark.sources.filestats import (
+        bloom_parquet_path,
+    )
     from steel_datafusion_spark.sources.manifest import (
-        _bloom_col_path, latest_commit_info, manifest_upsert, read_table,
+        latest_commit_info, manifest_upsert, read_table,
         write_table_bloom,
     )
     from steel_datafusion_spark.streaming.operators import (
@@ -574,7 +577,7 @@ def test_streaming_append_maintains_bloom_index(spark, tmp_path):
                            max_files_per_trigger=1)
     info = latest_commit_info(tbl)
     assert info["meta"]["bloom"] == {"uid": {"bits": 1 << 14, "k": 5}}
-    assert os.path.exists(_bloom_col_path(info["data_dir"], "uid"))
+    assert os.path.exists(bloom_parquet_path(info["data_dir"], "uid"))
     total = len(read_table(spark, tbl).inputFiles())
     # a streamed-in key and a seed key both prune and both hit
     for probe_k in (42, 2500):
