@@ -300,6 +300,59 @@ def _bound_arrays(lo_vals: list, hi_vals: list):
     return pa.array(los, type=typ), pa.array(his, type=typ), ok
 
 
+# new-file count past which footer scanning fans out over Spark
+# executors instead of a driver thread pool (the Delta shape: stats are
+# computed where the data lives).  Overridable for tests/clusters.
+STATS_SPARK_MIN_FILES = int(
+    os.environ.get("SDF_STATS_SPARK_MIN_FILES", 20000))
+
+
+def _footer_entries_spark(spark, files: dict, need: list[str],
+                          cols: list[str]):
+    """Footer entries for ``need`` (sorted relpaths) computed EXECUTOR-
+    SIDE: the (rel, path) list ships as one Arrow frame, a mapInPandas
+    pass reads each footer where a worker sits, entries come back
+    _stat_encode-coded and ORDERED BY rel, and the caller streams them
+    through toLocalIterator — the driver never holds more than a batch.
+    At 10^6 tiny files this turns ~8 min of driver-sequenced footer
+    reads into a ~32-way parallel scan."""
+    import json as _json
+
+    import pandas as pd
+
+    from .manifest import _stat_decode
+
+    pdf = pd.DataFrame({"rel": need, "path": [files[r] for r in need]})
+    parts = max(1, min(spark.sparkContext.defaultParallelism * 2,
+                       len(need)))
+    df = spark.createDataFrame(pdf).repartition(parts)
+    cols_list = list(cols)
+
+    def _scan(batches):
+        from steel_datafusion_spark.sources.manifest import _stat_encode
+
+        for b in batches:
+            out = []
+            for path in b["path"]:
+                e = _footer_entry(path, cols_list)
+                out.append(_json.dumps({
+                    "rows": e["rows"],
+                    "cols": {c: (None if v is None else {
+                        k: (_stat_encode(x) if k in ("lo", "hi") else x)
+                        for k, x in v.items()})
+                        for c, v in e["cols"].items()}}))
+            yield pd.DataFrame({"rel": b["rel"], "e": out})
+
+    res = df.mapInPandas(_scan, "rel string, e string").orderBy("rel")
+    for row in res.toLocalIterator():
+        enc = _json.loads(row["e"])
+        yield {"rows": enc["rows"],
+               "cols": {c: (None if v is None else {
+                   k: (_stat_decode(x) if k in ("lo", "hi") else x)
+                   for k, x in v.items()})
+                   for c, v in enc["cols"].items()}}
+
+
 def build_stats_table(data_dir: str, cols: list[str],
                       base_dir: str | None = None,
                       legacy_reuse: dict | None = None,
@@ -370,11 +423,27 @@ def build_stats_table(data_dir: str, cols: list[str],
 
     if new_rels:
         footer_iter = None
+        ex = None
         if need:
-            ex = concurrent.futures.ThreadPoolExecutor(
-                max_workers=min(max_workers, max(1, len(need))))
-            footer_iter = ex.map(
-                lambda r: _footer_entry(files[r], cols), need)
+            spark = None
+            if len(need) >= STATS_SPARK_MIN_FILES:
+                try:
+                    from pyspark.sql import SparkSession
+
+                    spark = SparkSession.getActiveSession()
+                except Exception:
+                    spark = None
+            if spark is not None:
+                # executor-parallel footer scan, streamed back in rel
+                # order (need is sorted because new_rels is) — the
+                # driver holds one Arrow batch at a time
+                footer_iter = _footer_entries_spark(
+                    spark, files, need, cols)
+            else:
+                ex = concurrent.futures.ThreadPoolExecutor(
+                    max_workers=min(max_workers, max(1, len(need))))
+                footer_iter = ex.map(
+                    lambda r: _footer_entry(files[r], cols), need)
         try:
             for rel in new_rels:
                 if rel in legacy_reuse:
@@ -382,7 +451,7 @@ def build_stats_table(data_dir: str, cols: list[str],
                 else:
                     _consume(next(footer_iter))
         finally:
-            if need:
+            if ex is not None:
                 ex.shutdown(wait=False, cancel_futures=True)
 
     part_cols = _part_cols_of_rels(rels)

@@ -1772,3 +1772,38 @@ def test_spark_escalation_prune_matches_driver_path(spark, tmp_path,
         spark_path.append((len(s.inputFiles()),
                            sorted(map(tuple, s.collect()))))
     assert spark_path == driver
+
+
+def test_executor_side_stats_scan_matches_threadpool(spark, tmp_path,
+                                                     monkeypatch):
+    """Past STATS_SPARK_MIN_FILES the footer scan fans out over Spark
+    executors (mapInPandas, streamed back in rel order) instead of a
+    driver thread pool — forcing the threshold to 0 must produce a
+    BYTE-EQUIVALENT stats table (same rows, same typed bounds) and the
+    same pruning behavior."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.sources import filestats
+    from steel_datafusion_spark.sources.manifest import (
+        latest_commit, manifest_upsert, read_table, write_table_stats,
+    )
+
+    out = str(tmp_path / "exstats")
+    df = spark.range(6000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("p"),
+        (F.col("id") * 1.5).alias("v"),
+        F.when(F.col("id") % 2 == 0, F.col("id").cast("double"))
+        .alias("w"))
+    manifest_upsert(spark, out, df.repartitionByRange(6, "k"), ["k"],
+                    partition_by=["p"], stats_cols=["k", "v", "w"])
+    _v, d = latest_commit(out)
+    a = pq.read_table(filestats.stats_parquet_path(d))
+    monkeypatch.setattr(filestats, "STATS_SPARK_MIN_FILES", 0)
+    write_table_stats(out, ["k", "v", "w"])  # rebuild via the Spark scan
+    b = pq.read_table(filestats.stats_parquet_path(d))
+    assert a.schema.equals(b.schema)
+    assert a.sort_by("rel").equals(b.sort_by("rel"))
+    t = read_table(spark, out, where=[("k", ">=", 1000), ("k", "<", 2000)])
+    assert t.count() == 1000
+    assert len(t.inputFiles()) < len(read_table(spark, out).inputFiles())
