@@ -554,8 +554,8 @@ def dedup_index_append(
     index-metadata scan — never a re-shingle or re-band of corpus text.
 
     CONCURRENT APPENDERS SERIALIZE: the whole cycle runs under the
-    per-index advisory lock (``sources/locking.IndexLock`` — O_EXCL
-    lock file, dead-owner steal), and each completed cycle appends an
+    per-index advisory lock (``sources/locking.IndexLock`` — lease +
+    heartbeat, clobber-free steal), and each completed cycle appends an
     O_EXCL transaction record (``log_index_txn``), so two processes
     appending simultaneously produce the same index as any serial
     order (appends are commutative row-additions) instead of
@@ -579,11 +579,11 @@ def dedup_index_append(
             f"with guessed banding parameters would produce rows that "
             f"never match the stored ones (silently admitting "
             f"duplicates); rebuild with build_dedup_index")
-    with IndexLock(spark, name):
+    with IndexLock(spark, name) as lk:
         out = _dedup_index_append_locked(batch, name, id_col, text_col)
         out["txn"] = log_index_txn(
             spark, name, {"verb": "dedup_index_append", **{
-                k: v for k, v in out.items() if k != "txn"}})
+                k: v for k, v in out.items() if k != "txn"}}, lock=lk)
     return out
 
 
@@ -678,11 +678,11 @@ def dedup_index_compact(spark, name: str, work_root: str) -> dict:
     "txn": t} (h = -1 for uncapped indexes)."""
     from ..sources.locking import IndexLock, log_index_txn
 
-    with IndexLock(spark, name):
+    with IndexLock(spark, name) as lk:
         out = _dedup_index_compact_locked(spark, name, work_root)
         out["txn"] = log_index_txn(
             spark, name, {"verb": "dedup_index_compact", **{
-                k: v for k, v in out.items() if k != "txn"}})
+                k: v for k, v in out.items() if k != "txn"}}, lock=lk)
     return out
 
 

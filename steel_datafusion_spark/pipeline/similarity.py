@@ -499,8 +499,8 @@ def ann_index_append(
     (``build_ann_index(train="kmeans")``) during a maintenance window.
 
     CONCURRENT APPENDERS SERIALIZE: the cycle runs under the per-index
-    advisory lock (``sources/locking.IndexLock`` — O_EXCL lock file,
-    dead-owner steal) and logs an O_EXCL transaction record per cycle,
+    advisory lock (``sources/locking.IndexLock`` — lease + heartbeat,
+    clobber-free steal) and logs an O_EXCL transaction record per cycle,
     so simultaneous appenders yield the same index as any serial order
     (appends are commutative row-additions) instead of interleaving
     staging writes.  Not crash-atomic WITHIN a cycle — for atomic,
@@ -509,12 +509,12 @@ def ann_index_append(
     from ..sources.locking import IndexLock, log_index_txn
 
     spark = new_vectors.sparkSession
-    with IndexLock(spark, name):
+    with IndexLock(spark, name) as lk:
         out = _ann_index_append_locked(new_vectors, name, id_col,
                                        vec_col, drift_threshold)
         out["txn"] = log_index_txn(
             spark, name, {"verb": "ann_index_append", **{
-                k: v for k, v in out.items() if k != "txn"}})
+                k: v for k, v in out.items() if k != "txn"}}, lock=lk)
     return out
 
 
@@ -639,11 +639,11 @@ def ann_index_compact(spark, name: str, delta_root: str) -> dict:
     "delta_reset_version": v, "txn": t}."""
     from ..sources.locking import IndexLock, log_index_txn
 
-    with IndexLock(spark, name):
+    with IndexLock(spark, name) as lk:
         out = _ann_index_compact_locked(spark, name, delta_root)
         out["txn"] = log_index_txn(
             spark, name, {"verb": "ann_index_compact", **{
-                k: v for k, v in out.items() if k != "txn"}})
+                k: v for k, v in out.items() if k != "txn"}}, lock=lk)
     return out
 
 
