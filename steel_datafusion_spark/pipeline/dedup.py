@@ -490,10 +490,25 @@ def attach_dedup_index(spark, name: str) -> bool:
     and the ``_sdf_table.json`` bucket descriptors survive the session
     that built them, so any process — a restarted driver, a second
     concurrent maintainer — can probe and append without rebuilding.
-    Returns True iff the core tables (bands, shingles, meta) are
-    reachable; the optional hot table attaches when present."""
-    from ..sources.bucketing import attach_table
+    A ``dedup_index_compact`` that crashed between an index table's
+    drop and its rename is finished FIRST at directory level, exactly
+    like ``attach_ann_index`` (similarity.py): the ``_cswap`` directory
+    holds the COMPLETE merged table, one ``os.rename`` restores it with
+    no data copy — the in-catalog recovery branch inside
+    ``_dedup_index_compact_locked`` only helps the session that already
+    has the cswap table attached (ADVICE r13).  Returns True iff the
+    core tables (bands, shingles, meta) are reachable; the optional hot
+    table attaches when present."""
+    import os as _os
 
+    from ..sources.bucketing import _warehouse_path, attach_table
+
+    for t in ("bands", "shingles"):
+        base = _warehouse_path(spark, f"{name}_{t}")
+        swap = _warehouse_path(spark, f"{name}_{t}_cswap")
+        if not spark.catalog.tableExists(f"{name}_{t}") and \
+                not _os.path.isdir(base) and _os.path.isdir(swap):
+            _os.rename(swap, base)
     ok = all(attach_table(spark, f"{name}_{s}")
              for s in ("bands", "shingles", "meta"))
     attach_table(spark, f"{name}_hot")

@@ -38,6 +38,13 @@ Every verdict is conservative by construction: any unloadable sidecar,
 unstatted column, incomparable literal, or failed kernel keeps the file
 (the residual filter re-applies the full predicate), so skipping can
 only ever read MORE files than necessary, never return a wrong answer.
+The one thing per-verdict conservatism cannot cover is a readable but
+INCOMPLETE stats table — its rel column is the survivors' source of
+truth, so missing rows would drop files, not keep them.  That case is
+guarded separately: the writer stamps ``file_count`` into the parquet
+metadata, and the pruner cross-checks it (plus, below
+``STATS_CENSUS_VERIFY_MAX`` files, an actual directory census) and
+falls back to the keep-all legacy path on any mismatch.
 
 Literals are compiled ONCE into engine-agnostic keep-specs
 (:func:`compile_range_spec`) shared by the pyarrow and Spark evaluators:
@@ -72,6 +79,14 @@ _BLOOM_PREFIX = "_bloom-"
 # and for clusters whose drivers are tighter/looser on memory.
 PRUNE_DRIVER_MAX_BYTES = int(
     os.environ.get("SDF_PRUNE_DRIVER_MAX_BYTES", 128 << 20))
+
+# file count up to which a pruned read CROSS-CHECKS the stats sidecar's
+# row count against an actual directory census before trusting its rel
+# column as the complete file list (a cheap walk at this scale; past it
+# the walk would re-add the O(files) term the columnar prune removed —
+# see prune_with_stats_parquet).  Raise for audits.
+STATS_CENSUS_VERIFY_MAX = int(
+    os.environ.get("SDF_PRUNE_VERIFY_MAX_FILES", 20000))
 
 
 def stats_parquet_path(data_dir: str) -> str:
@@ -503,6 +518,10 @@ def build_stats_table(data_dir: str, cols: list[str],
     tbl = tbl.sort_by("rel")
     meta = dict(tbl.schema.metadata or {})
     meta[b"stats_cols"] = json.dumps(list(cols)).encode()
+    # the count the writer enumerated — readers cross-check it so a
+    # truncated/partial sidecar can never silently DROP data files
+    # from results (the rel column is the survivors' source of truth)
+    meta[b"file_count"] = str(tbl.num_rows).encode()
     return tbl.replace_schema_metadata(meta)
 
 
@@ -953,6 +972,35 @@ def prune_with_stats_parquet(spark, data_dir: str, where: list[tuple],
     except (OSError, ValueError):
         return None
 
+    # completeness guard: the sidecar's rel column is the survivors'
+    # SOURCE OF TRUTH (a pruned read never walks the dir), so an
+    # incomplete-but-readable sidecar would silently drop data files
+    # from results.  Two layered checks, both falling back to the
+    # legacy keep-all path (return None) on mismatch: the writer's
+    # self-declared file_count vs the footer row count (torn or
+    # cross-version-copied sidecars), and — bounded by
+    # STATS_CENSUS_VERIFY_MAX, where the walk is cheap — an actual
+    # _iter_data_files census.  Above the bound the check would
+    # re-add the O(files) directory walk the columnar path exists to
+    # avoid; there the write-time invariant (the builder enumerates
+    # every file; version dirs are immutable after commit) carries,
+    # and SDF_PRUNE_VERIFY_MAX_FILES can raise the bound for audits.
+    n_stats = pf.metadata.num_rows
+    fmeta = pf.schema_arrow.metadata or {}
+    claimed = fmeta.get(b"file_count")
+    if claimed is not None:
+        try:
+            if int(claimed) != n_stats:
+                return None
+        except ValueError:
+            return None
+    if n_stats <= STATS_CENSUS_VERIFY_MAX:
+        from .manifest import _iter_data_files
+
+        actual = sum(1 for _ in _iter_data_files(data_dir))
+        if actual != n_stats:
+            return None
+
     try:
         size = os.path.getsize(sp)
     except OSError:
@@ -963,16 +1011,28 @@ def prune_with_stats_parquet(spark, data_dir: str, where: list[tuple],
     # both evaluation engines).  In Spark mode only the HEADER (bits/k)
     # loads driver-side — the filter bytes stay executor-side; the
     # driver path loads the full byte matrix for the numpy probe.
+    # ONE sidecar load per column but ONE probe row-set PER PREDICATE
+    # OCCURRENCE: two =/in predicates on the same column each test
+    # their own literals (the conjunction is the intersection of
+    # admits) — reusing the first predicate's probe was conservative
+    # driver-side but joined the sidecar twice with a colliding column
+    # name in Spark mode (ADVICE r13).
     blooms: dict[str, dict] = {}
-    for col, op, val in where:
-        if op in ("=", "in") and col not in blooms:
+    for i, (col, op, val) in enumerate(where):
+        if op not in ("=", "in"):
+            continue
+        if col not in blooms:
             b = _bloom_header(data_dir, col) if spark_mode \
                 else load_bloom_parquet(data_dir, col)
             if b is not None:
-                vals = val if op == "in" else [val]
-                b["probe"] = bloom_bits_fn(col, list(vals),
+                b["probes"] = {}
+            blooms[col] = b
+        b = blooms[col]
+        if b is not None:
+            vals = val if op == "in" else [val]
+            b["probes"][i] = bloom_bits_fn(col, list(vals),
                                            b["bits"], b["k"])
-                blooms[col] = b
+    blooms = {c: b for c, b in blooms.items() if b is not None}
 
     if spark_mode:
         return _prune_spark(spark, sp, data_dir, where, names, blooms)
@@ -995,7 +1055,7 @@ def prune_with_stats_parquet(spark, data_dir: str, where: list[tuple],
     if "rows" in tbl.column_names:
         rows_np = tbl.column("rows").combine_chunks()
 
-    for col, op, val in where:
+    for i, (col, op, val) in enumerate(where):
         # --- stats verdict (abstains to True) -------------------------
         stats_keep = np.ones(n, dtype=bool)
         if f"ok:{col}" in tbl.column_names:
@@ -1007,9 +1067,10 @@ def prune_with_stats_parquet(spark, data_dir: str, where: list[tuple],
         bloom_keep = np.ones(n, dtype=bool)
         if op in ("=", "in") and col in blooms:
             b = blooms[col]
-            if b["probe"] is not None:
+            probe = b["probes"].get(i)
+            if probe is not None:
                 try:
-                    admit = _bloom_admit_np(b["mat"], b["probe"])
+                    admit = _bloom_admit_np(b["mat"], probe)
                     idx = pc.fill_null(
                         pc.index_in(rels, value_set=b["rels"]),
                         -1).to_numpy(zero_copy_only=False)
@@ -1103,7 +1164,7 @@ def _prune_spark(spark, sp_path: str, data_dir: str, where: list[tuple],
         col: _expose(bloom_parquet_path(data_dir, col),
                      f"bloom-{i}.parquet")
         for i, col in enumerate(blooms)
-        if blooms[col].get("probe") is not None}
+        if any(p is not None for p in blooms[col]["probes"].values())}
     try:
         return _prune_spark_inner(spark, link, bloom_links, where,
                                   names, blooms, _part_may_match, F)
@@ -1116,14 +1177,20 @@ def _prune_spark_inner(spark, sp_path, bloom_links, where, names,
     df = spark.read.parquet(sp_path)
     total = df.count()
     keep = F.lit(True)
-    for col, op, val in where:
+    joined: set = set()  # bloom sidecar joins ONCE per column
+    for i, (col, op, val) in enumerate(where):
         stats_c = F.lit(True)
         if f"ok:{col}" in names:
             stats_c = _stats_verdict_col(df, col, op, val)
         bloom_c = F.lit(True)
         if op in ("=", "in") and col in bloom_links:
-            df, bloom_c = _bloom_verdict_col(
-                spark, df, bloom_links[col], col, blooms[col])
+            probe = blooms[col]["probes"].get(i)
+            if probe is not None:
+                if col not in joined:
+                    df = _bloom_join_col(spark, df, bloom_links[col],
+                                         col)
+                    joined.add(col)
+                bloom_c = _bloom_admit_col(df, col, probe)
         pred = stats_c & bloom_c
         if f"part:{col}" in names:
             pv = df[f"part:{col}"]
@@ -1193,23 +1260,29 @@ def _eval_spec_col(spec, lo, hi):
     return F.lit(True) if conj is None else conj
 
 
-def _bloom_verdict_col(spark, df, bloom_path: str, col: str,
-                       bloom: dict):
-    """(df_with_filter_col, admit Column): left-join the bloom parquet
-    on rel, bit-test the filter bytes in an Arrow-batched pandas UDF
-    (missing filter ⇒ abstain/keep)."""
-    import pandas as pd
+def _bloom_join_col(spark, df, bloom_path: str, col: str):
+    """Left-join one column's bloom parquet onto the stats frame as
+    ``__bloom:<col>`` — done ONCE per column even when several
+    predicates probe it (each predicate then bit-tests its own
+    literals against the shared filter column)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.functions import pandas_udf
 
-    probe = bloom["probe"]
     bcol = f"__bloom:{col}"
     bdf = (spark.read.parquet(bloom_path)
            .withColumnRenamed("f", bcol)
            .withColumnRenamed("rel", "__bloomrel"))
-    joined = df.join(F.broadcast(bdf),
-                     df["rel"] == bdf["__bloomrel"], "left") \
-               .drop("__bloomrel")
+    return df.join(F.broadcast(bdf),
+                   df["rel"] == bdf["__bloomrel"], "left") \
+             .drop("__bloomrel")
+
+
+def _bloom_admit_col(df, col: str, probe):
+    """Admit Column for one predicate's probe rows: bit-test the joined
+    filter bytes in an Arrow-batched pandas UDF (missing filter ⇒
+    abstain/keep)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
 
     def _admit(fb):
         out = []
@@ -1229,4 +1302,4 @@ def _bloom_verdict_col(spark, df, bloom_path: str, col: str,
     # pandas_udf's type inference under `from __future__ import ...`
     _admit.__annotations__ = {"fb": pd.Series, "return": pd.Series}
     _admit = pandas_udf(_admit, "boolean")
-    return joined, F.coalesce(_admit(joined[bcol]), F.lit(True))
+    return F.coalesce(_admit(df[f"__bloom:{col}"]), F.lit(True))

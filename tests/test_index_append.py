@@ -408,3 +408,79 @@ def test_ann_concurrent_appenders_serialize_cross_process(spark):
     finally:
         _drop(spark, *_idx_tables(name), *_idx_tables(full))
         _clear_idx_coordination(spark, name, full)
+
+
+def test_attach_dedup_index_recovers_crashed_compact_swap(spark):
+    """A dedup_index_compact that crashed between an index table's drop
+    and its rename leaves only the {name}_{t}_cswap DIRECTORY (the
+    in-catalog recovery branch can't help a FRESH process whose catalog
+    never saw the cswap table).  attach_dedup_index must finish the
+    swap at directory level — mirroring attach_ann_index — and the
+    recovered index must probe identically (ADVICE r13)."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    from steel_datafusion_spark.pipeline.dedup import (
+        build_dedup_index, dedup_against_index,
+    )
+    from steel_datafusion_spark.sources.bucketing import (
+        _warehouse_path, write_bucketed,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text").filter(F.col("doc_id") < 200)
+    probe = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text")
+    probe = spark.createDataFrame(probe.collect(), schema=probe.schema)
+    name = "ddcswrec"
+    swaps = [f"{name}_bands_cswap", f"{name}_shingles_cswap"]
+    _drop(spark, *_idx_tables(name), *swaps)
+    try:
+        build_dedup_index(docs, name, n_buckets=2)
+        want = _rows(dedup_against_index(probe, name, threshold=0.5))
+        assert want
+        # crash state: merged rows live ONLY under the cswap dirs, the
+        # base tables are dropped (dir + catalog entry gone)
+        write_bucketed(spark.table(f"{name}_bands"), swaps[0],
+                       ["band_hash"], 2, sort_cols=["band_hash"])
+        write_bucketed(spark.table(f"{name}_shingles"), swaps[1],
+                       ["corpus_id"], 2)
+        _drop(spark, f"{name}_bands", f"{name}_shingles")
+        assert not os.path.isdir(_warehouse_path(spark, f"{name}_bands"))
+        # a FRESH process attaches: must finish the swap and probe equal
+        wh = _warehouse_path(spark, name).rsplit("/", 1)[0]
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        script = textwrap.dedent(f"""
+            import sys
+            sys.path.insert(0, {repo!r})
+            from pyspark.sql import SparkSession
+            spark = (SparkSession.builder.master("local[4]")
+                     .config("spark.ui.enabled", "false")
+                     .config("spark.sql.shuffle.partitions", "4")
+                     .config("spark.sql.warehouse.dir", {wh!r})
+                     .appName("cswap-recover").getOrCreate())
+            spark.sparkContext.setLogLevel("ERROR")
+            from steel_datafusion_spark.pipeline.dedup import (
+                attach_dedup_index, dedup_against_index)
+            assert attach_dedup_index(spark, {name!r})
+            probe = spark.read.parquet({SF_DIR!r} + "/documents.parquet") \\
+                .filter("doc_id < 10") \\
+                .selectExpr("doc_id + 500000 as doc_id", "text")
+            rows = sorted(map(tuple, dedup_against_index(
+                probe, {name!r}, threshold=0.5).collect()))
+            print("ROWS", rows)
+        """)
+        r = subprocess.run([sys.executable, "-c", script],
+                           capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stderr[-3000:]
+        line = [ln for ln in r.stdout.splitlines()
+                if ln.startswith("ROWS ")][0]
+        assert line == f"ROWS {want}"
+        # the swap dirs are gone, the base dirs are back
+        assert os.path.isdir(_warehouse_path(spark, f"{name}_bands"))
+        assert not os.path.isdir(
+            _warehouse_path(spark, f"{name}_bands_cswap"))
+    finally:
+        _drop(spark, *_idx_tables(name), *swaps)

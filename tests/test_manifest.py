@@ -1760,6 +1760,14 @@ def test_spark_escalation_prune_matches_driver_path(spark, tmp_path,
         (out, [("k", ">", 10 ** 9)]),
         (eout, [("k", "<", big + 1)]),
         (eout, [("k", "!=", big + 1)]),
+        # same bloom-indexed column probed by TWO predicates: each must
+        # test its OWN literals against ONE sidecar join (the r13 Spark
+        # path joined the sidecar twice under a colliding column name —
+        # AnalysisException — and the driver path probed the first
+        # predicate's literals twice; ADVICE r13)
+        (out, [("s", "=", "s00777"), ("s", "=", "s00777")]),
+        (out, [("s", "=", "s00777"), ("s", "=", "s03888")]),
+        (out, [("s", "in", ["s00777", "s03888"]), ("s", "=", "s03888")]),
     ]
     driver, spark_path = [], []
     for root, where in cases:
@@ -1772,6 +1780,61 @@ def test_spark_escalation_prune_matches_driver_path(spark, tmp_path,
         spark_path.append((len(s.inputFiles()),
                            sorted(map(tuple, s.collect()))))
     assert spark_path == driver
+    # the contradictory point pair admits nothing: per-predicate probes
+    # intersect (one shared probe would have admitted the first file)
+    contradictory = cases.index(
+        (out, [("s", "=", "s00777"), ("s", "=", "s03888")]))
+    assert driver[contradictory][0] == 0
+
+
+def test_incomplete_stats_sidecar_falls_back_keep_all(spark, tmp_path):
+    """A readable-but-INCOMPLETE _stats.parquet must never silently
+    drop data files from results: the pruner cross-checks the writer's
+    file_count stamp and (below STATS_CENSUS_VERIFY_MAX) an actual
+    directory census, and falls back to the legacy keep-all path on
+    mismatch (ADVICE r13)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.sources import filestats
+    from steel_datafusion_spark.sources.manifest import (
+        latest_commit, manifest_upsert, read_table,
+    )
+
+    out = str(tmp_path / "incomplete")
+    df = spark.range(400).select(F.col("id").alias("k"))
+    manifest_upsert(spark, out, df.repartitionByRange(4, "k"), ["k"],
+                    stats_cols=["k"])
+    _v, d = latest_commit(out)
+    sp = filestats.stats_parquet_path(d)
+    full = pq.read_table(sp)
+    want = sorted(r.k for r in read_table(spark, out).collect())
+    assert read_table(
+        spark, out, where=[("k", "=", 399)]).count() == 1
+
+    # (a) a row silently missing, file_count stamp stale → caught by
+    # the stamp check even above the census bound
+    pq.write_table(full.slice(0, full.num_rows - 1), sp)
+    assert sorted(r.k for r in
+                  read_table(spark, out).collect()) == want
+    got = read_table(spark, out, where=[("k", ">=", 0)])
+    assert sorted(r.k for r in got.collect()) == want
+    assert len(got.inputFiles()) == 4  # keep-all fallback, not pruning
+
+    # (b) stamp "fixed up" to match the truncated rows → caught by the
+    # directory census below STATS_CENSUS_VERIFY_MAX
+    trunc = full.slice(0, full.num_rows - 1)
+    meta = dict(trunc.schema.metadata or {})
+    meta[b"file_count"] = str(trunc.num_rows).encode()
+    pq.write_table(trunc.replace_schema_metadata(meta), sp)
+    got = read_table(spark, out, where=[("k", ">=", 0)])
+    assert sorted(r.k for r in got.collect()) == want
+    assert len(got.inputFiles()) == 4
+
+    # (c) restore the intact sidecar → pruning resumes
+    pq.write_table(full, sp)
+    pruned = read_table(spark, out, where=[("k", "=", 399)])
+    assert len(pruned.inputFiles()) == 1
 
 
 def test_executor_side_stats_scan_matches_threadpool(spark, tmp_path,
