@@ -1298,7 +1298,8 @@ WHERE window_start + INTERVAL 1 HOUR
 """
 
 
-# --- recall under quantizer drift (VERDICT r12 next-round item 5) ------
+# --- recall under quantizer drift (VERDICT r12 item 5; relative
+# policy VERDICT r13 item 2) ---------------------------------------------
 
 _ANN_DRIFT_BUILT: set = set()
 _DRIFT_DIM = 64
@@ -1503,6 +1504,77 @@ def _ensure_dedup_compacted_index(spark, sf_dir):
     return scoped
 
 
+_DRIFT_REL_THRESHOLDS = [0.001, 0.01, 0.05, 0.5]
+
+
+def q_ann_drift_relative(spark, sf_dir):
+    """RELATIVE drift policy (pipeline/similarity.py build_ann_index +
+    ann_index_append; VERDICT r13 item 2): ``build_ann_index`` stores
+    the build corpus's mean assignment cosine as ``base_signal`` in the
+    index meta, and the append-time policy recommends a retrain when
+    the batch signal drops more than ``drift_rel_threshold`` RELATIVE
+    to that baseline (bench_runs/drift_sweep_r13.json: ~1% relative
+    drop ⇔ >5% recall@10 loss, while the ABSOLUTE signal varies per
+    corpus).  The gate hash-checks the STORED baseline, the drifted
+    batch's signal, the relative drop, and the policy's flip point
+    across a threshold ladder — the oracle recomputes all four in SQL
+    from the same deterministic drift construction, so a baseline
+    stored wrong (or a policy comparing the wrong direction) mismatches
+    instead of merely looking plausible."""
+    from .similarity import ivf_assign
+
+    scoped = _ensure_ann_drift_index(spark, sf_dir)
+    e = load_tables(spark, sf_dir)["embeddings"]
+    cut = 3 * e.count() // 5
+    drifted = _drifted_tail(e, cut)
+    cent = spark.table(f"{scoped}_centroids")
+    base_sig = float(spark.table(f"{scoped}_meta").head()["base_signal"])
+    _c, assigned = ivf_assign(drifted, centroids=cent, keep_score=True)
+    sig = assigned.agg(F.avg("cscore").alias("drift_signal"))
+    ladder = spark.createDataFrame(
+        [(t,) for t in _DRIFT_REL_THRESHOLDS], "rel_threshold double")
+    rel = F.lit(1.0) - F.col("drift_signal") / F.lit(base_sig)
+    return (ladder.crossJoin(F.broadcast(sig))  # 1-row scalar: bounded
+            .select("rel_threshold",
+                    F.lit(base_sig).alias("base_signal"),
+                    "drift_signal",
+                    rel.alias("signal_rel_drop"),
+                    (rel > F.col("rel_threshold")).alias("retrain"))
+            .orderBy("rel_threshold"))
+
+
+def _sql_ann_drift_relative() -> str:
+    """base_signal = mean over the BASE corpus of its max 6dp-rounded
+    cosine vs the frozen subsample centroids (what the build stores);
+    drift_signal = the same mean over the drifted appended batch; the
+    relative drop and the ladder verdicts follow arithmetically."""
+    d_expr = "((j*37) % 13 - 6) / 6.0"
+    drift_v = (f"list_transform(generate_series(1, {_DRIFT_DIM}), "
+               f"j -> ((v[j] + {d_expr})::FLOAT)::DOUBLE)")
+    ladder = ", ".join(f"({t})" for t in _DRIFT_REL_THRESHOLDS)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cutv AS (SELECT 3 * count(*) // 5 AS c FROM e),
+base AS (SELECT vec_id, v FROM e WHERE vec_id < (SELECT c FROM cutv)),
+drift AS (SELECT vec_id + 1000000 AS vec_id, {drift_v} AS v
+          FROM e WHERE vec_id >= (SELECT c FROM cutv)),
+cent AS (SELECT vec_id AS centroid_id, v AS centv FROM base
+         WHERE vec_id % (SELECT (count(*) + 9) // 10 FROM base) = 0),
+bsig AS (SELECT avg(cs) AS base_signal FROM (
+    SELECT max(round({_COS.format(a='b.v', b='c.centv')}, 6)) AS cs
+    FROM base b, cent c GROUP BY b.vec_id) m),
+dsig AS (SELECT avg(cs) AS drift_signal FROM (
+    SELECT max(round({_COS.format(a='d.v', b='c.centv')}, 6)) AS cs
+    FROM drift d, cent c GROUP BY d.vec_id) m),
+t(rel_threshold) AS (VALUES {ladder})
+SELECT t.rel_threshold, b.base_signal, d.drift_signal,
+  1 - d.drift_signal / b.base_signal AS signal_rel_drop,
+  (1 - d.drift_signal / b.base_signal) > t.rel_threshold AS retrain
+FROM t, bsig b, dsig d
+ORDER BY t.rel_threshold
+"""
+
+
 def q_dedup_index_compact(spark, sf_dir):
     """INDEX COMPACTION correctness (pipeline/dedup.py
     dedup_index_compact): after a streamed delta is absorbed into the
@@ -1578,6 +1650,8 @@ SELECT batch_id, corpus_id, jaccard FROM j WHERE jaccard >= 0.5
 __all__ = [
     'q_ann_recall_after_drift',
     '_sql_ann_recall_after_drift',
+    'q_ann_drift_relative',
+    '_sql_ann_drift_relative',
     'q_dedup_index_compact',
     '_sql_dedup_index_compact',
     '_STREAM_SRC_BUILT',

@@ -52,12 +52,21 @@ def test_ann_index_append_equals_full_rebuild(spark):
     _drop(spark, *_idx_tables("annap_g"), *_idx_tables("annap_f"))
     try:
         build_ann_index(base, "annap_g", nlist=10, n_buckets=4)
-        r1 = ann_index_append(b1, "annap_g", drift_threshold=0.0)
+        r1 = ann_index_append(b1, "annap_g", drift_threshold=0.0,
+                              drift_rel_threshold=None)
         r2 = ann_index_append(b2, "annap_g")
         assert r1["appended"] + r2["appended"] == n - cut
         assert 0.0 <= r1["mean_centroid_cosine"] <= 1.0 or \
             r1["mean_centroid_cosine"] >= -1.0
-        assert r1["retrain_recommended"] is False  # threshold 0.0
+        # absolute-only policy (rel disabled): mean >= 0 > threshold
+        assert r1["retrain_recommended"] is False
+        # the build stored the relative-drift baseline and the append
+        # reported the relative drop against it
+        assert r1["base_signal"] is not None and r1["base_signal"] > 0
+        assert r1["signal_rel_drop"] is not None
+        assert abs(r1["signal_rel_drop"]
+                   - (1 - r1["mean_centroid_cosine"]
+                      / r1["base_signal"])) < 1e-12
         grown = ivf_topk_index(q, "annap_g", k=10, nprobe=2)
         # one-shot rebuild over the FULL corpus with the SAME frozen
         # quantizer must reproduce the grown index bit-for-bit
@@ -484,3 +493,68 @@ def test_attach_dedup_index_recovers_crashed_compact_swap(spark):
             _warehouse_path(spark, f"{name}_bands_cswap"))
     finally:
         _drop(spark, *_idx_tables(name), *swaps)
+
+
+def test_ann_drift_relative_policy(spark):
+    """The calibrated drift policy is RELATIVE (VERDICT r13 item 3):
+    build_ann_index stores the build corpus's mean assignment cosine as
+    base_signal; ann_index_append reports signal_rel_drop against it
+    and recommends a retrain past drift_rel_threshold (default 1%).
+    Pre-r14 indexes without a stored baseline fall back to the
+    absolute check alone."""
+    from steel_datafusion_spark.pipeline.similarity import (
+        ann_index_append, build_ann_index,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cut = 3 * e.count() // 5
+    base = e.filter(F.col("vec_id") < cut)
+    dim = len(e.head().embedding)
+    drifted = e.filter(F.col("vec_id") >= cut).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda v, j: (v + ((j * 37) % 13 - 6) / 6.0).cast("float"),
+        ).alias("embedding"))
+    undrifted = e.filter(F.col("vec_id") >= cut).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"), "embedding")
+    _drop(spark, *_idx_tables("anndrel"))
+    try:
+        build_ann_index(base, "anndrel", nlist=10, n_buckets=4)
+        meta = spark.table("anndrel_meta").head()
+        assert meta.base_signal is not None and meta.base_signal > 0
+        assert meta.ref_signal is None  # set by the first append
+        # FIRST append (undrifted): records ref_signal, relative policy
+        # abstains (base_signal is in-sample — judging the first batch
+        # against it would cry wolf on every undrifted ingest)
+        r0 = ann_index_append(undrifted, "anndrel")
+        assert r0["retrain_recommended"] is False
+        assert r0["ref_signal"] == pytest.approx(
+            r0["mean_centroid_cosine"])
+        assert spark.table("anndrel_meta").head().ref_signal == \
+            pytest.approx(r0["mean_centroid_cosine"])
+        # SECOND append (drifted): relative drop vs ref_signal fires
+        # the default 1% policy
+        r = ann_index_append(drifted, "anndrel")
+        assert r["base_signal"] == pytest.approx(meta.base_signal)
+        assert r["ref_signal"] == pytest.approx(r0["ref_signal"])
+        assert r["signal_rel_drop"] == pytest.approx(
+            1 - r["mean_centroid_cosine"] / r0["ref_signal"])
+        assert r["signal_rel_drop"] > 0.01  # a real drift fires it
+        assert r["retrain_recommended"] is True
+        # a generous relative threshold silences it
+        r2 = ann_index_append(
+            drifted.limit(5), "anndrel", drift_rel_threshold=5.0)
+        assert r2["retrain_recommended"] is False
+        # pre-r14 meta (no baseline columns): absolute-only fallback
+        spark.sql("DROP TABLE anndrel_meta")
+        spark.createDataFrame(
+            [(10, 4, "subsample")], "nlist int, n_buckets int, train string"
+        ).write.saveAsTable("anndrel_meta")
+        r3 = ann_index_append(drifted.limit(5), "anndrel",
+                              drift_threshold=0.99)
+        assert r3["base_signal"] is None
+        assert r3["signal_rel_drop"] is None
+        assert r3["retrain_recommended"] is True  # absolute fired
+    finally:
+        _drop(spark, *_idx_tables("anndrel"))
