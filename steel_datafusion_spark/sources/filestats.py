@@ -149,15 +149,82 @@ def _part_cols_of_rels(rels: list[str]) -> list[str]:
     return list(seen)
 
 
-def _footer_entry(path: str, cols: list[str]) -> dict:
+def bloom_foldable_type(typ) -> bool:
+    """Arrow types whose Spark ``cast("string")`` canonicalization is
+    replicable exactly in Python — the precondition for folding a
+    column's bloom build into the footer pass (``_footer_entry``).
+    Integers, strings, booleans and dates round-trip; floats, decimals
+    and timestamps keep the JVM build (Spark's float→string formatting
+    is not worth re-implementing bug-for-bug)."""
+    import pyarrow as pa
+
+    return (pa.types.is_integer(typ) or pa.types.is_string(typ)
+            or pa.types.is_large_string(typ) or pa.types.is_boolean(typ)
+            or pa.types.is_date32(typ))
+
+
+def _bloom_canon(v) -> str:
+    """One value's Spark cast-to-string canonical form (restricted to
+    the ``bloom_foldable_type`` domain)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)  # int → decimal digits; str → itself; date → ISO
+
+
+def _file_bloom_bytes(pf, path: str, spec: dict) -> dict:
+    """Per-column packed bloom filter bytes for ONE file, hashed with
+    the bit-exact Spark xxhash64 replica (``sources/xxhash64.py``), so
+    the output is byte-identical to the JVM build in
+    ``manifest._write_bloom_cols`` and probes (which hash literals
+    through a Spark job) keep their no-false-negative contract.  A file
+    missing the column (schema drift) gets an all-zero filter — the
+    JVM build's union-schema scan produces the same, and pruning it for
+    any equality is correct (absent column reads as NULL).  NULL values
+    contribute no bits (the JVM build explodes only isNotNull)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .xxhash64 import spark_xxhash64_str
+
+    out = {}
+    names = set(pf.schema_arrow.names)
+    want = [c for c in spec if c in names
+            and bloom_foldable_type(pf.schema_arrow.field(c).type)]
+    data = pf.read(columns=want) if want else None
+    for col, s in spec.items():
+        bits, k = int(s["bits"]), int(s["k"])
+        nbytes = bits // 8 + (1 if bits % 8 else 0)
+        buf = np.zeros(nbytes, dtype=np.uint8)
+        if col in names and col not in want:
+            continue  # unfoldable type in this file: abstain (no row)
+        if data is not None and col in data.column_names:
+            vals = pc.unique(data.column(col).combine_chunks())
+            for v in vals.to_pylist():
+                if v is None:
+                    continue
+                s_canon = _bloom_canon(v)
+                for i in range(k):
+                    b = spark_xxhash64_str(s_canon, i) % bits
+                    buf[b >> 3] |= 1 << (b & 7)
+        out[col] = buf.tobytes()
+    return out
+
+
+def _footer_entry(path: str, cols: list[str],
+                  bloom_spec: dict | None = None) -> dict:
     """One file's stats from its parquet FOOTER (row-group statistics
     aggregated; row data never read).  Returns {"rows": n, "cols":
     {col: None | {"lo","hi","nulls"} | {"nulls"}}} — the same entry
     shape the legacy JSON sidecar used (manifest._collect_file_stats),
-    so legacy carry-forward plugs straight in."""
+    so legacy carry-forward plugs straight in.  With ``bloom_spec``
+    ({col: {"bits","k"}}) the SAME file open also reads the spec'd
+    columns and packs their bloom filter bytes into a ``"bloom"`` key —
+    the one-pass stats+bloom build (VERDICT r13 item 3: blooms were a
+    second full scan of every file)."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
     agg: dict[str, dict] = {
         c: {"lo": None, "hi": None, "nulls": 0, "ok": True, "seen": False}
         for c in cols}
@@ -196,7 +263,10 @@ def _footer_entry(path: str, cols: list[str]) -> dict:
             entry[c] = {"nulls": a["nulls"]}  # all-null column
         else:
             entry[c] = {"lo": a["lo"], "hi": a["hi"], "nulls": a["nulls"]}
-    return {"rows": md.num_rows, "cols": entry}
+    out = {"rows": md.num_rows, "cols": entry}
+    if bloom_spec:
+        out["bloom"] = _file_bloom_bytes(pf, path, bloom_spec)
+    return out
 
 
 def _usable_bound(v) -> bool:
@@ -323,14 +393,18 @@ STATS_SPARK_MIN_FILES = int(
 
 
 def _footer_entries_spark(spark, files: dict, need: list[str],
-                          cols: list[str]):
+                          cols: list[str],
+                          bloom_spec: dict | None = None):
     """Footer entries for ``need`` (sorted relpaths) computed EXECUTOR-
     SIDE: the (rel, path) list ships as one Arrow frame, a mapInPandas
     pass reads each footer where a worker sits, entries come back
     _stat_encode-coded and ORDERED BY rel, and the caller streams them
     through toLocalIterator — the driver never holds more than a batch.
     At 10^6 tiny files this turns ~8 min of driver-sequenced footer
-    reads into a ~32-way parallel scan."""
+    reads into a ~32-way parallel scan.  ``bloom_spec`` rides into
+    ``_footer_entry`` so the same pass also packs bloom bytes
+    (b64-coded through the Arrow frame)."""
+    import base64 as _b64
     import json as _json
 
     import pandas as pd
@@ -342,6 +416,9 @@ def _footer_entries_spark(spark, files: dict, need: list[str],
                        len(need)))
     df = spark.createDataFrame(pdf).repartition(parts)
     cols_list = list(cols)
+    spec = None if not bloom_spec else {
+        c: {"bits": int(s["bits"]), "k": int(s["k"])}
+        for c, s in bloom_spec.items()}
 
     def _scan(batches):
         from steel_datafusion_spark.sources.manifest import _stat_encode
@@ -349,29 +426,39 @@ def _footer_entries_spark(spark, files: dict, need: list[str],
         for b in batches:
             out = []
             for path in b["path"]:
-                e = _footer_entry(path, cols_list)
-                out.append(_json.dumps({
+                e = _footer_entry(path, cols_list, bloom_spec=spec)
+                enc = {
                     "rows": e["rows"],
                     "cols": {c: (None if v is None else {
                         k: (_stat_encode(x) if k in ("lo", "hi") else x)
                         for k, x in v.items()})
-                        for c, v in e["cols"].items()}}))
+                        for c, v in e["cols"].items()}}
+                if "bloom" in e:
+                    enc["bloom"] = {
+                        c: _b64.b64encode(v).decode("ascii")
+                        for c, v in e["bloom"].items()}
+                out.append(_json.dumps(enc))
             yield pd.DataFrame({"rel": b["rel"], "e": out})
 
     res = df.mapInPandas(_scan, "rel string, e string").orderBy("rel")
     for row in res.toLocalIterator():
         enc = _json.loads(row["e"])
-        yield {"rows": enc["rows"],
+        out = {"rows": enc["rows"],
                "cols": {c: (None if v is None else {
                    k: (_stat_decode(x) if k in ("lo", "hi") else x)
                    for k, x in v.items()})
                    for c, v in enc["cols"].items()}}
+        if "bloom" in enc:
+            out["bloom"] = {c: _b64.b64decode(v)
+                            for c, v in enc["bloom"].items()}
+        yield out
 
 
 def build_stats_table(data_dir: str, cols: list[str],
                       base_dir: str | None = None,
                       legacy_reuse: dict | None = None,
-                      max_workers: int = 16):
+                      max_workers: int = 16,
+                      bloom_spec: dict | None = None):
     """The version's ``_stats.parquet`` as an in-memory pyarrow Table:
     one row per data file, sorted by relpath.  Carry-forward is
     VECTORIZED — the base version's parquet rows are matched by relpath
@@ -379,7 +466,20 @@ def build_stats_table(data_dir: str, cols: list[str],
     ⇒ same footer), so only NEW files pay a footer read, and those fan
     out over a thread pool (pyarrow releases the GIL around I/O).
     ``legacy_reuse`` accepts the old JSON entry map for bases that
-    predate the parquet format."""
+    predate the parquet format.
+
+    With ``bloom_spec`` ({col: {"bits","k"}}) the SAME pass — same file
+    opens, same thread pool or executor fan-out — also packs per-file
+    bloom filter bytes (VERDICT r13 item 3: the bloom build was a
+    SECOND full scan; at 10^6 tiny files the file opens dominate, so
+    one pass ≈ half the wall).  Returns (stats_table,
+    {col: bloom_table}) in that mode: bloom rows cover carried files
+    (bytes reused from the base sidecar when its bits/k match) plus
+    every file this pass opened; a rel carried for stats but absent
+    from the base bloom simply has no row (probes abstain → keep —
+    never wrong, ``write_table_bloom`` backfills full coverage).
+    ``legacy_reuse`` is ignored in bloom mode — those files must be
+    opened anyway."""
     import concurrent.futures
 
     import pyarrow as pa
@@ -388,6 +488,8 @@ def build_stats_table(data_dir: str, cols: list[str],
 
     from .manifest import _iter_data_files
 
+    if bloom_spec:
+        legacy_reuse = None
     files = dict(_iter_data_files(data_dir))
     rels = sorted(files)
     base_tbl = None
@@ -418,6 +520,7 @@ def build_stats_table(data_dir: str, cols: list[str],
     rows_acc: list = []
     acc = {c: {"lo": [], "hi": [], "nulls": [], "present": []}
            for c in cols}
+    bl_acc: dict[str, list] = {c: [] for c in (bloom_spec or {})}
 
     def _consume(entry: dict) -> None:
         rows_acc.append(entry.get("rows"))
@@ -435,6 +538,9 @@ def build_stats_table(data_dir: str, cols: list[str],
                 a["hi"].append(e.get("hi"))
                 a["nulls"].append(e.get("nulls"))
                 a["present"].append(True)
+        eb = entry.get("bloom") or {}
+        for c in bl_acc:
+            bl_acc[c].append(eb.get(c))  # None = abstain row
 
     if new_rels:
         footer_iter = None
@@ -453,15 +559,17 @@ def build_stats_table(data_dir: str, cols: list[str],
                 # order (need is sorted because new_rels is) — the
                 # driver holds one Arrow batch at a time
                 footer_iter = _footer_entries_spark(
-                    spark, files, need, cols)
+                    spark, files, need, cols, bloom_spec=bloom_spec)
             else:
                 ex = concurrent.futures.ThreadPoolExecutor(
                     max_workers=min(max_workers, max(1, len(need))))
                 footer_iter = ex.map(
-                    lambda r: _footer_entry(files[r], cols), need)
+                    lambda r: _footer_entry(files[r], cols,
+                                            bloom_spec=bloom_spec),
+                    need)
         try:
             for rel in new_rels:
-                if rel in legacy_reuse:
+                if legacy_reuse and rel in legacy_reuse:
                     _consume(legacy_reuse[rel])
                 else:
                     _consume(next(footer_iter))
@@ -522,7 +630,43 @@ def build_stats_table(data_dir: str, cols: list[str],
     # truncated/partial sidecar can never silently DROP data files
     # from results (the rel column is the survivors' source of truth)
     meta[b"file_count"] = str(tbl.num_rows).encode()
-    return tbl.replace_schema_metadata(meta)
+    tbl = tbl.replace_schema_metadata(meta)
+    if not bloom_spec:
+        return tbl
+
+    blooms: dict[str, "pa.Table"] = {}
+    rels_now = pa.array(rels, type=pa.string())
+    for col, s in bloom_spec.items():
+        bits, k = int(s["bits"]), int(s["k"])
+        nbytes = bits // 8 + (1 if bits % 8 else 0)
+        comp_rels = [r for r, bb in zip(new_rels, bl_acc[col])
+                     if bb is not None]
+        comp = pa.table({
+            "rel": pa.array(comp_rels, type=pa.string()),
+            "f": pa.array([bb for bb in bl_acc[col] if bb is not None],
+                          type=pa.binary(nbytes))})
+        pieces = [comp]
+        if base_dir is not None:
+            b = load_bloom_parquet(base_dir, col)
+            if b is not None and b["bits"] == bits and b["k"] == k:
+                # vectorized carry: base rows still live in this
+                # version and not freshly computed (same inode ⇒ same
+                # bytes either way; computed wins arbitrarily)
+                mask = pc.is_in(b["rels"], value_set=rels_now)
+                if comp_rels:
+                    mask = pc.and_(mask, pc.invert(pc.is_in(
+                        b["rels"],
+                        value_set=pa.array(comp_rels,
+                                           type=pa.string()))))
+                carried = b["tbl"].select(["rel", "f"]).filter(mask)
+                if carried.num_rows:
+                    pieces.append(pa.table({
+                        "rel": carried.column("rel"),
+                        "f": carried.column("f").cast(
+                            pa.binary(nbytes))}))
+        blooms[col] = (pa.concat_tables(pieces) if len(pieces) > 1
+                       else pieces[0]).sort_by("rel")
+    return tbl, blooms
 
 
 def _concat_aligned(pieces):
@@ -570,6 +714,30 @@ def write_stats_parquet(data_dir: str, cols: list[str],
                             legacy_reuse=legacy_reuse)
     pq.write_table(tbl, stats_parquet_path(data_dir))
     return tbl.num_rows
+
+
+def write_stats_and_bloom_parquet(
+        data_dir: str, stats_cols: list[str], bloom_spec: dict,
+        base_dir: str | None = None) -> tuple[int, dict]:
+    """Write ``_stats.parquet`` AND the per-column bloom sidecars from
+    ONE pass over the data files (``build_stats_table(bloom_spec=…)``)
+    — the bloom build used to be a second full scan, which at 10^6
+    tiny files doubles the wall for no reason (file opens dominate,
+    and the bloom columns' bytes are a rounding error next to the
+    open+footer cost).  Returns (files_covered,
+    {col: bloom_rows_written})."""
+    import pyarrow.parquet as pq
+
+    tbl, blooms = build_stats_table(data_dir, stats_cols,
+                                    base_dir=base_dir,
+                                    bloom_spec=bloom_spec)
+    pq.write_table(tbl, stats_parquet_path(data_dir))
+    counts = {}
+    for col, bt in blooms.items():
+        s = bloom_spec[col]
+        counts[col] = write_bloom_parquet_table(
+            data_dir, col, bt, int(s["bits"]), int(s["k"]))
+    return tbl.num_rows, counts
 
 
 # ---------------------------------------------------------------------------

@@ -673,6 +673,51 @@ def _sidecar_stats_cols(data_dir: str) -> list[str]:
         return []
 
 
+def write_table_stats_and_bloom(
+        spark: SparkSession, root: str, stats_cols: list[str],
+        bloom_cols: list[str], bits: int = 1 << 16, k_hashes: int = 5,
+        version: int | None = None) -> int:
+    """Backfill BOTH skipping sidecars — min/max stats and per-file
+    bloom filters — in ONE pass over the version's data files (the
+    r13 shape was two full scans: the executor-side footer scan for
+    stats, then ``write_table_bloom``'s column scan; at 10^6 tiny
+    files each scan's cost IS the file opens, so folding them halves
+    the backfill wall — see bench_runs/file_census_r14.json).  Bloom
+    bytes are hashed with the bit-exact Spark-xxhash64 replica
+    (``sources/xxhash64.py``), so probes — which hash literals through
+    a 1-row Spark job — keep their no-false-negative contract against
+    indexes built either way.  Columns whose Spark string-cast is not
+    replicable in Python (floats/decimals/timestamps — see
+    ``filestats.bloom_foldable_type``) fall back to the JVM column
+    scan for just those columns.  Per-commit writers keep their own
+    carry paths (``_finalize_stats``/``_finalize_bloom`` — O(touched
+    files) per commit); this verb is the whole-version backfill.
+    Returns the number of files covered."""
+    from . import filestats
+
+    data_dir = _version_data_dir(root, version)
+    spec = {c: {"bits": int(bits), "k": int(k_hashes)}
+            for c in bloom_cols}
+    foldable: dict = {}
+    unfoldable: dict = {}
+    first = next(iter(_iter_data_files(data_dir)), None)
+    if first is not None:
+        import pyarrow.parquet as _pq
+
+        schema = _pq.ParquetFile(first[1]).schema_arrow
+        for c, s in spec.items():
+            if c in schema.names and \
+                    filestats.bloom_foldable_type(schema.field(c).type):
+                foldable[c] = s
+            else:
+                unfoldable[c] = s
+    n, _counts = filestats.write_stats_and_bloom_parquet(
+        data_dir, stats_cols, foldable)
+    if unfoldable:
+        _write_bloom_cols(spark, data_dir, unfoldable)
+    return n
+
+
 def write_table_stats(root: str, cols: list[str],
                       version: int | None = None) -> int:
     """Backfill the data-skipping sidecar for an already-committed

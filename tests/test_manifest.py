@@ -1870,3 +1870,80 @@ def test_executor_side_stats_scan_matches_threadpool(spark, tmp_path,
     t = read_table(spark, out, where=[("k", ">=", 1000), ("k", "<", 2000)])
     assert t.count() == 1000
     assert len(t.inputFiles()) < len(read_table(spark, out).inputFiles())
+
+
+def test_combined_stats_bloom_build_matches_two_pass(spark, tmp_path,
+                                                     monkeypatch):
+    """write_table_stats_and_bloom builds BOTH sidecars in one pass
+    over the files; the bloom bytes (Python xxhash64 replica) must be
+    BYTE-IDENTICAL to write_table_bloom's JVM build and the stats table
+    row-identical to write_table_stats — in the thread-pool path AND
+    the executor (mapInPandas) path — so probes built against either
+    prune identically.  Unfoldable column types (double) fall back to
+    the JVM scan inside the same verb (VERDICT r13 item 3)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.sources import filestats
+    from steel_datafusion_spark.sources.manifest import (
+        latest_commit, manifest_upsert, read_table,
+        write_table_bloom, write_table_stats, write_table_stats_and_bloom,
+    )
+
+    out = str(tmp_path / "combined")
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("u-"), F.md5(F.col("id").cast("string")))
+        .alias("uid"),
+        (F.col("id") % 2 == 0).alias("flag"),
+        (F.col("id") * 1.5).alias("dbl"))
+    manifest_upsert(spark, out, df.repartition(8, "uid"), ["uid"])
+    _v, d = latest_commit(out)
+
+    # reference: the two-pass build
+    write_table_stats(out, ["k"])
+    write_table_bloom(spark, out, ["uid", "k", "flag", "dbl"],
+                      bits=1 << 12, k_hashes=5)
+    ref_stats = pq.read_table(filestats.stats_parquet_path(d))
+    ref_blooms = {c: pq.read_table(filestats.bloom_parquet_path(d, c))
+                  for c in ("uid", "k", "flag", "dbl")}
+    for c in ("uid", "k", "flag", "dbl"):
+        import os as _os
+
+        _os.unlink(filestats.bloom_parquet_path(d, c))
+    _os.unlink(filestats.stats_parquet_path(d))
+
+    # one-pass build (thread-pool path)
+    n = write_table_stats_and_bloom(spark, out, ["k"],
+                                    ["uid", "k", "flag", "dbl"],
+                                    bits=1 << 12, k_hashes=5)
+    assert n == 8
+    got_stats = pq.read_table(filestats.stats_parquet_path(d))
+    assert got_stats.sort_by("rel").equals(ref_stats.sort_by("rel"))
+    for c in ("uid", "k", "flag", "dbl"):
+        got = pq.read_table(filestats.bloom_parquet_path(d, c))
+        assert got.sort_by("rel").equals(ref_blooms[c].sort_by("rel")), \
+            f"bloom bytes diverge for column {c!r}"
+
+    # executor (mapInPandas) path: byte-identical again
+    for c in ("uid", "k", "flag", "dbl"):
+        _os.unlink(filestats.bloom_parquet_path(d, c))
+    _os.unlink(filestats.stats_parquet_path(d))
+    monkeypatch.setattr(filestats, "STATS_SPARK_MIN_FILES", 0)
+    write_table_stats_and_bloom(spark, out, ["k"],
+                                ["uid", "k", "flag", "dbl"],
+                                bits=1 << 12, k_hashes=5)
+    for c in ("uid", "k", "flag", "dbl"):
+        got = pq.read_table(filestats.bloom_parquet_path(d, c))
+        assert got.sort_by("rel").equals(ref_blooms[c].sort_by("rel")), \
+            f"executor-path bloom bytes diverge for column {c!r}"
+
+    # the probes behave: point lookup on the hash-scattered key prunes
+    # and finds its row; absent key reads nothing
+    target = df.filter(F.col("k") == 777).head().uid
+    hit = read_table(spark, out, where=[("uid", "=", target)])
+    assert len(hit.inputFiles()) < 8
+    assert [r.k for r in hit.collect()] == [777]
+    assert read_table(spark, out,
+                      where=[("uid", "=", "u-nope")]).count() == 0
+    assert read_table(spark, out, where=[("dbl", "=", 1.5)]).count() == 1

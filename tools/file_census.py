@@ -166,6 +166,7 @@ def main() -> int:
     from steel_datafusion_spark import session_context
     from steel_datafusion_spark.sources.manifest import (
         read_table, write_table_bloom, write_table_stats,
+        write_table_stats_and_bloom,
     )
 
     spark = session_context(app_name="file-census")
@@ -178,15 +179,39 @@ def main() -> int:
         t0 = time.perf_counter()
         build_table(root, n)
         gen_s = round(time.perf_counter() - t0, 3)
+        # ONE-pass stats+bloom build (r14): same file opens build both
+        # sidecars — the r13 shape paid a second full scan for blooms
+        t0 = time.perf_counter()
+        covered = write_table_stats_and_bloom(
+            spark, root, ["k"], ["uid"], bits=1 << 8)
+        combined_s = round(time.perf_counter() - t0, 3)
+        assert covered == n
+        # reference two-pass walls at every decade (r13 capped the
+        # bloom at 1e5 and left bloom_build_s null at 1e6)
         t0 = time.perf_counter()
         covered = write_table_stats(root, ["k"])
         stats_s = round(time.perf_counter() - t0, 3)
         assert covered == n
-        bloom_s = None
-        if n <= 100000:
-            t0 = time.perf_counter()
-            write_table_bloom(spark, root, ["uid"], bits=1 << 8)
-            bloom_s = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        write_table_bloom(spark, root, ["uid"], bits=1 << 8)
+        bloom_s = round(time.perf_counter() - t0, 3)
+        # bloom FPP spot-check: absent keys vs every file's filter,
+        # vectorized (numpy bit tests over the byte matrix) — with 20
+        # distinct uids/file at bits=256,k=5 expect ~0.3%
+        from steel_datafusion_spark.sources import filestats
+        from steel_datafusion_spark.sources.manifest import latest_commit
+        from steel_datafusion_spark.sources.xxhash64 import (
+            bloom_probe_rows,
+        )
+
+        _v, ddir = latest_commit(root)
+        b = filestats.load_bloom_parquet(ddir, "uid")
+        absent = [f"u-absent-{i:04d}" for i in range(200)]
+        admitted = 0
+        for pr in bloom_probe_rows(absent, b["bits"], b["k"]):
+            admitted += int(filestats._bloom_admit_np(
+                b["mat"], [pr]).sum())
+        fpp = admitted / (len(absent) * b["mat"].shape[0])
         mid = (n * 20) // 2 + 3
         t0 = time.perf_counter()
         df = read_table(spark, root, where=[("k", "=", mid)])
@@ -195,27 +220,30 @@ def main() -> int:
         rows = df.collect()
         read_s = round(time.perf_counter() - t0, 3)
         opened = len(df.inputFiles())
-        row = {"n_files": n, "gen_s": gen_s, "stats_build_s": stats_s,
-               "bloom_build_s": bloom_s, "prune_s": prune_s,
+        row = {"n_files": n, "gen_s": gen_s,
+               "stats_bloom_combined_s": combined_s,
+               "stats_build_s": stats_s,
+               "bloom_build_s": bloom_s,
+               "bloom_fpp_absent_keys": round(fpp, 5),
+               "prune_s": prune_s,
                "read_s": read_s, "files_opened": opened,
                "rows": len(rows), "driver_maxrss_mb": round(_maxrss_mb(), 1)}
         row.update(_subprocess_prune(root, mid, env))
-        if bloom_s is not None:
-            target = read_table(spark, root).filter(
-                f"k = {mid}").head().uid
-            t0 = time.perf_counter()
-            bdf = read_table(spark, root, where=[("uid", "=", target)])
-            row["bloom_prune_s"] = round(time.perf_counter() - t0, 3)
-            row["bloom_files_opened"] = len(bdf.inputFiles())
-            row["bloom_rows"] = bdf.count()
+        target = read_table(spark, root).filter(
+            f"k = {mid}").head().uid
+        t0 = time.perf_counter()
+        bdf = read_table(spark, root, where=[("uid", "=", target)])
+        row["bloom_prune_s"] = round(time.perf_counter() - t0, 3)
+        row["bloom_files_opened"] = len(bdf.inputFiles())
+        row["bloom_rows"] = bdf.count()
         results[f"n{n}"] = row
-        print(f"n={n}: gen {gen_s}s, stats {stats_s}s, bloom {bloom_s}s, "
+        print(f"n={n}: gen {gen_s}s, combined {combined_s}s, "
+              f"stats {stats_s}s, bloom {bloom_s}s, fpp {fpp:.5f}, "
               f"prune {prune_s}s (sub {row.get('prune_sub_s')}s, "
               f"+{row.get('sub_rss_delta_mb')} MB), read {read_s}s, "
-              f"opened {opened}, maxrss {row['driver_maxrss_mb']} MB"
-              + (f", bloom prune {row.get('bloom_prune_s')}s opened "
-                 f"{row.get('bloom_files_opened')}"
-                 if bloom_s is not None else ""), flush=True)
+              f"opened {opened}, maxrss {row['driver_maxrss_mb']} MB, "
+              f"bloom prune {row.get('bloom_prune_s')}s opened "
+              f"{row.get('bloom_files_opened')}", flush=True)
         shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
