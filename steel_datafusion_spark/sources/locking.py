@@ -111,13 +111,21 @@ class IndexLock:
     someone else's lock."""
 
     def __init__(self, spark, name: str, timeout_s: float = 300.0,
-                 poll_s: float = 0.1, lease_s: float = 30.0):
+                 poll_s: float = 0.1, lease_s: float = 30.0,
+                 backend=None):
+        from .storage import PosixBackend
+
         self.path = os.path.join(_warehouse_dir(spark),
                                  f"{name.lower()}__idxlock")
         self.timeout_s = timeout_s
         self.poll_s = poll_s
         self.lease_s = float(lease_s)
         self.token = uuid.uuid4().hex
+        # the protocol touches storage ONLY through the three-primitive
+        # seam (sources/storage.py) — a conditional-PUT object-store
+        # backend slots in here; tests/test_storage.py runs the whole
+        # acquire/steal/ABA state machine over the in-memory fake
+        self.fs = backend if backend is not None else PosixBackend()
         self._held = False
         self._lost = False
         self._hb_stop: threading.Event | None = None
@@ -132,17 +140,7 @@ class IndexLock:
                            "lease_s": self.lease_s}).encode()
 
     def _try_create(self) -> bool:
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
-        try:
-            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        try:
-            os.write(fd, self._payload())
-            os.fsync(fd)
-        finally:
-            os.close(fd)
-        return True
+        return self.fs.create_exclusive(self.path, self._payload())
 
     def _refresh(self) -> None:
         """Re-stamp the lease ts.  Verify-then-replace: if the on-disk
@@ -153,20 +151,14 @@ class IndexLock:
             self._lost = True
             return
         tmp = f"{self.path}.hb.{self.token[:8]}"
-        try:
-            with open(tmp, "wb") as fh:
-                fh.write(self._payload())
-                fh.flush()
-                os.fsync(fh.fileno())
-            # µs verify-to-rename window: a stealer can only enter it
-            # if our lease ALREADY expired (heartbeat starvation), and
-            # the next heartbeat sees the foreign token and marks lost
-            os.rename(tmp, self.path)
-        except OSError:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
+        self.fs.unlink(tmp)  # stale staging from an interrupted refresh
+        if not self.fs.create_exclusive(tmp, self._payload()):
+            return  # try again next beat
+        # µs verify-to-rename window: a stealer can only enter it if
+        # our lease ALREADY expired (heartbeat starvation), and the
+        # next heartbeat sees the foreign token and marks lost
+        if not self.fs.rename(tmp, self.path):
+            self.fs.unlink(tmp)
 
     def _heartbeat(self, stop: threading.Event) -> None:
         while not stop.wait(self.lease_s / 3.0):
@@ -192,10 +184,12 @@ class IndexLock:
     # -- waiter-side ---------------------------------------------------
 
     def _read(self, path: str) -> dict | None:
+        raw = self.fs.read(path)
+        if raw is None:
+            return None
         try:
-            with open(path) as fh:
-                return json.load(fh)
-        except (OSError, ValueError):
+            return json.loads(raw)
+        except ValueError:
             return None
 
     def _expired(self, cur: dict) -> bool:
@@ -221,30 +215,18 @@ class IndexLock:
         if not self._expired(cur):
             return  # validly held: wait
         aside = f"{self.path}.stale.{uuid.uuid4().hex[:8]}"
-        try:
-            os.rename(self.path, aside)  # atomic: one stealer wins
-        except OSError:
+        if not self.fs.rename(self.path, aside):
             return  # someone else stole (or owner released): retry
         moved = self._read(aside)
         if moved is not None and moved.get("token") != cur.get("token"):
             # a NEW owner re-created the lock between our read and the
-            # rename — we moved a LIVE lock; put it back with link,
-            # which FAILS if a third claimant O_EXCL-created in the
-            # window (never clobber an existing lock; the moved lock's
-            # owner detects the foreign token at its next heartbeat)
-            try:
-                os.link(aside, self.path)
-            except OSError:
-                pass  # path re-occupied: the O_EXCL winner keeps it
-            try:
-                os.unlink(aside)
-            except OSError:
-                pass
-            return
-        try:
-            os.unlink(aside)
-        except OSError:
-            pass
+            # rename — we moved a LIVE lock; put it back with a
+            # link-claim, which FAILS if a third claimant created in
+            # the window (never clobber an existing lock; the moved
+            # lock's owner detects the foreign token at its next
+            # heartbeat)
+            self.fs.link_claim(aside, self.path)
+        self.fs.unlink(aside)
 
     # -- context manager -----------------------------------------------
 
@@ -277,10 +259,7 @@ class IndexLock:
             # so the read-to-unlink window is benign)
             cur = self._read(self.path)
             if cur is not None and cur.get("token") == self.token:
-                try:
-                    os.unlink(self.path)
-                except OSError:
-                    pass
+                self.fs.unlink(self.path)
             else:
                 lost = True
         if self._hb_stop is not None:
