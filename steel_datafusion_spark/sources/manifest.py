@@ -731,6 +731,99 @@ def write_table_stats(root: str, cols: list[str],
     return _write_stats_file(data_dir, cols)
 
 
+def upgrade_table_stats(root: str, version: int | None = None) -> dict:
+    """One-call migration of a version's LEGACY JSON skipping sidecars
+    to the current parquet formats — the sunset path for the per-file
+    verdict loop (VERDICT r13 item 8): a long-lived table created
+    before the parquet sidecars keeps hitting the legacy fallback in
+    ``_read_pruned`` on every read; after this call it prunes through
+    the columnar ``_stats.parquet`` / ``_bloom-*.parquet`` path like a
+    fresh table, and subsequent commits carry the parquet format
+    forward.
+
+    Stats convert WITHOUT re-reading any data file (the legacy JSON
+    entries decode straight into the parquet writer); blooms likewise
+    re-pack the stored filter bytes.  The superseded JSON files are
+    removed on success — they were only consulted when the parquet was
+    absent, so leaving them would just be dead weight.  Idempotent;
+    returns {"stats_files": n|None, "bloom_cols": [...],
+    "removed_legacy": k}."""
+    from . import filestats
+
+    data_dir = _version_data_dir(root, version)
+    out: dict = {"stats_files": None, "bloom_cols": [],
+                 "removed_legacy": 0}
+    legacy: list[str] = []
+
+    sp = filestats.stats_parquet_path(data_dir)
+    jp = os.path.join(data_dir, _STATS_FILE)
+    if os.path.exists(jp):
+        if not os.path.exists(sp):
+            try:
+                with open(jp) as fh:
+                    prev = json.load(fh)
+                cols = list(prev.get("stats_cols", []))
+                entries = {
+                    rel: {"rows": fi.get("rows"),
+                          "cols": {c: (None if e is None else {
+                              k: (_stat_decode(v) if k in ("lo", "hi")
+                                  else v)
+                              for k, v in e.items()})
+                              for c, e in (fi.get("cols") or {}).items()}}
+                    for rel, fi in prev.get("files", {}).items()}
+            except (ValueError, OSError, AttributeError):
+                cols, entries = [], None
+            if cols and entries is not None:
+                out["stats_files"] = filestats.write_stats_parquet(
+                    data_dir, cols, legacy_reuse=entries)
+        if os.path.exists(sp):
+            legacy.append(jp)
+            legacy.extend(
+                os.path.join(data_dir, f) for f in os.listdir(data_dir)
+                if f.startswith(_STATS_COL_PREFIX)
+                and f.endswith(".json"))
+
+    for col, spec in _bloom_sidecar_specs(data_dir).items():
+        pqp = filestats.bloom_parquet_path(data_dir, col)
+        if not os.path.exists(pqp):
+            lb = _load_bloom_col(data_dir, col)
+            if lb is None:
+                continue
+            import base64 as _b64
+
+            import pyarrow as pa
+
+            bits, k_h = int(lb["bits"]), int(lb["k"])
+            nbytes = bits // 8 + (1 if bits % 8 else 0)
+            rels = sorted(lb["files"])
+            tbl = pa.table({
+                "rel": pa.array(rels, type=pa.string()),
+                "f": pa.array(
+                    [_b64.b64decode(lb["files"][r])
+                     if isinstance(lb["files"][r], str)
+                     else bytes(lb["files"][r]) for r in rels],
+                    type=pa.binary(nbytes))})
+            filestats.write_bloom_parquet_table(data_dir, col, tbl,
+                                                bits, k_h)
+            out["bloom_cols"].append(col)
+        jb = _bloom_col_path(data_dir, col)
+        if os.path.exists(jb) and os.path.exists(pqp):
+            legacy.append(jb)
+    lp = os.path.join(data_dir, _BLOOM_FILE)
+    if os.path.exists(lp) and all(
+            os.path.exists(filestats.bloom_parquet_path(data_dir, c))
+            for c in _bloom_sidecar_specs(data_dir)):
+        legacy.append(lp)
+
+    for p in legacy:
+        try:
+            os.unlink(p)
+            out["removed_legacy"] += 1
+        except OSError:
+            pass
+    return out
+
+
 _BLOOM_FILE = "_bloom.json"  # legacy combined sidecar (read-only compat)
 _BLOOM_PREFIX = "_bloom-"    # per-column sidecars: _bloom-<quoted col>.json
 

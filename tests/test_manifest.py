@@ -1947,3 +1947,105 @@ def test_combined_stats_bloom_build_matches_two_pass(spark, tmp_path,
     assert read_table(spark, out,
                       where=[("uid", "=", "u-nope")]).count() == 0
     assert read_table(spark, out, where=[("dbl", "=", 1.5)]).count() == 1
+
+
+def test_vacuum_bounds_sidecar_counts_across_commits(spark, tmp_path):
+    """Stats/bloom sidecars are PER-VERSION files inside each version's
+    data dir, so vacuum's version-dir removal must bound them too —
+    a long-lived table carrying N commits keeps sidecars only for the
+    retained versions, and the survivor still prunes (VERDICT r13
+    item 7)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.sources.manifest import (
+        manifest_upsert, read_table, table_history, vacuum,
+        write_table_bloom,
+    )
+
+    out = str(tmp_path / "ret")
+    for i in range(6):
+        df = spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("uid"))
+        manifest_upsert(spark, out, df.repartitionByRange(2, "k"),
+                        ["k"], stats_cols=["k"], keep_versions=100)
+    write_table_bloom(spark, out, ["uid"], bits=1 << 10)
+    # every version wrote its own stats sidecar; only the newest has
+    # the bloom backfill
+    stats_files = glob.glob(f"{out}/**/_stats.parquet", recursive=True)
+    assert len(stats_files) == 6
+    removed = vacuum(out, keep=2)
+    assert removed == 4
+    stats_files = glob.glob(f"{out}/**/_stats.parquet", recursive=True)
+    bloom_files = glob.glob(f"{out}/**/_bloom-*.parquet", recursive=True)
+    assert len(stats_files) == 2  # bounded: retained versions only
+    assert len(bloom_files) == 1  # the backfilled newest
+    assert table_history(spark, out).count() >= 2
+    # the survivor still prunes on both sidecars
+    pruned = read_table(spark, out, where=[("k", "=", 555)])
+    assert [r.k for r in pruned.collect()] == [555]
+    assert len(pruned.inputFiles()) == 1
+    target = read_table(spark, out).filter("k = 321").head().uid
+    bl = read_table(spark, out, where=[("uid", "=", target)])
+    assert [r.k for r in bl.collect()] == [321]
+    assert len(bl.inputFiles()) < 12
+
+
+def test_upgrade_table_stats_migrates_legacy_sidecars(spark, tmp_path):
+    """upgrade_table_stats converts a pre-parquet table's JSON skipping
+    sidecars (combined _stats.json + splits + per-column bloom JSON) to
+    the columnar formats in one call — no data files re-read — removes
+    the superseded JSON, and the next pruned read runs the parquet
+    path with identical results (VERDICT r13 item 8: the legacy
+    per-file loop otherwise stays alive forever on old tables)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.sources import filestats
+    from steel_datafusion_spark.sources.manifest import (
+        latest_commit, manifest_upsert, read_table, upgrade_table_stats,
+        write_table_bloom,
+    )
+
+    out = str(tmp_path / "upg")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("uid"))
+    manifest_upsert(spark, out, df.repartitionByRange(4, "k"), ["k"],
+                    stats_cols=["k"])
+    write_table_bloom(spark, out, ["uid"], bits=1 << 14)
+    _v, d = latest_commit(out)
+    target = df.filter(F.col("k") == 777).head().uid
+
+    _downgrade_stats_to_legacy_json(d)
+    _downgrade_bloom_to_legacy_json(d, "uid")
+    assert not os.path.exists(filestats.stats_parquet_path(d))
+    legacy_pruned = read_table(spark, out, where=[("k", "=", 777)])
+    want = sorted(map(tuple, legacy_pruned.collect()))
+    bwant = sorted(map(tuple, read_table(
+        spark, out, where=[("uid", "=", target)]).collect()))
+
+    res = upgrade_table_stats(out)
+    assert res["stats_files"] == 4
+    assert res["bloom_cols"] == ["uid"]
+    assert res["removed_legacy"] >= 3  # combined + split + bloom json
+    assert os.path.exists(filestats.stats_parquet_path(d))
+    assert os.path.exists(filestats.bloom_parquet_path(d, "uid"))
+    assert glob.glob(f"{d}/_stats*.json") == []
+    assert glob.glob(f"{d}/_statscol-*.json") == []
+    assert glob.glob(f"{d}/_bloom-*.json") == []
+
+    pruned = read_table(spark, out, where=[("k", "=", 777)])
+    assert sorted(map(tuple, pruned.collect())) == want
+    assert len(pruned.inputFiles()) == 1  # parquet path prunes
+    bl = read_table(spark, out, where=[("uid", "=", target)])
+    assert sorted(map(tuple, bl.collect())) == bwant
+    assert len(bl.inputFiles()) < 4
+
+    # idempotent: second call is a no-op
+    res2 = upgrade_table_stats(out)
+    assert res2 == {"stats_files": None, "bloom_cols": [],
+                    "removed_legacy": 0}

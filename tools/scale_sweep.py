@@ -472,7 +472,9 @@ def main() -> int:
             batch_n = 200
             base_corpus = e.filter(F.col("vec_id") >= batch_n)
             batch = e.filter(F.col("vec_id") < batch_n)
+            t0 = time.perf_counter()
             build_ann_index(base_corpus, "sweep_annap_idx", nlist=nlist)
+            build_s = round(time.perf_counter() - t0, 3)
             t0 = time.perf_counter()
             st = ann_index_append(batch, "sweep_annap_idx")
             append_s = round(time.perf_counter() - t0, 3)
@@ -482,11 +484,12 @@ def main() -> int:
                                    nprobe=2).toArrow().num_rows
             probe_s = round(time.perf_counter() - t0, 3)
             row["ops"]["ann_index_append_scaled"] = {
-                "append_s": append_s, "probe_s": probe_s,
+                "build_s": build_s, "append_s": append_s,
+                "probe_s": probe_s,
                 "batch_n": st["appended"], "nlist": nlist, "n_out": n_out}
-            print(f"   ann_index_append_scaled (nlist={nlist}): append "
-                  f"{append_s} s for {st['appended']} vecs, probe "
-                  f"{probe_s} s", flush=True)
+            print(f"   ann_index_append_scaled (nlist={nlist}): build "
+                  f"{build_s} s, append {append_s} s for "
+                  f"{st['appended']} vecs, probe {probe_s} s", flush=True)
             for t in ("sweep_annap_idx_centroids", "sweep_annap_idx_assign",
                       "sweep_annap_idx_meta"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -32,7 +32,12 @@ from pyspark.sql import functions as F  # noqa: E402
 
 SF1X_DIR = "/tmp/sdf_scale_tpch_sf1x"
 SF10X_DIR = "/tmp/sdf_scale_tpch_sf10x"
-OPS = ["shipping_priority", "product_profit", "big_orders"]
+# pricing_summary is the flagship Q1 shape (lineitem-only scan + 4-key
+# agg — pure map-side partial aggregation, the cleanest linear decade);
+# added r14 so the pipeline flagship has a measured sf10x row, not just
+# the join shapes (VERDICT r13 item 5)
+OPS = ["pricing_summary", "shipping_priority", "product_profit",
+       "big_orders"]
 REPS = 2
 STRIDE = 10_000_000  # > max o_orderkey at sf0.1 (600k*4); keeps keys int64
 
