@@ -728,6 +728,11 @@ def write_stats_and_bloom_parquet(
     {col: bloom_rows_written})."""
     import pyarrow.parquet as pq
 
+    if not bloom_spec:
+        # empty spec (e.g. every requested column unfoldable): plain
+        # stats build — build_stats_table returns a bare table then
+        return write_stats_parquet(data_dir, stats_cols,
+                                   base_dir=base_dir), {}
     tbl, blooms = build_stats_table(data_dir, stats_cols,
                                     base_dir=base_dir,
                                     bloom_spec=bloom_spec)

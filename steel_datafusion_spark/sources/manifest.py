@@ -757,31 +757,43 @@ def upgrade_table_stats(root: str, version: int | None = None) -> dict:
 
     sp = filestats.stats_parquet_path(data_dir)
     jp = os.path.join(data_dir, _STATS_FILE)
-    if os.path.exists(jp):
-        if not os.path.exists(sp):
-            try:
-                with open(jp) as fh:
-                    prev = json.load(fh)
-                cols = list(prev.get("stats_cols", []))
-                entries = {
-                    rel: {"rows": fi.get("rows"),
-                          "cols": {c: (None if e is None else {
-                              k: (_stat_decode(v) if k in ("lo", "hi")
-                                  else v)
-                              for k, v in e.items()})
-                              for c, e in (fi.get("cols") or {}).items()}}
-                    for rel, fi in prev.get("files", {}).items()}
-            except (ValueError, OSError, AttributeError):
-                cols, entries = [], None
-            if cols and entries is not None:
-                out["stats_files"] = filestats.write_stats_parquet(
-                    data_dir, cols, legacy_reuse=entries)
-        if os.path.exists(sp):
-            legacy.append(jp)
-            legacy.extend(
-                os.path.join(data_dir, f) for f in os.listdir(data_dir)
-                if f.startswith(_STATS_COL_PREFIX)
-                and f.endswith(".json"))
+    if os.path.exists(jp) and not os.path.exists(sp):
+        try:
+            with open(jp) as fh:
+                prev = json.load(fh)
+            cols = list(prev.get("stats_cols", []))
+            entries = {
+                rel: {"rows": fi.get("rows"),
+                      "cols": {c: (None if e is None else {
+                          k: (_stat_decode(v) if k in ("lo", "hi")
+                              else v)
+                          for k, v in e.items()})
+                          for c, e in (fi.get("cols") or {}).items()}}
+                for rel, fi in prev.get("files", {}).items()}
+        except (ValueError, OSError, AttributeError):
+            cols, entries = [], None
+        if cols and entries is not None:
+            out["stats_files"] = filestats.write_stats_parquet(
+                data_dir, cols, legacy_reuse=entries)
+    elif not os.path.exists(sp):
+        # splits-only legacy shape (combined file lost/corrupted but
+        # per-column splits intact — the legacy reader handles it, so
+        # the migration must too): column set from the split
+        # filenames, entries re-collected from the parquet footers
+        split_cols = [
+            urllib.parse.unquote(f[len(_STATS_COL_PREFIX):-len(".json")])
+            for f in os.listdir(data_dir)
+            if f.startswith(_STATS_COL_PREFIX) and f.endswith(".json")]
+        if split_cols:
+            out["stats_files"] = filestats.write_stats_parquet(
+                data_dir, split_cols)
+    if os.path.exists(sp):
+        legacy.extend(
+            os.path.join(data_dir, f) for f in [_STATS_FILE]
+            + [f for f in os.listdir(data_dir)
+               if f.startswith(_STATS_COL_PREFIX)
+               and f.endswith(".json")]
+            if os.path.exists(os.path.join(data_dir, f)))
 
     for col, spec in _bloom_sidecar_specs(data_dir).items():
         pqp = filestats.bloom_parquet_path(data_dir, col)

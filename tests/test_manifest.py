@@ -1948,6 +1948,17 @@ def test_combined_stats_bloom_build_matches_two_pass(spark, tmp_path,
                       where=[("uid", "=", "u-nope")]).count() == 0
     assert read_table(spark, out, where=[("dbl", "=", 1.5)]).count() == 1
 
+    # an ALL-unfoldable request (empty foldable spec) must degrade to
+    # stats + JVM bloom, not crash on the bare-table return
+    out2 = str(tmp_path / "combined2")
+    manifest_upsert(spark, out2, df.repartition(4, "uid"), ["uid"])
+    n2 = write_table_stats_and_bloom(spark, out2, ["k"], ["dbl"],
+                                     bits=1 << 12, k_hashes=5)
+    assert n2 == 4
+    _v2, d2 = latest_commit(out2)
+    assert pq.read_table(filestats.stats_parquet_path(d2)).num_rows == 4
+    assert read_table(spark, out2, where=[("dbl", "=", 1.5)]).count() == 1
+
 
 def test_vacuum_bounds_sidecar_counts_across_commits(spark, tmp_path):
     """Stats/bloom sidecars are PER-VERSION files inside each version's
@@ -2049,3 +2060,16 @@ def test_upgrade_table_stats_migrates_legacy_sidecars(spark, tmp_path):
     res2 = upgrade_table_stats(out)
     assert res2 == {"stats_files": None, "bloom_cols": [],
                     "removed_legacy": 0}
+
+    # splits-only legacy shape (combined JSON gone, per-column splits
+    # intact): the migration re-collects from footers and still sunsets
+    # the JSON
+    _downgrade_stats_to_legacy_json(d, combined=False, splits=True)
+    assert not os.path.exists(filestats.stats_parquet_path(d))
+    res3 = upgrade_table_stats(out)
+    assert res3["stats_files"] == 4
+    assert os.path.exists(filestats.stats_parquet_path(d))
+    assert glob.glob(f"{d}/_statscol-*.json") == []
+    pruned = read_table(spark, out, where=[("k", "=", 777)])
+    assert sorted(map(tuple, pruned.collect())) == want
+    assert len(pruned.inputFiles()) == 1
