@@ -1433,19 +1433,35 @@ def _eval_spec_col(spec, lo, hi):
     return F.lit(True) if conj is None else conj
 
 
+# bloom sidecar size (bytes) up to which the escalation-mode join
+# BROADCASTS the filter table; past it (10^7 files × wide filters —
+# exactly the regime escalation mode exists for) a broadcast would ship
+# GBs to every executor and pin them on the driver, so the join falls
+# back to a shuffle/sort-merge on rel (both sides are large there).
+BLOOM_BROADCAST_MAX_BYTES = int(
+    os.environ.get("SDF_BLOOM_BROADCAST_MAX_BYTES", 64 << 20))
+
+
 def _bloom_join_col(spark, df, bloom_path: str, col: str):
     """Left-join one column's bloom parquet onto the stats frame as
     ``__bloom:<col>`` — done ONCE per column even when several
     predicates probe it (each predicate then bit-tests its own
-    literals against the shared filter column)."""
+    literals against the shared filter column).  Small sidecars
+    broadcast; past ``BLOOM_BROADCAST_MAX_BYTES`` the join shuffles on
+    rel instead (see the constant's comment)."""
     from pyspark.sql import functions as F
 
     bcol = f"__bloom:{col}"
     bdf = (spark.read.parquet(bloom_path)
            .withColumnRenamed("f", bcol)
            .withColumnRenamed("rel", "__bloomrel"))
-    return df.join(F.broadcast(bdf),
-                   df["rel"] == bdf["__bloomrel"], "left") \
+    try:
+        small = os.path.getsize(bloom_path) <= BLOOM_BROADCAST_MAX_BYTES
+    except OSError:
+        small = True
+    if small:
+        bdf = F.broadcast(bdf)
+    return df.join(bdf, df["rel"] == bdf["__bloomrel"], "left") \
              .drop("__bloomrel")
 
 

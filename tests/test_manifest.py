@@ -1785,6 +1785,16 @@ def test_spark_escalation_prune_matches_driver_path(spark, tmp_path,
     contradictory = cases.index(
         (out, [("s", "=", "s00777"), ("s", "=", "s03888")]))
     assert driver[contradictory][0] == 0
+    # past BLOOM_BROADCAST_MAX_BYTES the sidecar join shuffles on rel
+    # instead of broadcasting (10^7-file regime) — results identical
+    monkeypatch.setattr(filestats, "BLOOM_BROADCAST_MAX_BYTES", 0)
+    for i, (root, where) in enumerate(cases):
+        if not any(op in ("=", "in") and c == "s"
+                   for c, op, _v in where):
+            continue
+        s = read_table(spark, root, where=where)
+        assert (len(s.inputFiles()),
+                sorted(map(tuple, s.collect()))) == driver[i]
 
 
 def test_incomplete_stats_sidecar_falls_back_keep_all(spark, tmp_path):
