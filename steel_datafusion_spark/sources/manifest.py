@@ -711,10 +711,22 @@ def write_table_stats_and_bloom(
                 foldable[c] = s
             else:
                 unfoldable[c] = s
+    # carry from the predecessor version when it exists: hardlinked
+    # files reuse its stats rows AND bloom bytes by relpath, so a
+    # backfill after an incremental commit pays only the new files
+    base_dir = None
+    try:
+        info = latest_commit_info(root) if version is None else None
+        v = info["version"] if info is not None else version
+        if v is not None and v > 1:
+            base_dir = _version_data_dir(root, v - 1)
+    except (FileNotFoundError, KeyError, TypeError):
+        base_dir = None
     n, _counts = filestats.write_stats_and_bloom_parquet(
-        data_dir, stats_cols, foldable)
+        data_dir, stats_cols, foldable, base_dir=base_dir)
     if unfoldable:
-        _write_bloom_cols(spark, data_dir, unfoldable)
+        _write_bloom_cols(spark, data_dir, unfoldable,
+                          base_dir=base_dir)
     return n
 
 

@@ -2083,3 +2083,75 @@ def test_upgrade_table_stats_migrates_legacy_sidecars(spark, tmp_path):
     pruned = read_table(spark, out, where=[("k", "=", 777)])
     assert sorted(map(tuple, pruned.collect())) == want
     assert len(pruned.inputFiles()) == 1
+
+
+def test_combined_build_carries_from_predecessor_version(spark, tmp_path):
+    """write_table_stats_and_bloom on version N carries hardlinked
+    files' stats rows AND bloom bytes from version N-1's sidecars by
+    relpath — a backfill after an incremental commit pays only the new
+    files — and the carried output is BYTE-IDENTICAL to a from-scratch
+    build of the same version.  Carry is then PROVEN (equality alone
+    can't distinguish it from a silent rebuild): a tampered byte in
+    v1's bloom must propagate through the v2 backfill."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from steel_datafusion_spark.sources import filestats
+    from steel_datafusion_spark.sources.manifest import (
+        latest_commit, manifest_upsert, read_table,
+        write_table_stats_and_bloom,
+    )
+
+    out = str(tmp_path / "carry")
+    # partitioned table: the v2 upsert touches only partition p=1, so
+    # p=0's files HARDLINK into v2 with the same relpaths — the shape
+    # whose sidecar rows the carry reuses (an unpartitioned upsert
+    # rewrites every file and carry correctly finds nothing)
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("k"), (F.col("id") / 1000).cast("int").alias("p"),
+        F.md5(F.col("id").cast("string")).alias("uid"))
+    manifest_upsert(spark, out, mk(0, 1000).repartitionByRange(4, "k"),
+                    ["k"], partition_by=["p"], keep_versions=100)
+    write_table_stats_and_bloom(spark, out, ["k"], ["uid"],
+                                bits=1 << 12)
+    _v1, d1 = latest_commit(out)
+    # incremental commit: v2 hardlinks v1's files + adds new ones
+    manifest_upsert(spark, out,
+                    mk(1000, 1500).repartitionByRange(2, "k"), ["k"],
+                    partition_by=["p"], keep_versions=100)
+    write_table_stats_and_bloom(spark, out, ["k"], ["uid"],
+                                bits=1 << 12)
+    _v2, d2 = latest_commit(out)
+    carried_stats = pq.read_table(filestats.stats_parquet_path(d2))
+    carried_bloom = pq.read_table(filestats.bloom_parquet_path(d2, "uid"))
+    # from-scratch rebuild of the same version (no base): identical
+    n, _counts = filestats.write_stats_and_bloom_parquet(
+        d2, ["k"], {"uid": {"bits": 1 << 12, "k": 5}})
+    fresh_stats = pq.read_table(filestats.stats_parquet_path(d2))
+    fresh_bloom = pq.read_table(filestats.bloom_parquet_path(d2, "uid"))
+    assert carried_stats.sort_by("rel").equals(fresh_stats.sort_by("rel"))
+    assert carried_bloom.sort_by("rel").equals(fresh_bloom.sort_by("rel"))
+    assert carried_bloom.num_rows == n  # every file has a filter row
+    # pruning works over the carried sidecars
+    target = read_table(spark, out).filter("k = 1250").head().uid
+    hit = read_table(spark, out, where=[("uid", "=", target)])
+    assert [r.k for r in hit.collect()] == [1250]
+    assert len(hit.inputFiles()) < 6
+    # carry PROOF: tamper one hardlinked file's filter byte in v1, redo
+    # the v2 backfill — the tampered bytes must ride the carry
+    b1 = pq.read_table(filestats.bloom_parquet_path(d1, "uid"))
+    marked_rel = b1.column("rel")[0].as_py()
+    marked = bytearray(b1.column("f")[0].as_py())
+    marked[0] ^= 0xFF
+    tampered = pa.table({
+        "rel": b1.column("rel"),
+        "f": pa.array([bytes(marked)] + [v.as_py()
+                                         for v in b1.column("f")[1:]],
+                      type=b1.column("f").type)})
+    filestats.write_bloom_parquet_table(d1, "uid", tampered, 1 << 12, 5)
+    write_table_stats_and_bloom(spark, out, ["k"], ["uid"],
+                                bits=1 << 12)
+    b2 = pq.read_table(filestats.bloom_parquet_path(d2, "uid"))
+    idx = b2.column("rel").to_pylist().index(marked_rel)
+    assert b2.column("f")[idx].as_py() == bytes(marked)  # carried
