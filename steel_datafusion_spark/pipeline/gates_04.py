@@ -104,7 +104,7 @@ def q_streaming_sessions(spark, sf_dir):
     import uuid
 
     from ..streaming.operators import (
-        read_stream_parquet, run_stream_to_parquet, session_rollup,
+        read_stream_parquet, run_stream_to_parquet, stream_state_partitions, session_rollup,
     )
 
     from ..queries import scratch_dir
@@ -122,7 +122,8 @@ def q_streaming_sessions(spark, sf_dir):
     batch = spark.read.parquet(src)
     stream = read_stream_parquet(spark, src, batch.schema)
     got = run_stream_to_parquet(
-        session_rollup(stream, gap="30 minutes"), out, ckpt)
+        session_rollup(stream, gap="30 minutes"), out, ckpt,
+        state_partitions=stream_state_partitions(spark, src))
     return got.select("user_id", "session_start", "session_end",
                       "n_events", F.round("sum_value", 6).alias("sum_value"))
 
@@ -735,7 +736,7 @@ def q_streaming_join_outer(spark, sf_dir):
     from datetime import timedelta
 
     from ..streaming.operators import (
-        read_stream_parquet, run_stream_to_parquet, stream_stream_join,
+        read_stream_parquet, run_stream_to_parquet, stream_state_partitions, stream_stream_join,
     )
 
     from ..queries import scratch_dir
@@ -766,7 +767,9 @@ def q_streaming_join_outer(spark, sf_dir):
     joined = stream_stream_join(views, buys, key_col="user_id",
                                 ts_col="ts", within="30 minutes",
                                 how="left_outer")
-    got = run_stream_to_parquet(joined, out, ckpt)
+    got = run_stream_to_parquet(
+        joined, out, ckpt,
+        state_partitions=stream_state_partitions(spark, src))
     return (got.filter(F.col("user_id") >= 0)
             .select("user_id",
                     F.col("event_id").alias("view_id"),
@@ -950,7 +953,7 @@ def q_streaming_join_full_outer(spark, sf_dir):
     import uuid
 
     from ..streaming.operators import (
-        run_stream_to_parquet, stream_stream_join,
+        run_stream_to_parquet, stream_state_partitions, stream_stream_join,
     )
 
     from ..queries import scratch_dir
@@ -981,7 +984,9 @@ def q_streaming_join_full_outer(spark, sf_dir):
     joined = stream_stream_join(views, buys, key_col="user_id",
                                 ts_col="ts", within="30 minutes",
                                 how="full_outer")
-    got = run_stream_to_parquet(joined, out, ckpt)
+    got = run_stream_to_parquet(
+        joined, out, ckpt,
+        state_partitions=stream_state_partitions(spark, src))
     uid = F.coalesce(F.col("user_id"), F.col("r_user_id"))
     return (got.filter(uid >= 0)
             .select(uid.alias("user_id"),
@@ -1078,7 +1083,7 @@ def q_streaming_stateful_stats(spark, sf_dir):
     from pyspark.sql.window import Window as _W
 
     from ..streaming.operators import (
-        read_stream_parquet, run_stream_to_parquet,
+        read_stream_parquet, run_stream_to_parquet, stream_state_partitions,
     )
     from ..streaming.stateful import running_user_stats
 
@@ -1100,8 +1105,12 @@ def q_streaming_stateful_stats(spark, sf_dir):
              * F.lit(1000000000).cast("decimal(10,0)")).cast("long")
     st = stream.select("user_id", "ts",
                        nanos.cast("double").alias("value"))
-    emitted = run_stream_to_parquet(running_user_stats(st), out, ckpt,
-                                    output_mode="update")
+    # state_partitions deliberately NOT pinned: applyInPandasWithState is
+    # Python-CPU-bound per partition, so fewer state partitions serialize
+    # the compute (measured 5.5 s at 1 vs 3.0 s at the session default;
+    # 16 measured 2.1 s — a compute-vs-commit tradeoff left for later).
+    emitted = run_stream_to_parquet(
+        running_user_stats(st), out, ckpt, output_mode="update")
     w = _W.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (emitted.withColumn("_r", F.row_number().over(w))
             .filter(F.col("_r") == 1)
@@ -1131,7 +1140,7 @@ def q_streaming_windowed(spark, sf_dir):
     import uuid
 
     from ..streaming.operators import (
-        read_stream_parquet, run_stream_to_parquet, windowed_rollup,
+        read_stream_parquet, run_stream_to_parquet, stream_state_partitions, windowed_rollup,
     )
 
     from ..queries import scratch_dir
@@ -1149,7 +1158,8 @@ def q_streaming_windowed(spark, sf_dir):
     batch = spark.read.parquet(src)
     stream = read_stream_parquet(spark, src, batch.schema)
     got = run_stream_to_parquet(
-        windowed_rollup(stream, window="1 hour"), out, ckpt)
+        windowed_rollup(stream, window="1 hour"), out, ckpt,
+        state_partitions=stream_state_partitions(spark, src))
     return got.select(
         "window_start", "event_type", "n",
         F.round("sum_value", 6).alias("sum_value"),
@@ -1190,7 +1200,7 @@ def q_streaming_dedup(spark, sf_dir):
     import uuid
 
     from ..streaming.operators import (
-        read_stream_parquet, run_stream_to_parquet, streaming_dedup,
+        read_stream_parquet, run_stream_to_parquet, stream_state_partitions, streaming_dedup,
         windowed_rollup,
     )
 
@@ -1213,7 +1223,7 @@ def q_streaming_dedup(spark, sf_dir):
     deduped = streaming_dedup(stream, ["event_id"])
     got = run_stream_to_parquet(
         windowed_rollup(deduped, window="1 hour", watermark=None), out,
-        ckpt)
+        ckpt, state_partitions=stream_state_partitions(spark, src))
     return got.select(
         "window_start", "event_type", "n",
         F.round("sum_value", 6).alias("sum_value"),
@@ -1249,7 +1259,7 @@ def q_streaming_hopping(spark, sf_dir):
 
     from ..queries import scratch_dir
     from ..streaming.operators import (
-        read_stream_parquet, run_stream_to_parquet, windowed_rollup,
+        read_stream_parquet, run_stream_to_parquet, stream_state_partitions, windowed_rollup,
     )
 
     base = scratch_dir(spark, sf_dir, "stream_gate")
@@ -1267,7 +1277,8 @@ def q_streaming_hopping(spark, sf_dir):
     stream = read_stream_parquet(spark, src, batch.schema)
     got = run_stream_to_parquet(
         windowed_rollup(stream, window="1 hour", slide="30 minutes"),
-        out, ckpt)
+        out, ckpt,
+        state_partitions=stream_state_partitions(spark, src))
     return got.select(
         "window_start", "event_type", "n",
         F.round("sum_value", 6).alias("sum_value"),

@@ -24,7 +24,7 @@ def q_streaming_enrich(spark, sf_dir):
 
     from ..queries import scratch_dir
     from ..streaming.operators import (
-        read_stream_parquet, run_stream_to_parquet,
+        read_stream_parquet, run_stream_to_parquet, stream_state_partitions,
     )
 
     base = scratch_dir(spark, sf_dir, "stream_gate")
@@ -54,7 +54,9 @@ def q_streaming_enrich(spark, sf_dir):
                 .alias("sum_value"))
            .select(F.col("w.start").alias("window_start"), "segment",
                    "n", "sum_value"))
-    got = run_stream_to_parquet(agg, out, ckpt)
+    got = run_stream_to_parquet(
+        agg, out, ckpt,
+        state_partitions=stream_state_partitions(spark, src))
     return got.select("window_start", "segment", "n",
                       F.round("sum_value", 6).alias("sum_value"))
 
@@ -93,7 +95,7 @@ def q_streaming_join(spark, sf_dir):
     import uuid
 
     from ..streaming.operators import (
-        read_stream_parquet, run_stream_to_parquet, stream_stream_join,
+        read_stream_parquet, run_stream_to_parquet, stream_state_partitions, stream_stream_join,
     )
 
     from ..queries import scratch_dir
@@ -116,7 +118,9 @@ def q_streaming_join(spark, sf_dir):
         .select("user_id", "ts", "event_id", "value")
     joined = stream_stream_join(views, buys, key_col="user_id",
                                 ts_col="ts", within="30 minutes")
-    got = run_stream_to_parquet(joined, out, ckpt)
+    got = run_stream_to_parquet(
+        joined, out, ckpt,
+        state_partitions=stream_state_partitions(spark, src))
     return got.select(
         "user_id",
         F.col("event_id").alias("view_id"),

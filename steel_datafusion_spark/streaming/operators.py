@@ -22,6 +22,9 @@ batch rollup).
 
 from __future__ import annotations
 
+import os as _os
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -29,7 +32,68 @@ __all__ = ["read_stream_parquet", "windowed_rollup", "session_rollup",
            "streaming_dedup", "stream_stream_join", "run_stream_to_memory",
            "run_stream_to_parquet", "streaming_view_maintenance",
            "streaming_append_table", "streaming_table_changes",
-           "streaming_ann_index_maintenance", "streaming_dedup_ingest"]
+           "streaming_ann_index_maintenance", "streaming_dedup_ingest",
+           "stream_state_partitions"]
+
+# Sizing target for streaming state partitions: one partition per this many
+# bytes of source backlog.  Stateful streaming has NO AQE — the shuffle
+# partition count captured at query start becomes the state-store partition
+# count for the checkpoint's lifetime, and every micro-batch commits every
+# state store (a stream-stream join keeps FOUR stores per partition).  A
+# count tuned to cluster cores therefore multiplies per-trigger fixed cost
+# by partitions x stores x batches even when a trigger carries a few KB.
+_STATE_PARTITION_BYTES = 32 * 1024 * 1024
+
+
+def stream_state_partitions(spark: SparkSession, src_path: str | None = None,
+                            *, src_bytes: int | None = None) -> int:
+    """Scale-adaptive shuffle/state partition count for a streaming drive.
+
+    Policy: ceil(source bytes / 32 MB), clamped to [1, session
+    ``spark.sql.shuffle.partitions``] — a 1 TB backlog on a cluster
+    configured with 2000 shuffle partitions uses all 2000; a 2 MB local
+    fixture uses 1 instead of paying 32 state-store commits per trigger.
+    The cap keeps the cluster setting authoritative; the floor keeps tiny
+    drives off the pathological partitions >> rows regime.  For long-running
+    production streams whose steady-state per-trigger volume differs from
+    the initial backlog, override with ``SPARK_GRAFT_STREAM_PARTITIONS``
+    (state partitioning is pinned per checkpoint, so pick for steady state).
+
+    Correctness is partition-count independent by construction: every gate
+    output is an aggregate/join whose sums are exact decimals (the repo-wide
+    rounded-before-aggregate convention)."""
+    override = _os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    if override:
+        return max(1, int(override))
+    if src_bytes is None:
+        src_bytes = 0
+        if src_path is not None and _os.path.isdir(src_path):
+            for root, _dirs, files in _os.walk(src_path):
+                for f in files:
+                    try:
+                        src_bytes += _os.path.getsize(_os.path.join(root, f))
+                    except OSError:
+                        pass  # file vacuumed mid-walk: size it as absent
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    want = -(-int(src_bytes) // _STATE_PARTITION_BYTES)  # ceil div
+    return max(1, min(cap, want))
+
+
+@contextmanager
+def _pinned_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Pin ``spark.sql.shuffle.partitions`` for the duration of a streaming
+    drive (the value is captured into the query's state metadata at start),
+    restoring the session value after.  ``n=None`` is a no-op."""
+    if n is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(int(n)))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def read_stream_parquet(spark: SparkSession, path: str, schema) -> DataFrame:
@@ -187,26 +251,32 @@ def stream_stream_join(
 
 
 def run_stream_to_memory(stream_df: DataFrame, query_name: str,
-                         output_mode: str = "append", timeout_s: int = 120):
+                         output_mode: str = "append", timeout_s: int = 120,
+                         state_partitions: int | None = None):
     """Drive a finite file-source stream to completion into an in-memory
-    sink; returns the result DataFrame (test/verification harness)."""
-    q = (stream_df.writeStream.format("memory")
-         .queryName(query_name)
-         .outputMode(output_mode)
-         .trigger(availableNow=True)
-         .start())
-    if not q.awaitTermination(timeout_s):
-        q.stop()  # a partial sink must never masquerade as final
-        raise TimeoutError(
-            f"streaming drive still running after {timeout_s}s — "
-            f"stopped; raise timeout_s or shrink the input")
+    sink; returns the result DataFrame (test/verification harness).
+    ``state_partitions`` (from :func:`stream_state_partitions`) pins the
+    stateful operators' partition count for this drive."""
+    spark = stream_df.sparkSession
+    with _pinned_shuffle_partitions(spark, state_partitions):
+        q = (stream_df.writeStream.format("memory")
+             .queryName(query_name)
+             .outputMode(output_mode)
+             .trigger(availableNow=True)
+             .start())
+        if not q.awaitTermination(timeout_s):
+            q.stop()  # a partial sink must never masquerade as final
+            raise TimeoutError(
+                f"streaming drive still running after {timeout_s}s — "
+                f"stopped; raise timeout_s or shrink the input")
     return stream_df.sparkSession.table(query_name)
 
 
 def run_stream_to_parquet(stream_df: DataFrame, out_dir: str,
                           checkpoint_dir: str,
                           output_mode: str = "append",
-                          timeout_s: int = 120) -> DataFrame:
+                          timeout_s: int = 120,
+                          state_partitions: int | None = None) -> DataFrame:
     """Materialize a stream to a parquet directory via ``foreachBatch`` and
     return the written result read back — the durable-sink path (vs the
     in-memory test sink): finalized windows land in the same parquet layout
@@ -233,17 +303,18 @@ def run_stream_to_parquet(stream_df: DataFrame, out_dir: str,
         batch_df.write.mode("overwrite").parquet(
             _os2.path.join(out_dir, f"batch-{batch_id}"))
 
-    q = (stream_df.writeStream.foreachBatch(_write)
-         .outputMode(output_mode)
-         .option("checkpointLocation", checkpoint_dir)
-         .trigger(availableNow=True)
-         .start())
-    if not q.awaitTermination(timeout_s):
-        q.stop()  # a partial sink must never masquerade as final
-        raise TimeoutError(
-            f"streaming drive still running after {timeout_s}s — "
-            f"stopped; raise timeout_s or shrink the input")
     spark = stream_df.sparkSession
+    with _pinned_shuffle_partitions(spark, state_partitions):
+        q = (stream_df.writeStream.foreachBatch(_write)
+             .outputMode(output_mode)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+        if not q.awaitTermination(timeout_s):
+            q.stop()  # a partial sink must never masquerade as final
+            raise TimeoutError(
+                f"streaming drive still running after {timeout_s}s — "
+                f"stopped; raise timeout_s or shrink the input")
     if not _glob2.glob(_os2.path.join(out_dir, "batch-*")):
         return spark.createDataFrame([], stream_df.schema)
     return spark.read.parquet(_os2.path.join(out_dir, "batch-*"))
