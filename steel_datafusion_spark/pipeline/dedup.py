@@ -972,10 +972,16 @@ def _small_star(cedges: DataFrame) -> DataFrame:
     """Small-star round: every node connects its smaller-or-equal neighbors
     (and itself) to the minimum of those.  Canonical edges in/out."""
     m = cedges.groupBy("hi").agg(F.min("lo").alias("mn"))
-    out1 = (cedges.join(m, "hi")
-            .select(F.col("lo").alias("x"), F.col("mn").alias("y")))
-    out2 = m.select(F.col("hi").alias("x"), F.col("mn").alias("y"))
-    return (out1.union(out2)
+    # (lo, mn) per edge plus (hi, mn) per center, expanded map-side from
+    # the single join — a union of two branches would run the min-aggregate
+    # twice (once per branch); the (hi, mn) duplicates this emits per edge
+    # collapse in the distinct that canonicalization needs anyway
+    return (cedges.join(m, "hi")
+            .select(F.explode(F.array(
+                F.struct(F.col("lo").alias("x"), F.col("mn").alias("y")),
+                F.struct(F.col("hi").alias("x"), F.col("mn").alias("y"))))
+                .alias("p"))
+            .select("p.x", "p.y")
             .where(F.col("x") != F.col("y"))
             .select(F.greatest("x", "y").alias("hi"),
                     F.least("x", "y").alias("lo"))

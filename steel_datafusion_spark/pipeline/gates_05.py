@@ -341,9 +341,10 @@ def q_triangle_count(spark, sf_dir):
     """Per-node triangle counts (pipeline/graph.py triangle_count) on the
     part co-purchase graph: parts are adjacent iff some order contains both.
 
-    Scale: the co-purchase edge build self-joins lineitem on l_orderkey —
-    per-order fan-out is C(lines_per_order, 2), a small constant in any
-    order-lines schema, so edge count is linear in the fact table.  The
+    Scale: the co-purchase edge build groups lineitem by l_orderkey (one
+    partially-aggregated shuffle) and expands pairs map-side — per-order
+    fan-out is C(lines_per_order, 2), a small constant in any order-lines
+    schema, so edge count is linear in the fact table.  The
     2-year shipdate window is pushed to both parquet scans (the gate's cost
     knob — the operator itself has no input cap).  The
     triangle operator then bounds wedge generation by degree-ordered
@@ -356,12 +357,21 @@ def q_triangle_count(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     ).select("l_orderkey", "l_partkey")
-    b = li.select(F.col("l_orderkey").alias("o2"),
-                  F.col("l_partkey").alias("p2"))
-    edges = (li.join(b, (F.col("l_orderkey") == F.col("o2"))
-                     & (F.col("l_partkey") < F.col("p2")))
-             .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
-             .distinct())
+    # per-order sorted part set → all (src < dst) pairs expanded map-side:
+    # one partially-aggregated shuffle of the fact rows instead of the
+    # self-join's two exchanges + sort; per-order fan-out is the same
+    # C(lines_per_order, 2).  The operator's own canonical-edge distinct
+    # dedups across orders, so no distinct is needed here.
+    ps = F.sort_array(F.collect_set("l_partkey"))
+    grouped = li.groupBy("l_orderkey").agg(ps.alias("ps"))
+    arr = F.col("ps")
+    pair_arr = F.flatten(F.transform(
+        arr,
+        lambda x, i: F.transform(
+            F.slice(arr, i + F.lit(2), F.size(arr)),
+            lambda y: F.struct(x.alias("src"), y.alias("dst")))))
+    edges = (grouped.select(F.explode(pair_arr).alias("p"))
+             .select("p.src", "p.dst"))
     out = triangle_count(edges).withColumnRenamed("node", "part")
     return out.orderBy(F.col("triangles").desc(), F.col("part").asc()) \
         .limit(100)

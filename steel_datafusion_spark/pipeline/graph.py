@@ -43,21 +43,24 @@ __all__ = ["pagerank", "pagerank_bucketed", "sql_pagerank",
 
 
 def _pr_iteration(ranks: DataFrame, trans: DataFrame, nodes: DataFrame,
-                  has_out: DataFrame, teleport: float, damping: float,
+                  teleport: float, damping: float,
                   n: int) -> DataFrame:
     """One power step — shared by ``pagerank`` (cached frames) and
     ``pagerank_bucketed`` (bucketed tables): join ranks onto transitions by
     source, aggregate contributions by destination, add teleport + dangling
-    mass (1-row broadcast).  Arithmetic is the rounded-before-aggregate
-    convention, identical in both callers and the SQL oracle."""
+    mass (1-row broadcast).  ``ranks`` and ``nodes`` both carry a static
+    ``_has_out`` flag column (null = dangling), so the dangling mass is a
+    filter + 1-row aggregate over the checkpointed ranks — the per-iteration
+    ranks⋈has_out join the previous shape paid is gone.  Arithmetic is the
+    rounded-before-aggregate convention, identical in both callers and the
+    SQL oracle."""
     contrib = (ranks.join(trans, ranks["node"] == trans["src"])
                .select("dst",
                        F.round(F.col("rank") * F.col("p"), 14)
                        .cast("decimal(32,14)").alias("c"))
                .groupBy("dst")
                .agg(F.sum("c").alias("c_sum")))
-    dangling = (ranks.join(has_out, "node", "left")
-                .filter(F.col("_has_out").isNull())
+    dangling = (ranks.filter(F.col("_has_out").isNull())
                 .agg(F.coalesce(
                     F.sum(F.round(F.col("rank"), 14)
                           .cast("decimal(32,14)")),
@@ -73,7 +76,8 @@ def _pr_iteration(ranks: DataFrame, trans: DataFrame, nodes: DataFrame,
                                   F.lit(0).cast("decimal(32,14)"))
                        .cast("double")
                        + F.col("d_mass").cast("double") / F.lit(n)),
-                    12).alias("rank")))
+                    12).alias("rank"),
+                "_has_out"))
 
 
 def pagerank(
@@ -100,25 +104,29 @@ def pagerank(
         .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
         .persist())
 
+    # node set with the static has-out-edges flag attached ONCE (null =
+    # dangling): every iteration's dangling mass is then a filter over the
+    # checkpointed ranks instead of a ranks⋈has_out join per power step
+    has_out = out_w.select(F.col("src").alias("node"),
+                           F.lit(True).alias("_has_out"))
     nodes = track(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct().persist())
+        .distinct()
+        .join(has_out, "node", "left")
+        .persist())
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
     teleport = (1.0 - damping) / n
 
-    ranks = nodes.select("node", F.round(F.lit(1.0 / n), 12).alias("rank"))
-    # persisted: without the barrier the dangling-mass join re-aggregates
-    # the raw edges every iteration (trans and nodes already cache)
-    has_out = track(out_w.select(F.col("src").alias("node"),
-                                 F.lit(True).alias("_has_out")).persist())
+    ranks = nodes.select("node", F.round(F.lit(1.0 / n), 12).alias("rank"),
+                         "_has_out")
     for _ in range(iterations):
         ranks = iteration_barrier(
-            _pr_iteration(ranks, trans, nodes, has_out, teleport, damping, n),
+            _pr_iteration(ranks, trans, nodes, teleport, damping, n),
             reliable=reliable)
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def pagerank_bucketed(
@@ -126,10 +134,10 @@ def pagerank_bucketed(
     weight: str | None = None, damping: float = 0.85,
     iterations: int = 10, reliable: bool = False, n_buckets: int = 8,
 ) -> DataFrame:
-    """PageRank over PRE-BUCKETED tables: transitions, nodes, and the
-    has-out-edges set are written ONCE as managed tables bucketed (and
-    sorted) on their join keys (``{name}_trans`` by src, ``{name}_nodes``
-    and ``{name}_hasout`` by node — sources/bucketing.py layout), and
+    """PageRank over PRE-BUCKETED tables: transitions and nodes (carrying
+    the has-out-edges flag) are written ONCE as managed tables bucketed
+    (and sorted) on their join keys (``{name}_trans`` by src,
+    ``{name}_nodes`` by node — sources/bucketing.py layout), and
     every iteration joins against the bucketed scans.
 
     Why: in plain ``pagerank`` each iteration exchanges BOTH the rank
@@ -157,33 +165,35 @@ def pagerank_bucketed(
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     trans = (e.join(out_w, "src")
              .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p")))
-    nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select(F.col("dst").alias("node"))).distinct())
+    # the static has-out-edges flag rides the bucketed nodes table (null =
+    # dangling) — one bucketed write fewer, and no per-iteration
+    # ranks⋈has_out join (the dangling mass is a filter over ranks)
     has_out = out_w.select(F.col("src").alias("node"),
                            F.lit(True).alias("_has_out"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct()
+             .join(has_out, "node", "left"))
     for t in (f"{name}_trans", f"{name}_nodes", f"{name}_hasout"):
-        drop_managed_table(spark, t)
+        drop_managed_table(spark, t)  # _hasout: legacy layout cleanup
     write_bucketed(trans, f"{name}_trans", ["src"], n_buckets,
                    sort_cols=["src"])
     write_bucketed(nodes, f"{name}_nodes", ["node"], n_buckets,
                    sort_cols=["node"])
-    write_bucketed(has_out, f"{name}_hasout", ["node"], n_buckets,
-                   sort_cols=["node"])
     trans_t = spark.table(f"{name}_trans")
     nodes_t = spark.table(f"{name}_nodes")
-    has_out_t = spark.table(f"{name}_hasout")
 
     n = nodes_t.count()
     if n == 0:
         return nodes_t.select("node", F.lit(0.0).alias("rank"))
     teleport = (1.0 - damping) / n
-    ranks = nodes_t.select("node", F.round(F.lit(1.0 / n), 12).alias("rank"))
+    ranks = nodes_t.select("node", F.round(F.lit(1.0 / n), 12).alias("rank"),
+                           "_has_out")
     for _ in range(iterations):
         ranks = iteration_barrier(
-            _pr_iteration(ranks, trans_t, nodes_t, has_out_t,
+            _pr_iteration(ranks, trans_t, nodes_t,
                           teleport, damping, n),
             reliable=reliable)
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def sql_pagerank(edges_rel: str, src: str = "src", dst: str = "dst",
@@ -267,9 +277,9 @@ def triangle_count(edges: DataFrame, src: str = "src",
     produces at most sum(outdeg²) = O(|E|^1.5) candidate wedges — a hub
     with 10⁷ neighbors contributes zero wedges from its own key because
     almost all of its edges point INTO it.  The closing join probes wedges
-    against the oriented edge set (shuffle on the (lo, hi) pair key).
-    Total: three shuffles (degree agg, wedge join, closing join), no
-    driver-side state.
+    against the canonical undirected edge set (shuffle on the (lo, hi)
+    pair key).  Total: four |E|-scale shuffles (edge distinct, degree agg,
+    wedge join, closing join), no driver-side state.
 
     Each triangle {a, b, c} is found exactly once (at its smallest-ordered
     apex); the per-node counts re-explode the found triangles to their
@@ -278,41 +288,44 @@ def triangle_count(edges: DataFrame, src: str = "src",
     """
     e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
          .filter(F.col("a") != F.col("b")))
-    # und feeds both the degree agg and the orientation join, and oriented
-    # feeds three joins (two wedge legs + the closing probe) — persist both
-    # or Spark re-derives the whole upstream edge build once per reference
-    # (measured: 241 plan exchanges unpersisted vs 3 logical shuffles).
+    # One canonical row per undirected edge (lo < hi): this set feeds the
+    # degree aggregate, the orientation join, AND the closing probe (the
+    # original derived a doubled `und` frame plus a separate union+distinct
+    # `closing` frame from it — two extra |E|-scale exchanges that carry no
+    # information the canonical set lacks).  Persisted: three consumers.
     und = track(
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        e.select(F.least("a", "b").alias("lo"),
+                 F.greatest("a", "b").alias("hi"))
         .distinct().persist())
-    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg")) \
-        .withColumnRenamed("a", "n_")
-    # orient: keep (u, v) iff (deg_u, u) < (deg_v, v)
-    du = deg.select(F.col("n_").alias("a"), F.col("deg").alias("da"))
-    dv = deg.select(F.col("n_").alias("b"), F.col("deg").alias("db"))
+    # degree from the canonical set: explode both endpoints map-side (narrow
+    # long rows) into one partially-aggregated groupBy — no doubled frame.
+    deg = (und.select(F.explode(F.array("lo", "hi")).alias("n_"))
+           .groupBy("n_").agg(F.count(F.lit(1)).alias("deg")))
+    # orient: keep (u, v) iff (deg_u, u) < (deg_v, v).  lo < hi always, so
+    # on a degree tie the edge keeps its (lo, hi) direction.
+    dlo = deg.select(F.col("n_").alias("lo"), F.col("deg").alias("dlo"))
+    dhi = deg.select(F.col("n_").alias("hi"), F.col("deg").alias("dhi"))
     oriented = track(
-        (und.join(du, "a").join(dv, "b")
-         .filter((F.col("da") < F.col("db"))
-                 | ((F.col("da") == F.col("db"))
-                    & (F.col("a") < F.col("b"))))
-         .select("a", "b")).persist())
+        (und.join(dlo, "lo").join(dhi, "hi")
+         .select(F.when(F.col("dlo") > F.col("dhi"), F.col("hi"))
+                 .otherwise(F.col("lo")).alias("a"),
+                 F.when(F.col("dlo") > F.col("dhi"), F.col("lo"))
+                 .otherwise(F.col("hi")).alias("b"))).persist())
     # wedges: two oriented edges out of the same apex; order the far ends
-    # so the wedge key matches the oriented closing edge exactly once
+    # so the wedge key matches the canonical closing edge exactly once
     e1 = oriented.select(F.col("a").alias("apex"), F.col("b").alias("u"))
     e2 = oriented.select(F.col("a").alias("apex"), F.col("b").alias("v"))
     wedges = e1.join(e2, "apex").filter(F.col("u") < F.col("v"))
-    closing = oriented.select(F.col("a").alias("cu"), F.col("b").alias("cv"))
-    closing = closing.union(
-        closing.select(F.col("cv").alias("cu"), F.col("cu").alias("cv"))
-    ).filter(F.col("cu") < F.col("cv")).distinct()
+    # closing probe: wedge far ends (u < v) form a triangle iff {u, v} is an
+    # edge — membership in the canonical (lo, hi) set directly.
     tris = wedges.join(
-        closing,
-        (F.col("u") == F.col("cu")) & (F.col("v") == F.col("cv")))
-    corners = (tris.select(F.col("apex").alias("node"))
-               .union(tris.select(F.col("u").alias("node")))
-               .union(tris.select(F.col("v").alias("node"))))
-    return corners.groupBy("node").agg(
-        F.count(F.lit(1)).alias("triangles"))
+        und, (F.col("u") == F.col("lo")) & (F.col("v") == F.col("hi")))
+    # each triangle contributes one count to each of its three corners;
+    # explode keeps it a single pass over tris (a 3-way union of projections
+    # would re-run the closing join once per branch — the joins above an
+    # exchange are not deduplicated by reuse, only the exchanges are).
+    return (tris.select(F.explode(F.array("apex", "u", "v")).alias("node"))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("triangles")))
 
 
 def sql_triangle_count(edges_rel: str, src: str = "src",

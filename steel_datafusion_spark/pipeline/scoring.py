@@ -58,8 +58,18 @@ def _spread(df: DataFrame) -> DataFrame:
     """Repartition before a CPU-heavy tokenize/hash explode: a small
     parquet source arrives as ONE input split, which would serialize the
     per-row stage onto a single core (measured 3-4x gate slowdowns at
-    sf0.1 — same rationale as dedup._hashed_shingles)."""
+    sf0.1 — same rationale as dedup._hashed_shingles).
+
+    No-op when the frame already has at least that many partitions (a
+    multi-split scan at cluster scale) — the round-robin exchange exists
+    to fix under-parallelism, not to re-shuffle data that is already
+    spread."""
     parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    try:
+        if df.rdd.getNumPartitions() >= parts:
+            return df
+    except Exception:
+        pass  # un-plannable edge (e.g. no active context) — just spread
     return df.repartition(parts)
 
 

@@ -217,10 +217,17 @@ def tfidf_doc_topk(
             .groupBy("a", "b")
             .agg(F.sum(F.round(F.col("wa") * F.col("wb"), 9)
                        .cast("decimal(30,9)")).alias("d")))
-    both = (dots.select(F.col("a").alias(id_col),
-                        F.col("b").alias("neighbor_id"), "d")
-            .union(dots.select(F.col("b").alias(id_col),
-                               F.col("a").alias("neighbor_id"), "d")))
+    # both orientations of each pair, expanded map-side in ONE pass over
+    # the aggregated pair table — a union of two projections would re-run
+    # the postings join + pair aggregation once per branch (only exchanges
+    # are reused across union arms, not the joins/aggregates above them)
+    both = (dots.select(F.explode(F.array(
+        F.struct(F.col("a").alias("i"), F.col("b").alias("nb"),
+                 F.col("d").alias("d")),
+        F.struct(F.col("b").alias("i"), F.col("a").alias("nb"),
+                 F.col("d").alias("d")))).alias("p"))
+        .select(F.col("p.i").alias(id_col),
+                F.col("p.nb").alias("neighbor_id"), F.col("p.d").alias("d")))
     win = Window.partitionBy(id_col).orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc())
     return (both.select(id_col, "neighbor_id",

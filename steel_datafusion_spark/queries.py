@@ -685,6 +685,13 @@ def q_describe_stats(spark, sf_dir):
     column set (main.rs:533-541), oracle-checkable without string formatting."""
     li = _t(spark, sf_dir)["lineitem"]
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    # project to the described columns, then spread across cores: the exact
+    # median buffers every value in the partial aggregate, and a small
+    # parquet source is ONE input split, so without the narrow (3-column)
+    # round-robin exchange the whole percentile build runs on one core
+    # (exact percentile/decimal-sum merges are order-independent)
+    parallelism = spark.sparkContext.defaultParallelism
+    li = li.select(*cols).repartition(parallelism)
     # single aggregation pass over all columns (one scan, one partial->final
     # agg), then an explode-unpivot -- not one job per column
     aggs = []
