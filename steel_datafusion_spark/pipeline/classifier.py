@@ -81,15 +81,20 @@ def _sigmoid(z: Column) -> Column:
 
 def logreg_train(
     df: DataFrame, feature_cols: list[str], label_col: str,
-    iterations: int = 8, lr: float = 2.0,
-) -> tuple[list[float], float]:
+    iterations: int = 8, lr: float = 2.0, *, return_features: bool = False,
+) -> tuple[list[float], float] | tuple[list[float], float, DataFrame]:
     """Fit logistic regression by full-batch gradient descent; returns
     (weights, bias) with weights aligned to ``feature_cols``.
 
     Each iteration: z = w·x + b with the current weights as literals,
     per-row gradient contributions rounded to 9 dp, decimal-exact sums,
     w_j ← w_j − lr · g_j / n.  The relation persists once; iteration i+1
-    re-reads the cache."""
+    re-reads the cache.
+
+    ``return_features=True`` additionally returns the persisted
+    featurized frame (feature columns as doubles plus ``_y``) so a
+    post-training accuracy/scoring pass can reuse the cache instead of
+    re-running the featurization expressions over the raw corpus."""
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
     feats = track(df.select(
@@ -113,6 +118,8 @@ def logreg_train(
         row = feats.agg(*aggs).collect()[0]
         w = [w[j] - lr * (float(row[f"g{j}"]) / n) for j in range(k)]
         b = b - lr * (float(row["gb"]) / n)
+    if return_features:
+        return w, b, feats
     return w, b
 
 

@@ -199,11 +199,15 @@ def q_logreg_quality(spark, sf_dir):
     d = load_tables(spark, sf_dir)["documents"]
     base = quality_features(d.select("text", "n_chars")).withColumn(
         "y", (F.col("n_chars") >= 300).cast("double"))
-    w, b = logreg_train(base, FEATURE_COLS, "y", iterations=20, lr=8.0)
-    pred = logreg_predict(base, w, b, FEATURE_COLS)
+    # return_features: the accuracy pass scores the persisted featurized
+    # frame (same 6dp-rounded doubles the trainer saw) instead of
+    # re-running the regexp featurization over the raw text.
+    w, b, feats = logreg_train(base, FEATURE_COLS, "y", iterations=20,
+                               lr=8.0, return_features=True)
+    pred = logreg_predict(feats, w, b, FEATURE_COLS)
     return pred.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(F.avg((F.col("pred") == (F.col("y") == 1.0))
+        F.round(F.avg((F.col("pred") == (F.col("_y") == 1.0))
                       .cast("double")), 6).alias("train_accuracy"),
     ).select(
         "n", F.lit(20).cast("long").alias("iterations"),
