@@ -47,6 +47,33 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def _centroid_array(cent: DataFrame) -> DataFrame:
+    """Collapse the nlist-row centroid table into ONE row holding a
+    deterministic (centroid_id-ascending) array of (centroid_id, centv,
+    _n2c) structs.  Broadcast-cross-joining this single row lets per-row
+    centroid argmax / top-nprobe run entirely MAP-SIDE (array_max /
+    array_sort over nlist structs) instead of exploding nlist rows per
+    vector and re-collecting the winner through a partition-by-id window
+    — which cost a full corpus-size Exchange + Sort per call."""
+    return cent.agg(F.array_sort(F.collect_list(F.struct(
+        F.col("centroid_id"), F.col("centv"), F.col("_n2c")))).alias("_cents"))
+
+
+def _centroid_scores(vec: Column, n2: Column) -> Column:
+    """array of (cscore, _nid=-centroid_id) structs for every centroid in
+    the cross-joined ``_cents`` array — the same round(dot/sqrt(n2a*n2b),
+    6) cosine the row-per-centroid join computed.  The negated id makes
+    lexicographic struct order equal to (cscore, centroid_id DESC), so
+    array_max picks (best cscore, tie -> smallest centroid_id) exactly
+    like the old window's ORDER BY cscore DESC, centroid_id ASC."""
+    return F.transform(
+        F.col("_cents"),
+        lambda ct: F.struct(
+            F.round(dot(vec, ct["centv"])
+                    / F.sqrt(n2 * ct["_n2c"]), 6).alias("cscore"),
+            (-ct["centroid_id"]).alias("_nid")))
+
+
 def norm2(a: Column) -> Column:
     return dot(a, a)
 
@@ -258,11 +285,14 @@ def ivf_assign(
     ANN index — skipping selection entirely.
 
     Scale: centroids are nlist rows REGARDLESS of corpus size ⇒ broadcast
-    stays bounded; assignment is one map-side join + window, partitioned
-    by vec_id, N×nlist work.  Norms are precomputed ONCE PER SIDE before
-    the join (``_n2``/``_n2c`` columns) instead of per pair — cosine's
-    dot/sqrt(n2a*n2b) is unchanged bit-for-bit (the same two folds
-    multiply), but the fold work drops from 3x|pairs| to |pairs| + |rows|
+    stays bounded; assignment is fully MAP-SIDE: the nlist centroids ride
+    along as ONE broadcast array row and each vector's best centroid is
+    an array_max over nlist scored structs — no per-vector explode, no
+    partition-by-id Exchange+Sort+window (r15: that exchange was a full
+    corpus shuffle per call).  Norms are precomputed ONCE PER SIDE
+    (``_n2``/``_n2c``) instead of per pair — cosine's dot/sqrt(n2a*n2b)
+    is unchanged bit-for-bit (the same two folds multiply), but the fold
+    work drops from 3x|pairs| to |pairs| + |rows|
     (measured 7.8 s → see hard_negatives_ivf)."""
     if centroids is not None:
         cent = centroids
@@ -276,22 +306,22 @@ def ivf_assign(
                      .select(F.col(id_col).alias("centroid_id"),
                              F.col(vec_col).alias("centv"),
                              norm2(F.col(vec_col)).alias("_n2c"))
-    parts = corpus.sparkSession.sparkContext.defaultParallelism * 2
+    from .scoring import _spread
+
     extra = [F.col(c) for c in carry]
-    c = corpus.repartition(parts, F.col(id_col)).select(
+    c = _spread(corpus).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), *extra,
         norm2(F.col(vec_col)).alias("_n2"))
-    scored = c.join(F.broadcast(cent)).select(
-        "vid", "v", *carry, "_n2", "centroid_id",
-        F.round(dot(F.col("v"), F.col("centv"))
-                / F.sqrt(F.col("_n2") * F.col("_n2c")), 6).alias("cscore"),
-    )
-    w = Window.partitionBy("vid").orderBy(F.col("cscore").desc(),
-                                          F.col("centroid_id").asc())
-    score = ["cscore"] if keep_score else []  # drift/telemetry callers
-    assign = (scored.withColumn("r", F.row_number().over(w))
-              .filter(F.col("r") == 1)
-              .select("vid", "v", *carry, "_n2", "centroid_id", *score))
+    best = F.array_max(_centroid_scores(F.col("v"), F.col("_n2")))
+    assign = (c.join(F.broadcast(_centroid_array(cent)))
+              .select("vid", "v", *carry, "_n2", best.alias("_b"))
+              .select("vid", "v", *carry, "_n2",
+                      (-F.col("_b")["_nid"]).alias("centroid_id"),
+                      *([F.col("_b")["cscore"].alias("cscore")]
+                        if keep_score else []))
+              # empty centroid table => NULL argmax; the old join produced
+              # no rows there, so drop them for identical output
+              .filter(F.col("centroid_id").isNotNull()))
     return cent, assign
 
 
@@ -330,16 +360,19 @@ def _ivf_probe_topk(queries: DataFrame, cent: DataFrame, assign: DataFrame,
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"),
                        norm2(F.col(vec_col)).alias("_n2q"))
-    qs = q.join(F.broadcast(cent)).select(
-        "query_id", "qv", "_n2q", "centroid_id",
-        F.round(dot(F.col("qv"), F.col("centv"))
-                / F.sqrt(F.col("_n2q") * F.col("_n2c")), 6).alias("cscore"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("cscore").desc(),
-                                                F.col("centroid_id").asc())
-    probes = (qs.withColumn("r", F.row_number().over(wq))
-              .filter(F.col("r") <= nprobe)
-              .select("query_id", "qv", "_n2q", "centroid_id"))
+    # top-nprobe centroids per query, MAP-SIDE: reverse(array_sort) orders
+    # the nlist scored structs by (cscore DESC, centroid_id ASC) — the old
+    # window's ORDER BY — and slice takes the first nprobe; no per-query
+    # explode + Exchange + Sort (r15).
+    topn = F.slice(
+        F.reverse(F.array_sort(_centroid_scores(F.col("qv"),
+                                                F.col("_n2q")))),
+        1, nprobe)
+    probes = (q.join(F.broadcast(_centroid_array(cent)))
+              .select("query_id", "qv", "_n2q",
+                      F.explode(topn).alias("_p"))
+              .select("query_id", "qv", "_n2q",
+                      (-F.col("_p")["_nid"]).alias("centroid_id")))
     cand = probes.join(assign, "centroid_id").filter(
         F.col("query_id") != F.col("vid"))
     scored = cand.select(
@@ -1594,15 +1627,16 @@ def hard_negatives_ivf(
                   F.col(vec_col).alias("qv"),
                   F.col(label_col).alias("a_label"),
                   norm2(F.col(vec_col)).alias("_n2q"))
-    qs = q.join(F.broadcast(cent)).select(
-        "anchor_id", "qv", "a_label", "_n2q", "centroid_id",
-        F.round(dot(F.col("qv"), F.col("centv"))
-                / F.sqrt(F.col("_n2q") * F.col("_n2c")), 6).alias("cscore"))
-    wq = Window.partitionBy("anchor_id").orderBy(F.col("cscore").desc(),
-                                                 F.col("centroid_id").asc())
-    probes = (qs.withColumn("r", F.row_number().over(wq))
-              .filter(F.col("r") <= nprobe)
-              .select("anchor_id", "qv", "a_label", "_n2q", "centroid_id"))
+    # map-side top-nprobe per anchor — same rewrite as _ivf_probe_topk
+    topn = F.slice(
+        F.reverse(F.array_sort(_centroid_scores(F.col("qv"),
+                                                F.col("_n2q")))),
+        1, nprobe)
+    probes = (q.join(F.broadcast(_centroid_array(cent)))
+              .select("anchor_id", "qv", "a_label", "_n2q",
+                      F.explode(topn).alias("_p"))
+              .select("anchor_id", "qv", "a_label", "_n2q",
+                      (-F.col("_p")["_nid"]).alias("centroid_id")))
     cand = (probes.join(assign, "centroid_id")
             .filter((F.col("anchor_id") != F.col("vid"))
                     & (F.col("a_label") != F.col(label_col))))
