@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ..cache import iteration_barrier
 from .text import tokens
 
-__all__ = ["bpe_learn", "bpe_segment", "sql_bpe_learn",
+__all__ = ["bpe_learn", "bpe_segment", "bpe_token_counts", "sql_bpe_learn",
            "sql_bpe_segment_tokens", "SEP", "EOW"]
 
 SEP = "␟"   # symbol separator inside a word's symbol string
@@ -44,7 +44,13 @@ EOW = "</w>"     # end-of-word symbol (distinguishes "st</w>" from "st")
 
 
 def _word_freq(df: DataFrame, text_col: str) -> DataFrame:
-    return (df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    from .scoring import _spread
+
+    # _spread: a small parquet corpus arrives as ONE split; without it the
+    # tokenize+explode pass — the only corpus-sized work in BPE learning —
+    # runs on a single core (r15: 4.5 s of the gate's 6 s).  No-op when
+    # the scan already has enough splits (cluster scale).
+    return (_spread(df).select(F.explode(tokens(F.col(text_col))).alias("w"))
             .filter(F.length("w") > 0)
             .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
 
@@ -74,9 +80,15 @@ def bpe_learn(
     (rank, left, right, merged, pair_freq) in learned order.
 
     Stops early if no pair remains (every word fully merged).  The corpus
-    is touched exactly once (word-frequency build); the loop runs on the
-    vocab relation with an ``iteration_barrier`` per round so the plan
-    doesn't nest (the k-means/connected-components pattern).
+    is touched exactly once (word-frequency build), then the vocab
+    relation is materialized behind ONE ``iteration_barrier``.  Unlike the
+    k-means/CC loops (whose per-round lineage includes joins and
+    shuffles), a BPE round only APPENDS one string ``replace`` to the
+    symbol column, so lineage stays a linear map-only expression chain
+    over the checkpointed vocab — re-evaluating r replaces in round r is
+    O(n_merges² · |vocab|) string ops with no I/O, cheaper at every scale
+    than a per-round checkpoint write (r15: dropped the in-loop barrier,
+    halving the loop's job count).
 
     ``vocab_partitions`` sizes the loop relation: a web-scale vocabulary
     (~10⁷ words) wants a handful of partitions; a demo-scale vocab wants
@@ -97,14 +109,22 @@ def bpe_learn(
             break
         l, r, freq = top[0]["l"], top[0]["r"], top[0]["pair_freq"]
         merges.append((rank, l, r, l + r, freq))
-        vocab = iteration_barrier(
-            vocab.withColumn(
-                "s", F.replace(F.col("s"), F.lit(l + SEP + r),
-                               F.lit(l + r))),
-            reliable=reliable)
+        vocab = vocab.withColumn(
+            "s", F.replace(F.col("s"), F.lit(l + SEP + r), F.lit(l + r)))
     schema = ("rank int, left string, right string, merged string, "
               "pair_freq bigint")
     return spark.createDataFrame(merges, schema)
+
+
+def _apply_merges(word, merges: list[tuple[str, str]]):
+    """Symbol string for one word after every merge in rank order:
+    characters + ``</w>``, then one literal replace per merge (the
+    standard greedy left-to-right application).  ``word`` may be a
+    Column or an HOF lambda variable."""
+    s = F.concat(F.regexp_replace(word, "(.)", "$1" + SEP), F.lit(EOW))
+    for l, r in merges:
+        s = F.replace(s, F.lit(l + SEP + r), F.lit(l + r))
+    return s
 
 
 def bpe_segment(df: DataFrame, merges: list[tuple[str, str]],
@@ -116,11 +136,32 @@ def bpe_segment(df: DataFrame, merges: list[tuple[str, str]],
     into the plan (broadcast-by-construction), no shuffle at any scale."""
     words = F.explode(tokens(F.col(text_col))).alias("w")
     out = df.select("*", words).filter(F.length("w") > 0)
-    s = F.concat(F.regexp_replace(F.col("w"), "(.)", "$1" + SEP), F.lit(EOW))
-    for l, r in merges:
-        s = F.replace(s, F.lit(l + SEP + r), F.lit(l + r))
+    s = _apply_merges(F.col("w"), merges)
     return (out.withColumn("bpe_tokens", F.split(s, SEP))
             .withColumn("n_bpe_tokens", F.size("bpe_tokens")))
+
+
+def bpe_token_counts(df: DataFrame, merges: list[tuple[str, str]],
+                     text_col: str = "text") -> DataFrame:
+    """Per-ROW token budget under a learned vocabulary: appends
+    ``n_words`` (non-empty words) and ``n_bpe_tokens`` (total BPE symbols
+    across those words), both long, computed ENTIRELY MAP-SIDE with
+    array higher-order functions — no per-word explode, no groupBy
+    shuffle, and no re-join to recover zero-word rows (they never leave
+    the frame; both counts coalesce to 0 on null/empty text).  Same
+    numbers as exploding :func:`bpe_segment` output and re-aggregating
+    per row — the r15 rewrite of the bpe_segment_tokens gate's count
+    path (explode + groupBy + distinct + left join → one projection)."""
+    words = F.filter(tokens(F.col(text_col)), lambda w: F.length(w) > 0)
+    n_bpe = F.aggregate(
+        F.transform(words,
+                    lambda w: F.size(F.split(_apply_merges(w, merges),
+                                             SEP)).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return df.select(
+        "*",
+        F.coalesce(F.size(words), F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce(n_bpe, F.lit(0)).cast("long").alias("n_bpe_tokens"))
 
 
 def _sql_learn_ctes(n_merges: int, corpus_rel: str, text_col: str,

@@ -584,30 +584,25 @@ def q_bpe_segment_tokens(spark, sf_dir):
     under a real learned vocabulary (whitespace counts undercount; see
     text.bpe_ish_token_count for the regex approximation this replaces).
 
-    Scale: learning is vocab-bounded (see bpe_learn); application is
-    MAP-ONLY — the merge list is a constant-size model baked into the
-    plan as literals (broadcast-by-construction), so segmentation costs
-    one pass over the corpus with no shuffle before the per-doc count.
-    The driver holds only the 10-row merge table (model fetch, not data
-    collect).  Oracle: re-learns the same 10 merges as materialized CTEs
-    and applies them as nested replaces — end-to-end hash-checked."""
-    from .bpe import bpe_learn, bpe_segment
+    Scale: learning is vocab-bounded (see bpe_learn); application AND the
+    per-doc counts are MAP-ONLY — the merge list is a constant-size model
+    baked into the plan as literals (broadcast-by-construction), and
+    bpe_token_counts folds the per-word symbol counts inside each row
+    with array HOFs, so the whole apply half is one shuffle-free pass
+    over the corpus (r15: previously explode + groupBy + distinct + left
+    join, three exchanges).  The driver holds only the 10-row merge
+    table (model fetch, not data collect).  Oracle: re-learns the same
+    10 merges as materialized CTEs and applies them as nested replaces —
+    end-to-end hash-checked."""
+    from .bpe import bpe_learn, bpe_token_counts
+    from .scoring import _spread
 
     d = load_tables(spark, sf_dir)["documents"]
     merges_df = bpe_learn(d, n_merges=10, vocab_partitions=1)
     merges = [(r["left"], r["right"])
               for r in merges_df.orderBy("rank").collect()]
-    seg = bpe_segment(d.select("doc_id", "text"), merges)
-    per_doc = seg.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_words"),
-        F.sum("n_bpe_tokens").alias("n_bpe_tokens"))
-    return (d.select("doc_id").distinct()
-            .join(per_doc, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("n_words", F.lit(0)).cast("long")
-                    .alias("n_words"),
-                    F.coalesce("n_bpe_tokens", F.lit(0)).cast("long")
-                    .alias("n_bpe_tokens"))
+    return (bpe_token_counts(_spread(d.select("doc_id", "text")), merges)
+            .select("doc_id", "n_words", "n_bpe_tokens")
             .orderBy("doc_id"))
 
 
