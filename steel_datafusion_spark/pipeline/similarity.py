@@ -943,8 +943,10 @@ def kmeans(
     relative — far below the rounding step) so the whole trajectory is
     reproducible in ANSI SQL.
 
-    Each iteration is two shuffles — assign (broadcast centroids, argmin
-    distance) and update (posexplode → per-(cluster,dim) mean → re-assemble)
+    Each iteration is one shuffle — assign is MAP-SIDE (the k centroids
+    ride along as one broadcast array row; argmin distance via array_min,
+    no per-vid window/sort — r15) and update (posexplode →
+    per-(cluster,dim) mean → re-assemble) is the only exchange
     — the standard scalable shape: no vector ever leaves the executors.
     Each iteration's assignment is an eager checkpoint barrier (flat
     scan; ``localCheckpoint`` by default — executor-local blocks with no
@@ -974,15 +976,23 @@ def kmeans(
 
     assign = prev = None
     for _ in range(iters):
-        d2 = F.aggregate(
-            F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, x: acc + x)
-        w = Window.partitionBy("vid").orderBy(F.round(d2, 9).asc(),
-                                              F.col("cluster").asc())
-        assign = (vecs.join(F.broadcast(cent))
-                  .withColumn("r", F.row_number().over(w))
-                  .filter(F.col("r") == 1)
-                  .select("vid", "v", "cluster"))
+        # argmin over the k broadcast centroids, MAP-SIDE: the k rows ride
+        # along as ONE broadcast array and each vector picks
+        # min(struct(round(d2,9), cluster)) — same (distance, cluster)
+        # ordering as the old per-vid window, with no k-way row explode
+        # and no per-iteration Sort over N×k rows (r15).
+        carr = cent.agg(F.array_sort(
+            F.collect_list(F.struct("cluster", "c"))).alias("_cs"))
+        best = F.array_min(F.transform(
+            F.col("_cs"),
+            lambda ct: F.struct(
+                F.round(F.aggregate(
+                    F.zip_with(F.col("v"), ct["c"],
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, x: acc + x), 9).alias("_d"),
+                ct["cluster"].alias("cluster"))))
+        assign = (vecs.join(F.broadcast(carr))
+                  .select("vid", "v", best["cluster"].alias("cluster")))
         # materialize + truncate lineage; reliable=True -> durable
         # checkpoint that survives executor loss (cache.iteration_barrier)
         assign = iteration_barrier(assign, reliable, checkpoint_dir)
