@@ -1310,13 +1310,16 @@ def source_overlap_matrix(
 
     Plan: distinct (group, shingle-hash) pairs (fine-grained hash
     aggregation) → per-group set sizes (small: |groups| rows, broadcast
-    both ways) → self-join on the 60-bit shingle key with group_a <
-    group_b.  The shuffle key is the shingle hash; per-shingle fan-out is
-    bounded by C(|groups|, 2), so with the tens-of-sources cardinality this
-    targets, the join output is |distinct shingles| · O(|groups|²) worst
-    case but in practice near the input size.  For group counts in the
-    thousands, fall back to per-group MinHash corpus sketches
-    (``corpus_overlap``'s signature side) and compare signatures instead.
+    both ways) → ONE partially-aggregated groupBy on the 60-bit shingle
+    key collecting each shingle's sorted group set, expanded MAP-SIDE
+    into its C(m, 2) ordered pairs (r15: previously an h-keyed self-join
+    — two exchanges of the shingle set + the join; now one exchange).
+    Per-shingle fan-out is bounded by C(|groups|, 2), so with the
+    tens-of-sources cardinality this targets, the pair stream is
+    |distinct shingles| · O(|groups|²) worst case but in practice near
+    the input size.  For group counts in the thousands, fall back to
+    per-group MinHash corpus sketches (``corpus_overlap``'s signature
+    side) and compare signatures instead.
 
     Returns (group_a, group_b, n_a, n_b, n_common, jaccard 6dp),
     group_a < group_b.  SPARSE: pairs sharing zero shingles produce NO row
@@ -1337,11 +1340,21 @@ def source_overlap_matrix(
         .select("g", md5_int60(F.col("s")).alias("h"))
         .distinct().persist())
     sizes = gs.groupBy("g").agg(F.count(F.lit(1)).alias("n_set"))
-    pairs = (gs.alias("a").join(gs.alias("b"),
-                                (F.col("a.h") == F.col("b.h"))
-                                & (F.col("a.g") < F.col("b.g")))
-             .groupBy(F.col("a.g").alias("group_a"),
-                      F.col("b.g").alias("group_b"))
+    # each shingle's sorted group list -> C(m, 2) (a < b) pairs in-row;
+    # sort_array gives ascending group names, so pairing each element
+    # with every later one reproduces the old a.g < b.g join condition
+    combos = F.flatten(F.transform(
+        F.col("gl"),
+        lambda x, i: F.transform(
+            F.slice(F.col("gl"), i + F.lit(2),
+                    F.greatest(F.size(F.col("gl")) - i - F.lit(1),
+                               F.lit(0))),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    pairs = (gs.groupBy("h")
+             .agg(F.array_sort(F.collect_set("g")).alias("gl"))
+             .select(F.explode(combos).alias("p"))
+             .groupBy(F.col("p.a").alias("group_a"),
+                      F.col("p.b").alias("group_b"))
              .agg(F.count(F.lit(1)).alias("n_common")))
     return (pairs
             .join(F.broadcast(sizes.withColumnRenamed("g", "group_a")
@@ -1382,19 +1395,24 @@ def source_overlap_sketch(
             f"k must be in [1, {len(PERM_CONSTS) // 2}] (double mix draws "
             f"constants at slots i and i+k), got k={k}")
     parts = df.sparkSession.sparkContext.defaultParallelism * 2
-    gs = track(
-        df.repartition(parts)
-        .select(F.col(group_col).alias("g"),
-                F.explode(shingles(F.col(text_col), n)).alias("s"))
-        .select("g", md5_int60(F.col("s")).alias("h"))
-        .distinct().persist())
-    sig = (gs.groupBy("g")
-           .agg(F.count(F.lit(1)).alias("n_set"),
-                *[F.min(_mix(_mix(F.col("h"), i), i + k)).alias(f"m{i}")
-                  for i in range(k)])
-           .select("g", "n_set",
-                   F.array(*[F.col(f"m{i}") for i in range(k)])
-                   .alias("sig")))
+    gs = (df.repartition(parts)
+          .select(F.col(group_col).alias("g"),
+                  F.explode(shingles(F.col(text_col), n)).alias("s"))
+          .select("g", md5_int60(F.col("s")).alias("h"))
+          .distinct())
+    # persist the |groups|-row SIGNATURE table, not the corpus-sized
+    # distinct shingle set: the self-join below references sig twice, and
+    # caching upstream of the aggregation made the whole distinct+min
+    # chain run once per side (r15: two full aggregations + a multi-
+    # million-row cache write -> one pass + a |groups|-row cache).
+    sig = track(
+        gs.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_set"),
+             *[F.min(_mix(_mix(F.col("h"), i), i + k)).alias(f"m{i}")
+               for i in range(k)])
+        .select("g", "n_set",
+                F.array(*[F.col(f"m{i}") for i in range(k)])
+                .alias("sig")).persist())
     a = sig.toDF("group_a", "n_a", "sig_a")
     b = sig.toDF("group_b", "n_b", "sig_b")
     matches = F.size(F.filter(
