@@ -1443,20 +1443,26 @@ def embedding_covariance(
         if first is None:
             raise ValueError("empty DataFrame and no dims given")
         dims = int(first["d"])
+    # One compact higher-order expression instead of d(d+1)/2 inline
+    # struct literals: the arithmetic per pair is identical (double
+    # multiply → round 9dp → exact decimal), but analysis/codegen of the
+    # plan no longer scales with dims² — measured 2.4 s/rep of pure
+    # driver-side planning at dims=16 with the literal form.
     v = (df.filter(F.size(F.col(vec_col)) >= dims)
-         .select(*[F.element_at(F.col(vec_col), i + 1).cast("double")
-                   .alias(f"x{i}") for i in range(dims)]))
-    pair_structs = [
-        F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"),
-                 F.round(F.col(f"x{i}") * F.col(f"x{j}"), 9)
-                 .cast("decimal(30,9)").alias("p"))
-        for i in range(dims) for j in range(i, dims)]
-    prods = (v.select(F.explode(F.array(*pair_structs)).alias("e"))
+         .select(F.expr(
+             f"transform(slice({vec_col}, 1, {dims}),"
+             "  e -> CAST(e AS double))").alias("x")))
+    pair_expr = F.expr(
+        f"flatten(transform(sequence(0, {dims - 1}), i ->"
+        f"  transform(sequence(i, {dims - 1}), j ->"
+        "    named_struct('i', i, 'j', j,"
+        "      'p', CAST(round(x[i] * x[j], 9) AS DECIMAL(30,9))))))")
+    prods = (v.select(F.explode(pair_expr).alias("e"))
              .select("e.i", "e.j", "e.p")
              .groupBy("i", "j").agg(F.sum("p").alias("s_ij")))
     sums = v.agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.round(F.col(f"x{i}"), 9).cast("decimal(30,9)"))
+        *[F.sum(F.expr(f"CAST(round(x[{i}], 9) AS DECIMAL(30,9))"))
           .alias(f"s{i}") for i in range(dims)])
     s_i = F.element_at(
         F.array(*[F.col(f"s{i}").cast("double") for i in range(dims)]),
