@@ -8,14 +8,15 @@ recommendation priors over training data.
 
 Plan, end to end:
 
-1. distinct (basket, item) — one fine-grained aggregate (dedups repeat
-   purchases so a pair counts once per basket);
-2. per-item basket counts — second fine-grained aggregate (|items| keys);
-3. pair counts via a self-join ON THE BASKET KEY with ``item_a < item_b``
-   — output per basket is C(k,2) for basket size k, so the quadratic
-   knob is the BASKET size, not the catalog: ``max_basket`` drops
-   pathological baskets (a crawler cart with 10⁴ items) before the join,
-   the same occupancy-cap pattern as the MinHash band guard;
+1. one partially-aggregated groupBy(basket) collects each basket's sorted
+   distinct item set (≡ a (basket, item) distinct, but map-side merged and
+   shared by every downstream consumer);
+2. ``max_basket`` drops pathological baskets (a crawler cart with 10⁴
+   items) by set size — the same occupancy-cap pattern as the MinHash
+   band guard — BEFORE anything quadratic happens;
+3. pair counts expand map-side from the sorted set (all i < j positions →
+   ``item_a < item_b``), C(k,2) per basket, then one pair-keyed count —
+   no basket-keyed self-join;
 4. rules assemble from broadcast item counts + a 1-row total — support,
    confidence (both directions), lift; all ratios from exact counts.
 
@@ -49,26 +50,35 @@ def association_rules(
     ``broadcast_limit`` rows broadcast (map-side join); larger ones fall
     through to plain shuffled hash joins on ``item_a``/``item_b`` (the
     pair table is already item-keyed, so each costs one exchange)."""
-    bi = (df.select(F.col(basket_col).alias("basket"),
-                    F.col(item_col).alias("item"))
-          .distinct())
+    # One partially-aggregated shuffle builds each basket's sorted distinct
+    # item set (collect_set ≡ the old (basket, item) distinct, merged
+    # map-side); the size cap, the basket count, the per-item counts and
+    # the C(k,2) pair expansion are all derived from that single persisted
+    # frame — no basket-keyed self-join (two exchanges saved) and no
+    # separate size-count join for the cap.  The expansion materializes one
+    # basket's pair array per row, so ``max_basket`` (applied BEFORE the
+    # expansion) remains the quadratic knob — set it at corpus scale.
+    baskets = (df.groupBy(F.col(basket_col).alias("basket"))
+               .agg(F.sort_array(F.collect_set(F.col(item_col)))
+                    .alias("items")))
     if max_basket is not None:
-        sizes = bi.groupBy("basket").agg(F.count(F.lit(1)).alias("_bs"))
-        bi = (bi.join(sizes.filter(F.col("_bs") <= max_basket)
-                      .select("basket"), "basket"))
-    bi = bi.persist()
+        baskets = baskets.filter(F.size("items") <= max_basket)
+    baskets = baskets.persist()
     from ..cache import track
-    track(bi)
+    track(baskets)
 
-    n_baskets = bi.select("basket").distinct().agg(
-        F.count(F.lit(1)).cast("double").alias("n"))
-    item_counts = bi.groupBy("item").agg(
-        F.count(F.lit(1)).alias("c_item"))
+    n_baskets = baskets.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    item_counts = (baskets.select(F.explode("items").alias("item"))
+                   .groupBy("item").agg(F.count(F.lit(1)).alias("c_item")))
 
-    a = bi.select("basket", F.col("item").alias("item_a"))
-    b = bi.select("basket", F.col("item").alias("item_b"))
-    pairs = (a.join(b, "basket")
-             .filter(F.col("item_a") < F.col("item_b"))
+    arr = F.col("items")
+    pair_arr = F.flatten(F.transform(
+        arr,
+        lambda x, i: F.transform(
+            F.slice(arr, i + F.lit(2), F.size(arr)),
+            lambda y: F.struct(x.alias("item_a"), y.alias("item_b")))))
+    pairs = (baskets.select(F.explode(pair_arr).alias("p"))
+             .select("p.item_a", "p.item_b")
              .groupBy("item_a", "item_b")
              .agg(F.count(F.lit(1)).alias("pair_count"))
              .filter(F.col("pair_count") >= min_pair_count))
