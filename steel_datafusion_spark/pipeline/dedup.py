@@ -155,9 +155,15 @@ def minhash_signature(hs: Column | str, k: int = 32) -> Column:
     return F.array(*[_slot(i) for i in range(k)])
 
 
-def lsh_bands(sig_col: Column, bands: int = 8, rows: int = 4) -> Column:
+def lsh_bands(sig_col: Column | str, bands: int = 8, rows: int = 4) -> Column:
     """Array of (band_idx, band_hash): md5 over the comma-joined signature
-    slice.  bands*rows must equal the signature width."""
+    slice.  bands*rows must equal the signature width.
+    Pass a column *name* to get a memoized expression tree."""
+    if isinstance(sig_col, str):
+        key = ("lsh_bands", sig_col, bands, rows)
+        if key not in _EXPR_CACHE:
+            _expr_cache_put(key, lsh_bands(F.col(sig_col), bands, rows))
+        return _EXPR_CACHE[key]
     return F.array(*[
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -258,12 +264,14 @@ def minhash_dedup_pairs(
     pairs = _candidates(hs, k, bands, rows, max_bucket)
     a = hs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     b = hs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
-    j = (
-        pairs.join(a, "doc_a").join(b, "doc_b")
-        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
-        .withColumn("jaccard", _jaccard(F.col("inter"), F.size("hs_a"), F.size("hs_b")))
-    )
-    return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+    # jaccard folded into one select (each withColumn re-analyzes the whole
+    # plan tree — codegen CSE dedups the repeated intersect at runtime)
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    j = (pairs.join(a, "doc_a").join(b, "doc_b")
+         .select("doc_a", "doc_b",
+                 _jaccard(inter, F.size("hs_a"), F.size("hs_b"))
+                 .alias("jaccard")))
+    return j.filter(F.col("jaccard") >= threshold)
 
 
 def _banded_table(hs: DataFrame, k: int, bands: int, rows: int) -> DataFrame:
@@ -272,7 +280,7 @@ def _banded_table(hs: DataFrame, k: int, bands: int, rows: int) -> DataFrame:
     sigs = track(hs.select(
         "doc_id", minhash_signature("hs", k).alias("sig")).persist())
     return (sigs.select("doc_id",
-                        F.explode(lsh_bands(F.col("sig"), bands, rows))
+                        F.explode(lsh_bands("sig", bands, rows))
                         .alias("b"))
             .select("doc_id", "b.band_idx", "b.band_hash"))
 
@@ -322,12 +330,12 @@ def _match_batch_to_corpus(
     cand_a = cand.join(a, "batch_id")
     if broadcast_batch:
         cand_a = F.broadcast(cand_a)
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
     j = (cand_a.join(c, "corpus_id")
-         .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
-         .withColumn("jaccard",
-                     _jaccard(F.col("inter"), F.size("hs_a"), F.size("hs_b"))))
-    return (j.filter(F.col("jaccard") >= threshold)
-            .select("batch_id", "corpus_id", "jaccard"))
+         .select("batch_id", "corpus_id",
+                 _jaccard(inter, F.size("hs_a"), F.size("hs_b"))
+                 .alias("jaccard")))
+    return j.filter(F.col("jaccard") >= threshold)
 
 
 def minhash_dedup_against(
