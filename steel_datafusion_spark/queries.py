@@ -83,13 +83,22 @@ def q_pricing_summary(spark, sf_dir):
 
     Scale: one partial→final hash agg, single shuffle on a 6-value key; the
     decimal sums keep results identical at any partition count.  Filter on
-    l_shipdate is pushed to the parquet scan."""
-    li = _t(spark, sf_dir)["lineitem"]
+    l_shipdate is pushed to the parquet scan (it sits below the spread).
+    The decimal per-row arithmetic is the expensive stage, and a small
+    parquet source arrives as ONE split — scoring._spread (a no-op on an
+    already-multi-split cluster scan) fans the projected 7 columns out so
+    the partial aggregation runs on every core."""
+    from .pipeline.scoring import _spread
+
+    li = _t(spark, sf_dir)["lineitem"].select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate")
     disc_price = (F.col("l_extendedprice").cast(_DEC2)
                   * (F.lit(1).cast(_DEC2) - F.col("l_discount").cast(_DEC2)))
     charge = disc_price * (F.lit(1).cast(_DEC2) + F.col("l_tax").cast(_DEC2))
     return df_aggregate(
-        df_filter(li, F.col("l_shipdate") <= F.lit("2024-06-30").cast("timestamp")),
+        _spread(df_filter(
+            li, F.col("l_shipdate") <= F.lit("2024-06-30").cast("timestamp"))),
         [col("l_returnflag"), col("l_linestatus")],
         [
             sum_exact("l_quantity").alias("sum_qty"),
@@ -590,10 +599,16 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 def q_stats_agg(spark, sf_dir):
     """Statistical aggregates: stddev/variance/corr/median per group.
     Values rounded to 4dp: the internal moment sums are double accumulations
-    whose partition order differs between engines (~1e-10 relative)."""
-    li = _t(spark, sf_dir)["lineitem"]
+    whose partition order differs between engines (~1e-10 relative).
+    The exact medians buffer every group value — scoring._spread (no-op on
+    a multi-split cluster scan) fans the one-split local scan out so the
+    partial phase builds its buffers on every core."""
+    from .pipeline.scoring import _spread
+
+    li = _t(spark, sf_dir)["lineitem"].select(
+        "l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
     return df_aggregate(
-        li, [col("l_returnflag")],
+        _spread(li), [col("l_returnflag")],
         [
             F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
             F.round(F.var_samp("l_discount"), 4).alias("var_disc"),
@@ -627,7 +642,10 @@ def q_approx_percentile(spark, sf_dir):
     returns an actual data value, equal to DuckDB ``quantile_disc`` — so the
     oracle pins the no-interpolation rank convention while the Spark plan is
     the real percentile_approx operator.  At 100 TB drop accuracy to the
-    10000 default: rank error ≤ n/10000, memory stays O(accuracy)."""
+    10000 default: rank error ≤ n/10000, memory stays O(accuracy).
+    (Deliberately NOT spread: GK partial summaries are O(accuracy) EACH,
+    and the gate's exactness accuracy makes merging 64 of them cost more
+    than one pass — measured 1.5 s → 3.7 s.)"""
     li = _t(spark, sf_dir)["lineitem"]
     acc = 1_000_000  # ≥ rows/group at every test SF ⇒ exact
     return df_aggregate(
