@@ -103,7 +103,7 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def _hashed_shingles(df: DataFrame, id_col: str, text_col: str,
-                     n: int) -> DataFrame:
+                     n: int, parts: int | None = None) -> DataFrame:
     """Materialized (doc_id, hs: array<long>) — one md5 per distinct shingle.
     Persisted: this is the fan-out point every downstream stage reuses.
 
@@ -111,9 +111,15 @@ def _hashed_shingles(df: DataFrame, id_col: str, text_col: str,
     single input split, which would serialize the CPU-heavy tokenize+hash
     stage onto one core (10 s single-threaded vs ~1 s parallel at sf0.1).
     Hash cost dominates the shuffle at every scale, so the exchange pays for
-    itself; it also pre-distributes by doc_id for the joins downstream."""
+    itself; it also pre-distributes by doc_id for the joins downstream.
+
+    ``parts`` overrides the default corpus-scale width (2× default
+    parallelism) — callers hashing a KNOWN-small increment (a streaming
+    micro-batch) size it to the increment so every downstream task/file
+    isn't split 64 ways for a handful of rows."""
     spark = df.sparkSession
-    parts = spark.sparkContext.defaultParallelism * 2
+    if parts is None:
+        parts = spark.sparkContext.defaultParallelism * 2
     return track(df.repartition(parts, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
         F.transform(shingles(F.col(text_col), n), md5_int60).alias("hs"),
