@@ -879,21 +879,60 @@ FROM s GROUP BY user_id, session_id
 
 def q_window_ranking(spark, sf_dir):
     """Full ranking-function set + a RANGE frame (SURVEY §2.6 completeness):
-    dense_rank/percent_rank/ntile plus a range-bounded running count."""
-    o = _t(spark, sf_dir)["orders"]
+    dense_rank/percent_rank/ntile plus a range-bounded running count.
+
+    r15 parallel form, same values: o_orderstatus has 3 distinct values, so
+    the direct two-window plan sorted whole status partitions on ≤3 cores
+    (two hostage Sort+Window passes over ~50k rows each).  The order-by key
+    (o_totalprice DESC, o_orderkey ASC) is UNIQUE (orderkey is a key), so
+    dense_rank == rank == row_number, and the ``dr <= 100`` filter is a
+    top-100-per-status GROUP LIMIT: row_number + filter lets Spark's
+    WindowGroupLimit keep ≤100 rows per status per map task before the
+    exchange, so the final sort sees hundreds of rows instead of the table.
+    percent_rank = (rn-1)/(n-1) and ntile(4) are pure functions of (rn, n)
+    with n from a 3-row broadcast count (ntile bucket arithmetic mirrors
+    Spark's: n%4 leading buckets of size n//4+1, the rest n//4).  The
+    RANGE-frame count re-joins the ≤300 survivors (broadcast) against
+    orders on the same [p-10000, p] band — counts aggregate map-side into
+    a ≤300-key shuffle.  Every stage scales with input splits, none with
+    the 3-value status domain."""
     from pyspark.sql.window import Window
+
+    from .pipeline.scoring import _spread
+    o = _spread(_t(spark, sf_dir)["orders"]
+                .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    n_by_status = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("_n"))
     w = Window.partitionBy("o_orderstatus").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    price_range = (Window.partitionBy("o_orderstatus")
-                   .orderBy(F.col("o_totalprice"))
-                   .rangeBetween(-10000, 0))
-    return (o.select(
-        "o_orderkey", "o_orderstatus",
-        F.dense_rank().over(w).alias("dr"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.count(F.lit(1)).over(price_range).alias("n_within_10k_below"),
-    ).filter(F.col("dr") <= 100))
+    top = (o.select("o_orderkey", "o_orderstatus", "o_totalprice",
+                    F.row_number().over(w).alias("dr"))
+           .filter(F.col("dr") <= 100)
+           .join(F.broadcast(n_by_status), "o_orderstatus"))
+    rn1 = (F.col("dr") - 1).cast("long")          # 0-based rank
+    nn = F.col("_n")
+    bs = F.floor(nn / 4)                           # base bucket size
+    pad = nn % 4                                   # buckets holding bs+1
+    threshold = (bs + 1) * pad
+    quartile = (F.when(rn1 < threshold, F.floor(rn1 / (bs + 1)))
+                .otherwise(pad + F.floor((rn1 - threshold) / bs))
+                + 1).cast("int")
+    pr = F.round(
+        F.when(nn > 1, rn1.cast("double") / (nn - 1).cast("double"))
+        .otherwise(F.lit(0.0)), 6)
+    t = top.select(F.col("o_orderstatus").alias("t_status"),
+                   F.col("o_orderkey").alias("t_key"),
+                   F.col("o_totalprice").alias("t_price"))
+    cnt = (o.join(F.broadcast(t),
+                  (F.col("o_orderstatus") == F.col("t_status"))
+                  & (F.col("o_totalprice") >= F.col("t_price") - 10000)
+                  & (F.col("o_totalprice") <= F.col("t_price")))
+           .groupBy("t_key")
+           .agg(F.count(F.lit(1)).alias("n_within_10k_below")))
+    return (top.join(cnt, top["o_orderkey"] == cnt["t_key"])
+            .select("o_orderkey", "o_orderstatus", "dr",
+                    pr.alias("pr"), quartile.alias("quartile"),
+                    "n_within_10k_below"))
 
 
 _SQL_WINDOW_RANKING = """

@@ -206,3 +206,38 @@ def test_agg_approx_percentile_exact_at_high_accuracy(spark, tables):
     ).collect()[0]
     assert row.m == row.exact_m
     assert row.p25 <= row.m
+
+
+def test_window_ranking_derived_matches_native_windows(spark):
+    """The r15 window_ranking gate derives percent_rank/ntile from
+    (row_number, group count) instead of whole-partition window sorts;
+    this pins the derived arithmetic to Spark's native window functions
+    on groups covering n % 4 in {0,1,2,3}, n < buckets, n == 1, and
+    duplicate order values (ties broken by the unique key)."""
+    from pyspark.sql.window import Window
+
+    rows = []
+    sizes = {"a": 11, "b": 8, "c": 3, "d": 1, "e": 6}
+    for g, n in sizes.items():
+        for i in range(n):
+            rows.append((g, i, float(100 - (i // 2))))  # ties every 2 keys
+    df = spark.createDataFrame(rows, "g string, k int, price double")
+    w = Window.partitionBy("g").orderBy(F.col("price").desc(),
+                                        F.col("k").asc())
+    native = df.select(
+        "g", "k",
+        F.row_number().over(w).alias("rn"),
+        F.dense_rank().over(w).alias("dr"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.ntile(4).over(w).alias("q")).collect()
+    n_by_g = {g: n for g, n in sizes.items()}
+    for r in native:
+        n, rn1 = n_by_g[r["g"]], r["rn"] - 1
+        assert r["dr"] == r["rn"]  # unique order key => dense_rank == rn
+        exp_pr = round(rn1 / (n - 1), 6) if n > 1 else 0.0
+        assert r["pr"] == exp_pr
+        bs, pad = n // 4, n % 4
+        thr = (bs + 1) * pad
+        exp_q = (rn1 // (bs + 1) if rn1 < thr
+                 else pad + (rn1 - thr) // bs) + 1
+        assert r["q"] == exp_q, (r, n)
