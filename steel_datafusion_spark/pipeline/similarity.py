@@ -47,6 +47,26 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def _lit_vec(xs) -> Column:
+    """Literal ``array<double>`` built as ONE parsed SQL expression instead
+    of len(xs) ``F.lit`` py4j round-trips (a 16×16 PQ codebook costs ~2 s
+    of pure driver time the per-element way — guide §7.2).  Bit-exact with
+    the per-element form: ``repr(float)`` is the shortest round-trip
+    representation and Java's ``Double.parseDouble`` (the ``D``-suffixed
+    literal path) correctly rounds it to the identical IEEE value."""
+    return F.expr(
+        "array(" + ",".join(f"{float(x)!r}D" for x in xs) + ")")
+
+
+def _lit_matrix(rows) -> Column:
+    """Literal ``array<array<double>>`` via one parsed expression — see
+    ``_lit_vec``."""
+    body = ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in r) + ")"
+        for r in rows)
+    return F.expr(f"array({body})")
+
+
 def _centroid_array(cent: DataFrame) -> DataFrame:
     """Collapse the nlist-row centroid table into ONE row holding a
     deterministic (centroid_id-ascending) array of (centroid_id, centv,
@@ -876,7 +896,7 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     Pure JVM expression; n_planes bits → int bucket."""
     out = F.lit(0).cast("long")
     for p, row in enumerate(planes):
-        w = F.array(*[F.lit(x) for x in row])
+        w = _lit_vec(row)
         d = dot(vec, w)
         out = out + F.when(d > 0, F.lit(1 << p).cast("long"))                      .otherwise(F.lit(0).cast("long"))
     return out
@@ -1130,8 +1150,7 @@ def _sub_d2_table(vec: Column, book: list[list[float]],
     identical, and the left-to-right fold order per centroid is unchanged,
     so values are bit-equal with the per-centroid form)."""
     sub = len(book[0])
-    lit_book = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in book])
+    lit_book = _lit_matrix(book)
     sv = F.slice(vec, start + 1, sub)
     return F.transform(
         lit_book,
@@ -1556,7 +1575,7 @@ def pca_project(df: DataFrame, components, vec_col: str = "embedding",
     x = F.slice(F.col(vec_col), 1, dims)
     outs = [
         F.aggregate(
-            F.zip_with(x, F.array(*[F.lit(w) for w in c]),
+            F.zip_with(x, _lit_vec(c),
                        lambda a, b: a.cast("double") * b),
             F.lit(0.0), lambda acc, e: acc + e)
         for c in comps]
