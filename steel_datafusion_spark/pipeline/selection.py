@@ -95,20 +95,25 @@ def dsir_logweights(
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
     parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    # explode_outer + ONE persisted feature stream (r15): the plain-explode
+    # form re-ran the CPU-heavy tokenize+hash explode once per consumer
+    # (pool persist, target counts) and needed a separate pool-id scan +
+    # doc-key join to restore zero-feature pool docs; the outer explode
+    # keeps every document present (null bucket = no features), so both
+    # count tables AND the per-doc scoring read the same cache and the
+    # zero-feature rows fall out of the same groupBy.
     base = df.repartition(parts).select(
         F.col(id_col), target.alias("_tgt"),
-        F.explode(_features(F.col(text_col))).alias("feat"))
-    feats = base.select(
+        F.explode_outer(_features(F.col(text_col))).alias("feat"))
+    feats = track(base.select(
         id_col, "_tgt",
         F.pmod(md5_int60(F.col("feat")), F.lit(n_buckets)).alias("b"))
-    pool_feats = track(feats.filter(~F.col("_tgt")).persist())
-    # both count tables feed TWO consumers (the LLR join and their own
-    # 1-row total) — persisted, the target corpus is scanned once instead
-    # of twice and the pool re-reads its ≤n_buckets-row aggregate, not the
-    # cached feature stream
-    tgt_counts = track(feats.filter(F.col("_tgt")).groupBy("b")
+        .persist())
+    pool_feats = feats.filter(~F.col("_tgt"))
+    real = F.col("b").isNotNull()
+    tgt_counts = track(feats.filter(F.col("_tgt") & real).groupBy("b")
                        .agg(F.count(F.lit(1)).alias("ct")).persist())
-    pool_counts = track(pool_feats.groupBy("b")
+    pool_counts = track(pool_feats.filter(real).groupBy("b")
                         .agg(F.count(F.lit(1)).alias("cq")).persist())
     tgt_total = tgt_counts.agg(
         F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("_tt"))
@@ -126,18 +131,20 @@ def dsir_logweights(
                    - F.log((F.col("cq") + F.lit(alpha))
                            / (F.col("_tq") + F.lit(ab))), 9)
                .cast("decimal(20,9)").alias("llr")))
-    scored = (pool_feats.join(F.broadcast(llr), "b")
+    # left join: every NON-NULL pool bucket is in llr by construction (llr
+    # is built FROM pool_counts), so "left" only admits the null-bucket
+    # (zero-feature) rows — count("b") skips them and sum(llr) nulls out,
+    # giving the same (0, 0.0) rows the old pool-id left join restored
+    # with one fewer corpus scan and two fewer doc-key exchanges.
+    scored = (pool_feats.join(F.broadcast(llr), "b", "left")
               .groupBy(id_col)
-              .agg(F.count(F.lit(1)).alias("n_feats"),
+              .agg(F.count(F.col("b")).alias("n_feats"),
                    F.sum("llr").alias("_s")))
-    pool_ids = df.filter(~target).select(F.col(id_col)).distinct()
-    return (pool_ids.join(scored, id_col, "left")
-            .select(
-                F.col(id_col),
-                F.coalesce(F.col("n_feats"), F.lit(0)).cast("long")
-                .alias("n_feats"),
-                F.coalesce(F.round(F.col("_s").cast("double"), 6),
-                           F.lit(0.0)).alias("logweight")))
+    return scored.select(
+        F.col(id_col),
+        F.col("n_feats").cast("long").alias("n_feats"),
+        F.coalesce(F.round(F.col("_s").cast("double"), 6),
+                   F.lit(0.0)).alias("logweight"))
 
 
 def sql_dsir_logweights(
