@@ -522,7 +522,11 @@ def attach_dedup_index(spark, name: str) -> bool:
         swap = _warehouse_path(spark, f"{name}_{t}_cswap")
         if not spark.catalog.tableExists(f"{name}_{t}") and \
                 not _os.path.isdir(base) and _os.path.isdir(swap):
-            _os.rename(swap, base)
+            try:
+                _os.rename(swap, base)
+            except OSError:
+                pass  # lost a concurrent-attach race: the winner already
+                # restored the base dir — fall through to attach_table
     ok = all(attach_table(spark, f"{name}_{s}")
              for s in ("bands", "shingles", "meta"))
     attach_table(spark, f"{name}_hot")

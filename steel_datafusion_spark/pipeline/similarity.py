@@ -542,7 +542,12 @@ def attach_ann_index(spark, name: str) -> bool:
     s_path = _warehouse_path(spark, f"{name}_assign_swap")
     if not spark.catalog.tableExists(f"{name}_assign") and \
             not _os.path.isdir(a_path) and _os.path.isdir(s_path):
-        _os.rename(s_path, a_path)
+        try:
+            _os.rename(s_path, a_path)
+        except OSError:
+            pass  # lost a concurrent-attach race: the winner already
+            # restored the base dir — fall through to attach_table
+    attach_table(spark, f"{name}_meta_stage")  # meta-crash recovery input
     return all(attach_table(spark, f"{name}_{s}")
                for s in ("centroids", "assign", "meta"))
 
@@ -590,7 +595,19 @@ def ann_index_append(
     applies (``c < drift_threshold`` recommends) — to guard the first
     batch, and note ``ref_signal`` is ingest-order telemetry: the
     index DATA stays identical under any append order, the reference
-    is simply whichever batch landed first.  Indexes built before the
+    is simply whichever batch landed first.
+
+    **WARNING — the reference-setting append is unguarded by default**:
+    with ``drift_threshold=None`` the first batch's signal becomes the
+    permanent relative anchor NO MATTER how low it is.  If that batch
+    is already drifted, later batches with the same drift show
+    ``signal_rel_drop ≈ 0`` and the relative policy can never fire.
+    For production ingest ALWAYS pass an absolute ``drift_threshold``
+    on the first append (a calibrated floor: e.g. the build's
+    ``base_signal`` minus the expected in-sample gap — the r14 sweep
+    measured ~29% on the kmeans fixture, so ``0.7 * base_signal`` is a
+    reasonable default); compare the returned ``mean_centroid_cosine``
+    against ``base_signal`` before trusting the anchor.  Indexes built before the
     baselines were stored fall back to the absolute check alone.  On a
     recommendation, schedule a re-train
     (``build_ann_index(train="kmeans")``) during a maintenance window.
@@ -616,6 +633,30 @@ def ann_index_append(
     return out
 
 
+def _ann_meta(spark, name: str, repair: bool = False):
+    """One-row meta read that tolerates the ``insertInto(overwrite=True)``
+    crash window: the first append rewrites ``{name}_meta`` in place, and
+    a crash between the overwrite's delete and move would leave it EMPTY
+    — breaking every probe and append on the index.  The writer stages
+    the new row as ``{name}_meta_stage`` BEFORE the overwrite, so an
+    empty meta is recoverable: readers fall back to the staged row
+    (read-only), and the locked append path passes ``repair=True`` to
+    also finish the overwrite."""
+    row = spark.table(f"{name}_meta").head()
+    if row is not None:
+        return row
+    stage = f"{name}_meta_stage"
+    srow = (spark.table(stage).head()
+            if spark.catalog.tableExists(stage) else None)
+    if srow is None:
+        raise ValueError(
+            f"ANN index {name!r} has an empty meta table and no staged "
+            f"copy — rebuild the index (build_ann_index)")
+    if repair:
+        spark.table(stage).write.insertInto(f"{name}_meta", overwrite=True)
+    return srow
+
+
 def _ann_index_append_locked(
     new_vectors: DataFrame, name: str, id_col: str, vec_col: str,
     drift_threshold: float | None,
@@ -628,7 +669,7 @@ def _ann_index_append_locked(
     # per table: see the sibling's completed appends
     spark.catalog.refreshTable(f"{name}_assign")
     cent = spark.table(f"{name}_centroids")
-    meta = spark.table(f"{name}_meta").head()
+    meta = _ann_meta(spark, name, repair=True)
     assign_cols = spark.table(f"{name}_assign").columns
     carry = tuple(c for c in assign_cols
                   if c not in ("vid", "v", "_n2", "centroid_id"))
@@ -673,12 +714,25 @@ def _ann_index_append_locked(
         # lock.  insertInto(overwrite=True), not saveAsTable: a second
         # maintainer reaches this meta as an ATTACHED external table,
         # where a managed overwrite fails with LOCATION_ALREADY_EXISTS.
-        spark.createDataFrame(
+        # Stage the new row FIRST: the overwrite's delete→move window is
+        # not crash-atomic, and meta is the one table every reader
+        # validates — a crash mid-overwrite is healed from the staged
+        # copy by _ann_meta (ADVICE r14).
+        new_meta = spark.createDataFrame(
             [(int(meta["nlist"]), int(meta["n_buckets"]),
               str(md.get("train")), base, mean_cos)],
             "nlist int, n_buckets int, train string, "
             "base_signal double, ref_signal double",
-        ).write.insertInto(f"{name}_meta", overwrite=True)
+        )
+        # drop-then-save (not mode="overwrite"): the stage may be an
+        # ATTACHED external table in this session, where a managed
+        # overwrite fails; a crash between drop and save is harmless —
+        # stage is only consulted when meta is empty, and meta only
+        # empties after a stage write completed
+        from ..sources.bucketing import drop_managed_table
+        drop_managed_table(spark, f"{name}_meta_stage")
+        new_meta.write.saveAsTable(f"{name}_meta_stage")
+        new_meta.write.insertInto(f"{name}_meta", overwrite=True)
         ref = mean_cos
     return {"appended": int(row["n"]),
             "mean_centroid_cosine": mean_cos,
@@ -793,7 +847,7 @@ def _ann_index_compact_locked(spark, name: str, delta_root: str) -> dict:
         # holds the complete merged assignment — finish the swap
         spark.sql(f"ALTER TABLE `{swap}` RENAME TO `{assign_tbl}`")
     cols = spark.table(assign_tbl).columns
-    n_buckets = int(spark.table(f"{name}_meta").head()["n_buckets"])
+    n_buckets = int(_ann_meta(spark, name, repair=True)["n_buckets"])
     if not is_manifest_root(delta_root):
         return {"base_rows": spark.table(assign_tbl).count(),
                 "delta_rows": 0, "delta_reset_version": None}

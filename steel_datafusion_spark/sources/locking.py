@@ -252,20 +252,25 @@ class IndexLock:
     def __exit__(self, exc_type, exc, tb):
         if not self._held:
             return False
+        # stop + join the heartbeat BEFORE the token-check-and-unlink: a
+        # _refresh in flight (token read before our unlink, rename after)
+        # would re-create the lock post-release, leaving a stale lock with
+        # a fresh ts that blocks the next acquirer for a full lease
+        if self._hb_stop is not None:
+            self._hb_stop.set()
+        if self._hb_thread is not None:
+            self._hb_thread.join(timeout=5.0)
         lost = self._lost
         if not lost:
             # release only OUR lock: re-check the token right before
-            # the unlink (a live heartbeat means no stealer is active,
-            # so the read-to-unlink window is benign)
+            # the unlink (the heartbeat is stopped, so no refresh can
+            # race this read-to-unlink window; a stealer can't either —
+            # an unexpired lease is never reclaimed)
             cur = self._read(self.path)
             if cur is not None and cur.get("token") == self.token:
                 self.fs.unlink(self.path)
             else:
                 lost = True
-        if self._hb_stop is not None:
-            self._hb_stop.set()
-        if self._hb_thread is not None:
-            self._hb_thread.join(timeout=5.0)
         self._held = False
         self._hb_stop = self._hb_thread = None
         if lost and exc_type is None:
