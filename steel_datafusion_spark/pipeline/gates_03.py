@@ -903,6 +903,7 @@ def q_countmin_term_counts(spark, sf_dir):
     at depth·width regardless of vocabulary — vs the exact counts.  The
     sketch is md5-affine integer arithmetic, so the DuckDB oracle
     reproduces every estimate bit-for-bit (overshoot included)."""
+    from ..cache import track
     from .sketches import countmin_estimate, countmin_table
 
     d = load_tables(spark, sf_dir)["documents"]
@@ -911,9 +912,16 @@ def q_countmin_term_counts(spark, sf_dir):
     parts = spark.sparkContext.defaultParallelism * 2
     toks = d.repartition(parts).select(
         F.explode(TX.tokens(F.col("text"))).alias("term"))
-    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_c"))
+    # ONE tokenize pass (r15): the exact term counts are persisted and the
+    # sketch builds FROM them via weight_col — cell-for-cell identical to
+    # sketching the raw token stream (the sketch is linear in term counts)
+    # while the second corpus scan disappears at every scale.
+    exact = track(
+        toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_c"))
+        .persist())
     probes = exact.orderBy(F.desc("exact_c"), F.asc("term")).limit(20)
-    sketch = countmin_table(toks, [], "term", depth=4, width=512)
+    sketch = countmin_table(exact, [], "term", depth=4, width=512,
+                            weight_col="exact_c")
     est = countmin_estimate(sketch, probes.select("term"), [], "term",
                             depth=4, width=512)
     return (probes.join(est, "term")

@@ -90,14 +90,22 @@ def unigram_logprob_score(
     documents score 0.0 (they carry no evidence either way; a length filter
     owns that axis).
 
-    Plan: explode → term-count groupBy (fine-grained key) → 1-row totals
-    broadcast → logprob term table joined back to the token stream (shuffle
-    on term) → per-doc decimal sum.  Two aggregations + one join, all
-    partial-agg'd; the model "table" never exists driver-side.
+    Plan: explode → ONE persisted per-(doc, term) count table (the corpus
+    is tokenized exactly once — r15; previously the token stream was
+    rebuilt for the scoring join) → term-count groupBy (fine-grained key,
+    derived from the persisted frame) → 1-row totals broadcast → logprob
+    term table joined back to the per-doc counts (shuffle carries distinct
+    (doc, term) rows, not every token position) → per-doc decimal sum of
+    count × logprob — exactly the sum of the per-position logprobs
+    (``tc`` copies of a 9dp decimal = ``tc × nlp`` with the count cast to
+    decimal(10,0) so the product stays precision-exact at scale 9).
     """
+    from ..cache import track
     toks = _spread(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
-    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    dtc = track(toks.groupBy(id_col, "term")
+                .agg(F.count(F.lit(1)).alias("tc")).persist())
+    counts = dtc.groupBy("term").agg(F.sum("tc").alias("c"))
     totals = counts.agg(
         F.sum("c").cast("double").alias("_total"),
         F.count(F.lit(1)).cast("double").alias("_vocab"))
@@ -107,10 +115,11 @@ def unigram_logprob_score(
                                    / (F.col("_total")
                                       + F.lit(alpha) * F.col("_vocab"))), 9)
                     .cast("decimal(20,9)").alias("nlp")))
-    scored = (toks.join(logp, "term")
+    scored = (dtc.join(logp, "term")
               .groupBy(id_col)
-              .agg(F.count(F.lit(1)).alias("n_tokens"),
-                   F.sum("nlp").alias("s")))
+              .agg(F.sum("tc").alias("n_tokens"),
+                   F.sum(F.col("nlp")
+                         * F.col("tc").cast("decimal(10,0)")).alias("s")))
     return (df.select(F.col(id_col)).distinct()
             .join(scored, id_col, "left")
             .select(
@@ -184,8 +193,16 @@ def bigram_logprob_score(
         F.slice(toks, 1, F.size(toks) - 1),
         F.slice(toks, 2, F.size(toks) - 1),
         lambda a, b: F.concat_ws(" ", a, b)))
+    # ONE persisted per-(doc, bigram) count table — the corpus is
+    # tokenized exactly once (r15); the model tables derive from it and
+    # the scoring join carries distinct (doc, bigram) rows, not every
+    # position.  Per-doc sum of count × logprob ≡ the per-position sum
+    # (count cast to decimal(10,0) keeps the product exact at scale 9).
+    from ..cache import track
     bg = _spread(df).select(F.col(id_col), F.explode(bigram_arr).alias("bg"))
-    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    dbc = track(bg.groupBy(id_col, "bg")
+                .agg(F.count(F.lit(1)).alias("bc")).persist())
+    counts = dbc.groupBy("bg").agg(F.sum("bc").alias("c"))
     prefix = (counts.select(
         F.element_at(F.split(F.col("bg"), " "), 1).alias("w1"), "c")
         .groupBy("w1").agg(F.sum("c").alias("cp")))
@@ -199,10 +216,11 @@ def bigram_logprob_score(
                                    / (F.col("cp")
                                       + F.lit(alpha) * F.col("_vocab"))), 9)
                     .cast("decimal(20,9)").alias("nlp")))
-    scored = (bg.join(logp, "bg")
+    scored = (dbc.join(logp, "bg")
               .groupBy(id_col)
-              .agg(F.count(F.lit(1)).alias("n_bigrams"),
-                   F.sum("nlp").alias("s")))
+              .agg(F.sum("bc").alias("n_bigrams"),
+                   F.sum(F.col("nlp")
+                         * F.col("bc").cast("decimal(10,0)")).alias("s")))
     return (df.select(F.col(id_col)).distinct()
             .join(scored, id_col, "left")
             .select(
@@ -595,9 +613,14 @@ def interpolated_logprob_score(
         lambda a, b: F.concat_ws(" ", a, b)))
     bg = _spread(df).select(F.col(id_col), F.explode(bigram_arr).alias("bg"))
 
+    # ONE persisted per-(doc, bigram) count table (r15): the corpus is
+    # tokenized exactly once; counts/prefix/uni/totals all derive from it
+    # (the identical counts subtree is exchange-reused within the plan),
+    # and the scoring join carries distinct (doc, bigram) rows.
     from ..cache import track
-    counts = track(
-        bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c")).persist())
+    dbc = track(bg.groupBy(id_col, "bg")
+                .agg(F.count(F.lit(1)).alias("bc")).persist())
+    counts = dbc.groupBy("bg").agg(F.sum("bc").alias("c"))
     prefix = (counts.select(
         F.element_at(F.split(F.col("bg"), " "), 1).alias("w1"), "c")
         .groupBy("w1").agg(F.sum("c").alias("cp")))
@@ -626,10 +649,11 @@ def interpolated_logprob_score(
                                          + F.lit(alpha)
                                          * F.col("_vocab_uni")))), 9)
                 .cast("decimal(20,9)").alias("nlp")))
-    scored = (bg.join(logp, "bg")
+    scored = (dbc.join(logp, "bg")
               .groupBy(id_col)
-              .agg(F.count(F.lit(1)).alias("n_grams"),
-                   F.sum("nlp").alias("s")))
+              .agg(F.sum("bc").alias("n_grams"),
+                   F.sum(F.col("nlp")
+                         * F.col("bc").cast("decimal(10,0)")).alias("s")))
     return (df.select(F.col(id_col)).distinct()
             .join(scored, id_col, "left")
             .select(

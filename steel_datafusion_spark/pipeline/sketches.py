@@ -65,7 +65,8 @@ def _sql_cm_cell(h: str, d: int, width: int) -> str:
 
 
 def countmin_table(df: DataFrame, group_cols: list[str], term_col: str,
-                   depth: int = 4, width: int = 512) -> DataFrame:
+                   depth: int = 4, width: int = 512,
+                   weight_col: str | None = None) -> DataFrame:
     """Per-group count-min sketch as a tall table
     ``(*group_cols, d, cell, c)`` — ``depth * width`` cells per group,
     regardless of term cardinality.
@@ -80,7 +81,15 @@ def countmin_table(df: DataFrame, group_cols: list[str], term_col: str,
     Plan: explode terms → explode ``depth`` (row, cell) pairs →
     groupBy-count with map-side partials; shuffle key cardinality is capped
     at |groups| · depth · width, independent of vocabulary — the reason to
-    choose it over exact term counts at 100 TB."""
+    choose it over exact term counts at 100 TB.
+
+    ``weight_col``: build the sketch from PRE-AGGREGATED term counts
+    (each input row contributes ``weight`` to its cells instead of 1) —
+    the sketch is a linear function of term counts, so
+    ``countmin_table(counts, ..., weight_col="c")`` is cell-for-cell
+    identical to ``countmin_table(raw_terms, ...)`` while touching
+    |vocab| rows instead of rescanning the token stream (r15: the gate
+    reuses its exact-count pass this way)."""
     if not 1 <= depth <= len(_CM_CONSTS):
         raise ValueError(f"depth must be in [1, {len(_CM_CONSTS)}]")
     if width < 1:
@@ -90,10 +99,13 @@ def countmin_table(df: DataFrame, group_cols: list[str], term_col: str,
         F.struct(F.lit(d).alias("d"), _cm_cell(h, d, width).alias("cell"))
         for d in range(depth)
     ])
-    exploded = df.select(*group_cols, F.explode(pairs).alias("p")) \
-                 .select(*group_cols, "p.d", "p.cell")
-    return (exploded.groupBy(*group_cols, "d", "cell")
-            .agg(F.count(F.lit(1)).alias("c")))
+    w_cols = [F.col(weight_col).alias("_w")] if weight_col else []
+    exploded = df.select(*group_cols, *w_cols, F.explode(pairs).alias("p")) \
+                 .select(*group_cols, *(["_w"] if weight_col else []),
+                         "p.d", "p.cell")
+    agg = (F.sum("_w").cast("long") if weight_col
+           else F.count(F.lit(1))).alias("c")
+    return exploded.groupBy(*group_cols, "d", "cell").agg(agg)
 
 
 def countmin_estimate(sketch: DataFrame, probes: DataFrame,
