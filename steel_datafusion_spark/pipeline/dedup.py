@@ -196,30 +196,6 @@ def minhash_candidate_pairs(
     return _candidates(hs, k, bands, rows, max_bucket)
 
 
-def _split_hot_buckets(banded: DataFrame, max_bucket: int):
-    """(normal, star) split of a banded table by bucket occupancy.
-
-    ``normal`` = rows in buckets with ≤ max_bucket members (safe for the
-    all-pairs self-join); ``star`` = (rep, doc_id) edges linking every
-    member of an OVERSIZED bucket to the bucket minimum.  The hot-bucket
-    key list is tiny by construction (≥ max_bucket docs must share a band
-    hash to create one entry) ⇒ broadcast anti/semi joins, no extra
-    shuffle of the banded table."""
-    occ = (banded.groupBy("band_idx", "band_hash")
-           .agg(F.count(F.lit(1)).alias("occ"),
-                F.min("doc_id").alias("rep"))
-           .filter(F.col("occ") > max_bucket)
-           .select("band_idx", "band_hash", "rep"))
-    hot = F.broadcast(track(occ.persist()))
-    normal = banded.join(hot.select("band_idx", "band_hash"),
-                         ["band_idx", "band_hash"], "left_anti")
-    star = (banded.join(hot, ["band_idx", "band_hash"])
-            .where(F.col("doc_id") != F.col("rep"))
-            .select(F.col("rep").alias("doc_a"),
-                    F.col("doc_id").alias("doc_b")))
-    return normal, star
-
-
 def _candidates(hs: DataFrame, k: int, bands: int, rows: int,
                 max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
     """LSH candidate pairs with a bucket-occupancy guard.
@@ -237,20 +213,53 @@ def _candidates(hs: DataFrame, k: int, bands: int, rows: int,
     from any bucket is bounded by max(max_bucket², m).  Star pairs flow
     through the same exact-Jaccard verify as join pairs.  ``None`` disables
     the guard (exact all-pairs semantics).  Mirror of the ``max_df`` guard
-    in ``ngram_jaccard_pairs``."""
+    in ``ngram_jaccard_pairs``.
+
+    Plan (r15): with the guard on, ONE groupBy of the banded table gathers
+    each bucket's sorted member list and the pairs expand MAP-SIDE from
+    the array — all ordered pairs when the bucket is within the cap, star
+    edges (min member, other) when it is hot: the association_rules/
+    triangle_count rewrite applied to LSH.  The occupancy count, the hot
+    split (previously a second full aggregation of the banded table plus
+    broadcast anti/semi joins) and the band-bucket self-join all collapse
+    into that one exchange (interleaved same-session A/B kept all three
+    shapes honest: one-pass 2.12 s vs split-then-join 2.41 s vs self-join
+    2.52 s best-of-5 at sf0.1).  Memory envelope: the expanded PAIR array
+    is capped at C(max_bucket, 2) structs; a HOT bucket materializes only
+    its O(members) sorted id array on one reducer (~8 MB at the 10⁶-doc
+    flood documented above — the star edges then stream from the explode).
+    With the guard OFF the self-join is kept — an unbounded bucket must
+    stream its quadratic pair output, never materialize it in one row."""
     banded = _banded_table(hs, k, bands, rows)
-    if max_bucket is not None:
-        banded, star = _split_hot_buckets(banded, max_bucket)
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(b, on=[F.col("a.band_idx") == F.col("b.band_idx"),
-                      F.col("a.band_hash") == F.col("b.band_hash"),
-                      F.col("a.doc_id") < F.col("b.doc_id")])
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    )
-    if max_bucket is not None:
-        pairs = pairs.union(star)
-    return pairs.distinct()
+    if max_bucket is None:
+        a, b = banded.alias("a"), banded.alias("b")
+        pairs = (
+            a.join(b, on=[F.col("a.band_idx") == F.col("b.band_idx"),
+                          F.col("a.band_hash") == F.col("b.band_hash"),
+                          F.col("a.doc_id") < F.col("b.doc_id")])
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+        )
+        return pairs.distinct()
+    ids = F.col("ids")
+    grouped = (banded.groupBy("band_idx", "band_hash")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids")))
+    # bucket within cap: all ordered pairs (ids sorted ⇒ doc_a < doc_b)
+    all_pairs = F.flatten(F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + F.lit(2), F.size(ids)),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))
+    # hot bucket: star edges (rep = min member, other member)
+    star_pairs = F.transform(
+        F.slice(ids, 2, F.size(ids)),
+        lambda y: F.struct(F.element_at(ids, 1).alias("doc_a"),
+                           y.alias("doc_b")))
+    return (grouped
+            .select(F.explode(F.when(F.size(ids) > max_bucket, star_pairs)
+                              .otherwise(all_pairs)).alias("p"))
+            .select("p.doc_a", "p.doc_b")
+            .distinct())
 
 
 def _jaccard(inter: Column, la: Column, lb: Column) -> Column:
@@ -910,8 +919,11 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       F.col("a.doc_id") < F.col("b.doc_id")])
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
                 F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"))
-        .distinct()
+        # hamming is a function of the pair, so filtering BEFORE the
+        # distinct is equivalent — and the dedup exchange then carries
+        # only surviving pairs instead of every candidate (r15)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -975,9 +987,14 @@ def _large_star(cedges: DataFrame) -> DataFrame:
     """Large-star round (Kiveris et al., "Connected Components in MapReduce
     and Beyond"): every node connects its strictly-larger neighbors to the
     minimum of its neighborhood (incl. itself).  Input/output: canonical
-    undirected edges (hi > lo)."""
-    sym = cedges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
-        cedges.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+    undirected edges (hi > lo).  Both directions expand via explode — one
+    pass over the (checkpointed) edge set instead of two union branches
+    (r15)."""
+    sym = (cedges.select(F.explode(F.array(
+        F.struct(F.col("hi").alias("u"), F.col("lo").alias("v")),
+        F.struct(F.col("lo").alias("u"), F.col("hi").alias("v"))))
+        .alias("p"))
+        .select("p.u", "p.v"))
     m = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("mn"))
     return (sym.join(m, "u")
             .where(F.col("v") > F.col("u"))
@@ -1052,13 +1069,19 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     (cache.iteration_barrier).  Superseded iterations release their blocks
     immediately; the returned frame's blocks are reclaimed by Spark's
     ContextCleaner on GC, or eagerly via release_local_checkpoint."""
-    from ..cache import iteration_barrier, release_local_checkpoint
+    from ..cache import (iteration_barrier, release_local_checkpoint, track,
+                         untrack_and_unpersist)
 
     def _ckpt(df: DataFrame) -> DataFrame:
         return iteration_barrier(df, reliable, checkpoint_dir)
 
-    e = pairs.select(F.col(src).cast("long").alias("a"),
-                     F.col(dst).cast("long").alias("b"))
+    # persist the raw pair projection: BOTH init frames (canonical edges
+    # and the vertex set) derive from it, and without the persist each
+    # init materialization re-runs the caller's full pair-generation
+    # lineage — a duplicated corpus-scale pass when the caller hands the
+    # pairs in unpersisted (as the gate paths do) (r15)
+    e = track(pairs.select(F.col(src).cast("long").alias("a"),
+                           F.col(dst).cast("long").alias("b")).persist())
 
     if algorithm == "two-phase":
         cedges = _ckpt(e.where(F.col("a") != F.col("b"))
@@ -1068,8 +1091,10 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         # vertex set from the RAW pairs (incl. self-pairs, which the
         # canonical edge set drops), so the output covers every doc that
         # appeared in a pair — same contract as label propagation
-        vertices = _ckpt(e.select(F.col("a").alias("v")).union(
-            e.select(F.col("b").alias("v"))).distinct())
+        vertices = _ckpt(e.select(F.explode(F.array("a", "b")).alias("v"))
+                         .distinct())
+        untrack_and_unpersist(e)   # both init frames are checkpointed now
+
         def _sig(edge_set: DataFrame) -> tuple:
             # fixpoint test via an order-independent content hash: count +
             # exact decimal SUM of the per-edge 60-bit md5 hash.  A plain
@@ -1110,9 +1135,16 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         raise ValueError(f"unknown algorithm {algorithm!r}: "
                          "expected 'label-propagation' or 'two-phase'")
 
+    # both directions via explode — one pass over e instead of two union
+    # branches each scanning it (r15)
     edges = _ckpt(
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        e.select(F.explode(F.array(
+            F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+            F.struct(F.col("b").alias("a"), F.col("a").alias("b"))))
+            .alias("p"))
+        .select("p.a", "p.b")
         .distinct())
+    untrack_and_unpersist(e)   # edges are checkpointed; labels derive
     labels = _ckpt(edges.select(F.col("a").alias("v")).distinct()
                    .withColumn("label", F.col("v")))
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
