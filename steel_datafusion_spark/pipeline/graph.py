@@ -98,10 +98,20 @@ def pagerank(
                       w.alias("w"))
          .groupBy("src", "dst").agg(F.sum("w").alias("w")))
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # loop-invariant frames are cached PRE-PARTITIONED on their
+    # per-iteration join key (r15, guide §2.4): once |V| outgrows the
+    # broadcast threshold the ranks⋈trans join is a shuffle join, and an
+    # unaligned cache would re-exchange the full edge list EVERY power
+    # step — partitioning the cache by the join key pays one exchange at
+    # build time instead of one per iteration.  Partition count = the
+    # session shuffle partitions, so the cached layout satisfies exactly
+    # the ClusteredDistribution the join asks for.
+    parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     # transition probability per edge, fixed for every iteration
     trans = track(
         e.join(out_w, "src")
         .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
+        .repartition(parts, "src")
         .persist())
 
     # node set with the static has-out-edges flag attached ONCE (null =
@@ -114,6 +124,7 @@ def pagerank(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
         .join(has_out, "node", "left")
+        .repartition(parts, "node")
         .persist())
     n = nodes.count()
     if n == 0:
@@ -409,10 +420,14 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
     """
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .filter(F.col("src") != F.col("dst")))
+    # cached pre-partitioned on the per-iteration join key — see pagerank
+    # (r15): avoids re-exchanging the full symmetrized edge list every
+    # step once labels outgrow the broadcast threshold
+    parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     und = track(
         e.union(e.select(F.col("dst").alias("src"),
                          F.col("src").alias("dst")))
-        .distinct().persist())
+        .distinct().repartition(parts, "src").persist())
     nodes = track(und.select(F.col("src").alias("node")).distinct()
                   .persist())
     labels = nodes.select("node", F.col("node").alias("label"))
