@@ -105,7 +105,9 @@ def unigram_logprob_score(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
     dtc = track(toks.groupBy(id_col, "term")
                 .agg(F.count(F.lit(1)).alias("tc")).persist())
-    counts = dtc.groupBy("term").agg(F.sum("tc").alias("c"))
+    # two consumers (totals + logp) — persist so neither re-aggregates dtc
+    counts = track(
+        dtc.groupBy("term").agg(F.sum("tc").alias("c")).persist())
     totals = counts.agg(
         F.sum("c").cast("double").alias("_total"),
         F.count(F.lit(1)).cast("double").alias("_vocab"))
@@ -202,7 +204,9 @@ def bigram_logprob_score(
     bg = _spread(df).select(F.col(id_col), F.explode(bigram_arr).alias("bg"))
     dbc = track(bg.groupBy(id_col, "bg")
                 .agg(F.count(F.lit(1)).alias("bc")).persist())
-    counts = dbc.groupBy("bg").agg(F.sum("bc").alias("c"))
+    # three consumers (prefix/totals/logp) — persist so none re-aggregates
+    counts = track(
+        dbc.groupBy("bg").agg(F.sum("bc").alias("c")).persist())
     prefix = (counts.select(
         F.element_at(F.split(F.col("bg"), " "), 1).alias("w1"), "c")
         .groupBy("w1").agg(F.sum("c").alias("cp")))
@@ -620,7 +624,11 @@ def interpolated_logprob_score(
     from ..cache import track
     dbc = track(bg.groupBy(id_col, "bg")
                 .agg(F.count(F.lit(1)).alias("bc")).persist())
-    counts = dbc.groupBy("bg").agg(F.sum("bc").alias("c"))
+    # the model table has FOUR consumers (prefix/uni/totals/logp) — persist
+    # it like the pre-r15 shape did, or each consumer re-aggregates dbc
+    # (measured: dropping this persist cost the gate ~0.7 s at sf0.1)
+    counts = track(
+        dbc.groupBy("bg").agg(F.sum("bc").alias("c")).persist())
     prefix = (counts.select(
         F.element_at(F.split(F.col("bg"), " "), 1).alias("w1"), "c")
         .groupBy("w1").agg(F.sum("c").alias("cp")))
