@@ -75,6 +75,7 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
 def bpe_learn(
     df: DataFrame, text_col: str = "text", n_merges: int = 12,
     reliable: bool = False, vocab_partitions: int | None = None,
+    barrier_every: int = 64,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges; returns the merge table
     (rank, left, right, merged, pair_freq) in learned order.
@@ -84,17 +85,23 @@ def bpe_learn(
     relation is materialized behind ONE ``iteration_barrier``.  Unlike the
     k-means/CC loops (whose per-round lineage includes joins and
     shuffles), a BPE round only APPENDS one string ``replace`` to the
-    symbol column, so lineage stays a linear map-only expression chain
-    over the checkpointed vocab — re-evaluating r replaces in round r is
-    O(n_merges² · |vocab|) string ops with no I/O, cheaper at every scale
-    than a per-round checkpoint write (r15: dropped the in-loop barrier,
-    halving the loop's job count).
+    symbol column, so between barriers lineage is a linear map-only
+    expression chain over the checkpointed vocab — cheap to re-evaluate,
+    with no I/O.  But the chain cannot grow unboundedly: a realistic
+    vocabulary run (3x10^4 merges) would stack 30k nested ``replace``
+    calls, and Catalyst analysis/codegen cost per round grows with the
+    chain, blowing up long before the O(n_merges^2 * |vocab|) string cost
+    matters.  ``barrier_every`` re-materializes the vocab every K merges
+    (default 64): plan depth stays <= K replaces while a demo-scale learn
+    (n_merges <= K) still pays exactly ONE barrier — the r15 halved job
+    count is preserved locally and the plan is bounded at scale.
 
     ``vocab_partitions`` sizes the loop relation: a web-scale vocabulary
     (~10⁷ words) wants a handful of partitions; a demo-scale vocab wants
     exactly 1 so each of the n_merges rounds doesn't pay a
     default-parallelism shuffle+barrier for a kilobyte of state."""
     spark = df.sparkSession
+    barrier_every = max(1, int(barrier_every))
     vocab = _init_symbols(_word_freq(df, text_col)).select("w", "freq", "s")
     if vocab_partitions:
         vocab = vocab.repartition(vocab_partitions)
@@ -111,6 +118,8 @@ def bpe_learn(
         merges.append((rank, l, r, l + r, freq))
         vocab = vocab.withColumn(
             "s", F.replace(F.col("s"), F.lit(l + SEP + r), F.lit(l + r)))
+        if rank % barrier_every == 0 and rank < n_merges:
+            vocab = iteration_barrier(vocab, reliable=reliable)
     schema = ("rank int, left string, right string, merged string, "
               "pair_freq bigint")
     return spark.createDataFrame(merges, schema)

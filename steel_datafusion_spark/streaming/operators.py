@@ -65,16 +65,21 @@ def stream_state_partitions(spark: SparkSession, src_path: str | None = None,
     override = _os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
     if override:
         return max(1, int(override))
-    if src_bytes is None:
-        src_bytes = 0
-        if src_path is not None and _os.path.isdir(src_path):
-            for root, _dirs, files in _os.walk(src_path):
-                for f in files:
-                    try:
-                        src_bytes += _os.path.getsize(_os.path.join(root, f))
-                    except OSError:
-                        pass  # file vacuumed mid-walk: size it as absent
     cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if src_bytes is None:
+        if src_path is None or not _os.path.isdir(src_path):
+            # Unknown source size (object-store URI, glob, remote path we
+            # cannot stat): the safe default is the session cap, NOT 1 — a
+            # 1 TB s3 backlog must never collapse all state onto one
+            # partition just because the driver could not walk the path.
+            return cap
+        src_bytes = 0
+        for root, _dirs, files in _os.walk(src_path):
+            for f in files:
+                try:
+                    src_bytes += _os.path.getsize(_os.path.join(root, f))
+                except OSError:
+                    pass  # file vacuumed mid-walk: size it as absent
     want = -(-int(src_bytes) // _STATE_PARTITION_BYTES)  # ceil div
     return max(1, min(cap, want))
 

@@ -112,3 +112,47 @@ def test_segment_token_count_shrinks_with_merges(toy, spark):
         F.sum("n_bpe_tokens")).collect()[0][0]
     assert n_none >= n_some >= n_all
     assert n_all < n_none
+
+
+def test_bpe_learn_periodic_barrier_bounds_lineage(spark, monkeypatch):
+    """r16: a realistic vocabulary run (10^4+ merges) must not build an
+    unbounded nested-replace chain — the loop re-barriers every
+    ``barrier_every`` merges.  Checks (a) the barrier fires the expected
+    number of times, (b) merges are identical with and without in-loop
+    barriers, (c) a >K-merge learn completes."""
+    import steel_datafusion_spark.pipeline.bpe as bpe_mod
+
+    # corpus with many learnable merges: distinct long words, disjoint
+    # alphabets, so pairs never collide across words and ~sum(len) merges
+    # exist before exhaustion
+    import string
+    alphabet = string.ascii_letters + string.digits
+    words = []
+    for i in range(12):
+        w = "".join(alphabet[(i * 7 + j * 3) % len(alphabet)]
+                    for j in range(10))
+        words.append(w)
+    corpus = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string")
+
+    calls = {"n": 0}
+    real_barrier = bpe_mod.iteration_barrier
+
+    def counting_barrier(df, **kw):
+        calls["n"] += 1
+        return real_barrier(df, **kw)
+
+    monkeypatch.setattr(bpe_mod, "iteration_barrier", counting_barrier)
+
+    # 40 merges, barrier every 8: 1 init + 4 in-loop (ranks 8,16,24,32 —
+    # never after the final merge)
+    m_k8 = bpe_learn(corpus, n_merges=40, vocab_partitions=1,
+                     barrier_every=8).collect()
+    assert calls["n"] == 5
+    assert len(m_k8) == 40  # enough pairs to not early-stop
+
+    calls["n"] = 0
+    m_nobar = bpe_learn(corpus, n_merges=40, vocab_partitions=1,
+                        barrier_every=10_000).collect()
+    assert calls["n"] == 1  # init only — demo-scale learns pay ONE barrier
+    assert [tuple(r) for r in m_k8] == [tuple(r) for r in m_nobar]

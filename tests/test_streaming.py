@@ -920,3 +920,28 @@ def test_streaming_ann_maintenance_crash_after_commit(
         for t in ("sannc_b", "sannc_f"):
             for s in ("centroids", "assign", "meta"):
                 drop_managed_table(spark, f"{t}_{s}")
+
+
+def test_stream_state_partitions_unknown_source_uses_session_cap(spark):
+    """A source the driver cannot stat (object-store URI, glob) must fall
+    back to the session shuffle-partition cap, never collapse to 1: a 1 TB
+    s3 backlog on one state partition would serialize all state commits."""
+    from steel_datafusion_spark.streaming.operators import (
+        stream_state_partitions)
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # non-local path: cannot be os.walk'd
+    assert stream_state_partitions(
+        spark, "s3a://bucket/events/") == cap
+    assert stream_state_partitions(spark, None) == cap
+    # explicit size still wins over the fallback
+    assert stream_state_partitions(
+        spark, "s3a://bucket/events/", src_bytes=1) == 1
+    assert stream_state_partitions(
+        spark, "s3a://bucket/events/",
+        src_bytes=cap * 64 * 1024 * 1024) == cap
+    # local directory sizing unchanged: tiny dir -> 1 partition
+    import tempfile, os as _os
+    with tempfile.TemporaryDirectory() as d:
+        with open(_os.path.join(d, "x.bin"), "wb") as f:
+            f.write(b"\0" * 1024)
+        assert stream_state_partitions(spark, d) == 1
