@@ -401,22 +401,29 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
     same steps and match hash-exactly (all-integer/string arithmetic, no
     float rounding at all).
 
-    Plan, per iteration (the same two-shuffle shape as ``pagerank``):
-    join labels onto the symmetrized edge list by source (node-key
-    shuffle), count labels per destination (second node-key shuffle), and
-    pick each node's winner with a ``min(struct(-count, label))``
-    aggregation — the (count DESC, label ASC) order encoded as a struct
-    min.  An aggregation rather than a ``row_number`` window because the
-    window would SORT every node's candidate list inside a second
-    node-key exchange, while the struct min partial-aggregates map-side
-    and never sorts (guide-§2 "aggregate before you shuffle"; measured
-    7.3 s → 5.4 s over 4 iterations at sf0.1, identical output).  The
-    mode aggregation is bounded by node degree, labels stay |V| rows,
-    edges persist once, and ``cache.iteration_barrier`` truncates lineage
-    every round exactly like k-means / connected-components / pagerank.
-    Bucketing labels and edges on the node key drops the label join's
-    exchange, leaving one shuffle per iteration (``pagerank_bucketed``
-    shows the layout).
+    Plan, per iteration (ONE node-key shuffle — r16): join labels onto
+    the symmetrized edge list by source (the edge cache is
+    pre-partitioned on src and the checkpointed labels come out of the
+    previous round partitioned on node, so once labels outgrow the
+    broadcast threshold the join is co-partitioned — no exchange on
+    either side), then ONE explicit hash repartition of the (dst, label)
+    pairs on dst feeds BOTH aggregations: the per-(node, label) count and
+    the per-node winner — ``min(struct(-count, label))``, the
+    (count DESC, label ASC) order encoded as a struct min.  Hash
+    partitioning on dst alone satisfies the (dst, label) grouping (a
+    subset key clusters every (dst, label) group), so neither aggregation
+    plans its own exchange above it; the previous shape paid one exchange
+    per groupBy — two per iteration (r15: window → struct-min, 7.3→5.4 s;
+    r16: fused exchanges, one |E|-scale shuffle of narrow (id, label)
+    rows instead of a partial-agg'd pair shuffle PLUS a distinct-
+    (node, label)-scale shuffle, identical output).  A struct-min
+    aggregation rather than a ``row_number`` window because a window
+    would SORT every node's candidate list; the struct min never sorts.
+    The winner aggregation is bounded by node degree, labels stay |V|
+    rows and leave each round partitioned on node (feeding the next
+    round's join), edges persist once, and ``cache.iteration_barrier``
+    truncates lineage every round exactly like k-means / connected-
+    components / pagerank.
     """
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .filter(F.col("src") != F.col("dst")))
@@ -433,12 +440,13 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
     labels = nodes.select("node", F.col("node").alias("label"))
 
     for _ in range(iterations):
-        counts = (und.join(labels, und["src"] == labels["node"])
-                  .select(F.col("dst").alias("nb_node"), "label")
-                  .groupBy("nb_node", "label")
-                  .agg(F.count(F.lit(1)).alias("c")))
         labels = iteration_barrier(
-            counts.groupBy("nb_node")
+            und.join(labels, und["src"] == labels["node"])
+            .select(F.col("dst").alias("nb_node"), "label")
+            .repartition(parts, "nb_node")
+            .groupBy("nb_node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("nb_node")
             .agg(F.min(F.struct((-F.col("c")).alias("_neg_c"),
                                 F.col("label"))).alias("_win"))
             .select(F.col("nb_node").alias("node"),
