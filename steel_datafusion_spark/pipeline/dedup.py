@@ -89,6 +89,16 @@ def _mix(h: Column, i: int) -> Column:
     return (lo * F.lit(A) + hi * F.lit(B) + F.lit(C)) % F.lit(MERSENNE61)
 
 
+def _mix_sparksql(h: str, i: int) -> str:
+    """``_mix`` rendered as a Spark SQL string — the same arithmetic term
+    for term (Spark's parser has no ``>>`` operator, hence ``shiftright``
+    instead of the DuckDB renderer ``SQL.mix``).  Lets k-wide mix fans
+    build as ONE parsed expression instead of ~15 py4j calls per slot."""
+    A, B, C = PERM_CONSTS[i]
+    return (f"((({h}) & {_LO_MASK}) * {A} + shiftright({h}, 30) * {B} "
+            f"+ {C}) % {MERSENNE61}")
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles; docs with <n tokens yield one whole-doc
     shingle (guards ANSI sequence(0, negative))."""
@@ -1326,12 +1336,15 @@ def corpus_overlap(
         # so single-mix minima correlate with the hash's high bits ACROSS
         # slots and overestimate J by ~2x (measured); the second pass
         # decorrelates (est within 3 sigma on Monte-Carlo random sets).
-        agg = df.agg(F.count(F.lit(1)).alias(cname),
-                     *[F.min(_mix(_mix(F.col("h"), i), i + k))
-                       .alias(f"m{i}") for i in range(k)])
-        return agg.select(cname,
-                          F.array(*[F.col(f"m{i}") for i in range(k)])
-                          .alias(sname))
+        # The 2k nested mix trees are rendered as ONE parsed SQL array of
+        # mins (r16, the similarity_pq literal lesson: ~1.6 s of the gate
+        # was pure py4j Column construction; ``_mix_sparksql`` is ``_mix``
+        # term for term, so the arithmetic is unchanged).
+        mins = ", ".join(
+            f"min({_mix_sparksql(_mix_sparksql('h', i), i + k)})"
+            for i in range(k))
+        return df.agg(F.count(F.lit(1)).alias(cname),
+                      F.expr(f"array({mins})").alias(sname))
 
     nc = ha.join(hb, "h").agg(F.count(F.lit(1)).alias("n_common"))
     matches = F.size(F.filter(
@@ -1455,14 +1468,15 @@ def source_overlap_sketch(
     # caching upstream of the aggregation made the whole distinct+min
     # chain run once per side (r15: two full aggregations + a multi-
     # million-row cache write -> one pass + a |groups|-row cache).
+    # 2k mix trees render as ONE parsed SQL expression (r16 — the
+    # corpus_overlap py4j lesson; identical arithmetic term for term)
+    mins = ", ".join(
+        f"min({_mix_sparksql(_mix_sparksql('h', i), i + k)})"
+        for i in range(k))
     sig = track(
         gs.groupBy("g")
         .agg(F.count(F.lit(1)).alias("n_set"),
-             *[F.min(_mix(_mix(F.col("h"), i), i + k)).alias(f"m{i}")
-               for i in range(k)])
-        .select("g", "n_set",
-                F.array(*[F.col(f"m{i}") for i in range(k)])
-                .alias("sig")).persist())
+             F.expr(f"array({mins})").alias("sig")).persist())
     a = sig.toDF("group_a", "n_a", "sig_a")
     b = sig.toDF("group_b", "n_b", "sig_b")
     matches = F.size(F.filter(
@@ -1493,19 +1507,39 @@ def keep_best_representatives(
     ``broadcast_limit`` rows they broadcast (scoring is a map-side join,
     the final anti-probe streams the corpus with no shuffle); over it
     they fall through to shuffled hash joins on the id (one exchange
-    each, linear, never an OOM).  The per-cluster argmax is a window over
-    the members frame either way."""
-    from pyspark.sql import Window
+    each, linear, never an OOM).
+
+    Skew (r16): the per-cluster argmax is a ``min(struct(-score, id))``
+    AGGREGATION, not a window — (score DESC, id ASC) encoded as a struct
+    min that partial-aggregates map-side, so a pathological cluster
+    holding 10% of the corpus combines on every map task instead of
+    sorting inside ONE window partition (a window cannot be split by AQE;
+    an algebraic aggregate has no hot-key problem).  Non-numeric scores
+    (no negation) keep the window path."""
+    from pyspark.sql.types import NumericType
 
     members = (corpus.select(F.col(id_col), score.alias("_score"))
                .join(broadcast_if_small(
                          clusters.select(id_col, "cluster_id"),
                          broadcast_limit),
                      id_col))
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("_score").desc(), F.col(id_col).asc())
-    drop = (members.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") > 1)
-            .select(F.col(id_col)))
+    if isinstance(members.schema["_score"].dataType, NumericType):
+        winners = (members.groupBy("cluster_id")
+                   .agg(F.min(F.struct((-F.col("_score")).alias("_ns"),
+                                       F.col(id_col).alias("_wid")))
+                        .alias("_w"))
+                   .select("cluster_id", F.col("_w._wid").alias("_wid")))
+        drop = (members.join(broadcast_if_small(winners, broadcast_limit),
+                             "cluster_id")
+                .filter(F.col(id_col) != F.col("_wid"))
+                .select(F.col(id_col)))
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("_score").desc(), F.col(id_col).asc())
+        drop = (members.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") > 1)
+                .select(F.col(id_col)))
     return corpus.join(broadcast_if_small(drop, broadcast_limit),
                        id_col, "left_anti")
