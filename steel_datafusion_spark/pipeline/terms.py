@@ -154,14 +154,16 @@ def tfidf_doc_topk(
 
     Plan: tokens → shingle stream (map-side slice window, no join) →
     per-(doc, shingle) tf → shingle df; shingles with df > ``max_df``
-    drop BEFORE the postings join (stop-phrase guard — df caps every
+    drop BEFORE pair generation (stop-phrase guard — df caps every
     shingle's pair fan-out at C(max_df, 2), the same occupancy bound as
-    ngram_jaccard's); idf = ln((N+1)/(df+1)) + 1; per-doc L2 norms from
-    one doc-keyed aggregate (over the post-cap space — similarity lives
-    in the capped space on both engines); the postings self-join keys on
-    the SHINGLE (fine-grained), pair dots sum 9dp-rounded weight products
-    as exact decimals (order-independent), and one doc-keyed window takes
-    top-k over both pair orientations.
+    ngram_jaccard's); idf = ln((N+1)/(df+1)) + 1; ONE doc-keyed aggregate
+    both computes the L2 norm and normalizes the doc's postings in-row
+    (over the post-cap space — similarity lives in the capped space on
+    both engines); pair dots come from ONE shingle-keyed aggregation
+    collecting each posting list sorted by doc id and expanding its
+    C(m, 2) ordered pairs map-side (no postings self-join), summing
+    9dp-rounded weight products as exact decimals (order-independent);
+    one doc-keyed window takes top-k over both pair orientations.
 
     At 100 TB: every key in every shuffle is a shingle or a doc id —
     fine-grained; quadratic exposure is bounded by max_df; and the heavy
@@ -201,22 +203,44 @@ def tfidf_doc_topk(
                  (F.col("tf") * (F.log((F.col("_n") + 1.0)
                                        / (F.col("df_") + 1.0)) + 1.0))
                  .alias("w")))
-    norms = w.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.round(F.col("w") * F.col("w"), 9)
-                     .cast("decimal(30,9)")).cast("double")).alias("nrm"))
+    # L2-normalize in ONE doc-keyed aggregation (r16): collect the doc's
+    # posting list and its norm together, normalize in-row on the way
+    # back out — the previous norms-groupBy + join-back re-exchanged the
+    # whole weight table on the doc key a second time.  Row width is the
+    # per-doc distinct-shingle list — document-bounded, the same envelope
+    # as the per-doc shingle arrays the minhash family holds in-row.
+    per_doc = (w.groupBy(id_col)
+               .agg(F.collect_list(F.struct("s", "w")).alias("_ps"),
+                    F.sqrt(F.sum(F.round(F.col("w") * F.col("w"), 9)
+                                 .cast("decimal(30,9)")).cast("double"))
+                    .alias("_nrm")))
     wn = track(
-        w.join(norms, id_col)
-        .select(F.col(id_col), "s", (F.col("w") / F.col("nrm")).alias("wn"))
+        per_doc.select(F.col(id_col), F.explode("_ps").alias("_p"),
+                       F.col("_nrm"))
+        .select(F.col(id_col), F.col("_p.s").alias("s"),
+                (F.col("_p.w") / F.col("_nrm")).alias("wn"))
         .persist())
-    pa = wn.select(F.col("s"), F.col(id_col).alias("a"),
-                   F.col("wn").alias("wa"))
-    pb = wn.select(F.col("s"), F.col(id_col).alias("b"),
-                   F.col("wn").alias("wb"))
-    dots = (pa.join(pb, "s")
-            .filter(F.col("a") < F.col("b"))
+    # pair dots via ONE partially-aggregated groupBy on the shingle key
+    # collecting each posting list SORTED by doc id, expanded map-side
+    # into its C(m, 2) ordered pairs (r16 — the association_rules /
+    # _candidates shape): the banded self-join paid two posting-table
+    # exchanges plus the join; the bucket fan-out is bounded by the
+    # max_df cap (dfreq filtered above), so a bucket row holds ≤ max_df
+    # (id, weight) structs and expands to ≤ C(max_df, 2) pair structs.
+    buckets = (wn.groupBy("s")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct(F.col(id_col).alias("a"),
+                            F.col("wn").alias("wa")))).alias("m")))
+    pair_expr = F.expr("""
+      flatten(transform(m, (x, i) ->
+        transform(slice(m, i + 2, greatest(size(m) - i - 1, 0)), y ->
+          named_struct('a', x.a, 'b', y.a,
+                       'd', CAST(round(x.wa * y.wa, 9) AS DECIMAL(30,9))))))
+    """)
+    dots = (buckets.select(F.explode(pair_expr).alias("_q"))
+            .select("_q.a", "_q.b", "_q.d")
             .groupBy("a", "b")
-            .agg(F.sum(F.round(F.col("wa") * F.col("wb"), 9)
-                       .cast("decimal(30,9)")).alias("d")))
+            .agg(F.sum("d").alias("d")))
     # both orientations of each pair, expanded map-side in ONE pass over
     # the aggregated pair table — a union of two projections would re-run
     # the postings join + pair aggregation once per branch (only exchanges
