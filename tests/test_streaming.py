@@ -749,7 +749,8 @@ def test_streaming_dedup_ingest_matches_one_shot(spark, tmp_path):
         s2.coalesce(1).write.mode("append").parquet(src)
         work = str(tmp_path / "work")
         got = streaming_dedup_ingest(spark, src, s1.schema, "sdd_idx",
-                                     work, threshold=0.5)
+                                     work, threshold=0.5,
+                                     max_files_per_trigger=1)
         want = (minhash_dedup_pairs(
                     base.unionByName(s1).unionByName(s2), threshold=0.5)
                 .filter(F.col("doc_b") >= 1000000))
@@ -762,7 +763,7 @@ def test_streaming_dedup_ingest_matches_one_shot(spark, tmp_path):
         # replay safety: same checkpoint, no new files -> no new commits
         v = latest_commit_info(str(tmp_path / "work" / "matches"))["version"]
         streaming_dedup_ingest(spark, src, s1.schema, "sdd_idx", work,
-                               threshold=0.5)
+                               threshold=0.5, max_files_per_trigger=1)
         assert latest_commit_info(
             str(tmp_path / "work" / "matches"))["version"] == v
     finally:
@@ -824,7 +825,8 @@ def test_streaming_dedup_ingest_crash_between_delta_and_upsert(
         monkeypatch.setattr(mf, "manifest_upsert", _dying_upsert)
         with pytest.raises(Exception):
             streaming_dedup_ingest(spark, src, s1.schema, "sddc_idx",
-                                   work, threshold=0.5)
+                                   work, threshold=0.5,
+                                   max_files_per_trigger=1)
         assert fired["n"] == 1  # the injected window actually fired
         # crash state: at least one batch's deltas are committed with
         # its watermark, but its matches never landed
@@ -834,7 +836,8 @@ def test_streaming_dedup_ingest_crash_between_delta_and_upsert(
         assert read_table(spark, bands_root).count() > 0
         monkeypatch.setattr(mf, "manifest_upsert", real_upsert)
         got = streaming_dedup_ingest(spark, src, s1.schema, "sddc_idx",
-                                     work, threshold=0.5)
+                                     work, threshold=0.5,
+                                     max_files_per_trigger=1)
         want = (minhash_dedup_pairs(
                     base.unionByName(s1).unionByName(s2), threshold=0.5)
                 .filter(F.col("doc_b") >= 1000000))
@@ -945,3 +948,27 @@ def test_stream_state_partitions_unknown_source_uses_session_cap(spark):
         with open(_os.path.join(d, "x.bin"), "wb") as f:
             f.write(b"\0" * 1024)
         assert stream_state_partitions(spark, d) == 1
+
+
+def test_files_per_trigger_volume_sizing(tmp_path):
+    """r16: micro-batches are sized by VOLUME (~32 MB/trigger), so tiny
+    files consolidate and fat files stay one per trigger."""
+    from steel_datafusion_spark.streaming.operators import files_per_trigger
+    d = tmp_path / "src"
+    d.mkdir()
+    # unstatable / empty -> conservative 1
+    assert files_per_trigger("s3a://bucket/stream/") == 1
+    assert files_per_trigger(str(d)) == 1
+    # two 1 KB files -> both fit one 32 MB trigger (and more)
+    for i in range(2):
+        (d / f"f{i}.parquet").write_bytes(b"\0" * 1024)
+    assert files_per_trigger(str(d)) >= 2
+    # hidden/marker files are not data
+    (d / "_SUCCESS").write_bytes(b"")
+    assert files_per_trigger(str(d)) >= 2
+    # one fat file (pretend 64 MB) -> 1 per trigger
+    big = tmp_path / "big"
+    big.mkdir()
+    with open(big / "huge.parquet", "wb") as f:
+        f.truncate(64 * 1024 * 1024)
+    assert files_per_trigger(str(big)) == 1
