@@ -90,24 +90,26 @@ def unigram_logprob_score(
     documents score 0.0 (they carry no evidence either way; a length filter
     owns that axis).
 
-    Plan: explode → ONE persisted per-(doc, term) count table (the corpus
-    is tokenized exactly once — r15; previously the token stream was
-    rebuilt for the scoring join) → term-count groupBy (fine-grained key,
-    derived from the persisted frame) → 1-row totals broadcast → logprob
-    term table joined back to the per-doc counts (shuffle carries distinct
-    (doc, term) rows, not every token position) → per-doc decimal sum of
-    count × logprob — exactly the sum of the per-position logprobs
-    (``tc`` copies of a 9dp decimal = ``tc × nlp`` with the count cast to
-    decimal(10,0) so the product stays precision-exact at scale 9).
+    Plan: explode → VOCAB-sized term-count table (map-side-combined
+    groupBy, persisted — totals and the logprob table both read it) →
+    1-row totals broadcast → logprob term table joined back to the token
+    stream on the term key → per-doc decimal sum.  The scoring join
+    re-evaluates the tokenize lineage (two map-only CPU passes over the
+    corpus in total) rather than persisting a per-(doc, term) count
+    table: r16 measured the position-scale cache costing MORE than the
+    tokenize pass it saves at sf0.1, 10x and 30x (bench_runs/
+    lm_sweep_r16.json — 30x: 8.7 s stream vs 18.8 s cached; on this
+    corpus distinct (doc, term) ≈ positions, so the cache dedups nothing
+    and its materialization is pure overhead).  A corpus with heavy
+    within-doc term repetition shifts the trade back toward a persisted
+    count table; the vocab-sized model persist below is shape-invariant.
     """
     from ..cache import track
     toks = _spread(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
-    dtc = track(toks.groupBy(id_col, "term")
-                .agg(F.count(F.lit(1)).alias("tc")).persist())
-    # two consumers (totals + logp) — persist so neither re-aggregates dtc
+    # two consumers (totals + logp) — persist so neither re-aggregates
     counts = track(
-        dtc.groupBy("term").agg(F.sum("tc").alias("c")).persist())
+        toks.groupBy("term").agg(F.count(F.lit(1)).alias("c")).persist())
     totals = counts.agg(
         F.sum("c").cast("double").alias("_total"),
         F.count(F.lit(1)).cast("double").alias("_vocab"))
@@ -117,11 +119,10 @@ def unigram_logprob_score(
                                    / (F.col("_total")
                                       + F.lit(alpha) * F.col("_vocab"))), 9)
                     .cast("decimal(20,9)").alias("nlp")))
-    scored = (dtc.join(logp, "term")
+    scored = (toks.join(logp, "term")
               .groupBy(id_col)
-              .agg(F.sum("tc").alias("n_tokens"),
-                   F.sum(F.col("nlp")
-                         * F.col("tc").cast("decimal(10,0)")).alias("s")))
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.sum("nlp").alias("s")))
     return (df.select(F.col(id_col)).distinct()
             .join(scored, id_col, "left")
             .select(
@@ -195,18 +196,17 @@ def bigram_logprob_score(
         F.slice(toks, 1, F.size(toks) - 1),
         F.slice(toks, 2, F.size(toks) - 1),
         lambda a, b: F.concat_ws(" ", a, b)))
-    # ONE persisted per-(doc, bigram) count table — the corpus is
-    # tokenized exactly once (r15); the model tables derive from it and
-    # the scoring join carries distinct (doc, bigram) rows, not every
-    # position.  Per-doc sum of count × logprob ≡ the per-position sum
-    # (count cast to decimal(10,0) keeps the product exact at scale 9).
+    # VOCAB-sized model-count table persisted (three consumers:
+    # prefix/totals/logp); the scoring join runs over the per-position
+    # stream, re-evaluating the tokenize lineage — r16 reverted the
+    # per-(doc, bigram) cached-count shape after measuring the
+    # position-scale cache costing more than the tokenize pass it saves
+    # at sf0.1 / 10x / 30x (see unigram_logprob_score's plan note and
+    # bench_runs/lm_sweep_r16.json).
     from ..cache import track
     bg = _spread(df).select(F.col(id_col), F.explode(bigram_arr).alias("bg"))
-    dbc = track(bg.groupBy(id_col, "bg")
-                .agg(F.count(F.lit(1)).alias("bc")).persist())
-    # three consumers (prefix/totals/logp) — persist so none re-aggregates
     counts = track(
-        dbc.groupBy("bg").agg(F.sum("bc").alias("c")).persist())
+        bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c")).persist())
     prefix = (counts.select(
         F.element_at(F.split(F.col("bg"), " "), 1).alias("w1"), "c")
         .groupBy("w1").agg(F.sum("c").alias("cp")))
@@ -220,11 +220,10 @@ def bigram_logprob_score(
                                    / (F.col("cp")
                                       + F.lit(alpha) * F.col("_vocab"))), 9)
                     .cast("decimal(20,9)").alias("nlp")))
-    scored = (dbc.join(logp, "bg")
+    scored = (bg.join(logp, "bg")
               .groupBy(id_col)
-              .agg(F.sum("bc").alias("n_bigrams"),
-                   F.sum(F.col("nlp")
-                         * F.col("bc").cast("decimal(10,0)")).alias("s")))
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.sum("nlp").alias("s")))
     return (df.select(F.col(id_col)).distinct()
             .join(scored, id_col, "left")
             .select(
@@ -617,18 +616,15 @@ def interpolated_logprob_score(
         lambda a, b: F.concat_ws(" ", a, b)))
     bg = _spread(df).select(F.col(id_col), F.explode(bigram_arr).alias("bg"))
 
-    # ONE persisted per-(doc, bigram) count table (r15): the corpus is
-    # tokenized exactly once; counts/prefix/uni/totals all derive from it
-    # (the identical counts subtree is exchange-reused within the plan),
-    # and the scoring join carries distinct (doc, bigram) rows.
+    # VOCAB-sized model-count table persisted (FOUR consumers:
+    # prefix/uni/totals/logp); the scoring join runs over the
+    # per-position stream — r16 reverted the per-(doc, bigram)
+    # cached-count shape after measuring the position-scale cache
+    # costing more than the tokenize pass it saves at sf0.1 / 10x / 30x
+    # (bench_runs/lm_sweep_r16.json; see unigram_logprob_score).
     from ..cache import track
-    dbc = track(bg.groupBy(id_col, "bg")
-                .agg(F.count(F.lit(1)).alias("bc")).persist())
-    # the model table has FOUR consumers (prefix/uni/totals/logp) — persist
-    # it like the pre-r15 shape did, or each consumer re-aggregates dbc
-    # (measured: dropping this persist cost the gate ~0.7 s at sf0.1)
     counts = track(
-        dbc.groupBy("bg").agg(F.sum("bc").alias("c")).persist())
+        bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c")).persist())
     prefix = (counts.select(
         F.element_at(F.split(F.col("bg"), " "), 1).alias("w1"), "c")
         .groupBy("w1").agg(F.sum("c").alias("cp")))
@@ -657,11 +653,10 @@ def interpolated_logprob_score(
                                          + F.lit(alpha)
                                          * F.col("_vocab_uni")))), 9)
                 .cast("decimal(20,9)").alias("nlp")))
-    scored = (dbc.join(logp, "bg")
+    scored = (bg.join(logp, "bg")
               .groupBy(id_col)
-              .agg(F.sum("bc").alias("n_grams"),
-                   F.sum(F.col("nlp")
-                         * F.col("bc").cast("decimal(10,0)")).alias("s")))
+              .agg(F.count(F.lit(1)).alias("n_grams"),
+                   F.sum("nlp").alias("s")))
     return (df.select(F.col(id_col)).distinct()
             .join(scored, id_col, "left")
             .select(
