@@ -1509,37 +1509,27 @@ def keep_best_representatives(
     they fall through to shuffled hash joins on the id (one exchange
     each, linear, never an OOM).
 
-    Skew (r16): the per-cluster argmax is a ``min(struct(-score, id))``
-    AGGREGATION, not a window — (score DESC, id ASC) encoded as a struct
-    min that partial-aggregates map-side, so a pathological cluster
-    holding 10% of the corpus combines on every map task instead of
-    sorting inside ONE window partition (a window cannot be split by AQE;
-    an algebraic aggregate has no hot-key problem).  Non-numeric scores
-    (no negation) keep the window path."""
-    from pyspark.sql.types import NumericType
+    Skew (r16, measured — tools/skew_probe_r16.py): a pathological
+    cluster holding 10% of the corpus sorts inside one window partition,
+    but the probe at 200k and 2M members shows skewed-vs-uniform within
+    1.2x for this window shape (the per-cluster sort is a tiny fraction
+    of the stage), while the map-side-combining min(struct(-score, id))
+    aggregation alternative costs ~2x locally because the members join
+    must be evaluated twice (winners pass + drop pass).  The window
+    stays; revisit the aggregation (with a persisted members frame) only
+    if a real corpus shows the single-partition sort dominating a
+    stage."""
+    from pyspark.sql import Window
 
     members = (corpus.select(F.col(id_col), score.alias("_score"))
                .join(broadcast_if_small(
                          clusters.select(id_col, "cluster_id"),
                          broadcast_limit),
                      id_col))
-    if isinstance(members.schema["_score"].dataType, NumericType):
-        winners = (members.groupBy("cluster_id")
-                   .agg(F.min(F.struct((-F.col("_score")).alias("_ns"),
-                                       F.col(id_col).alias("_wid")))
-                        .alias("_w"))
-                   .select("cluster_id", F.col("_w._wid").alias("_wid")))
-        drop = (members.join(broadcast_if_small(winners, broadcast_limit),
-                             "cluster_id")
-                .filter(F.col(id_col) != F.col("_wid"))
-                .select(F.col(id_col)))
-    else:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("cluster_id").orderBy(
-            F.col("_score").desc(), F.col(id_col).asc())
-        drop = (members.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") > 1)
-                .select(F.col(id_col)))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_score").desc(), F.col(id_col).asc())
+    drop = (members.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select(F.col(id_col)))
     return corpus.join(broadcast_if_small(drop, broadcast_limit),
                        id_col, "left_anti")

@@ -355,9 +355,11 @@ def test_read_csv_permissive_quarantines_bad_rows(spark, tmp_path):
 
 def test_keep_best_representatives_agg_matches_window_and_string_score(
         spark):
-    """r16: numeric scores take the skew-safe struct-min AGGREGATION path;
-    non-numeric scores keep the window.  Both must pick the identical
-    kept set — (score DESC, id ASC) — including on ties."""
+    """r16: the kept set is a pure function of the (score DESC, id ASC)
+    total order — numeric and string score encodings of the same order
+    must pick identical representatives, including on ties (pins the
+    tie semantics the skew probe's aggregation alternative must also
+    reproduce)."""
     from steel_datafusion_spark.pipeline.dedup import (
         keep_best_representatives,
     )

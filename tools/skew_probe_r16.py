@@ -5,11 +5,11 @@ under a pathological cluster distribution — one near-dup cluster holding
 
 Probes, at ~10x the sf0.1 document count:
 
-1. ``keep_best_representatives`` (dedup_keep_best's apply step), both the
-   r16 struct-min AGGREGATION path (numeric score) and the pre-r16
-   row_number WINDOW path (reconstructed here) — the window sorts the
-   whole hot cluster inside ONE partition, the aggregation combines it
-   map-side;
+1. ``keep_best_representatives`` (dedup_keep_best's apply step — the
+   row_number WINDOW shape) against a struct-min AGGREGATION alternative
+   (reconstructed here) — the window sorts the whole hot cluster inside
+   ONE partition, the aggregation combines it map-side but evaluates the
+   members join twice;
 2. ``keep_representatives`` (dedup_apply's apply step — no per-cluster
    ordering, skew-immune by shape; measured for the record);
 3. ``connected_components(two-phase)`` on the hot-star edge set vs a
@@ -34,21 +34,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def window_keep_best(corpus, clusters, score, id_col="doc_id",
-                     broadcast_limit=None):
-    """The pre-r16 keep_best path, for A/B."""
-    from pyspark.sql import Window
-
+def agg_keep_best(corpus, clusters, score, id_col="doc_id",
+                  broadcast_limit=None):
+    """min(struct(-score, id)) + winners-join argmax — the candidate
+    skew-safe alternative, kept HERE for A/B: measured ~2x the window
+    path locally (the members join evaluates twice), while the window
+    passes the skew criterion; see keep_best_representatives' docstring."""
     from steel_datafusion_spark.pipeline.dedup import broadcast_if_small
 
     members = (corpus.select(F.col(id_col), score.alias("_score"))
                .join(broadcast_if_small(
                          clusters.select(id_col, "cluster_id"),
                          broadcast_limit), id_col))
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("_score").desc(), F.col(id_col).asc())
-    drop = (members.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") > 1).select(F.col(id_col)))
+    winners = (members.groupBy("cluster_id")
+               .agg(F.min(F.struct((-F.col("_score")).alias("_ns"),
+                                   F.col(id_col).alias("_wid")))
+                    .alias("_w"))
+               .select("cluster_id", F.col("_w._wid").alias("_wid")))
+    drop = (members.join(broadcast_if_small(winners, broadcast_limit),
+                         "cluster_id")
+            .filter(F.col(id_col) != F.col("_wid"))
+            .select(F.col(id_col)))
     return corpus.join(broadcast_if_small(drop, broadcast_limit),
                        id_col, "left_anti")
 
@@ -93,9 +99,9 @@ def main() -> int:
 
     score = F.col("n_chars")
     impls = {
-        "keep_best_agg": lambda cl: keep_best_representatives(
+        "keep_best_agg": lambda cl: agg_keep_best(corpus, cl, score),
+        "keep_best_window": lambda cl: keep_best_representatives(
             corpus, cl, score),
-        "keep_best_window": lambda cl: window_keep_best(corpus, cl, score),
         "keep_reps": lambda cl: keep_representatives(corpus, cl),
     }
     out = {}
