@@ -722,6 +722,28 @@ SELECT query_id, neighbor_id, score, rank FROM (
 """
 
 
+# Build-once fixture for the stored-index probe gate (r16): the gate's
+# contract is the PROBE against a persisted index — rebuilding two managed
+# tables per bench rep both mis-times the probe and races concurrent
+# sessions on the shared warehouse dir (the _DEDUP_INDEX_BUILT rationale,
+# applied to the dense family; the table name is app-scoped for the same
+# reason).
+_ANN_PROBE_INDEX_BUILT: set = set()
+
+
+def _ensure_ann_probe_index(spark, sf_dir, name="gate_ann_idx"):
+    from .similarity import build_ann_index
+
+    app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    scoped = f"{name}_{app[-12:]}"
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), scoped)
+    if key not in _ANN_PROBE_INDEX_BUILT:
+        e = load_tables(spark, sf_dir)["embeddings"]
+        build_ann_index(e, scoped, nlist=10)
+        _ANN_PROBE_INDEX_BUILT.add(key)
+    return scoped
+
+
 def q_ann_index_probe(spark, sf_dir):
     """PERSISTED dense-vector index probe (pipeline/similarity.py
     build_ann_index + ivf_topk_index): the index — nlist=10 centroids +
@@ -734,12 +756,12 @@ def q_ann_index_probe(spark, sf_dir):
     tests/test_round11_ops.py).  Same nlist/nprobe as similarity_ivf, so
     the stored-index path must reproduce the inline path bit-for-bit —
     that is exactly what this gate hashes."""
-    from .similarity import build_ann_index, ivf_topk_index
+    from .similarity import ivf_topk_index
 
+    scoped = _ensure_ann_probe_index(spark, sf_dir)
     e = load_tables(spark, sf_dir)["embeddings"]
-    build_ann_index(e, "ann_gate_idx", nlist=10)
     q = e.filter(F.col("vec_id") < 5)
-    return ivf_topk_index(q, "ann_gate_idx", k=10, nprobe=2)
+    return ivf_topk_index(q, scoped, k=10, nprobe=2)
 
 
 # One build+append SEQUENCE per (app, sf_dir): the grown index is
