@@ -429,12 +429,23 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
          .filter(F.col("src") != F.col("dst")))
     # cached pre-partitioned on the per-iteration join key — see pagerank
     # (r15): avoids re-exchanging the full symmetrized edge list every
-    # step once labels outgrow the broadcast threshold
+    # step once labels outgrow the broadcast threshold.  Symmetrize via a
+    # map-side explode (a union of two projections re-runs the caller's
+    # edge-building join once per branch — r16, the triangle_count/
+    # small-star lesson), and repartition on src BEFORE the distinct:
+    # HashPartitioning(src) clusters every (src, dst) group (subset key),
+    # so the dedup aggregation plans no exchange of its own and the cache
+    # comes out already laid out on the per-iteration join key — one
+    # exchange where union→distinct→repartition paid two.
     parts = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     und = track(
-        e.union(e.select(F.col("dst").alias("src"),
-                         F.col("src").alias("dst")))
-        .distinct().repartition(parts, "src").persist())
+        e.select(F.explode(F.array(
+            F.struct(F.col("src"), F.col("dst")),
+            F.struct(F.col("dst").alias("src"),
+                     F.col("src").alias("dst")))).alias("_e"))
+        .select("_e.src", "_e.dst")
+        .repartition(parts, "src")
+        .distinct().persist())
     nodes = track(und.select(F.col("src").alias("node")).distinct()
                   .persist())
     labels = nodes.select("node", F.col("node").alias("label"))
