@@ -401,12 +401,13 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
     same steps and match hash-exactly (all-integer/string arithmetic, no
     float rounding at all).
 
-    Plan, per iteration (ONE node-key shuffle — r16): join labels onto
+    Plan, per iteration (ONE |E|-scale shuffle — r16): join labels onto
     the symmetrized edge list by source (the edge cache is
-    pre-partitioned on src and the checkpointed labels come out of the
-    previous round partitioned on node, so once labels outgrow the
-    broadcast threshold the join is co-partitioned — no exchange on
-    either side), then ONE explicit hash repartition of the (dst, label)
+    pre-partitioned on src, so the |E| side never re-exchanges; the
+    checkpointed |V|-row label side re-exchanges once labels outgrow the
+    broadcast threshold — ``localCheckpoint`` under AQE does not preserve
+    the previous round's partitioning, the same behavior as pagerank's
+    rank frame), then ONE explicit hash repartition of the (dst, label)
     pairs on dst feeds BOTH aggregations: the per-(node, label) count and
     the per-node winner — ``min(struct(-count, label))``, the
     (count DESC, label ASC) order encoded as a struct min.  Hash
@@ -416,14 +417,13 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
     per groupBy — two per iteration (r15: window → struct-min, 7.3→5.4 s;
     r16: fused exchanges, one |E|-scale shuffle of narrow (id, label)
     rows instead of a partial-agg'd pair shuffle PLUS a distinct-
-    (node, label)-scale shuffle, identical output).  A struct-min
-    aggregation rather than a ``row_number`` window because a window
-    would SORT every node's candidate list; the struct min never sorts.
-    The winner aggregation is bounded by node degree, labels stay |V|
-    rows and leave each round partitioned on node (feeding the next
-    round's join), edges persist once, and ``cache.iteration_barrier``
-    truncates lineage every round exactly like k-means / connected-
-    components / pagerank.
+    (node, label)-scale shuffle, identical output; plan evidence in
+    plans/r16/label_propagation_iter_*.txt).  A struct-min aggregation
+    rather than a ``row_number`` window because a window would SORT every
+    node's candidate list; the struct min never sorts.  The winner
+    aggregation is bounded by node degree, labels stay |V| rows, edges
+    persist once, and ``cache.iteration_barrier`` truncates lineage every
+    round exactly like k-means / connected-components / pagerank.
     """
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .filter(F.col("src") != F.col("dst")))
